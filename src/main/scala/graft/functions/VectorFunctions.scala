@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector kernel column functions.
+  *
+  * Re-expresses the reference's two scalar kernels — `dot_product`
+  * (/root/reference/src/lib.rs:321-344) and `normalize`
+  * (/root/reference/src/lib.rs:347-359) — as pure Catalyst higher-order
+  * expressions (no UDFs), so they stay inside whole-stage codegen and
+  * survive predicate pushdown / column pruning at cluster scale.
+  *
+  * Two precision families:
+  *  - `*D` variants fold left-to-right in DOUBLE. Deterministic (same
+  *    sequential association every run/engine), used on the oracle-checked
+  *    query path.
+  *  - `*F` variants accumulate in FLOAT, mirroring the reference's f32
+  *    arithmetic (lib.rs:24) for behavioral parity with the Rust engine.
+  */
+object VectorFunctions {
+
+  /** Sequential-fold double dot product of two float/double array columns. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm in double. */
+  def l2normD(v: Column): Column = sqrt(dotD(v, v))
+
+  /** Cosine similarity of two raw (not pre-normalized) vectors.
+    * Once vectors are unit-normalized at ingest (lib.rs:158,173) cosine
+    * degenerates to `dotD` — `VectorStore` uses that fast path. */
+  def cosineD(a: Column, b: Column): Column =
+    dotD(a, b) / (l2normD(a) * l2normD(b))
+
+  /** L2-normalize against a precomputed norm column. Taking the norm as an
+    * argument keeps the fold O(dim) instead of O(dim^2) (the per-element
+    * lambda must not re-evaluate an aggregate over the whole array). */
+  def normalizeD(v: Column, norm: Column): Column =
+    transform(v, x => x.cast("double") / norm)
+
+  /** Normalize and keep FLOAT element type — the stored-vector layout
+    * (reference stores a normalized f32 matrix, lib.rs:44-45). */
+  def normalizeF(v: Column, norm: Column): Column =
+    transform(v, x => (x.cast("double") / norm).cast("float"))
+
+  /** f32-accumulating dot product — reference parity (lib.rs:330-343). */
+  def dotF(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0f), (acc, x) => acc + x)
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorFunctions._
+
+/** Result of [[VectorStore.upsert]] — new state plus the two id lists the
+  * reference returns (/root/reference/src/lib.rs:150-185). */
+final case class UpsertResult(store: VectorStore, updatedIds: DataFrame, insertedIds: DataFrame)
+
+/** Spark-native re-expression of the reference's single-collection vector
+  * store (/root/reference/src/lib.rs:40-48, 74-318).
+  *
+  * State is a plain DataFrame with schema
+  * {{{
+  *   __id__  STRING        -- primary key            (lib.rs:19,29-31)
+  *   vector  ARRAY<FLOAT>  -- unit-normalized        (lib.rs:44-45,158,173)
+  *   <fields...>           -- open metadata columns  (lib.rs:36-37)
+  * }}}
+  * so every operator is a pure DataFrame transformation that composes with
+  * the rest of Spark and scales by partition parallelism. The store is
+  * immutable — mutators return a new store (no driver-side state).
+  *
+  * The vector column is the single source of truth, which makes the
+  * reference's delete-after-reload corruption (`Data.vector` is
+  * `#[serde(skip)]`, lib.rs:33 + lib.rs:280-285) structurally impossible
+  * here — see SURVEY.md O7a.
+  */
+final case class VectorStore(
+    df: DataFrame,
+    embeddingDim: Int,
+    metric: String = "cosine",
+    additionalData: Map[String, String] = Map.empty) {
+
+  import VectorStore._
+
+  // ---------------------------------------------------------------- O3/O4/O5
+  /** Top-k cosine similarity query — the reference's hot path
+    * (lib.rs:188-260) as one narrow Spark stage:
+    * scan -> Filter(pred) -> Project(score) -> Filter(threshold) ->
+    * TakeOrderedAndProject (per-partition heap + driver merge, exactly the
+    * Rayon fold/reduce shape of lib.rs:208-242).
+    *
+    * @param filter     arbitrary metadata predicate, applied BEFORE scoring
+    *                   (lib.rs:211-216) — Catalyst pushes it below the
+    *                   projection automatically.
+    * @param betterThan inclusive score threshold (lib.rs:198,222).
+    */
+  def query(
+      queryVec: Array[Float],
+      topK: Int,
+      betterThan: Option[Double] = None,
+      filter: Option[Column] = None): DataFrame = {
+    val qn = normalizeLocal(queryVec) // parity with lib.rs:195
+    val q = array(qn.map(lit): _*)
+    val base = filter.map(df.filter).getOrElse(df)
+    val scored = base.withColumn(MetricsCol, dotD(col(VectorCol), q))
+    // Reference: score enters the heap only if >= threshold, and any
+    // comparison with NaN is false in Rust (lib.rs:222) — so NaN never
+    // surfaces. Spark sorts NaN *above* all doubles, so demote explicitly.
+    val thr = betterThan.getOrElse(Double.MinValue)
+    scored
+      .filter(!isnan(col(MetricsCol)) && col(MetricsCol) >= lit(thr))
+      .orderBy(col(MetricsCol).desc, col(IdCol).asc) // deterministic ties (SURVEY §4.2)
+      .limit(topK)
+      .drop(VectorCol) // projection parity: vector never returned (lib.rs:247-259)
+  }
+
+  // ------------------------------------------------------------------- O2
+  /** Merge a batch of (__id__, vector, fields...) rows.
+    *
+    * Faithful to the reference's quirk O2a (lib.rs:157-163): on update only
+    * the vector is replaced — existing metadata fields are kept (stale).
+    * Inserts take the batch row whole. Ids must be unique within a batch
+    * (the reference's intra-batch duplicate behavior is degenerate —
+    * SURVEY.md O2a — and not replicated).
+    *
+    * Shape: two broadcast-able joins + union — the distributed equivalent
+    * of the reference's driver-side HashSet probe (lib.rs:153).
+    */
+  def upsert(batch: DataFrame): UpsertResult = {
+    val b = withNormalizedVector(batch, vecElemType)
+    val existingIds = df.select(IdCol)
+    val updatedIds  = batch.select(IdCol).join(existingIds, Seq(IdCol), "left_semi")
+    val insertedIds = batch.select(IdCol).join(existingIds, Seq(IdCol), "left_anti")
+    // O2a: vector-only replacement for existing rows.
+    val newVecs = b.select(col(IdCol), col(VectorCol).as("__newvec__"))
+    val updatedState = df
+      .join(broadcast(newVecs), Seq(IdCol), "left")
+      .withColumn(VectorCol, coalesce(col("__newvec__"), col(VectorCol)))
+      .drop("__newvec__")
+    val insertedRows = b.join(existingIds, Seq(IdCol), "left_anti")
+    val newDf = updatedState.unionByName(insertedRows, allowMissingColumns = true)
+    UpsertResult(copy(df = newDf), updatedIds, insertedIds)
+  }
+
+  // ------------------------------------------------------------------- O6
+  /** Point lookup by ids — broadcast semi-join (lib.rs:263-270). Missing
+    * ids are silently dropped, full records (incl. vector) returned. */
+  def get(ids: Seq[String]): DataFrame =
+    df.filter(col(IdCol).isin(ids: _*))
+
+  /** Point lookup against a DataFrame of ids (scales past literal lists). */
+  def get(ids: DataFrame): DataFrame =
+    df.join(broadcast(ids.select(col(ids.columns.head).as(IdCol))), Seq(IdCol), "left_semi")
+
+  // ------------------------------------------------------------------- O7
+  /** Delete by ids — anti-join (lib.rs:273-286). */
+  def delete(ids: Seq[String]): VectorStore =
+    copy(df = df.filter(!col(IdCol).isin(ids: _*)))
+
+  def delete(ids: DataFrame): VectorStore =
+    copy(df = df.join(broadcast(ids.select(col(ids.columns.head).as(IdCol))), Seq(IdCol), "left_anti"))
+
+  /** Element type of the stored vector column (FLOAT for reference/layout
+    * parity, DOUBLE on the oracle-checked deterministic path). */
+  def vecElemType: DataType =
+    df.schema(VectorCol).dataType.asInstanceOf[ArrayType].elementType
+
+  // ------------------------------------------------------------------ O10
+  /** Record count (lib.rs:306-308). */
+  def len(): Long = df.count()
+  def isEmpty: Boolean = df.isEmpty
+  /** Total stored vector elements = N * dim (lib.rs:314-318). */
+  def vectorElemCount(): Long = len() * embeddingDim
+
+  // ------------------------------------------------------------------- O8
+  /** Persist natively: partitioned parquet + a small JSON sidecar carrying
+    * dim / metric / additional_data (the reference's single-JSON-file
+    * format lives in [[graft.sources.NanoJsonCodec]] for interop). */
+  def save(path: String): Unit = {
+    df.write.mode("overwrite").parquet(s"$path/data")
+    val meta = Meta(embeddingDim, metric, additionalData).toJson
+    val spark = df.sparkSession
+    // tiny sidecar — write through Hadoop FS so the path scheme matches.
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  // ------------------------------------------------------------------- O9
+  /** Whole-map replace, like store_additional_data (lib.rs:301-303). */
+  def withAdditionalData(data: Map[String, String]): VectorStore =
+    copy(additionalData = data)
+}
+
+object VectorStore {
+  val IdCol = "__id__"
+  val VectorCol = "vector"
+  val MetricsCol = "__metrics__"
+
+  private[operators] final case class Meta(
+      embeddingDim: Int, metric: String, additionalData: Map[String, String]) {
+    def toJson: String = {
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      val ad = additionalData.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }.mkString("{", ", ", "}")
+      s"""{"embedding_dim": $embeddingDim, "metric": "${esc(metric)}", "additional_data": $ad}"""
+    }
+  }
+
+  /** Driver-side L2 normalize of a query vector — panics on the zero vector
+    * exactly like the reference (lib.rs:352-355). Double accumulation. */
+  def normalizeLocal(v: Array[Float]): Array[Double] = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+    require(ss > 1e-12, "Cannot normalize a zero-magnitude vector")
+    val inv = 1.0 / math.sqrt(ss)
+    v.map(_.toDouble * inv)
+  }
+
+  /** Normalize the vector column of an incoming batch (ingest-side F2). */
+  def withNormalizedVector(batch: DataFrame, elemType: DataType = FloatType): DataFrame = {
+    val n = "__norm__"
+    batch
+      .withColumn(n, l2normD(col(VectorCol)))
+      .withColumn(VectorCol,
+        transform(col(VectorCol), x => (x.cast(DoubleType) / col(n)).cast(elemType)))
+      .drop(n)
+  }
+
+  /** Ingest any (id, vector, fields...) DataFrame: rename, cast, normalize.
+    * The O1 "create" path for data already in DataFrames (the reference's
+    * real source API is an in-process Vec<Data>, lib.rs:150). */
+  def fromDataFrame(raw: DataFrame, idCol: String, vecCol: String, dim: Int,
+      metric: String = "cosine", elemType: DataType = FloatType): VectorStore = {
+    val df = raw
+      .withColumn(IdCol, col(idCol).cast(StringType))
+      .withColumn(VectorCol, col(vecCol).cast(ArrayType(elemType)))
+      .drop(Seq(idCol, vecCol).filter(c => c != IdCol && c != VectorCol): _*)
+    VectorStore(withNormalizedVector(df, elemType), dim, metric)
+  }
+
+  /** O1 load: native parquet + sidecar, with the reference's load-time size
+    * validation (matrix.len == data.len * dim, lib.rs:122-129) re-expressed
+    * as a distributed dimension check. */
+  def load(spark: SparkSession, path: String, validate: Boolean = true): VectorStore = {
+    val df = spark.read.parquet(s"$path/data")
+    val meta = readMeta(spark, s"$path/_meta.json")
+    if (validate) {
+      val bad = df.filter(size(col(VectorCol)) =!= meta.embeddingDim).limit(1).count()
+      require(bad == 0L,
+        s"Storage corrupted: found vectors whose length != embedding_dim=${meta.embeddingDim}")
+    }
+    VectorStore(df, meta.embeddingDim, meta.metric, meta.additionalData)
+  }
+
+  private def readMeta(spark: SparkSession, file: String): Meta = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(txt)
+    val ad = Option(node.get("additional_data")).map { n =>
+      val it = n.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+    Meta(node.get("embedding_dim").asInt(), node.get("metric").asText(), ad)
+  }
+}
