@@ -53,7 +53,12 @@ object SparkEntry {
 
   // ------------------------------------------------------------ queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ pipelineQueries
+
+  def oracleSql: Map[String, String] = coreOracle ++ pipelineOracle
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1: schema-validated scan of the collection.
     "o1_scan" -> ((s, dir) => {
       storeD(s, dir).df
@@ -167,7 +172,7 @@ object SparkEntry {
       "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(q.qv, q.qv)))"
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracle: Map[String, String] = Map(
     "o1_scan" ->
       """SELECT CAST(vec_id AS VARCHAR) AS __id__, CAST(len(embedding) AS BIGINT) AS dim, label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
@@ -246,5 +251,312 @@ object SparkEntry {
          |      FROM n CROSS JOIN q)
          |SELECT CAST(vec_id AS VARCHAR) AS __id__, bucket
          |FROM s ORDER BY bucket DESC, vec_id LIMIT 20""".stripMargin
+  )
+
+  // ===================================================== pipeline (north star)
+
+  import graft.operators.{Ann, Dedup, EventAnalytics, Multimodal, TextAnalysis}
+
+  /** Order-independent exact sum in integer cents (bit-identical across
+    * engines; DECIMAL casts of doubles are not — 1-ulp divergence). */
+  private def decSum(c: Column): Column =
+    (sum(round(c * 100).cast(LongType)).cast(DoubleType) / 100.0)
+
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational: TPC-H Q1-shaped pricing summary (exact DECIMAL sums).
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Relational: 3-way join (broadcast dim) + top-N by exact revenue.
+    "q3_join_topn" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 100).cast(LongType)).as("rev_c"))
+        .orderBy(col("rev_c").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), (col("rev_c").cast(DoubleType) / 100.0).as("revenue"))
+    }),
+
+    // Dedup: exact content-hash groups.
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", Seq("text"))
+        .orderBy(col("content_hash"))
+    }),
+
+    // Dedup: 3-gram shingle Jaccard over adjacent-id pairs.
+    "dedup_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("sh").as("sh_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+
+    // Dedup: MinHash-LSH candidate pairs (rows-only check: engine-specific
+    // xxhash64 is not oracle-expressible).
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Dedup: SimHash near-dup pairs (rows-only check).
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Dedup: embedding-cosine near-dups within id blocks.
+    "dedup_embcos" -> ((s, dir) => {
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.3, idBlock = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ANN: exact batch top-k via the bounded-heap aggregate.
+    "ann_batch_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ANN: hyperplane-LSH bucketed top-k (approximate; recall checked in
+    // ScalaTest against brute force — rows-only here).
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.lshTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, dim = 64, nPlanes = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Text: quality/token/fingerprint stats.
+    "text_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cols = TextAnalysis.qualityColumns(col("text")) ++ Seq(
+        "tokens_ws" -> TextAnalysis.tokenCountWs(col("text")),
+        "tokens_re" -> TextAnalysis.tokenCountRegex(col("text")),
+        "fingerprint" -> TextAnalysis.fingerprint(col("text")))
+      cols.foldLeft(d.select(col("doc_id"), col("text"))) { case (df, (n, c)) => df.withColumn(n, c) }
+        .drop("text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: marker-vote language id.
+    "text_langid" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.langIdColumns(col("text"))
+        .foldLeft(d.select(col("doc_id"), col("text"))) { case (df, (n, c)) => df.withColumn(n, c) }
+        .drop("text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Events: tumbling-hour aggregation.
+    "events_hourly" -> ((s, dir) => {
+      EventAnalytics.hourlyAgg(Tables.events(s, dir))
+        .orderBy(col("hour_ts"), col("event_type"))
+    }),
+
+    // Events: gap sessionization + per-session rollup.
+    "events_sessions" -> ((s, dir) => {
+      EventAnalytics.sessionStats(Tables.events(s, dir), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // Events: JSON property extraction + aggregation.
+    "events_props" -> ((s, dir) => {
+      EventAnalytics.propsAgg(Tables.events(s, dir))
+        .orderBy(col("event_type"))
+    }),
+
+    // Multimodal: binary payload metadata (deterministic byte stats).
+    "mm_meta" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("n_bytes"),
+          ceil(octet_length(col("text")).cast(DoubleType) / 256.0).cast(LongType).as("n_chunks"),
+          Multimodal.sniffFormat(col("text").cast(BinaryType)).as("format"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal: per-partition stub decode + chunk sampling (rows-only:
+    // exercises the mapPartitions plumbing and crc32 chunking).
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").cast(BinaryType).as("media"),
+          lit("text").as("mimeHint"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeFeatures(docs, dim = 16)
+        .select(col("id"), col("n_bytes"), col("format"),
+          round(element_at(col("feature"), 1).cast(DoubleType), 6).as("f0"))
+        .orderBy(col("id"))
+    })
+  )
+
+  private def pipelineOracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_topn" ->
+      """SELECT l_orderkey, CAST(rev_c AS DOUBLE) / 100.0 AS revenue FROM (
+        |  SELECT l.l_orderkey,
+        |    sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |  GROUP BY l.l_orderkey
+        |  ORDER BY rev_c DESC, l.l_orderkey
+        |  LIMIT 10)""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS group_size
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a,
+        |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 ORDER BY a.doc_id""".stripMargin,
+
+    "dedup_embcos" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_batch_topk" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |sc AS (SELECT qs.qid, e.vec_id AS id,
+        |         list_dot_product(e.embedding::DOUBLE[], qs.qv) /
+        |         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |          sqrt(list_dot_product(qs.qv, qs.qv))) AS sc
+        |       FROM embeddings e CROSS JOIN qs),
+        |r AS (SELECT qid, id, sc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
+        |      FROM sc)
+        |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "text_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' '))::DOUBLE AS nw,
+        |    length(text)::DOUBLE AS nc,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS nl,
+        |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE AS np,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to','in','is','on')))::DOUBLE AS nstop
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(length(replace(text, ' ', ''))::DOUBLE / nw, 6) AS avg_word_len,
+        |  round(nl / nc, 6) AS letter_ratio,
+        |  round(np / nc, 6) AS punct_ratio,
+        |  round(nstop / nw, 6) AS stopword_ratio,
+        |  round(least(nw / 20.0, 1.0) * 0.4 + least(nstop / nw * 5.0, 1.0) * 0.3 +
+        |        (1.0 - least(np / nc * 10.0, 1.0)) * 0.3, 6) AS quality,
+        |  CAST(nw AS BIGINT) AS tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS tokens_re,
+        |  md5(lower(text)) AS fingerprint
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST((length(t) - length(replace(t, ' the ', ''))) / 5 AS BIGINT) +
+        |  CAST((length(t) - length(replace(t, ' is ', ''))) / 4 AS BIGINT) +
+        |  CAST((length(t) - length(replace(t, ' and ', ''))) / 5 AS BIGINT) AS score_en,
+        |  CAST((length(t) - length(replace(t, ' der ', ''))) / 5 AS BIGINT) +
+        |  CAST((length(t) - length(replace(t, ' und ', ''))) / 5 AS BIGINT) +
+        |  CAST((length(t) - length(replace(t, ' nicht ', ''))) / 7 AS BIGINT) AS score_de,
+        |  CAST((length(t) - length(replace(t, ' el ', ''))) / 4 AS BIGINT) +
+        |  CAST((length(t) - length(replace(t, ' que ', ''))) / 5 AS BIGINT) +
+        |  CAST((length(t) - length(replace(t, ' los ', ''))) / 5 AS BIGINT) AS score_es,
+        |  CAST((length(t) - length(replace(t, ' le ', ''))) / 4 AS BIGINT) +
+        |  CAST((length(t) - length(replace(t, ' les ', ''))) / 5 AS BIGINT) +
+        |  CAST((length(t) - length(replace(t, ' est ', ''))) / 5 AS BIGINT) AS score_fr,
+        |  CAST((length(t) - length(replace(t, '的', ''))) / 1 AS BIGINT) +
+        |  CAST((length(t) - length(replace(t, '是', ''))) / 1 AS BIGINT) +
+        |  CAST((length(t) - length(replace(t, '了', ''))) / 1 AS BIGINT) AS score_zh
+        |FROM p)
+        |SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+        |  CASE
+        |    WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_en > 0 THEN 'en'
+        |    WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_de > 0 THEN 'de'
+        |    WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_es > 0 THEN 'es'
+        |    WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_fr > 0 THEN 'fr'
+        |    WHEN score_zh = greatest(score_en, score_de, score_es, score_fr, score_zh) AND score_zh > 0 THEN 'zh'
+        |    ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM s)
+        |SELECT user_id, session_seq,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us, CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(ceil(octet_length(CAST(text AS BLOB))::DOUBLE / 256.0) AS BIGINT) AS n_chunks,
+        |  'bin' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

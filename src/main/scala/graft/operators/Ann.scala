@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorFunctions._
+import graft.functions.TopKByScore
+
+/** Similarity search over an embedding column.
+  *
+  * Brute-force exact top-k is the semantics baseline (the reference is
+  * brute-force by contract, /root/reference/docs/src/basics.md:27-34); the
+  * hyperplane-LSH bucketing is the additive sub-quadratic scale path —
+  * never a silent replacement (SURVEY.md §7.4.5).
+  */
+object Ann {
+
+  /** Exact batch top-k: score every (query, row) pair, then reduce with
+    * the bounded-heap aggregate [[TopKByScore]].
+    *
+    * The query side is broadcast (Q rows), the data side streams: map-side
+    * partial aggregation keeps per-partition heaps of size k, so the
+    * shuffle is O(partitions × Q × k) — the reference's Rayon fold/reduce
+    * (lib.rs:208-242) generalized to executors.
+    */
+  def bruteForceTopK(
+      data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val scored = data
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
+      .withColumn("__score__", cosineD(col(vecCol), col("qv")))
+    scored
+      .groupBy(col("qid"))
+      .agg(TopKByScore.topk(col("__score__"), col(idCol).cast(StringType), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col("qid"),
+        (col("rank0") + 1).cast(IntegerType).as("rank"),
+        col("hit.id").as("id"),
+        round(col("hit.score"), 6).as("score"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes, engine-independent: element
+    * h[p][d] = sin(1000*p + d) (any fixed, reproducible, roughly isotropic
+    * family works for sign-LSH). */
+  private def hyperplane(p: Int, dim: Int): Column =
+    array((0 until dim).map(d => sin(lit(1000.0 * p + d))): _*)
+
+  /** Sign-LSH bucket key: one bit per hyperplane = sign of the projection.
+    * Vectors in the same bucket are near-dup candidates; probing the query
+    * bucket only turns brute force into a candidate-bounded search. */
+  def hyperplaneBucket(vecCol: Column, dim: Int, nPlanes: Int): Column =
+    concat_ws("", (0 until nPlanes).map { p =>
+      when(dotD(vecCol, hyperplane(p, dim)) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Bucketed (approximate) top-k: only score candidates sharing the
+    * query's LSH bucket. Recall < 1.0 by construction — pair with
+    * [[bruteForceTopK]] when exactness is required. */
+  def lshTopK(
+      data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
+    val bucketed = data.withColumn("__bucket__", hyperplaneBucket(col(vecCol), dim, nPlanes))
+    val qb = broadcast(
+      queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+        .withColumn("__bucket__", hyperplaneBucket(col("qv"), dim, nPlanes)))
+    bucketed.join(qb, "__bucket__")
+      .withColumn("__score__", cosineD(col(vecCol), col("qv")))
+      .groupBy(col("qid"))
+      .agg(TopKByScore.topk(col("__score__"), col(idCol).cast(StringType), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col("qid"),
+        (col("rank0") + 1).cast(IntegerType).as("rank"),
+        col("hit.id").as("id"),
+        round(col("hit.score"), 6).as("score"))
+  }
+}

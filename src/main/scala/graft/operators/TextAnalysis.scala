@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, fingerprinting. All pure
+  * Catalyst expressions (codegen-friendly, no UDFs), each formula chosen
+  * to be re-expressible in ANSI SQL for the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(split(text, " ")).cast(LongType)
+
+  /** BPE-ish token count: runs of letters, runs of digits, and individual
+    * other non-space characters each count as one token. */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+
+  /** Rolling-hash style document fingerprint (md5 of lowercased text —
+    * hex string, identical across engines). */
+  def fingerprint(text: Column): Column = md5(lower(text))
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Quality-scoring columns: length, word stats, punctuation ratio,
+    * stopword ratio, and a composite 0..1 quality score. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val nWords = size(toks).cast(DoubleType)
+    val nChars = length(text).cast(DoubleType)
+    val nLetters = length(regexp_replace(text, "[^a-zA-Z]", "")).cast(DoubleType)
+    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast(DoubleType)
+    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast(DoubleType)
+    val avgWordLen = length(regexp_replace(text, " ", "")).cast(DoubleType) / nWords
+    val stopRatio = nStop / nWords
+    val punctRatio = nPunct / nChars
+    // Composite heuristic: long-enough docs with a plausible stopword rate
+    // and low punctuation score high.
+    val score =
+      least(nWords / 20.0, lit(1.0)) * 0.4 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3
+    Seq(
+      "n_words" -> size(toks).cast(LongType),
+      "avg_word_len" -> round(avgWordLen, 6),
+      "letter_ratio" -> round(nLetters / nChars, 6),
+      "punct_ratio" -> round(punctRatio, 6),
+      "stopword_ratio" -> round(stopRatio, 6),
+      "quality" -> round(score, 6))
+  }
+
+  /** Marker-word languages: (lang, markers). Occurrence counts of each
+    * marker substring vote for the language. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " is ", " and "),
+    "de" -> Seq(" der ", " und ", " nicht "),
+    "es" -> Seq(" el ", " que ", " los "),
+    "fr" -> Seq(" le ", " les ", " est "),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Occurrence count of a literal substring. */
+  private def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) / marker.length).cast(LongType)
+
+  /** Per-language marker votes plus an argmax `lang_pred` column
+    * (deterministic tie-break: declaration order, 'und' when no votes). */
+  def langIdColumns(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = LangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => occurrences(padded, m)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // chained WHEN gives earlier languages precedence on ties
+    val predFirst = scores.foldLeft(Option.empty[Column]) { case (acc, (lang, s)) =>
+      Some(acc match {
+        case None => when(s === best && s > 0, lang)
+        case Some(c) => c.when(s === best && s > 0, lang)
+      })
+    }.get.otherwise("und")
+    scores.map { case (l, s) => s"score_$l" -> s } :+ ("lang_pred" -> predFirst)
+  }
+
+  /** Full per-document text-analysis projection. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val cols = qualityColumns(col(textCol)) ++ langIdColumns(col(textCol)) ++ Seq(
+      "tokens_ws" -> tokenCountWs(col(textCol)),
+      "tokens_re" -> tokenCountRegex(col(textCol)),
+      "fingerprint" -> fingerprint(col(textCol)))
+    cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Dedup}
+
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),          // near dup of 1
+    (4L, "spark catalyst optimizer rewrites logical plans"),
+    (5L, "completely different content about query engines here"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups and survivor selection") {
+    val groups = Dedup.exactGroups(docs, "doc_id", Seq("text")).collect()
+    assert(groups.length == 4)
+    val dupGroup = groups.find(_.getAs[Long]("group_size") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+    val kept = Dedup.dropExactDups(docs, "doc_id", Seq("text"))
+    assert(kept.count() == 4)
+    assert(!kept.select("doc_id").as[Long].collect().contains(2L))
+  }
+
+  test("jaccard of shingle sets: identical=1, near-dup high, disjoint=0") {
+    val d = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+    val pairs = d.as("a").crossJoin(d.as("b"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")) -> r.getAs[Double]("j")).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) >= 0.4 && pairs((1L, 3L)) < 1.0)
+    assert(pairs((1L, 5L)) == 0.0)
+  }
+
+  test("minhash-LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleN = 2,
+        numHashes = 32, bands = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("simhash: identical texts have hamming 0, near-dups small, different large") {
+    val fp = docs.select(col("doc_id"),
+      Dedup.simhashBitScores(Dedup.tokens(col("text"))).as("fp"))
+    val h = fp.as("a").crossJoin(fp.as("b"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Dedup.simhashHamming(col("a.fp"), col("b.fp")).as("h"))
+      .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")) -> r.getAs[Int]("h")).toMap
+    assert(h((1L, 2L)) == 0)
+    assert(h((1L, 3L)) < h((1L, 4L)))
+  }
+
+  test("lsh topk: recall vs brute force on real embeddings") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val qs = e.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", qs, "vec_id", "embedding", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val approx = Ann.lshTopK(e, "vec_id", "embedding", qs, "vec_id", "embedding", 5,
+        dim = 64, nPlanes = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // every query must at least find itself (same bucket trivially)
+    (0L until 10L).foreach(q => assert(approx.contains((q, q.toString))))
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall $recall") // 4 planes ~ 16 buckets over 500 vecs
+  }
+
+  test("brute-force batch topk agrees with single-query store path") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = graft.operators.VectorStore.fromDataFrame(
+      e, "vec_id", "embedding", 64, elemType = org.apache.spark.sql.types.DoubleType)
+    val q = e.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    val single = st.query(q, 5).select("__id__").as[String].collect().toSeq
+    val batch = Ann.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 3), "vec_id", "embedding", 5)
+      .orderBy("rank").select("id").as[String].collect().toSeq
+    assert(batch == single)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.functions.TopKByScore
+import graft.operators.VectorStore
+
+/** Property tests for the kernel functions (F1/F2) and the bounded top-k
+  * aggregate (F3) — mirrors /root/reference/tests/unit_tests.rs:145-240
+  * and src/lib.rs:427-502. ScalaCheck generators are driven manually
+  * (fixed seeds) since the scalatest-scalacheck bridge is not available
+  * offline. */
+class FunctionsSpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.chooseNum(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f).suchThat(f => !f.isNaN)))
+
+  test("dot product value table (unit_tests.rs:145-205)") {
+    val cases = Seq(
+      (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f), 32.0),
+      (Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f, 9f), // chunks + remainder
+        Seq(9f, 8f, 7f, 6f, 5f, 4f, 3f, 2f, 1f), 165.0),
+      (Seq.empty[Float], Seq.empty[Float], 0.0),
+      (Seq(-1f, 2f), Seq(3f, -4f), -11.0))
+    val df = cases.toDF("a", "b", "want")
+    val got = df.select(dotD(col("a"), col("b")).as("got"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("property: normalized vectors have unit norm; dot is symmetric and bounded") {
+    val cases = samples(vecGen, 30).filter(_.exists(x => math.abs(x) > 1e-3))
+      .map(a => (a, a.reverse.map(x => x + 0.1f)))
+    assert(cases.nonEmpty)
+    val df = cases.toDF("a", "b")
+    val rs = df.select(
+      sqrt(dotD(normalizeD(col("a"), l2normD(col("a"))),
+        normalizeD(col("a"), l2normD(col("a"))))).as("n"),
+      dotD(col("a"), col("b")).as("ab"),
+      dotD(col("b"), col("a")).as("ba"),
+      cosineD(col("a"), col("b")).as("cos")).collect()
+    rs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9)
+      assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("normalizeLocal rejects zero vector (lib.rs:352-355)") {
+    intercept[IllegalArgumentException] { VectorStore.normalizeLocal(Array(0f, 0f)) }
+  }
+
+  test("topk aggregate == orderBy/limit, with deterministic id ties (lib.rs:218-242)") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 500).map(i => (s"id_$i", math.floor(rng.nextDouble() * 20) / 20.0))
+    val df = rows.toDF("id", "score").repartition(7) // force partial/merge paths
+    val viaAgg = df.agg(TopKByScore.topk(col("score"), col("id"), 25).as("h"))
+      .select(explode(col("h")).as("h"))
+      .select(col("h.id"), col("h.score"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaSort = df.orderBy(col("score").desc, col("id").asc).limit(25)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaAgg == viaSort) // same set AND same deterministic order
+  }
+
+  test("topk aggregate: k larger than input, NaN excluded") {
+    val df = Seq(("a", 1.0), ("b", Double.NaN), ("c", 0.5)).toDF("id", "score")
+    val got = df.agg(TopKByScore.topk(col("score"), col("id"), 10).as("h"))
+      .select(explode(col("h")).as("h")).select(col("h.id"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a", "c"))
+  }
+
+  test("property: query(k) ids are a prefix of query(k+5) ids") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64, elemType = DoubleType)
+    val q = e.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0).toArray
+    val k5 = st.query(q, 5).select("__id__").as[String].collect().toSeq
+    val k10 = st.query(q, 10).select("__id__").as[String].collect().toSeq
+    assert(k10.take(5) == k5)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorStore
+import graft.sources.NanoJsonCodec
+
+/** Interop tests for the reference's JSON/base64 single-file format
+  * (/root/reference/src/lib.rs:40-71; serde tests src/lib.rs:369-425). */
+class NanoJsonCodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("matrix codec round-trips and is little-endian f32 (lib.rs:369-394)") {
+    val m = Array(1.0f, -2.5f, 0.0f, 3.25f)
+    val b64 = NanoJsonCodec.encodeMatrix(m)
+    assert(NanoJsonCodec.decodeMatrix(b64).toSeq == m.toSeq)
+    // hand-check endianness: 1.0f LE = 00 00 80 3f
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    assert((bytes(0) & 0xff, bytes(1) & 0xff, bytes(2) & 0xff, bytes(3) & 0xff) ==
+      ((0x00, 0x00, 0x80, 0x3f)))
+  }
+
+  test("reads a hand-written reference-format file (lib.rs:116-147)") {
+    // one row, dim 2, unit vector [0.6, 0.8], metadata color=red
+    val b64 = NanoJsonCodec.encodeMatrix(Array(0.6f, 0.8f))
+    val json =
+      s"""{"embedding_dim": 2,
+         | "data": [{"__id__": "v1", "color": "red"}],
+         | "matrix": "$b64",
+         | "additional_data": {"version": "0.1.1"}}""".stripMargin
+    val f = Files.createTempFile("nano", ".json")
+    Files.writeString(f, json)
+    val st = NanoJsonCodec.read(spark, f.toString)
+    assert(st.embeddingDim == 2)
+    assert(st.additionalData == Map("version" -> "0.1.1"))
+    val row = st.df.head()
+    assert(row.getAs[String]("__id__") == "v1")
+    assert(row.getAs[scala.collection.Seq[Float]]("vector").toSeq == Seq(0.6f, 0.8f))
+    assert(row.getAs[String]("fields_json").contains("\"color\":\"red\""))
+  }
+
+  test("rejects corrupted files: matrix size mismatch (lib.rs:396-425)") {
+    val b64 = NanoJsonCodec.encodeMatrix(Array(0.1f)) // 1 element, claim dim 2
+    val json = s"""{"embedding_dim": 2, "data": [{"__id__": "a"}], "matrix": "$b64"}"""
+    val f = Files.createTempFile("nanobad", ".json")
+    Files.writeString(f, json)
+    val ex = intercept[IllegalArgumentException] { NanoJsonCodec.read(spark, f.toString) }
+    assert(ex.getMessage.contains("does not match"))
+  }
+
+  test("store -> file -> store round trip preserves ids, vectors, metadata") {
+    val st = VectorStore.fromDataFrame(
+      Seq(("a", Seq(3f, 4f), "x"), ("b", Seq(0f, 5f), "y")).toDF("id", "vec", "tag"),
+      "id", "vec", 2).withAdditionalData(Map("k" -> "v"))
+    val f = Files.createTempFile("nanorw", ".json").toString
+    NanoJsonCodec.write(st, f)
+    val back = NanoJsonCodec.read(spark, f)
+    assert(back.embeddingDim == 2)
+    assert(back.additionalData == Map("k" -> "v"))
+    val rows = back.df.collect().map(r =>
+      r.getAs[String]("__id__") -> r.getAs[Seq[Float]]("vector")).toMap
+    // vectors come back unit-normalized (stored normalized, lib.rs:158,173)
+    assert(math.abs(rows("a")(0) - 0.6f) < 1e-5)
+    assert(math.abs(rows("a")(1) - 0.8f) < 1e-5)
+    assert(math.abs(rows("b")(1) - 1.0f) < 1e-5)
+    // querying the reloaded store works end-to-end
+    val hit = back.query(Array(3f, 4f), 1).head()
+    assert(hit.getAs[String]("__id__") == "a")
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventAnalytics, Multimodal, TextAnalysis}
+
+class TextEventsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = Seq((1L, "hello world, 42 times!")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountRegex(col("text")).as("re")).head()
+    assert(r.getLong(0) == 4)
+    // hello | world | , | 42 | times | !
+    assert(r.getLong(1) == 6)
+  }
+
+  test("quality columns on a known string") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("id", "text")
+    val m = TextAnalysis.qualityColumns(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }.head()
+    assert(m.getAs[Long]("n_words") == 6)
+    assert(m.getAs[Double]("punct_ratio") == 0.0)
+    assert(math.abs(m.getAs[Double]("stopword_ratio") - 3.0 / 6) < 1e-9)
+  }
+
+  test("langid picks the marker-heavy language deterministically") {
+    val df = Seq(
+      (1L, "the cat is here and the dog is there"),
+      (2L, "der hund und der mann und die frau"),
+      (3L, "xyz qqq zzz")).toDF("id", "text")
+    val out = TextAnalysis.langIdColumns(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .select("id", "lang_pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("sessionize splits on the inactivity gap") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "click", 1.0, "{}"),
+      (2L, ts(10), 7L, "click", 1.0, "{}"),
+      (3L, ts(70), 7L, "click", 1.0, "{}"), // 60 min gap -> new session
+      (4L, ts(75), 8L, "view", 2.0, "{}"))  // other user
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = EventAnalytics.sessionize(ev, gapMinutes = 30)
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == 1 && s(2L) == 1 && s(3L) == 2 && s(4L) == 1)
+    val stats = EventAnalytics.sessionStats(ev, 30)
+    assert(stats.count() == 3)
+  }
+
+  test("multimodal: format sniffing via magic bytes and stub decode determinism") {
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10)
+    val txt = "hello".getBytes("UTF-8")
+    val df = Seq((1L, jpeg, ""), (2L, png, ""), (3L, txt, "text"))
+      .toDF("id", "media", "mimeHint")
+    val sniffed = df.select(col("id"), Multimodal.sniffFormat(col("media")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sniffed == Map(1L -> "jpeg", 2L -> "png", 3L -> "bin"))
+    val feats = Multimodal.decodeFeatures(df.as[Multimodal.MediaRow], dim = 8).collect()
+    val byId = feats.map(f => f.id -> f).toMap
+    assert(byId(1L).format == "jpeg" && byId(2L).format == "png" && byId(3L).format == "text")
+    assert(byId(3L).n_bytes == 5)
+    // determinism: same bytes -> same feature
+    val again = Multimodal.decodeFeatures(df.as[Multimodal.MediaRow], dim = 8).collect()
+      .map(f => f.id -> f).toMap
+    assert(byId(1L).feature.toSeq == again(1L).feature.toSeq)
+    // unit norm
+    val n = math.sqrt(byId(1L).feature.map(x => x * x).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+  }
+
+  test("chunk sampling shapes") {
+    val df = Seq((1L, ("x" * 1000).getBytes("UTF-8"))).toDF("id", "bin")
+    val chunks = Multimodal.sampleChunks(df, "id", "bin", chunkBytes = 256, maxChunks = 3)
+    assert(chunks.count() == 3) // capped below ceil(1000/256)=4
+    assert(chunks.select("offset").as[Long].collect().toSeq == Seq(0L, 256L, 512L))
+  }
+
+  test("streaming windowed agg matches batch hourly counts") {
+    val batch = EventAnalytics.hourlyAgg(Tables.events(spark, TestSpark.sf))
+      .agg(sum("n")).as[Long].head()
+    // FileStreamSource needs a directory, not a single file
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = graft.streaming.StreamingOps.eventsStream(spark, dir.toString)
+    val q = graft.streaming.StreamingOps.runToCompletion(
+      graft.streaming.StreamingOps.windowedAgg(stream), "t_hourly", mode = "complete")
+    try {
+      // complete mode on bounded input surfaces every window: totals match
+      // the batch aggregation exactly (unified batch/stream semantics)
+      val emitted = spark.sql("SELECT coalesce(sum(n), 0) FROM t_hourly").as[Long].head()
+      assert(emitted == batch)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorStore
+
+/** Mirrors the reference's black-box unit tests
+  * (/root/reference/tests/unit_tests.rs) against the Spark store. */
+class VectorStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkStore(rows: Seq[(String, Seq[Float], String)], dim: Int = 4): VectorStore =
+    VectorStore.fromDataFrame(
+      rows.toDF("id", "vec", "color"), "id", "vec", dim)
+
+  private val base = Seq(
+    ("a", Seq(1f, 0f, 0f, 0f), "red"),
+    ("b", Seq(0f, 1f, 0f, 0f), "blue"),
+    ("c", Seq(3f, 4f, 0f, 0f), "green"))
+
+  test("ingest normalizes vectors to unit length (unit_tests.rs:208-240)") {
+    val st = mkStore(base)
+    val norms = st.df.select(
+      sqrt(aggregate(transform(col("vector"), x => x * x), lit(0.0), _ + _)).as("n"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5))
+  }
+
+  test("self-query returns itself with score ~1 (unit_tests.rs:6-33)") {
+    val st = mkStore(base)
+    val hits = st.query(Array(3f, 4f, 0f, 0f), 1).collect()
+    assert(hits.length == 1)
+    assert(hits.head.getAs[String]("__id__") == "c")
+    assert(math.abs(hits.head.getAs[Double]("__metrics__") - 1.0) < 1e-5)
+  }
+
+  test("query respects filter before scoring and threshold (advanced_usage.rs:148-160)") {
+    val st = mkStore(base)
+    val hits = st.query(Array(1f, 0f, 0f, 0f), 10,
+      betterThan = Some(-0.5), filter = Some(col("color") =!= "red")).collect()
+    assert(hits.map(_.getAs[String]("__id__")).toSet == Set("b", "c"))
+    // result projection drops the vector (lib.rs:247-259)
+    assert(!hits.head.schema.fieldNames.contains("vector"))
+  }
+
+  test("upsert: update keeps old fields, replaces vector; id lists correct (lib.rs:150-185)") {
+    val st = mkStore(base)
+    val batch = Seq(
+      ("a", Seq(0f, 0f, 1f, 0f), "yellow"), // update: color must stay "red"
+      ("d", Seq(0f, 0f, 0f, 1f), "black"))  // insert
+      .toDF("id", "vec", "color")
+      .select(col("id").as("__id__"), col("vec").cast(ArrayType(FloatType)).as("vector"), col("color"))
+    val r = st.upsert(batch)
+    assert(r.updatedIds.as[String].collect().toSeq == Seq("a"))
+    assert(r.insertedIds.as[String].collect().toSeq == Seq("d"))
+    val state = r.store.df.collect().map(x =>
+      x.getAs[String]("__id__") -> (x.getAs[Seq[Float]]("vector"), x.getAs[String]("color"))).toMap
+    assert(state("a")._2 == "red")                      // O2a stale fields
+    assert(math.abs(state("a")._1(2) - 1f) < 1e-5)      // new vector in place
+    assert(state("d")._2 == "black")
+    assert(r.store.len() == 4)
+  }
+
+  test("get returns existing, silently drops missing (unit_tests.rs:82-107)") {
+    val st = mkStore(base)
+    val got = st.get(Seq("a", "zzz")).collect()
+    assert(got.map(_.getAs[String]("__id__")).toSeq == Seq("a"))
+  }
+
+  test("delete removes rows and matrix invariant holds (unit_tests.rs:110-142)") {
+    val st = mkStore(base).delete(Seq("b"))
+    assert(st.len() == 2)
+    // reference load invariant: total elements == N * dim (lib.rs:122-129)
+    val elems = st.df.agg(sum(size(col("vector")))).as[Long].head()
+    assert(elems == st.len() * st.embeddingDim)
+    assert(st.query(Array(0f, 1f, 0f, 0f), 10).collect()
+      .forall(_.getAs[String]("__id__") != "b"))
+  }
+
+  test("zero vector is rejected at query time (unit_tests.rs:243-247)") {
+    val st = mkStore(base)
+    intercept[IllegalArgumentException] {
+      st.query(Array(0f, 0f, 0f, 0f), 1)
+    }
+  }
+
+  test("save/load roundtrip with additional_data (unit_tests.rs:36-79)") {
+    val dir = java.nio.file.Files.createTempDirectory("vsave").toString
+    val st = mkStore(base).withAdditionalData(Map("version" -> "1.0", "note" -> "t"))
+    st.save(dir)
+    val back = VectorStore.load(spark, dir)
+    assert(back.embeddingDim == 4)
+    assert(back.metric == "cosine")
+    assert(back.additionalData == Map("version" -> "1.0", "note" -> "t"))
+    assert(back.len() == 3)
+  }
+
+  test("load validation fails on dim mismatch (lib.rs:396-425)") {
+    val dir = java.nio.file.Files.createTempDirectory("vbad").toString
+    // corrupt store: sidecar claims dim 7 but the data vectors are dim 4
+    mkStore(base).copy(embeddingDim = 7).save(dir)
+    val ex = intercept[IllegalArgumentException] { VectorStore.load(spark, dir) }
+    assert(ex.getMessage.contains("corrupted"))
+  }
+
+  test("empty store lifecycle (unit_tests.rs:250-278)") {
+    val empty = mkStore(base).delete(Seq("a", "b", "c"))
+    assert(empty.isEmpty)
+    assert(empty.query(Array(1f, 0f, 0f, 0f), 5).collect().isEmpty)
+  }
+}
