@@ -20,8 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold double dot product of two float/double array columns. */
+  /** Sequential-fold double dot product of two float/double array columns.
+    * Backed by the codegen [[VectorDot]] expression (tight primitive loop
+    * inside whole-stage codegen); identical value semantics to the HOF
+    * formulation [[dotHof]]. */
   def dotD(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      VectorDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Reference formulation of [[dotD]] using built-in higher-order
+    * functions only (CodegenFallback — kept for cross-checking the custom
+    * expression in tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

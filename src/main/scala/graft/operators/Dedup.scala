@@ -37,15 +37,11 @@ object Dedup {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles (distinct). Texts shorter than n shingle to the
-    * whole text so they can still hash-match exactly. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array(text)))
-  }
+    * whole text so they can still hash-match exactly. Single-pass custom
+    * expression ([[graft.functions.TextHashes.wordShingles]]); semantics
+    * identical to the HOF formulation (see its Scaladoc). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.TextHashes.wordShingles(text, n)
 
   /** Jaccard similarity of two array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column =
@@ -53,11 +49,11 @@ object Dedup {
       size(array_union(a, b)).cast(DoubleType)
 
   // ----------------------------------------------------------- minhash
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min xxhash64 over the shingle set. One pass over the shingles. */
+  /** MinHash signature: min of the g_k(x) = h1 + k*h2 family over the
+    * shingle set, one byte-level pass per row
+    * ([[graft.functions.TextHashes]]). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingles, t => xxhash64(t, s))))
+    graft.functions.TextHashes.minhashSignature(shingles, numHashes)
 
   /** MinHash-LSH near-dup candidate pairs.
     *
@@ -96,24 +92,35 @@ object Dedup {
   }
 
   // ----------------------------------------------------------- simhash
-  /** SimHash as a 64-slot bit-score array in one pass over the tokens
-    * (sign of each slot = fingerprint bit). Kept as ARRAY<BIGINT> of
-    * {-t..t} so hamming distance stays a cheap zip_with. */
-  def simhashBitScores(toks: Column): Column =
-    aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(call_function("getbit", xxhash64(t), b) === 1, lit(1L)).otherwise(lit(-1L))),
-        (x, y) => x + y))
+  /** 64-bit SimHash fingerprint over the token array, one pass per row
+    * ([[graft.functions.TextHashes]]). */
+  def simhash64(toks: Column): Column =
+    graft.functions.TextHashes.simhash64(toks)
 
-  /** Hamming distance between two simhash bit-score arrays (bits differ
-    * when the score signs differ; zero score counts as bit 0). */
+  /** Hamming distance between two 64-bit fingerprints. */
   def simhashHamming(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => when((x > 0) =!= (y > 0), 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    bit_count(a.bitwiseXOR(b))
+
+  /** Id-distance-blocked candidate pairs as an EQUI join.
+    *
+    * A raw `id_b BETWEEN id_a+1 AND id_a+B` predicate plans as a nested
+    * loop (no equi keys). Bucketing ids into blocks of size B and probing
+    * (block, block+1) turns it into a hash/sort-merge join on the block
+    * key — partition-parallel with per-block bounded fan-out, which is the
+    * shape that survives a 100x scale-up. Every qualifying pair lands in
+    * exactly one probed block, so no dedup is needed.
+    */
+  private def blockedPairs(
+      v: DataFrame, idCol: String, payload: String, idBlock: Long): DataFrame = {
+    val l = v.select(col(idCol).as("id_a"), col(payload).as(s"${payload}_a"),
+      explode(array((col(idCol) / idBlock).cast(LongType),
+        (col(idCol) / idBlock).cast(LongType) + 1)).as("blk"))
+    val r = v.select(col(idCol).as("id_b"), col(payload).as(s"${payload}_b"),
+      (col(idCol) / idBlock).cast(LongType).as("blk"))
+    l.join(r, Seq("blk"))
+      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + idBlock)
+      .drop("blk")
+  }
 
   /** SimHash near-dup pairs within id-distance blocks (blocked candidate
     * generation; at scale, swap the block for a band join on fingerprint
@@ -121,10 +128,8 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8, idBlock: Long = 50): DataFrame = {
-    val withFp = df.select(col(idCol).as("id"), simhashBitScores(tokens(col(textCol))).as("fp"))
-    val l = withFp.select(col("id").as("id_a"), col("fp").as("fp_a"))
-    val r = withFp.select(col("id").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + idBlock)
+    val withFp = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
+    blockedPairs(withFp, "id", "fp", idBlock)
       .withColumn("hamming", simhashHamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -133,14 +138,12 @@ object Dedup {
   // ------------------------------------------- embedding near-duplicates
   /** Embedding-cosine near-dup pairs within id-distance blocks. The
     * blocked join bounds candidates to N*blockSize; the LSH variant in
-    * [[Ann.hyperplaneBuckets]] is the sub-quadratic scale path. */
+    * [[Ann.hyperplaneBucket]] is the sub-quadratic scale path. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, idBlock: Long = 50): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val l = v.select(col("id").as("id_a"), col("v").as("v_a"))
-    val r = v.select(col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + idBlock)
+    blockedPairs(v, "id", "v", idBlock)
       .withColumn("cos", cosineD(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))

@@ -175,15 +175,12 @@ object VectorStore {
     v.map(_.toDouble * inv)
   }
 
-  /** Normalize the vector column of an incoming batch (ingest-side F2). */
-  def withNormalizedVector(batch: DataFrame, elemType: DataType = FloatType): DataFrame = {
-    val n = "__norm__"
-    batch
-      .withColumn(n, l2normD(col(VectorCol)))
-      .withColumn(VectorCol,
-        transform(col(VectorCol), x => (x.cast(DoubleType) / col(n)).cast(elemType)))
-      .drop(n)
-  }
+  /** Normalize the vector column of an incoming batch (ingest-side F2).
+    * Single-pass [[graft.functions.VectorNormalize]] — the HOF transform
+    * degrades to O(dim^2) once Catalyst inlines the norm into the lambda. */
+  def withNormalizedVector(batch: DataFrame, elemType: DataType = FloatType): DataFrame =
+    batch.withColumn(VectorCol,
+      graft.functions.VectorNormalize.normalize(col(VectorCol), elemType == FloatType))
 
   /** Ingest any (id, vector, fields...) DataFrame: rename, cast, normalize.
     * The O1 "create" path for data already in DataFrames (the reference's

@@ -49,7 +49,7 @@ class DedupAnnSpec extends AnyFunSuite {
 
   test("simhash: identical texts have hamming 0, near-dups small, different large") {
     val fp = docs.select(col("doc_id"),
-      Dedup.simhashBitScores(Dedup.tokens(col("text"))).as("fp"))
+      Dedup.simhash64(Dedup.tokens(col("text"))).as("fp"))
     val h = fp.as("a").crossJoin(fp.as("b"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
         Dedup.simhashHamming(col("a.fp"), col("b.fp")).as("h"))

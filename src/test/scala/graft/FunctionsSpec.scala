@@ -56,6 +56,14 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen VectorDot agrees exactly with the HOF formulation") {
+    val cases = samples(vecGen, 40).filter(_.nonEmpty).map(a => (a, a.map(x => x * 0.7f - 1f)))
+    val df = cases.toDF("a", "b")
+    val rs = df.select(dotD(col("a"), col("b")).as("fast"),
+      dotHof(col("a"), col("b")).as("ref")).collect()
+    rs.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bitwise equal
+  }
+
   test("normalizeLocal rejects zero vector (lib.rs:352-355)") {
     intercept[IllegalArgumentException] { VectorStore.normalizeLocal(Array(0f, 0f)) }
   }
