@@ -119,6 +119,28 @@ object SparkEntry {
         .orderBy(vid)
     }),
 
+    // O8: native persist + reload round trip (lib.rs:289-293; the
+    // reference-format JSON codec is exercised in NanoJsonCodecSpec).
+    "o8_save_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_o8").toString
+      storeD(s, dir).withAdditionalData(Map("source" -> "embeddings")).save(tmp)
+      val back = VectorStore.load(s, tmp)
+      back.df
+        .select(col("__id__"), col("label"),
+          round(element_at(col("vector"), 1), 6).as("v0"))
+        .orderBy(vid)
+    }),
+
+    // O9: DB-level additional_data round trip (lib.rs:296-303).
+    "o9_meta" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_o9").toString
+      storeD(s, dir)
+        .withAdditionalData(Map("engine" -> "graft", "version" -> "0.1.0")).save(tmp)
+      val back = VectorStore.load(s, tmp)
+      import s.implicits._
+      back.additionalData.toSeq.sortBy(_._1).toDF("k", "v").orderBy(col("k"))
+    }),
+
     // O10: len / vector element count (lib.rs:306-318).
     "o10_counts" -> ((s, dir) => {
       storeD(s, dir).df
@@ -223,6 +245,16 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS __id__, label FROM embeddings
         |WHERE vec_id >= 10 AND vec_id < 20 ORDER BY vec_id""".stripMargin,
 
+    "o8_save_roundtrip" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS __id__, label,
+        |       round(embedding[1]::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS v0
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "o9_meta" ->
+      """SELECT * FROM (
+        |  SELECT 'engine' AS k, 'graft' AS v UNION ALL SELECT 'version', '0.1.0')
+        |ORDER BY k""".stripMargin,
+
     "o10_counts" ->
       """SELECT count(*) AS n, CAST(sum(len(embedding)) AS BIGINT) AS total_elems FROM embeddings""",
 
@@ -289,6 +321,31 @@ object SparkEntry {
         .orderBy(col("rev_c").desc, col("l_orderkey"))
         .limit(10)
         .select(col("l_orderkey"), (col("rev_c").cast(DoubleType) / 100.0).as("revenue"))
+    }),
+
+    // Relational: window functions — per-supplier sequence + running sum.
+    "q_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_qty_c",
+          sum(round(col("l_quantity") * 100).cast(LongType))
+            .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .filter(col("rn") <= 5)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          (col("run_qty_c").cast(DoubleType) / 100.0).as("run_qty"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    // ANN: IVF (KMeans coarse quantizer) probe — rows-only check, recall
+    // asserted against brute force in ScalaTest.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+      Ann.ivfTopK(idx, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nProbe = 4)
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // Dedup: exact content-hash groups.
@@ -431,6 +488,17 @@ object SparkEntry {
         |  GROUP BY l.l_orderkey
         |  ORDER BY rev_c DESC, l.l_orderkey
         |  LIMIT 10)""".stripMargin,
+
+    "q_window" ->
+      """SELECT l_suppkey, CAST(rn AS INTEGER) AS rn, l_orderkey,
+        |       CAST(run_qty_c AS DOUBLE) / 100.0 AS run_qty FROM (
+        |  SELECT l_suppkey, l_orderkey,
+        |    row_number() OVER w AS rn,
+        |    sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS run_qty_c
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS group_size

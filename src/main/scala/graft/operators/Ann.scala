@@ -55,6 +55,61 @@ object Ann {
       when(dotD(vecCol, hyperplane(p, dim)) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  // ------------------------------------------------------------- IVF
+  /** IVF coarse index: KMeans centroids + cluster-assigned rows. At scale
+    * the assigned DataFrame would be written bucketed/partitioned BY
+    * cluster so a probe touches only nProbe partitions. */
+  final case class IvfIndex(centroids: Seq[(Int, Seq[Double])], assigned: DataFrame)
+
+  /** Build an IVF index: MLlib KMeans over the (cast-to-double) vectors,
+    * then assign every row to its nearest centroid. One fit + one
+    * distributed transform; centroids are tiny (nLists x dim) and ride
+    * along as a broadcast table. */
+  def ivfBuild(data: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, seed: Long = 42L, maxIter: Int = 5): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = data
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(col("v").cast(ArrayType(DoubleType))))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(feat)
+    val assigned = model.transform(feat)
+      .withColumnRenamed("prediction", "cluster")
+      .drop("features")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    IvfIndex(centroids, assigned)
+  }
+
+  /** IVF probe: rank centroids per query by cosine, take the nProbe
+    * nearest lists, score only rows in those lists, reduce with the
+    * bounded-heap aggregate. Candidate set is |data| * nProbe / nLists in
+    * expectation — the sub-linear scan path. */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val cdf = index.centroids.toDF("cluster", "cvec")
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cdist", cosineD(col("qv"), col("cvec")))
+      .withColumn("rnk", row_number().over(probeW))
+      .filter(col("rnk") <= nProbe)
+      .select(col("qid"), col("qv"), col("cluster"))
+    index.assigned.join(broadcast(probes), Seq("cluster"))
+      .withColumn("__score__", cosineD(col("v"), col("qv")))
+      .groupBy(col("qid"))
+      .agg(TopKByScore.topk(col("__score__"), col("id").cast(StringType), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col("qid"),
+        (col("rank0") + 1).cast(IntegerType).as("rank"),
+        col("hit.id").as("id"),
+        round(col("hit.score"), 6).as("score"))
+  }
+
   /** Bucketed (approximate) top-k: only score candidates sharing the
     * query's LSH bucket. Recall < 1.0 by construction — pair with
     * [[bruteForceTopK]] when exactness is required. */

@@ -72,6 +72,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall $recall") // 4 planes ~ 16 buckets over 500 vecs
   }
 
+  test("ivf topk: self-hit always found; recall beats plain LSH setup") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val qs = e.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", qs, "vec_id", "embedding", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+    assert(idx.centroids.size == 16)
+    assert(idx.assigned.count() == e.count())
+    val approx = Ann.ivfTopK(idx, qs, "vec_id", "embedding", k = 5, nProbe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    (0L until 10L).foreach(q => assert(approx.contains((q, q.toString))))
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.4, s"ivf recall $recall")
+  }
+
   test("brute-force batch topk agrees with single-query store path") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = graft.operators.VectorStore.fromDataFrame(
