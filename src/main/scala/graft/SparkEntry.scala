@@ -348,10 +348,33 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Relational: salted two-phase aggregation (skew posture) — must be
+    // bit-identical to the plain groupBy the oracle runs.
+    "q_salted_agg" -> ((s, dir) => {
+      graft.operators.Relational.saltedCentsSum(
+          Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice", "sum_base")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Dedup: exact content-hash groups.
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", Seq("text"))
         .orderBy(col("content_hash"))
+    }),
+
+    // Dedup: surviving rows after exact dedup (min-id survivor).
+    "dedup_drop_exact" -> ((s, dir) => {
+      Dedup.dropExactDups(Tables.documents(s, dir), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: top-3 tokens per document by tf-idf.
+    "text_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(
+          Tables.documents(s, dir).filter(col("doc_id") < 100), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))
     }),
 
     // Dedup: 3-gram shingle Jaccard over adjacent-id pairs.
@@ -503,6 +526,33 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS group_size
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "dedup_drop_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT id, tok FROM toks) GROUP BY tok),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+        |scored AS (
+        |  SELECT tf.id, tf.tok, tf.tf::DOUBLE * ln(n.n::DOUBLE / dfreq.df::DOUBLE) AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        |r AS (SELECT id, tok, score,
+        |        row_number() OVER (PARTITION BY id ORDER BY score DESC, tok) AS rnk
+        |      FROM scored)
+        |SELECT id AS doc_id, CAST(rnk AS INTEGER) AS rnk, tok, round(score, 6) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "dedup_jaccard" ->
       """WITH t AS (

@@ -83,6 +83,31 @@ object TextAnalysis {
     scores.map { case (l, s) => s"score_$l" -> s } :+ ("lang_pred" -> predFirst)
   }
 
+  /** Top-k tokens per document by tf-idf.
+    *
+    * explode -> tf groupBy -> df groupBy -> broadcast joins -> windowed
+    * top-k. The document-frequency table and corpus size are small and
+    * broadcast; the only data-sized shuffles are the two token groupBys.
+    * Deterministic: score rounded post-ordering with (score desc, token)
+    * tiebreak.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+    val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast(DoubleType) * log(col("n").cast(DoubleType) / col("df").cast(DoubleType)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk").cast(IntegerType).as("rnk"), col("tok"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val cols = qualityColumns(col(textCol)) ++ langIdColumns(col(textCol)) ++ Seq(

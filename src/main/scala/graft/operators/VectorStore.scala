@@ -67,6 +67,33 @@ final case class VectorStore(
       .drop(VectorCol) // projection parity: vector never returned (lib.rs:247-259)
   }
 
+  /** Batch-first top-k (SURVEY §7.4.4): many query vectors at once.
+    * Queries are broadcast; the data side streams through per-partition
+    * bounded heaps ([[graft.functions.TopKByScore]]), so the shuffle is
+    * O(queries × k). The reference's one-query-at-a-time signature
+    * (lib.rs:188) does not scale to query batches — this is the shape
+    * that does. Returns (qid, rank, __id__, __metrics__). */
+  def queryBatch(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      topK: Int, betterThan: Option[Double] = None,
+      filter: Option[Column] = None): DataFrame = {
+    val base = filter.map(df.filter).getOrElse(df)
+    val q = queries.select(
+      col(qidCol).as("qid"),
+      graft.functions.VectorNormalize.normalize(
+        col(qvecCol), outputFloat = vecElemType == FloatType).as("qv"))
+    val thr = betterThan.getOrElse(Double.MinValue)
+    base
+      .crossJoin(broadcast(q))
+      .withColumn(MetricsCol, dotD(col(VectorCol), col("qv")))
+      .filter(!isnan(col(MetricsCol)) && col(MetricsCol) >= lit(thr))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topk(col(MetricsCol), col(IdCol), topK).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(col("qid"), (col("rank0") + 1).cast(IntegerType).as("rank"),
+        col("hit.id").as(IdCol), col("hit.score").as(MetricsCol))
+  }
+
   // ------------------------------------------------------------------- O2
   /** Merge a batch of (__id__, vector, fields...) rows.
     *
@@ -139,6 +166,16 @@ final case class VectorStore(
     val out = fs.create(p, true)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
   }
+
+  /** Bucketed persist (saveAsTable): pre-hash-partitions the store on
+    * __id__ so id-keyed joins (get/delete/upsert probes) against other
+    * tables bucketed the same way plan with NO shuffle exchange — the
+    * co-located-join layout for the 1000-executor case. */
+  def saveBucketed(tableName: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, IdCol).sortBy(IdCol)
+      .format("parquet")
+      .saveAsTable(tableName)
 
   // ------------------------------------------------------------------- O9
   /** Whole-map replace, like store_additional_data (lib.rs:301-303). */

@@ -35,6 +35,45 @@ object StreamingOps {
         unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Per-user session state for [[sessionizeStream]]. */
+  final case class SessionState(
+      sessionSeq: Long, lastUs: Long, n: Long, sum: Double, startUs: Long)
+
+  /** Streaming gap sessionization via flatMapGroupsWithState — the
+    * stateful twin of [[graft.operators.EventAnalytics.sessionize]]. One
+    * state entry per user. Emits a session row each time the inactivity
+    * gap closes a session (open sessions stay in state). */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, Double)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[SessionState]) =>
+          // within a microbatch rows are not ordered — sort by event time
+          val sorted = rows.toSeq.sortBy(_._2)
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Double)]
+          sorted.foreach { case (_, us, v) =>
+            if (s.lastUs == Long.MinValue || us - s.lastUs > gapUs) {
+              if (s.n > 0) closed += ((user, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum))
+              s = SessionState(s.sessionSeq + 1, us, 1L, v, us)
+            } else {
+              s = s.copy(lastUs = us, n = s.n + 1, sum = s.sum + v)
+            }
+          }
+          state.update(s)
+          closed.iterator
+      }
+      .toDF("user_id", "session_seq", "start_us", "end_us", "n_events", "sum_value")
+  }
+
   /** Read a parquet directory as a bounded stream (test/local harness). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema)

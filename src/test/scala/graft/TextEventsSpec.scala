@@ -88,6 +88,33 @@ class TextEventsSpec extends AnyFunSuite {
     assert(chunks.select("offset").as[Long].collect().toSeq == Seq(0L, 256L, 512L))
   }
 
+  test("stateful streaming sessionization closes sessions on the gap") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("sessstream")
+    Seq(
+      (1L, ts(0), 7L, "click", 1.0, "{}"),
+      (2L, ts(10), 7L, "click", 2.0, "{}"),
+      (3L, ts(70), 7L, "click", 4.0, "{}"), // 60-min gap closes session 1
+      (4L, ts(75), 8L, "view", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/data")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/data").schema)
+      .parquet(s"$dir/data")
+    val q = graft.streaming.StreamingOps.runToCompletion(
+      graft.streaming.StreamingOps.sessionizeStream(stream, gapMinutes = 30), "t_sess")
+    try {
+      val rows = spark.sql("SELECT * FROM t_sess ORDER BY user_id, session_seq").collect()
+      // only user 7's first session is CLOSED within the stream; open
+      // sessions (7's second, 8's only) remain in state
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") == 7L)
+      assert(r.getAs[Long]("n_events") == 2L)
+      assert(r.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming windowed agg matches batch hourly counts") {
     val batch = EventAnalytics.hourlyAgg(Tables.events(spark, TestSpark.sf))
       .agg(sum("n")).as[Long].head()

@@ -107,6 +107,38 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("corrupted"))
   }
 
+  test("queryBatch agrees with the single-query path per qid") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64,
+      elemType = org.apache.spark.sql.types.DoubleType)
+    val queries = e.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val batch = st.queryBatch(queries, "vec_id", "embedding", topK = 4)
+      .orderBy(col("qid"), col("rank")).collect()
+      .groupBy(_.getAs[Long]("qid")).view.mapValues(_.map(_.getAs[String]("__id__")).toSeq).toMap
+    (0L until 3L).foreach { q =>
+      val qv = e.filter(col("vec_id") === q).select("embedding").head().getSeq[Float](0).toArray
+      val single = st.query(qv, 4).select("__id__").collect().map(_.getString(0)).toSeq
+      assert(batch(q) == single, s"qid $q")
+    }
+  }
+
+  test("bucketed save: id-keyed self-join plans without a shuffle exchange") {
+    val st = mkStore(base)
+    st.saveBucketed("graft_bucketed_t", buckets = 4)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t1 = spark.table("graft_bucketed_t")
+      val t2 = spark.table("graft_bucketed_t")
+      val joined = t1.join(t2, Seq("__id__"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_t")
+    }
+  }
+
   test("empty store lifecycle (unit_tests.rs:250-278)") {
     val empty = mkStore(base).delete(Seq("a", "b", "c"))
     assert(empty.isEmpty)
