@@ -425,6 +425,35 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Vector analytics: element-wise per-label centroids via posexplode +
+    // exact integer micro-units (order-independent sums).
+    "emb_label_centroids" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .filter(col("pos") < 4) // first 4 dims keep the result compact
+        .groupBy(col("label"), col("pos"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(round(col("x").cast(DoubleType) * 1000000).cast(LongType))
+            .cast(DoubleType) / 1000000.0 / count(lit(1)), 6).as("centroid"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // Composite cleaning pipeline: quality filter -> exact dedup ->
+    // per-language survivor counts (operator composition end to end).
+    "pipe_clean_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val quality = TextAnalysis.qualityColumns(col("text"))
+        .foldLeft(d) { case (df, (n, c)) => df.withColumn(n, c) }
+        .filter(col("quality") >= 0.5 && col("n_words") >= 10)
+      Dedup.dropExactDups(quality, "doc_id", Seq("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(round(col("quality") * 1000000).cast(LongType))
+            .cast(DoubleType) / 1000000.0, 6).as("sum_quality"))
+        .orderBy(col("lang"))
+    }),
+
     // Text: quality/token/fingerprint stats.
     "text_stats" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -589,6 +618,34 @@ object SparkEntry {
         |      FROM sc)
         |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "emb_label_centroids" ->
+      """SELECT label, CAST(t.i - 1 AS INTEGER) AS pos, count(*) AS n,
+        |  round(CAST(sum(CAST(round(embedding[t.i]::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
+        |        / 1000000.0 / count(*), 6) AS centroid
+        |FROM embeddings, generate_series(1, 4) AS t(i)
+        |GROUP BY label, t.i ORDER BY label, pos""".stripMargin,
+
+    "pipe_clean_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, lang,
+        |    len(string_split(text, ' '))::DOUBLE AS nw,
+        |    length(text)::DOUBLE AS nc,
+        |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE AS np,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to','in','is','on')))::DOUBLE AS nstop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, lang,
+        |    least(nw / 20.0, 1.0) * 0.4 + least(nstop / nw * 5.0, 1.0) * 0.3 +
+        |    (1.0 - least(np / nc * 10.0, 1.0)) * 0.3 AS quality,
+        |    CAST(nw AS BIGINT) AS n_words
+        |  FROM b),
+        |f AS (SELECT * FROM q WHERE quality >= 0.5 AND n_words >= 10),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM f)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_quality
+        |FROM s WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_stats" ->
       """WITH b AS (
