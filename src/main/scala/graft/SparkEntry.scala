@@ -442,11 +442,13 @@ object SparkEntry {
     // Composite cleaning pipeline: quality filter -> exact dedup ->
     // per-language survivor counts (operator composition end to end).
     "pipe_clean_stats" -> ((s, dir) => {
+      // filter + sum on the UNROUNDED score so threshold decisions match
+      // the oracle's raw-formula semantics at boundaries
       val d = Tables.documents(s, dir)
-      val quality = TextAnalysis.qualityColumns(col("text"))
-        .foldLeft(d) { case (df, (n, c)) => df.withColumn(n, c) }
+        .withColumn("quality", TextAnalysis.qualityScoreRaw(col("text")))
+        .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
         .filter(col("quality") >= 0.5 && col("n_words") >= 10)
-      Dedup.dropExactDups(quality, "doc_id", Seq("text"))
+      Dedup.dropExactDups(d, "doc_id", Seq("text"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           round(sum(round(col("quality") * 1000000).cast(LongType))
@@ -586,8 +588,10 @@ object SparkEntry {
     "dedup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-        |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        |         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |           list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |         ELSE [text] END AS sh
         |  FROM documents)
         |SELECT a.doc_id AS id_a,
         |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -727,11 +731,17 @@ object SparkEntry {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // format mirrors sniffFormat's magic-byte semantics for the magics
+    // that CAN occur in UTF-8 text (ASCII 'GIF8'/'RIFF'/'fLaC' prefixes;
+    // jpeg/png magics start with bytes invalid at a UTF-8 text start).
     "mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  CAST(ceil(octet_length(CAST(text AS BLOB))::DOUBLE / 256.0) AS BIGINT) AS n_chunks,
-        |  'bin' AS format
+        |  CASE WHEN starts_with(text, 'GIF8') THEN 'gif'
+        |       WHEN starts_with(text, 'RIFF') THEN 'riff'
+        |       WHEN starts_with(text, 'fLaC') THEN 'flac'
+        |       ELSE 'bin' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -27,9 +27,15 @@ object Ann {
       data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
-    val scored = data
-      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
-      .withColumn("__score__", cosineD(col(vecCol), col("qv")))
+    // pre-normalize each side ONCE (cosine == dot on unit vectors);
+    // computing cosineD per (query,row) pair would re-derive both norms
+    // per pair — 3x the dot-product flops on the dominant scan
+    val d = data.select(col(idCol).as(idCol),
+      graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("__nv__"))
+    val scored = d
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"),
+        graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qv"))))
+      .withColumn("__score__", dotD(col("__nv__"), col("qv")))
     scored
       .groupBy(col("qid"))
       .agg(TopKByScore.topk(col("__score__"), col(idCol).cast(StringType), k).as("hits"))
@@ -97,9 +103,14 @@ object Ann {
       .withColumn("cdist", cosineD(col("qv"), col("cvec")))
       .withColumn("rnk", row_number().over(probeW))
       .filter(col("rnk") <= nProbe)
-      .select(col("qid"), col("qv"), col("cluster"))
-    index.assigned.join(broadcast(probes), Seq("cluster"))
-      .withColumn("__score__", cosineD(col("v"), col("qv")))
+      .select(col("qid"),
+        graft.functions.VectorNormalize.normalize(col("qv"), outputFloat = false).as("qvn"),
+        col("cluster"))
+    index.assigned
+      .withColumn("__nv__",
+        graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false))
+      .join(broadcast(probes), Seq("cluster"))
+      .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
       .groupBy(col("qid"))
       .agg(TopKByScore.topk(col("__score__"), col("id").cast(StringType), k).as("hits"))
       .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
@@ -117,12 +128,16 @@ object Ann {
       data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
-    val bucketed = data.withColumn("__bucket__", hyperplaneBucket(col(vecCol), dim, nPlanes))
+    val bucketed = data
+      .select(col(idCol).as(idCol),
+        graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("__nv__"))
+      .withColumn("__bucket__", hyperplaneBucket(col("__nv__"), dim, nPlanes))
     val qb = broadcast(
-      queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+      queries.select(col(qidCol).as("qid"),
+        graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qv"))
         .withColumn("__bucket__", hyperplaneBucket(col("qv"), dim, nPlanes)))
     bucketed.join(qb, "__bucket__")
-      .withColumn("__score__", cosineD(col(vecCol), col("qv")))
+      .withColumn("__score__", dotD(col("__nv__"), col("qv")))
       .groupBy(col("qid"))
       .agg(TopKByScore.topk(col("__score__"), col(idCol).cast(StringType), k).as("hits"))
       .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))

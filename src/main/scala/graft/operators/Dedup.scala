@@ -21,8 +21,18 @@ object Dedup {
   /** Exact dedup groups: content hash -> (survivor id, group size).
     * One shuffle on the content hash; map-side combinable. */
   def exactGroups(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
-    df.groupBy(md5(concat_ws("", contentCols.map(col): _*)).as("content_hash"))
+    df.groupBy(contentHash(contentCols).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Content hash for exact dedup. Single column: plain md5 (ANSI-
+    * mirrorable). Multiple columns: hash each column separately with a
+    * distinct NULL encoding before combining, so ("ab","c") vs ("a","bc")
+    * and ("a",NULL) vs (NULL,"a") do NOT collide the way a bare concat
+    * would. */
+  def contentHash(contentCols: Seq[String]): Column =
+    if (contentCols.size == 1) md5(col(contentCols.head))
+    else md5(concat_ws("|", contentCols.map(c =>
+      md5(coalesce(col(c).cast(StringType), lit(" NULL")))): _*))
 
   /** Drop exact duplicates, keeping the smallest id per content group. */
   def dropExactDups(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
@@ -112,11 +122,16 @@ object Dedup {
     */
   private def blockedPairs(
       v: DataFrame, idCol: String, payload: String, idBlock: Long): DataFrame = {
+    require(v.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"blocked pair generation needs a numeric id column, got " +
+        s"${v.schema(idCol).dataType} for '$idCol' (map string ids to a " +
+        "dense numeric surrogate first)")
+    // floor division (not cast-truncation) so negative ids bucket correctly
+    val blkOf = floor(col(idCol).cast(DoubleType) / idBlock).cast(LongType)
     val l = v.select(col(idCol).as("id_a"), col(payload).as(s"${payload}_a"),
-      explode(array((col(idCol) / idBlock).cast(LongType),
-        (col(idCol) / idBlock).cast(LongType) + 1)).as("blk"))
+      explode(array(blkOf, blkOf + 1)).as("blk"))
     val r = v.select(col(idCol).as("id_b"), col(payload).as(s"${payload}_b"),
-      (col(idCol) / idBlock).cast(LongType).as("blk"))
+      blkOf.as("blk"))
     l.join(r, Seq("blk"))
       .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + idBlock)
       .drop("blk")
@@ -142,9 +157,12 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, idBlock: Long = 50): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // normalize once per row (before the pair fan-out): cosine == dot on
+    // unit vectors, so each candidate pair costs one dot instead of three
+    val v = df.select(col(idCol).as("id"),
+      graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("v"))
     blockedPairs(v, "id", "v", idBlock)
-      .withColumn("cos", cosineD(col("v_a"), col("v_b")))
+      .withColumn("cos", graft.functions.VectorFunctions.dotD(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -82,8 +82,12 @@ object Multimodal {
     val nChunks = least(
       ceil(length(col(binCol)).cast(DoubleType) / chunkBytes).cast(IntegerType),
       lit(maxChunks))
+    // sequence(0, -1) yields the DESCENDING array [0, -1], not empty —
+    // guard zero-length payloads to zero chunks explicitly
+    val offsets = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast(ArrayType(IntegerType)))
     df.select(col(idCol), col(binCol),
-        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_idx", "off")))
+        posexplode(offsets).as(Seq("chunk_idx", "off")))
       .select(col(idCol), col("chunk_idx"),
         (col("off").cast(LongType) * chunkBytes).as("offset"),
         crc32(col(binCol).substr(col("off") * chunkBytes + 1, lit(chunkBytes)))

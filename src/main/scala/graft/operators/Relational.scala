@@ -19,7 +19,11 @@ object Relational {
   def saltedCentsSum(
       df: DataFrame, keys: Seq[String], valueCol: String,
       outCol: String, salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt__", pmod(hash(col(valueCol)), lit(salts)))
+    // Salt must vary per ROW, not per value: a hot key with a constant
+    // value would otherwise land on one reducer anyway. The physical row
+    // id is fine — any assignment yields the identical exact sum.
+    val salted = df.withColumn("__salt__",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     salted
       .groupBy((keys.map(col) :+ col("__salt__")): _*)
       .agg(sum(round(col(valueCol) * 100).cast(LongType)).as("__partial__"))

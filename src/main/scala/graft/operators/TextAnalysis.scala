@@ -25,6 +25,21 @@ object TextAnalysis {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** Unrounded composite quality score — use this for FILTERING so
+    * boundary decisions agree with an oracle computing the raw formula
+    * (the rounded `quality` output column can cross a threshold its raw
+    * value does not). */
+  def qualityScoreRaw(text: Column): Column = {
+    val toks = split(text, " ")
+    val nWords = size(toks).cast(DoubleType)
+    val nChars = length(text).cast(DoubleType)
+    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast(DoubleType)
+    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast(DoubleType)
+    least(nWords / 20.0, lit(1.0)) * 0.4 +
+      least(nStop / nWords * 5.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(nPunct / nChars * 10.0, lit(1.0))) * 0.3
+  }
+
   /** Quality-scoring columns: length, word stats, punctuation ratio,
     * stopword ratio, and a composite 0..1 quality score. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {

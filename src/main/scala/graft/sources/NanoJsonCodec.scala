@@ -114,6 +114,14 @@ object NanoJsonCodec {
     val matrix = new ArrayBuffer[Float](collected.length * store.embeddingDim)
     collected.foreach { r =>
       val obj = mapper.readTree(r.getString(2)).asInstanceOf[ObjectNode]
+      // a store built by read() carries its metadata as one fields_json
+      // string column — re-flatten it so file -> store -> file round
+      // trips preserve the reference layout instead of nesting
+      Option(obj.get("fields_json")).filter(_.isTextual).foreach { fj =>
+        obj.remove("fields_json")
+        val inner = mapper.readTree(fj.asText())
+        if (inner.isObject) obj.setAll[ObjectNode](inner.asInstanceOf[ObjectNode])
+      }
       val rec = mapper.createObjectNode()
       rec.put("__id__", r.getString(0))
       rec.setAll[ObjectNode](obj)

@@ -30,7 +30,10 @@ object StreamingOps {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // exact integer-cents sum — same semantics as the batch twin
+      // EventAnalytics.hourlyAgg (order-independent, bit-reproducible)
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
       .select(
         unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
