@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.functions.{MinHashSignature, SimHash64, TopKByScore, VectorDot, VectorNormalize, WordShingles}
+
+/** SQL registration for graft's kernel expressions, so the engine is
+  * usable from plain `spark.sql(...)` as well as the Column API:
+  *
+  * {{{
+  *   GraftFunctions.register(spark)
+  *   spark.sql("SELECT vector_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * `GraftExtensions` does the same through the
+  * `spark.sql.extensions=graft.GraftExtensions` config for sessions the
+  * library does not construct itself.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vector_dot" -> (es => VectorDot(es(0), es(1))),
+    "vector_normalize" -> (es => VectorNormalize(es(0), outputFloat = false)),
+    "vector_normalize_f32" -> (es => VectorNormalize(es(0), outputFloat = true)),
+    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "shingle size n"))),
+    "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "numHashes"))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "topk_by_score" -> (es =>
+      TopKByScore(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()))
+
+  /** Register all graft functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+}
+
+/** Session-extensions hook: `--conf spark.sql.extensions=graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    Seq[(String, Seq[Expression] => Expression)](
+      "vector_dot" -> (es => VectorDot(es(0), es(1))),
+      "vector_normalize" -> (es => VectorNormalize(es(0), outputFloat = false)),
+      "simhash64" -> (es => SimHash64(es(0)))
+    ).foreach { case (name, b) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+          b))
+    }
+}

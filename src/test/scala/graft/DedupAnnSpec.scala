@@ -27,6 +27,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(!kept.select("doc_id").as[Long].collect().contains(2L))
   }
 
+  test("multi-column content hash: no cross-boundary or NULL-position collisions") {
+    val df = Seq(
+      (1L, Some("ab"), Some("c")),
+      (2L, Some("a"), Some("bc")),   // same concat, different rows
+      (3L, Some("a"), None),
+      (4L, Option.empty[String], Some("a")))
+      .toDF("id", "c1", "c2")
+    val groups = Dedup.exactGroups(df, "id", Seq("c1", "c2")).collect()
+    assert(groups.length == 4) // all rows distinct
+    // and a genuine multi-column dup still groups
+    val df2 = df.union(Seq((5L, Some("ab"), Some("c"))).toDF("id", "c1", "c2"))
+    val g2 = Dedup.exactGroups(df2, "id", Seq("c1", "c2"))
+      .filter(col("group_size") === 2).collect()
+    assert(g2.length == 1 && g2.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("blocked pairs reject non-numeric ids with a clear error") {
+    val df = Seq(("doc-1", "a b c"), ("doc-2", "a b c")).toDF("sid", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "sid", "text").collect()
+    }
+    assert(ex.getMessage.contains("numeric id"))
+  }
+
   test("jaccard of shingle sets: identical=1, near-dup high, disjoint=0") {
     val d = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
     val pairs = d.as("a").crossJoin(d.as("b"))

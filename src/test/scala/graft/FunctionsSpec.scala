@@ -64,6 +64,27 @@ class FunctionsSpec extends AnyFunSuite {
     rs.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bitwise equal
   }
 
+  test("SQL surface: kernel functions usable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |       vector_normalize(array(3.0D, 4.0D))[0] AS n0,
+        |       simhash64(array('a', 'b')) AS sh,
+        |       size(word_shingles('a b c d', 2)) AS nsh,
+        |       size(minhash_signature(array('a', 'b'), 8)) AS nmh
+        |""".stripMargin).head()
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(math.abs(r.getAs[Double]("n0") - 0.6) < 1e-12)
+    assert(r.getAs[Long]("sh") != 0L)
+    assert(r.getAs[Int]("nsh") == 3)
+    assert(r.getAs[Int]("nmh") == 8)
+    val agg = spark.sql(
+      """SELECT topk_by_score(s, i, 2) AS top FROM VALUES
+        |  (1.0D, 'a'), (3.0D, 'b'), (2.0D, 'c') AS t(s, i)""".stripMargin)
+      .selectExpr("transform(top, x -> x.id) AS ids").head().getSeq[String](0)
+    assert(agg == Seq("b", "c"))
+  }
+
   test("normalizeLocal rejects zero vector (lib.rs:352-355)") {
     intercept[IllegalArgumentException] { VectorStore.normalizeLocal(Array(0f, 0f)) }
   }
