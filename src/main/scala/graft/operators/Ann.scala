@@ -87,6 +87,29 @@ object Ann {
     IvfIndex(centroids, assigned)
   }
 
+  /** Persist an IVF index: assignment parquet PARTITIONED BY cluster (a
+    * probe then touches only nProbe directories — partition pruning does
+    * the list selection) + centroid sidecar. */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/lists")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("cluster", "cvec")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index. The partition column prunes at probe
+    * time: only the selected clusters' files are read. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/lists")
+    val centroids = spark.read.json(s"$path/centroids")
+      .select(col("cluster").cast("int"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    IvfIndex(centroids, assigned)
+  }
+
   /** IVF probe: rank centroids per query by cosine, take the nProbe
     * nearest lists, score only rows in those lists, reduce with the
     * bounded-heap aggregate. Candidate set is |data| * nProbe / nLists in

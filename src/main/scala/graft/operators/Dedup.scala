@@ -75,30 +75,40 @@ object Dedup {
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      exactVerify: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("shingles", wordShingles(col("text"), shingleN))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    val banded = withSig.select(
-      col("id"), col("shingles"), col("sig"),
+    // At scale, carry only the signature through the band shuffle; the
+    // shingle arrays ride along solely when exact verification is on.
+    val payload = if (exactVerify) Seq(col("id"), col("shingles"), col("sig"))
+      else Seq(col("id"), col("sig"))
+    val banded = withSig.select(payload :+
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(array_join(
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast(StringType)), ",")))).as(Seq("band", "band_hash")))
-    val l = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("shingles").as("sh_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("shingles").as("sh_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "band_hash"))
+            x => x.cast(StringType)), ",")))).as(Seq("band", "band_hash")): _*)
+    def side(suffix: String) = {
+      val cols = Seq(col("band"), col("band_hash"), col("id").as(s"id_$suffix"),
+        col("sig").as(s"sig_$suffix")) ++
+        (if (exactVerify) Seq(col("shingles").as(s"sh_$suffix")) else Nil)
+      banded.select(cols: _*)
+    }
+    val pairs = side("a").join(side("b"), Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sig_a"), col("sig_b"))).cast(DoubleType) / numHashes)
-          .as("est_jaccard"),
+    val est = (size(array_intersect(col("sig_a"), col("sig_b"))).cast(DoubleType) / numHashes)
+      .as("est_jaccard")
+    val out = if (exactVerify) {
+      pairs.select(col("id_a"), col("id_b"), est,
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
+    } else {
+      pairs.select(col("id_a"), col("id_b"), est)
+    }
+    out.distinct()
   }
 
   // ----------------------------------------------------------- simhash

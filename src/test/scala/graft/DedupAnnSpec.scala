@@ -96,6 +96,28 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall $recall") // 4 planes ~ 16 buckets over 500 vecs
   }
 
+  test("minhash signatures-only mode finds the same candidate pairs") {
+    val withV = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleN = 2,
+      numHashes = 32, bands = 16).select("id_a", "id_b").collect().toSet
+    val sigOnly = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleN = 2,
+      numHashes = 32, bands = 16, exactVerify = false)
+    assert(!sigOnly.columns.contains("jaccard"))
+    assert(sigOnly.select("id_a", "id_b").collect().toSet == withV)
+  }
+
+  test("ivf index save/load round trip; probe prunes to selected clusters") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ann.ivfSave(idx, dir)
+    val back = Ann.ivfLoad(spark, dir)
+    assert(back.centroids.size == 8)
+    assert(back.assigned.count() == e.count())
+    val hits = Ann.ivfTopK(back, e.filter(col("vec_id") === 3), "vec_id", "embedding",
+      k = 3, nProbe = 2).collect()
+    assert(hits.head.getAs[String]("id") == "3") // self-hit via loaded index
+  }
+
   test("ivf topk: self-hit always found; recall beats plain LSH setup") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val qs = e.filter(col("vec_id") < 10)
