@@ -45,8 +45,11 @@ object StreamingOps {
   /** Streaming gap sessionization via flatMapGroupsWithState — the
     * stateful twin of [[graft.operators.EventAnalytics.sessionize]]. One
     * state entry per user. Emits a session row each time the inactivity
-    * gap closes a session (open sessions stay in state). */
-  def sessionizeStream(events: DataFrame, gapMinutes: Int): DataFrame = {
+    * gap closes a session; with `flushTimeout` a processing-time timeout
+    * also flushes (and clears) sessions left open by idle users, so
+    * state does not grow without bound. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+      flushTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -54,25 +57,37 @@ object StreamingOps {
     val typed = events
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
       .as[(Long, Long, Double)]
+    val timeoutConf =
+      if (flushTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     typed
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[SessionState]) =>
-          // within a microbatch rows are not ordered — sort by event time
-          val sorted = rows.toSeq.sortBy(_._2)
-          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0, 0L))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Double)]
-          sorted.foreach { case (_, us, v) =>
-            if (s.lastUs == Long.MinValue || us - s.lastUs > gapUs) {
-              if (s.n > 0) closed += ((user, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum))
-              s = SessionState(s.sessionSeq + 1, us, 1L, v, us)
-            } else {
-              s = s.copy(lastUs = us, n = s.n + 1, sum = s.sum + v)
+          if (!rows.hasNext && state.hasTimedOut) {
+            // idle-user flush: emit the open session and clear state
+            val out = state.getOption.filter(_.n > 0)
+              .map(s => (user, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum))
+            state.remove()
+            out.iterator
+          } else {
+            // within a microbatch rows are not ordered — sort by event time
+            val sorted = rows.toSeq.sortBy(_._2)
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0, 0L))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Double)]
+            sorted.foreach { case (_, us, v) =>
+              if (s.lastUs == Long.MinValue || us - s.lastUs > gapUs) {
+                if (s.n > 0) closed += ((user, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum))
+                s = SessionState(s.sessionSeq + 1, us, 1L, v, us)
+              } else {
+                s = s.copy(lastUs = us, n = s.n + 1, sum = s.sum + v)
+              }
             }
+            state.update(s)
+            flushTimeout.foreach(state.setTimeoutDuration)
+            closed.iterator
           }
-          state.update(s)
-          closed.iterator
       }
       .toDF("user_id", "session_seq", "start_us", "end_us", "n_events", "sum_value")
   }

@@ -133,6 +133,29 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall > 0.4, s"ivf recall $recall")
   }
 
+  test("scale smoke: 1000 identical 128-dim vectors, top-5 all ~1.0 (integration_tests.rs:15-38)") {
+    val rows = (0 until 1000).map(i => (s"vec_$i", Seq.fill(128)(0.1f)))
+    val df = rows.toDF("id", "vec")
+    val st = graft.operators.VectorStore.fromDataFrame(df, "id", "vec", 128)
+    val hits = st.query(Array.fill(128)(0.1f), 5).collect()
+    assert(hits.length == 5)
+    hits.foreach(h => assert(h.getAs[Double]("__metrics__") > 0.99))
+    assert(st.len() == 1000)
+  }
+
+  test("salted aggregation equals plain groupBy on a skewed fixture") {
+    // 10k rows, 95% on one hot key
+    val rows = (0 until 10000).map(i =>
+      (if (i % 20 == 0) s"key_${i % 7}" else "hot", (i % 997) / 10.0))
+    val df = rows.toDF("k", "v").repartition(8)
+    val salted = graft.operators.Relational.saltedCentsSum(df, Seq("k"), "v", "s", salts = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plain = df.groupBy(col("k"))
+      .agg((sum(round(col("v") * 100).cast("long")).cast("double") / 100.0).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == plain)
+  }
+
   test("brute-force batch topk agrees with single-query store path") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = graft.operators.VectorStore.fromDataFrame(

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -112,6 +114,42 @@ class TextEventsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("user_id") == 7L)
       assert(r.getAs[Long]("n_events") == 2L)
       assert(r.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization timeout flushes idle users' open sessions") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("sessflush")
+    val watch = dir.resolve("watch")
+    java.nio.file.Files.createDirectories(watch)
+    // stage each batch with a normal write, then drop its part-file into
+    // the watched dir (FileStreamSource wants plain files in ONE dir)
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+      val staging = dir.resolve(s"stage_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
+    }
+    write("b1", Seq((1L, ts(0), 7L, "click", 1.0, "{}"), (2L, ts(5), 7L, "click", 2.0, "{}")))
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    // a timeout-bearing query keeps triggering (empty) batches to evaluate
+    // timeouts, so processAllAvailable never settles — poll the sink
+    val q = graft.streaming.StreamingOps.sessionizeStream(stream, gapMinutes = 30,
+        flushTimeout = Some("1 second"))
+      .writeStream.outputMode("append").format("memory").queryName("t_flush").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def flushed() = spark.sql(
+        "SELECT user_id, n_events, sum_value FROM t_flush WHERE user_id = 7").collect()
+      while (flushed().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      val rows = flushed()
+      assert(rows.length == 1, "idle user's open session was not flushed by the timeout")
+      assert(rows.head.getAs[Long]("n_events") == 2L)
+      assert(rows.head.getAs[Double]("sum_value") == 3.0)
     } finally q.stop()
   }
 
