@@ -35,6 +35,18 @@ object SparkEntry {
 
   private def vid: Column = col(VectorStore.IdCol).cast(LongType)
 
+  /** Per-JVM IVF index cache: build+persist once per sf dir, reload the
+    * partitioned index for probes (graft.operators.Ann.ivfSave layout). */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.IvfIndex]()
+  private[graft] def cachedIvf(s: SparkSession, dir: String): graft.operators.Ann.IvfIndex =
+    ivfCache.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      val idx = graft.operators.Ann.ivfBuild(
+        Tables.embeddings(s, d), "vec_id", "embedding", nLists = 16)
+      graft.operators.Ann.ivfSave(idx, path)
+      graft.operators.Ann.ivfLoad(s, path)
+    })
+
   /** The shared upsert batch: vec_id<5 as vector-updates (reversed vector,
     * label+100 which must be DISCARDED per quirk O2a), and vec_id+1000000
     * as inserts (label+100 kept). */
@@ -456,6 +468,23 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ANN: k-NN graph — per-row top-3 neighbors, self excluded.
+    "ann_knn_graph" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.knnGraph(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          e.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")), k = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ANN: probe-only IVF over a persisted index (build amortized across
+    // calls via a per-JVM cache — production shape: index built offline).
+    "ann_ivf_probe" -> ((s, dir) => {
+      val idx = SparkEntry.cachedIvf(s, dir)
+      Ann.ivfTopK(idx, Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nProbe = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Text: quality/token/fingerprint stats.
     "text_stats" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -609,6 +638,19 @@ object SparkEntry {
         |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_knn_graph" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 50),
+        |sc AS (SELECT qs.qid, e.vec_id AS id,
+        |         list_dot_product(e.embedding::DOUBLE[], qs.qv) /
+        |         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |          sqrt(list_dot_product(qs.qv, qs.qv))) AS sc
+        |       FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.qid),
+        |r AS (SELECT qid, id, sc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
+        |      FROM sc)
+        |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "ann_batch_topk" ->
       """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

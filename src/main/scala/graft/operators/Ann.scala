@@ -47,6 +47,32 @@ object Ann {
         round(col("hit.score"), 6).as("score"))
   }
 
+  /** k-NN graph: for each query row, its top-k OTHER rows by cosine (self
+    * excluded) — the all-pairs similarity-join shape. Exact and therefore
+    * O(|data| × |queries|) scans: restrict the query side, or use
+    * [[lshTopK]]/[[ivfTopK]] as the sub-quadratic path, when both sides
+    * are large. */
+  def knnGraph(
+      data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val d = data.select(col(idCol).as(idCol),
+      graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("__nv__"))
+    val scored = d
+      .crossJoin(broadcast(queries.select(col(idCol).as("qid"),
+        graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("qv"))))
+      .filter(col(idCol) =!= col("qid")) // self excluded
+      .withColumn("__score__", dotD(col("__nv__"), col("qv")))
+    scored
+      .groupBy(col("qid"))
+      .agg(TopKByScore.topk(col("__score__"), col(idCol).cast(StringType), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col("qid"),
+        (col("rank0") + 1).cast(IntegerType).as("rank"),
+        col("hit.id").as("id"),
+        round(col("hit.score"), 6).as("score"))
+  }
+
   /** Deterministic pseudo-random hyperplanes, engine-independent: element
     * h[p][d] = sin(1000*p + d) (any fixed, reproducible, roughly isotropic
     * family works for sign-LSH). */
