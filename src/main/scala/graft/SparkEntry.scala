@@ -360,6 +360,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Relational: TPC-H Q6-shaped predicate + global sum — every filter
+    // reaches the parquet scan as a pushed filter.
+    "q6_filter_sum" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+            col("l_discount").between(0.02, 0.08) &&
+            col("l_quantity") < 25)
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * col("l_discount") * 100).cast(LongType))
+            .cast(DoubleType) / 100.0).as("revenue"))
+    }),
+
     // Relational: salted two-phase aggregation (skew posture) — must be
     // bit-identical to the plain groupBy the oracle runs.
     "q_salted_agg" -> ((s, dir) => {
@@ -586,6 +601,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS group_size
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q6_filter_sum" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag,
