@@ -360,6 +360,28 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Relational: TPC-H Q5-shaped 6-table join — dimension chain
+    // (region->nation->customer/supplier) broadcasts; one shuffle for the
+    // final grouped sum.
+    "q5_join_agg" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 100)
+          .cast(LongType)).cast(DoubleType) / 100.0).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
     // Relational: TPC-H Q6-shaped predicate + global sum — every filter
     // reaches the parquet scan as a pushed filter.
     "q6_filter_sum" -> ((s, dir) => {
@@ -601,6 +623,18 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS group_size
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q5_join_agg" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q6_filter_sum" ->
       """SELECT count(*) AS n,
