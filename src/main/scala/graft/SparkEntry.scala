@@ -47,6 +47,17 @@ object SparkEntry {
       graft.operators.Ann.ivfLoad(s, path)
     })
 
+  /** FileStreamSource wants a directory of plain files; the testdata is a
+    * single parquet file — stage it into a temp dir once per sf dir. */
+  private val stagedEventsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def stagedEventsDir(dir: String): String =
+    stagedEventsCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), tmp.resolve("events.parquet"))
+      tmp.toString
+    })
+
   /** The shared upsert batch: vec_id<5 as vector-updates (reversed vector,
     * label+100 which must be DISCARDED per quirk O2a), and vec_id+1000000
     * as inserts (label+100 kept). */
@@ -561,6 +572,30 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming: tumbling-window aggregation over the bounded event
+    // stream (readStream -> watermark -> window agg -> memory sink);
+    // complete mode on bounded input must reproduce the batch hourly
+    // aggregation bit for bit (unified batch/stream semantics).
+    "stream_hourly" -> ((s, dir) => {
+      val ev = graft.streaming.StreamingOps.eventsStream(s, stagedEventsDir(dir))
+      graft.streaming.StreamingOps
+        .runBounded(graft.streaming.StreamingOps.windowedAgg(ev), mode = "complete")
+        .select(col("window_start").as("hour_ts"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    }),
+
+    // Streaming: stateful gap sessionization (flatMapGroupsWithState).
+    // Append mode emits exactly the CLOSED sessions — every session of a
+    // user except their last, which stays open in state at end-of-input.
+    "stream_sessions" -> ((s, dir) => {
+      val ev = graft.streaming.StreamingOps.eventsStream(
+        s, stagedEventsDir(dir), maxFilesPerTrigger = None)
+      graft.streaming.StreamingOps
+        .runBounded(graft.streaming.StreamingOps.sessionizeStream(ev, gapMinutes = 30))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
     // Multimodal: binary payload metadata (deterministic byte stats).
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -822,6 +857,32 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "stream_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM s),
+        |agg AS (
+        |  SELECT user_id, session_seq,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS start_us, CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |  FROM t GROUP BY user_id, session_seq),
+        |m AS (SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS last_seq FROM agg)
+        |SELECT user_id, session_seq, start_us, end_us, n_events, sum_value
+        |FROM m WHERE session_seq < last_seq ORDER BY user_id, session_seq""".stripMargin,
 
     "events_props" ->
       """SELECT event_type, count(*) AS n,

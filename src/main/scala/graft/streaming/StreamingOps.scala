@@ -38,9 +38,17 @@ object StreamingOps {
         unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Per-user session state for [[sessionizeStream]]. */
+  /** Per-user session state for [[sessionizeStream]]. Value totals are
+    * accumulated in integer cents so the emitted sum is order-independent
+    * and bit-identical to the batch twin's exact-DECIMAL sum. */
   final case class SessionState(
-      sessionSeq: Long, lastUs: Long, n: Long, sum: Double, startUs: Long)
+      sessionSeq: Long, lastUs: Long, n: Long, sumCents: Long, startUs: Long)
+
+  /** HALF_UP cents, matching Spark/DuckDB `round(x * 100)`. */
+  private def cents(v: Double): Long = {
+    val x = v * 100.0
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+  }
 
   /** Streaming gap sessionization via flatMapGroupsWithState — the
     * stateful twin of [[graft.operators.EventAnalytics.sessionize]]. One
@@ -55,8 +63,9 @@ object StreamingOps {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     val typed = events
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
-      .as[(Long, Long, Double)]
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
     val timeoutConf =
       if (flushTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -64,24 +73,25 @@ object StreamingOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long, Long, Double)](
         OutputMode.Append, timeoutConf) {
-        case (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[SessionState]) =>
+        case (user: Long, rows: Iterator[(Long, Long, Long, Double)], state: GroupState[SessionState]) =>
           if (!rows.hasNext && state.hasTimedOut) {
             // idle-user flush: emit the open session and clear state
             val out = state.getOption.filter(_.n > 0)
-              .map(s => (user, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum))
+              .map(s => (user, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sumCents / 100.0))
             state.remove()
             out.iterator
           } else {
-            // within a microbatch rows are not ordered — sort by event time
-            val sorted = rows.toSeq.sortBy(_._2)
-            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0, 0L))
+            // within a microbatch rows are not ordered — sort by event
+            // time with the event_id tiebreak the batch twin uses
+            val sorted = rows.toSeq.sortBy(t => (t._2, t._3))
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0L))
             val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Double)]
-            sorted.foreach { case (_, us, v) =>
+            sorted.foreach { case (_, us, _, v) =>
               if (s.lastUs == Long.MinValue || us - s.lastUs > gapUs) {
-                if (s.n > 0) closed += ((user, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sum))
-                s = SessionState(s.sessionSeq + 1, us, 1L, v, us)
+                if (s.n > 0) closed += ((user, s.sessionSeq, s.startUs, s.lastUs, s.n, s.sumCents / 100.0))
+                s = SessionState(s.sessionSeq + 1, us, 1L, cents(v), us)
               } else {
-                s = s.copy(lastUs = us, n = s.n + 1, sum = s.sum + v)
+                s = s.copy(lastUs = us, n = s.n + 1, sumCents = s.sumCents + cents(v))
               }
             }
             state.update(s)
@@ -92,12 +102,28 @@ object StreamingOps {
       .toDF("user_id", "session_seq", "start_us", "end_us", "n_events", "sum_value")
   }
 
-  /** Read a parquet directory as a bounded stream (test/local harness). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Read a parquet directory as a bounded stream (test/local harness).
+    * `maxFilesPerTrigger = None` drains the directory in ONE microbatch —
+    * use it when cross-batch event-time order cannot be guaranteed (the
+    * FileStreamSource feeds files in listing order, not time order). */
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = Some(1)): DataFrame = {
+    val rd = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n.toString))
+    rd.parquet(dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drain a bounded streaming DataFrame through the memory sink and hand
+    * the result back as a plain batch DataFrame (the unified-model bridge
+    * the registered `stream_*` queries use). */
+  def runBounded(df: DataFrame, mode: String = "append"): DataFrame = {
+    val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
+    val q = runToCompletion(df, name, mode)
+    q.stop()
+    df.sparkSession.table(name)
+  }
 
   /** Run a streaming query to completion against bounded input via the
     * memory sink. `complete` mode surfaces every window on bounded input;

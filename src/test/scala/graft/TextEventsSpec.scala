@@ -153,6 +153,24 @@ class TextEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming closed sessions = batch sessions minus each user's open tail") {
+    val batch = EventAnalytics.sessionStats(Tables.events(spark, TestSpark.sf), gapMinutes = 30)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val expected = batch
+      .withColumn("last_seq", max(col("session_seq")).over(w))
+      .filter(col("session_seq") < col("last_seq"))
+      .drop("last_seq")
+      .orderBy(col("user_id"), col("session_seq"))
+      .collect().toSeq
+    val ev = graft.streaming.StreamingOps.eventsStream(
+      spark, SparkEntry.stagedEventsDir(TestSpark.sf), maxFilesPerTrigger = None)
+    val got = graft.streaming.StreamingOps
+      .runBounded(graft.streaming.StreamingOps.sessionizeStream(ev, gapMinutes = 30))
+      .orderBy(col("user_id"), col("session_seq"))
+      .collect().toSeq
+    assert(got == expected)
+  }
+
   test("streaming windowed agg matches batch hourly counts") {
     val batch = EventAnalytics.hourlyAgg(Tables.events(spark, TestSpark.sf))
       .agg(sum("n")).as[Long].head()
