@@ -572,6 +572,39 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Events: as-of join — each click picks up the user's latest
+    // at-or-before purchase (union + window; no inequality-join fan-out).
+    "events_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      EventAnalytics.asofJoin(l, r, "user_id", "ts")
+        .select(
+          col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof.ts")).as("prev_ts_us"),
+          col("asof.event_id").as("prev_event_id"),
+          col("asof.value").as("prev_value"))
+        .orderBy(col("click_id"))
+    }),
+
+    // Events: bounded-lookback range join — views of the same user in the
+    // 10 minutes before each click (time-bucketed equi-join, no nested
+    // loop).
+    "events_lookback" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      EventAnalytics.lookbackStats(l, r, "user_id", "ts", "value", lookbackMinutes = 10)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("n_matches"), col("sum_value"))
+        .orderBy(col("click_id"))
+    }),
+
     // Streaming: tumbling-window aggregation over the bounded event
     // stream (readStream -> watermark -> window agg -> memory sink);
     // complete mode on bounded input must reproduce the batch hourly
@@ -857,6 +890,32 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_asof" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT l.event_id AS click_id, l.user_id,
+        |         CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+        |         CAST(epoch_us(r.ts) AS BIGINT) AS prev_ts_us,
+        |         r.event_id AS prev_event_id, r.value AS prev_value,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |           ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST) AS rn
+        |  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts)
+        |SELECT click_id, user_id, ts_us, prev_ts_us, prev_event_id, prev_value
+        |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+
+    "events_lookback" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT l.event_id AS click_id, l.user_id,
+        |       CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+        |       CAST(count(r.ts) AS BIGINT) AS n_matches,
+        |       CAST(coalesce(sum(CAST(round(r.value * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0 AS sum_value
+        |FROM l LEFT JOIN r ON r.user_id = l.user_id
+        |  AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000 AND epoch_us(r.ts) < epoch_us(l.ts)
+        |GROUP BY l.event_id, l.user_id, l.ts
+        |ORDER BY click_id""".stripMargin,
 
     "stream_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,

@@ -55,6 +55,75 @@ object EventAnalytics {
         count(lit(1)).as("n_events"),
         decSum(col("value")).as("sum_value"))
 
+  /** As-of join: attach to each left row the LATEST right row with
+    * `right.ts <= left.ts` on the same key (null struct when none).
+    *
+    * Spark has no native as-of join, and the naive `r.ts <= l.ts`
+    * inequality join plans as a nested loop with unbounded fan-out.
+    * Instead: tag both sides, union them, and take `last(right_payload,
+    * ignoreNulls)` over a (key)-partitioned window ordered by (ts, tag,
+    * payload) — ONE shuffle on the key, O(n log n) per partition, no pair
+    * explosion, which is the shape that survives 100 TB.
+    *
+    * Determinism: at equal timestamps the right row wins (inclusive
+    * semantics), and among right rows sharing (key, ts) the largest
+    * payload tuple (lexicographic over `ts` then the remaining right
+    * columns in order) wins.
+    *
+    * Output: every left column plus an `asof` struct of the matched right
+    * row (`ts` + right's other non-key columns).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == key || c == ts)
+    val r2 = right.select(
+      col(key), col(ts), lit(0).as("__tag__"),
+      struct(col(ts) +: payloadCols.map(col): _*).as("asof"))
+    val l2 = left
+      .withColumn("__tag__", lit(1))
+      .withColumn("asof", lit(null).cast(r2.schema("asof").dataType))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__tag__"), col("asof"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("asof", last(col("asof"), ignoreNulls = true).over(w))
+      .filter(col("__tag__") === 1)
+      .drop("__tag__")
+  }
+
+  /** Bounded-lookback range join: for each left row, aggregate the right
+    * rows of the same key with `l.ts - lookback <= r.ts < l.ts`.
+    *
+    * A raw interval predicate has no equi key and plans as a nested loop.
+    * Bucketing time by the lookback length turns it into a hash join:
+    * each right row lands in exactly one bucket, each left row probes the
+    * two buckets its window can span, and the exact interval filter runs
+    * on the joined pairs. Fan-out is bounded by per-bucket density — the
+    * bucketed-range-join shape, partition-parallel at any scale.
+    *
+    * Output: left's columns plus `n_matches` and the exact-cents
+    * `sum_value` of the matched right rows (0 / 0.0 when none).
+    */
+  def lookbackStats(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valCol: String, lookbackMinutes: Int): DataFrame = {
+    val lookUs = lookbackMinutes * 60L * 1000000L
+    val lUs = unix_micros(col(ts))
+    val blk = floor(lUs.cast(DoubleType) / lookUs).cast(LongType)
+    val l2 = left.withColumn("__lus__", lUs)
+      .withColumn("__blk__", explode(array(blk, blk - 1)))
+    val r2 = right.select(
+      col(key), unix_micros(col(ts)).as("__rus__"),
+      round(col(valCol) * 100).cast(LongType).as("__rcents__"),
+      blk.as("__blk__"))
+    val hit = col("__rus__") >= col("__lus__") - lookUs && col("__rus__") < col("__lus__")
+    val leftCols = left.columns.map(col)
+    l2.join(r2, Seq(key, "__blk__"), "left_outer")
+      .groupBy(leftCols: _*)
+      .agg(
+        sum(when(hit, 1L).otherwise(0L)).as("n_matches"),
+        (sum(when(hit, col("__rcents__")).otherwise(0L)).cast(DoubleType) / 100.0)
+          .as("sum_value"))
+  }
+
   /** JSON property extraction + aggregation (props is a JSON string). */
   def propsAgg(events: DataFrame): DataFrame =
     events

@@ -153,6 +153,37 @@ class TextEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoin picks the latest at-or-before right row, inclusive on ties") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val clicks = Seq((1L, 7L, ts(10)), (2L, 7L, ts(20)), (3L, 8L, ts(5)))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((7L, ts(0), 10L, 5.0), (7L, ts(20), 11L, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = EventAnalytics.asofJoin(clicks, purchases, "user_id", "ts")
+      .select(col("event_id"), col("asof.event_id").as("pid"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // click@10 -> purchase@0; click@20 -> purchase@20 (ties inclusive);
+    // user 8 has no purchase -> null
+    assert(out.toSeq == Seq((1L, 10L), (2L, 11L), (3L, -1L)))
+  }
+
+  test("lookbackStats counts right rows in [ts - lookback, ts) per key") {
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val clicks = Seq((1L, 7L, ts(10)), (2L, 8L, ts(10))).toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      (7L, ts(0), 2.0),   // exactly lookback before: included (inclusive lower)
+      (7L, ts(9), 3.0),   // in window
+      (7L, ts(10), 99.0), // at click ts: excluded (exclusive upper)
+      (7L, ts(11), 99.0)) // after: excluded
+      .toDF("user_id", "ts", "value")
+    val out = EventAnalytics.lookbackStats(clicks, views, "user_id", "ts", "value", 10)
+      .select(col("event_id"), col("n_matches"), col("sum_value"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 5.0), (2L, 0L, 0.0)))
+  }
+
   test("streaming closed sessions = batch sessions minus each user's open tail") {
     val batch = EventAnalytics.sessionStats(Tables.events(spark, TestSpark.sf), gapMinutes = 30)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
