@@ -416,6 +416,71 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Relational: per-group exact distinct counts (shuffle on the group
+    // key; Spark expands distinct aggregates into a two-phase plan).
+    "q_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Relational: exact linear-interpolation percentiles per group (both
+    // engines define quantile q at index (n-1)*q with interpolation).
+    "q_quantile" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("price_p75"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Relational: set operations (distinct semantics on both engines).
+    "q_setops" -> ((s, dir) => {
+      val custN = Tables.customer(s, dir).select(col("c_nationkey").as("k"))
+      val suppN = Tables.supplier(s, dir).select(col("s_nationkey").as("k"))
+      custN.intersect(suppN).withColumn("tag", lit("both"))
+        .unionByName(custN.except(suppN).withColumn("tag", lit("cust_only")))
+        .unionByName(suppN.except(custN).withColumn("tag", lit("supp_only")))
+        .select(col("tag"), col("k"))
+        .orderBy(col("tag"), col("k"))
+    }),
+
+    // Relational: semi/anti joins — customers with vs without orders per
+    // market segment (EXISTS / NOT EXISTS shapes).
+    "q_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("with_orders"))
+      val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("no_orders"))
+      withO.unionByName(without)
+        .select(col("tag"), col("c_mktsegment"), col("n"))
+        .orderBy(col("tag"), col("c_mktsegment"))
+    }),
+
+    // Relational: ROLLUP hierarchy totals (keys have no natural NULLs, so
+    // coalesce to 'ALL' is an unambiguous subtotal marker).
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
     // Dedup: exact content-hash groups.
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", Seq("text"))
@@ -687,6 +752,49 @@ object SparkEntry {
         |  FROM lineitem
         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
         |WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+        |       count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS price_p75,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_setops" ->
+      """SELECT * FROM (
+        |  SELECT 'both' AS tag, k FROM
+        |    (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'cust_only', k FROM
+        |    (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'supp_only', k FROM
+        |    (SELECT s_nationkey AS k FROM supplier EXCEPT SELECT c_nationkey FROM customer))
+        |ORDER BY tag, k""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT * FROM (
+        |  SELECT 'with_orders' AS tag, c_mktsegment, count(*) AS n FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT 'no_orders', c_mktsegment, count(*) FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_mktsegment)
+        |ORDER BY tag, c_mktsegment""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS group_size
