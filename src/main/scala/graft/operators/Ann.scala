@@ -104,7 +104,10 @@ object Ann {
     val feat = data
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(col("v").cast(ArrayType(DoubleType))))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(feat)
+    // random init: kmeans|| costs ~2x maxIter extra distributed passes and
+    // IVF only needs a coarse quantizer, not an optimal clustering
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random").fit(feat)
     val assigned = model.transform(feat)
       .withColumnRenamed("prediction", "cluster")
       .drop("features")
@@ -155,10 +158,21 @@ object Ann {
       .select(col("qid"),
         graft.functions.VectorNormalize.normalize(col("qv"), outputFloat = false).as("qvn"),
         col("cluster"))
+    // The probe table is tiny by construction (Q x nProbe rows); collect
+    // it once so (a) the probed cluster ids become a STATIC isin filter —
+    // on a cluster-partitioned saved index ([[ivfSave]]) that prunes at
+    // file listing time, which a join alone only achieves if DPP kicks
+    // in — and (b) the join side is a local relation, not a recompute.
+    // (For a large query batch, skip the collect and rely on DPP.)
+    val probeRows = probes.collect()
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val probedClusters = probeRows.map(_.getAs[Int]("cluster")).distinct.toSeq
     index.assigned
+      .filter(col("cluster").isin(probedClusters: _*))
       .withColumn("__nv__",
         graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false))
-      .join(broadcast(probes), Seq("cluster"))
+      .join(broadcast(probesLocal), Seq("cluster"))
       .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
       .groupBy(col("qid"))
       .agg(TopKByScore.topk(col("__score__"), col("id").cast(StringType), k).as("hits"))

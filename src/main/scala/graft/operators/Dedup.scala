@@ -79,36 +79,47 @@ object Dedup {
       exactVerify: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sigOf = minhashSignature(wordShingles(col("text"), shingleN), numHashes)
+    // Band shuffle carries ONLY (id, band, band_hash): the shingle and
+    // signature arrays are projected away before the explode, so the
+    // self-join moves 8 small rows per doc instead of 8 copies of every
+    // array — the shuffle is what dominates at scale.
+    val banded = base
+      .withColumn("sig", sigOf)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast(StringType)), ",")))).as(Seq("band", "band_hash")))
+    val cand = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // Payloads are re-derived for candidate rows only: semi-join on the
+    // raw text FIRST, then compute shingles/signature on the survivors —
+    // the bucket-bounded candidate set, not the corpus.
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))) // semi-join dedups
+    val pay = base.join(candIds, Seq("id"), "left_semi")
       .withColumn("shingles", wordShingles(col("text"), shingleN))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    // At scale, carry only the signature through the band shuffle; the
-    // shingle arrays ride along solely when exact verification is on.
-    val payload = if (exactVerify) Seq(col("id"), col("shingles"), col("sig"))
-      else Seq(col("id"), col("sig"))
-    val banded = withSig.select(payload :+
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(array_join(
-          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast(StringType)), ",")))).as(Seq("band", "band_hash")): _*)
     def side(suffix: String) = {
-      val cols = Seq(col("band"), col("band_hash"), col("id").as(s"id_$suffix"),
-        col("sig").as(s"sig_$suffix")) ++
+      val cols = Seq(col("id").as(s"id_$suffix"), col("sig").as(s"sig_$suffix")) ++
         (if (exactVerify) Seq(col("shingles").as(s"sh_$suffix")) else Nil)
-      banded.select(cols: _*)
+      pay.select(cols: _*)
     }
-    val pairs = side("a").join(side("b"), Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs = cand.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
     val est = (size(array_intersect(col("sig_a"), col("sig_b"))).cast(DoubleType) / numHashes)
       .as("est_jaccard")
-    val out = if (exactVerify) {
+    if (exactVerify) {
       pairs.select(col("id_a"), col("id_b"), est,
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
     } else {
       pairs.select(col("id_a"), col("id_b"), est)
     }
-    out.distinct()
   }
 
   // ----------------------------------------------------------- simhash

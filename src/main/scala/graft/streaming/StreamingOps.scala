@@ -117,12 +117,23 @@ object StreamingOps {
 
   /** Drain a bounded streaming DataFrame through the memory sink and hand
     * the result back as a plain batch DataFrame (the unified-model bridge
-    * the registered `stream_*` queries use). */
-  def runBounded(df: DataFrame, mode: String = "append"): DataFrame = {
-    val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
-    val q = runToCompletion(df, name, mode)
-    q.stop()
-    df.sparkSession.table(name)
+    * the registered `stream_*` queries use). `shufflePartitions` caps the
+    * stateful-operator partition count for the run — each shuffle
+    * partition materializes its own state store + per-batch checkpoint
+    * delta, a fixed cost that dwarfs bounded local inputs (size it to the
+    * key cardinality in production). */
+  def runBounded(df: DataFrame, mode: String = "append",
+      shufflePartitions: Option[Int] = Some(8)): DataFrame = {
+    val sess = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = sess.conf.get(key)
+    shufflePartitions.foreach(n => sess.conf.set(key, n.toString))
+    try {
+      val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
+      val q = runToCompletion(df, name, mode)
+      q.stop()
+      sess.table(name)
+    } finally sess.conf.set(key, prev)
   }
 
   /** Run a streaming query to completion against bounded input via the
