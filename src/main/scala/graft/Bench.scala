@@ -54,6 +54,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the ref microbench scans a cached float-array store: compression
+      // buys nothing on random floats and costs a decode pass per query
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: pay JVM/codegen/session init once, outside any query's time.

@@ -897,6 +897,30 @@ object SparkEntry {
         |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
+    // Mirrors Ann.lshTopK exactly: the sin-family hyperplanes are pure
+    // math, so the whole sign-LSH pipeline is oracle-expressible.
+    "ann_lsh_topk" ->
+      """WITH pl AS (
+        |  SELECT p, list_transform(generate_series(0, 63), d -> sin(1000.0 * p + d)) AS plane
+        |  FROM generate_series(0, 3) AS t(p)),
+        |n AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings),
+        |bk AS (
+        |  SELECT n.vec_id, any_value(n.nv) AS nv,
+        |    string_agg(CASE WHEN list_dot_product(n.nv, pl.plane) >= 0 THEN '1' ELSE '0' END,
+        |               '' ORDER BY pl.p) AS bucket
+        |  FROM n CROSS JOIN pl GROUP BY n.vec_id),
+        |q AS (SELECT vec_id AS qid, nv AS qv, bucket FROM bk WHERE vec_id < 5),
+        |sc AS (SELECT q.qid, b.vec_id AS id, list_dot_product(b.nv, q.qv) AS sc
+        |       FROM bk b JOIN q ON b.bucket = q.bucket),
+        |r AS (SELECT qid, id, sc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
+        |      FROM sc)
+        |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
     "emb_label_centroids" ->
       """SELECT label, CAST(t.i - 1 AS INTEGER) AS pos, count(*) AS n,
         |  round(CAST(sum(CAST(round(embedding[t.i]::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
