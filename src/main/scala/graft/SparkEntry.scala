@@ -610,6 +610,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Text: winnowing fingerprints (k-gram rolling hashes -> sliding
+    // window minima) — the near-dup-robust fingerprint of each doc.
+    "text_winnow" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowFingerprints(col("text"))).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
     // Text: marker-vote language id.
     "text_langid" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -971,6 +980,22 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS tokens_re,
         |  md5(lower(text)) AS fingerprint
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 8 THEN
+        |    list_transform(generate_series(0, length(text) - 8),
+        |      i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 12))::BIGINT)
+        |  ELSE [('0x' || substr(md5(text), 1, 12))::BIGINT] END AS hs
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |  CASE WHEN len(hs) >= 16 THEN
+        |    list_sort(list_distinct(list_transform(generate_series(0, len(hs) - 16),
+        |      j -> list_min(hs[j + 1 : j + 16]))))
+        |  ELSE [list_min(hs)] END AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin,
 
     "text_langid" ->
       """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),

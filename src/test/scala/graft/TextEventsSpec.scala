@@ -153,6 +153,23 @@ class TextEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("winnowing fingerprints: local overlap survives edits, short texts hash whole") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val edited = "INTRO added. " + base // prefix edit: suffix k-grams unchanged
+    val df = Seq((1L, base), (2L, edited), (3L, "tiny")).toDF("id", "text")
+    val fps = df.select(col("id"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlap = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).size
+    assert(overlap > 0.5, s"local fingerprints should survive a prefix edit, overlap=$overlap")
+    assert(fps(1L) != fps(2L), "edit must change at least one fingerprint")
+    assert(fps(3L).size == 1, "texts shorter than k hash whole")
+    // deterministic: sorted distinct
+    val l = fps(1L).toSeq.sorted
+    assert(df.filter(col("id") === 1)
+      .select(TextAnalysis.winnowFingerprints(col("text"))).head().getSeq[Long](0) == l)
+  }
+
   test("asofJoin picks the latest at-or-before right row, inclusive on ties") {
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
     val clicks = Seq((1L, 7L, ts(10)), (2L, 7L, ts(20)), (3L, 8L, ts(5)))
