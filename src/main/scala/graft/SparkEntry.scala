@@ -108,6 +108,20 @@ object SparkEntry {
         .orderBy(vid)
     }),
 
+    // O2b: incremental bucketed upsert — same O2/O2a semantics as the
+    // logical merge, but persisted with only the touched id-buckets
+    // rewritten (VectorStore.Partitioned; the at-scale mutation path).
+    "o2b_upsert_part" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_o2b").toString
+      VectorStore.Partitioned.init(storeD(s, dir), tmp, nBuckets = 8)
+      VectorStore.Partitioned.upsert(s, tmp, upsertBatch(s, dir))
+      VectorStore.Partitioned.load(s, tmp).df
+        .filter(vid < 5 || vid >= 1000000)
+        .select(col("__id__"), col("label"),
+          round(element_at(col("vector"), 1), 6).as("v0"))
+        .orderBy(vid)
+    }),
+
     // O3: flagship top-k cosine (k=10).
     "o3_topk" -> ((s, dir) => {
       storeD(s, dir).query(qvec(s, dir), 10)
@@ -230,6 +244,20 @@ object SparkEntry {
         |ORDER BY op, CAST(__id__ AS BIGINT)""".stripMargin,
 
     "o2a_upsert_state" ->
+      """WITH u AS (SELECT vec_id, list_reverse(embedding::DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+        |i AS (SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v, label + 100 AS label
+        |      FROM embeddings WHERE vec_id < 5),
+        |st AS (
+        |  SELECT CAST(u.vec_id AS VARCHAR) AS __id__, e.label AS label,
+        |         u.v[1] / sqrt(list_dot_product(u.v, u.v)) AS v0
+        |  FROM u JOIN embeddings e ON u.vec_id = e.vec_id
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS VARCHAR), label, v[1] / sqrt(list_dot_product(v, v)) FROM i)
+        |SELECT __id__, label, round(v0, 6) AS v0 FROM st ORDER BY CAST(__id__ AS BIGINT)""".stripMargin,
+
+    // identical post-state contract as o2a — the layout changes, the
+    // merge semantics must not
+    "o2b_upsert_part" ->
       """WITH u AS (SELECT vec_id, list_reverse(embedding::DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
         |i AS (SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v, label + 100 AS label
         |      FROM embeddings WHERE vec_id < 5),

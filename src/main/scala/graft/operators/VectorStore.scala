@@ -158,13 +158,8 @@ final case class VectorStore(
     * format lives in [[graft.sources.NanoJsonCodec]] for interop). */
   def save(path: String): Unit = {
     df.write.mode("overwrite").parquet(s"$path/data")
-    val meta = Meta(embeddingDim, metric, additionalData).toJson
-    val spark = df.sparkSession
-    // tiny sidecar — write through Hadoop FS so the path scheme matches.
-    val p = new org.apache.hadoop.fs.Path(s"$path/_meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(meta.getBytes("UTF-8")) finally out.close()
+    VectorStore.writeSidecar(df.sparkSession, s"$path/_meta.json",
+      Meta(embeddingDim, metric, additionalData).toJson)
   }
 
   /** Bucketed persist (saveAsTable): pre-hash-partitions the store on
@@ -187,6 +182,78 @@ object VectorStore {
   val IdCol = "__id__"
   val VectorCol = "vector"
   val MetricsCol = "__metrics__"
+  val BucketCol = "__bucket__"
+
+  /** Incremental, id-bucketed persistence — the upsert layout that scales.
+    *
+    * [[VectorStore.upsert]] is a logical-view merge: correct, but a
+    * full-store rewrite per batch once persisted. At 100 TB that is the
+    * wrong shape; the right one is the reference's in-place matrix-row
+    * overwrite (lib.rs:157-163) generalized to partitions: hash-bucket
+    * the store on `__id__`, route an incoming batch to the buckets it
+    * touches, merge-and-rewrite ONLY those partitions (dynamic partition
+    * overwrite), leave the rest byte-identical on disk. Cost per batch is
+    * O(touched buckets / nBuckets) of the store, not O(store).
+    */
+  object Partitioned {
+    private def bucketOf(nBuckets: Int): Column =
+      pmod(xxhash64(col(IdCol)), lit(nBuckets.toLong))
+
+    /** Materialize a store into the bucketed layout. */
+    def init(store: VectorStore, path: String, nBuckets: Int): Unit = {
+      require(nBuckets > 0)
+      store.df
+        .withColumn(BucketCol, bucketOf(nBuckets))
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$path/data")
+      val meta = Meta(store.embeddingDim, store.metric,
+        store.additionalData + ("nBuckets" -> nBuckets.toString)).toJson
+      writeSidecar(store.df.sparkSession, s"$path/_meta.json", meta)
+    }
+
+    /** Open the bucketed layout as a plain store (bucket column dropped). */
+    def load(spark: SparkSession, path: String): VectorStore = {
+      val meta = readMeta(spark, s"$path/_meta.json")
+      VectorStore(spark.read.parquet(s"$path/data").drop(BucketCol),
+        meta.embeddingDim, meta.metric, meta.additionalData - "nBuckets")
+    }
+
+    /** Merge a batch into the bucketed layout, rewriting only the touched
+      * partitions. Same O2/O2a semantics as [[VectorStore.upsert]]:
+      * existing ids get the new normalized vector and KEEP their old
+      * metadata; new ids are appended whole. */
+    def upsert(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+      val meta = readMeta(spark, s"$path/_meta.json")
+      val nBuckets = meta.additionalData("nBuckets").toInt
+      val full = spark.read.parquet(s"$path/data")
+      val elemType = full.schema(VectorCol).dataType.asInstanceOf[ArrayType].elementType
+      val b = withNormalizedVector(batch, elemType)
+        .withColumn(BucketCol, bucketOf(nBuckets))
+      // the touched-bucket list is tiny (<= batch size ids), so collect it
+      // and prune the base read to those partition directories
+      val touched = b.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
+      val base = full.filter(col(BucketCol).isin(touched: _*))
+      val newVecs = b.select(col(IdCol), col(VectorCol).as("__newvec__"))
+      val updated = base
+        .join(newVecs, Seq(IdCol), "left")
+        .withColumn(VectorCol, coalesce(col("__newvec__"), col(VectorCol)))
+        .drop("__newvec__")
+      val inserted = b.join(base.select(IdCol), Seq(IdCol), "left_anti")
+      // the write overwrites files its own plan reads — cut the lineage by
+      // materializing the merged buckets first (a production deployment
+      // would stage to a sibling dir and swap; the touched-bucket volume
+      // is the same either way)
+      val merged = updated.unionByName(inserted, allowMissingColumns = true)
+        .localCheckpoint(true)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        merged.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$path/data")
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
 
   private[operators] final case class Meta(
       embeddingDim: Int, metric: String, additionalData: Map[String, String]) {
@@ -243,6 +310,14 @@ object VectorStore {
         s"Storage corrupted: found vectors whose length != embedding_dim=${meta.embeddingDim}")
     }
     VectorStore(df, meta.embeddingDim, meta.metric, meta.additionalData)
+  }
+
+  /** Tiny sidecar write through Hadoop FS so the path scheme matches. */
+  private[operators] def writeSidecar(spark: SparkSession, file: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   private def readMeta(spark: SparkSession, file: String): Meta = {

@@ -139,6 +139,42 @@ class VectorStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned upsert: semantics match the logical merge, untouched buckets stay on disk") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val n = 64
+    val rows = (0 until n).map(i => (i.toString, Seq(i + 1f, 1f, 0f, 0f), s"c$i"))
+    val st = mkStore(rows)
+    val dir = Files.createTempDirectory("pstore").toString
+    VectorStore.Partitioned.init(st, dir, nBuckets = 8)
+    def listState(d: String) = Files.walk(Paths.get(d)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val before = listState(s"$dir/data")
+    val batch = Seq(
+      ("3", Seq(0f, 0f, 1f, 0f), "NEW"),   // update: color must stay c3
+      ("9999", Seq(0f, 0f, 0f, 1f), "ins")) // insert
+      .toDF("id", "vec", "color")
+      .select(col("id").as("__id__"), col("vec").cast(ArrayType(FloatType)).as("vector"), col("color"))
+    VectorStore.Partitioned.upsert(spark, dir, batch)
+    val after = listState(s"$dir/data")
+    // semantic parity with the logical-view merge
+    val expect = st.upsert(batch).store.df
+      .select("__id__", "color").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = VectorStore.Partitioned.load(spark, dir).df
+      .select("__id__", "color").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expect)
+    assert(got.contains(("3", "c3")) && got.contains(("9999", "ins")))
+    // incrementality: files in untouched buckets are byte-identical (same
+    // path, same mtime); at least one bucket was rewritten
+    val touched = Seq("3", "9999").map(id => s"__bucket__=" +
+      spark.range(1).select(pmod(xxhash64(lit(id)), lit(8L))).head().getLong(0)).toSet
+    val untouchedBefore = before.filter { case (p, _) => !touched.exists(p.contains) }
+    val untouchedAfter = after.filter { case (p, _) => !touched.exists(p.contains) }
+    assert(untouchedBefore == untouchedAfter, "untouched bucket files must not be rewritten")
+    assert(before.keySet != after.keySet || before != after, "touched buckets must change")
+  }
+
   test("empty store lifecycle (unit_tests.rs:250-278)") {
     val empty = mkStore(base).delete(Seq("a", "b", "c"))
     assert(empty.isEmpty)
