@@ -469,6 +469,29 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Relational: sketch aggregates (HLL++ distinct, approx percentile).
+    // The sketch values are engine-specific, so the oracle checks the
+    // CONTRACT instead: the approximation must land within tolerance of
+    // the exact value (emitted as a boolean the oracle pins to TRUE).
+    "q_approx" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_exact"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("nd_appr"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_appr"))
+        .select(
+          col("l_returnflag"),
+          col("nd_exact"),
+          (abs(col("nd_appr") - col("nd_exact")) <=
+            col("nd_exact").cast(DoubleType) * 0.15).as("nd_ok"),
+          round(col("p50_exact"), 6).as("p50"),
+          (abs(col("p50_appr") - col("p50_exact")) <=
+            col("p50_exact") * 0.05).as("p50_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Relational: set operations (distinct semantics on both engines).
     "q_setops" -> ((s, dir) => {
       val custN = Tables.customer(s, dir).select(col("c_nationkey").as("k"))
@@ -801,6 +824,11 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 6) AS price_p75,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact, TRUE AS nd_ok,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50, TRUE AS p50_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_setops" ->

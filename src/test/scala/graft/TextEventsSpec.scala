@@ -219,6 +219,47 @@ class TextEventsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("watermark drops late events in append mode") {
+    def ts(min: Int) = new Timestamp(1700000000000L / 3600000L * 3600000L + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("late")
+    val watch = dir.resolve("watch")
+    java.nio.file.Files.createDirectories(watch)
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+      val staging = dir.resolve(s"stage_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
+    }
+    // batch 1: window [0,60) gets one event; t=130 pushes the watermark
+    // to 70min once the batch commits
+    write("b1", Seq(
+      (1L, ts(0), 7L, "click", 1.0, "{}"),
+      (2L, ts(130), 7L, "click", 1.0, "{}")))
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("t_late").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: t=30 is BEHIND the 70min watermark -> dropped before the
+      // aggregation; the closed [0,60) window emits with n=1, not 2
+      write("b2", Seq((3L, ts(30), 7L, "click", 99.0, "{}")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ws, n FROM t_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val w0 = ts(0).getTime / 1000
+      assert(rows == Seq((w0, 1L)),
+        s"expected only the closed first window with the late row dropped, got $rows")
+    } finally q.stop()
+  }
+
   test("streaming windowed agg matches batch hourly counts") {
     val batch = EventAnalytics.hourlyAgg(Tables.events(spark, TestSpark.sf))
       .agg(sum("n")).as[Long].head()
