@@ -48,15 +48,17 @@ object SparkEntry {
     })
 
   /** FileStreamSource wants a directory of plain files; the testdata is a
-    * single parquet file — stage it into a temp dir once per sf dir. */
-  private val stagedEventsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def stagedEventsDir(dir: String): String =
-    stagedEventsCache.computeIfAbsent(dir, { d =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    * single parquet file per table — stage it into a temp dir once per
+    * (sf dir, table). */
+  private val stagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def stagedTableDir(dir: String, table: String): String =
+    stagedCache.computeIfAbsent(s"$dir/$table", { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_${table}_stream")
       java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"), tmp.resolve("events.parquet"))
+        java.nio.file.Paths.get(s"$dir/$table.parquet"), tmp.resolve(s"$table.parquet"))
       tmp.toString
     })
+  private[graft] def stagedEventsDir(dir: String): String = stagedTableDir(dir, "events")
 
   /** The shared upsert batch: vec_id<5 as vector-updates (reversed vector,
     * label+100 which must be DISCARDED per quirk O2a), and vec_id+1000000
@@ -754,6 +756,44 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // Streaming: stateful exact dedup — dropDuplicates keyed on the
+    // content hash keeps one state entry per distinct document and emits
+    // each hash once. Output is the distinct-hash SET, which is
+    // deterministic regardless of arrival order. (Production pairs this
+    // with dropDuplicatesWithinWatermark to bound state.)
+    "stream_dedup" -> ((s, dir) => {
+      val schema = Tables.documents(s, dir).schema
+      val st = s.readStream.schema(schema).parquet(stagedTableDir(dir, "documents"))
+      graft.streaming.StreamingOps.runBounded(
+          st.select(md5(col("text")).as("content_hash")).dropDuplicates("content_hash"))
+        .orderBy(col("content_hash"))
+    }),
+
+    // Streaming: watermarked stream-stream interval join — purchases
+    // joined to the clicks they precede by at most 10 minutes. On bounded
+    // input the inner join emits exactly the batch join's matches.
+    "stream_join" -> ((s, dir) => {
+      val clicks = graft.streaming.StreamingOps
+        .eventsStream(s, stagedEventsDir(dir), maxFilesPerTrigger = None)
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("lts"))
+      val purchases = graft.streaming.StreamingOps
+        .eventsStream(s, stagedEventsDir(dir), maxFilesPerTrigger = None)
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("r_user"),
+          col("ts").as("rts"))
+      val joined = clicks.join(purchases,
+        col("user_id") === col("r_user") &&
+          col("rts") >= col("lts") - expr("INTERVAL 10 MINUTES") &&
+          col("rts") <= col("lts"))
+      graft.streaming.StreamingOps.runBounded(
+          joined.select(col("click_id"), col("purchase_id"),
+            unix_micros(col("lts")).as("ts_us"), unix_micros(col("rts")).as("prev_us")))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Multimodal: binary payload metadata (deterministic byte stats).
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1155,6 +1195,18 @@ object SparkEntry {
         |m AS (SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS last_seq FROM agg)
         |SELECT user_id, session_seq, start_us, end_us, n_events, sum_value
         |FROM m WHERE session_seq < last_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash""",
+
+    "stream_join" ->
+      """SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+        |       CAST(epoch_us(l.ts) AS BIGINT) AS ts_us, CAST(epoch_us(r.ts) AS BIGINT) AS prev_us
+        |FROM events l JOIN events r ON r.user_id = l.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000
+        |  AND epoch_us(r.ts) <= epoch_us(l.ts)
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "events_props" ->
       """SELECT event_type, count(*) AS n,
