@@ -573,6 +573,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup: MinHash-LSH with the portable md5-48bit hash family — the
+    // full shingle -> signature -> band -> candidate -> verify pipeline
+    // is exact-oracle-checked (band grouping reproduced via slice
+    // equality on the DuckDB side).
+    "dedup_minhash_port" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          portableHash = true)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Dedup: SimHash near-dup pairs (rows-only check).
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 16)
@@ -963,6 +976,34 @@ object SparkEntry {
         |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 ORDER BY a.doc_id""".stripMargin,
+
+    "dedup_minhash_port" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM documents),
+        |sg AS (
+        |  SELECT id, sh,
+        |    list_transform(generate_series(0, 31), k ->
+        |      list_min(list_transform(sh, s ->
+        |        ('0x' || substr(md5(s), 1, 12))::BIGINT + k * ('0x' || substr(md5(s), 13, 12))::BIGINT))) AS sig
+        |  FROM t),
+        |bd AS (
+        |  SELECT id, g.b, array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS bk
+        |  FROM sg, generate_series(0, 7) AS g(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bd a JOIN bd b ON a.b = b.b AND a.bk = b.bk AND a.id < b.id),
+        |j AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(sa.sig, sb.sig))::DOUBLE / 32.0, 6) AS est_jaccard,
+        |    round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |          len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard
+        |  FROM cand c JOIN sg sa ON sa.id = c.id_a JOIN sg sb ON sb.id = c.id_b)
+        |SELECT id_a, id_b, est_jaccard, jaccard FROM j ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embcos" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

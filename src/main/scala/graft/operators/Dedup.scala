@@ -65,6 +65,19 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     graft.functions.TextHashes.minhashSignature(shingles, numHashes)
 
+  /** Engine-portable MinHash signature: the same g_k = h1 + k*h2 family
+    * but with 48-bit md5-prefix base hashes, so `h1 + k*h2 < 2^53` is
+    * exact BIGINT math any engine (and the DuckDB oracle) reproduces.
+    * ~3x the per-row cost of the xxhash64 expression — use
+    * [[minhashSignature]] when cross-engine checkability isn't needed. */
+  def minhashSignaturePortable(shingles: Column, numHashes: Int): Column = {
+    val hs = transform(shingles, s => struct(
+      conv(substring(md5(s), 1, 12), 16, 10).cast(LongType).as("h1"),
+      conv(substring(md5(s), 13, 12), 16, 10).cast(LongType).as("h2")))
+    transform(sequence(lit(0), lit(numHashes - 1)), k =>
+      array_min(transform(hs, p => p.getField("h1") + k * p.getField("h2"))))
+  }
+
   /** MinHash-LSH near-dup candidate pairs.
     *
     * shingle -> minhash signature -> band hashes -> explode bands ->
@@ -76,11 +89,13 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      exactVerify: Boolean = true): DataFrame = {
+      exactVerify: Boolean = true, portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val sigOf = minhashSignature(wordShingles(col("text"), shingleN), numHashes)
+    def sigOf = if (portableHash)
+      minhashSignaturePortable(wordShingles(col("text"), shingleN), numHashes)
+    else minhashSignature(wordShingles(col("text"), shingleN), numHashes)
     // Band shuffle carries ONLY (id, band, band_hash): the shingle and
     // signature arrays are projected away before the explode, so the
     // self-join moves 8 small rows per doc instead of 8 copies of every
@@ -105,7 +120,9 @@ object Dedup {
       .unionByName(cand.select(col("id_b").as("id"))) // semi-join dedups
     val pay = base.join(candIds, Seq("id"), "left_semi")
       .withColumn("shingles", wordShingles(col("text"), shingleN))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("sig",
+        if (portableHash) minhashSignaturePortable(col("shingles"), numHashes)
+        else minhashSignature(col("shingles"), numHashes))
     def side(suffix: String) = {
       val cols = Seq(col("id").as(s"id_$suffix"), col("sig").as(s"sig_$suffix")) ++
         (if (exactVerify) Seq(col("shingles").as(s"sh_$suffix")) else Nil)
