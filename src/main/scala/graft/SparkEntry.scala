@@ -592,6 +592,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup: SimHash with the portable 48-bit md5 hash family — bit
+    // votes, fingerprint, blocked pairs, and Hamming filter all
+    // exact-oracle-checked (restricted id range: the portable hash is
+    // interpreted HOF, 48 x tokens per row).
+    "dedup_simhash_port" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 200),
+          "doc_id", "text", maxHamming = 12, portableHash = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Dedup: embedding-cosine near-dups within id blocks.
     "dedup_embcos" -> ((s, dir) => {
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1004,6 +1014,21 @@ object SparkEntry {
         |          len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard
         |  FROM cand c JOIN sg sa ON sa.id = c.id_a JOIN sg sb ON sb.id = c.id_b)
         |SELECT id_a, id_b, est_jaccard, jaccard FROM j ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash_port" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |f AS (SELECT doc_id AS id,
+        |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
+        |    CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+        |        CASE WHEN ((('0x' || substr(md5(t), 1, 12))::BIGINT >> b) & 1) = 1
+        |             THEN 1 ELSE -1 END)) > 0
+        |    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS fp
+        |  FROM d)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM f a JOIN f b ON b.id > a.id AND b.id <= a.id + 50
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embcos" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -149,6 +149,22 @@ object Dedup {
   def simhashHamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Engine-portable 48-bit SimHash: md5-prefix token hashes, bit votes,
+    * fingerprint < 2^48. Spark lacks a variable-amount shift, so bit b is
+    * extracted as `floor(h / 2^b) % 2` — exact for h < 2^48 in double
+    * math, and identical to the oracle's `(h >> b) & 1`. O(48 x tokens)
+    * interpreted HOF per row: use [[simhash64]] when cross-engine
+    * checkability isn't needed. */
+  def simhash48Portable(toks: Column): Column = {
+    val hs = transform(toks, t => conv(substring(md5(t), 1, 12), 16, 10).cast(LongType))
+    aggregate(sequence(lit(0), lit(47)), lit(0L), (acc, b) => {
+      val bit = (h: Column) => (h.cast(DoubleType) / pow(lit(2.0), b)).cast(LongType) % 2
+      val vote = aggregate(hs, lit(0L),
+        (a, h) => a + when(bit(h) === 1, 1L).otherwise(-1L))
+      acc + when(vote > 0, pow(lit(2.0), b).cast(LongType)).otherwise(0L)
+    })
+  }
+
   /** Id-distance-blocked candidate pairs as an EQUI join.
     *
     * A raw `id_b BETWEEN id_a+1 AND id_a+B` predicate plans as a nested
@@ -180,10 +196,13 @@ object Dedup {
     * chunks). */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8, idBlock: Long = 50): DataFrame = {
-    val withFp = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
+      maxHamming: Int = 8, idBlock: Long = 50,
+      portableHash: Boolean = false): DataFrame = {
+    val fp = if (portableHash) simhash48Portable(tokens(col(textCol)))
+      else simhash64(tokens(col(textCol)))
+    val withFp = df.select(col(idCol).as("id"), fp.as("fp"))
     blockedPairs(withFp, "id", "fp", idBlock)
-      .withColumn("hamming", simhashHamming(col("fp_a"), col("fp_b")))
+      .withColumn("hamming", simhashHamming(col("fp_a"), col("fp_b")).cast(IntegerType))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
