@@ -68,15 +68,15 @@ object Dedup {
   /** Engine-portable MinHash signature: the same g_k = h1 + k*h2 family
     * but with 48-bit md5-prefix base hashes, so `h1 + k*h2 < 2^53` is
     * exact BIGINT math any engine (and the DuckDB oracle) reproduces.
-    * ~3x the per-row cost of the xxhash64 expression — use
-    * [[minhashSignature]] when cross-engine checkability isn't needed. */
-  def minhashSignaturePortable(shingles: Column, numHashes: Int): Column = {
-    val hs = transform(shingles, s => struct(
-      conv(substring(md5(s), 1, 12), 16, 10).cast(LongType).as("h1"),
-      conv(substring(md5(s), 13, 12), 16, 10).cast(LongType).as("h2")))
-    transform(sequence(lit(0), lit(numHashes - 1)), k =>
-      array_min(transform(hs, p => p.getField("h1") + k * p.getField("h2"))))
-  }
+    * Value-identical to the HOF formulation
+    * `transform(seq(0,n-1), k -> array_min(transform(shingles, s ->
+    *   conv(md5(s)[1:12],16,10) + k * conv(md5(s)[13:24],16,10))))`
+    * but one digest pass per shingle ([[graft.functions.PortableHashes]])
+    * instead of n x shingles interpreted lambda frames. Slower than
+    * [[minhashSignature]] (md5 vs xxhash64) — use it when cross-engine
+    * checkability matters. */
+  def minhashSignaturePortable(shingles: Column, numHashes: Int): Column =
+    graft.functions.PortableHashes.portableMinHash(shingles, numHashes)
 
   /** MinHash-LSH near-dup candidate pairs.
     *
@@ -149,21 +149,13 @@ object Dedup {
   def simhashHamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Engine-portable 48-bit SimHash: md5-prefix token hashes, bit votes,
-    * fingerprint < 2^48. Spark lacks a variable-amount shift, so bit b is
-    * extracted as `floor(h / 2^b) % 2` — exact for h < 2^48 in double
-    * math, and identical to the oracle's `(h >> b) & 1`. O(48 x tokens)
-    * interpreted HOF per row: use [[simhash64]] when cross-engine
-    * checkability isn't needed. */
-  def simhash48Portable(toks: Column): Column = {
-    val hs = transform(toks, t => conv(substring(md5(t), 1, 12), 16, 10).cast(LongType))
-    aggregate(sequence(lit(0), lit(47)), lit(0L), (acc, b) => {
-      val bit = (h: Column) => (h.cast(DoubleType) / pow(lit(2.0), b)).cast(LongType) % 2
-      val vote = aggregate(hs, lit(0L),
-        (a, h) => a + when(bit(h) === 1, 1L).otherwise(-1L))
-      acc + when(vote > 0, pow(lit(2.0), b).cast(LongType)).otherwise(0L)
-    })
-  }
+  /** Engine-portable 48-bit SimHash: md5-prefix token hashes, per-bit
+    * votes `(h >> b) & 1`, fingerprint < 2^48 — exact BIGINT math the
+    * oracle reproduces ([[graft.functions.PortableHashes]], one digest
+    * per token). Use [[simhash64]] when cross-engine checkability isn't
+    * needed. */
+  def simhash48Portable(toks: Column): Column =
+    graft.functions.PortableHashes.portableSimHash48(toks)
 
   /** Id-distance-blocked candidate pairs as an EQUI join.
     *

@@ -31,22 +31,15 @@ object TextAnalysis {
     * [[fingerprint]] is not.
     *
     * Hash = first 48 bits of md5(gram) so the exact pipeline is
-    * re-expressible in the DuckDB oracle. Texts shorter than `k` hash
-    * whole; fewer than `w` grams take the global minimum. Pure HOF
-    * expressions, O(len * w) per row inside codegen — swap the slice-min
-    * for a custom monotonic-deque Expression if w grows large. */
-  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 16): Column = {
-    val len = length(text)
-    val grams = when(len >= k,
-      transform(sequence(lit(0), len - k), i => substring(text, i + 1, lit(k))))
-      .otherwise(array(text))
-    val hashes = transform(grams, g => conv(substring(md5(g), 1, 12), 16, 10).cast(LongType))
-    val n = size(hashes)
-    val mins = when(n >= w,
-      transform(sequence(lit(0), n - w), j => array_min(slice(hashes, j + 1, lit(w)))))
-      .otherwise(array(array_min(hashes)))
-    array_sort(array_distinct(mins))
-  }
+    * re-expressible in the DuckDB oracle (value-identical HOF
+    * formulation: `array_sort(array_distinct(transform(seq(0,n-w),
+    * j -> array_min(slice(hashes, j+1, w)))))` over
+    * `hashes = transform(grams, g -> conv(md5(g)[1:12],16,10))`).
+    * Implemented as a one-pass monotonic-deque Expression
+    * ([[graft.functions.WinnowFingerprints]]): O(len) per row where the
+    * HOF slice-min walks O(len * w) interpreted lambda frames. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 16): Column =
+    graft.functions.PortableHashes.winnowFingerprints(text, k, w)
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
