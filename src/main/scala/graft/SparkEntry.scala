@@ -827,6 +827,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal: frame/chunk sampling as a generator with portable md5
+    // chunk checksums — offsets and chunk bytes oracle-checked.
+    "mm_chunks" -> ((s, dir) => {
+      Multimodal.sampleChunks(
+          Tables.documents(s, dir).filter(col("doc_id") < 100)
+            .select(col("doc_id"), col("text").cast(BinaryType).as("media")),
+          "doc_id", "media", chunkBytes = 256, maxChunks = 3, portableHash = true)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Multimodal: per-partition stub decode + chunk sampling (rows-only:
     // exercises the mapPartitions plumbing and crc32 chunking).
     "mm_features" -> ((s, dir) => {
@@ -1279,6 +1289,37 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // byte-exact mirror of Multimodal.stubDecode: per-class byte sums in
+    // input order, 1/sqrt reciprocal multiply, float-cast then round —
+    // every operation sequenced exactly like the Scala kernel
+    "mm_features" ->
+      """WITH d AS (SELECT doc_id AS id, hex(text::BLOB) AS hx,
+        |                  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
+        |           FROM documents),
+        |a AS (SELECT id, n_bytes,
+        |  list_transform(generate_series(0, 15), j ->
+        |    coalesce(list_sum(list_transform(
+        |      generate_series(0, CAST(floor((n_bytes - 1 - j) / 16.0) AS BIGINT)),
+        |      m -> ('0x' || substr(hx, CAST((j + 16 * m) * 2 + 1 AS INT), 2))::BIGINT / 255.0)),
+        |      0.0)) AS acc
+        |  FROM d),
+        |s AS (SELECT id, n_bytes, acc,
+        |        list_sum(list_transform(acc, x -> x * x)) AS ss
+        |      FROM a)
+        |SELECT id, n_bytes, 'text' AS format,
+        |       round(CAST(CAST(acc[1] * (1.0 / sqrt(ss)) AS FLOAT) AS DOUBLE), 6) AS f0
+        |FROM s ORDER BY id""".stripMargin,
+
+    "mm_chunks" ->
+      """WITH d AS (SELECT doc_id, lower(hex(text::BLOB)) AS hx, octet_length(text::BLOB) AS nb
+        |           FROM documents WHERE doc_id < 100),
+        |e AS (SELECT doc_id, hx,
+        |        unnest(generate_series(0, least(CAST(ceil(nb / 256.0) AS INT), 3) - 1)) AS m
+        |      FROM d)
+        |SELECT doc_id, CAST(m AS INTEGER) AS chunk_idx, CAST(m * 256 AS BIGINT) AS "offset",
+        |       md5(substr(hx, CAST(m * 512 + 1 AS INT), 512)) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // format mirrors sniffFormat's magic-byte semantics for the magics
     // that CAN occur in UTF-8 text (ASCII 'GIF8'/'RIFF'/'fLaC' prefixes;

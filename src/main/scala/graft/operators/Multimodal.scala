@@ -78,7 +78,7 @@ object Multimodal {
     * as a generator (explode) — the shape of video frame-sampling with the
     * frame decode stubbed to a chunk checksum. */
   def sampleChunks(df: DataFrame, idCol: String, binCol: String,
-      chunkBytes: Int, maxChunks: Int): DataFrame = {
+      chunkBytes: Int, maxChunks: Int, portableHash: Boolean = false): DataFrame = {
     val nChunks = least(
       ceil(length(col(binCol)).cast(DoubleType) / chunkBytes).cast(IntegerType),
       lit(maxChunks))
@@ -86,11 +86,16 @@ object Multimodal {
     // guard zero-length payloads to zero chunks explicitly
     val offsets = when(nChunks > 0, sequence(lit(0), nChunks - 1))
       .otherwise(array().cast(ArrayType(IntegerType)))
+    val chunk = col(binCol).substr(col("off") * chunkBytes + 1, lit(chunkBytes))
+    // portable checksum = md5 over the chunk's lowercase hex (a VARCHAR
+    // digest every engine has; md5-of-BLOB is not portable); crc32 is
+    // the cheaper default
+    val checksum = if (portableHash) md5(lower(hex(chunk))).as("chunk_md5")
+      else crc32(chunk).as("chunk_crc")
     df.select(col(idCol), col(binCol),
         posexplode(offsets).as(Seq("chunk_idx", "off")))
       .select(col(idCol), col("chunk_idx"),
         (col("off").cast(LongType) * chunkBytes).as("offset"),
-        crc32(col(binCol).substr(col("off") * chunkBytes + 1, lit(chunkBytes)))
-          .as("chunk_crc"))
+        checksum)
   }
 }
