@@ -674,6 +674,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ANN: IVF quality contract — the cluster assignment is
+    // engine-specific, but two invariants are oracle-checkable booleans:
+    // every query's own vector comes back at rank 1 (its cluster is
+    // always the top probe), and recall@3 vs exact brute force holds the
+    // floor the self-hit guarantees.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.ivfTopK(cachedIvf(s, dir), q, "vec_id", "embedding", k = 3, nProbe = 4)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      val matched = approx.join(exact.select(col("qid"), col("id")), Seq("qid", "id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_match"))
+      val selfHit = approx.filter(col("rank") === 1)
+        .select(col("qid"), (col("id") === col("qid").cast(StringType)).as("self_ok"))
+      matched.join(selfHit, "qid")
+        .agg(
+          count(lit(1)).as("n_queries"),
+          (min(col("n_match")) >= 1L).as("recall_ok"),
+          min(col("self_ok")).as("self_hit"))
+    }),
+
     // Text: quality/token/fingerprint stats.
     "text_stats" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1129,6 +1150,9 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_quality
         |FROM s WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "ann_ivf_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
     "text_stats" ->
       """WITH b AS (

@@ -101,9 +101,12 @@ object Ann {
       nLists: Int, seed: Long = 42L, maxIter: Int = 5): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // cache the featurized input: every KMeans iteration re-reads it (the
+    // evictable cache entry is cheap next to maxIter scan+vectorize passes)
     val feat = data
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(col("v").cast(ArrayType(DoubleType))))
+      .cache()
     // random init: kmeans|| costs ~2x maxIter extra distributed passes and
     // IVF only needs a coarse quantizer, not an optimal clustering
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
