@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{MinHashSignature, SimHash64, TopKByScore, VectorDot, VectorNormalize, WordShingles}
+import graft.functions.{MinHashSignature, PortableMinHash, PortableSimHash48, SimHash64, TopKByScore, VectorDot, VectorNormalize, WinnowFingerprints, WordShingles}
 
 /** SQL registration for graft's kernel expressions, so the engine is
   * usable from plain `spark.sql(...)` as well as the Column API:
@@ -33,6 +33,10 @@ object GraftFunctions {
     "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "shingle size n"))),
     "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "numHashes"))),
     "simhash64" -> (es => SimHash64(es(0))),
+    "portable_minhash" -> (es => PortableMinHash(es(0), intArg(es(1), "numHashes"))),
+    "portable_simhash48" -> (es => PortableSimHash48(es(0))),
+    "winnow_fingerprints" -> (es =>
+      WinnowFingerprints(es(0), intArg(es(1), "gram size k"), intArg(es(2), "window w"))),
     "topk_by_score" -> (es =>
       TopKByScore(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()))
 

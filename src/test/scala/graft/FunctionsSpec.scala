@@ -78,6 +78,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sh") != 0L)
     assert(r.getAs[Int]("nsh") == 3)
     assert(r.getAs[Int]("nmh") == 8)
+    val p = spark.sql(
+      """SELECT size(portable_minhash(array('a', 'b'), 8)) AS npm,
+        |       portable_simhash48(array('a', 'b')) AS ps,
+        |       size(winnow_fingerprints('the quick brown fox jumps', 4, 3)) AS nw
+        |""".stripMargin).head()
+    assert(p.getAs[Int]("npm") == 8)
+    assert(p.getAs[Long]("ps") > 0L && p.getAs[Long]("ps") < (1L << 48))
+    assert(p.getAs[Int]("nw") > 0)
     val agg = spark.sql(
       """SELECT topk_by_score(s, i, 2) AS top FROM VALUES
         |  (1.0D, 'a'), (3.0D, 'b'), (2.0D, 'c') AS t(s, i)""".stripMargin)
