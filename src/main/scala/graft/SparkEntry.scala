@@ -776,6 +776,36 @@ object SparkEntry {
         .orderBy(col("click_id"))
     }),
 
+    // Events: funnel conversion — purchases preceded by a click of the
+    // same user within 30 minutes (asofJoin composition, no new shuffle
+    // shape).
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val j = EventAnalytics.asofJoin(purch, clicks, "user_id", "ts")
+        .withColumn("converted",
+          col("asof.ts").isNotNull &&
+            unix_micros(col("asof.ts")) >= unix_micros(col("ts")) - 1800000000L)
+      j.agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+        .select(col("n_purchases"), col("n_converted"),
+          round(col("n_converted").cast(DoubleType) / col("n_purchases"), 6).as("conv_rate"))
+    }),
+
+    // Events: pivot — per-day event-type counts as columns (wide-table
+    // reshape; Spark resolves the pivot values in one extra pass).
+    "events_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).cast(StringType).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("day"))
+    }),
+
     // Streaming: tumbling-window aggregation over the bounded event
     // stream (readStream -> watermark -> window agg -> memory sink);
     // complete mode on bounded input must reproduce the batch hourly
@@ -1295,6 +1325,27 @@ object SparkEntry {
         |m AS (SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS last_seq FROM agg)
         |SELECT user_id, session_seq, start_us, end_us, n_events, sum_value
         |FROM m WHERE session_seq < last_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_funnel" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |f AS (SELECT p.event_id,
+        |        CASE WHEN EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |          AND c.ts <= p.ts
+        |          AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000) THEN 1 ELSE 0 END AS conv
+        |      FROM p)
+        |SELECT count(*) AS n_purchases, CAST(sum(conv) AS BIGINT) AS n_converted,
+        |       round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
+        |FROM f""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT CAST(ts AS DATE)::VARCHAR AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash""",
