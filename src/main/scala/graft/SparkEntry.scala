@@ -438,6 +438,25 @@ object SparkEntry {
             .cast(DoubleType) / 100.0).as("revenue"))
     }),
 
+    // Relational: TPC-H Q14-shaped promo revenue ratio — fact-to-dim
+    // broadcast join on partkey + conditional exact-cents aggregation.
+    "q14_promo" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-03-01").cast(TimestampType))
+      val p = Tables.part(s, dir)
+      val revC = round((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 100)
+        .cast(LongType)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revC).otherwise(0L)).as("promo_c"),
+          sum(revC).as("total_c"))
+        .select(
+          (col("promo_c").cast(DoubleType) / 100.0).as("promo_revenue"),
+          (col("total_c").cast(DoubleType) / 100.0).as("total_revenue"),
+          round(col("promo_c").cast(DoubleType) * 100.0 / col("total_c"), 6).as("promo_pct"))
+    }),
+
     // Relational: salted two-phase aggregation (skew posture) — must be
     // bit-identical to the plain groupBy the oracle runs.
     "q_salted_agg" -> ((s, dir) => {
@@ -1007,6 +1026,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT CAST(promo_c AS DOUBLE) / 100.0 AS promo_revenue,
+        |       CAST(total_c AS DOUBLE) / 100.0 AS total_revenue,
+        |       round(CAST(promo_c AS DOUBLE) * 100.0 / total_c, 6) AS promo_pct
+        |FROM (
+        |  SELECT sum(CASE WHEN p_type = 'PROMO'
+        |               THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |               ELSE 0 END) AS promo_c,
+        |         sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS total_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01')""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag,

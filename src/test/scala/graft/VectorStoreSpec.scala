@@ -139,6 +139,26 @@ class VectorStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("top-k properties: query(k) is a prefix of query(k+1); threshold = filtered top-k") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val q = e.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
+    def ids(k: Int, thr: Option[Double] = None): Seq[String] =
+      st.query(q, k, betterThan = thr).select("__id__").collect().map(_.getString(0)).toSeq
+    // deterministic (score desc, id) total order makes top-k a strict prefix
+    val k10 = ids(10)
+    val k11 = ids(11)
+    assert(k11.take(10) == k10)
+    // inclusive threshold: top-k with betterThan == top-k minus below-threshold rows
+    val thr = 0.2
+    val withThr = st.query(q, 100, betterThan = Some(thr))
+      .select("__id__", "__metrics__").collect()
+    assert(withThr.forall(_.getDouble(1) >= thr))
+    val noThr = st.query(q, 100).select("__id__", "__metrics__").collect()
+      .filter(_.getDouble(1) >= thr).map(_.getString(0)).toSeq
+    assert(withThr.map(_.getString(0)).toSeq == noThr)
+  }
+
   test("partitioned upsert: semantics match the logical merge, untouched buckets stay on disk") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
