@@ -38,9 +38,23 @@ object Bench {
         cached.query(qv, 10).collect()
         (System.nanoTime() - t1) / 1e9
       }.min
+      // matrix-mode scan cache: the reference's flattened-matrix layout
+      // (lib.rs:44-45) — same results, no per-row columnar decode
+      val t2 = System.nanoTime()
+      val mx = graft.operators.MatrixStore.fromStore(cached)
+      val tMatrixBuild = (System.nanoTime() - t2) / 1e9
+      mx.query(qv, 10)
+      val tMatrixQuery = (0 until 3).map { _ =>
+        val t3 = System.nanoTime()
+        mx.query(qv, 10)
+        (System.nanoTime() - t3) / 1e9
+      }.min
+      mx.unpersist()
       cached.df.unpersist()
       raw.unpersist()
-      Map("ref_insert_100k_d1024" -> tInsert, "ref_query_100k_d1024" -> tQuery)
+      Map("ref_insert_100k_d1024" -> tInsert, "ref_query_100k_d1024" -> tQuery,
+        "ref_matrix_build_100k_d1024" -> tMatrixBuild,
+        "ref_query_matrix_100k_d1024" -> tMatrixQuery)
     } catch { case _: Throwable => Map.empty }
   }
 

@@ -139,6 +139,20 @@ class VectorStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("matrix-mode query matches the DataFrame path bitwise") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val q = e.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    def dfHits(k: Int, thr: Option[Double]) =
+      st.query(q, k, betterThan = thr).select("__id__", "__metrics__")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    try {
+      assert(mx.query(q, 10).toSeq == dfHits(10, None))
+      assert(mx.query(q, 100, Some(0.2)).toSeq == dfHits(100, Some(0.2)))
+    } finally mx.unpersist()
+  }
+
   test("top-k properties: query(k) is a prefix of query(k+1); threshold = filtered top-k") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
