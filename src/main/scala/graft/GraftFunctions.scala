@@ -40,11 +40,26 @@ object GraftFunctions {
     "topk_by_score" -> (es =>
       TopKByScore(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()))
 
+  private val arities: Map[String, Int] = Map(
+    "vector_dot" -> 2, "vector_normalize" -> 1, "vector_normalize_f32" -> 1,
+    "word_shingles" -> 2, "minhash_signature" -> 2, "simhash64" -> 1,
+    "portable_minhash" -> 2, "portable_simhash48" -> 1,
+    "winnow_fingerprints" -> 3, "topk_by_score" -> 3)
+
   /** Register all graft functions on an existing session. */
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
+      val checked: Seq[Expression] => Expression = { es =>
+        val want = arities(name)
+        if (es.length != want) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> want.toString,
+            "actualNum" -> es.length.toString, "docroot" -> "graft"))
+        b(es)
+      }
       spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+        .createOrReplaceTempFunction(name, checked, "scala_udf")
     }
 }
 

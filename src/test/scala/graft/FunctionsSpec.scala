@@ -93,6 +93,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(agg == Seq("b", "c"))
   }
 
+  test("SQL arity errors name the function instead of an index error") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vector_dot(array(1.0F))").head()
+    }
+    assert(e.getMessage.contains("vector_dot"))
+  }
+
   test("normalizeLocal rejects zero vector (lib.rs:352-355)") {
     intercept[IllegalArgumentException] { VectorStore.normalizeLocal(Array(0f, 0f)) }
   }
