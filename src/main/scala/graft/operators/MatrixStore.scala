@@ -72,6 +72,63 @@ final class MatrixStore private (
     partials.flatten.sorted(worstFirst).take(k).map { case (s, id) => (id, s) }
   }
 
+  /** Batch exact top-k: every query scores against each matrix row in
+    * ONE pass over the cache (rows outer, queries inner — the row's
+    * elements stay hot in cache across queries). Per-(partition, query)
+    * bounded heaps, merged per query on the driver; kernel semantics
+    * identical to [[query]], so `queryBatch(qs)(qid)` ==
+    * `query(qs(qid))` element for element. */
+  def queryBatch(queries: Seq[(String, Array[Float])], topK: Int,
+      betterThan: Option[Double] = None): Map[String, Array[(String, Double)]] = {
+    if (queries.isEmpty) return Map.empty
+    val qn: Array[Array[Double]] = queries.map(q => VectorStore.normalizeLocal(q._2)).toArray
+    qn.foreach(q => require(q.length == dim, s"query dim ${q.length} != store dim $dim"))
+    val thr = betterThan.getOrElse(Double.MinValue)
+    val d = dim
+    val k = topK
+    val nq = qn.length
+    val qB = blocks.sparkContext.broadcast(qn)
+    val worstFirst: Ordering[(Double, String)] = new Ordering[(Double, String)] {
+      def compare(a: (Double, String), b: (Double, String)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
+    val partials = blocks.mapPartitions { it =>
+      val qs = qB.value
+      val heaps = Array.fill(nq)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, String)](worstFirst))
+      it.foreach { b =>
+        val m = b.matrix
+        val n = b.ids.length
+        var r = 0
+        while (r < n) {
+          val off = r * d
+          var qi = 0
+          while (qi < nq) {
+            val qv = qs(qi)
+            var s = 0.0
+            var i = 0
+            while (i < d) { s += m(off + i).toDouble * qv(i); i += 1 }
+            if (s >= thr) {
+              val heap = heaps(qi)
+              val e = (s, b.ids(r))
+              if (heap.size < k) heap.enqueue(e)
+              else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
+            }
+            qi += 1
+          }
+          r += 1
+        }
+      }
+      Iterator.single(heaps.map(_.toArray))
+    }.collect()
+    queries.iterator.zipWithIndex.map { case ((qid, _), qi) =>
+      qid -> partials.map(_(qi)).reduce(_ ++ _).sorted(worstFirst).take(k)
+        .map { case (s, id) => (id, s) }
+    }.toMap
+  }
+
   def unpersist(): Unit = blocks.unpersist()
 }
 

@@ -150,6 +150,15 @@ class VectorStoreSpec extends AnyFunSuite {
     try {
       assert(mx.query(q, 10).toSeq == dfHits(10, None))
       assert(mx.query(q, 100, Some(0.2)).toSeq == dfHits(100, Some(0.2)))
+      // batch kernel == per-query kernel, element for element
+      val qs = Seq(0L, 3L, 9L).map { i =>
+        i.toString -> e.filter(col("vec_id") === i).select("embedding")
+          .head().getSeq[Float](0).toArray
+      }
+      val batch = mx.queryBatch(qs, 5)
+      qs.foreach { case (qid, v) =>
+        assert(batch(qid).toSeq == mx.query(v, 5).toSeq, s"qid $qid")
+      }
     } finally mx.unpersist()
   }
 
