@@ -113,6 +113,21 @@ object StreamingOps {
     rd.parquet(dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming ingestion into the bucketed vector store: every
+    * microbatch runs one [[graft.operators.VectorStore.Partitioned]]
+    * upsert (same O2/O2a merge semantics; only touched id-buckets are
+    * rewritten per batch) — the reference's insert loop
+    * (lib.rs:150-185) as a stream. foreachBatch serializes batches, so
+    * upserts apply in arrival order. */
+  def upsertStream(batches: DataFrame, storePath: String): StreamingQuery =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) graft.operators.VectorStore.Partitioned.upsert(
+          b.sparkSession, storePath, b)
+      }
+      .start()
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drain a bounded streaming DataFrame through the memory sink and hand

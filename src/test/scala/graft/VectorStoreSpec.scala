@@ -218,6 +218,46 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(before.keySet != after.keySet || before != after, "touched buckets must change")
   }
 
+  test("streaming upsert applies microbatches to the partitioned store in order") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val st = mkStore((0 until 16).map(i => (i.toString, Seq(i + 1f, 1f, 0f, 0f), s"c$i")))
+    val store = Files.createTempDirectory("sstore").toString
+    VectorStore.Partitioned.init(st, store, nBuckets = 4)
+    val watch = Files.createTempDirectory("swatch")
+    def stage(name: String, rows: Seq[(String, Seq[Float], String)], mtime: Long): Unit = {
+      val staging = Files.createTempDirectory(s"sstage_$name")
+      rows.toDF("id", "vec", "color")
+        .select(col("id").as("__id__"),
+          col("vec").cast(ArrayType(FloatType)).as("vector"), col("color"))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    // batch 1: update id 3 (color must stay c3), insert 9001 as "one"
+    stage("b1", Seq(("3", Seq(0f, 0f, 1f, 0f), "NEW"), ("9001", Seq(1f, 0f, 0f, 0f), "one")), t0)
+    // batch 2: vector-update 9001 (color stays "one"), insert 9002
+    stage("b2", Seq(("9001", Seq(0f, 1f, 0f, 0f), "two"), ("9002", Seq(0f, 0f, 0f, 1f), "ins")), t0 + 5000)
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    val q = graft.streaming.StreamingOps.upsertStream(stream, store)
+    try q.processAllAvailable() finally q.stop()
+    val state = VectorStore.Partitioned.load(spark, store).df.collect()
+      .map(r => r.getAs[String]("__id__") ->
+        (r.getAs[Seq[Float]]("vector"), r.getAs[String]("color"))).toMap
+    assert(state.size == 18)
+    assert(state("3")._2 == "c3")                         // O2a stale fields
+    assert(math.abs(state("3")._1(2) - 1f) < 1e-5)        // batch-1 vector applied
+    assert(state("9001")._2 == "one")                     // batch-2 update keeps batch-1 fields
+    assert(math.abs(state("9001")._1(1) - 1f) < 1e-5)     // ...but takes batch-2 vector
+    assert(state("9002")._2 == "ins")
+  }
+
   test("empty store lifecycle (unit_tests.rs:250-278)") {
     val empty = mkStore(base).delete(Seq("a", "b", "c"))
     assert(empty.isEmpty)
