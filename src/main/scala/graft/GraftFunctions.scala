@@ -26,35 +26,30 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vector_dot" -> (es => VectorDot(es(0), es(1))),
-    "vector_normalize" -> (es => VectorNormalize(es(0), outputFloat = false)),
-    "vector_normalize_f32" -> (es => VectorNormalize(es(0), outputFloat = true)),
-    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "shingle size n"))),
-    "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "numHashes"))),
-    "simhash64" -> (es => SimHash64(es(0))),
-    "portable_minhash" -> (es => PortableMinHash(es(0), intArg(es(1), "numHashes"))),
-    "portable_simhash48" -> (es => PortableSimHash48(es(0))),
-    "winnow_fingerprints" -> (es =>
+  /** (name, arity, builder) — arity lives next to the builder so the two
+    * can't drift apart. */
+  private val builders: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("vector_dot", 2, es => VectorDot(es(0), es(1))),
+    ("vector_normalize", 1, es => VectorNormalize(es(0), outputFloat = false)),
+    ("vector_normalize_f32", 1, es => VectorNormalize(es(0), outputFloat = true)),
+    ("word_shingles", 2, es => WordShingles(es(0), intArg(es(1), "shingle size n"))),
+    ("minhash_signature", 2, es => MinHashSignature(es(0), intArg(es(1), "numHashes"))),
+    ("simhash64", 1, es => SimHash64(es(0))),
+    ("portable_minhash", 2, es => PortableMinHash(es(0), intArg(es(1), "numHashes"))),
+    ("portable_simhash48", 1, es => PortableSimHash48(es(0))),
+    ("winnow_fingerprints", 3, es =>
       WinnowFingerprints(es(0), intArg(es(1), "gram size k"), intArg(es(2), "window w"))),
-    "topk_by_score" -> (es =>
+    ("topk_by_score", 3, es =>
       TopKByScore(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()))
-
-  private val arities: Map[String, Int] = Map(
-    "vector_dot" -> 2, "vector_normalize" -> 1, "vector_normalize_f32" -> 1,
-    "word_shingles" -> 2, "minhash_signature" -> 2, "simhash64" -> 1,
-    "portable_minhash" -> 2, "portable_simhash48" -> 1,
-    "winnow_fingerprints" -> 3, "topk_by_score" -> 3)
 
   /** Register all graft functions on an existing session. */
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, b) =>
+    builders.foreach { case (name, arity, b) =>
       val checked: Seq[Expression] => Expression = { es =>
-        val want = arities(name)
-        if (es.length != want) throw new org.apache.spark.sql.AnalysisException(
+        if (es.length != arity) throw new org.apache.spark.sql.AnalysisException(
           errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           messageParameters = Map(
-            "functionName" -> name, "expectedNum" -> want.toString,
+            "functionName" -> name, "expectedNum" -> arity.toString,
             "actualNum" -> es.length.toString, "docroot" -> "graft"))
         b(es)
       }

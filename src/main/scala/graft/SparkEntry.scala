@@ -881,9 +881,12 @@ object SparkEntry {
         col("user_id") === col("r_user") &&
           col("rts") >= col("lts") - expr("INTERVAL 10 MINUTES") &&
           col("rts") <= col("lts"))
+      // stream-stream join keeps 4 state stores per shuffle partition —
+      // the bounded-input run needs few partitions, not many
       graft.streaming.StreamingOps.runBounded(
           joined.select(col("click_id"), col("purchase_id"),
-            unix_micros(col("lts")).as("ts_us"), unix_micros(col("rts")).as("prev_us")))
+            unix_micros(col("lts")).as("ts_us"), unix_micros(col("rts")).as("prev_us")),
+          shufflePartitions = Some(4))
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 

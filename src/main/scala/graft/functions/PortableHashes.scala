@@ -73,10 +73,16 @@ object PortableHashes {
 
 /** Portable MinHash signature — value-identical to the HOF formulation
   * `transform(seq(0,n-1), k -> array_min(transform(shingles,
-  *   s -> int48(md5hex(s)[0:12]) + k * int48(md5hex(s)[12:24]))))`. */
+  *   s -> int48(md5hex(s)[0:12]) + k * int48(md5hex(s)[12:24]))))`
+  * for any non-empty input (an EMPTY shingle array yields Long.MaxValue
+  * sentinels like [[MinHashSignature]], where the HOF would yield nulls
+  * — [[WordShingles]] never produces an empty array). numHashes is
+  * capped at 32: g = h1 + 31*h2 < 2^53 is the largest k for which the
+  * family stays exact in both BIGINT and double arithmetic. */
 case class PortableMinHash(child: Expression, numHashes: Int)
   extends UnaryExpression with CodegenFallback {
-  require(numHashes > 0)
+  require(numHashes > 0 && numHashes <= 32,
+    s"portable_minhash supports 1..32 hashes (h1 + k*h2 must stay below 2^53), got $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =

@@ -63,13 +63,15 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val lv = ctx.freshName("lv")
+      val rv = ctx.freshName("rv")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double lv = $a.isNullAt($i) ? 0.0 : (double) $a.$lGet($i);
-         |  double rv = $b.isNullAt($i) ? 0.0 : (double) $b.$rGet($i);
-         |  $s += lv * rv;
+         |  double $lv = $a.isNullAt($i) ? 0.0 : (double) $a.$lGet($i);
+         |  double $rv = $b.isNullAt($i) ? 0.0 : (double) $b.$rGet($i);
+         |  $s += $lv * $rv;
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -77,19 +77,20 @@ case class VectorNormalize(child: Expression, outputFloat: Boolean)
       val ss = ctx.freshName("ss")
       val norm = ctx.freshName("norm")
       val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
       val newArr = if (outputFloat) s"new float[$n]" else s"new double[$n]"
       s"""
          |int $n = $c.numElements();
          |double $ss = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double v = $c.isNullAt($i) ? 0.0 : (double) $c.$get($i);
-         |  $ss += v * v;
+         |  double $v = $c.isNullAt($i) ? 0.0 : (double) $c.$get($i);
+         |  $ss += $v * $v;
          |}
          |double $norm = java.lang.Math.sqrt($ss);
          |$arrJava $out = $newArr;
          |for (int $j = 0; $j < $n; $j++) {
-         |  double v = $c.isNullAt($j) ? 0.0 : (double) $c.$get($j);
-         |  $out[$j] = $castOut(v / $norm);
+         |  double $v = $c.isNullAt($j) ? 0.0 : (double) $c.$get($j);
+         |  $out[$j] = $castOut($v / $norm);
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin

@@ -111,9 +111,13 @@ object Ann {
     // IVF only needs a coarse quantizer, not an optimal clustering
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random").fit(feat)
+    // materialize the assignment eagerly (cuts lineage off feat) so the
+    // fit cache can be released instead of leaking one entry per build
     val assigned = model.transform(feat)
       .withColumnRenamed("prediction", "cluster")
       .drop("features")
+      .localCheckpoint(true)
+    feat.unpersist()
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     IvfIndex(centroids, assigned)

@@ -108,20 +108,25 @@ object EventAnalytics {
     val lookUs = lookbackMinutes * 60L * 1000000L
     val lUs = unix_micros(col(ts))
     val blk = floor(lUs.cast(DoubleType) / lookUs).cast(LongType)
-    val l2 = left.withColumn("__lus__", lUs)
+    // per-row tag assigned BEFORE the probe fan-out, so duplicate left
+    // rows stay distinct output rows instead of collapsing in the final
+    // groupBy (and double-counting their matches)
+    val l2 = left.withColumn("__rowid__", monotonically_increasing_id())
+      .withColumn("__lus__", lUs)
       .withColumn("__blk__", explode(array(blk, blk - 1)))
     val r2 = right.select(
       col(key), unix_micros(col(ts)).as("__rus__"),
       round(col(valCol) * 100).cast(LongType).as("__rcents__"),
       blk.as("__blk__"))
     val hit = col("__rus__") >= col("__lus__") - lookUs && col("__rus__") < col("__lus__")
-    val leftCols = left.columns.map(col)
+    val groupCols = col("__rowid__") +: left.columns.map(col)
     l2.join(r2, Seq(key, "__blk__"), "left_outer")
-      .groupBy(leftCols: _*)
+      .groupBy(groupCols: _*)
       .agg(
         sum(when(hit, 1L).otherwise(0L)).as("n_matches"),
         (sum(when(hit, col("__rcents__")).otherwise(0L)).cast(DoubleType) / 100.0)
           .as("sum_value"))
+      .drop("__rowid__")
   }
 
   /** JSON property extraction + aggregation (props is a JSON string). */

@@ -124,7 +124,7 @@ final class MatrixStore private (
       Iterator.single(heaps.map(_.toArray))
     }.collect()
     queries.iterator.zipWithIndex.map { case ((qid, _), qi) =>
-      qid -> partials.map(_(qi)).reduce(_ ++ _).sorted(worstFirst).take(k)
+      qid -> partials.iterator.flatMap(_(qi)).toArray.sorted(worstFirst).take(k)
         .map { case (s, id) => (id, s) }
     }.toMap
   }
