@@ -621,6 +621,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup: winnowing near-dup pairs — inverted fingerprint index join
+    // (the local-fingerprint complement to the whole-doc/minhash paths).
+    "dedup_winnow" -> ((s, dir) => {
+      Dedup.winnowPairs(Tables.documents(s, dir).filter(col("doc_id") < 300),
+          "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Dedup: embedding-cosine near-dups within id blocks.
     "dedup_embcos" -> ((s, dir) => {
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -642,6 +650,16 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Ann.lshTopK(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, dim = 64, nPlanes = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ANN: multi-probe LSH — also probe every bucket one sign-flip away
+    // (query-side fan-out only; exact-oracle-checked like ann_lsh_topk).
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.lshTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, dim = 64, nPlanes = 4, probeHamming = 1)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -1125,6 +1143,29 @@ object SparkEntry {
         |WHERE bit_count(xor(a.fp, b.fp)) <= 12
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "dedup_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 8 THEN
+        |    list_transform(generate_series(0, length(text) - 8),
+        |      i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 12))::BIGINT)
+        |  ELSE [('0x' || substr(md5(text), 1, 12))::BIGINT] END AS hs
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |  CASE WHEN len(hs) >= 16 THEN
+        |    list_sort(list_distinct(list_transform(generate_series(0, len(hs) - 16),
+        |      j -> list_min(hs[j + 1 : j + 16]))))
+        |  ELSE [list_min(hs)] END AS fps
+        |  FROM h),
+        |inv AS (SELECT doc_id AS id, len(fps) AS nfp, unnest(fps) AS fp FROM m),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
+        |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, shared,
+        |       round(shared::DOUBLE / least(n_a, n_b)::DOUBLE, 6) AS overlap
+        |FROM p WHERE shared::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_embcos" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1181,6 +1222,33 @@ object SparkEntry {
         |q AS (SELECT vec_id AS qid, nv AS qv, bucket FROM bk WHERE vec_id < 5),
         |sc AS (SELECT q.qid, b.vec_id AS id, list_dot_product(b.nv, q.qv) AS sc
         |       FROM bk b JOIN q ON b.bucket = q.bucket),
+        |r AS (SELECT qid, id, sc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
+        |      FROM sc)
+        |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // multi-probe = bucket agreement on >= nPlanes-1 of the 4 sign bits
+    "ann_lsh_multiprobe" ->
+      """WITH pl AS (
+        |  SELECT p, list_transform(generate_series(0, 63), d -> sin(1000.0 * p + d)) AS plane
+        |  FROM generate_series(0, 3) AS t(p)),
+        |n AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings),
+        |bk AS (
+        |  SELECT n.vec_id, any_value(n.nv) AS nv,
+        |    string_agg(CASE WHEN list_dot_product(n.nv, pl.plane) >= 0 THEN '1' ELSE '0' END,
+        |               '' ORDER BY pl.p) AS bucket
+        |  FROM n CROSS JOIN pl GROUP BY n.vec_id),
+        |q AS (SELECT vec_id AS qid, nv AS qv, bucket FROM bk WHERE vec_id < 5),
+        |sc AS (SELECT q.qid, b.vec_id AS id, list_dot_product(b.nv, q.qv) AS sc
+        |       FROM bk b JOIN q ON
+        |         (CASE WHEN substr(b.bucket, 1, 1) = substr(q.bucket, 1, 1) THEN 1 ELSE 0 END +
+        |          CASE WHEN substr(b.bucket, 2, 1) = substr(q.bucket, 2, 1) THEN 1 ELSE 0 END +
+        |          CASE WHEN substr(b.bucket, 3, 1) = substr(q.bucket, 3, 1) THEN 1 ELSE 0 END +
+        |          CASE WHEN substr(b.bucket, 4, 1) = substr(q.bucket, 4, 1) THEN 1 ELSE 0 END) >= 3),
         |r AS (SELECT qid, id, sc,
         |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
         |      FROM sc)

@@ -191,13 +191,35 @@ object Ann {
         round(col("hit.score"), 6).as("score"))
   }
 
+  /** All bucket strings within Hamming distance `h` of the exact bucket:
+    * h=0 -> the bucket itself; h=1 adds every one-bit flip. Multi-probe
+    * turns the query side into (h choose <=1)+1 probe rows per query —
+    * still an EQUI join on the bucket key, so the data side never fans
+    * out and the plan survives scale. */
+  private def probeBuckets(bucket: Column, nPlanes: Int, h: Int): Column = {
+    require(h >= 0 && h <= 1, s"probeHamming supports 0 or 1, got $h")
+    if (h == 0) array(bucket)
+    else {
+      val flips = (0 until nPlanes).map { p =>
+        concat(
+          substring(bucket, 1, p),
+          when(substring(bucket, p + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+          substring(bucket, p + 2, nPlanes - p - 1))
+      }
+      array(bucket +: flips: _*)
+    }
+  }
+
   /** Bucketed (approximate) top-k: only score candidates sharing the
-    * query's LSH bucket. Recall < 1.0 by construction — pair with
-    * [[bruteForceTopK]] when exactness is required. */
+    * query's LSH bucket — or, with `probeHamming = 1`, any bucket one
+    * sign-flip away (multi-probe LSH: ~2x recall for (nPlanes+1)x probe
+    * rows on the tiny query side, data side untouched). Recall < 1.0 by
+    * construction — pair with [[bruteForceTopK]] when exactness is
+    * required. */
   def lshTopK(
       data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
+      k: Int, dim: Int, nPlanes: Int = 8, probeHamming: Int = 0): DataFrame = {
     val bucketed = data
       .select(col(idCol).as(idCol),
         graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("__nv__"))
@@ -205,7 +227,8 @@ object Ann {
     val qb = broadcast(
       queries.select(col(qidCol).as("qid"),
         graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qv"))
-        .withColumn("__bucket__", hyperplaneBucket(col("qv"), dim, nPlanes)))
+        .withColumn("__bucket__",
+          explode(probeBuckets(hyperplaneBucket(col("qv"), dim, nPlanes), nPlanes, probeHamming))))
     bucketed.join(qb, "__bucket__")
       .withColumn("__score__", dotD(col("__nv__"), col("qv")))
       .groupBy(col("qid"))

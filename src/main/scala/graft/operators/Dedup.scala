@@ -199,6 +199,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // --------------------------------------------------- winnowing pairs
+  /** Winnowing near-dup candidate pairs: the classic local-fingerprint
+    * index. Explode each doc's winnowing fingerprints
+    * ([[graft.functions.WinnowFingerprints]]), self-join the inverted
+    * (fingerprint -> doc) index — the only data-sized shuffle — and keep
+    * pairs whose shared-fingerprint fraction (shared / min fingerprint
+    * count) clears the threshold. Robust to edits/reordering that break
+    * whole-document hashing; a pathologically hot fingerprint (boilerplate
+    * k-grams) should be dropped by document frequency before the join at
+    * scale, like a stopword. */
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, minOverlap: Double = 0.25): DataFrame = {
+    val withFps = df.select(col(idCol).as("id"),
+        graft.functions.PortableHashes.winnowFingerprints(col(textCol), k, w).as("fps"))
+      .withColumn("nfp", size(col("fps")))
+    val inv = withFps.select(col("id"), col("nfp"), explode(col("fps")).as("fp"))
+    val a = inv.select(col("fp"), col("id").as("id_a"), col("nfp").as("n_a"))
+    val b = inv.select(col("fp"), col("id").as("id_b"), col("nfp").as("n_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("overlap",
+        col("shared").cast(DoubleType) / least(col("n_a"), col("n_b")).cast(DoubleType))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("shared"), round(col("overlap"), 6).as("overlap"))
+  }
+
   // ------------------------------------------- embedding near-duplicates
   /** Embedding-cosine near-dup pairs within id-distance blocks. The
     * blocked join bounds candidates to N*blockSize; the LSH variant in

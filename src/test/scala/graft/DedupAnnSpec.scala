@@ -94,6 +94,24 @@ class DedupAnnSpec extends AnyFunSuite {
     (0L until 10L).foreach(q => assert(approx.contains((q, q.toString))))
     val recall = approx.intersect(exact).size.toDouble / exact.size
     assert(recall > 0.2, s"recall $recall") // 4 planes ~ 16 buckets over 500 vecs
+    // multi-probe (Hamming<=1 buckets) can only widen the candidate set
+    val multi = Ann.lshTopK(e, "vec_id", "embedding", qs, "vec_id", "embedding", 5,
+        dim = 64, nPlanes = 4, probeHamming = 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val recallM = multi.intersect(exact).size.toDouble / exact.size
+    assert(recallM >= recall, s"multi-probe recall $recallM < single-probe $recall")
+  }
+
+  test("winnowPairs surfaces exact duplicates with full overlap") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 1
+      (3L, "completely different content with nothing shared at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.winnowPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.exists { case (a, b, ov) => a == 1L && b == 2L && ov == 1.0 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
   test("minhash signatures-only mode finds the same candidate pairs") {
