@@ -774,6 +774,24 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // Events: Spark's NATIVE session_window operator (vs the manual
+    // window-function sessionization in events_sessions). Boundary
+    // semantics differ at an exact-gap tie: session_window starts a new
+    // session at diff == gap where the manual path merges — the oracle
+    // mirrors the native (>=) rule. window.end = last_ts + gap, so
+    // end_us subtracts the gap back out.
+    "events_sessions_native" -> ((s, dir) => {
+      val gapUs = 30L * 60L * 1000000L
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          (unix_micros(col("w.end")) - gapUs).as("end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // Events: JSON property extraction + aggregation.
     "events_props" -> ((s, dir) => {
       EventAnalytics.propsAgg(Tables.events(s, dir))
@@ -1460,6 +1478,22 @@ object SparkEntry {
         |  AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000
         |  AND epoch_us(r.ts) <= epoch_us(l.ts)
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "events_sessions_native" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        |  SELECT user_id, ts, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s)
+        |SELECT user_id,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us, CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM t GROUP BY user_id, session_seq ORDER BY user_id, start_us""".stripMargin,
 
     "events_props" ->
       """SELECT event_type, count(*) AS n,
