@@ -636,6 +636,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup: multi-signal consensus — pairs both text-similar (3-gram
+    // Jaccard on adjacent ids) AND embedding-similar (cosine in the same
+    // id block). Composition of two oracle-checked operators; the kind
+    // of precision-raising AND-filter a production dedup pipeline runs.
+    "dedup_consensus" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("sh").as("sh_b"))
+      val textPairs = a.join(b, "id_a")
+        .select(col("id_a"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .filter(col("jac") >= 0.01)
+      val embPairs = Dedup.embeddingNearDups(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.0, idBlock = 1)
+        .select(col("id_a"), col("cos"))
+      textPairs.join(embPairs, "id_a")
+        .select(col("id_a"), round(col("jac"), 6).as("jaccard"), col("cos"))
+        .orderBy(col("id_a"))
+    }),
+
     // ANN: exact batch top-k via the bounded-heap aggregate.
     "ann_batch_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1183,6 +1203,33 @@ object SparkEntry {
         |       round(shared::DOUBLE / least(n_a, n_b)::DOUBLE, 6) AS overlap
         |FROM p WHERE shared::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.25
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_consensus" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |           list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |         ELSE [text] END AS sh
+        |  FROM documents),
+        |tp AS (
+        |  SELECT a.doc_id AS id_a,
+        |         len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |         len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jac
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+        |ep AS (
+        |  SELECT a.vec_id AS id_a,
+        |         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.0)
+        |SELECT tp.id_a, round(tp.jac, 6) AS jaccard, ep.cos
+        |FROM tp JOIN ep ON tp.id_a = ep.id_a
+        |WHERE tp.jac >= 0.01
+        |ORDER BY tp.id_a""".stripMargin,
 
     "dedup_embcos" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

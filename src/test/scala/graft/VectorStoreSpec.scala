@@ -160,6 +160,13 @@ class VectorStoreSpec extends AnyFunSuite {
         assert(batch(qid).toSeq == mx.query(v, 5).toSeq, s"qid $qid")
       }
     } finally mx.unpersist()
+    // empty store: both kernels return empty, not throw
+    val empty = graft.operators.MatrixStore.fromStore(
+      VectorStore(st.df.filter(lit(false)), 64))
+    try {
+      assert(empty.query(q, 5).isEmpty)
+      assert(empty.queryBatch(Seq("q0" -> q), 5).apply("q0").isEmpty)
+    } finally empty.unpersist()
   }
 
   test("top-k properties: query(k) is a prefix of query(k+1); threshold = filtered top-k") {
