@@ -60,6 +60,11 @@ object SparkEntry {
     })
   private[graft] def stagedEventsDir(dir: String): String = stagedTableDir(dir, "events")
 
+  /** Events of one type — the shared head of the as-of/lookback/funnel
+    * queries. */
+  private def eventsOf(s: SparkSession, dir: String, tpe: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_type") === tpe)
+
   /** The shared upsert batch: vec_id<5 as vector-updates (reversed vector,
     * label+100 which must be DISCARDED per quirk O2a), and vec_id+1000000
     * as inserts (label+100 kept). */
@@ -233,6 +238,21 @@ object SparkEntry {
       "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(q.qv, q.qv)))"
 
+  /** Post-upsert state contract, shared by the logical (o2a) and
+    * bucketed-incremental (o2b) layouts: the layout changes, the merge
+    * semantics must not. */
+  private val upsertStateOracle =
+    """WITH u AS (SELECT vec_id, list_reverse(embedding::DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+        |i AS (SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v, label + 100 AS label
+        |      FROM embeddings WHERE vec_id < 5),
+        |st AS (
+        |  SELECT CAST(u.vec_id AS VARCHAR) AS __id__, e.label AS label,
+        |         u.v[1] / sqrt(list_dot_product(u.v, u.v)) AS v0
+        |  FROM u JOIN embeddings e ON u.vec_id = e.vec_id
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS VARCHAR), label, v[1] / sqrt(list_dot_product(v, v)) FROM i)
+        |SELECT __id__, label, round(v0, 6) AS v0 FROM st ORDER BY CAST(__id__ AS BIGINT)""".stripMargin
+
   private def coreOracle: Map[String, String] = Map(
     "o1_scan" ->
       """SELECT CAST(vec_id AS VARCHAR) AS __id__, CAST(len(embedding) AS BIGINT) AS dim, label
@@ -245,31 +265,9 @@ object SparkEntry {
         |  SELECT CAST(vec_id + 1000000 AS VARCHAR) AS __id__, 'inserted' AS op FROM embeddings WHERE vec_id < 5)
         |ORDER BY op, CAST(__id__ AS BIGINT)""".stripMargin,
 
-    "o2a_upsert_state" ->
-      """WITH u AS (SELECT vec_id, list_reverse(embedding::DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
-        |i AS (SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v, label + 100 AS label
-        |      FROM embeddings WHERE vec_id < 5),
-        |st AS (
-        |  SELECT CAST(u.vec_id AS VARCHAR) AS __id__, e.label AS label,
-        |         u.v[1] / sqrt(list_dot_product(u.v, u.v)) AS v0
-        |  FROM u JOIN embeddings e ON u.vec_id = e.vec_id
-        |  UNION ALL
-        |  SELECT CAST(vec_id AS VARCHAR), label, v[1] / sqrt(list_dot_product(v, v)) FROM i)
-        |SELECT __id__, label, round(v0, 6) AS v0 FROM st ORDER BY CAST(__id__ AS BIGINT)""".stripMargin,
+    "o2a_upsert_state" -> upsertStateOracle,
 
-    // identical post-state contract as o2a — the layout changes, the
-    // merge semantics must not
-    "o2b_upsert_part" ->
-      """WITH u AS (SELECT vec_id, list_reverse(embedding::DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
-        |i AS (SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v, label + 100 AS label
-        |      FROM embeddings WHERE vec_id < 5),
-        |st AS (
-        |  SELECT CAST(u.vec_id AS VARCHAR) AS __id__, e.label AS label,
-        |         u.v[1] / sqrt(list_dot_product(u.v, u.v)) AS v0
-        |  FROM u JOIN embeddings e ON u.vec_id = e.vec_id
-        |  UNION ALL
-        |  SELECT CAST(vec_id AS VARCHAR), label, v[1] / sqrt(list_dot_product(v, v)) FROM i)
-        |SELECT __id__, label, round(v0, 6) AS v0 FROM st ORDER BY CAST(__id__ AS BIGINT)""".stripMargin,
+    "o2b_upsert_part" -> upsertStateOracle,
 
     "o3_topk" ->
       s"""WITH $qCte,
@@ -821,10 +819,9 @@ object SparkEntry {
     // Events: as-of join — each click picks up the user's latest
     // at-or-before purchase (union + window; no inequality-join fan-out).
     "events_asof" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val l = ev.filter(col("event_type") === "click")
+      val l = eventsOf(s, dir, "click")
         .select(col("event_id"), col("user_id"), col("ts"))
-      val r = ev.filter(col("event_type") === "purchase")
+      val r = eventsOf(s, dir, "purchase")
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       EventAnalytics.asofJoin(l, r, "user_id", "ts")
         .select(
@@ -840,10 +837,9 @@ object SparkEntry {
     // 10 minutes before each click (time-bucketed equi-join, no nested
     // loop).
     "events_lookback" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val l = ev.filter(col("event_type") === "click")
+      val l = eventsOf(s, dir, "click")
         .select(col("event_id"), col("user_id"), col("ts"))
-      val r = ev.filter(col("event_type") === "view")
+      val r = eventsOf(s, dir, "view")
         .select(col("user_id"), col("ts"), col("value"))
       EventAnalytics.lookbackStats(l, r, "user_id", "ts", "value", lookbackMinutes = 10)
         .select(col("event_id").as("click_id"), col("user_id"),
@@ -855,10 +851,9 @@ object SparkEntry {
     // same user within 30 minutes (asofJoin composition, no new shuffle
     // shape).
     "events_funnel" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val purch = ev.filter(col("event_type") === "purchase")
+      val purch = eventsOf(s, dir, "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = ev.filter(col("event_type") === "click")
+      val clicks = eventsOf(s, dir, "click")
         .select(col("user_id"), col("ts"), col("event_id"))
       val j = EventAnalytics.asofJoin(purch, clicks, "user_id", "ts")
         .withColumn("converted",
@@ -980,6 +975,56 @@ object SparkEntry {
         .orderBy(col("id"))
     })
   )
+
+  /** Shared sign-LSH oracle scaffolding: hyperplanes, normalized
+    * vectors, bucket strings, query set (single- and multi-probe differ
+    * only in the bucket-join condition), and the rank/limit tail. */
+  private val lshCte =
+    """WITH pl AS (
+        |  SELECT p, list_transform(generate_series(0, 63), d -> sin(1000.0 * p + d)) AS plane
+        |  FROM generate_series(0, 3) AS t(p)),
+        |n AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings),
+        |bk AS (
+        |  SELECT n.vec_id, any_value(n.nv) AS nv,
+        |    string_agg(CASE WHEN list_dot_product(n.nv, pl.plane) >= 0 THEN '1' ELSE '0' END,
+        |               '' ORDER BY pl.p) AS bucket
+        |  FROM n CROSS JOIN pl GROUP BY n.vec_id),
+        |q AS (SELECT vec_id AS qid, nv AS qv, bucket FROM bk WHERE vec_id < 5),""".stripMargin
+  private val lshRankTail =
+    """r AS (SELECT qid, id, sc,
+      |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
+      |      FROM sc)
+      |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
+      |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** Winnowing-fingerprint oracle scaffolding (k=8 grams, w=16 window),
+    * parameterized by the doc range, shared by text_winnow and
+    * dedup_winnow. */
+  private def winnowCte(maxDocId: Int): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < $maxDocId),
+       |h AS (SELECT doc_id,
+       |  CASE WHEN length(text) >= 8 THEN
+       |    list_transform(generate_series(0, length(text) - 8),
+       |      i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 12))::BIGINT)
+       |  ELSE [('0x' || substr(md5(text), 1, 12))::BIGINT] END AS hs
+       |  FROM d),
+       |m AS (SELECT doc_id,
+       |  CASE WHEN len(hs) >= 16 THEN
+       |    list_sort(list_distinct(list_transform(generate_series(0, len(hs) - 16),
+       |      j -> list_min(hs[j + 1 : j + 16]))))
+       |  ELSE [list_min(hs)] END AS fps
+       |  FROM h)""".stripMargin
+
+  /** Tumbling-hour contract, shared by the batch aggregation and its
+    * complete-mode streaming twin (unified batch/stream semantics). */
+  private val hourlyOracle =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private def pipelineOracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -1181,28 +1226,15 @@ object SparkEntry {
         |WHERE bit_count(xor(a.fp, b.fp)) <= 12
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_winnow" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
-        |h AS (SELECT doc_id,
-        |  CASE WHEN length(text) >= 8 THEN
-        |    list_transform(generate_series(0, length(text) - 8),
-        |      i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 12))::BIGINT)
-        |  ELSE [('0x' || substr(md5(text), 1, 12))::BIGINT] END AS hs
-        |  FROM d),
-        |m AS (SELECT doc_id,
-        |  CASE WHEN len(hs) >= 16 THEN
-        |    list_sort(list_distinct(list_transform(generate_series(0, len(hs) - 16),
-        |      j -> list_min(hs[j + 1 : j + 16]))))
-        |  ELSE [list_min(hs)] END AS fps
-        |  FROM h),
-        |inv AS (SELECT doc_id AS id, len(fps) AS nfp, unnest(fps) AS fp FROM m),
+    "dedup_winnow" -> (winnowCte(300) + ",\n" +
+      """inv AS (SELECT doc_id AS id, len(fps) AS nfp, unnest(fps) AS fp FROM m),
         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
         |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
         |      GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, shared,
         |       round(shared::DOUBLE / least(n_a, n_b)::DOUBLE, 6) AS overlap
         |FROM p WHERE shared::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.25
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
 
     "dedup_consensus" ->
       """WITH t AS (
@@ -1271,54 +1303,18 @@ object SparkEntry {
 
     // Mirrors Ann.lshTopK exactly: the sin-family hyperplanes are pure
     // math, so the whole sign-LSH pipeline is oracle-expressible.
-    "ann_lsh_topk" ->
-      """WITH pl AS (
-        |  SELECT p, list_transform(generate_series(0, 63), d -> sin(1000.0 * p + d)) AS plane
-        |  FROM generate_series(0, 3) AS t(p)),
-        |n AS (
-        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
-        |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
-        |  FROM embeddings),
-        |bk AS (
-        |  SELECT n.vec_id, any_value(n.nv) AS nv,
-        |    string_agg(CASE WHEN list_dot_product(n.nv, pl.plane) >= 0 THEN '1' ELSE '0' END,
-        |               '' ORDER BY pl.p) AS bucket
-        |  FROM n CROSS JOIN pl GROUP BY n.vec_id),
-        |q AS (SELECT vec_id AS qid, nv AS qv, bucket FROM bk WHERE vec_id < 5),
-        |sc AS (SELECT q.qid, b.vec_id AS id, list_dot_product(b.nv, q.qv) AS sc
-        |       FROM bk b JOIN q ON b.bucket = q.bucket),
-        |r AS (SELECT qid, id, sc,
-        |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
-        |      FROM sc)
-        |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
-        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "ann_lsh_topk" -> (lshCte + "\n" +
+      """sc AS (SELECT q.qid, b.vec_id AS id, list_dot_product(b.nv, q.qv) AS sc
+        |       FROM bk b JOIN q ON b.bucket = q.bucket),""".stripMargin + "\n" + lshRankTail),
 
     // multi-probe = bucket agreement on >= nPlanes-1 of the 4 sign bits
-    "ann_lsh_multiprobe" ->
-      """WITH pl AS (
-        |  SELECT p, list_transform(generate_series(0, 63), d -> sin(1000.0 * p + d)) AS plane
-        |  FROM generate_series(0, 3) AS t(p)),
-        |n AS (
-        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
-        |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
-        |  FROM embeddings),
-        |bk AS (
-        |  SELECT n.vec_id, any_value(n.nv) AS nv,
-        |    string_agg(CASE WHEN list_dot_product(n.nv, pl.plane) >= 0 THEN '1' ELSE '0' END,
-        |               '' ORDER BY pl.p) AS bucket
-        |  FROM n CROSS JOIN pl GROUP BY n.vec_id),
-        |q AS (SELECT vec_id AS qid, nv AS qv, bucket FROM bk WHERE vec_id < 5),
-        |sc AS (SELECT q.qid, b.vec_id AS id, list_dot_product(b.nv, q.qv) AS sc
+    "ann_lsh_multiprobe" -> (lshCte + "\n" +
+      """sc AS (SELECT q.qid, b.vec_id AS id, list_dot_product(b.nv, q.qv) AS sc
         |       FROM bk b JOIN q ON
         |         (CASE WHEN substr(b.bucket, 1, 1) = substr(q.bucket, 1, 1) THEN 1 ELSE 0 END +
         |          CASE WHEN substr(b.bucket, 2, 1) = substr(q.bucket, 2, 1) THEN 1 ELSE 0 END +
         |          CASE WHEN substr(b.bucket, 3, 1) = substr(q.bucket, 3, 1) THEN 1 ELSE 0 END +
-        |          CASE WHEN substr(b.bucket, 4, 1) = substr(q.bucket, 4, 1) THEN 1 ELSE 0 END) >= 3),
-        |r AS (SELECT qid, id, sc,
-        |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
-        |      FROM sc)
-        |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
-        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+        |          CASE WHEN substr(b.bucket, 4, 1) = substr(q.bucket, 4, 1) THEN 1 ELSE 0 END) >= 3),""".stripMargin + "\n" + lshRankTail),
 
     "emb_label_centroids" ->
       """SELECT label, CAST(t.i - 1 AS INTEGER) AS pos, count(*) AS n,
@@ -1374,21 +1370,8 @@ object SparkEntry {
         |  md5(lower(text)) AS fingerprint
         |FROM b ORDER BY doc_id""".stripMargin,
 
-    "text_winnow" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
-        |h AS (SELECT doc_id,
-        |  CASE WHEN length(text) >= 8 THEN
-        |    list_transform(generate_series(0, length(text) - 8),
-        |      i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 12))::BIGINT)
-        |  ELSE [('0x' || substr(md5(text), 1, 12))::BIGINT] END AS hs
-        |  FROM d),
-        |m AS (SELECT doc_id,
-        |  CASE WHEN len(hs) >= 16 THEN
-        |    list_sort(list_distinct(list_transform(generate_series(0, len(hs) - 16),
-        |      j -> list_min(hs[j + 1 : j + 16]))))
-        |  ELSE [list_min(hs)] END AS fps
-        |  FROM h)
-        |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin,
+    "text_winnow" -> (winnowCte(50) + "\n" +
+      "SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp"),
 
     "text_langid" ->
       """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
@@ -1419,11 +1402,7 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
 
-    "events_hourly" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
-        |       count(*) AS n,
-        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_hourly" -> hourlyOracle,
 
     "events_sessions" ->
       """WITH s AS (
@@ -1467,11 +1446,7 @@ object SparkEntry {
         |GROUP BY l.event_id, l.user_id, l.ts
         |ORDER BY click_id""".stripMargin,
 
-    "stream_hourly" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
-        |       count(*) AS n,
-        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_hourly" -> hourlyOracle,
 
     "stream_sessions" ->
       """WITH s AS (

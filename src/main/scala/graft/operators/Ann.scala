@@ -15,6 +15,20 @@ import graft.functions.TopKByScore
   */
 object Ann {
 
+  /** Shared tail of every top-k pipeline: reduce scored (qid, id, score)
+    * rows with the bounded-heap aggregate and explode the per-query hit
+    * arrays into ranked rows. */
+  private def topKHits(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col("qid"))
+      .agg(TopKByScore.topk(col("__score__"), col(idCol).cast(StringType), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(
+        col("qid"),
+        (col("rank0") + 1).cast(IntegerType).as("rank"),
+        col("hit.id").as("id"),
+        round(col("hit.score"), 6).as("score"))
+
   /** Exact batch top-k: score every (query, row) pair, then reduce with
     * the bounded-heap aggregate [[TopKByScore]].
     *
@@ -36,15 +50,7 @@ object Ann {
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"),
         graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qv"))))
       .withColumn("__score__", dotD(col("__nv__"), col("qv")))
-    scored
-      .groupBy(col("qid"))
-      .agg(TopKByScore.topk(col("__score__"), col(idCol).cast(StringType), k).as("hits"))
-      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
-      .select(
-        col("qid"),
-        (col("rank0") + 1).cast(IntegerType).as("rank"),
-        col("hit.id").as("id"),
-        round(col("hit.score"), 6).as("score"))
+    topKHits(scored, idCol, k)
   }
 
   /** k-NN graph: for each query row, its top-k OTHER rows by cosine (self
@@ -62,15 +68,7 @@ object Ann {
         graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("qv"))))
       .filter(col(idCol) =!= col("qid")) // self excluded
       .withColumn("__score__", dotD(col("__nv__"), col("qv")))
-    scored
-      .groupBy(col("qid"))
-      .agg(TopKByScore.topk(col("__score__"), col(idCol).cast(StringType), k).as("hits"))
-      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
-      .select(
-        col("qid"),
-        (col("rank0") + 1).cast(IntegerType).as("rank"),
-        col("hit.id").as("id"),
-        round(col("hit.score"), 6).as("score"))
+    topKHits(scored, idCol, k)
   }
 
   /** Deterministic pseudo-random hyperplanes, engine-independent: element
@@ -181,14 +179,7 @@ object Ann {
         graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false))
       .join(broadcast(probesLocal), Seq("cluster"))
       .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
-      .groupBy(col("qid"))
-      .agg(TopKByScore.topk(col("__score__"), col("id").cast(StringType), k).as("hits"))
-      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
-      .select(
-        col("qid"),
-        (col("rank0") + 1).cast(IntegerType).as("rank"),
-        col("hit.id").as("id"),
-        round(col("hit.score"), 6).as("score"))
+      .transform(topKHits(_, "id", k))
   }
 
   /** All bucket strings within Hamming distance `h` of the exact bucket:
@@ -231,13 +222,6 @@ object Ann {
           explode(probeBuckets(hyperplaneBucket(col("qv"), dim, nPlanes), nPlanes, probeHamming))))
     bucketed.join(qb, "__bucket__")
       .withColumn("__score__", dotD(col("__nv__"), col("qv")))
-      .groupBy(col("qid"))
-      .agg(TopKByScore.topk(col("__score__"), col(idCol).cast(StringType), k).as("hits"))
-      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
-      .select(
-        col("qid"),
-        (col("rank0") + 1).cast(IntegerType).as("rank"),
-        col("hit.id").as("id"),
-        round(col("hit.score"), 6).as("score"))
+      .transform(topKHits(_, idCol, k))
   }
 }

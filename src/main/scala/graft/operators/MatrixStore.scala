@@ -30,47 +30,8 @@ final class MatrixStore private (
 
   /** Exact top-k cosine query; returns (id, score) best-first. */
   def query(queryVec: Array[Float], topK: Int,
-      betterThan: Option[Double] = None): Array[(String, Double)] = {
-    val q = VectorStore.normalizeLocal(queryVec)
-    require(q.length == dim, s"query dim ${q.length} != store dim $dim")
-    val thr = betterThan.getOrElse(Double.MinValue)
-    val d = dim
-    val k = topK
-    val qB = blocks.sparkContext.broadcast(q)
-    // worst-first ordering: head of the heap is the element to evict —
-    // lowest score, ties resolved worst = larger id (so the kept set is
-    // exactly ORDER BY score DESC, id ASC LIMIT k)
-    val worstFirst: Ordering[(Double, String)] = new Ordering[(Double, String)] {
-      def compare(a: (Double, String), b: (Double, String)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else a._2.compareTo(b._2)
-      }
-    }
-    val partials = blocks.mapPartitions { it =>
-      val qv = qB.value
-      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, String)](worstFirst)
-      it.foreach { b =>
-        val m = b.matrix
-        val n = b.ids.length
-        var r = 0
-        while (r < n) {
-          val off = r * d
-          var s = 0.0
-          var i = 0
-          while (i < d) { s += m(off + i).toDouble * qv(i); i += 1 }
-          // NaN fails s >= thr in Java semantics — parity with lib.rs:222
-          if (s >= thr) {
-            val e = (s, b.ids(r))
-            if (heap.size < k) heap.enqueue(e)
-            else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
-          }
-          r += 1
-        }
-      }
-      Iterator.single(heap.toArray)
-    }.collect()
-    partials.flatten.sorted(worstFirst).take(k).map { case (s, id) => (id, s) }
-  }
+      betterThan: Option[Double] = None): Array[(String, Double)] =
+    queryBatch(Seq("q" -> queryVec), topK, betterThan)("q")
 
   /** Batch exact top-k: every query scores against each matrix row in
     * ONE pass over the cache (rows outer, queries inner — the row's
@@ -88,12 +49,7 @@ final class MatrixStore private (
     val k = topK
     val nq = qn.length
     val qB = blocks.sparkContext.broadcast(qn)
-    val worstFirst: Ordering[(Double, String)] = new Ordering[(Double, String)] {
-      def compare(a: (Double, String), b: (Double, String)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else a._2.compareTo(b._2)
-      }
-    }
+    val worstFirst = MatrixStore.worstFirst
     val partials = blocks.mapPartitions { it =>
       val qs = qB.value
       val heaps = Array.fill(nq)(
@@ -133,6 +89,17 @@ final class MatrixStore private (
 }
 
 object MatrixStore {
+  /** Worst-first heap ordering: the head is the element to evict —
+    * lowest score, ties resolved worst = larger id — so the kept set is
+    * exactly ORDER BY score DESC, id ASC LIMIT k. */
+  private[operators] val worstFirst: Ordering[(Double, String)] =
+    new Ordering[(Double, String)] {
+      def compare(a: (Double, String), b: (Double, String)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
+
   /** One partition's slab: ids + row-major normalized float matrix. */
   final case class Block(ids: Array[String], matrix: Array[Float])
 
