@@ -627,6 +627,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup: connected components over winnowing near-dup pairs —
+    // pairwise matches become transitive dedup clusters (min-id label
+    // propagation; oracle = recursive-CTE reachability).
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.winnowPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id", "text")
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("id"))
+    }),
+
     // Dedup: embedding-cosine near-dups within id blocks.
     "dedup_embcos" -> ((s, dir) => {
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1262,6 +1272,22 @@ object SparkEntry {
         |FROM tp JOIN ep ON tp.id_a = ep.id_a
         |WHERE tp.jac >= 0.01
         |ORDER BY tp.id_a""".stripMargin,
+
+    // recursive-CTE reachability: component = min id reachable over the
+    // undirected near-dup edges (same pair pipeline as dedup_winnow)
+    "dedup_components" -> ("WITH RECURSIVE " + winnowCte(300).stripPrefix("WITH ") + ",\n" +
+      """inv AS (SELECT doc_id AS id, len(fps) AS nfp, unnest(fps) AS fp FROM m),
+        |pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
+        |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
+        |      GROUP BY 1, 2, 3, 4),
+        |pf AS (SELECT id_a, id_b FROM pq
+        |       WHERE shared::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.25),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pf
+        |      UNION SELECT id_b, id_a FROM pf),
+        |r AS (SELECT DISTINCT src AS id, src AS comp FROM e
+        |      UNION
+        |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id)
+        |SELECT id, min(comp) AS component FROM r GROUP BY id ORDER BY id""".stripMargin),
 
     "dedup_embcos" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

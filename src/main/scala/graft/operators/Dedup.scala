@@ -228,6 +228,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), round(col("overlap"), 6).as("overlap"))
   }
 
+  // --------------------------------------------------- dedup clustering
+  /** Connected components over a near-dup pair list — the transitive
+    * closure that turns pairwise matches into dedup clusters (A~B, B~C
+    * => one group even though A,C never matched directly).
+    *
+    * Iterative min-label propagation: every node starts as its own
+    * label; each round every node takes the minimum label among itself
+    * and its neighbors; converged when no label changes. Each round is
+    * one hash join + one groupBy — the standard distributed-CC shape
+    * (rounds <= graph diameter; near-dup graphs are shallow). The loop
+    * runs on the driver but all data stays distributed;
+    * `localCheckpoint` caps lineage growth per round.
+    *
+    * Returns (id, component) where component = min id of the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionByName(fromNeighbors)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") < col("old")).limit(1).count()
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   // ------------------------------------------- embedding near-duplicates
   /** Embedding-cosine near-dup pairs within id-distance blocks. The
     * blocked join bounds candidates to N*blockSize; the LSH variant in

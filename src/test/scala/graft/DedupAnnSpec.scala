@@ -102,6 +102,14 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recallM >= recall, s"multi-probe recall $recallM < single-probe $recall")
   }
 
+  test("connectedComponents merges transitive pairs into min-id clusters") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 1-2-3-7 is one chain even though 1 and 7 never matched directly
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("winnowPairs surfaces exact duplicates with full overlap") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
