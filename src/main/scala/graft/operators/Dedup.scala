@@ -251,6 +251,12 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // per-node labels only ever decrease, so the label sum is strictly
+    // monotone until the fixpoint — one aggregate per round detects
+    // convergence without a join (exact DECIMAL: id sums can pass 2^63)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -260,9 +266,9 @@ object Dedup {
       val next = labels.unionByName(fromNeighbors)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") < col("old")).limit(1).count()
-      converged = changed == 0L
+      val newSum = labelSum(next)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       labels = next
       iter += 1
     }
