@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties the 100 TB posture depends on:
+  * filters reaching the parquet scan, dimension sides broadcast, no
+  * nested loops where an equi-join shape was designed. (PLANS.md holds
+  * the full captured plans; these asserts keep them true.) */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sf).queryExecution.executedPlan.toString
+
+  test("q6: every predicate reaches the parquet scan as a pushed filter") {
+    val p = plan("q6_filter_sum")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("l_discount") && p.contains("l_shipdate") && p.contains("l_quantity"))
+  }
+
+  test("q5: the dimension chain joins are broadcast, not shuffled") {
+    val p = plan("q5_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dimension joins must not sort-merge")
+  }
+
+  test("events_lookback: the interval join plans as an equi hash join, no nested loop") {
+    val p = plan("events_lookback")
+    assert(p.contains("HashJoin"))
+    assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoopJoin") == false,
+      "bucketed range join must not degrade to a nested loop")
+  }
+
+  test("events_asof: one keyed exchange + window, no join at all") {
+    val p = plan("events_asof")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "as-of must be the union+window shape, not a join")
+  }
+
+  test("o3_topk: plans as TakeOrderedAndProject (partial heaps + merge)") {
+    val p = plan("o3_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
