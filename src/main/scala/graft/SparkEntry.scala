@@ -637,6 +637,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Dedup: survivor corpus — one doc per near-dup cluster (min id),
+    // unpaired docs untouched. The full pairs -> components -> corpus
+    // pipeline end to end.
+    "pipe_dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val pairs = Dedup.winnowPairs(docs, "doc_id", "text")
+      Dedup.dropNearDups(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup: embedding-cosine near-dups within id blocks.
     "dedup_embcos" -> ((s, dir) => {
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1288,6 +1299,23 @@ object SparkEntry {
         |      UNION
         |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id)
         |SELECT id, min(comp) AS component FROM r GROUP BY id ORDER BY id""".stripMargin),
+
+    "pipe_dedup_survivors" -> ("WITH RECURSIVE " + winnowCte(300).stripPrefix("WITH ") + ",\n" +
+      """inv AS (SELECT doc_id AS id, len(fps) AS nfp, unnest(fps) AS fp FROM m),
+        |pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
+        |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
+        |      GROUP BY 1, 2, 3, 4),
+        |pf AS (SELECT id_a, id_b FROM pq
+        |       WHERE shared::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.25),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pf
+        |      UNION SELECT id_b, id_a FROM pf),
+        |r AS (SELECT DISTINCT src AS id, src AS comp FROM e
+        |      UNION
+        |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id),
+        |losers AS (SELECT id FROM r GROUP BY id HAVING id != min(comp))
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id < 300 AND doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin),
 
     "dedup_embcos" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -275,6 +275,17 @@ object Dedup {
     labels
   }
 
+  /** Survivor selection over near-dup clusters: keep one document per
+    * connected component (its min id), drop the rest — the final step of
+    * the pairs -> clusters -> corpus dedup pipeline. Unpaired documents
+    * pass through untouched. */
+  def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------- embedding near-duplicates
   /** Embedding-cosine near-dup pairs within id-distance blocks. The
     * blocked join bounds candidates to N*blockSize; the LSH variant in
