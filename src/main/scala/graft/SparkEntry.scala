@@ -129,6 +129,21 @@ object SparkEntry {
         .orderBy(vid)
     }),
 
+    // O1b: reference-format interop through the DSv2 connector — write
+    // the store as the reference's JSON+base64 single file, read it back
+    // with spark.read.format("nanojson") (executor-side decode). Vector
+    // values go through the format's f32 matrix, so the oracle casts
+    // through FLOAT the same way.
+    "o1_nanojson" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft_o1nano", ".json")
+      graft.sources.NanoJsonCodec.write(storeD(s, dir), f.toString)
+      s.read.format("nanojson").load(f.toString)
+        .select(col("__id__"),
+          get_json_object(col("fields_json"), "$.label").cast(LongType).as("label"),
+          round(element_at(col("vector"), 1).cast(DoubleType), 6).as("v0"))
+        .orderBy(vid)
+    }),
+
     // O3: flagship top-k cosine (k=10).
     "o3_topk" -> ((s, dir) => {
       storeD(s, dir).query(qvec(s, dir), 10)
@@ -268,6 +283,12 @@ object SparkEntry {
     "o2a_upsert_state" -> upsertStateOracle,
 
     "o2b_upsert_part" -> upsertStateOracle,
+
+    "o1_nanojson" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS __id__, CAST(label AS BIGINT) AS label,
+        |  round(CAST(CAST(embedding[1]::DOUBLE /
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS FLOAT) AS DOUBLE), 6) AS v0
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "o3_topk" ->
       s"""WITH $qCte,

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.VectorStore
+
+/** DataSource V2 connector for the reference's single-file JSON+base64
+  * format (/root/reference/src/lib.rs:40-71), so the format is a
+  * first-class Spark source:
+  * {{{
+  *   spark.read.format("nanojson").load("/path/db.json")
+  * }}}
+  * Schema matches [[NanoJsonCodec.read]]: (__id__ STRING, vector
+  * ARRAY<FLOAT>, fields_json STRING). One file = one partition (the
+  * format is a single JSON document by the reference's own design —
+  * docs/src/design_choices.md:20-29); the decode runs on the executor,
+  * not the driver, and goes through Hadoop FS so any supported scheme
+  * works. Load-time validation mirrors the reference
+  * (matrix.len == data.len * dim, lib.rs:122-129).
+  */
+class NanoJsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "nanojson"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NanoJsonSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NanoJsonTable(properties.get("path"))
+}
+
+object NanoJsonSource {
+  val schema: StructType = StructType(Seq(
+    StructField(VectorStore.IdCol, StringType, nullable = false),
+    StructField(VectorStore.VectorCol, ArrayType(FloatType, containsNull = false)),
+    StructField("fields_json", StringType)))
+}
+
+private[sources] class NanoJsonTable(path: String) extends Table with SupportsRead {
+  require(path != null && path.nonEmpty, "nanojson source requires a path")
+  override def name(): String = s"nanojson($path)"
+  override def schema(): StructType = NanoJsonSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NanoJsonScan(path)
+}
+
+private[sources] class NanoJsonScan(path: String)
+  extends ScanBuilder with Scan with Batch with Serializable {
+  override def build(): Scan = this
+  override def readSchema(): StructType = NanoJsonSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(NanoJsonPartition(path))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NanoJsonReaderFactory
+}
+
+private[sources] final case class NanoJsonPartition(path: String) extends InputPartition
+
+private[sources] class NanoJsonReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NanoJsonPartitionReader(partition.asInstanceOf[NanoJsonPartition].path)
+}
+
+private[sources] class NanoJsonPartitionReader(path: String)
+  extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+
+  private val (rows, dim, matrix) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val root = mapper.readTree(txt)
+    val d = root.get("embedding_dim").asInt()
+    val m = NanoJsonCodec.decodeMatrix(root.get("matrix").asText())
+    val data = root.get("data")
+    require(m.length == data.size() * d,
+      s"Storage file corrupted: matrix length ${m.length} does not match " +
+        s"data length ${data.size()} * embedding dim $d")
+    (data.elements(), d, m)
+  }
+
+  private var idx = -1
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!rows.hasNext) return false
+    val node = rows.next().asInstanceOf[ObjectNode]
+    idx += 1
+    val id = node.get("__id__").asText()
+    val fields = node.deepCopy[ObjectNode]()
+    fields.remove("__id__")
+    val vec = java.util.Arrays.copyOfRange(matrix, idx * dim, (idx + 1) * dim)
+    current = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(id),
+      UnsafeArrayData.fromPrimitiveArray(vec),
+      UTF8String.fromString(mapper.writeValueAsString(fields))))
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -42,6 +42,27 @@ class NanoJsonCodecSpec extends AnyFunSuite {
     assert(row.getAs[String]("fields_json").contains("\"color\":\"red\""))
   }
 
+  test("DSv2 source: spark.read.format(\"nanojson\") matches the driver codec") {
+    val b64 = NanoJsonCodec.encodeMatrix(Array(0.6f, 0.8f, 1.0f, 0.0f))
+    val json =
+      s"""{"embedding_dim": 2,
+         | "data": [{"__id__": "v1", "color": "red"}, {"__id__": "v2", "n": 7}],
+         | "matrix": "$b64"}""".stripMargin
+    val f = Files.createTempFile("nanodsv2", ".json")
+    Files.writeString(f, json)
+    val viaSource = spark.read.format("nanojson").load(f.toString)
+      .orderBy("__id__").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toSeq, r.getString(2)))
+    val viaCodec = NanoJsonCodec.read(spark, f.toString).df
+      .orderBy("__id__").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toSeq, r.getString(2)))
+    assert(viaSource.toSeq == viaCodec.toSeq)
+    // projection works through the connector
+    assert(spark.read.format("nanojson").load(f.toString)
+      .selectExpr("get_json_object(fields_json, '$.color')").collect()
+      .map(_.getString(0)).toSet == Set("red", null))
+  }
+
   test("rejects corrupted files: matrix size mismatch (lib.rs:396-425)") {
     val b64 = NanoJsonCodec.encodeMatrix(Array(0.1f)) // 1 element, claim dim 2
     val json = s"""{"embedding_dim": 2, "data": [{"__id__": "a"}], "matrix": "$b64"}"""
