@@ -62,24 +62,33 @@ private[sources] class NanoJsonTable(path: String) extends Table with SupportsRe
 }
 
 private[sources] class NanoJsonScan(path: String)
-  extends ScanBuilder with Scan with Batch with Serializable {
+  extends ScanBuilder with Scan with Batch with Serializable
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  // column pruning reaches the decoder: an unselected fields_json skips
+  // the per-row JSON re-serialization, an unselected vector skips the
+  // array copy — the DSv2 analogue of parquet ReadSchema pruning
+  private var pruned: StructType = NanoJsonSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = { pruned = requiredSchema }
   override def build(): Scan = this
-  override def readSchema(): StructType = NanoJsonSource.schema
+  override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(NanoJsonPartition(path))
+    Array(NanoJsonPartition(path, pruned.fieldNames))
   override def createReaderFactory(): PartitionReaderFactory =
     new NanoJsonReaderFactory
 }
 
-private[sources] final case class NanoJsonPartition(path: String) extends InputPartition
+private[sources] final case class NanoJsonPartition(
+    path: String, columns: Array[String]) extends InputPartition
 
 private[sources] class NanoJsonReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NanoJsonPartitionReader(partition.asInstanceOf[NanoJsonPartition].path)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[NanoJsonPartition]
+    new NanoJsonPartitionReader(p.path, p.columns)
+  }
 }
 
-private[sources] class NanoJsonPartitionReader(path: String)
+private[sources] class NanoJsonPartitionReader(path: String, columns: Array[String])
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -106,14 +115,19 @@ private[sources] class NanoJsonPartitionReader(path: String)
     if (!rows.hasNext) return false
     val node = rows.next().asInstanceOf[ObjectNode]
     idx += 1
-    val id = node.get("__id__").asText()
-    val fields = node.deepCopy[ObjectNode]()
-    fields.remove("__id__")
-    val vec = java.util.Arrays.copyOfRange(matrix, idx * dim, (idx + 1) * dim)
-    current = new GenericInternalRow(Array[Any](
-      UTF8String.fromString(id),
-      UnsafeArrayData.fromPrimitiveArray(vec),
-      UTF8String.fromString(mapper.writeValueAsString(fields))))
+    val values = columns.map {
+      case VectorStore.IdCol =>
+        UTF8String.fromString(node.get("__id__").asText())
+      case VectorStore.VectorCol =>
+        UnsafeArrayData.fromPrimitiveArray(
+          java.util.Arrays.copyOfRange(matrix, idx * dim, (idx + 1) * dim))
+      case "fields_json" =>
+        val fields = node.deepCopy[ObjectNode]()
+        fields.remove("__id__")
+        UTF8String.fromString(mapper.writeValueAsString(fields))
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
     true
   }
 

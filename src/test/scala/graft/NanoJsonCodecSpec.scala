@@ -61,6 +61,11 @@ class NanoJsonCodecSpec extends AnyFunSuite {
     assert(spark.read.format("nanojson").load(f.toString)
       .selectExpr("get_json_object(fields_json, '$.color')").collect()
       .map(_.getString(0)).toSet == Set("red", null))
+    // column pruning reaches the scan (DSv2 pruneColumns)
+    val prunedDf = spark.read.format("nanojson").load(f.toString).select("__id__")
+    assert(prunedDf.queryExecution.executedPlan.toString.contains("__id__"))
+    assert(!prunedDf.queryExecution.optimizedPlan.schema.fieldNames.contains("fields_json"))
+    assert(prunedDf.collect().map(_.getString(0)).sorted.toSeq == Seq("v1", "v2"))
   }
 
   test("rejects corrupted files: matrix size mismatch (lib.rs:396-425)") {
