@@ -150,6 +150,20 @@ object SparkEntry {
         .withColumn("__metrics__", round(col("__metrics__"), 6))
     }),
 
+    // O3b: the batch-first query API (SURVEY §7.4.4) — many query
+    // vectors at once through the bounded-heap aggregate, with threshold
+    // and metadata predicate applied like the single-query path.
+    "o3b_topk_batch" -> ((s, dir) => {
+      val st = storeD(s, dir)
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").cast(ArrayType(DoubleType)).as("qv"))
+      st.queryBatch(qs, "qid", "qv", topK = 3,
+          betterThan = Some(0.1), filter = Some(col("label") < 8))
+        .select(col("qid"), col("rank"), col("__id__"),
+          round(col("__metrics__"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // O4: metadata predicate applied BEFORE scoring (lib.rs:211-216).
     "o4_filter_topk" -> ((s, dir) => {
       storeD(s, dir).query(qvec(s, dir), 5, filter = Some(col("label") === 3))
@@ -295,6 +309,21 @@ object SparkEntry {
          |s AS (SELECT e.vec_id, e.label, $cosExpr AS sc FROM embeddings e CROSS JOIN q)
          |SELECT CAST(vec_id AS VARCHAR) AS __id__, label, round(sc, 6) AS __metrics__
          |FROM s ORDER BY sc DESC, vec_id LIMIT 10""".stripMargin,
+
+    "o3b_topk_batch" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |n AS (SELECT vec_id, label, list_transform(embedding::DOUBLE[],
+        |        x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |      FROM embeddings WHERE label < 8),
+        |sc AS (SELECT qs.qid, n.vec_id AS id,
+        |         list_dot_product(n.nv, list_transform(qs.qv,
+        |           x -> x / sqrt(list_dot_product(qs.qv, qs.qv)))) AS sc
+        |       FROM n CROSS JOIN qs),
+        |r AS (SELECT qid, id, sc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
+        |      FROM sc WHERE sc >= 0.1)
+        |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS __id__, round(sc, 6) AS score
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "o4_filter_topk" ->
       s"""WITH $qCte,
@@ -474,6 +503,22 @@ object SparkEntry {
           (col("promo_c").cast(DoubleType) / 100.0).as("promo_revenue"),
           (col("total_c").cast(DoubleType) / 100.0).as("total_revenue"),
           round(col("promo_c").cast(DoubleType) * 100.0 / col("total_c"), 6).as("promo_pct"))
+    }),
+
+    // Relational: grouped top-N — Spark 4 rewrites the rank filter into
+    // WindowGroupLimit (per-partition bounded selection before the sort,
+    // the built-in equivalent of our TopKByScore heaps; plan-shape
+    // asserted in PlanShapeSpec).
+    "q_topk_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_returnflag"), col("rn").cast(IntegerType).as("rn"),
+          col("l_orderkey"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("rn"))
     }),
 
     // Relational: salted two-phase aggregation (skew posture) — must be
@@ -1184,6 +1229,14 @@ object SparkEntry {
         |         sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS total_c
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01')""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, l_orderkey, l_extendedprice FROM (
+        |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag,

@@ -37,6 +37,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "as-of must be the union+window shape, not a join")
   }
 
+  test("q_topk_group: rank filter becomes WindowGroupLimit (bounded pre-sort selection)") {
+    val p = plan("q_topk_group")
+    assert(p.contains("WindowGroupLimit"), "rank <= k must push into WindowGroupLimit")
+  }
+
   test("o3_topk: plans as TakeOrderedAndProject (partial heaps + merge)") {
     val p = plan("o3_topk")
     assert(p.contains("TakeOrderedAndProject"))
