@@ -60,6 +60,9 @@ object SparkEntry {
     })
   private[graft] def stagedEventsDir(dir: String): String = stagedTableDir(dir, "events")
 
+  /** Reference-format export of the embeddings store, once per sf dir. */
+  private val nanoFileCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Events of one type — the shared head of the as-of/lookback/funnel
     * queries. */
   private def eventsOf(s: SparkSession, dir: String, tpe: String): DataFrame =
@@ -133,11 +136,16 @@ object SparkEntry {
     // the store as the reference's JSON+base64 single file, read it back
     // with spark.read.format("nanojson") (executor-side decode). Vector
     // values go through the format's f32 matrix, so the oracle casts
-    // through FLOAT the same way.
+    // through FLOAT the same way. The file is staged once per sf dir
+    // (like stagedTableDir/cachedIvf) so repeated calls time the
+    // connector scan, not the driver-side export.
     "o1_nanojson" -> ((s, dir) => {
-      val f = java.nio.file.Files.createTempFile("graft_o1nano", ".json")
-      graft.sources.NanoJsonCodec.write(storeD(s, dir), f.toString)
-      s.read.format("nanojson").load(f.toString)
+      val f = nanoFileCache.computeIfAbsent(dir, { d =>
+        val tmp = java.nio.file.Files.createTempFile("graft_o1nano", ".json")
+        graft.sources.NanoJsonCodec.write(storeD(s, d), tmp.toString)
+        tmp.toString
+      })
+      s.read.format("nanojson").load(f)
         .select(col("__id__"),
           get_json_object(col("fields_json"), "$.label").cast(LongType).as("label"),
           round(element_at(col("vector"), 1).cast(DoubleType), 6).as("v0"))
@@ -1631,13 +1639,13 @@ object SparkEntry {
 
     "events_sessions_native" ->
       """WITH s AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS ns
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |t AS (
         |  SELECT user_id, ts, value,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
         |  FROM s)
         |SELECT user_id,
         |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us, CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,

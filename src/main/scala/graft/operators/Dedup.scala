@@ -253,11 +253,13 @@ object Dedup {
       .localCheckpoint(true)
     // per-node labels only ever decrease, so the label sum is strictly
     // monotone until the fixpoint — one aggregate per round detects
-    // convergence without a join (exact DECIMAL: id sums can pass 2^63)
+    // convergence without a join (exact DECIMAL: id sums can pass 2^63;
+    // coalesce guards the empty-graph null sum)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("component").cast(DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = labels.isEmpty // no edges -> nothing to propagate
     var iter = 0
     while (!converged && iter < maxIter) {
       val fromNeighbors = edges
@@ -272,6 +274,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a silent cutoff would return intermediate labels as if they were
+    // components — fail loudly instead (raise maxIter past the diameter)
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — the " +
+        "graph diameter exceeds maxIter; raise it")
     labels
   }
 

@@ -72,30 +72,38 @@ private[sources] class NanoJsonScan(path: String)
   override def build(): Scan = this
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(NanoJsonPartition(path, pruned.fieldNames))
+  override def planInputPartitions(): Array[InputPartition] = {
+    // ship the session's Hadoop conf to the reader: fs credentials /
+    // endpoints / scheme registrations live there, not in a fresh
+    // Configuration()
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    Array(NanoJsonPartition(path, pruned.fieldNames, conf))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new NanoJsonReaderFactory
 }
 
 private[sources] final case class NanoJsonPartition(
-    path: String, columns: Array[String]) extends InputPartition
+    path: String, columns: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration) extends InputPartition
 
 private[sources] class NanoJsonReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[NanoJsonPartition]
-    new NanoJsonPartitionReader(p.path, p.columns)
+    new NanoJsonPartitionReader(p.path, p.columns, p.conf.value)
   }
 }
 
-private[sources] class NanoJsonPartitionReader(path: String, columns: Array[String])
+private[sources] class NanoJsonPartitionReader(path: String, columns: Array[String],
+    hadoopConf: org.apache.hadoop.conf.Configuration)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
 
   private val (rows, dim, matrix) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val root = mapper.readTree(txt)

@@ -110,6 +110,14 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents and dropNearDups handle an empty pair list") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Dedup.connectedComponents(noPairs).isEmpty)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.dropNearDups(docs, "doc_id", noPairs)
+    assert(kept.count() == 2L, "a clean corpus must pass through untouched")
+  }
+
   test("winnowPairs surfaces exact duplicates with full overlap") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -27,8 +27,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("events_lookback: the interval join plans as an equi hash join, no nested loop") {
     val p = plan("events_lookback")
     assert(p.contains("HashJoin"))
-    assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoopJoin") == false,
-      "bucketed range join must not degrade to a nested loop")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "bucketed range join must not degrade to a nested loop or cartesian product")
   }
 
   test("events_asof: one keyed exchange + window, no join at all") {
