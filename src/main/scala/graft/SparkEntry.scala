@@ -63,6 +63,17 @@ object SparkEntry {
   /** Reference-format export of the embeddings store, once per sf dir. */
   private val nanoFileCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Winnow near-dup components over documents < 300, once per sf dir —
+    * the result is localCheckpoint-materialized, so dedup_components and
+    * pipe_dedup_survivors share one propagation run. */
+  private val componentsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def cachedComponents(s: SparkSession, dir: String): DataFrame =
+    componentsCache.computeIfAbsent(dir, { d =>
+      import graft.operators.Dedup
+      Dedup.connectedComponents(Dedup.winnowPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text"))
+    })
+
   /** Events of one type — the shared head of the as-of/lookback/funnel
     * queries. */
   private def eventsOf(s: SparkSession, dir: String, tpe: String): DataFrame =
@@ -705,10 +716,7 @@ object SparkEntry {
     // pairwise matches become transitive dedup clusters (min-id label
     // propagation; oracle = recursive-CTE reachability).
     "dedup_components" -> ((s, dir) => {
-      val pairs = Dedup.winnowPairs(
-        Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id", "text")
-      Dedup.connectedComponents(pairs)
-        .orderBy(col("id"))
+      cachedComponents(s, dir).orderBy(col("id"))
     }),
 
     // Dedup: survivor corpus — one doc per near-dup cluster (min id),
@@ -716,8 +724,10 @@ object SparkEntry {
     // pipeline end to end.
     "pipe_dedup_survivors" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-      val pairs = Dedup.winnowPairs(docs, "doc_id", "text")
-      Dedup.dropNearDups(docs, "doc_id", pairs)
+      val losers = cachedComponents(s, dir)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
