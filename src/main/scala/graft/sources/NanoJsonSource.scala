@@ -9,9 +9,10 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,14 +52,102 @@ object NanoJsonSource {
     StructField("fields_json", StringType)))
 }
 
-private[sources] class NanoJsonTable(path: String) extends Table with SupportsRead {
+private[sources] class NanoJsonTable(path: String)
+  extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "nanojson source requires a path")
   override def name(): String = s"nanojson($path)"
   override def schema(): StructType = NanoJsonSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NanoJsonScan(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new NanoJsonWriteBuilder(path, info.schema())
+}
+
+/** Write path: the format is ONE JSON document, so per-partition writers
+  * serialize their row slices into commit messages and the driver
+  * assembles the file in `commit()` — sorted by partition id, making the
+  * row order deterministic. Bounded by the format's own in-memory-sized
+  * design (docs/src/design_choices.md:20-29); the scale sink is parquet
+  * ([[graft.operators.VectorStore.save]]). Expects the read schema
+  * (__id__, vector, fields_json). */
+private[sources] class NanoJsonWriteBuilder(path: String, schema: StructType)
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+  // overwrite mode arrives as truncate + write — the file is replaced
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new NanoJsonBatchWrite(path, schema)
+  }
+}
+
+private[sources] final case class NanoJsonRowsMessage(
+    partitionId: Int, ids: Array[String], vectors: Array[Array[Float]],
+    fields: Array[String]) extends WriterCommitMessage
+
+private[sources] class NanoJsonBatchWrite(path: String, schema: StructType)
+  extends BatchWrite {
+  private val required = Seq(VectorStore.IdCol, VectorStore.VectorCol, "fields_json")
+  require(schema.fieldNames.toSeq == required,
+    s"nanojson write expects columns $required, got ${schema.fieldNames.toSeq}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+        new NanoJsonDataWriter(partitionId)
+    }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val dataArr = mapper.createArrayNode()
+    val matrix = scala.collection.mutable.ArrayBuffer.empty[Float]
+    var dim = -1
+    messages.map(_.asInstanceOf[NanoJsonRowsMessage]).sortBy(_.partitionId).foreach { m =>
+      var i = 0
+      while (i < m.ids.length) {
+        if (dim < 0) dim = m.vectors(i).length
+        require(m.vectors(i).length == dim,
+          s"vector dim ${m.vectors(i).length} != $dim for id ${m.ids(i)}")
+        val rec = mapper.createObjectNode()
+        rec.put("__id__", m.ids(i))
+        val f = mapper.readTree(m.fields(i))
+        if (f.isObject) rec.setAll[ObjectNode](f.asInstanceOf[ObjectNode])
+        dataArr.add(rec)
+        matrix ++= m.vectors(i)
+        i += 1
+      }
+    }
+    root.put("embedding_dim", math.max(dim, 0))
+    root.set[ObjectNode]("data", dataArr)
+    root.put("matrix", NanoJsonCodec.encodeMatrix(matrix.toArray))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class NanoJsonDataWriter(partitionId: Int)
+  extends DataWriter[InternalRow] {
+  private val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val vectors = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+  private val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def write(row: InternalRow): Unit = {
+    ids += row.getUTF8String(0).toString
+    vectors += row.getArray(1).toFloatArray()
+    fields += (if (row.isNullAt(2)) "{}" else row.getUTF8String(2).toString)
+  }
+  override def commit(): WriterCommitMessage =
+    NanoJsonRowsMessage(partitionId, ids.toArray, vectors.toArray, fields.toArray)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 private[sources] class NanoJsonScan(path: String)

@@ -68,6 +68,28 @@ class NanoJsonCodecSpec extends AnyFunSuite {
     assert(prunedDf.collect().map(_.getString(0)).sorted.toSeq == Seq("v1", "v2"))
   }
 
+  test("DSv2 write: df.write.format(\"nanojson\") round-trips through the reader") {
+    val f = Files.createTempDirectory("nanowrite").resolve("db.json")
+    val df = Seq(
+      ("a", Seq(0.6f, 0.8f), """{"color":"red"}"""),
+      ("b", Seq(1.0f, 0.0f), """{"n":7}"""))
+      .toDF("__id__", "vector", "fields_json")
+      .select(org.apache.spark.sql.functions.col("__id__"),
+        org.apache.spark.sql.functions.col("vector").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)).as("vector"),
+        org.apache.spark.sql.functions.col("fields_json"))
+    df.write.format("nanojson").mode("overwrite").save(f.toString)
+    val back = spark.read.format("nanojson").load(f.toString)
+      .orderBy("__id__").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toSeq, r.getString(2)))
+    assert(back.map(t => (t._1, t._2)).toSeq ==
+      Seq(("a", Seq(0.6f, 0.8f)), ("b", Seq(1.0f, 0.0f))))
+    assert(back(0)._3.contains("\"color\":\"red\"") && back(1)._3.contains("\"n\":7"))
+    // the file is also readable by the driver codec (true format parity)
+    val st = NanoJsonCodec.read(spark, f.toString)
+    assert(st.embeddingDim == 2 && st.df.count() == 2)
+  }
+
   test("rejects corrupted files: matrix size mismatch (lib.rs:396-425)") {
     val b64 = NanoJsonCodec.encodeMatrix(Array(0.1f)) // 1 element, claim dim 2
     val json = s"""{"embedding_dim": 2, "data": [{"__id__": "a"}], "matrix": "$b64"}"""
