@@ -876,6 +876,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("fp"))
     }),
 
+    // Text: self-trained corpus LM quality score (avg char-bigram
+    // log-prob) — docs that look unlike the corpus score low.
+    "text_lm_score" -> ((s, dir) => {
+      TextAnalysis.lmScore(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Text: marker-vote language id.
     "text_langid" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1518,6 +1526,22 @@ object SparkEntry {
 
     "text_winnow" -> (winnowCte(50) + "\n" +
       "SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp"),
+
+    "text_lm_score" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest(CASE WHEN length(text) >= 2 THEN
+        |    list_transform(generate_series(1, length(text) - 1), i -> substr(text, i, 2))
+        |  ELSE [text] END) AS bg
+        |  FROM d),
+        |freq AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        |tot AS (SELECT count(*) AS t FROM bg),
+        |sc AS (SELECT b.doc_id,
+        |         CAST(round(ln(freq.c::DOUBLE / tot.t::DOUBLE) * 10000) AS BIGINT) AS lp
+        |       FROM bg b JOIN freq USING (bg) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(CAST(sum(lp) AS DOUBLE) / 10000.0 / count(*), 6) AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),

@@ -116,6 +116,36 @@ object TextAnalysis {
     scores.map { case (l, s) => s"score_$l" -> s } :+ ("lang_pred" -> predFirst)
   }
 
+  /** Character bigrams (positions overlap); texts shorter than 2 chars
+    * yield [text] so every doc scores. */
+  def charBigrams(text: Column): Column =
+    when(length(text) >= 2,
+      transform(sequence(lit(1), length(text) - 1), i => substring(text, i, lit(2))))
+      .otherwise(array(text))
+
+  /** Corpus language-model quality score: average log-probability of a
+    * document's character bigrams under the corpus's own bigram
+    * distribution — the KenLM-shaped "does this look like the corpus"
+    * filter, self-trained so there is no external model file. Two
+    * passes: one groupBy builds the (broadcastable) frequency table, one
+    * join + groupBy scores documents. Log values are quantized to 1e-4
+    * before summing so the per-doc total is order-independent and
+    * engine-exact. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol).as("id"),
+      explode(charBigrams(col(textCol))).as("bg"))
+    val freq = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val total = bg.agg(count(lit(1)).as("t"))
+    bg.join(broadcast(freq), "bg")
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log(col("c").cast(DoubleType) / col("t").cast(DoubleType)) * 10000)
+          .cast(LongType))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast(DoubleType) / 10000.0 / count(lit(1)), 6).as("avg_logp"))
+  }
+
   /** Top-k tokens per document by tf-idf.
     *
     * explode -> tf groupBy -> df groupBy -> broadcast joins -> windowed
