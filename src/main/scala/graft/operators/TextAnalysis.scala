@@ -132,18 +132,26 @@ object TextAnalysis {
     * before summing so the per-doc total is order-independent and
     * engine-exact. */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = df.select(col(idCol).as("id"),
-      explode(charBigrams(col(textCol))).as("bg"))
-    val freq = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-    val total = bg.agg(count(lit(1)).as("t"))
-    bg.join(broadcast(freq), "bg")
+    // collapse to per-doc bigram COUNTS once and materialize: the model
+    // build, the normalizer, and the scoring join all reuse this frame
+    // instead of re-exploding the corpus (3x the dominant scan), and
+    // every downstream row count is distinct-bigrams, not occurrences
+    val docBg = df.select(col(idCol).as("id"),
+        explode(charBigrams(col(textCol))).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val freq = docBg.groupBy(col("bg")).agg(sum(col("k")).as("c"))
+    val total = freq.agg(sum(col("c")).as("t"))
+    docBg.join(broadcast(freq), "bg")
       .crossJoin(broadcast(total))
+      // lp is quantized per distinct bigram, then weighted by its count —
+      // identical to summing the quantized value per occurrence
       .withColumn("lp",
         round(log(col("c").cast(DoubleType) / col("t").cast(DoubleType)) * 10000)
-          .cast(LongType))
+          .cast(LongType) * col("k"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")).cast(DoubleType) / 10000.0 / count(lit(1)), 6).as("avg_logp"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(sum(col("lp")).cast(DoubleType) / 10000.0 / sum(col("k")), 6).as("avg_logp"))
   }
 
   /** Top-k tokens per document by tf-idf.
