@@ -55,6 +55,9 @@ object PortableHashes {
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
 
+  def charBigramCounts(text: Column): Column =
+    ColumnBridge.column(CharBigramCounts(ColumnBridge.expression(text)))
+
   /** MinHash update: g_k = h1 + k*h2 mins in one digest per element. */
   private[functions] def minhashUpdate(
       mins: Array[Long], bytes: Array[Byte], numHashes: Int): Unit = {
@@ -212,4 +215,54 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "winnow_fingerprints"
+}
+
+/** Per-row character-bigram counts as a MAP<STRING, BIGINT> — one pass
+  * over the code points. Value-identical to exploding
+  * `TextAnalysis.charBigrams` and counting per (row, bigram), but the
+  * occurrence fan-out (text length rows per doc) never leaves the row:
+  * downstream consumers explode an already-distinct map. Texts shorter
+  * than 2 code points count the whole text once. */
+case class CharBigramCounts(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, LongType, valueContainsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_bigram_counts expects STRING, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    val cps = s.codePoints().toArray
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    if (cps.length < 2) {
+      counts.put(s, 1L)
+    } else {
+      var i = 0
+      while (i < cps.length - 1) {
+        val g = new String(cps, i, 2)
+        counts.merge(g, 1L, (a, b) => a + b)
+        i += 1
+      }
+    }
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_bigram_counts"
 }

@@ -132,13 +132,13 @@ object TextAnalysis {
     * before summing so the per-doc total is order-independent and
     * engine-exact. */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // collapse to per-doc bigram COUNTS once and materialize: the model
-    // build, the normalizer, and the scoring join all reuse this frame
-    // instead of re-exploding the corpus (3x the dominant scan), and
-    // every downstream row count is distinct-bigrams, not occurrences
+    // per-doc bigram COUNTS computed inside the row (one-pass
+    // expression) and materialized once: the occurrence fan-out (text
+    // length rows per doc) never hits a shuffle, and the model build,
+    // normalizer, and scoring join all reuse this frame
     val docBg = df.select(col(idCol).as("id"),
-        explode(charBigrams(col(textCol))).as("bg"))
-      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("k"))
+        explode(graft.functions.PortableHashes.charBigramCounts(col(textCol)))
+          .as(Seq("bg", "k")))
       .localCheckpoint(true)
     val freq = docBg.groupBy(col("bg")).agg(sum(col("k")).as("c"))
     val total = freq.agg(sum(col("c")).as("t"))
