@@ -39,7 +39,10 @@ object SparkEntry {
     * partitioned index for probes (graft.operators.Ann.ivfSave layout). */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.IvfIndex]()
   private[graft] def cachedIvf(s: SparkSession, dir: String): graft.operators.Ann.IvfIndex =
-    ivfCache.computeIfAbsent(dir, { d =>
+    // DataFrame-bearing caches are keyed by session too: a cached frame
+    // from a stopped SparkContext would fail with missing blocks
+    ivfCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val d = dir
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
       val idx = graft.operators.Ann.ivfBuild(
         Tables.embeddings(s, d), "vec_id", "embedding", nLists = 16)
@@ -68,10 +71,10 @@ object SparkEntry {
     * pipe_dedup_survivors share one propagation run. */
   private val componentsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def cachedComponents(s: SparkSession, dir: String): DataFrame =
-    componentsCache.computeIfAbsent(dir, { d =>
+    componentsCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
       import graft.operators.Dedup
       Dedup.connectedComponents(Dedup.winnowPairs(
-        Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text"))
+        Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id", "text"))
     })
 
   /** Events of one type — the shared head of the as-of/lookback/funnel
@@ -1528,7 +1531,7 @@ object SparkEntry {
       "SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp"),
 
     "text_lm_score" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         |bg AS (SELECT doc_id,
         |  unnest(CASE WHEN length(text) >= 2 THEN
         |    list_transform(generate_series(1, length(text) - 1), i -> substr(text, i, 2))

@@ -218,8 +218,8 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 }
 
 /** Per-row character-bigram counts as a MAP<STRING, BIGINT> — one pass
-  * over the code points. Value-identical to exploding
-  * `TextAnalysis.charBigrams` and counting per (row, bigram), but the
+  * over the code points. Value-identical to exploding every overlapping
+  * 2-code-point substring and counting per (row, bigram), but the
   * occurrence fan-out (text length rows per doc) never leaves the row:
   * downstream consumers explode an already-distinct map. Texts shorter
   * than 2 code points count the whole text once. */

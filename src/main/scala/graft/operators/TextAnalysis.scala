@@ -116,13 +116,6 @@ object TextAnalysis {
     scores.map { case (l, s) => s"score_$l" -> s } :+ ("lang_pred" -> predFirst)
   }
 
-  /** Character bigrams (positions overlap); texts shorter than 2 chars
-    * yield [text] so every doc scores. */
-  def charBigrams(text: Column): Column =
-    when(length(text) >= 2,
-      transform(sequence(lit(1), length(text) - 1), i => substring(text, i, lit(2))))
-      .otherwise(array(text))
-
   /** Corpus language-model quality score: average log-probability of a
     * document's character bigrams under the corpus's own bigram
     * distribution — the KenLM-shaped "does this look like the corpus"

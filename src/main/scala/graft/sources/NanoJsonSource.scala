@@ -77,9 +77,18 @@ private[sources] class NanoJsonWriteBuilder(path: String, schema: StructType)
   extends WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsTruncate {
   // overwrite mode arrives as truncate + write — the file is replaced
-  override def truncate(): WriteBuilder = this
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new NanoJsonBatchWrite(path, schema)
+  private var truncated = false
+  override def truncate(): WriteBuilder = { truncated = true; this }
+  override def build(): Write = {
+    // a whole-file format cannot append: commit() rebuilds the document
+    // from the incoming rows only, so an append would silently drop the
+    // existing data — reject it instead
+    if (!truncated) throw new UnsupportedOperationException(
+      "nanojson is a single-document format: only SaveMode.Overwrite is " +
+        "supported (append would replace the file with just the new rows)")
+    new Write {
+      override def toBatch: BatchWrite = new NanoJsonBatchWrite(path, schema)
+    }
   }
 }
 
@@ -103,26 +112,32 @@ private[sources] class NanoJsonBatchWrite(path: String, schema: StructType)
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val dataArr = mapper.createArrayNode()
-    val matrix = scala.collection.mutable.ArrayBuffer.empty[Float]
+    val sorted = messages.map(_.asInstanceOf[NanoJsonRowsMessage]).sortBy(_.partitionId)
+    val totalFloats = sorted.iterator.flatMap(_.vectors.iterator.map(_.length)).sum
+    val matrix = new Array[Float](totalFloats)
+    var used = 0
     var dim = -1
-    messages.map(_.asInstanceOf[NanoJsonRowsMessage]).sortBy(_.partitionId).foreach { m =>
+    sorted.foreach { m =>
       var i = 0
       while (i < m.ids.length) {
         if (dim < 0) dim = m.vectors(i).length
         require(m.vectors(i).length == dim,
           s"vector dim ${m.vectors(i).length} != $dim for id ${m.ids(i)}")
         val rec = mapper.createObjectNode()
-        rec.put("__id__", m.ids(i))
         val f = mapper.readTree(m.fields(i))
         if (f.isObject) rec.setAll[ObjectNode](f.asInstanceOf[ObjectNode])
+        // the id column wins over any "__id__" key smuggled inside
+        // fields_json (mirrors the read path, which strips it)
+        rec.put("__id__", m.ids(i))
         dataArr.add(rec)
-        matrix ++= m.vectors(i)
+        System.arraycopy(m.vectors(i), 0, matrix, used, dim)
+        used += dim
         i += 1
       }
     }
     root.put("embedding_dim", math.max(dim, 0))
     root.set[ObjectNode]("data", dataArr)
-    root.put("matrix", NanoJsonCodec.encodeMatrix(matrix.toArray))
+    root.put("matrix", NanoJsonCodec.encodeMatrix(matrix))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
@@ -140,6 +155,9 @@ private[sources] class NanoJsonDataWriter(partitionId: Int)
   private val fields = scala.collection.mutable.ArrayBuffer.empty[String]
 
   override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(0), "nanojson write: __id__ must not be null")
+    require(!row.isNullAt(1),
+      s"nanojson write: vector must not be null (id ${row.getUTF8String(0)})")
     ids += row.getUTF8String(0).toString
     vectors += row.getArray(1).toFloatArray()
     fields += (if (row.isNullAt(2)) "{}" else row.getUTF8String(2).toString)

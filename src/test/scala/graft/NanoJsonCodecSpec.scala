@@ -88,6 +88,11 @@ class NanoJsonCodecSpec extends AnyFunSuite {
     // the file is also readable by the driver codec (true format parity)
     val st = NanoJsonCodec.read(spark, f.toString)
     assert(st.embeddingDim == 2 && st.df.count() == 2)
+    // append would silently replace the single-document file — rejected
+    val ex = intercept[Exception] {
+      df.write.format("nanojson").mode("append").save(f.toString)
+    }
+    assert(ex.getMessage.contains("Overwrite"), ex.getMessage)
   }
 
   test("rejects corrupted files: matrix size mismatch (lib.rs:396-425)") {
