@@ -248,8 +248,12 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // initialization fuses the first propagation round: component_0 =
+    // min(id, min(neighbors)) needs no join — the undirected edge list
+    // already pairs every node with each neighbor
+    var labels = edges
+      .select(col("src").as("id"), least(col("src"), col("dst")).as("component"))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
       .localCheckpoint(true)
     // per-node labels only ever decrease, so the label sum is strictly
     // monotone until the fixpoint — one aggregate per round detects
