@@ -85,7 +85,11 @@ final class MatrixStore private (
     }.toMap
   }
 
-  def unpersist(): Unit = blocks.unpersist()
+  /** Release the pinned blocks. `blocking = true` waits for the executors
+    * to actually free the memory — required between timed rebuilds, where
+    * an async release would let the old ~N×dim×4-byte slab race the new
+    * build for cache space. */
+  def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
 }
 
 object MatrixStore {
