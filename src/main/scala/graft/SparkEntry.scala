@@ -82,6 +82,23 @@ object SparkEntry {
   private def eventsOf(s: SparkSession, dir: String, tpe: String): DataFrame =
     Tables.events(s, dir).filter(col("event_type") === tpe)
 
+  /** IVF quality contract (shared by ann_ivf_topk / ann_ivf_recall):
+    * engine-independent booleans over an approximate hit list — every
+    * query's own vector at rank 1, recall@k vs brute force above the
+    * self-hit floor. */
+  private def ivfContract(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val matched = approx
+      .join(exact.select(col("qid"), col("id")), Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_match"))
+    val selfHit = approx.filter(col("rank") === 1)
+      .select(col("qid"), (col("id") === col("qid").cast(StringType)).as("self_ok"))
+    matched.join(selfHit, "qid")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (min(col("n_match")) >= 1L).as("recall_ok"),
+        min(col("self_ok")).as("self_hit"))
+  }
+
   /** The shared upsert batch: vec_id<5 as vector-updates (reversed vector,
     * label+100 which must be DISCARDED per quirk O2a), and vec_id+1000000
     * as inserts (label+100 kept). */
@@ -462,13 +479,18 @@ object SparkEntry {
         .orderBy(col("l_suppkey"), col("rn"))
     }),
 
-    // ANN: IVF (KMeans coarse quantizer) probe — rows-only check, recall
-    // asserted against brute force in ScalaTest.
+    // ANN: IVF build + probe under the recall/self-hit contract. The
+    // KMeans assignment is engine-specific, so the hit list is not
+    // oracle-expressible; the checkable invariants are (a) every query's
+    // own vector returns at rank 1 (its cluster is always the top probe)
+    // and (b) recall@3 vs exact brute force holds the self-hit floor.
     "ann_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
       val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
-      Ann.ivfTopK(idx, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nProbe = 4)
-        .orderBy(col("qid"), col("rank"))
+      val approx = Ann.ivfTopK(idx, q, "vec_id", "embedding", k = 3, nProbe = 4)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      ivfContract(approx, exact)
     }),
 
     // Relational: TPC-H Q5-shaped 6-table join — dimension chain
@@ -671,11 +693,32 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
-    // Dedup: MinHash-LSH candidate pairs (rows-only check: engine-specific
-    // xxhash64 is not oracle-expressible).
+    // Dedup: MinHash-LSH banding contract on the engine-specific xxhash64
+    // family (the full pipeline with the portable family is
+    // exact-oracle-checked in dedup_minhash_port). The banded equi join
+    // must produce exactly the pairs that brute-force all-pairs band
+    // comparison over the same signatures produces — candidate
+    // generation loses nothing and invents nothing.
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy(col("id_a"), col("id_b"))
+      val docs = Tables.documents(s, dir)
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val sig = docs.select(col("doc_id").as("id"),
+        Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 32).as("sig"))
+      val sharesBand = (0 until 8)
+        .map(b => slice(col("sig_a"), b * 4 + 1, 4) === slice(col("sig_b"), b * 4 + 1, 4))
+        .reduce(_ || _)
+      val brute = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .crossJoin(sig.select(col("id").as("id_b"), col("sig").as("sig_b")))
+        .filter(col("id_a") < col("id_b") && sharesBand)
+        .select(col("id_a"), col("id_b"))
+      val miss = brute.join(lsh, Seq("id_a", "id_b"), "left_anti")
+      val extra = lsh.join(brute, Seq("id_a", "id_b"), "left_anti")
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(miss.agg(count(lit(1)).as("__miss__")))
+        .crossJoin(extra.agg(count(lit(1)).as("__extra__")))
+        .select(col("n_docs"),
+          (col("__miss__") === 0L && col("__extra__") === 0L).as("lsh_matches_bruteforce"))
     }),
 
     // Dedup: MinHash-LSH with the portable md5-48bit hash family — the
@@ -691,19 +734,40 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Dedup: SimHash near-dup pairs (rows-only check).
+    // Dedup: SimHash band-join completeness contract. The fingerprint is
+    // engine-specific (xxhash64), so the pair list itself is not
+    // oracle-expressible; what IS checkable is the banding guarantee —
+    // splitting the 64-bit fingerprint into maxHamming+1 chunks must
+    // (pigeonhole) reproduce brute-force all-pairs hamming<=3 EXACTLY.
+    // The brute-force side here is the test harness, not the operator.
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 16)
-        .orderBy(col("id_a"), col("id_b"))
+      val docs = Tables.documents(s, dir)
+      val band = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      val withFp = docs.select(col("doc_id").as("id"),
+        Dedup.simhash64(Dedup.tokens(col("text"))).as("fp"))
+      val brute = withFp.select(col("id").as("id_a"), col("fp").as("fp_a"))
+        .crossJoin(withFp.select(col("id").as("id_b"), col("fp").as("fp_b")))
+        .filter(col("id_a") < col("id_b") &&
+          Dedup.simhashHamming(col("fp_a"), col("fp_b")) <= 3)
+        .select(col("id_a"), col("id_b"))
+      val miss = brute.join(band, Seq("id_a", "id_b"), "left_anti")
+      val extra = band.join(brute, Seq("id_a", "id_b"), "left_anti")
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(miss.agg(count(lit(1)).as("__miss__")))
+        .crossJoin(extra.agg(count(lit(1)).as("__extra__")))
+        .select(col("n_docs"),
+          (col("__miss__") === 0L && col("__extra__") === 0L).as("band_matches_bruteforce"))
     }),
 
     // Dedup: SimHash with the portable 48-bit md5 hash family — bit
-    // votes, fingerprint, blocked pairs, and Hamming filter all
-    // exact-oracle-checked (restricted id range: the portable hash is
-    // interpreted HOF, 48 x tokens per row).
+    // votes, fingerprint, band-join candidate generation, and Hamming
+    // filter all exact-oracle-checked. The banding is complete for
+    // hamming<=3, so the oracle needs no knowledge of the banding at
+    // all: it just computes brute-force all-pairs hamming<=3.
     "dedup_simhash_port" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 200),
-          "doc_id", "text", maxHamming = 12, portableHash = true)
+          "doc_id", "text", maxHamming = 3, portableHash = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -735,10 +799,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Dedup: embedding-cosine near-dups within id blocks.
+    // Dedup: embedding-cosine near-dups via multi-band sign-LSH
+    // bucketing — content-addressed candidate generation (no id-locality
+    // assumption). The sin-family hyperplanes are pure math, so bucket
+    // assignment, candidate join, and cosine filter are ALL mirrored
+    // exactly by the DuckDB oracle.
     "dedup_embcos" -> ((s, dir) => {
-      Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.3, idBlock = 50)
+      Dedup.embeddingNearDupsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.3, dim = 64, nPlanes = 4, bands = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -820,21 +888,36 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
-    // ANN: k-NN graph — per-row top-3 neighbors, self excluded.
+    // ANN: full all-pairs k-NN graph — per-row top-3 neighbors, self
+    // excluded, in broadcast-bounded query blocks (no full-dataset
+    // broadcast; maxBroadcastRows=200 exercises multi-block unioning at
+    // every test scale).
     "ann_knn_graph" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Ann.knnGraph(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-          e.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")), k = 3)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      Ann.knnGraphBlocked(e, "vec_id", "embedding", k = 3, maxBroadcastRows = 200L)
         .orderBy(col("qid"), col("rank"))
     }),
 
     // ANN: probe-only IVF over a persisted index (build amortized across
     // calls via a per-JVM cache — production shape: index built offline).
+    // Per-query structural contract: exactly k hits, the query's own
+    // vector first, scores nonincreasing down the ranks — everything
+    // about the ranked output that does not depend on the KMeans
+    // assignment, checked row by row.
     "ann_ivf_probe" -> ((s, dir) => {
       val idx = SparkEntry.cachedIvf(s, dir)
-      Ann.ivfTopK(idx, Tables.embeddings(s, dir).filter(col("vec_id") < 5),
+      val hits = Ann.ivfTopK(idx, Tables.embeddings(s, dir).filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 3, nProbe = 4)
-        .orderBy(col("qid"), col("rank"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("rank"))
+      hits.withColumn("__next__", lead(col("score"), 1).over(w))
+        .groupBy(col("qid"))
+        .agg(
+          count(lit(1)).as("n_hits"),
+          max(when(col("rank") === 1, col("id") === col("qid").cast(StringType)))
+            .as("self_first"),
+          min(coalesce(col("score") >= col("__next__"), lit(true))).as("score_sorted"))
+        .orderBy(col("qid"))
     }),
 
     // ANN: IVF quality contract — the cluster assignment is
@@ -847,15 +930,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5)
       val approx = Ann.ivfTopK(cachedIvf(s, dir), q, "vec_id", "embedding", k = 3, nProbe = 4)
       val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
-      val matched = approx.join(exact.select(col("qid"), col("id")), Seq("qid", "id"), "left_semi")
-        .groupBy(col("qid")).agg(count(lit(1)).as("n_match"))
-      val selfHit = approx.filter(col("rank") === 1)
-        .select(col("qid"), (col("id") === col("qid").cast(StringType)).as("self_ok"))
-      matched.join(selfHit, "qid")
-        .agg(
-          count(lit(1)).as("n_queries"),
-          (min(col("n_match")) >= 1L).as("recall_ok"),
-          min(col("self_ok")).as("self_hit"))
+      ivfContract(approx, exact)
     }),
 
     // Text: quality/token/fingerprint stats.
@@ -1335,6 +1410,9 @@ object SparkEntry {
         |  FROM cand c JOIN sg sa ON sa.id = c.id_a JOIN sg sb ON sb.id = c.id_b)
         |SELECT id_a, id_b, est_jaccard, jaccard FROM j ORDER BY id_a, id_b""".stripMargin,
 
+    // the band join is COMPLETE for hamming <= 3 (pigeonhole over 4
+    // chunks), so the oracle is banding-free brute force: all pairs, any
+    // id distance, hamming filter only
     "dedup_simhash_port" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |f AS (SELECT doc_id AS id,
@@ -1346,9 +1424,18 @@ object SparkEntry {
         |  FROM d)
         |SELECT a.id AS id_a, b.id AS id_b,
         |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-        |FROM f a JOIN f b ON b.id > a.id AND b.id <= a.id + 50
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 12
+        |FROM f a JOIN f b ON b.id > a.id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // banding-completeness contracts: the pair lists ride on
+    // engine-specific hash families, but the "candidate generation loses
+    // nothing and invents nothing" equality is engine-independent
+    "dedup_simhash" ->
+      """SELECT count(*) AS n_docs, TRUE AS band_matches_bruteforce FROM documents""",
+
+    "dedup_minhash" ->
+      """SELECT count(*) AS n_docs, TRUE AS lsh_matches_bruteforce FROM documents""",
 
     "dedup_winnow" -> (winnowCte(300) + ",\n" +
       """inv AS (SELECT doc_id AS id, len(fps) AS nfp, unnest(fps) AS fp FROM m),
@@ -1420,20 +1507,33 @@ object SparkEntry {
         |WHERE doc_id < 300 AND doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin),
 
+    // exact mirror of embeddingNearDupsLsh (nPlanes=4, bands=2): planes
+    // 0-3 are band 0, planes 4-7 band 1; candidates share a bucket in
+    // ANY band; cosine = dot of the normalized vectors
     "dedup_embcos" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
-        |FROM embeddings a JOIN embeddings b
-        |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
-        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+      """WITH pl AS (
+        |  SELECT p, list_transform(generate_series(0, 63), d -> sin(1000.0 * p + d)) AS plane
+        |  FROM generate_series(0, 7) AS t(p)),
+        |n AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings),
+        |bk AS (
+        |  SELECT n.vec_id, CAST(pl.p // 4 AS INT) AS band,
+        |    string_agg(CASE WHEN list_dot_product(n.nv, pl.plane) >= 0 THEN '1' ELSE '0' END,
+        |               '' ORDER BY pl.p) AS bucket
+        |  FROM n CROSS JOIN pl GROUP BY n.vec_id, pl.p // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |j AS (
+        |  SELECT c.id_a, c.id_b, list_dot_product(na.nv, nb.nv) AS cos
+        |  FROM cand c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b)
+        |SELECT id_a, id_b, round(cos, 6) AS cos FROM j WHERE cos >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_knn_graph" ->
-      """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 50),
+      """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings),
         |sc AS (SELECT qs.qid, e.vec_id AS id,
         |         list_dot_product(e.embedding::DOUBLE[], qs.qv) /
         |         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
@@ -1503,6 +1603,15 @@ object SparkEntry {
 
     "ann_ivf_recall" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_ivf_topk" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    // per-query structural invariants of the ranked probe output
+    "ann_ivf_probe" ->
+      """SELECT vec_id AS qid, CAST(3 AS BIGINT) AS n_hits, TRUE AS self_first,
+        |       TRUE AS score_sorted
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
 
     "text_stats" ->
       """WITH b AS (

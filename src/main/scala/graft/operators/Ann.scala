@@ -54,10 +54,10 @@ object Ann {
   }
 
   /** k-NN graph: for each query row, its top-k OTHER rows by cosine (self
-    * excluded) — the all-pairs similarity-join shape. Exact and therefore
-    * O(|data| × |queries|) scans: restrict the query side, or use
-    * [[lshTopK]]/[[ivfTopK]] as the sub-quadratic path, when both sides
-    * are large. */
+    * excluded) — the all-pairs similarity-join shape. The query side is
+    * broadcast whole, so it must fit in executor memory: use
+    * [[knnGraphBlocked]] when the query side is the dataset itself, or
+    * [[lshTopK]]/[[ivfTopK]] as the sub-quadratic approximate path. */
   def knnGraph(
       data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, k: Int): DataFrame = {
@@ -71,6 +71,32 @@ object Ann {
     topKHits(scored, idCol, k)
   }
 
+  /** All-pairs k-NN graph in broadcast-bounded query blocks.
+    *
+    * [[knnGraph]] broadcasts its whole query side — for the all-pairs
+    * case (queries == data) that broadcasts the dataset, an executor OOM
+    * at scale. This variant hash-partitions the query rows into
+    * ceil(n / maxBroadcastRows) disjoint blocks and unions one
+    * broadcast-scored pass per block: every broadcast stays bounded by
+    * maxBroadcastRows, the data side streams in each pass, and each
+    * query lands in exactly one block so the union needs no dedup.
+    * Wall-clock grows linearly in nBlocks (one data scan per block) in
+    * exchange for bounded memory — the honest EXACT all-pairs path; use
+    * [[lshTopK]]/[[ivfTopK]] when approximate recall is acceptable. The
+    * one driver-side action is a count() to size the blocks.
+    */
+  def knnGraphBlocked(
+      data: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxBroadcastRows: Long = 100000L): DataFrame = {
+    require(maxBroadcastRows > 0, "maxBroadcastRows must be positive")
+    val n = data.count()
+    val nBlocks = math.max(1L, (n + maxBroadcastRows - 1) / maxBroadcastRows).toInt
+    val blockOf = pmod(xxhash64(col(idCol)), lit(nBlocks))
+    (0 until nBlocks)
+      .map(b => knnGraph(data, idCol, vecCol, data.filter(blockOf === b), k))
+      .reduce(_.unionByName(_))
+  }
+
   /** Deterministic pseudo-random hyperplanes, engine-independent: element
     * h[p][d] = sin(1000*p + d) (any fixed, reproducible, roughly isotropic
     * family works for sign-LSH). */
@@ -79,10 +105,12 @@ object Ann {
 
   /** Sign-LSH bucket key: one bit per hyperplane = sign of the projection.
     * Vectors in the same bucket are near-dup candidates; probing the query
-    * bucket only turns brute force into a candidate-bounded search. */
-  def hyperplaneBucket(vecCol: Column, dim: Int, nPlanes: Int): Column =
+    * bucket only turns brute force into a candidate-bounded search.
+    * `planeOffset` selects an independent hyperplane family, so callers
+    * can OR several bucket sets (multi-band LSH) for higher recall. */
+  def hyperplaneBucket(vecCol: Column, dim: Int, nPlanes: Int, planeOffset: Int = 0): Column =
     concat_ws("", (0 until nPlanes).map { p =>
-      when(dotD(vecCol, hyperplane(p, dim)) >= 0, lit("1")).otherwise(lit("0"))
+      when(dotD(vecCol, hyperplane(planeOffset + p, dim)) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
   // ------------------------------------------------------------- IVF

@@ -183,20 +183,56 @@ object Dedup {
       .drop("blk")
   }
 
-  /** SimHash near-dup pairs within id-distance blocks (blocked candidate
-    * generation; at scale, swap the block for a band join on fingerprint
-    * chunks). */
+  /** SimHash near-dup pairs via fingerprint band join — FULL recall.
+    *
+    * The fingerprint is split into `maxHamming + 1` disjoint bit chunks;
+    * by pigeonhole, any pair within Hamming distance `maxHamming` agrees
+    * exactly on at least one whole chunk, so an equi self-join on
+    * (chunk index, chunk value) finds EVERY qualifying pair regardless of
+    * where the documents sit in the corpus — unlike id-distance blocking,
+    * which only sees pairs that happen to be id-adjacent. Same shuffle
+    * discipline as [[minhashLshPairs]]: the band shuffle carries only
+    * (id, chunk index, chunk value, fingerprint) scalar rows, and the
+    * per-bucket join fan-out is bounded by chunk-value collisions
+    * (2^chunkBits buckets per chunk index), never all-pairs.
+    *
+    * `maxHamming` trades recall radius against candidate volume: more
+    * chunks means narrower chunk values, hence hotter buckets. The
+    * default (3 → four 16-bit chunks over the 64-bit fingerprint) is the
+    * classic web-dedup configuration; raising it past ~7 makes chunks
+    * narrow enough (<8 bits) that bucket sizes approach corpus scale —
+    * prefer raising the shingle granularity instead.
+    */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8, idBlock: Long = 50,
+      maxHamming: Int = 3,
       portableHash: Boolean = false): DataFrame = {
+    val fpBits = if (portableHash) 48 else 64
+    val nChunks = maxHamming + 1
+    require(maxHamming >= 0 && nChunks <= fpBits,
+      s"maxHamming must be in [0, ${fpBits - 1}], got $maxHamming")
     val fp = if (portableHash) simhash48Portable(tokens(col(textCol)))
       else simhash64(tokens(col(textCol)))
     val withFp = df.select(col(idCol).as("id"), fp.as("fp"))
-    blockedPairs(withFp, "id", "fp", idBlock)
-      .withColumn("hamming", simhashHamming(col("fp_a"), col("fp_b")).cast(IntegerType))
+    // chunk i covers bits [i*fpBits/nChunks, (i+1)*fpBits/nChunks) —
+    // any partition of the bits satisfies the pigeonhole argument
+    val chunks = (0 until nChunks).map { i =>
+      val start = i * fpBits / nChunks
+      val width = (i + 1) * fpBits / nChunks - start
+      struct(lit(i).as("ci"),
+        shiftrightunsigned(col("fp"), start).bitwiseAND(lit((1L << width) - 1L)).as("cv"))
+    }
+    val banded = withFp
+      .select(col("id"), col("fp"), explode(array(chunks: _*)).as("c"))
+      .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    banded.select(col("ci"), col("cv"), col("id").as("id_a"), col("fp").as("fp_a"))
+      .join(banded.select(col("ci"), col("cv"), col("id").as("id_b"), col("fp").as("fp_b")),
+        Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        simhashHamming(col("fp_a"), col("fp_b")).cast(IntegerType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   // --------------------------------------------------- winnowing pairs
@@ -298,9 +334,11 @@ object Dedup {
   }
 
   // ------------------------------------------- embedding near-duplicates
-  /** Embedding-cosine near-dup pairs within id-distance blocks. The
-    * blocked join bounds candidates to N*blockSize; the LSH variant in
-    * [[Ann.hyperplaneBucket]] is the sub-quadratic scale path. */
+  /** Embedding-cosine near-dup pairs within id-distance blocks — a
+    * bounded-candidate variant for corpora where near-dups ARE
+    * id-adjacent (e.g. consecutive crawl snapshots). Candidate recall
+    * collapses when they are not; [[embeddingNearDupsLsh]] is the
+    * content-addressed generator that scales. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, idBlock: Long = 50): DataFrame = {
@@ -309,6 +347,44 @@ object Dedup {
     val v = df.select(col(idCol).as("id"),
       graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("v"))
     blockedPairs(v, "id", "v", idBlock)
+      .withColumn("cos", graft.functions.VectorFunctions.dotD(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs via multi-band sign-LSH bucketing —
+    * the content-addressed, sub-quadratic scale path. Each of `bands`
+    * independent hyperplane families ([[Ann.hyperplaneBucket]] with a
+    * disjoint plane offset) buckets every vector; candidates are pairs
+    * sharing a bucket in ANY band (multi-band OR). The band shuffle
+    * carries only (id, band, bucket) scalar rows; vectors are re-joined
+    * for the bucket-bounded candidate set only, exactly like
+    * [[minhashLshPairs]]'s payload discipline.
+    *
+    * Recall is probabilistic — a qualifying pair whose vectors disagree
+    * on ≥1 sign in every band is missed; P(found) =
+    * 1 - (1 - (1 - θ/π)^nPlanes)^bands for angle θ. Raise `bands` (more
+    * passes) or lower `nPlanes` (hotter buckets) for recall. The
+    * sin-family hyperplanes are deterministic pure math, so the whole
+    * pipeline is engine-reproducible. */
+  def embeddingNearDupsLsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, nPlanes: Int = 8, bands: Int = 2): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("v"))
+    val banded = v.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        Ann.hyperplaneBucket(col("v"), dim, nPlanes, planeOffset = b * nPlanes)): _*))
+        .as(Seq("band", "bucket")))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", graft.functions.VectorFunctions.dotD(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))

@@ -44,11 +44,67 @@ class DedupAnnSpec extends AnyFunSuite {
   }
 
   test("blocked pairs reject non-numeric ids with a clear error") {
-    val df = Seq(("doc-1", "a b c"), ("doc-2", "a b c")).toDF("sid", "text")
+    val df = Seq(("doc-1", Seq(1.0f, 0.0f)), ("doc-2", Seq(1.0f, 0.0f))).toDF("sid", "vec")
     val ex = intercept[IllegalArgumentException] {
-      Dedup.simhashPairs(df, "sid", "text").collect()
+      Dedup.embeddingNearDups(df, "sid", "vec", threshold = 0.5).collect()
     }
     assert(ex.getMessage.contains("numeric id"))
+  }
+
+  test("simhash band join: full recall at any id distance, equals brute force") {
+    // exact dup pair 1_000_000 ids apart — id-distance blocking would
+    // miss it; the fingerprint band join must not
+    val far = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (1000001L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark catalyst optimizer rewrites logical plans"),
+      (3L, "completely different content about query engines here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(far, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs.contains((1L, 1000001L)) && pairs((1L, 1000001L)) == 0)
+    // band join == brute-force all-pairs hamming<=3 (pigeonhole completeness)
+    val fp = far.select(col("doc_id").as("id"),
+      Dedup.simhash64(Dedup.tokens(col("text"))).as("fp"))
+    val brute = fp.select(col("id").as("id_a"), col("fp").as("fp_a"))
+      .crossJoin(fp.select(col("id").as("id_b"), col("fp").as("fp_b")))
+      .filter(col("id_a") < col("id_b") &&
+        Dedup.simhashHamming(col("fp_a"), col("fp_b")) <= 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.keySet == brute)
+    // string ids work too (no numeric-id requirement in the band join)
+    val sids = Seq(("a", "x y z w"), ("b", "x y z w")).toDF("sid", "text")
+    val sp = Dedup.simhashPairs(sids, "sid", "text").collect()
+    assert(sp.length == 1 && sp.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("embedding LSH near-dups: co-bucketed identical vectors found, threshold enforced") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    // plant an exact copy of vec 0 at a far id: same vector => same
+    // bucket in every band => always a candidate, cos == 1
+    val clone = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val pairs = Dedup.embeddingNearDupsLsh(
+        e.select("vec_id", "embedding").union(clone), "vec_id", "embedding",
+        threshold = 0.99, dim = 64, nPlanes = 4, bands = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos")))
+    assert(pairs.exists { case (a, b, c) => a == 0L && b == 1000000L && c >= 0.999999 })
+    pairs.foreach { case (_, _, c) => assert(c >= 0.99) }
+  }
+
+  test("knnGraphBlocked: equals unblocked knnGraph, broadcasts stay block-sized") {
+    val e = Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 60)
+    val full = Ann.knnGraph(e, "vec_id", "embedding", e, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val blocked = Ann.knnGraphBlocked(e, "vec_id", "embedding", k = 3, maxBroadcastRows = 16L)
+    assert(blocked.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == full)
+    // 60 rows / 16 per block = 4 blocks => 4 bounded broadcasts, never one
+    // big one (AQE's toString repeats the plan under "== Initial Plan ==" —
+    // count the final plan only)
+    val plan = blocked.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val nBroadcasts = "BroadcastExchange".r.findAllIn(plan).size
+    assert(nBroadcasts == 4, s"expected 4 block-sized broadcasts, got $nBroadcasts\n$plan")
   }
 
   test("jaccard of shingle sets: identical=1, near-dup high, disjoint=0") {
