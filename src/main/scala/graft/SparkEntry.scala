@@ -74,7 +74,8 @@ object SparkEntry {
     componentsCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
       import graft.operators.Dedup
       Dedup.connectedComponents(Dedup.winnowPairs(
-        Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id", "text"))
+        Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id", "text",
+        maxDf = Some(64)))
     })
 
   /** Events of one type — the shared head of the as-of/lookback/funnel
@@ -772,10 +773,12 @@ object SparkEntry {
     }),
 
     // Dedup: winnowing near-dup pairs — inverted fingerprint index join
-    // (the local-fingerprint complement to the whole-doc/minhash paths).
+    // (the local-fingerprint complement to the whole-doc/minhash paths),
+    // with the hot-fingerprint df cap that keeps a boilerplate k-gram
+    // from going quadratic in the self-join.
     "dedup_winnow" -> ((s, dir) => {
       Dedup.winnowPairs(Tables.documents(s, dir).filter(col("doc_id") < 300),
-          "doc_id", "text")
+          "doc_id", "text", maxDf = Some(64))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1191,6 +1194,15 @@ object SparkEntry {
       |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
       |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
+  /** Inverted winnowing-fingerprint index with the hot-fingerprint cap
+    * (df > 64 dropped; nfp keeps the pre-cap count) — mirrors
+    * `Dedup.winnowPairs(maxDf = Some(64))`, shared by dedup_winnow /
+    * dedup_components / pipe_dedup_survivors. */
+  private val winnowInvCte =
+    """inv0 AS (SELECT doc_id AS id, len(fps) AS nfp, unnest(fps) AS fp FROM m),
+      |inv AS (SELECT id, nfp, fp FROM inv0 WHERE fp NOT IN (
+      |          SELECT fp FROM inv0 GROUP BY fp HAVING count(*) > 64))""".stripMargin
+
   /** Winnowing-fingerprint oracle scaffolding (k=8 grams, w=16 window),
     * parameterized by the doc range, shared by text_winnow and
     * dedup_winnow. */
@@ -1437,9 +1449,8 @@ object SparkEntry {
     "dedup_minhash" ->
       """SELECT count(*) AS n_docs, TRUE AS lsh_matches_bruteforce FROM documents""",
 
-    "dedup_winnow" -> (winnowCte(300) + ",\n" +
-      """inv AS (SELECT doc_id AS id, len(fps) AS nfp, unnest(fps) AS fp FROM m),
-        |p AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
+    "dedup_winnow" -> (winnowCte(300) + ",\n" + winnowInvCte + ",\n" +
+      """p AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
         |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
         |      GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, shared,
@@ -1477,8 +1488,8 @@ object SparkEntry {
     // recursive-CTE reachability: component = min id reachable over the
     // undirected near-dup edges (same pair pipeline as dedup_winnow)
     "dedup_components" -> ("WITH RECURSIVE " + winnowCte(300).stripPrefix("WITH ") + ",\n" +
-      """inv AS (SELECT doc_id AS id, len(fps) AS nfp, unnest(fps) AS fp FROM m),
-        |pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
+      winnowInvCte + ",\n" +
+      """pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
         |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
         |      GROUP BY 1, 2, 3, 4),
         |pf AS (SELECT id_a, id_b FROM pq
@@ -1491,8 +1502,8 @@ object SparkEntry {
         |SELECT id, min(comp) AS component FROM r GROUP BY id ORDER BY id""".stripMargin),
 
     "pipe_dedup_survivors" -> ("WITH RECURSIVE " + winnowCte(300).stripPrefix("WITH ") + ",\n" +
-      """inv AS (SELECT doc_id AS id, len(fps) AS nfp, unnest(fps) AS fp FROM m),
-        |pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
+      winnowInvCte + ",\n" +
+      """pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
         |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
         |      GROUP BY 1, 2, 3, 4),
         |pf AS (SELECT id_a, id_b FROM pq

@@ -242,16 +242,32 @@ object Dedup {
     * (fingerprint -> doc) index — the only data-sized shuffle — and keep
     * pairs whose shared-fingerprint fraction (shared / min fingerprint
     * count) clears the threshold. Robust to edits/reordering that break
-    * whole-document hashing; a pathologically hot fingerprint (boilerplate
-    * k-grams) should be dropped by document frequency before the join at
-    * scale, like a stopword. */
+    * whole-document hashing.
+    *
+    * `maxDf` is the hot-fingerprint cap: a fingerprint shared by d
+    * documents contributes d·(d-1)/2 rows to the self-join, so one
+    * boilerplate k-gram (license header, navigation chrome) shared by a
+    * million documents would make the join quadratic. Fingerprints whose
+    * document frequency exceeds the cap are dropped before the join,
+    * like corpus stopwords; the overlap DENOMINATOR keeps each document's
+    * original fingerprint count, so capping only ever shrinks overlap
+    * (conservative — never invents a pair). */
   def winnowPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 16, minOverlap: Double = 0.25): DataFrame = {
+      k: Int = 8, w: Int = 16, minOverlap: Double = 0.25,
+      maxDf: Option[Int] = None): DataFrame = {
     val withFps = df.select(col(idCol).as("id"),
         graft.functions.PortableHashes.winnowFingerprints(col(textCol), k, w).as("fps"))
       .withColumn("nfp", size(col("fps")))
-    val inv = withFps.select(col("id"), col("nfp"), explode(col("fps")).as("fp"))
+    val inv0 = withFps.select(col("id"), col("nfp"), explode(col("fps")).as("fp"))
+    val inv = maxDf match {
+      case Some(cap) =>
+        // fps are distinct per document, so count(*) per fp == doc freq
+        val hot = inv0.groupBy(col("fp")).agg(count(lit(1)).as("__df__"))
+          .filter(col("__df__") > cap).select(col("fp"))
+        inv0.join(hot, Seq("fp"), "left_anti")
+      case None => inv0
+    }
     val a = inv.select(col("fp"), col("id").as("id_a"), col("nfp").as("n_a"))
     val b = inv.select(col("fp"), col("id").as("id_b"), col("nfp").as("n_b"))
     a.join(b, Seq("fp"))
@@ -269,17 +285,101 @@ object Dedup {
     * closure that turns pairwise matches into dedup clusters (A~B, B~C
     * => one group even though A,C never matched directly).
     *
-    * Iterative min-label propagation: every node starts as its own
-    * label; each round every node takes the minimum label among itself
-    * and its neighbors; converged when no label changes. Each round is
-    * one hash join + one groupBy — the standard distributed-CC shape
-    * (rounds <= graph diameter; near-dup graphs are shallow). The loop
-    * runs on the driver but all data stays distributed;
-    * `localCheckpoint` caps lineage growth per round.
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): each round rewires every
+    * node's strictly-larger neighbors to its local minimum (large-star),
+    * then its smaller-or-equal neighborhood to that hood's minimum
+    * (small-star). The edge set contracts toward a star forest rooted at
+    * each component's minimum id in O(log diameter) rounds — unlike
+    * one-hop min-label propagation ([[connectedComponentsMinLabel]]),
+    * whose round count is the diameter itself and dies on long chains.
+    * Every phase is one groupBy + one join over the canonical edge list;
+    * the loop runs on the driver but all data stays distributed, with
+    * `localCheckpoint` capping lineage per round.
     *
     * Returns (id, component) where component = min id of the cluster.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsStarWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of alternation rounds used
+    * (exposed for convergence tests). */
+  private[graft] def connectedComponentsStarWithRounds(
+      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    // canonical undirected edge list: (u, v) with u < v, no self loops
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    def adj(e: DataFrame): DataFrame =
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+
+    // large-star(u): rewire every strictly-larger neighbor to
+    // m(u) = min(neighborhood ∪ {u}); emitted edges are canonical
+    // because m <= u < dst
+    def largeStar(e: DataFrame): DataFrame = {
+      val a = adj(e)
+      val m = a.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      a.filter(col("dst") > col("src")).join(m, "src")
+        .select(col("m").as("u"), col("dst").as("v"))
+        .distinct()
+    }
+
+    // small-star(u): rewire the smaller neighbors and u itself to the
+    // minimum of that smaller neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val neg = adj(e).filter(col("dst") < col("src"))
+      val m = neg.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val nbrs = neg.join(m, "src").filter(col("dst") =!= col("m"))
+        .select(col("m").as("u"), col("dst").as("v"))
+      val self = m.select(col("m").as("u"), col("src").as("v"))
+      nbrs.unionByName(self).distinct()
+    }
+
+    // exact set equality of two canonical distinct edge lists (equal
+    // cardinality + empty anti-join) — deterministic, no hash-signature
+    // shortcut that could mask a missed round
+    def sameSet(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && b.join(a, Seq("u", "v"), "left_anti").isEmpty
+
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val afterLarge = largeStar(edges).localCheckpoint(true)
+      val largeStable = sameSet(edges, afterLarge)
+      val afterSmall = smallStar(afterLarge).localCheckpoint(true)
+      val smallStable = sameSet(afterLarge, afterSmall)
+      converged = largeStable && smallStable
+      edges = afterSmall
+      iter += 1
+    }
+    // a silent cutoff would hand back a half-contracted forest as if it
+    // were components — fail loudly instead
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    // belt + suspenders: the fixpoint must be a star forest (each leaf
+    // has exactly one parent, no node is both parent and leaf)
+    require(edges.count() == edges.select(col("v")).distinct().count() &&
+        edges.select(col("u")).intersect(edges.select(col("v"))).isEmpty,
+      "connectedComponents fixpoint is not a star forest — algorithm invariant broken")
+    val labels = edges.select(col("v").as("id"), col("u").as("component"))
+      .unionByName(edges.select(col("u").as("id"), col("u").as("component")))
+      .distinct()
+    (labels, iter)
+  }
+
+  /** One-hop min-label propagation — the simple diameter-bound loop,
+    * kept as an independent implementation for cross-checking
+    * [[connectedComponents]] (and for shallow graphs, where its two
+    * shuffles per round beat the star rounds' four).
+    *
+    * Returns (id, component) where component = min id of the cluster.
+    */
+  def connectedComponentsMinLabel(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -317,8 +417,9 @@ object Dedup {
     // a silent cutoff would return intermediate labels as if they were
     // components — fail loudly instead (raise maxIter past the diameter)
     require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — the " +
-        "graph diameter exceeds maxIter; raise it")
+      s"connectedComponentsMinLabel did not converge in $maxIter rounds — " +
+        "the graph diameter exceeds maxIter; raise it (or use the " +
+        "large-star/small-star connectedComponents, which is log-diameter)")
     labels
   }
 

@@ -19,14 +19,26 @@ import org.apache.spark.storage.StorageLevel
   * is the one deliberate use of the RDD layer in the library (genuine
   * per-partition imperative kernel; everything else is DataFrames).
   *
+  * Two build modes:
+  *  - [[MatrixStore.fromStore]]: one block per source partition — the
+  *    cheapest build for a read-only store.
+  *  - [[MatrixStore.fromStoreBucketed]]: one block per
+  *    [[VectorStore.Partitioned]] id-bucket, so after a bucketed upsert
+  *    the cache is maintained INCREMENTALLY ([[refreshBuckets]]) by
+  *    rebuilding only the touched buckets' blocks — O(touched/nBuckets)
+  *    of the store instead of a full rebuild.
+  *
   * Scores are bitwise-identical to [[VectorStore.query]] on the same
   * store: the same left-to-right double accumulation over the same
   * normalized float vectors, the same inclusive threshold, NaN
-  * exclusion, and (score DESC, id ASC) tie order.
+  * exclusion, and (score DESC, id ASC) tie order — and identical across
+  * both build modes and any refresh history, because the heap merge is
+  * order-insensitive.
   */
 final class MatrixStore private (
     private val blocks: RDD[MatrixStore.Block],
-    val dim: Int) extends Serializable {
+    val dim: Int,
+    val nBuckets: Option[Int]) extends Serializable {
 
   /** Exact top-k cosine query; returns (id, score) best-first. */
   def query(queryVec: Array[Float], topK: Int,
@@ -85,6 +97,27 @@ final class MatrixStore private (
     }.toMap
   }
 
+  /** Incrementally maintain a bucket-aligned cache after a
+    * [[VectorStore.Partitioned]]-style upsert/delete: rebuild ONLY the
+    * `touched` buckets' blocks from the store's current state and keep
+    * every other block's pinned slab untouched. Returns the refreshed
+    * cache (this object's cache is superseded — the untouched blocks are
+    * shared, so do NOT unpersist the old handle). Requires a cache built
+    * with [[MatrixStore.fromStoreBucketed]] and the same nBuckets the
+    * store layout uses. */
+  def refreshBuckets(store: VectorStore, touched: Seq[Int]): MatrixStore = {
+    val nb = nBuckets.getOrElse(throw new IllegalArgumentException(
+      "refreshBuckets needs a bucket-aligned cache — build with fromStoreBucketed"))
+    val touchedSet = touched.toSet
+    val kept = blocks.filter(b => !touchedSet.contains(b.bucket))
+    val fresh = MatrixStore.bucketBlocks(
+      store.df.filter(VectorStore.Partitioned.bucketOf(nb).isin(touched.map(_.toLong): _*)),
+      dim, nb)
+    val combined = (kept ++ fresh).persist(StorageLevel.MEMORY_AND_DISK)
+    combined.count() // materialize: queries measure scan, not refresh
+    new MatrixStore(combined, dim, nBuckets)
+  }
+
   /** Release the pinned blocks. `blocking = true` waits for the executors
     * to actually free the memory — required between timed rebuilds, where
     * an async release would let the old ~N×dim×4-byte slab race the new
@@ -104,12 +137,34 @@ object MatrixStore {
       }
     }
 
-  /** One partition's slab: ids + row-major normalized float matrix. */
-  final case class Block(ids: Array[String], matrix: Array[Float])
+  /** One partition's slab: ids + row-major normalized float matrix.
+    * `bucket` is the [[VectorStore.Partitioned]] id-bucket the slab
+    * covers, or -1 for partition-aligned (non-incremental) builds. */
+  final case class Block(ids: Array[String], matrix: Array[Float], bucket: Int = -1)
+
+  /** Append-only primitive-array slab builder (no per-element boxing). */
+  private final class BlockBuilder(dim: Int) {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+    private var matrix = new Array[Float](0)
+    private var used = 0
+    def add(id: String, v: Array[Float]): Unit = {
+      if (used + dim > matrix.length) {
+        val grown = new Array[Float](math.max(matrix.length * 2, (used + dim) * 2))
+        System.arraycopy(matrix, 0, grown, 0, used)
+        matrix = grown
+      }
+      System.arraycopy(v, 0, matrix, used, dim)
+      used += dim
+      ids += id
+    }
+    def result(bucket: Int): Block =
+      Block(ids.toArray, java.util.Arrays.copyOf(matrix, used), bucket)
+  }
 
   /** Build (and pin in executor memory) the matrix cache from a store.
-    * One pass; vectors are cast to float — the reference's element type
-    * (lib.rs:24) — regardless of the store's oracle-path element type. */
+    * One pass, one block per source partition; vectors are cast to
+    * float — the reference's element type (lib.rs:24) — regardless of
+    * the store's oracle-path element type. */
   def fromStore(st: VectorStore): MatrixStore = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -122,25 +177,56 @@ object MatrixStore {
       .as[(String, Array[Float])]
       .rdd
       .mapPartitions { it =>
-        val ids = scala.collection.mutable.ArrayBuffer.empty[String]
-        var matrix = new Array[Float](0)
-        var used = 0
+        val b = new BlockBuilder(dim)
         it.foreach { case (id, v) =>
           require(v.length == dim, s"vector dim ${v.length} != $dim for id $id")
-          if (used + dim > matrix.length) {
-            val grown = new Array[Float](math.max(matrix.length * 2, (used + dim) * 2))
-            System.arraycopy(matrix, 0, grown, 0, used)
-            matrix = grown
-          }
-          System.arraycopy(v, 0, matrix, used, dim)
-          used += dim
-          ids += id
+          b.add(id, v)
         }
-        if (ids.isEmpty) Iterator.empty
-        else Iterator.single(Block(ids.toArray, java.util.Arrays.copyOf(matrix, used)))
+        if (b.ids.isEmpty) Iterator.empty else Iterator.single(b.result(-1))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     blocks.count() // materialize now: queries measure scan, not build
-    new MatrixStore(blocks, dim)
+    new MatrixStore(blocks, dim, None)
+  }
+
+  /** Build a bucket-aligned cache: one block per
+    * [[VectorStore.Partitioned]] id-bucket, enabling
+    * [[MatrixStore.refreshBuckets]] after incremental upserts. Costs one
+    * extra shuffle vs [[fromStore]] (rows must be co-located by bucket). */
+  def fromStoreBucketed(st: VectorStore, nBuckets: Int): MatrixStore = {
+    require(nBuckets > 0)
+    val blocks = bucketBlocks(st.df, st.embeddingDim, nBuckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    blocks.count()
+    new MatrixStore(blocks, st.embeddingDim, Some(nBuckets))
+  }
+
+  /** Shuffle rows to their id-bucket and slab each bucket into a Block.
+    * One partition per bucket, so a refresh rebuilds exactly the touched
+    * slabs. */
+  private def bucketBlocks(df: org.apache.spark.sql.DataFrame,
+      dim: Int, nBuckets: Int): RDD[Block] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        VectorStore.Partitioned.bucketOf(nBuckets).cast(IntegerType).as("__b__"),
+        col(VectorStore.IdCol).cast(StringType),
+        col(VectorStore.VectorCol).cast(ArrayType(FloatType, containsNull = false)))
+      .as[(Int, String, Array[Float])]
+      .rdd
+      .keyBy(_._1)
+      .partitionBy(new org.apache.spark.HashPartitioner(nBuckets))
+      .mapPartitions { it =>
+        // one bucket per partition under HashPartitioner(nBuckets) when
+        // keys are 0..nBuckets-1, but group defensively by key anyway
+        val builders = scala.collection.mutable.Map.empty[Int, BlockBuilder]
+        it.foreach { case (bkt, (_, id, v)) =>
+          require(v.length == dim, s"vector dim ${v.length} != $dim for id $id")
+          builders.getOrElseUpdate(bkt, new BlockBuilder(dim)).add(id, v)
+        }
+        builders.iterator.map { case (bkt, b) => b.result(bkt) }
+      }
   }
 }

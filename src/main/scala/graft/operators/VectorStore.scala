@@ -124,7 +124,14 @@ final case class VectorStore(
 
   // ------------------------------------------------------------------- O6
   /** Point lookup by ids — broadcast semi-join (lib.rs:263-270). Missing
-    * ids are silently dropped, full records (incl. vector) returned. */
+    * ids are silently dropped, full records (incl. vector) returned.
+    *
+    * Known behavioral delta vs the reference: the reference returns hits
+    * in INSERTION order (it scans its Vec in storage order,
+    * lib.rs:263-270); this returns scan order, which in a distributed
+    * store is not meaningful — rows have no global position. Callers who
+    * need a total order should `orderBy` explicitly (every oracle query
+    * does), like O2a this is a documented, deliberate divergence. */
   def get(ids: Seq[String]): DataFrame =
     df.filter(col(IdCol).isin(ids: _*))
 
@@ -196,7 +203,11 @@ object VectorStore {
     * O(touched buckets / nBuckets) of the store, not O(store).
     */
   object Partitioned {
-    private def bucketOf(nBuckets: Int): Column =
+    /** The shared id-bucket function: [[Partitioned]] persists by it and
+      * [[MatrixStore.fromStoreBucketed]] aligns its blocks with it, so a
+      * Partitioned upsert's touched-bucket list maps 1:1 onto the matrix
+      * blocks to refresh. */
+    private[graft] def bucketOf(nBuckets: Int): Column =
       pmod(xxhash64(col(IdCol)), lit(nBuckets.toLong))
 
     /** Materialize a store into the bucketed layout. */

@@ -166,6 +166,34 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("star components: log-round convergence on a chain min-label cannot finish") {
+    // 121-node chain (diameter 120): one-hop min-label needs ~120 rounds
+    // and must fail loudly at its 10-round cap...
+    val chain = (1L until 121L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.connectedComponentsMinLabel(chain, maxIter = 10).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // ...while large-star/small-star contracts it in O(log d) rounds
+    val (labels, rounds) = graft.operators.Dedup
+      .connectedComponentsStarWithRounds(chain, maxIter = 10)
+    assert(rounds <= 10, s"star alternation took $rounds rounds on a 120-chain")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 121 && got.forall(_._2 == 1L))
+  }
+
+  test("star components agree with min-label on random pair graphs") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextLong(200).abs, rnd.nextLong(200).abs))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val star = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val minLabel = graft.operators.Dedup.connectedComponentsMinLabel(pairs, maxIter = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == minLabel)
+  }
+
   test("connectedComponents and dropNearDups handle an empty pair list") {
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.operators.Dedup.connectedComponents(noPairs).isEmpty)
@@ -184,6 +212,28 @@ class DedupAnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(pairs.exists { case (a, b, ov) => a == 1L && b == 2L && ov == 1.0 })
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("winnow hot-fingerprint cap drops boilerplate pairs, keeps real dups") {
+    val boiler = "this standard license header appears identically on every single document in the corpus"
+    val docs = ((1L to 30L).map(i =>
+        (i, s"$boiler unique payload number $i with extra words ${"x" * i.toInt} trailing")) :+
+      (100L, "zebra quilt vortex jumble knight plasma wizard gecko fondue nimbus") :+
+      (101L, "zebra quilt vortex jumble knight plasma wizard gecko fondue nimbus"))
+      .toDF("doc_id", "text")
+    // uncapped: the shared header links every header-bearing pair
+    val uncapped = graft.operators.Dedup.winnowPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.exists { case (a, b) => a <= 30L && b <= 30L },
+      "fixture must produce boilerplate-only pairs for the cap to prune")
+    // capped at df<=10: header fingerprints (df=30) drop like stopwords;
+    // the true duplicate pair (df=2 fingerprints) survives at overlap 1.0
+    val capped = graft.operators.Dedup.winnowPairs(docs, "doc_id", "text", maxDf = Some(10))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(capped.contains((100L, 101L)) && capped((100L, 101L)) == 1.0)
+    assert(!capped.keySet.exists { case (a, b) => a <= 30L && b <= 30L },
+      s"boilerplate-only pairs must be pruned, got ${capped.keySet}")
   }
 
   test("minhash signatures-only mode finds the same candidate pairs") {

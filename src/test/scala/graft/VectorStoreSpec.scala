@@ -169,6 +169,47 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally empty.unpersist()
   }
 
+  test("bucketed matrix refresh after upsert equals full rebuild bitwise") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val nBuckets = 8
+    val mx = graft.operators.MatrixStore.fromStoreBucketed(st, nBuckets)
+    val q = e.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    // bucketed build is just a layout change: same results as fromStore
+    val flat = graft.operators.MatrixStore.fromStore(st)
+    assert(mx.query(q, 10).toSeq == flat.query(q, 10).toSeq)
+    flat.unpersist()
+    // upsert: reverse 5 vectors, insert 5 new far ids
+    val batch = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("string").as("__id__"),
+        reverse(col("embedding")).as("vector"), col("label"))
+      .union(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).cast("string").as("__id__"),
+          col("embedding").as("vector"), col("label")))
+    val st2 = st.upsert(batch).store
+    val touched = batch
+      .select(VectorStore.Partitioned.bucketOf(nBuckets).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(touched.nonEmpty && touched.size < nBuckets,
+      s"fixture should touch a strict subset of buckets, touched $touched")
+    val refreshed = mx.refreshBuckets(st2, touched)
+    val full = graft.operators.MatrixStore.fromStoreBucketed(st2, nBuckets)
+    try {
+      assert(refreshed.query(q, 10).toSeq == full.query(q, 10).toSeq)
+      // the updated vector itself must surface identically
+      val q0 = batch.filter(col("__id__") === "0").select("vector")
+        .head().getSeq[Float](0).toArray
+      assert(refreshed.query(q0, 5).toSeq == full.query(q0, 5).toSeq)
+      assert(refreshed.query(q0, 5).head._1 == "0") // self-hit on the NEW vector
+    } finally { full.unpersist(); refreshed.unpersist(); mx.unpersist() }
+    // refresh on a partition-aligned cache is a loud error, not silence
+    val flat2 = graft.operators.MatrixStore.fromStore(st)
+    try {
+      val ex = intercept[IllegalArgumentException](flat2.refreshBuckets(st2, touched))
+      assert(ex.getMessage.contains("fromStoreBucketed"))
+    } finally flat2.unpersist()
+  }
+
   test("top-k properties: query(k) is a prefix of query(k+1); threshold = filtered top-k") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
