@@ -747,9 +747,10 @@ object SparkEntry {
     // oracle-expressible; what IS checkable is the banding guarantee —
     // splitting the 64-bit fingerprint into maxHamming+1 chunks must
     // (pigeonhole) reproduce brute-force all-pairs hamming<=3 EXACTLY.
-    // The brute-force side here is the test harness, not the operator.
+    // The quadratic brute-force side is the test harness, not the
+    // operator, so it runs on a bounded doc subset (like dedup_minhash).
     "dedup_simhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
       val band = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
         .select(col("id_a"), col("id_b"))
       val withFp = docs.select(col("doc_id").as("id"),
@@ -941,6 +942,30 @@ object SparkEntry {
       val approx = Ann.ivfTopK(cachedIvf(s, dir), q, "vec_id", "embedding", k = 3, nProbe = 4)
       val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
       ivfContract(approx, exact)
+    }),
+
+    // ANN: IVF list re-balancing contract — oversized lists split by a
+    // local re-cluster. Engine-independent invariants: assignment row
+    // count preserved, max list size never increases, probes on the
+    // rebalanced index keep the recall/self-hit guarantees. (The split
+    // decision itself is size-driven and deterministic, but the list
+    // contents are KMeans-specific, hence contract booleans.)
+    "ann_ivf_balanced" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val raw = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8, seed = 7)
+      val bal = Ann.ivfRebalance(raw, maxFactor = 1.25)
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.ivfTopK(bal, q, "vec_id", "embedding", k = 3, nProbe = 4)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      def listStats(idx: Ann.IvfIndex, suffix: String) =
+        idx.assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as(s"mx_$suffix"), sum(col("n")).as(s"tot_$suffix"))
+      ivfContract(approx, exact)
+        .crossJoin(listStats(raw, "b"))
+        .crossJoin(listStats(bal, "a"))
+        .select(col("n_queries"), col("recall_ok"), col("self_hit"),
+          (col("tot_a") === col("tot_b")).as("rows_preserved"),
+          (col("mx_a") <= col("mx_b")).as("max_not_increased"))
     }),
 
     // Text: quality/token/fingerprint stats.
@@ -1142,6 +1167,23 @@ object SparkEntry {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // Streaming: stateful simhash near-dup pair detection — documents
+    // stream in, pairs stream out as fingerprint-chunk buckets fill.
+    // On bounded input the emitted pair set must equal the batch band
+    // join's, which (being complete for hamming<=3) equals brute-force
+    // all-pairs — so this shares dedup_simhash_port's banding-free
+    // oracle exactly.
+    "stream_simhash" -> ((s, dir) => {
+      val schema = Tables.documents(s, dir).schema
+      val st = s.readStream.schema(schema).parquet(stagedTableDir(dir, "documents"))
+        .filter(col("doc_id") < 200)
+      graft.streaming.StreamingOps.runBounded(
+          graft.streaming.StreamingOps.simhashPairsStream(
+            st, "doc_id", "text", maxHamming = 3, portableHash = true))
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal: binary payload metadata (deterministic byte stats).
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1227,6 +1269,26 @@ object SparkEntry {
        |      j -> list_min(hs[j + 1 : j + 16]))))
        |  ELSE [list_min(hs)] END AS fps
        |  FROM h)""".stripMargin
+
+  /** Portable-simhash brute-force pair contract (all pairs, any id
+    * distance, hamming <= 3) — shared by the batch band join
+    * (dedup_simhash_port) and its streaming twin (stream_simhash): both
+    * candidate generators are complete, so one banding-free oracle pins
+    * them to the same set. */
+  private val simhashPortOracle =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |f AS (SELECT doc_id AS id,
+      |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
+      |    CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+      |        CASE WHEN ((('0x' || substr(md5(t), 1, 12))::BIGINT >> b) & 1) = 1
+      |             THEN 1 ELSE -1 END)) > 0
+      |    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS fp
+      |  FROM d)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      |FROM f a JOIN f b ON b.id > a.id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Tumbling-hour contract, shared by the batch aggregation and its
     * complete-mode streaming twin (unified batch/stream semantics). */
@@ -1432,26 +1494,17 @@ object SparkEntry {
     // the band join is COMPLETE for hamming <= 3 (pigeonhole over 4
     // chunks), so the oracle is banding-free brute force: all pairs, any
     // id distance, hamming filter only
-    "dedup_simhash_port" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-        |f AS (SELECT doc_id AS id,
-        |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
-        |    CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
-        |        CASE WHEN ((('0x' || substr(md5(t), 1, 12))::BIGINT >> b) & 1) = 1
-        |             THEN 1 ELSE -1 END)) > 0
-        |    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS fp
-        |  FROM d)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-        |FROM f a JOIN f b ON b.id > a.id
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash_port" -> simhashPortOracle,
+
+    // the streaming twin must land on the same bounded-input pair set
+    "stream_simhash" -> simhashPortOracle,
 
     // banding-completeness contracts: the pair lists ride on
     // engine-specific hash families, but the "candidate generation loses
     // nothing and invents nothing" equality is engine-independent
     "dedup_simhash" ->
-      """SELECT count(*) AS n_docs, TRUE AS band_matches_bruteforce FROM documents""",
+      """SELECT count(*) AS n_docs, TRUE AS band_matches_bruteforce
+        |FROM documents WHERE doc_id < 1000""".stripMargin,
 
     "dedup_minhash" ->
       """SELECT count(*) AS n_docs, TRUE AS lsh_matches_bruteforce
@@ -1625,6 +1678,10 @@ object SparkEntry {
 
     "ann_ivf_topk" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_ivf_balanced" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
+        |       TRUE AS rows_preserved, TRUE AS max_not_increased""".stripMargin,
 
     // per-query structural invariants of the ranked probe output
     "ann_ivf_probe" ->

@@ -149,6 +149,69 @@ object Ann {
     IvfIndex(centroids, assigned)
   }
 
+  /** Re-balance an IVF index by splitting oversized lists.
+    *
+    * KMeans random init can leave skewed lists; a hot list makes every
+    * probe that selects it scan far more than |data|·nProbe/nLists
+    * candidates (and, on the persisted layout, one partition dominates).
+    * Each list larger than `maxFactor` × the mean size is re-clustered
+    * locally (KMeans over just that list's rows, k = ceil(size/mean))
+    * and its centroid replaced by the sub-centroids; all other lists and
+    * assignments are untouched except for a dense re-numbering. The
+    * driver loop is bounded by nLists, and each sub-fit scans only the
+    * oversized list.
+    *
+    * Invariants (contract-checked in `ann_ivf_balanced`): row count
+    * preserved; the maximum list size never increases; probes on the
+    * result keep the self-hit/recall guarantees.
+    */
+  def ivfRebalance(index: IvfIndex, maxFactor: Double = 2.0,
+      seed: Long = 42L, maxIter: Int = 5): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(maxFactor >= 1.0, s"maxFactor must be >= 1, got $maxFactor")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val sizes = index.assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    if (total == 0L) return index
+    val mean = math.max(1.0, total.toDouble / index.centroids.size)
+    val oversized = sizes.filter(_._2 > maxFactor * mean).keys.toSeq.sorted
+    if (oversized.isEmpty) return index
+    val kept = index.centroids.filterNot(c => oversized.contains(c._1))
+    val remap = kept.map(_._1).zipWithIndex.toMap // dense re-numbering
+    val centroids = scala.collection.mutable.ArrayBuffer[(Int, Seq[Double])]()
+    centroids ++= kept.map { case (old, v) => (remap(old), v) }
+    val remapDf = broadcast(remap.toSeq.toDF("cluster", "__new__"))
+    val keptRows = index.assigned.join(remapDf, Seq("cluster"))
+      .withColumn("cluster", col("__new__")).drop("__new__")
+    var nextId = kept.size
+    val cachedLists = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val splitParts = oversized.map { c =>
+      val rows = index.assigned.filter(col("cluster") === c)
+        .withColumn("features", array_to_vector(col("v").cast(ArrayType(DoubleType))))
+        .cache()
+      cachedLists += rows
+      val k = math.max(2, math.ceil(sizes(c) / mean).toInt)
+      val model = new KMeans().setK(k).setSeed(seed + c).setMaxIter(maxIter)
+        .setInitMode("random").fit(rows)
+      val base = nextId
+      centroids ++= model.clusterCenters.zipWithIndex
+        .map { case (cv, i) => (base + i, cv.toArray.toSeq) }
+      nextId += k
+      model.transform(rows)
+        .withColumn("cluster", (col("prediction") + base).cast(IntegerType))
+        .drop("prediction", "features")
+    }
+    // materialize the re-assignment BEFORE releasing the per-list fit
+    // caches (transform is lazy and reads them)
+    val assigned = (keptRows +: splitParts).reduce(_.unionByName(_))
+      .localCheckpoint(true)
+    cachedLists.foreach(_.unpersist())
+    IvfIndex(centroids.toSeq.sortBy(_._1), assigned)
+  }
+
   /** Persist an IVF index: assignment parquet PARTITIONED BY cluster (a
     * probe then touches only nProbe directories — partition pruning does
     * the list selection) + centroid sidecar. */

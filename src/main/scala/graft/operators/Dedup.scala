@@ -157,6 +157,19 @@ object Dedup {
   def simhash48Portable(toks: Column): Column =
     graft.functions.PortableHashes.portableSimHash48(toks)
 
+  /** (chunk index, chunk value) struct array over a fingerprint column:
+    * chunk i covers bits [i*fpBits/nChunks, (i+1)*fpBits/nChunks) — any
+    * partition of the bits satisfies the pigeonhole argument. Shared by
+    * the batch band join and its streaming twin
+    * ([[graft.streaming.StreamingOps.simhashPairsStream]]). */
+  private[graft] def fpChunks(fp: Column, fpBits: Int, nChunks: Int): Column =
+    array((0 until nChunks).map { i =>
+      val start = i * fpBits / nChunks
+      val width = (i + 1) * fpBits / nChunks - start
+      struct(lit(i).as("ci"),
+        shiftrightunsigned(fp, start).bitwiseAND(lit((1L << width) - 1L)).as("cv"))
+    }: _*)
+
   /** Id-distance-blocked candidate pairs as an EQUI join.
     *
     * A raw `id_b BETWEEN id_a+1 AND id_a+B` predicate plans as a nested
@@ -214,16 +227,8 @@ object Dedup {
     val fp = if (portableHash) simhash48Portable(tokens(col(textCol)))
       else simhash64(tokens(col(textCol)))
     val withFp = df.select(col(idCol).as("id"), fp.as("fp"))
-    // chunk i covers bits [i*fpBits/nChunks, (i+1)*fpBits/nChunks) —
-    // any partition of the bits satisfies the pigeonhole argument
-    val chunks = (0 until nChunks).map { i =>
-      val start = i * fpBits / nChunks
-      val width = (i + 1) * fpBits / nChunks - start
-      struct(lit(i).as("ci"),
-        shiftrightunsigned(col("fp"), start).bitwiseAND(lit((1L << width) - 1L)).as("cv"))
-    }
     val banded = withFp
-      .select(col("id"), col("fp"), explode(array(chunks: _*)).as("c"))
+      .select(col("id"), col("fp"), explode(fpChunks(col("fp"), fpBits, nChunks)).as("c"))
       .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
     banded.select(col("ci"), col("cv"), col("id").as("id_a"), col("fp").as("fp_a"))
       .join(banded.select(col("ci"), col("cv"), col("id").as("id_b"), col("fp").as("fp_b")),

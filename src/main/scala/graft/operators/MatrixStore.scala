@@ -172,8 +172,10 @@ object MatrixStore {
     val spark = st.df.sparkSession
     import spark.implicits._
     val blocks = st.df
+      // plain ArrayType(FloatType): a non-null element cast is rejected
+      // when the source (e.g. parquet) declares nullable elements
       .select(col(VectorStore.IdCol).cast(StringType),
-        col(VectorStore.VectorCol).cast(ArrayType(FloatType, containsNull = false)))
+        col(VectorStore.VectorCol).cast(ArrayType(FloatType)))
       .as[(String, Array[Float])]
       .rdd
       .mapPartitions { it =>
@@ -201,6 +203,52 @@ object MatrixStore {
     new MatrixStore(blocks, st.embeddingDim, Some(nBuckets))
   }
 
+  /** Load a bucket-aligned cache straight from a
+    * [[VectorStore.Partitioned]] on-disk layout with NO shuffle: the
+    * layout already co-located rows by id-bucket at write time, so each
+    * bucket's partition directory scans independently, coalesces into
+    * one task, and slabs into one Block. Build cost is a single pass
+    * over the files; parallelism is one task per bucket (exactly the
+    * refresh granularity). The returned cache supports
+    * [[MatrixStore.refreshBuckets]] with the layout's own nBuckets. */
+  def fromPartitionedLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): MatrixStore = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val meta = VectorStore.readMeta(spark, s"$path/_meta.json")
+    val nBuckets = meta.additionalData.getOrElse("nBuckets",
+      throw new IllegalArgumentException(
+        s"$path is not a VectorStore.Partitioned layout (no nBuckets in sidecar)")).toInt
+    val dim = meta.embeddingDim
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perBucket = (0 until nBuckets).flatMap { b =>
+      val dirPath = s"$path/data/${VectorStore.BucketCol}=$b"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dirPath))) None
+      else Some(spark.read.parquet(dirPath)
+        // parquet element nullability is true, so cast keeps containsNull
+        // (the encoder decodes fine; stored vectors never hold nulls)
+        .select(col(VectorStore.IdCol).cast(StringType),
+          col(VectorStore.VectorCol).cast(ArrayType(FloatType)))
+        .coalesce(1) // single slab per bucket, no exchange
+        .as[(String, Array[Float])]
+        .rdd
+        .mapPartitions { it =>
+          val bld = new BlockBuilder(dim)
+          it.foreach { case (id, v) =>
+            require(v.length == dim, s"vector dim ${v.length} != $dim for id $id")
+            bld.add(id, v)
+          }
+          if (bld.ids.isEmpty) Iterator.empty else Iterator.single(bld.result(b))
+        })
+    }
+    val blocks = spark.sparkContext.union(perBucket)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    blocks.count()
+    new MatrixStore(blocks, dim, Some(nBuckets))
+  }
+
   /** Shuffle rows to their id-bucket and slab each bucket into a Block.
     * One partition per bucket, so a refresh rebuilds exactly the touched
     * slabs. */
@@ -213,7 +261,7 @@ object MatrixStore {
     df.select(
         VectorStore.Partitioned.bucketOf(nBuckets).cast(IntegerType).as("__b__"),
         col(VectorStore.IdCol).cast(StringType),
-        col(VectorStore.VectorCol).cast(ArrayType(FloatType, containsNull = false)))
+        col(VectorStore.VectorCol).cast(ArrayType(FloatType)))
       .as[(Int, String, Array[Float])]
       .rdd
       .keyBy(_._1)

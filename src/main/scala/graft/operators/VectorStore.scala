@@ -331,7 +331,7 @@ object VectorStore {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readMeta(spark: SparkSession, file: String): Meta = {
+  private[operators] def readMeta(spark: SparkSession, file: String): Meta = {
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)

@@ -102,6 +102,70 @@ object StreamingOps {
       .toDF("user_id", "session_seq", "start_us", "end_us", "n_events", "sum_value")
   }
 
+  /** Per-bucket membership state for [[simhashPairsStream]]. */
+  final case class BucketMembers(members: List[(Long, Long)])
+
+  /** Streaming near-dup pair detection — the stateful twin of
+    * [[graft.operators.Dedup.simhashPairs]]'s band join.
+    *
+    * Each arriving document is fingerprinted statelessly and exploded
+    * into its maxHamming+1 fingerprint chunks; state keyed by
+    * (chunk index, chunk value) holds the (id, fingerprint) members seen
+    * in that bucket, and each arrival emits a pair for every stored
+    * member within the Hamming radius. The candidate space is exactly
+    * the batch band join's (complete for hamming <= maxHamming by
+    * pigeonhole), produced incrementally and independent of arrival
+    * order; pairs reachable through several shared chunks are
+    * deduplicated by a stateful dropDuplicates on the pair key.
+    *
+    * State grows with bucket population (the stream's whole history per
+    * bucket) — production pairs this with a TTL timeout or
+    * dropDuplicatesWithinWatermark-style retention, like
+    * [[sessionizeStream]]'s flushTimeout; the fixture streams are
+    * bounded. Requires a numeric (long-castable) id column.
+    */
+  def simhashPairsStream(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fpBits = if (portableHash) 48 else 64
+    val nChunks = maxHamming + 1
+    val fp = if (portableHash) Dedup.simhash48Portable(Dedup.tokens(col(textCol)))
+      else Dedup.simhash64(Dedup.tokens(col(textCol)))
+    val banded = docs
+      .select(col(idCol).cast(LongType).as("id"), fp.as("fp"))
+      .select(col("id"), col("fp"),
+        explode(Dedup.fpChunks(col("fp"), fpBits, nChunks)).as("c"))
+      .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+      .as[(Long, Long, Int, Long)]
+    banded
+      .groupByKey(t => (t._3, t._4))
+      .flatMapGroupsWithState[BucketMembers, (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[BucketMembers]) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          // id-sorted within the batch: emitted pair set is identical for
+          // any arrival interleaving
+          rows.toSeq.sortBy(_._1).foreach { case (id, f, _, _) =>
+            if (!members.exists(_._1 == id)) {
+              members.foreach { case (oid, of) =>
+                val h = java.lang.Long.bitCount(f ^ of)
+                if (h <= maxHamming)
+                  out += ((math.min(id, oid), math.max(id, oid), h))
+              }
+              members = (id, f) :: members
+            }
+          }
+          state.update(BucketMembers(members))
+          out.iterator
+      }
+      .toDF("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Read a parquet directory as a bounded stream (test/local harness).
     * `maxFilesPerTrigger = None` drains the directory in ONE microbatch —
     * use it when cross-batch event-time order cannot be guaranteed (the

@@ -273,6 +273,35 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall > 0.4, s"ivf recall $recall")
   }
 
+  test("ivf rebalance: splits oversized lists, preserves rows, keeps self-hit") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 4, seed = 1)
+    val maxBefore = idx.assigned.groupBy(col("cluster")).count()
+      .agg(max("count")).head().getLong(0)
+    val bal = Ann.ivfRebalance(idx, maxFactor = 1.1)
+    // something was actually split at this tight factor
+    assert(bal.centroids.size > idx.centroids.size,
+      s"expected a split at maxFactor=1.1 (sizes were skewed around ${e.count() / 4})")
+    // dense centroid ids, every assigned cluster has one
+    assert(bal.centroids.map(_._1) == bal.centroids.indices.toSeq)
+    val cids = bal.centroids.map(_._1).toSet
+    assert(bal.assigned.select("cluster").distinct().collect()
+      .map(_.getInt(0)).forall(cids))
+    // invariants: row count preserved, max list size never grows
+    assert(bal.assigned.count() == e.count())
+    val maxAfter = bal.assigned.groupBy(col("cluster")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxAfter <= maxBefore, s"max list grew: $maxBefore -> $maxAfter")
+    // probes on the rebalanced index still self-hit at rank 1
+    val hits = Ann.ivfTopK(bal, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nProbe = 3)
+    hits.filter(col("rank") === 1).collect()
+      .foreach(r => assert(r.getAs[String]("id") == r.getAs[Long]("qid").toString))
+    // a balanced index is returned untouched (no-op fast path)
+    val noop = Ann.ivfRebalance(bal, maxFactor = 1000.0)
+    assert(noop eq bal)
+  }
+
   test("scale smoke: 1000 identical 128-dim vectors, top-5 all ~1.0 (integration_tests.rs:15-38)") {
     val rows = (0 until 1000).map(i => (s"vec_$i", Seq.fill(128)(0.1f)))
     val df = rows.toDF("id", "vec")

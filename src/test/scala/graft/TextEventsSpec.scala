@@ -90,6 +90,27 @@ class TextEventsSpec extends AnyFunSuite {
     assert(chunks.select("offset").as[Long].collect().toSeq == Seq(0L, 256L, 512L))
   }
 
+  test("streaming simhash pairs equal the batch band join on bounded input") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (500000L, "the quick brown fox jumps over the lazy dog"), // far-id exact dup
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "spark catalyst optimizer rewrites logical plans"),
+      (5L, "completely different content about query engines"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("simhashstream")
+    docs.write.parquet(s"$dir/data")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/data").schema).parquet(s"$dir/data")
+    val streamed = graft.streaming.StreamingOps.runBounded(
+        graft.streaming.StreamingOps.simhashPairsStream(stream, "doc_id", "text", maxHamming = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists { case (a, b, h) => a == 1L && b == 500000L && h == 0 })
+  }
+
   test("stateful streaming sessionization closes sessions on the gap") {
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
     val dir = java.nio.file.Files.createTempDirectory("sessstream")

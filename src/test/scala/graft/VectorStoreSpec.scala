@@ -210,6 +210,44 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally flat2.unpersist()
   }
 
+  test("matrix cache loads shuffle-free from the Partitioned layout; refresh after disk upsert") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val nBuckets = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_part").toString
+    VectorStore.Partitioned.init(st, dir, nBuckets)
+    val q = e.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    val fromDisk = graft.operators.MatrixStore.fromPartitionedLayout(spark, dir)
+    val viaShuffle = graft.operators.MatrixStore
+      .fromStoreBucketed(VectorStore.Partitioned.load(spark, dir), nBuckets)
+    try {
+      assert(fromDisk.query(q, 10).toSeq == viaShuffle.query(q, 10).toSeq)
+      assert(fromDisk.nBuckets.contains(nBuckets))
+    } finally viaShuffle.unpersist()
+    // mutate the layout on disk, refresh only the touched buckets
+    val batch = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("string").as("__id__"),
+        reverse(col("embedding")).as("vector"), col("label"))
+    VectorStore.Partitioned.upsert(spark, dir, batch)
+    val touched = batch
+      .select(VectorStore.Partitioned.bucketOf(nBuckets).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val refreshed = fromDisk.refreshBuckets(VectorStore.Partitioned.load(spark, dir), touched)
+    val rebuilt = graft.operators.MatrixStore.fromPartitionedLayout(spark, dir)
+    try {
+      val q0 = batch.filter(col("__id__") === "0").select("vector")
+        .head().getSeq[Float](0).toArray
+      assert(refreshed.query(q0, 5).toSeq == rebuilt.query(q0, 5).toSeq)
+      assert(refreshed.query(q0, 5).head._1 == "0")
+    } finally { refreshed.unpersist(); rebuilt.unpersist(); fromDisk.unpersist() }
+    // non-partitioned sidecars are a loud error
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_mx_plain").toString
+    st.save(plainDir)
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.MatrixStore.fromPartitionedLayout(spark, plainDir))
+    assert(ex.getMessage.contains("nBuckets"))
+  }
+
   test("top-k properties: query(k) is a prefix of query(k+1); threshold = filtered top-k") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
