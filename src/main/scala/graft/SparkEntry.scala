@@ -810,6 +810,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup: provenance map — (survivor, dropped) lineage for every
+    // document the near-dup pass removed (shares the cached component
+    // run with dedup_components / pipe_dedup_survivors).
+    "pipe_dedup_map" -> ((s, dir) => {
+      cachedComponents(s, dir)
+        .filter(col("id") =!= col("component"))
+        .select(col("component").as("survivor_id"), col("id").as("dropped_id"))
+        .orderBy(col("survivor_id"), col("dropped_id"))
+    }),
+
     // Dedup: embedding-cosine near-dups via multi-band sign-LSH
     // bucketing — content-addressed candidate generation (no id-locality
     // assumption). The sin-family hyperplanes are pure math, so bucket
@@ -1561,6 +1571,22 @@ object SparkEntry {
         |      UNION
         |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id)
         |SELECT id, min(comp) AS component FROM r GROUP BY id ORDER BY id""".stripMargin),
+
+    "pipe_dedup_map" -> ("WITH RECURSIVE " + winnowCte(300).stripPrefix("WITH ") + ",\n" +
+      winnowInvCte + ",\n" +
+      """pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
+        |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
+        |      GROUP BY 1, 2, 3, 4),
+        |pf AS (SELECT id_a, id_b FROM pq
+        |       WHERE shared::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.25),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pf
+        |      UNION SELECT id_b, id_a FROM pf),
+        |r AS (SELECT DISTINCT src AS id, src AS comp FROM e
+        |      UNION
+        |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id),
+        |c AS (SELECT id, min(comp) AS component FROM r GROUP BY id)
+        |SELECT component AS survivor_id, id AS dropped_id FROM c
+        |WHERE id != component ORDER BY survivor_id, dropped_id""".stripMargin),
 
     "pipe_dedup_survivors" -> ("WITH RECURSIVE " + winnowCte(300).stripPrefix("WITH ") + ",\n" +
       winnowInvCte + ",\n" +

@@ -439,6 +439,17 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Dedup provenance: (survivor_id, dropped_id) for every document a
+    * dedup pass removed — the lineage record a training-data pipeline
+    * keeps so every dropped document is attributable to the survivor
+    * that replaced it (audit, contamination tracing, re-dedup after
+    * appeals). Derived from the same components as [[dropNearDups]], so
+    * survivors(pairs) ∪ droppedIds == all paired docs, exactly. */
+  def survivorMap(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("component").as("survivor_id"), col("id").as("dropped_id"))
+
   // ------------------------------------------- embedding near-duplicates
   /** Embedding-cosine near-dup pairs within id-distance blocks — a
     * bounded-candidate variant for corpora where near-dups ARE

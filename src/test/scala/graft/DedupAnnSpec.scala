@@ -194,6 +194,19 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(star == minLabel)
   }
 
+  test("survivorMap: every dropped doc is attributed to its cluster's survivor") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val m = graft.operators.Dedup.survivorMap(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((1L, 2L), (1L, 3L), (1L, 7L), (10L, 11L)))
+    // survivors + dropped partition the paired universe
+    val docs = Seq(1L, 2L, 3L, 7L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = graft.operators.Dedup.dropNearDups(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L))
+    assert(kept ++ m.map(_._2) == Set(1L, 2L, 3L, 7L, 10L, 11L, 99L))
+  }
+
   test("connectedComponents and dropNearDups handle an empty pair list") {
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.operators.Dedup.connectedComponents(noPairs).isEmpty)

@@ -46,4 +46,19 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("o3_topk")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("simhash band join: equi join on chunk keys, never a cartesian") {
+    val p = plan("dedup_simhash_port")
+    assert(p.contains("Join"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "fingerprint band join must stay an equi join")
+    // the doc-range restriction reaches the scan
+    assert(p.contains("PushedFilters") && p.contains("doc_id"))
+  }
+
+  test("embedding LSH near-dups: bucket join and payload re-joins stay equi") {
+    val p = plan("dedup_embcos")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "LSH candidate generation must never degrade to all-pairs")
+  }
 }
