@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Ann, Dedup}
@@ -8,6 +10,11 @@ import graft.operators.{Ann, Dedup}
 class DedupAnnSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  /** Manually-driven ScalaCheck samples (fixed seeds; the
+    * scalatest-scalacheck bridge is not available offline). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
@@ -180,6 +187,51 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rounds <= 10, s"star alternation took $rounds rounds on a 120-chain")
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 121 && got.forall(_._2 == 1L))
+  }
+
+  test("property: star components equal min-label on generated graphs of varied shape") {
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 60)
+      m <- Gen.chooseNum(1, 80)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0L, n.toLong), Gen.chooseNum(0L, n.toLong)))
+    } yield edges.filter { case (a, b) => a != b }
+    val cases = samples(edgeGen, 6).filter(_.nonEmpty)
+    assert(cases.size >= 4)
+    cases.foreach { es =>
+      val pairs = es.toDF("id_a", "id_b")
+      val star = graft.operators.Dedup.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val ml = graft.operators.Dedup.connectedComponentsMinLabel(pairs, maxIter = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(star == ml, s"divergence on edges $es")
+    }
+  }
+
+  test("property: simhash band join equals brute force on generated corpora") {
+    // tiny vocabulary forces heavy token overlap => fingerprints cluster
+    // and the hamming filter actually selects
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val corpusGen = for {
+      n <- Gen.chooseNum(3, 12)
+      docs <- Gen.listOfN(n, Gen.chooseNum(3, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab))))
+    } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    samples(corpusGen, 6).filter(_.size >= 2).foreach { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val band = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val fp = docs.select(col("doc_id").as("id"),
+        Dedup.simhash64(Dedup.tokens(col("text"))).as("fp"))
+      val brute = fp.select(col("id").as("id_a"), col("fp").as("fp_a"))
+        .crossJoin(fp.select(col("id").as("id_b"), col("fp").as("fp_b")))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.simhashHamming(col("fp_a"), col("fp_b")).cast("int").as("h"))
+        .filter(col("h") <= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(band == brute, s"corpus $corpus")
+    }
   }
 
   test("star components agree with min-label on random pair graphs") {
