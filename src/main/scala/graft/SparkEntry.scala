@@ -1177,6 +1177,23 @@ object SparkEntry {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // Streaming: state-BOUNDED exact dedup — dropDuplicatesWithinWatermark
+    // evicts each key's state once the watermark passes it, so dedup
+    // state is O(keys per watermark window), not O(stream history) (the
+    // production complement to stream_dedup's unbounded exact variant).
+    // Keys-only output: within a microbatch the surviving row per key is
+    // arbitrary, the key set is deterministic.
+    "stream_dedup_wm" -> ((s, dir) => {
+      val ev = graft.streaming.StreamingOps.eventsStream(
+        s, stagedEventsDir(dir), maxFilesPerTrigger = None)
+      graft.streaming.StreamingOps.runBounded(
+          ev.withWatermark("ts", "1 hour")
+            .select(col("user_id"), col("event_type"), col("ts"))
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+            .select(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Streaming: stateful simhash near-dup pair detection — documents
     // stream in, pairs stream out as fingerprint-chunk buckets fill.
     // On bounded input the emitted pair set must equal the batch band
@@ -1875,6 +1892,12 @@ object SparkEntry {
 
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash""",
+
+    // bounded input drains in one microbatch, so no key expires before
+    // emission: the surviving key set == plain DISTINCT
+    "stream_dedup_wm" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "stream_join" ->
       """SELECT l.event_id AS click_id, r.event_id AS purchase_id,
