@@ -164,6 +164,19 @@ object SparkEntry {
         .orderBy(vid)
     }),
 
+    // O7b: incremental bucketed delete — same O7 semantics as the
+    // logical anti-join, but persisted with only the touched id-buckets
+    // rewritten (and fully-emptied bucket dirs removed).
+    "o7b_delete_part" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_o7b").toString
+      VectorStore.Partitioned.init(storeD(s, dir), tmp, nBuckets = 8)
+      VectorStore.Partitioned.delete(s, tmp, (0L until 10L).map(_.toString))
+      VectorStore.Partitioned.load(s, tmp).df
+        .filter(vid < 20)
+        .select(col("__id__"), col("label"))
+        .orderBy(vid)
+    }),
+
     // O1b: reference-format interop through the DSv2 connector — write
     // the store as the reference's JSON+base64 single file, read it back
     // with spark.read.format("nanojson") (executor-side decode). Vector
@@ -383,6 +396,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id IN (1, 7, 42, 499, 123456789) ORDER BY vec_id""".stripMargin,
 
     "o7_delete" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS __id__, label FROM embeddings
+        |WHERE vec_id >= 10 AND vec_id < 20 ORDER BY vec_id""".stripMargin,
+
+    // the layout changes, the delete semantics must not (o7 contract)
+    "o7b_delete_part" ->
       """SELECT CAST(vec_id AS VARCHAR) AS __id__, label FROM embeddings
         |WHERE vec_id >= 10 AND vec_id < 20 ORDER BY vec_id""".stripMargin,
 

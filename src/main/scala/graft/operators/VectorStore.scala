@@ -255,10 +255,51 @@ object VectorStore {
       // is the same either way)
       val merged = updated.unionByName(inserted, allowMissingColumns = true)
         .localCheckpoint(true)
+      writeTouched(spark, path, merged)
+    }
+
+    /** Delete ids from the bucketed layout, rewriting only the touched
+      * partitions — [[VectorStore.delete]]'s anti-join confined to the
+      * buckets the id list hashes into (O(touched/nBuckets) of the
+      * store, like [[upsert]]). A bucket whose every row is deleted
+      * needs its directory removed explicitly: dynamic partition
+      * overwrite only replaces partitions PRESENT in the written data,
+      * so an emptied bucket would otherwise resurrect its old files.
+      * (Locally that dir removal is a second, non-atomic step; a
+      * production deployment puts a transactional table format over the
+      * same bucketed layout.) */
+    def delete(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
+      if (ids.isEmpty) return
+      val meta = readMeta(spark, s"$path/_meta.json")
+      val nBuckets = meta.additionalData("nBuckets").toInt
+      import spark.implicits._
+      val idDf = ids.toDF(IdCol).withColumn(BucketCol, bucketOf(nBuckets))
+      val touched = idDf.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
+      val base = spark.read.parquet(s"$path/data")
+        .filter(col(BucketCol).isin(touched: _*))
+      val remaining = base
+        .join(broadcast(idDf.select(IdCol)), Seq(IdCol), "left_anti")
+        .localCheckpoint(true)
+      // the partition column reads back as INT (directory-value
+      // inference), not the LONG bucketOf produces — cast for the compare
+      val keptBuckets = remaining.select(col(BucketCol).cast(LongType)).distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (!remaining.isEmpty) writeTouched(spark, path, remaining)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(keptBuckets).foreach { bkt =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/$BucketCol=$bkt"), true)
+      }
+    }
+
+    /** Dynamic-partition-overwrite write of a touched-buckets DataFrame
+      * (shared by [[upsert]] and [[delete]]); restores the session's
+      * overwrite mode afterwards. */
+    private def writeTouched(spark: SparkSession, path: String, df: DataFrame): Unit = {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
-        merged.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$path/data")
+        df.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$path/data")
       } finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

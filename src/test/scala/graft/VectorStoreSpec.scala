@@ -169,6 +169,39 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally empty.unpersist()
   }
 
+  test("partitioned delete rewrites touched buckets; emptied buckets do not resurrect") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val nBuckets = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdel").toString
+    VectorStore.Partitioned.init(st, dir, nBuckets)
+    // plain delete: semantics equal the logical anti-join
+    VectorStore.Partitioned.delete(spark, dir, (0L until 10L).map(_.toString))
+    val after = VectorStore.Partitioned.load(spark, dir)
+    val afterLen = after.len()
+    assert(afterLen == st.len() - 10)
+    assert(after.get((0L until 10L).map(_.toString)).isEmpty)
+    // empty one bucket COMPLETELY: its ids must stay gone after reload
+    // (dynamic overwrite alone would leave the old partition dir behind).
+    // Materialize everything we need from `after` BEFORE mutating the
+    // directory under it — its file index is point-in-time.
+    val bucketOfId = after.df
+      .select(col("__id__"), VectorStore.Partitioned.bucketOf(nBuckets).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val victim = bucketOfId.values.head
+    val victimIds = bucketOfId.collect { case (id, b) if b == victim => id }.toSeq
+    assert(victimIds.nonEmpty)
+    VectorStore.Partitioned.delete(spark, dir, victimIds)
+    val emptied = VectorStore.Partitioned.load(spark, dir)
+    assert(emptied.len() == afterLen - victimIds.length)
+    assert(emptied.get(victimIds).isEmpty,
+      "fully-emptied bucket must not resurrect its rows on reload")
+    val emptiedLen = emptied.len()
+    // deleting nothing is a no-op
+    VectorStore.Partitioned.delete(spark, dir, Seq.empty)
+    assert(VectorStore.Partitioned.load(spark, dir).len() == emptiedLen)
+  }
+
   test("bucketed matrix refresh after upsert equals full rebuild bitwise") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
