@@ -1195,6 +1195,29 @@ object SparkEntry {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // Streaming: windowed top-k — the bounded-heap aggregate
+    // (TopKByScore, the store's F3 kernel) running as STREAMING state:
+    // per (hour, event_type), the top-3 events by value with the
+    // deterministic (value desc, id asc) tie order. Complete mode on
+    // bounded input must reproduce the batch window-rank bit for bit.
+    "stream_topk" -> ((s, dir) => {
+      val ev = graft.streaming.StreamingOps.eventsStream(
+        s, stagedEventsDir(dir), maxFilesPerTrigger = None)
+      graft.streaming.StreamingOps.runBounded(
+          ev.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(graft.functions.TopKByScore.topk(
+              col("value"), col("event_id").cast(StringType), 3).as("hits")),
+          mode = "complete")
+        .select(unix_timestamp(col("window.start")).as("hour_ts"), col("event_type"),
+          posexplode(col("hits")).as(Seq("rank0", "hit")))
+        .select(col("hour_ts"), col("event_type"),
+          (col("rank0") + 1).cast(IntegerType).as("rank"),
+          col("hit.id").as("event_id"),
+          round(col("hit.score"), 6).as("value"))
+        .orderBy(col("hour_ts"), col("event_type"), col("rank"))
+    }),
+
     // Streaming: state-BOUNDED exact dedup — dropDuplicatesWithinWatermark
     // evicts each key's state once the watermark passes it, so dedup
     // state is O(keys per watermark window), not O(stream history) (the
@@ -1910,6 +1933,17 @@ object SparkEntry {
 
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash""",
+
+    "stream_topk" ->
+      """WITH r AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+        |         CAST(event_id AS VARCHAR) AS event_id, value,
+        |         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |                            ORDER BY value DESC, CAST(event_id AS VARCHAR)) AS rank
+        |  FROM events)
+        |SELECT hour_ts, event_type, CAST(rank AS INTEGER) AS rank, event_id,
+        |       round(value, 6) AS value
+        |FROM r WHERE rank <= 3 ORDER BY hour_ts, event_type, rank""".stripMargin,
 
     // bounded input drains in one microbatch, so no key expires before
     // emission: the surviving key set == plain DISTINCT
