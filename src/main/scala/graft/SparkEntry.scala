@@ -996,6 +996,26 @@ object SparkEntry {
           (col("mx_a") <= col("mx_b")).as("max_not_increased"))
     }),
 
+    // Text: PII scrub — URLs / emails / long digit runs replaced with
+    // typed placeholders. The corpus itself contains no PII, so the
+    // query plants deterministic PII-shaped strings derived from the
+    // table's own columns (mirrored exactly in the oracle) and checks
+    // counts + the full redacted text by digest.
+    "text_redact" -> ((s, dir) => {
+      val synth = concat(
+        col("source"), lit("."), col("doc_id").cast(StringType),
+        lit("@example.com see https://example.org/d/"), col("doc_id").cast(StringType),
+        lit(" acct "), lpad(col("doc_id").cast(StringType), 8, "0"),
+        lit(" "), col("text"))
+      val cols = TextAnalysis.redactColumns(synth)
+      cols.foldLeft(Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))) {
+          case (df, (n, c)) => df.withColumn(n, c)
+        }
+        .select(col("doc_id"), col("n_urls"), col("n_emails"), col("n_longnums"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Text: quality/token/fingerprint stats.
     "text_stats" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1798,6 +1818,22 @@ object SparkEntry {
 
     "text_winnow" -> (winnowCte(50) + "\n" +
       "SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp"),
+
+    "text_redact" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    source || '.' || CAST(doc_id AS VARCHAR) || '@example.com see https://example.org/d/' ||
+        |    CAST(doc_id AS VARCHAR) || ' acct ' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ' ' || text AS synth
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(synth, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(synth, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(synth,
+        |        'https?://[^ ]+', '[URL]', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '[0-9]{6,}', '[ID]', 'g')) AS redacted_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_lm_score" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

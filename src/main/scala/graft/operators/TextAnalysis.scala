@@ -23,6 +23,35 @@ object TextAnalysis {
     * hex string, identical across engines). */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  // ------------------------------------------------------- PII scrubbing
+  /** Redaction patterns — deliberately in the Java∩RE2 common subset so
+    * the exact same strings run in Spark (java.util.regex) and the
+    * DuckDB oracle (RE2): no backrefs, no lookaround, `[^ ]` instead of
+    * `\S`. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** PII/pattern scrub for training corpora: URLs, then emails, then
+    * long digit runs (account-number shaped) are replaced with typed
+    * placeholder tokens — URL first so an address inside a URL is
+    * counted once. Pure `regexp_replace` chain: codegen'd, partition-
+    * parallel, no UDFs. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "[URL]"),
+        EmailRe, "[EMAIL]"),
+      LongNumRe, "[ID]")
+
+  /** Per-document scrub stats: match counts per pattern class (on the
+    * original text) plus the redacted text. */
+  def redactColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_urls" -> size(regexp_extract_all(text, lit(UrlRe), lit(0))).cast(LongType),
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast(LongType),
+    "n_longnums" -> size(regexp_extract_all(text, lit(LongNumRe), lit(0))).cast(LongType),
+    "redacted" -> redact(text))
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken local fingerprints
     * for near-dup detection): hash every character k-gram, slide a window
     * of `w` hashes, keep each window's minimum, return the distinct

@@ -90,6 +90,26 @@ class TextEventsSpec extends AnyFunSuite {
     assert(chunks.select("offset").as[Long].collect().toSeq == Seq(0L, 256L, 512L))
   }
 
+  test("redact: urls, emails, long digit runs become typed placeholders") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "mail bob.smith+x@foo-bar.org or visit https://x.io/p?q=1 acct 12345678 ok"),
+      (2L, "no pii here just words 123"))
+      .toDF("id", "text")
+    val out = TextAnalysis.redactColumns(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_urls") == 1L && r1.getAs[Long]("n_emails") == 1L &&
+      r1.getAs[Long]("n_longnums") == 1L)
+    assert(r1.getAs[String]("redacted") ==
+      "mail [EMAIL] or visit [URL] acct [ID] ok")
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_urls") == 0L && r2.getAs[Long]("n_emails") == 0L &&
+      r2.getAs[Long]("n_longnums") == 0L)
+    assert(r2.getAs[String]("redacted") == "no pii here just words 123")
+  }
+
   test("streaming simhash pairs equal the batch band join on bounded input") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
