@@ -38,15 +38,18 @@ object Bench {
       val raw = gen.cache()
       raw.count()
       var cached: graft.operators.VectorStore = null
-      val tInsert = median3 { () =>
-        // blocking unpersist: a lingering ~400MB copy would make the next
-        // timed build race eviction/spill of the previous one
+      // teardown of the previous run's ~400MB cache happens OUTSIDE the
+      // timed section (and blocking, so the old copy can't race the next
+      // build for memory): the metric is build time, not build+teardown
+      val tInsert = (0 until 3).map { _ =>
         if (cached != null) cached.df.unpersist(blocking = true)
+        val t0 = System.nanoTime()
         val st = graft.operators.VectorStore(
           graft.operators.VectorStore.withNormalizedVector(raw), dim)
         cached = st.copy(df = st.df.cache())
         cached.df.count() // materialize normalized store
-      }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
       val qv = cached.df.filter(col("__id__") === "0")
         .select(col("vector")).head().getSeq[Float](0).toArray
       cached.query(qv, 10).collect() // warm the query path once
@@ -54,10 +57,12 @@ object Bench {
       // matrix-mode scan cache: the reference's flattened-matrix layout
       // (lib.rs:44-45) — same results, no per-row columnar decode
       var mx: graft.operators.MatrixStore = null
-      val tMatrixBuild = median3 { () =>
+      val tMatrixBuild = (0 until 3).map { _ =>
         if (mx != null) mx.unpersist(blocking = true)
+        val t0 = System.nanoTime()
         mx = graft.operators.MatrixStore.fromStore(cached)
-      }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
       mx.query(qv, 10)
       val tMatrixQuery = median3 { () => mx.query(qv, 10); () }
       mx.unpersist(blocking = true)

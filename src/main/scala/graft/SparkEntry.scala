@@ -1340,6 +1340,22 @@ object SparkEntry {
       |inv AS (SELECT id, nfp, fp FROM inv0 WHERE fp NOT IN (
       |          SELECT fp FROM inv0 GROUP BY fp HAVING count(*) > 64))""".stripMargin
 
+  /** Near-dup pair -> undirected edge -> reachability chain over the
+    * capped inverted index (components pipeline), shared by
+    * dedup_components / pipe_dedup_survivors / pipe_dedup_map so the
+    * pair threshold and edge construction live in ONE place. */
+  private val winnowEdgesCte =
+    """pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
+      |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
+      |      GROUP BY 1, 2, 3, 4),
+      |pf AS (SELECT id_a, id_b FROM pq
+      |       WHERE shared::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.25),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pf
+      |      UNION SELECT id_b, id_a FROM pf),
+      |r AS (SELECT DISTINCT src AS id, src AS comp FROM e
+      |      UNION
+      |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id)""".stripMargin
+
   /** Winnowing-fingerprint oracle scaffolding (k=8 grams, w=16 window),
     * parameterized by the doc range, shared by text_winnow and
     * dedup_winnow. */
@@ -1637,48 +1653,18 @@ object SparkEntry {
     // recursive-CTE reachability: component = min id reachable over the
     // undirected near-dup edges (same pair pipeline as dedup_winnow)
     "dedup_components" -> ("WITH RECURSIVE " + winnowCte(300).stripPrefix("WITH ") + ",\n" +
-      winnowInvCte + ",\n" +
-      """pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
-        |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
-        |      GROUP BY 1, 2, 3, 4),
-        |pf AS (SELECT id_a, id_b FROM pq
-        |       WHERE shared::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.25),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM pf
-        |      UNION SELECT id_b, id_a FROM pf),
-        |r AS (SELECT DISTINCT src AS id, src AS comp FROM e
-        |      UNION
-        |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id)
-        |SELECT id, min(comp) AS component FROM r GROUP BY id ORDER BY id""".stripMargin),
+      winnowInvCte + ",\n" + winnowEdgesCte + "\n" +
+      "SELECT id, min(comp) AS component FROM r GROUP BY id ORDER BY id"),
 
     "pipe_dedup_map" -> ("WITH RECURSIVE " + winnowCte(300).stripPrefix("WITH ") + ",\n" +
-      winnowInvCte + ",\n" +
-      """pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
-        |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
-        |      GROUP BY 1, 2, 3, 4),
-        |pf AS (SELECT id_a, id_b FROM pq
-        |       WHERE shared::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.25),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM pf
-        |      UNION SELECT id_b, id_a FROM pf),
-        |r AS (SELECT DISTINCT src AS id, src AS comp FROM e
-        |      UNION
-        |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id),
-        |c AS (SELECT id, min(comp) AS component FROM r GROUP BY id)
+      winnowInvCte + ",\n" + winnowEdgesCte + ",\n" +
+      """c AS (SELECT id, min(comp) AS component FROM r GROUP BY id)
         |SELECT component AS survivor_id, id AS dropped_id FROM c
         |WHERE id != component ORDER BY survivor_id, dropped_id""".stripMargin),
 
     "pipe_dedup_survivors" -> ("WITH RECURSIVE " + winnowCte(300).stripPrefix("WITH ") + ",\n" +
-      winnowInvCte + ",\n" +
-      """pq AS (SELECT a.id AS id_a, b.id AS id_b, a.nfp AS n_a, b.nfp AS n_b, count(*) AS shared
-        |      FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id
-        |      GROUP BY 1, 2, 3, 4),
-        |pf AS (SELECT id_a, id_b FROM pq
-        |       WHERE shared::DOUBLE / least(n_a, n_b)::DOUBLE >= 0.25),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM pf
-        |      UNION SELECT id_b, id_a FROM pf),
-        |r AS (SELECT DISTINCT src AS id, src AS comp FROM e
-        |      UNION
-        |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id),
-        |losers AS (SELECT id FROM r GROUP BY id HAVING id != min(comp))
+      winnowInvCte + ",\n" + winnowEdgesCte + ",\n" +
+      """losers AS (SELECT id FROM r GROUP BY id HAVING id != min(comp))
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id < 300 AND doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin),

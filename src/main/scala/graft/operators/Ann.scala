@@ -89,11 +89,16 @@ object Ann {
       data: DataFrame, idCol: String, vecCol: String, k: Int,
       maxBroadcastRows: Long = 100000L): DataFrame = {
     require(maxBroadcastRows > 0, "maxBroadcastRows must be positive")
-    val n = data.count()
+    // snapshot the projected input ONCE (eager localCheckpoint, freed by
+    // the context cleaner when unreferenced): every block pass and the
+    // sizing count read the snapshot, not ceil(n/maxBroadcastRows)+1
+    // re-scans of the source
+    val snap = data.select(col(idCol), col(vecCol)).localCheckpoint(true)
+    val n = snap.count()
     val nBlocks = math.max(1L, (n + maxBroadcastRows - 1) / maxBroadcastRows).toInt
     val blockOf = pmod(xxhash64(col(idCol)), lit(nBlocks))
     (0 until nBlocks)
-      .map(b => knnGraph(data, idCol, vecCol, data.filter(blockOf === b), k))
+      .map(b => knnGraph(snap, idCol, vecCol, snap.filter(blockOf === b), k))
       .reduce(_.unionByName(_))
   }
 
@@ -199,7 +204,10 @@ object Ann {
       val base = nextId
       centroids ++= model.clusterCenters.zipWithIndex
         .map { case (cv, i) => (base + i, cv.toArray.toSeq) }
-      nextId += k
+      // KMeans can return FEWER than k centers (duplicate-heavy lists
+      // dedupe their init samples); advance by what it actually produced
+      // or the centroid id space stops being dense
+      nextId += model.clusterCenters.length
       model.transform(rows)
         .withColumn("cluster", (col("prediction") + base).cast(IntegerType))
         .drop("prediction", "features")

@@ -166,8 +166,11 @@ object Dedup {
     array((0 until nChunks).map { i =>
       val start = i * fpBits / nChunks
       val width = (i + 1) * fpBits / nChunks - start
+      // 1L << 64 wraps to 1L in Scala: a full-width chunk (nChunks = 1
+      // on the 64-bit hash) needs the all-ones mask spelled explicitly
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
       struct(lit(i).as("ci"),
-        shiftrightunsigned(fp, start).bitwiseAND(lit((1L << width) - 1L)).as("cv"))
+        shiftrightunsigned(fp, start).bitwiseAND(lit(mask)).as("cv"))
     }: _*)
 
   /** Id-distance-blocked candidate pairs as an EQUI join.

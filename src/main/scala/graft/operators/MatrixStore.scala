@@ -100,11 +100,13 @@ final class MatrixStore private (
   /** Incrementally maintain a bucket-aligned cache after a
     * [[VectorStore.Partitioned]]-style upsert/delete: rebuild ONLY the
     * `touched` buckets' blocks from the store's current state and keep
-    * every other block's pinned slab untouched. Returns the refreshed
-    * cache (this object's cache is superseded — the untouched blocks are
-    * shared, so do NOT unpersist the old handle). Requires a cache built
-    * with [[MatrixStore.fromStoreBucketed]] and the same nBuckets the
-    * store layout uses. */
+    * every other block's slab untouched. The returned cache is
+    * materialized before this returns and holds its OWN storage entries,
+    * so release the superseded handle afterwards —
+    * `old.unpersist()` — or a long-lived refresh loop accumulates one
+    * stale generation of touched-bucket slabs per refresh. Requires a
+    * cache built with [[MatrixStore.fromStoreBucketed]] /
+    * [[MatrixStore.fromPartitionedLayout]] and the layout's nBuckets. */
   def refreshBuckets(store: VectorStore, touched: Seq[Int]): MatrixStore = {
     val nb = nBuckets.getOrElse(throw new IllegalArgumentException(
       "refreshBuckets needs a bucket-aligned cache — build with fromStoreBucketed"))

@@ -132,6 +132,8 @@ object StreamingOps {
     import spark.implicits._
     val fpBits = if (portableHash) 48 else 64
     val nChunks = maxHamming + 1
+    require(maxHamming >= 0 && nChunks <= fpBits,
+      s"maxHamming must be in [0, ${fpBits - 1}], got $maxHamming")
     val fp = if (portableHash) Dedup.simhash48Portable(Dedup.tokens(col(textCol)))
       else Dedup.simhash64(Dedup.tokens(col(textCol)))
     val banded = docs
