@@ -1140,6 +1140,24 @@ object SparkEntry {
           round(col("n_converted").cast(DoubleType) / col("n_purchases"), 6).as("conv_rate"))
     }),
 
+    // Events: cohort retention — users grouped by first-seen day, then
+    // distinct active users per (cohort day, days-since-cohort). Three
+    // keyed shuffles (first-seen agg, activity join on user, cohort
+    // rollup), all hash-partitioned on their keys — the classic product
+    // analytics matrix.
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort_day").cast(StringType).as("cohort_day"),
+          col("day_offset").cast(LongType).as("day_offset"), col("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Events: pivot — per-day event-type counts as columns (wide-table
     // reshape; Spark resolves the pivot values in one extra pass).
     "events_pivot" -> ((s, dir) => {
@@ -1943,6 +1961,16 @@ object SparkEntry {
         |SELECT count(*) AS n_purchases, CAST(sum(conv) AS BIGINT) AS n_converted,
         |       round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
         |FROM f""".stripMargin,
+
+    "events_retention" ->
+      """WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+        |       CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY c.cohort_day, a.day - c.cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "events_pivot" ->
       """SELECT CAST(ts AS DATE)::VARCHAR AS day,
