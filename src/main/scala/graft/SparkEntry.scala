@@ -896,6 +896,23 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Vector analytics: int8 scalar quantization — per-vector scale,
+    // quantized codes, and the relative reconstruction error, all exact
+    // DOUBLE math with away-from-zero rounding so the whole pipeline is
+    // value-matched by the oracle (the 4x-storage lever for coarse ANN
+    // stages at corpus scale).
+    "emb_quantize" -> ((s, dir) => {
+      import graft.operators.Quantize
+      val v = col("embedding").cast(ArrayType(DoubleType))
+      Tables.embeddings(s, dir)
+        .withColumn("scale", Quantize.int8Scale(v))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          element_at(Quantize.quantizeInt8(v, col("scale")), 1).as("q0"),
+          round(Quantize.relError(v, col("scale")), 6).as("rel_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Vector analytics: element-wise per-label centroids via posexplode +
     // exact integer micro-units (order-independent sums).
     "emb_label_centroids" -> ((s, dir) => {
@@ -1752,6 +1769,18 @@ object SparkEntry {
         |          CASE WHEN substr(b.bucket, 2, 1) = substr(q.bucket, 2, 1) THEN 1 ELSE 0 END +
         |          CASE WHEN substr(b.bucket, 3, 1) = substr(q.bucket, 3, 1) THEN 1 ELSE 0 END +
         |          CASE WHEN substr(b.bucket, 4, 1) = substr(q.bucket, 4, 1) THEN 1 ELSE 0 END) >= 3),""".stripMargin + "\n" + lshRankTail),
+
+    "emb_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+        |q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS qv FROM s),
+        |d AS (SELECT vec_id, v, scale, qv[1] AS q0,
+        |        list_transform(generate_series(1, len(v)), i -> v[i] - qv[i] / scale) AS diff
+        |      FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale, q0,
+        |       round(sqrt(list_dot_product(diff, diff)) / sqrt(list_dot_product(v, v)), 6) AS rel_err
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     "emb_label_centroids" ->
       """SELECT label, CAST(t.i - 1 AS INTEGER) AS pos, count(*) AS n,

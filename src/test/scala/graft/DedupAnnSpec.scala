@@ -338,6 +338,38 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall > 0.4, s"ivf recall $recall")
   }
 
+  test("int8 quantization: codes in range, reconstruction error small, ANN order preserved") {
+    import graft.operators.Quantize
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val v = col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val rows = e.withColumn("scale", Quantize.int8Scale(v))
+      .select(col("vec_id"),
+        Quantize.quantizeInt8(v, col("scale")).as("qv"),
+        Quantize.relError(v, col("scale")).as("err"))
+      .collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"code out of range for ${r.get(0)}")
+      assert(codes.exists(_.abs == 127), "scale must saturate the largest element")
+      assert(r.getDouble(2) < 0.02, s"rel err ${r.getDouble(2)} too large")
+    }
+    // quantized cosine preserves the exact top-1 neighbor for most queries
+    val dq = e.withColumn("scale", Quantize.int8Scale(v))
+      .select(col("vec_id"),
+        Quantize.dequantize(Quantize.quantizeInt8(v, col("scale")), col("scale"))
+          .cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).as("embedding"))
+    val qs = e.filter(col("vec_id") < 10)
+    def top1(data: org.apache.spark.sql.DataFrame) =
+      Ann.bruteForceTopK(data, "vec_id", "embedding", qs, "vec_id", "embedding", k = 1)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val exact = top1(e.select(col("vec_id"), col("embedding")))
+    val approx = top1(dq)
+    val agree = exact.keys.count(k => exact(k) == approx(k))
+    assert(agree >= 9, s"quantized top-1 agreed on only $agree/10 queries")
+  }
+
   test("ivf rebalance: splits oversized lists, preserves rows, keeps self-hit") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 4, seed = 1)
