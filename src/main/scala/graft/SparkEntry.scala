@@ -1033,6 +1033,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Text: fixed-size token chunks with overlap (context-window packing
+    // prep) — chunk boundaries and contents checked via per-chunk token
+    // counts + digests.
+    "text_chunks" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokenChunks(col("text"), chunkSize = 24, overlap = 4))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast(IntegerType).as("chunk_idx"),
+          size(split(col("chunk"), " ")).cast(LongType).as("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Pipeline: deterministic hash sampling — the keep decision is a
+    // pure function of the doc key (md5 prefix mod 1000), reproducible
+    // across runs/engines/partitionings, unlike seeded df.sample. Per-
+    // language survivor stats over a 20% sample.
+    "pipe_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(graft.operators.Relational.hashSampleKeep(col("doc_id"), 200))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     // Text: quality/token/fingerprint stats.
     "text_stats" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1851,6 +1878,24 @@ object SparkEntry {
 
     "text_winnow" -> (winnowCte(50) + "\n" +
       "SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp"),
+
+    // chunk i covers tokens [i*20, i*20+24); last chunk may be short
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
+        |c AS (SELECT doc_id,
+        |        unnest(generate_series(0, CAST(1 + ceil(greatest(len(toks) - 24, 0) / 20.0) AS INT) - 1)) AS chunk_idx,
+        |        toks
+        |      FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |       CAST(len(toks[chunk_idx * 20 + 1 : chunk_idx * 20 + 24]) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(toks[chunk_idx * 20 + 1 : chunk_idx * 20 + 24], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "pipe_sample" ->
+      """SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 < 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_redact" ->
       """WITH s AS (

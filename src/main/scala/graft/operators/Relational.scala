@@ -7,6 +7,23 @@ import org.apache.spark.sql.types._
 /** Relational helpers with explicit 100-TB posture. */
 object Relational {
 
+  /** Deterministic, engine-portable hash sampling predicate: keep a row
+    * iff the first 48 bits of md5(key) mod 1000 fall under
+    * `ratePermille`. Unlike `df.sample` (seeded per-partition RNG, so
+    * the kept set changes with partitioning), the decision is a pure
+    * function of the KEY — reproducible across runs, engines, and
+    * cluster layouts, and consistent across tables sharing the key
+    * (sample a corpus once, every derived table samples identically).
+    * The md5-prefix value is uniform, so the kept fraction concentrates
+    * tightly around ratePermille/1000. */
+  def hashSampleKeep(key: org.apache.spark.sql.Column, ratePermille: Int): org.apache.spark.sql.Column = {
+    require(ratePermille >= 0 && ratePermille <= 1000,
+      s"ratePermille must be in [0, 1000], got $ratePermille")
+    import org.apache.spark.sql.functions._
+    (conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long") % 1000L) <
+      ratePermille.toLong
+  }
+
   /** Two-phase salted sum for skewed grouping keys.
     *
     * Phase 1 aggregates on (keys, salt) so a hot key fans out over

@@ -52,6 +52,28 @@ object TextAnalysis {
     "n_longnums" -> size(regexp_extract_all(text, lit(LongNumRe), lit(0))).cast(LongType),
     "redacted" -> redact(text))
 
+  // ------------------------------------------------------------ chunking
+  /** Split a document into fixed-size token chunks with overlap — the
+    * context-window packing prep step of a training pipeline. Chunk i
+    * covers tokens [i·(size-overlap), i·(size-overlap)+size); the last
+    * chunk may be short; a document of ≤ size tokens is one chunk.
+    * Returns an array of chunk strings (posexplode for one row per
+    * chunk). Pure expressions: the fan-out happens AFTER any
+    * partition-parallel filter/projection, and chunks of one document
+    * stay in its partition — no shuffle. */
+  def tokenChunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = split(text, " ")
+    val n = size(toks)
+    // nChunks = 1 + ceil(max(n - chunkSize, 0) / stride)
+    val nChunks = lit(1) + ceil(
+      greatest(n - chunkSize, lit(0)).cast(DoubleType) / stride).cast(IntegerType)
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken local fingerprints
     * for near-dup detection): hash every character k-gram, slide a window
     * of `w` hashes, keep each window's minimum, return the distinct

@@ -90,6 +90,39 @@ class TextEventsSpec extends AnyFunSuite {
     assert(chunks.select("offset").as[Long].collect().toSeq == Seq(0L, 256L, 512L))
   }
 
+  test("token chunks: stride boundaries, overlap, short tails, tiny docs") {
+    import graft.operators.TextAnalysis
+    val text = (1 to 50).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "a b c")).toDF("id", "text")
+    val rows = df.select(col("id"),
+        posexplode(TextAnalysis.tokenChunks(col("text"), chunkSize = 24, overlap = 4))
+          .as(Seq("i", "chunk")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // 50 tokens, stride 20: chunks start at 0/20/40
+    assert(doc1.length == 3)
+    assert(doc1(0) == (1 to 24).map(i => s"t$i").mkString(" "))
+    assert(doc1(1) == (21 to 44).map(i => s"t$i").mkString(" "))
+    assert(doc1(2) == (41 to 50).map(i => s"t$i").mkString(" ")) // short tail
+    // consecutive chunks share exactly the 4-token overlap
+    assert(doc1(0).split(" ").takeRight(4).sameElements(doc1(1).split(" ").take(4)))
+    // a doc shorter than chunkSize is one whole chunk
+    assert(rows.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b c"))
+  }
+
+  test("hash sampling: deterministic, partitioning-independent, near the target rate") {
+    import graft.operators.Relational
+    val df = spark.range(10000L).toDF("id")
+    val keep = Relational.hashSampleKeep(col("id"), 200)
+    val a = df.filter(keep).collect().map(_.getLong(0)).toSet
+    val b = df.repartition(17).filter(keep).collect().map(_.getLong(0)).toSet
+    assert(a == b, "kept set must not depend on partitioning")
+    assert(math.abs(a.size - 2000) < 200, s"kept ${a.size} of 10000 at 20%")
+    // rate 0 and 1000 are the empty and full sets
+    assert(df.filter(Relational.hashSampleKeep(col("id"), 0)).isEmpty)
+    assert(df.filter(Relational.hashSampleKeep(col("id"), 1000)).count() == 10000L)
+  }
+
   test("redact: urls, emails, long digit runs become typed placeholders") {
     import graft.operators.TextAnalysis
     val df = Seq(
