@@ -66,11 +66,19 @@ object Bench {
       mx.query(qv, 10)
       val tMatrixQuery = median3 { () => mx.query(qv, 10); () }
       mx.unpersist(blocking = true)
+      // int8-coarse / f32-exact two-phase path: scans 1/4 the bytes to
+      // nominate candidates, exact-reranks them (results equal the exact
+      // path on this workload; see QuantizedMatrixStoreSpec)
+      val qmx = graft.operators.QuantizedMatrixStore.fromStore(cached)
+      qmx.query(qv, 10)
+      val tQuantQuery = median3 { () => qmx.query(qv, 10); () }
+      qmx.unpersist(blocking = true)
       cached.df.unpersist(blocking = true)
       raw.unpersist(blocking = true)
       Map("ref_insert_100k_d1024" -> tInsert, "ref_query_100k_d1024" -> tQuery,
         "ref_matrix_build_100k_d1024" -> tMatrixBuild,
-        "ref_query_matrix_100k_d1024" -> tMatrixQuery)
+        "ref_query_matrix_100k_d1024" -> tMatrixQuery,
+        "ref_query_matrix_int8_100k_d1024" -> tQuantQuery)
     } catch { case _: Throwable => Map.empty }
   }
 

@@ -202,6 +202,21 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(VectorStore.Partitioned.load(spark, dir).len() == emptiedLen)
   }
 
+  test("quantized two-phase query returns the exact path's results bit for bit") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    val qmx = graft.operators.QuantizedMatrixStore.fromStore(st)
+    try {
+      (0L until 10L).foreach { i =>
+        val q = e.filter(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray
+        val exact = mx.query(q, 10).toSeq
+        val fast = qmx.query(q, 10, oversample = 8).toSeq
+        assert(fast == exact, s"query $i: nomination missed a true top-10 row")
+      }
+    } finally { mx.unpersist(); qmx.unpersist() }
+  }
+
   test("bucketed matrix refresh after upsert equals full rebuild bitwise") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
