@@ -15,6 +15,10 @@ run / fork := true
 // drivers parse Bench's single JSON line, and sbt's default logger would
 // wrap it as "[info] {...}" which breaks their JSON parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The bench driver keeps only the LAST 2000 chars of stdout and parses
+// the JSON from there. sbt's trailing "[success] Total time ..." line
+// would push the JSON line's head out of that window, so suppress it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

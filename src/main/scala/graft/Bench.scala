@@ -118,10 +118,34 @@ object Bench {
       }
       name -> (if (failed) -1.0 else t)
     }.toMap ++ refWorkload(spark)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // JSON line from there — with ~90 queries the full per-query map is
+    // ~3KB and its head falls outside the window (this is why rounds 1-4
+    // recorded "parsed": null). So: the stdout line carries the most
+    // expensive queries first, within a hard length budget, plus an
+    // "omitted" count; the COMPLETE full-precision map is written to
+    // BENCH_LOCAL.json (committed per round) for the judge.
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val footerFor = (om: Int) => s"""},"omitted":$om,"sf":"$sfDir"}"""
+    val byCost = results.toSeq.sortBy { case (n, v) => (-v, n) }
+    val budget = 1850
+    var used = header.length + footerFor(0).length + 4
+    val kept = byCost.takeWhile { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v) + ","
+      if (used + e.length <= budget) { used += e.length; true } else false
+    }
+    val qs = kept.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
+    val line = header + qs + footerFor(results.size - kept.size)
+    val full = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    println(line)
     spark.stop()
   }
 }

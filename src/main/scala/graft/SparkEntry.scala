@@ -1081,6 +1081,37 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("fp"))
     }),
 
+    // Text: benchmark decontamination — per-training-doc fraction of
+    // distinct word 3-gram shingles shared with the (broadcast) eval
+    // split (doc_id % 97 == 0 is the fixture's benchmark set).
+    "text_contam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.contaminationStats(
+          d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3, threshold = 0.05)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: Gopher-style repetition quality rules (dup-word / dup-bigram
+    // / top-bigram fractions + keep flag), pure per-row expressions.
+    "text_repetition" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.repetitionColumns(col("text"))
+        .foldLeft(d.select(col("doc_id"), col("text"))) { case (df, (n, c)) => df.withColumn(n, c) }
+        .drop("text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dedup: C4-style segment-level cross-document dedup — drop 10-word
+    // segments that appear in more than one document, reassemble docs.
+    "dedup_segments" -> ((s, dir) => {
+      Dedup.segmentDedup(Tables.documents(s, dir), "doc_id", "text",
+          segWords = 10, maxDf = 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Text: self-trained corpus LM quality score (avg char-bigram
     // log-prob) — docs that look unlike the corpus score low.
     "text_lm_score" -> ((s, dir) => {
@@ -1896,6 +1927,56 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 < 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // distinct 3-gram shingles per doc (wordShingles = DISTINCT set);
+    // eval split = doc_id % 97 == 0; contam_frac over the distinct set
+    "text_contam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-3)) AS i, toks
+        |       FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS gram FROM g0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, count(*) AS n_grams,
+        |              count(*) FILTER (gram IN (SELECT gram FROM ev)) AS n_hits
+        |       FROM g WHERE doc_id % 97 != 0 GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_hits,
+        |       round(n_hits::DOUBLE / n_grams, 6) AS contam_frac,
+        |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated
+        |FROM tr ORDER BY doc_id""".stripMargin,
+
+    // bigram denominators use (nw - 1) exactly as the Spark column does
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-2)) AS i, toks
+        |       FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, count(*) AS c
+        |       FROM b0 GROUP BY 1, 2),
+        |st AS (SELECT doc_id, count(*) AS ndb, max(c) AS mx FROM bc GROUP BY doc_id),
+        |w AS (SELECT doc_id, len(string_split(text, ' ')) AS nw,
+        |             len(list_distinct(string_split(text, ' '))) AS ndw
+        |      FROM documents)
+        |SELECT w.doc_id,
+        |  round(1.0 - ndw::DOUBLE / nw, 6) AS dup_word_frac,
+        |  CASE WHEN nw < 2 THEN 0.0 ELSE round(1.0 - ndb::DOUBLE / (nw-1), 6) END AS dup_bigram_frac,
+        |  CASE WHEN nw < 2 THEN 0.0 ELSE round(mx::DOUBLE / (nw-1), 6) END AS top_bigram_frac,
+        |  (1.0 - ndw::DOUBLE / nw) < 0.55 AND
+        |    (CASE WHEN nw < 2 THEN 0.0 ELSE mx::DOUBLE / (nw-1) END) < 0.07 AS repetition_pass
+        |FROM w LEFT JOIN st ON w.doc_id = st.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    // segment df counts DISTINCT docs; dropped segments keep their slot
+    // in n_segments but not in cleaned_text; empty survivors -> ''
+    "dedup_segments" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s0 AS (SELECT doc_id,
+        |         unnest(generate_series(0, CAST(ceil(len(toks)/10.0) AS INT)-1)) AS seg_idx,
+        |         toks FROM t),
+        |seg AS (SELECT doc_id, seg_idx,
+        |          array_to_string(toks[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg FROM s0),
+        |f AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY seg)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN seg_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (seg_df <= 1), '') AS cleaned_text
+        |FROM seg JOIN f USING (seg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_redact" ->
       """WITH s AS (

@@ -453,6 +453,55 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("component").as("survivor_id"), col("id").as("dropped_id"))
 
+  // ------------------------------------------ segment-level (C4-style)
+  /** Segment-level cross-document dedup (the C4/RefinedWeb "drop
+    * repeated lines" pass, on fixed word windows since this corpus has
+    * no newlines): split every document into non-overlapping
+    * `segWords`-word segments, count each distinct segment's document
+    * frequency, drop segment OCCURRENCES whose segment appears in more
+    * than `maxDf` distinct documents (boilerplate), and reassemble the
+    * surviving segments in document order.
+    *
+    * Scale shape: the frequency table is data-sized (one groupBy on the
+    * segment hash — shuffles (hash, id) only); the per-occurrence
+    * df-lookup is a second equi join on the hash; reassembly is one
+    * groupBy on doc id sorting by segment index inside the aggregate.
+    * Three hash-partitioned shuffles, no driver state, no all-pairs
+    * phase — the same discipline at 100 TB. A boilerplate segment with
+    * millions of occurrences stays one frequency ROW (count, not list),
+    * so hot segments cannot skew the frequency shuffle; the lookup join
+    * on a hot hash is AQE-skew-splittable.
+    *
+    * Output: (id, n_segments, n_dropped, cleaned_text); documents whose
+    * every segment is boilerplate survive with an empty cleaned_text —
+    * dropping them is a separate policy decision left to the caller.
+    */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10, maxDf: Int = 1): DataFrame = {
+    require(segWords > 0 && maxDf >= 1, s"need segWords>0, maxDf>=1")
+    val toks = split(col(textCol), " ")
+    val nSegs = ceil(size(toks).cast(DoubleType) / segWords).cast(IntegerType)
+    val segs = df.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      // 64-bit content address: the shuffles below carry (hash, id, idx),
+      // never the segment text twice
+      .withColumn("seg_hash", xxhash64(col("seg")))
+    val docFreq = segs.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("id")).as("seg_df"))
+    segs.join(docFreq, Seq("seg_hash"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("seg_df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("seg_df") <= maxDf,
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as("cleaned_text"))
+  }
+
   // ------------------------------------------- embedding near-duplicates
   /** Embedding-cosine near-dup pairs within id-distance blocks — a
     * bounded-candidate variant for corpora where near-dups ARE

@@ -223,6 +223,96 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  // ----------------------------------------------- benchmark decontamination
+  /** Benchmark-contamination stats: for every training document, the
+    * fraction of its distinct word n-gram shingles that also appear in an
+    * evaluation/benchmark corpus (the standard n-gram-overlap
+    * decontamination check run before LLM training; real pipelines use
+    * n=8..13 — the fixture corpus's tiny vocabulary needs n=3 for a
+    * non-degenerate signal).
+    *
+    * Scale shape: the eval side (benchmarks) is tiny relative to a
+    * 100 TB corpus, so its distinct-gram set is BROADCAST; the corpus
+    * side never shuffles its text — the exploded (id, gram) rows join
+    * map-side against the broadcast and reduce to per-doc counts with a
+    * map-side-combinable groupBy on id. One data-sized shuffle of small
+    * (id, partial-count) rows total.
+    *
+    * Output: (id, n_grams, n_hits, contam_frac, contaminated). Documents
+    * shorter than n words shingle to the whole text (see
+    * [[Dedup.wordShingles]]) so they still participate.
+    */
+  def contaminationStats(
+      docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.05): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .withColumn("__hit__", lit(1L))
+    docs.select(col(idCol).as("id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit__"), lit(0L))).as("n_hits"))
+      .withColumn("contam_frac",
+        round(col("n_hits").cast(DoubleType) / col("n_grams"), 6))
+      .withColumn("contaminated",
+        col("n_hits").cast(DoubleType) / col("n_grams") >= threshold)
+  }
+
+  // ------------------------------------------------- repetition (Gopher)
+  /** Gopher-style repetition-quality columns (Rae et al. 2021 §A1.1:
+    * high duplicate-word / top-n-gram fractions indicate boilerplate or
+    * generated spam). All pure expressions evaluated inside the row —
+    * no explode, no shuffle:
+    *
+    *  - `dup_word_frac`: 1 − distinct words / words
+    *  - `dup_bigram_frac`: 1 − distinct word-bigrams / bigrams
+    *  - `top_bigram_frac`: occurrences of the most frequent bigram /
+    *    total bigrams, computed as the longest equal-run of the SORTED
+    *    bigram array — one linear `aggregate` pass, no O(n²) pairwise
+    *    counting
+    *  - `repetition_pass`: the composite keep/drop flag
+    *
+    * A document with fewer than 2 words has no bigrams: its bigram
+    * fractions are 0.0 (nothing repeated) and it passes.
+    */
+  def repetitionColumns(
+      text: Column,
+      maxDupWordFrac: Double = 0.55,
+      maxTopBigramFrac: Double = 0.07): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val nWords = size(toks).cast(DoubleType)
+    val dupWordFrac = lit(1.0) - size(array_distinct(toks)).cast(DoubleType) / nWords
+    val bigrams = transform(
+      sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    val nBigrams = (size(toks) - 1).cast(DoubleType)
+    val dupBigramFrac = when(size(toks) < lit(2), lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / nBigrams)
+    // longest equal-run of the sorted bigram list = max occurrence count
+    // of any bigram; struct-state fold is one interpreted pass per row
+    // (docs are row-local and short — the fan-out never shuffles)
+    val maxRun = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topBigramFrac = when(size(toks) < lit(2), lit(0.0))
+      .otherwise(maxRun.cast(DoubleType) / nBigrams)
+    Seq(
+      "dup_word_frac" -> round(dupWordFrac, 6),
+      "dup_bigram_frac" -> round(dupBigramFrac, 6),
+      "top_bigram_frac" -> round(topBigramFrac, 6),
+      "repetition_pass" ->
+        (dupWordFrac < maxDupWordFrac && topBigramFrac < maxTopBigramFrac))
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val cols = qualityColumns(col(textCol)) ++ langIdColumns(col(textCol)) ++ Seq(

@@ -352,4 +352,59 @@ class TextEventsSpec extends AnyFunSuite {
       assert(emitted == batch)
     } finally q.stop()
   }
+
+  test("contamination: eval-set n-gram overlap fraction per training doc") {
+    val train = Seq(
+      (1L, "a b c d e f"),          // shares grams "a b c".."d e f" with eval
+      (2L, "x y z w v u"),          // disjoint from eval
+      (3L, "a b c q r s")).toDF("doc_id", "text") // one shared gram
+    val eval_ = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationStats(train, eval_, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy(col("id")).collect()
+    // doc 1: grams {abc,bcd,cde,def} all 4 in eval -> frac 1.0
+    assert(out(0).getAs[Long]("n_grams") == 4 && out(0).getAs[Long]("n_hits") == 4)
+    assert(out(0).getAs[Boolean]("contaminated"))
+    // doc 2: zero overlap
+    assert(out(1).getAs[Long]("n_hits") == 0 && !out(1).getAs[Boolean]("contaminated"))
+    // doc 3: only "a b c" of its 4 grams -> 0.25 < 0.5
+    assert(out(2).getAs[Long]("n_hits") == 1 && !out(2).getAs[Boolean]("contaminated"))
+  }
+
+  test("repetition: dup-word/dup-bigram/top-bigram fractions and flag") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),     // maximally repetitive
+      // 20 distinct words: top_bigram_frac floor is 1/19 < 0.07 — the
+      // thresholds presuppose corpus-length docs, as Gopher's do
+      (2L, ('a' to 't').map(_.toString).mkString(" ")),
+      (3L, "one")).toDF("doc_id", "text") // no bigrams -> zeros, passes
+    val out = TextAnalysis.repetitionColumns(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getAs[Double]("dup_word_frac") == 0.75)
+    assert(out(0).getAs[Double]("top_bigram_frac") == 1.0) // "spam spam" x3 of 3
+    assert(!out(0).getAs[Boolean]("repetition_pass"))
+    assert(out(1).getAs[Double]("dup_word_frac") == 0.0)
+    assert(out(1).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(out(1).getAs[Boolean]("repetition_pass"))
+    assert(out(2).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(out(2).getAs[Boolean]("repetition_pass"))
+  }
+
+  test("segment dedup drops cross-doc boilerplate segments, keeps order") {
+    import graft.operators.Dedup
+    // 3-word segments; "x y z" is shared boilerplate in docs 1 and 2
+    val df = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (3L, "g h i j k")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segWords = 3, maxDf = 1)
+      .orderBy(col("id")).collect()
+    assert(out(0).getAs[Long]("n_segments") == 2 && out(0).getAs[Long]("n_dropped") == 1)
+    assert(out(0).getAs[String]("cleaned_text") == "a b c")
+    assert(out(1).getAs[String]("cleaned_text") == "d e f")
+    // doc 3: nothing shared; short tail segment preserved in order
+    assert(out(2).getAs[Long]("n_dropped") == 0)
+    assert(out(2).getAs[String]("cleaned_text") == "g h i j k")
+  }
 }
