@@ -50,6 +50,14 @@ object SparkEntry {
       graft.operators.Ann.ivfLoad(s, path)
     })
 
+  /** Per-JVM PQ index cache (build once per sf dir, like [[cachedIvf]]). */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.PqIndex]()
+  private[graft] def cachedPq(s: SparkSession, dir: String): graft.operators.Ann.PqIndex =
+    pqCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      graft.operators.Ann.pqBuild(
+        Tables.embeddings(s, dir), "vec_id", "embedding", m = 8, nCodes = 16)
+    })
+
   /** FileStreamSource wants a directory of plain files; the testdata is a
     * single parquet file per table — stage it into a temp dir once per
     * (sf dir, table). */
@@ -989,6 +997,21 @@ object SparkEntry {
       ivfContract(approx, exact)
     }),
 
+    // ANN: product quantization + ADC scan + exact re-rank. Codebooks are
+    // engine-specific (seeded KMeans), so the check is the same
+    // engine-independent contract as IVF: self at rank 1 (exact re-rank
+    // guarantees it once recalled), recall@k vs brute force >= floor.
+    "ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.pqTopK(cachedPq(s, dir), q, "vec_id", "embedding", k = 3)
+      // pqTopK's qid is STRING (driver-table key); align the exact side
+      // so the contract joins string=string, not via numeric coercion
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+    }),
+
     // ANN: IVF list re-balancing contract — oversized lists split by a
     // local re-cluster. Engine-independent invariants: assignment row
     // count preserved, max list size never increases, probes on the
@@ -1365,6 +1388,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Streaming: MinHash-LSH candidate pairs via per-band-bucket state —
+    // lands on the batch band join's candidate set for bounded input.
+    "stream_minhash" -> ((s, dir) => {
+      val schema = Tables.documents(s, dir).schema
+      val st = s.readStream.schema(schema).parquet(stagedTableDir(dir, "documents"))
+        .filter(col("doc_id") < 200)
+      graft.streaming.StreamingOps.runBounded(
+          graft.streaming.StreamingOps.minhashPairsStream(st, "doc_id", "text"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal: binary payload metadata (deterministic byte stats).
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1696,6 +1731,29 @@ object SparkEntry {
     // the streaming twin must land on the same bounded-input pair set
     "stream_simhash" -> simhashPortOracle,
 
+    // streaming twin of the portable minhash band join: candidate pair
+    // set only (the oracle reproduces signatures + band grouping)
+    "stream_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM documents WHERE doc_id < 200),
+        |sg AS (
+        |  SELECT id,
+        |    list_transform(generate_series(0, 31), k ->
+        |      list_min(list_transform(sh, s ->
+        |        ('0x' || substr(md5(s), 1, 12))::BIGINT + k * ('0x' || substr(md5(s), 13, 12))::BIGINT))) AS sig
+        |  FROM t),
+        |bd AS (
+        |  SELECT id, g.b, array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS bk
+        |  FROM sg, generate_series(0, 7) AS g(b))
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |FROM bd a JOIN bd b ON a.b = b.b AND a.bk = b.bk AND a.id < b.id
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // banding-completeness contracts: the pair lists ride on
     // engine-specific hash families, but the "candidate generation loses
     // nothing and invents nothing" equality is engine-independent
@@ -1869,6 +1927,10 @@ object SparkEntry {
         |FROM s WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "ann_ivf_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    // PQ + exact rerank: same engine-independent contract booleans
+    "ann_pq" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
     "ann_ivf_topk" ->

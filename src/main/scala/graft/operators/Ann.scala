@@ -323,4 +323,103 @@ object Ann {
       .withColumn("__score__", dotD(col("__nv__"), col("qv")))
       .transform(topKHits(_, idCol, k))
   }
+
+  // ------------------------------------------------ product quantization
+  /** Product-quantization index: `m` per-subspace codebooks of `nCodes`
+    * centroids each, plus the encoded rows. A 64-dim float vector (256
+    * bytes) compresses to `m` small ints (m bytes at nCodes<=256) — the
+    * approximate scan reads ~1/32 of the bytes of the exact one, which
+    * is the lever that matters when the 100 TB corpus's vectors do not
+    * fit hot storage. Codebooks are tiny (m × nCodes × subDim doubles)
+    * and ride along driver-side / broadcast, like IVF centroids. */
+  final case class PqIndex(
+      m: Int, subDim: Int,
+      codebooks: Seq[Seq[Seq[Double]]], // [subspace][code][component]
+      codes: DataFrame)                 // (id, v, codes ARRAY<INT>)
+
+  /** Build a PQ index: slice every UNIT-NORMALIZED vector into `m`
+    * subvectors, fit one seeded KMeans per subspace, encode each row as
+    * its per-subspace nearest-centroid ids. One featurize pass + m
+    * narrow transform passes (Catalyst fuses them into one stage); the
+    * fit input is cached across the m fits and released after the
+    * encoded frame materializes. Vectors are normalized BEFORE slicing
+    * so the ADC dot of [[pqTopK]] approximates cosine exactly the way
+    * the exact path computes it. */
+  def pqBuild(data: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, nCodes: Int = 16, seed: Long = 42L, maxIter: Int = 5): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = data.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val nv = graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false)
+    val feat = (0 until m).foldLeft(
+        data.select(col(idCol).as("id"), col(vecCol).as("v"), nv.as("__nv__"))) {
+        case (df, j) => df.withColumn(s"__f$j",
+          array_to_vector(slice(col("__nv__"), j * subDim + 1, subDim)))
+      }.cache()
+    val models = (0 until m).map { j =>
+      new KMeans().setK(nCodes).setSeed(seed + j).setMaxIter(maxIter)
+        .setInitMode("random")
+        .setFeaturesCol(s"__f$j").setPredictionCol(s"__c$j")
+        .fit(feat)
+    }
+    val encoded = models.zipWithIndex
+      .foldLeft(feat: DataFrame) { case (df, (mod, _)) => mod.transform(df) }
+      .withColumn("codes", array((0 until m).map(j => col(s"__c$j")): _*))
+      .select(col("id"), col("v"), col("codes"))
+      .localCheckpoint(true)
+    feat.unpersist()
+    val codebooks = models.map(_.clusterCenters.toSeq.map(_.toArray.toSeq))
+    PqIndex(m, subDim, codebooks, encoded)
+  }
+
+  /** PQ top-k with asymmetric-distance (ADC) scoring + exact re-rank.
+    *
+    * Per query, the driver precomputes the m × nCodes lookup table
+    * `table[j][c] = dot(q_sub_j, codebook[j][c])` (tiny: Q × m × nCodes
+    * doubles, the classic ADC table) and broadcasts it; the approximate
+    * score of a row is then m array lookups — no float-vector decode on
+    * the scan. The top `k × rerankFactor` candidates per query re-rank
+    * with the EXACT cosine (reading the full vectors of only those
+    * candidates), so the emitted scores are exact and self-hits rank
+    * first; PQ affects recall only. */
+  def pqTopK(index: PqIndex, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, rerankFactor: Int = 8): DataFrame = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    // Q rows: same justified driver collect as ivfTopK's probe table
+    val qRows = queries
+      .select(col(qidCol).cast(StringType).as("qid"),
+        graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qvn"))
+      .collect()
+      .map { r =>
+        val qid = r.getString(0)
+        val qv = r.getSeq[Double](1).toArray
+        val table = index.codebooks.zipWithIndex.map { case (book, j) =>
+          book.map { cent =>
+            var s = 0.0
+            var d = 0
+            while (d < index.subDim) { s += qv(j * index.subDim + d) * cent(d); d += 1 }
+            s
+          }
+        }
+        (qid, qv.toSeq, table)
+      }.toSeq
+    val qdf = broadcast(qRows.toDF("qid", "qvn", "table"))
+    val approxW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__approx__").desc, col("id"))
+    index.codes
+      .crossJoin(qdf)
+      .withColumn("__approx__",
+        aggregate(zip_with(col("codes"), col("table"),
+            (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("__rnk__", row_number().over(approxW))
+      .filter(col("__rnk__") <= k * rerankFactor)
+      .withColumn("__score__",
+        dotD(graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false),
+          col("qvn")))
+      .transform(topKHits(_, "id", k))
+  }
 }

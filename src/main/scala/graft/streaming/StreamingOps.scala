@@ -168,6 +168,65 @@ object StreamingOps {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Per-bucket membership state for [[minhashPairsStream]]. */
+  final case class BandIds(ids: List[Long])
+
+  /** Streaming MinHash-LSH near-dup candidate pairs — the stateful twin
+    * of [[graft.operators.Dedup.minhashLshPairs]]'s band join.
+    *
+    * Each arriving document is signatured statelessly (portable md5-48bit
+    * g_k family, the oracle-checkable one) and exploded into its `bands`
+    * band keys; state keyed by (band index, band key) holds the ids seen
+    * in that bucket, and each arrival emits a candidate pair per stored
+    * member. The candidate set is exactly the batch band join's,
+    * produced incrementally and independent of arrival order; pairs
+    * sharing several bands are deduplicated by a stateful
+    * dropDuplicates on the pair key.
+    *
+    * Same state-growth caveat as [[simhashPairsStream]]: per-bucket
+    * membership is the stream's history — pair with a TTL/watermark
+    * retention in production. Requires a numeric (long-castable) id.
+    */
+  def minhashPairsStream(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.Dedup
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = Dedup.minhashSignaturePortable(
+      Dedup.wordShingles(col(textCol), shingleN), numHashes)
+    val banded = docs
+      .select(col(idCol).cast(LongType).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast(StringType)), ","))).as(Seq("band", "bk")))
+      .as[(Long, Int, String)]
+    banded
+      .groupByKey(t => (t._2, t._3))
+      .flatMapGroupsWithState[BandIds, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[BandIds]) =>
+          var members = state.getOption.map(_.ids).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          // id-sorted within the batch: emitted pair set is identical for
+          // any arrival interleaving
+          rows.toSeq.sortBy(_._1).foreach { case (id, _, _) =>
+            if (!members.contains(id)) {
+              members.foreach(oid =>
+                out += ((math.min(id, oid), math.max(id, oid))))
+              members = id :: members
+            }
+          }
+          state.update(BandIds(members))
+          out.iterator
+      }
+      .toDF("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Read a parquet directory as a bounded stream (test/local harness).
     * `maxFilesPerTrigger = None` drains the directory in ONE microbatch —
     * use it when cross-batch event-time order cannot be guaranteed (the

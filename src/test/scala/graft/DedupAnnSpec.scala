@@ -433,4 +433,28 @@ class DedupAnnSpec extends AnyFunSuite {
       .orderBy("rank").select("id").as[String].collect().toSeq
     assert(batch == single)
   }
+
+  test("pq: codes in range, ADC+rerank self-hit and high recall vs brute force") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val idx = Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    assert(idx.subDim == 8 && idx.codebooks.size == 8)
+    // every code addresses a real centroid of its subspace's book
+    val mx = idx.codes
+      .select(max(expr("array_max(codes)")), min(expr("array_min(codes)"))).head()
+    assert(mx.getInt(1) >= 0 && idx.codebooks.forall(b => b.size <= 16))
+    assert(idx.codes.count() == e.count())
+    val q = e.filter(col("vec_id") < 10)
+    val approx = Ann.pqTopK(idx, q, "vec_id", "embedding", k = 5)
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 5)
+    // exact re-rank => the self vector (cosine 1.0) ranks first whenever
+    // recalled; require it for every query
+    val self = approx.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 10 && self.forall(identity))
+    // recall@5 >= 60% averaged (PQ with 16 codes/subspace on 64-dim)
+    val hits = approx.join(
+        exact.withColumn("qid", col("qid").cast("string")),
+        Seq("qid", "id"), "left_semi").count()
+    assert(hits >= 30, s"recall too low: $hits/50")
+  }
 }

@@ -164,6 +164,28 @@ class TextEventsSpec extends AnyFunSuite {
     assert(streamed.exists { case (a, b, h) => a == 1L && b == 500000L && h == 0 })
   }
 
+  test("streaming minhash pairs equal the batch band-join candidates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (700000L, "the quick brown fox jumps over the lazy dog"), // far-id exact dup
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "spark catalyst optimizer rewrites logical plans"),
+      (5L, "completely different content about query engines"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("minhashstream")
+    docs.write.parquet(s"$dir/data")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/data").schema).parquet(s"$dir/data")
+    val streamed = graft.streaming.StreamingOps.runBounded(
+        graft.streaming.StreamingOps.minhashPairsStream(stream, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        portableHash = true)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, 700000L)))
+  }
+
   test("stateful streaming sessionization closes sessions on the gap") {
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
     val dir = java.nio.file.Files.createTempDirectory("sessstream")
