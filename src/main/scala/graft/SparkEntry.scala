@@ -1083,6 +1083,30 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Pipeline: per-source mixture sampling — curated sources kept at
+    // 800‰, mid-tier at 400‰, the rest at 100‰, one deterministic
+    // predicate over (doc key, source).
+    "pipe_mixture" -> ((s, dir) => {
+      val rates = (0 until 5).map(i => s"src$i" -> 800) ++
+        (5 until 10).map(i => s"src$i" -> 400)
+      Tables.documents(s, dir)
+        .filter(graft.operators.Relational.mixtureSampleKeep(
+          col("doc_id"), col("source"), rates, defaultPermille = 100))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
+
+    // Pipeline: concat-and-chunk sequence packing per source shard —
+    // each doc's placement (sequence id, token offset, span count) for
+    // a 256-token training-sequence budget.
+    "pipe_pack" -> ((s, dir) => {
+      TextAnalysis.packSequences(Tables.documents(s, dir), "doc_id", "text",
+          "source", budgetTokens = 256)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Text: quality/token/fingerprint stats.
     "text_stats" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -2039,6 +2063,33 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN seg_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (seg_df <= 1), '') AS cleaned_text
         |FROM seg JOIN f USING (seg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same md5-prefix hash as pipe_sample; rate keyed off the source's
+    // numeric suffix (src0..src4 800, src5..src9 400, rest 100)
+    "pipe_mixture" ->
+      """WITH r AS (SELECT *, CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 800
+        |                          WHEN CAST(substr(source, 4) AS INT) < 10 THEN 400
+        |                          ELSE 100 END AS rate
+        |           FROM documents)
+        |SELECT source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM r
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 < rate
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // integer floor division on non-negative cumsums == Spark's
+    // truncating cast; cum cast to BIGINT (DuckDB window sum -> HUGEINT)
+    "pipe_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  (cum - n_tokens) // 256 AS seq_id,
+        |  (cum - n_tokens) % 256 AS seq_offset,
+        |  (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs_spanned
+        |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "text_redact" ->
       """WITH s AS (

@@ -24,6 +24,32 @@ object Relational {
       ratePermille.toLong
   }
 
+  /** Per-source mixture sampling: keep a row iff the [[hashSampleKeep]]
+    * hash of its key falls under ITS SOURCE's target rate — the "data
+    * mixing" step of a training pipeline (upsample curated sources,
+    * downsample crawl), as one deterministic predicate instead of one
+    * sampled scan per source. The rate table is a tiny when-chain
+    * (sources are few); the decision stays a pure function of
+    * (key, source), so the same mixture reproduces on any engine,
+    * partitioning, or rerun — and a re-run with a changed rate for one
+    * source leaves every other source's kept set untouched.
+    */
+  def mixtureSampleKeep(key: Column, source: Column,
+      ratesPermille: Seq[(String, Int)], defaultPermille: Int): Column = {
+    (ratesPermille.map(_._2) :+ defaultPermille).foreach(r =>
+      require(r >= 0 && r <= 1000, s"rate must be in [0, 1000], got $r"))
+    val hash1000 =
+      conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long") % 1000L
+    val rate = ratesPermille.foldLeft(Option.empty[Column]) { case (acc, (s, r)) =>
+      Some(acc match {
+        case None => when(source === s, lit(r.toLong))
+        case Some(c) => c.when(source === s, lit(r.toLong))
+      })
+    }.map(_.otherwise(lit(defaultPermille.toLong)))
+      .getOrElse(lit(defaultPermille.toLong))
+    hash1000 < rate
+  }
+
   /** Two-phase salted sum for skewed grouping keys.
     *
     * Phase 1 aggregates on (keys, salt) so a hot key fans out over

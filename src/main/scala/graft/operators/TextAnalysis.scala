@@ -223,6 +223,38 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  // --------------------------------------------------- sequence packing
+  /** Concat-and-chunk sequence packing: documents are concatenated in
+    * (`groupCol`, ascending `idCol`) order and cut into fixed
+    * `budgetTokens`-token training sequences (the GPT-style packing
+    * step); a document may span several sequences. Emits the per-doc
+    * placement: which sequence the doc starts in, at what token offset,
+    * and how many sequences it spans — the index a pipeline needs to
+    * write packed examples or build attention-reset masks.
+    *
+    * Packing is per GROUP (source, shard, ...), not global: a global
+    * running sum would serialize on one partition, while per-group
+    * windows pack every group in parallel — the 100 TB shape (groups =
+    * shards sized to taste). All closed-form window arithmetic: one
+    * shuffle on the group key, no iteration.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol),
+        tokenCountWs(col(textCol)).as("n_tokens"))
+      .withColumn("__cum__", sum(col("n_tokens")).over(w))
+      .select(col(groupCol), col(idCol), col("n_tokens"),
+        ((col("__cum__") - col("n_tokens")) / budgetTokens).cast(LongType).as("seq_id"),
+        ((col("__cum__") - col("n_tokens")) % budgetTokens).as("seq_offset"),
+        (((col("__cum__") - 1) / budgetTokens).cast(LongType) -
+          ((col("__cum__") - col("n_tokens")) / budgetTokens).cast(LongType) + 1L)
+          .as("n_seqs_spanned"))
+  }
+
   // ----------------------------------------------- benchmark decontamination
   /** Benchmark-contamination stats: for every training document, the
     * fraction of its distinct word n-gram shingles that also appear in an

@@ -61,4 +61,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "LSH candidate generation must never degrade to all-pairs")
   }
+
+  test("contamination: eval grams broadcast; corpus side never sort-merges") {
+    val p = plan("text_contam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval-set gram join must broadcast the tiny side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("segment dedup: frequency lookup is an equi join on the segment hash") {
+    val p = plan("dedup_segments")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "segment df lookup must stay an equi join")
+  }
+
+  test("repetition + packing: no join, no explode-shuffle — per-row/window only") {
+    assert(!plan("text_repetition").contains("Join"),
+      "repetition fractions are pure per-row expressions")
+    val pk = plan("pipe_pack")
+    assert(pk.contains("Window") && !pk.contains("Join"),
+      "packing is one per-group window pass")
+  }
+
+  test("pq: ADC scan joins only the broadcast query table") {
+    // the contract harness around ann_pq joins two 5-row aggregates
+    // (free to sort-merge); the posture that matters is the SCAN itself
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val idx = graft.operators.Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    val p = graft.operators.Ann.pqTopK(idx, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the query/table side must be broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "PQ scoring must not shuffle the codes table against queries")
+  }
 }

@@ -375,6 +375,42 @@ class TextEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sequence packing: offsets, spans, and per-group independence") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      ("a", 1L, Seq.fill(100)("w").mkString(" ")),  // 100 toks: seq 0 @ 0
+      ("a", 2L, Seq.fill(200)("w").mkString(" ")),  // starts seq 0 @ 100, spans into seq 1
+      ("a", 3L, Seq.fill(20)("w").mkString(" ")),   // starts seq 1 @ 44
+      ("b", 9L, Seq.fill(300)("w").mkString(" ")))  // own group: seq 0 @ 0, spans 2
+      .toDF("source", "doc_id", "text")
+    val out = TextAnalysis.packSequences(df, "doc_id", "text", "source", 256)
+      .orderBy(col("source"), col("doc_id")).collect()
+    assert(out(0).getAs[Long]("seq_id") == 0 && out(0).getAs[Long]("seq_offset") == 0)
+    assert(out(1).getAs[Long]("seq_id") == 0 && out(1).getAs[Long]("seq_offset") == 100)
+    assert(out(1).getAs[Long]("n_seqs_spanned") == 2) // tokens 100..299 cross 256
+    assert(out(2).getAs[Long]("seq_id") == 1 && out(2).getAs[Long]("seq_offset") == 44)
+    assert(out(3).getAs[Long]("seq_id") == 0 && out(3).getAs[Long]("n_seqs_spanned") == 2)
+  }
+
+  test("mixture sampling: per-source rates, consistent with single-rate hash") {
+    import graft.operators.Relational
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "keepall" else "dropall"))
+      .toDF("id", "source")
+    val kept = df.filter(Relational.mixtureSampleKeep(col("id"), col("source"),
+        Seq("keepall" -> 1000, "dropall" -> 0), defaultPermille = 500))
+      .collect().map(_.getLong(0))
+    assert(kept.length == 500 && kept.forall(_ % 2 == 0))
+    // a source at rate r keeps exactly the rows hashSampleKeep(r) keeps:
+    // mixture membership is per-source consistent with the plain sampler
+    val uni = df.filter(col("source") === "keepall")
+      .filter(Relational.hashSampleKeep(col("id"), 300))
+      .collect().map(_.getLong(0)).toSet
+    val mix = df.filter(Relational.mixtureSampleKeep(col("id"), col("source"),
+        Seq("keepall" -> 300), defaultPermille = 0))
+      .collect().map(_.getLong(0)).toSet
+    assert(uni == mix)
+  }
+
   test("contamination: eval-set n-gram overlap fraction per training doc") {
     val train = Seq(
       (1L, "a b c d e f"),          // shares grams "a b c".."d e f" with eval
