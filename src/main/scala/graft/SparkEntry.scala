@@ -935,6 +935,14 @@ object SparkEntry {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // Embeddings: centroid-cosine outlier gate — vectors below cos 0.0
+    // to their own label centroid flagged (embedding-based curation).
+    "emb_outliers" -> ((s, dir) => {
+      Ann.labelCentroidOutliers(Tables.embeddings(s, dir), "vec_id", "embedding",
+          "label", minCos = 0.0)
+        .orderBy(col("vec_id"))
+    }),
+
     // Composite cleaning pipeline: quality filter -> exact dedup ->
     // per-language survivor counts (operator composition end to end).
     "pipe_clean_stats" -> ((s, dir) => {
@@ -1928,6 +1936,23 @@ object SparkEntry {
         |        / 1000000.0 / count(*), 6) AS centroid
         |FROM embeddings, generate_series(1, 4) AS t(i)
         |GROUP BY label, t.i ORDER BY label, pos""".stripMargin,
+
+    // centroid = micro-quantized mean per (label, dim); cosine in DOUBLE
+    // with the same in-row fold order as the Spark side (the
+    // dedup_embcos-proven list_dot_product equivalence)
+    "emb_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (
+        |  SELECT label, i,
+        |    CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*) AS cd
+        |  FROM e, generate_series(1, 64) AS t(i) GROUP BY label, i),
+        |cl AS (SELECT label, list(cd ORDER BY i) AS c FROM cent GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label,
+        |        list_dot_product(e.v, cl.c) / sqrt(list_dot_product(e.v, e.v))
+        |          / sqrt(list_dot_product(cl.c, cl.c)) AS cos
+        |      FROM e JOIN cl USING (label))
+        |SELECT vec_id, label, round(cos, 6) AS centroid_cos, cos < 0.0 AS outlier
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "pipe_clean_stats" ->
       """WITH b AS (

@@ -324,6 +324,37 @@ object Ann {
       .transform(topKHits(_, idCol, k))
   }
 
+  // ------------------------------------------- centroid outlier filter
+  /** Embedding-based quality gate: cosine of every vector to its own
+    * label's centroid, flagging vectors below `minCos` as outliers (the
+    * CLIP-score-style "does this row look like its class" filter of a
+    * curation pipeline). Centroid components are micro-unit-quantized
+    * sums (order-independent, engine-exact — the
+    * `emb_label_centroids` discipline); the centroid table is
+    * labels × dim — tiny — and broadcast, so scoring is one narrow pass
+    * over the data. One explode shuffle (map-side combinable) total.
+    */
+  def labelCentroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, minCos: Double): DataFrame = {
+    val cent = df
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(round(col("x").cast(DoubleType) * 1000000).cast(LongType))
+        .cast(DoubleType) / 1000000.0 / count(lit(1))).as("cd"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cd")))),
+        s => s.getField("cd")).as("c"))
+    df.select(col(idCol), col(labelCol).as("label"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .join(broadcast(cent), "label")
+      .withColumn("__cos__",
+        dotD(col("v"), col("c")) /
+          sqrt(dotD(col("v"), col("v"))) / sqrt(dotD(col("c"), col("c"))))
+      .select(col(idCol), col("label"),
+        round(col("__cos__"), 6).as("centroid_cos"),
+        (col("__cos__") < minCos).as("outlier"))
+  }
+
   // ------------------------------------------------ product quantization
   /** Product-quantization index: `m` per-subspace codebooks of `nCodes`
     * centroids each, plus the encoded rows. A 64-dim float vector (256

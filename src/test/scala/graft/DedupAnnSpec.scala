@@ -434,6 +434,22 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(batch == single)
   }
 
+  test("centroid outlier gate flags vectors pointing away from their label mean") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 0, Seq(0.9f, 0.1f)),
+      (3L, 0, Seq(-1.0f, 0.0f)),   // anti-aligned with label 0's centroid
+      (4L, 1, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Ann.labelCentroidOutliers(df, "vec_id", "embedding", "label", minCos = 0.0)
+      .orderBy(col("vec_id")).collect()
+    assert(!out(0).getAs[Boolean]("outlier"))
+    assert(!out(1).getAs[Boolean]("outlier"))
+    assert(out(2).getAs[Boolean]("outlier"))
+    assert(out(2).getAs[Double]("centroid_cos") < 0)
+    assert(!out(3).getAs[Boolean]("outlier")) // sole member of its label
+  }
+
   test("pq: codes in range, ADC+rerank self-hit and high recall vs brute force") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val idx = Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
