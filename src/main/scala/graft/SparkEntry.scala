@@ -1020,6 +1020,18 @@ object SparkEntry {
       ivfContract(approx, exact)
     }),
 
+    // ANN: IVF×PQ composition — probed lists ADC-scored through PQ codes,
+    // exact re-rank; same contract booleans as both parents.
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.ivfPqTopK(cachedIvf(s, dir), cachedPq(s, dir), q,
+        "vec_id", "embedding", k = 3, nProbe = 6)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+    }),
+
     // ANN: IVF list re-balancing contract — oversized lists split by a
     // local re-cluster. Engine-independent invariants: assignment row
     // count preserved, max list size never increases, probes on the
@@ -1113,6 +1125,24 @@ object SparkEntry {
       TextAnalysis.packSequences(Tables.documents(s, dir), "doc_id", "text",
           "source", budgetTokens = 256)
         .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Pipeline: corpus-relative length filter — exact p10/p90 token
+    // cutoffs computed in one pass, broadcast back as a filter (the
+    // two-pass adaptive shape: cutoffs adapt to the corpus, not fixed
+    // constants), per-language survivor stats.
+    "pipe_lengthfilter" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).as("nw"))
+      val cuts = d.agg(
+        expr("percentile(nw, 0.1)").as("lo"),
+        expr("percentile(nw, 0.9)").as("hi"))
+      d.crossJoin(broadcast(cuts))
+        .filter(col("nw") >= col("lo") && col("nw") <= col("hi"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("nw")).as("min_nw"),
+          max(col("nw")).as("max_nw"))
+        .orderBy(col("lang"))
     }),
 
     // Text: quality/token/fingerprint stats.
@@ -1982,6 +2012,9 @@ object SparkEntry {
     "ann_pq" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
+    "ann_ivfpq" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
     "ann_ivf_topk" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
@@ -2088,6 +2121,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN seg_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (seg_df <= 1), '') AS cleaned_text
         |FROM seg JOIN f USING (seg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact-interpolated percentiles (Spark percentile == quantile_cont,
+    // the q_quantile-proven equivalence); filter on the RAW cutoffs
+    "pipe_lengthfilter" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS nw
+        |           FROM documents),
+        |c AS (SELECT quantile_cont(nw, 0.1) AS lo, quantile_cont(nw, 0.9) AS hi FROM t)
+        |SELECT lang, count(*) AS n, min(nw) AS min_nw, max(nw) AS max_nw
+        |FROM t, c WHERE nw >= lo AND nw <= hi
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // same md5-prefix hash as pipe_sample; rate keyed off the source's
     // numeric suffix (src0..src4 800, src5..src9 400, rest 100)

@@ -405,6 +405,71 @@ object Ann {
     PqIndex(m, subDim, codebooks, encoded)
   }
 
+  /** IVF×PQ composition (the FAISS-IVFPQ shape, minus residual
+    * encoding): IVF centroids select `nProbe` lists per query, PQ codes
+    * ADC-score ONLY the rows of those lists, and the top candidates
+    * exact-re-rank. The scan over a probed list reads m small ints per
+    * row instead of the full float vector — IVF bounds WHICH rows are
+    * touched, PQ bounds the BYTES per touched row; at 100 TB the two
+    * compose into (nProbe/nLists) × (1/32) of the brute-force scan
+    * bytes. Contract-checked like both parents (self-hit + recall).
+    */
+  def ivfPqTopK(ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int,
+      nProbe: Int, rerankFactor: Int = 8): DataFrame = {
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val cdf = ivf.centroids.toDF("cluster", "cvec")
+    val q = queries.select(col(qidCol).cast(StringType).as("qid"), col(qvecCol).as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cdist", cosineD(col("qv"), col("cvec")))
+      .withColumn("rnk", row_number().over(probeW))
+      .filter(col("rnk") <= nProbe)
+      .select(col("qid"), col("cluster"))
+    val probeRows = probes.collect()
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val probedClusters = probeRows.map(_.getAs[Int]("cluster")).distinct.toSeq
+    // ADC tables per query, exactly as pqTopK builds them
+    val qRows = queries
+      .select(col(qidCol).cast(StringType).as("qid"),
+        graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qvn"))
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val table = pq.codebooks.zipWithIndex.map { case (book, j) =>
+          book.map { cent =>
+            var s = 0.0; var d = 0
+            while (d < pq.subDim) { s += qv(j * pq.subDim + d) * cent(d); d += 1 }
+            s
+          }
+        }
+        (r.getString(0), qv.toSeq, table)
+      }.toSeq
+    val qdf = broadcast(qRows.toDF("qid", "qvn", "table"))
+    val approxW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__approx__").desc, col("id"))
+    ivf.assigned
+      .filter(col("cluster").isin(probedClusters: _*))
+      .select(col("id").cast(StringType).as("id"), col("cluster"))
+      .join(pq.codes.select(col("id").cast(StringType).as("id"),
+        col("v"), col("codes")), Seq("id"))
+      .join(broadcast(probesLocal), Seq("cluster"))
+      .join(qdf, Seq("qid"))
+      .withColumn("__approx__",
+        aggregate(zip_with(col("codes"), col("table"),
+            (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("__rnk__", row_number().over(approxW))
+      .filter(col("__rnk__") <= k * rerankFactor)
+      .withColumn("__score__",
+        dotD(graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false),
+          col("qvn")))
+      .transform(topKHits(_, "id", k))
+  }
+
   /** PQ top-k with asymmetric-distance (ADC) scoring + exact re-rank.
     *
     * Per query, the driver precomputes the m × nCodes lookup table

@@ -450,6 +450,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(!out(3).getAs[Boolean]("outlier")) // sole member of its label
   }
 
+  test("ivfpq: probed-list ADC candidates keep self-hit; recall within parents' band") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+    val pq = Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    val q = e.filter(col("vec_id") < 10)
+    val approx = Ann.ivfPqTopK(ivf, pq, q, "vec_id", "embedding", k = 5, nProbe = 6)
+    val self = approx.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 10 && self.forall(identity))
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 5)
+      .withColumn("qid", col("qid").cast("string"))
+    val hits = approx.join(exact, Seq("qid", "id"), "left_semi").count()
+    assert(hits >= 25, s"ivfpq recall too low: $hits/50")
+  }
+
   test("pq: codes in range, ADC+rerank self-hit and high recall vs brute force") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val idx = Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
