@@ -1462,6 +1462,27 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Streaming: per-row contamination gate over the document stream —
+    // the eval-gram set is a plan literal, so the gate is stateless and
+    // identical batch/stream (checked against the batch formulation's
+    // oracle on the bounded input).
+    "stream_contam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val evalGrams = d.filter(col("doc_id") % 97 === 0)
+        .select(explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+        .distinct().orderBy(col("g"))
+        .collect().map(_.getString(0)).toSeq
+      val schema = d.schema
+      val st = s.readStream.schema(schema).parquet(stagedTableDir(dir, "documents"))
+        .filter(col("doc_id") < 200 && col("doc_id") % 97 =!= 0)
+      val gated = TextAnalysis.contaminationGateColumns(col("text"), evalGrams)
+        .foldLeft(st.select(col("doc_id"), col("text"))) {
+          case (df, (n, c)) => df.withColumn(n, c)
+        }.drop("text")
+      graft.streaming.StreamingOps.runBounded(gated)
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal: binary payload metadata (deterministic byte stats).
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2083,6 +2104,22 @@ object SparkEntry {
         |tr AS (SELECT doc_id, count(*) AS n_grams,
         |              count(*) FILTER (gram IN (SELECT gram FROM ev)) AS n_hits
         |       FROM g WHERE doc_id % 97 != 0 GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_hits,
+        |       round(n_hits::DOUBLE / n_grams, 6) AS contam_frac,
+        |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated
+        |FROM tr ORDER BY doc_id""".stripMargin,
+
+    // the streaming gate = text_contam semantics, train side bounded to
+    // the streamed subset; eval grams still come from the FULL corpus
+    "stream_contam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-3)) AS i, toks
+        |       FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS gram FROM g0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, count(*) AS n_grams,
+        |              count(*) FILTER (gram IN (SELECT gram FROM ev)) AS n_hits
+        |       FROM g WHERE doc_id % 97 != 0 AND doc_id < 200 GROUP BY doc_id)
         |SELECT doc_id, n_grams, n_hits,
         |       round(n_hits::DOUBLE / n_grams, 6) AS contam_frac,
         |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated

@@ -293,6 +293,26 @@ object TextAnalysis {
         col("n_hits").cast(DoubleType) / col("n_grams") >= threshold)
   }
 
+  /** Stateless per-row contamination gate: the eval-set's distinct grams
+    * ride along as ONE plan literal (collected once — eval sets are
+    * small by nature) and each row's overlap is an in-row
+    * `array_intersect`. No join, no groupBy, no state — which is what
+    * makes the same column work unchanged over `readStream` (the
+    * streaming ingest gate) where [[contaminationStats]]'s
+    * explode+groupBy would need stateful aggregation. */
+  def contaminationGateColumns(text: Column, evalGrams: Seq[String],
+      n: Int = 3, threshold: Double = 0.05): Seq[(String, Column)] = {
+    val ev = typedlit(evalGrams)
+    val grams = Dedup.wordShingles(text, n)
+    val nGrams = size(grams).cast(LongType)
+    val nHits = size(array_intersect(grams, ev)).cast(LongType)
+    Seq(
+      "n_grams" -> nGrams,
+      "n_hits" -> nHits,
+      "contam_frac" -> round(nHits.cast(DoubleType) / nGrams, 6),
+      "contaminated" -> (nHits.cast(DoubleType) / nGrams >= threshold))
+  }
+
   // ------------------------------------------------- repetition (Gopher)
   /** Gopher-style repetition-quality columns (Rae et al. 2021 §A1.1:
     * high duplicate-word / top-n-gram fractions indicate boilerplate or
