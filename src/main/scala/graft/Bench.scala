@@ -110,14 +110,21 @@ object Bench {
     // Per-query median-of-3 (see median3). A failing query reports the
     // sentinel -1 and is excluded from the total — timing the
     // exception path would silently make a broken query look fast.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter (driver never sets it): comma-separated
+    // query names to time; empty/unset = all + the ref microbench.
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       val t = median3 { () =>
         try { fn(spark, sfDir).count(); () }
         catch { case _: Throwable => failed = true }
       }
       name -> (if (failed) -1.0 else t)
-    }.toMap ++ refWorkload(spark)
+    }.toMap ++ (if (only.isEmpty) refWorkload(spark) else Map.empty)
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line from there — with ~90 queries the full per-query map is
     // ~3KB and its head falls outside the window (this is why rounds 1-4
@@ -144,7 +151,12 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
-    } catch { case _: Throwable => }
+    } catch {
+      // NonFatal only: swallowing OOM/fatal errors here would let a dead
+      // JVM still print a plausible-looking stdout line
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"BENCH_LOCAL.json write failed: $e")
+    }
     println(line)
     spark.stop()
   }

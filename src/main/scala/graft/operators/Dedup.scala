@@ -462,15 +462,20 @@ object Dedup {
     * than `maxDf` distinct documents (boilerplate), and reassemble the
     * surviving segments in document order.
     *
-    * Scale shape: the frequency table is data-sized (one groupBy on the
-    * segment hash — shuffles (hash, id) only); the per-occurrence
-    * df-lookup is a second equi join on the hash; reassembly is one
-    * groupBy on doc id sorting by segment index inside the aggregate.
-    * Three hash-partitioned shuffles, no driver state, no all-pairs
-    * phase — the same discipline at 100 TB. A boilerplate segment with
-    * millions of occurrences stays one frequency ROW (count, not list),
-    * so hot segments cannot skew the frequency shuffle; the lookup join
-    * on a hot hash is AQE-skew-splittable.
+    * Scale shape: NO shuffle in the pipeline carries segment text. The
+    * per-occurrence pass emits only (id, seg_idx, seg_hash) scalars —
+    * the segment text is hashed in place on the row it was sliced from
+    * and discarded. The frequency table is one groupBy on the hash
+    * (map-side combinable; a boilerplate segment with millions of
+    * occurrences stays one COUNT row, so hot segments cannot skew it);
+    * the per-occurrence df-lookup joins occurrences against the
+    * boilerplate hashes only; the per-doc dropped-index sets then join
+    * back to the ORIGINAL doc row, which re-slices its own text
+    * locally. Since dropped-index rows exist only for docs that hit
+    * boilerplate, that last join's build side is a small fraction of
+    * the corpus and AQE broadcasts it — the document text never enters
+    * any exchange. The same discipline at 100 TB: shuffle bytes are
+    * O(occurrences × scalars), never O(corpus text).
     *
     * Output: (id, n_segments, n_dropped, cleaned_text); documents whose
     * every segment is boilerplate survive with an empty cleaned_text —
@@ -480,26 +485,37 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       segWords: Int = 10, maxDf: Int = 1): DataFrame = {
     require(segWords > 0 && maxDf >= 1, s"need segWords>0, maxDf>=1")
-    val toks = split(col(textCol), " ")
-    val nSegs = ceil(size(toks).cast(DoubleType) / segWords).cast(IntegerType)
-    val segs = df.select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), nSegs - 1),
-          i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
-          .as(Seq("seg_idx", "seg")))
-      // 64-bit content address: the shuffles below carry (hash, id, idx),
-      // never the segment text twice
-      .withColumn("seg_hash", xxhash64(col("seg")))
-    val docFreq = segs.groupBy(col("seg_hash"))
+    def toksOf(c: Column) = split(c, " ")
+    def nSegsOf(toks: Column) =
+      ceil(size(toks).cast(DoubleType) / segWords).cast(IntegerType)
+    def segAt(toks: Column, i: Column) =
+      array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")
+    // Per-occurrence 64-bit content addresses: (id, seg_idx, seg_hash)
+    // scalars only — the segment text never leaves its source row.
+    val segMeta = df.select(col(idCol).as("id"), {
+      val toks = toksOf(col(textCol))
+      posexplode(transform(sequence(lit(0), nSegsOf(toks) - 1),
+        i => xxhash64(segAt(toks, i)))).as(Seq("seg_idx", "seg_hash"))
+    })
+    val boiler = segMeta.groupBy(col("seg_hash"))
       .agg(countDistinct(col("id")).as("seg_df"))
-    segs.join(docFreq, Seq("seg_hash"))
+      .filter(col("seg_df") > maxDf)
+    val droppedIdx = segMeta.join(boiler, Seq("seg_hash"))
       .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_segments"),
-        sum(when(col("seg_df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
-        array_join(transform(
-          array_sort(collect_list(when(col("seg_df") <= maxDf,
-            struct(col("seg_idx"), col("seg"))))),
-          s => s.getField("seg")), " ").as("cleaned_text"))
+      .agg(collect_list(col("seg_idx")).as("dropped_idx"))
+    val joined = df.select(col(idCol).as("id"), col(textCol).as("__seg_txt"))
+      .join(droppedIdx, Seq("id"), "left_outer")
+    val toks = toksOf(col("__seg_txt"))
+    val nSegs = nSegsOf(toks)
+    val dropped = coalesce(col("dropped_idx"),
+      array().cast(ArrayType(IntegerType, containsNull = false)))
+    joined.select(
+      col("id"),
+      nSegs.cast(LongType).as("n_segments"),
+      size(dropped).cast(LongType).as("n_dropped"),
+      array_join(transform(
+        filter(sequence(lit(0), nSegs - 1), i => !array_contains(dropped, i)),
+        i => segAt(toks, i)), " ").as("cleaned_text"))
   }
 
   // ------------------------------------------- embedding near-duplicates

@@ -105,16 +105,27 @@ final case class VectorStore(
     *
     * Shape: two broadcast-able joins + union — the distributed equivalent
     * of the reference's driver-side HashSet probe (lib.rs:153).
+    *
+    * The batch side gets an explicit broadcast hint only while its
+    * OPTIMIZER-ESTIMATED size stays under `broadcastBatchBytes`
+    * (reference-shaped batches are local relations with exact known
+    * sizes, well under it). A store-sized merge batch — where forcing a
+    * broadcast is an executor-OOM hazard — plans an unhinted equi join
+    * and AQE picks the strategy from the batch's RUNTIME size instead.
     */
-  def upsert(batch: DataFrame): UpsertResult = {
+  def upsert(batch: DataFrame,
+             broadcastBatchBytes: Long = VectorStore.DefaultBroadcastBatchBytes): UpsertResult = {
     val b = withNormalizedVector(batch, vecElemType)
     val existingIds = df.select(IdCol)
     val updatedIds  = batch.select(IdCol).join(existingIds, Seq(IdCol), "left_semi")
     val insertedIds = batch.select(IdCol).join(existingIds, Seq(IdCol), "left_anti")
     // O2a: vector-only replacement for existing rows.
     val newVecs = b.select(col(IdCol), col(VectorCol).as("__newvec__"))
+    val estBytes = newVecs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val probeSide =
+      if (estBytes <= broadcastBatchBytes) broadcast(newVecs) else newVecs
     val updatedState = df
-      .join(broadcast(newVecs), Seq(IdCol), "left")
+      .join(probeSide, Seq(IdCol), "left")
       .withColumn(VectorCol, coalesce(col("__newvec__"), col(VectorCol)))
       .drop("__newvec__")
     val insertedRows = b.join(existingIds, Seq(IdCol), "left_anti")
@@ -190,6 +201,12 @@ object VectorStore {
   val VectorCol = "vector"
   val MetricsCol = "__metrics__"
   val BucketCol = "__bucket__"
+
+  /** Estimated-size bound for force-broadcasting an upsert batch (64 MiB
+    * ≈ Spark's default 10 MB autoBroadcast threshold with headroom for
+    * the optimizer's overestimates on union/project plans). Above it the
+    * join is left unhinted and AQE decides from runtime stats. */
+  val DefaultBroadcastBatchBytes: Long = 64L << 20
 
   /** Incremental, id-bucketed persistence — the upsert layout that scales.
     *

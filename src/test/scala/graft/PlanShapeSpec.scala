@@ -69,10 +69,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("segment dedup: frequency lookup is an equi join on the segment hash") {
+  test("segment dedup: no exchange carries segment text; doc-text join broadcasts") {
     val p = plan("dedup_segments")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "segment df lookup must stay an equi join")
+    // Static plan (AQE off so Exchange nodes are materialized in the tree):
+    // every shuffle output is scalars — the exploded per-segment text
+    // column ("seg") is hashed in place and never reaches an exchange.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val noAqe = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("dedup_segments")(spark, TestSpark.sf)
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val shuffled = noAqe.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }
+    assert(shuffled.nonEmpty, "expected shuffles in the static plan")
+    assert(!shuffled.flatten.contains("seg"),
+      s"a shuffle carries exploded segment text: $shuffled")
+    // Runtime: AQE broadcasts the per-doc dropped-index side back to the
+    // doc rows, so the document text itself never enters an exchange.
+    val df = SparkEntry.queries("dedup_segments")(spark, TestSpark.sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "AQE should broadcast the dropped-index side of the reassembly join")
   }
 
   test("repetition + packing: no join, no explode-shuffle — per-row/window only") {

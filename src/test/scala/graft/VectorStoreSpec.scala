@@ -65,6 +65,27 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(r.store.len() == 4)
   }
 
+  test("upsert: small batch broadcasts, store-sized batch plans a shuffle join") {
+    val st = mkStore(base)
+    val small = Seq(("a", Seq(0f, 0f, 1f, 0f), "x")).toDF("id", "vec", "color")
+      .select(col("id").as("__id__"), col("vec").cast(ArrayType(FloatType)).as("vector"), col("color"))
+    val smallPlan = st.upsert(small).store.df
+      .queryExecution.optimizedPlan.toString
+    assert(smallPlan.contains("broadcast"),
+      "a local-relation batch (exact tiny stats) must keep the broadcast hint")
+    // a parquet-backed batch whose optimizer estimate exceeds the bound
+    // must NOT be hinted — AQE decides from runtime size (OOM hazard fix)
+    val bigBatch = spark.read
+      .parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id").cast(StringType).as("__id__"),
+        col("embedding").cast(ArrayType(FloatType)).as("vector"),
+        lit("e").as("color"))
+    val bigPlan = st.upsert(bigBatch, broadcastBatchBytes = 1024).store.df
+      .queryExecution.optimizedPlan.toString
+    assert(!bigPlan.contains("broadcast"),
+      "an over-bound batch must plan unhinted so AQE can pick a shuffle join")
+  }
+
   test("get returns existing, silently drops missing (unit_tests.rs:82-107)") {
     val st = mkStore(base)
     val got = st.get(Seq("a", "zzz")).collect()
