@@ -118,14 +118,19 @@ object StreamingOps {
     * order; pairs reachable through several shared chunks are
     * deduplicated by a stateful dropDuplicates on the pair key.
     *
-    * State grows with bucket population (the stream's whole history per
-    * bucket) — production pairs this with a TTL timeout or
-    * dropDuplicatesWithinWatermark-style retention, like
-    * [[sessionizeStream]]'s flushTimeout; the fixture streams are
-    * bounded. Requires a numeric (long-castable) id column.
+    * State is bounded by `ttl`: when set, each bucket's membership is
+    * evicted after that much processing-time inactivity (same
+    * GroupStateTimeout mechanism as [[sessionizeStream]]'s
+    * flushTimeout), so an unbounded ingest holds only the trailing
+    * window of each bucket — near-dup detection becomes
+    * bounded-lookback, the standard production trade. With `ttl = None`
+    * membership is the stream's whole history (exactly the batch band
+    * join's candidate space; only safe for bounded streams). Requires a
+    * numeric (long-castable) id column.
     */
   def simhashPairsStream(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
+      maxHamming: Int = 3, portableHash: Boolean = false,
+      ttl: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.operators.Dedup
     val spark = docs.sparkSession
@@ -142,27 +147,38 @@ object StreamingOps {
         explode(Dedup.fpChunks(col("fp"), fpBits, nChunks)).as("c"))
       .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
       .as[(Long, Long, Int, Long)]
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(t => (t._3, t._4))
       .flatMapGroupsWithState[BucketMembers, (Long, Long, Int)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state: GroupState[BucketMembers]) =>
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-          // id-sorted within the batch: emitted pair set is identical for
-          // any arrival interleaving
-          rows.toSeq.sortBy(_._1).foreach { case (id, f, _, _) =>
-            if (!members.exists(_._1 == id)) {
-              members.foreach { case (oid, of) =>
-                val h = java.lang.Long.bitCount(f ^ of)
-                if (h <= maxHamming)
-                  out += ((math.min(id, oid), math.max(id, oid), h))
+          if (!rows.hasNext && state.hasTimedOut) {
+            // idle-bucket eviction: members past the TTL stop generating
+            // candidate pairs
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+            // id-sorted within the batch: emitted pair set is identical for
+            // any arrival interleaving
+            rows.toSeq.sortBy(_._1).foreach { case (id, f, _, _) =>
+              if (!members.exists(_._1 == id)) {
+                members.foreach { case (oid, of) =>
+                  val h = java.lang.Long.bitCount(f ^ of)
+                  if (h <= maxHamming)
+                    out += ((math.min(id, oid), math.max(id, oid), h))
+                }
+                members = (id, f) :: members
               }
-              members = (id, f) :: members
             }
+            state.update(BucketMembers(members))
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(BucketMembers(members))
-          out.iterator
       }
       .toDF("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
@@ -183,12 +199,15 @@ object StreamingOps {
     * sharing several bands are deduplicated by a stateful
     * dropDuplicates on the pair key.
     *
-    * Same state-growth caveat as [[simhashPairsStream]]: per-bucket
-    * membership is the stream's history — pair with a TTL/watermark
-    * retention in production. Requires a numeric (long-castable) id.
+    * Same retention contract as [[simhashPairsStream]]: `ttl` evicts
+    * idle buckets after that much processing-time inactivity (bounded
+    * state on unbounded ingest, bounded-lookback semantics); `None`
+    * keeps the stream's whole history per bucket (exact batch parity,
+    * bounded streams only). Requires a numeric (long-castable) id.
     */
   def minhashPairsStream(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      ttl: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.operators.Dedup
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -204,24 +223,35 @@ object StreamingOps {
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             x => x.cast(StringType)), ","))).as(Seq("band", "bk")))
       .as[(Long, Int, String)]
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(t => (t._2, t._3))
       .flatMapGroupsWithState[BandIds, (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state: GroupState[BandIds]) =>
-          var members = state.getOption.map(_.ids).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          // id-sorted within the batch: emitted pair set is identical for
-          // any arrival interleaving
-          rows.toSeq.sortBy(_._1).foreach { case (id, _, _) =>
-            if (!members.contains(id)) {
-              members.foreach(oid =>
-                out += ((math.min(id, oid), math.max(id, oid))))
-              members = id :: members
+          if (!rows.hasNext && state.hasTimedOut) {
+            // idle-bucket eviction: members past the TTL stop generating
+            // candidate pairs
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.ids).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            // id-sorted within the batch: emitted pair set is identical for
+            // any arrival interleaving
+            rows.toSeq.sortBy(_._1).foreach { case (id, _, _) =>
+              if (!members.contains(id)) {
+                members.foreach(oid =>
+                  out += ((math.min(id, oid), math.max(id, oid))))
+                members = id :: members
+              }
             }
+            state.update(BandIds(members))
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(BandIds(members))
-          out.iterator
       }
       .toDF("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")

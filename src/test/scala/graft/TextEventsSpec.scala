@@ -186,6 +186,62 @@ class TextEventsSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 700000L)))
   }
 
+  /** Shared driver for the two pair-stream TTL specs. With a
+    * processing-time TTL the engine self-triggers empty batches to keep
+    * evaluating timeouts, so `processAllAvailable` never observes "no
+    * new data" — sync on cumulative source rows from query progress
+    * instead. Sequence: doc 1 arrives, sits idle past the TTL (the
+    * self-triggered batches evict its buckets), then an exact dup (doc 2)
+    * arrives and must NOT pair with the evicted member; doc 3 follows
+    * immediately (well inside doc 2's TTL) and must pair with doc 2. */
+  private def ttlEvictionCheck(
+      pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      sinkName: String): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val ms = MemoryStream[(Long, String)]
+    val q = pairsOf(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    def waitProcessed(n: Long): Unit = {
+      val end = System.currentTimeMillis + 60000
+      def total = q.recentProgress.map(_.numInputRows).sum
+      while (total < n && System.currentTimeMillis < end) Thread.sleep(50)
+      assert(total >= n, s"stream did not reach $n input rows in time")
+    }
+    def got = spark.table(sinkName).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      ms.addData((1L, dup)); waitProcessed(1)
+      Thread.sleep(6000) // idle past the 2s TTL -> doc 1's buckets evict
+      // marker doc: proves a post-expiry batch ran before the dup arrives
+      ms.addData((900L, "completely different content about query engines"))
+      waitProcessed(2)
+      ms.addData((2L, dup)); waitProcessed(3) // post-eviction: no (1,2)
+      ms.addData((3L, dup)); waitProcessed(4) // inside doc 2's TTL: (2,3)
+      val end = System.currentTimeMillis + 30000
+      while (!got.contains((2L, 3L)) && System.currentTimeMillis < end)
+        Thread.sleep(50)
+      assert(got == Set((2L, 3L)),
+        s"expected exactly the post-eviction pair (2,3), got $got")
+    } finally q.stop()
+  }
+
+  test("minhash pair-stream TTL evicts idle bucket state") {
+    ttlEvictionCheck(
+      df => graft.streaming.StreamingOps.minhashPairsStream(
+        df, "doc_id", "text", ttl = Some("2 seconds")),
+      "t_ttl_pairs")
+  }
+
+  test("simhash pair-stream TTL evicts idle bucket state") {
+    ttlEvictionCheck(
+      df => graft.streaming.StreamingOps.simhashPairsStream(
+        df, "doc_id", "text", maxHamming = 3, ttl = Some("2 seconds")),
+      "t_ttl_sim")
+  }
+
   test("stateful streaming sessionization closes sessions on the gap") {
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
     val dir = java.nio.file.Files.createTempDirectory("sessstream")
