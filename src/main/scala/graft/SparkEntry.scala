@@ -58,6 +58,14 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", m = 8, nCodes = 16)
     })
 
+  /** Per-JVM residual IVF×PQ index cache (built over [[cachedIvf]]'s
+    * assignment, like [[cachedPq]]). */
+  private val ivfPqResCache = new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.IvfPqIndex]()
+  private[graft] def cachedIvfPqRes(s: SparkSession, dir: String): graft.operators.Ann.IvfPqIndex =
+    ivfPqResCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      graft.operators.Ann.ivfPqBuildResidual(cachedIvf(s, dir), m = 8, nCodes = 16)
+    })
+
   /** FileStreamSource wants a directory of plain files; the testdata is a
     * single parquet file per table — stage it into a temp dir once per
     * (sf dir, table). */
@@ -1026,6 +1034,19 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 5)
       val approx = Ann.ivfPqTopK(cachedIvf(s, dir), cachedPq(s, dir), q,
+        "vec_id", "embedding", k = 3, nProbe = 6)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+    }),
+
+    // ANN: residual-encoded IVF×PQ (the full FAISS-IVFPQ shape) — PQ
+    // codes quantize residuals vs the assigned coarse centroid; ADC adds
+    // the exact dot(q̂,ĉ) term per probed list. Same contract booleans.
+    "ann_ivfpq_res" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.ivfPqResidualTopK(cachedIvfPqRes(s, dir), q,
         "vec_id", "embedding", k = 3, nProbe = 6)
       val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
         .withColumn("qid", col("qid").cast(StringType))
@@ -2034,6 +2055,9 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
     "ann_ivfpq" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_ivfpq_res" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
     "ann_ivf_topk" ->

@@ -406,7 +406,8 @@ object Ann {
   }
 
   /** IVF×PQ composition (the FAISS-IVFPQ shape, minus residual
-    * encoding): IVF centroids select `nProbe` lists per query, PQ codes
+    * encoding — see [[ivfPqResidualTopK]] for the residual-encoded
+    * variant): IVF centroids select `nProbe` lists per query, PQ codes
     * ADC-score ONLY the rows of those lists, and the top candidates
     * exact-re-rank. The scan over a probed list reads m small ints per
     * row instead of the full float vector — IVF bounds WHICH rows are
@@ -460,6 +461,125 @@ object Ann {
       .join(qdf, Seq("qid"))
       .withColumn("__approx__",
         aggregate(zip_with(col("codes"), col("table"),
+            (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("__rnk__", row_number().over(approxW))
+      .filter(col("__rnk__") <= k * rerankFactor)
+      .withColumn("__score__",
+        dotD(graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false),
+          col("qvn")))
+      .transform(topKHits(_, "id", k))
+  }
+
+  // ------------------------------------------- residual-encoded IVF×PQ
+  /** Residual-encoded IVF×PQ index — the full FAISS-IVFPQ shape
+    * ([[ivfPqTopK]] names the omission it closes). PQ codes quantize the
+    * RESIDUAL of each unit-normalized vector against its assigned coarse
+    * centroid (also unit-normalized), not the vector itself: once the
+    * coarse quantizer has soaked up the cluster structure, residuals are
+    * small and nearly centered, so the same (m, nCodes) code budget
+    * spends its resolution on the informative remainder — higher recall
+    * at equal code bytes. Unit-normalizing both sides keeps the ADC
+    * identity exact: dot(q̂, x̂) = dot(q̂, ĉ) + dot(q̂, x̂ - ĉ), where the
+    * first term is computed exactly per (query, probed list) and only
+    * the second is quantized. */
+  final case class IvfPqIndex(
+      ivf: IvfIndex, m: Int, subDim: Int,
+      centNorm: Seq[(Int, Seq[Double])], // [cluster] -> unit-normalized coarse centroid
+      codebooks: Seq[Seq[Seq[Double]]],  // residual books [subspace][code][component]
+      codes: DataFrame)                  // (id, cluster, v, codes ARRAY<INT>)
+
+  /** Build a residual IVF×PQ index over an existing IVF assignment: one
+    * broadcast join attaches each row's normalized centroid, the
+    * residual slices into m subvectors, and one seeded KMeans per
+    * subspace fits the residual codebooks (same fit/encode/release
+    * discipline as [[pqBuild]]). */
+  def ivfPqBuildResidual(ivf: IvfIndex, m: Int = 8, nCodes: Int = 16,
+      seed: Long = 42L, maxIter: Int = 5): IvfPqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val dim = ivf.assigned.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val centNorm = ivf.centroids.map { case (c, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (c, if (n == 0.0) v else v.map(_ / n))
+    }
+    val cdf = broadcast(centNorm.toDF("cluster", "cn"))
+    val resid = ivf.assigned
+      .select(col("id"), col("v"), col("cluster").cast(IntegerType).as("cluster"),
+        graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false).as("__nv__"))
+      .join(cdf, Seq("cluster"))
+      .withColumn("__res__", zip_with(col("__nv__"), col("cn"), (a, b) => a - b))
+    val feat = (0 until m).foldLeft(resid) { case (df, j) =>
+      df.withColumn(s"__f$j", array_to_vector(slice(col("__res__"), j * subDim + 1, subDim)))
+    }.cache()
+    val models = (0 until m).map { j =>
+      new KMeans().setK(nCodes).setSeed(seed + j).setMaxIter(maxIter)
+        .setInitMode("random")
+        .setFeaturesCol(s"__f$j").setPredictionCol(s"__c$j")
+        .fit(feat)
+    }
+    val encoded = models.foldLeft(feat: DataFrame) { case (df, mod) => mod.transform(df) }
+      .withColumn("codes", array((0 until m).map(j => col(s"__c$j")): _*))
+      .select(col("id"), col("cluster"), col("v"), col("codes"))
+      .localCheckpoint(true)
+    feat.unpersist()
+    IvfPqIndex(ivf, m, subDim, centNorm,
+      models.map(_.clusterCenters.toSeq.map(_.toArray.toSeq)), encoded)
+  }
+
+  /** Residual IVF×PQ top-k: probe selection, the exact dot(q̂, ĉ) term,
+    * and the per-query ADC tables are all computed on the driver from the
+    * tiny Q-row / nLists-row inputs (the same justified collects as
+    * [[ivfTopK]]/[[pqTopK]]); the distributed scan then reads only the
+    * probed lists' m-int codes, adds the exact centroid term to the
+    * table-lookup sum, and exact-re-ranks the top k × rerankFactor. Probe
+    * ranking uses dot(q̂, ĉ) = cosine(q, c), identical ordering to
+    * [[ivfTopK]]'s cosine window (ties by cluster id). */
+  def ivfPqResidualTopK(index: IvfPqIndex, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int,
+      nProbe: Int, rerankFactor: Int = 8): DataFrame = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qidCol).cast(StringType).as("qid"),
+        graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qvn"))
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val table = index.codebooks.zipWithIndex.map { case (book, j) =>
+          book.map { cent =>
+            var s = 0.0; var d = 0
+            while (d < index.subDim) { s += qv(j * index.subDim + d) * cent(d); d += 1 }
+            s
+          }
+        }
+        (r.getString(0), qv, table)
+      }.toSeq
+    val probeTriples = qRows.flatMap { case (qid, qv, _) =>
+      index.centNorm.map { case (c, cn) =>
+        var s = 0.0; var d = 0
+        while (d < qv.length) { s += qv(d) * cn(d); d += 1 }
+        (qid, c, s)
+      }.sortBy { case (_, c, s) => (-s, c) }.take(nProbe)
+    }
+    val probesLocal = broadcast(probeTriples.toDF("qid", "cluster", "qcdot"))
+    val probedClusters = probeTriples.map(_._2).distinct
+    val qdf = broadcast(
+      qRows.map { case (qid, qv, t) => (qid, qv.toSeq, t) }.toDF("qid", "qvn", "table"))
+    val approxW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__approx__").desc, col("id"))
+    index.codes
+      .filter(col("cluster").isin(probedClusters: _*))
+      .select(col("id").cast(StringType).as("id"),
+        col("cluster").cast(IntegerType).as("cluster"), col("v"), col("codes"))
+      .join(probesLocal, Seq("cluster"))
+      .join(qdf, Seq("qid"))
+      .withColumn("__approx__",
+        col("qcdot") + aggregate(zip_with(col("codes"), col("table"),
             (c, row) => element_at(row, c + 1)),
           lit(0.0), (acc, x) => acc + x))
       .withColumn("__rnk__", row_number().over(approxW))
