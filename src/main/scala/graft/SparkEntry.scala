@@ -528,6 +528,18 @@ object SparkEntry {
       ivfContract(approx, exact)
     }),
 
+    // ANN: IVF probe for DataFrame-sized query batches — pure join
+    // pipeline, no driver collect; same quality contract as ann_ivf_topk
+    // (identical probe ordering by construction, spec-asserted).
+    "ann_ivf_batch" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.ivfTopKBatch(cachedIvf(s, dir), q, "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      ivfContract(approx, exact)
+    }),
+
     // Relational: TPC-H Q5-shaped 6-table join — dimension chain
     // (region->nation->customer/supplier) broadcasts; one shuffle for the
     // final grouped sum.
@@ -1216,6 +1228,17 @@ object SparkEntry {
           segWords = 10, maxDf = 1)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // Dedup: segment-level provenance — every boilerplate occurrence
+    // attributed to its canonical survivor occurrence (min doc, then min
+    // seg_idx), making the C4 pass auditable like pipe_dedup_map.
+    "dedup_segments_map" -> ((s, dir) => {
+      Dedup.segmentDedupMap(Tables.documents(s, dir), "doc_id", "text",
+          segWords = 10, maxDf = 1)
+        .select(col("id").as("doc_id"), col("seg_idx").cast(LongType),
+          col("survivor_id"), col("survivor_seg_idx").cast(LongType))
+        .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
     // Text: self-trained corpus LM quality score (avg char-bigram
@@ -2063,6 +2086,9 @@ object SparkEntry {
     "ann_ivf_topk" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
+    "ann_ivf_batch" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
     "ann_ivf_balanced" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
         |       TRUE AS rows_preserved, TRUE AS max_not_increased""".stripMargin,
@@ -2182,6 +2208,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN seg_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (seg_df <= 1), '') AS cleaned_text
         |FROM seg JOIN f USING (seg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // survivor = (min doc, then min seg_idx within it) per boilerplate
+    // segment; one output row per occurrence, survivor included
+    "dedup_segments_map" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s0 AS (SELECT doc_id,
+        |         unnest(generate_series(0, CAST(ceil(len(toks)/10.0) AS INT)-1)) AS seg_idx,
+        |         toks FROM t),
+        |seg AS (SELECT doc_id, seg_idx,
+        |          array_to_string(toks[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg FROM s0),
+        |f AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY seg),
+        |m AS (SELECT seg, min(doc_id) AS survivor_id FROM seg GROUP BY seg),
+        |surv AS (SELECT s.seg, m.survivor_id, min(s.seg_idx) AS survivor_seg_idx
+        |         FROM seg s JOIN m ON s.seg = m.seg AND s.doc_id = m.survivor_id
+        |         GROUP BY s.seg, m.survivor_id)
+        |SELECT s.doc_id, s.seg_idx, surv.survivor_id, surv.survivor_seg_idx
+        |FROM seg s JOIN f ON s.seg = f.seg JOIN surv ON s.seg = surv.seg
+        |WHERE f.seg_df > 1
+        |ORDER BY s.doc_id, s.seg_idx""".stripMargin,
 
     // exact-interpolated percentiles (Spark percentile == quantile_cont,
     // the q_quantile-proven equivalence); filter on the RAW cutoffs

@@ -281,6 +281,46 @@ object Ann {
       .transform(topKHits(_, "id", k))
   }
 
+  /** IVF probe for DataFrame-sized query batches — the variant
+    * [[ivfTopK]]'s collect note promises: NO driver collect anywhere in
+    * the pipeline, so a query batch of millions of rows never funnels
+    * through the driver.
+    *
+    * Probe selection runs distributed (queries × broadcast centroids,
+    * top-nProbe per query by the same cosine/cluster-id ordering as
+    * [[ivfTopK]]), and list selection is a plain equi join on `cluster`.
+    * On a [[ivfSave]]d cluster-partitioned layout the partition pruning
+    * that [[ivfTopK]] gets from its static isin filter comes from
+    * dynamic partition pruning instead: when the probe side broadcasts
+    * (AQE decides by size), the scan's partition filter is fed from the
+    * broadcast at runtime and unprobed lists are never read — asserted
+    * in PlanShapeSpec. When Q is so large the probe side can't
+    * broadcast, most lists are probed by SOME query anyway, so the full
+    * scan the shuffle join performs is the honest cost, and it still
+    * never bottlenecks on the driver. */
+  def ivfTopKBatch(index: IvfIndex, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val cdf = index.centroids.toDF("cluster", "cvec")
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cdist", cosineD(col("qv"), col("cvec")))
+      .withColumn("rnk", row_number().over(probeW))
+      .filter(col("rnk") <= nProbe)
+      .select(col("qid"),
+        graft.functions.VectorNormalize.normalize(col("qv"), outputFloat = false).as("qvn"),
+        col("cluster"))
+    index.assigned
+      .withColumn("__nv__",
+        graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false))
+      .join(probes, Seq("cluster"))
+      .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
+      .transform(topKHits(_, "id", k))
+  }
+
   /** All bucket strings within Hamming distance `h` of the exact bucket:
     * h=0 -> the bucket itself; h=1 adds every one-bit flip. Multi-probe
     * turns the query side into (h choose <=1)+1 probe rows per query —

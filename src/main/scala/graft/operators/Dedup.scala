@@ -518,6 +518,44 @@ object Dedup {
         i => segAt(toks, i)), " ").as("cleaned_text"))
   }
 
+  /** Provenance for [[segmentDedup]]: one row per occurrence of a
+    * boilerplate segment, attributing it to the canonical survivor
+    * occurrence (lowest doc id, then lowest segment index within that
+    * doc) — the segment-level analogue of the doc-level survivor map
+    * (`pipe_dedup_map`), so a C4 pass is auditable: every removed
+    * span can be traced to where its content canonically lives.
+    *
+    * Same shuffle discipline as [[segmentDedup]]: occurrences are
+    * (id, seg_idx, seg_hash) scalars; the survivor attribution is a
+    * min-struct aggregate per hash; no exchange ever carries text.
+    *
+    * Output: (id, seg_idx, survivor_id, survivor_seg_idx), one row per
+    * boilerplate occurrence INCLUDING the survivor occurrence itself
+    * (its id/seg_idx equal the survivor columns) — [[segmentDedup]]
+    * drops all occurrences, so the audit keeps all of them too. */
+  def segmentDedupMap(
+      df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10, maxDf: Int = 1): DataFrame = {
+    require(segWords > 0 && maxDf >= 1, s"need segWords>0, maxDf>=1")
+    def toksOf(c: Column) = split(c, " ")
+    val segMeta = df.select(col(idCol).as("id"), {
+      val toks = toksOf(col(textCol))
+      val nSegs = ceil(size(toks).cast(DoubleType) / segWords).cast(IntegerType)
+      posexplode(transform(sequence(lit(0), nSegs - 1),
+        i => xxhash64(array_join(slice(toks, i * segWords + 1, lit(segWords)), " "))))
+        .as(Seq("seg_idx", "seg_hash"))
+    })
+    val boiler = segMeta.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("id")).as("seg_df"),
+        min(struct(col("id"), col("seg_idx"))).as("surv"))
+      .filter(col("seg_df") > maxDf)
+      .select(col("seg_hash"),
+        col("surv.id").as("survivor_id"),
+        col("surv.seg_idx").as("survivor_seg_idx"))
+    segMeta.join(boiler, Seq("seg_hash"))
+      .select(col("id"), col("seg_idx"), col("survivor_id"), col("survivor_seg_idx"))
+  }
+
   // ------------------------------------------- embedding near-duplicates
   /** Embedding-cosine near-dup pairs within id-distance blocks — a
     * bounded-candidate variant for corpora where near-dups ARE

@@ -323,6 +323,28 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(hits.head.getAs[String]("id") == "3") // self-hit via loaded index
   }
 
+  test("ivf batch probe: no driver collect, same hits as collect path, DPP prunes saved layout") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfb").toString
+    Ann.ivfSave(idx, dir)
+    val back = Ann.ivfLoad(spark, dir)
+    val qs = e.filter(col("vec_id") < 10)
+    val viaCollect = Ann.ivfTopK(back, qs, "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batch = Ann.ivfTopKBatch(back, qs, "vec_id", "embedding", k = 3, nProbe = 2)
+    val viaJoin = batch
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaJoin == viaCollect, "batch probe must rank identically to the collect probe")
+    // the saved layout's partition column is pruned at runtime via DPP
+    // (the probe side broadcasts; the scan's partition filter is fed from
+    // that broadcast), so unprobed lists are never read
+    val formatted = batch.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the cluster-partitioned scan:\n$formatted")
+  }
+
   test("ivf topk: self-hit always found; recall beats plain LSH setup") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val qs = e.filter(col("vec_id") < 10)

@@ -521,4 +521,22 @@ class TextEventsSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("n_dropped") == 0)
     assert(out(2).getAs[String]("cleaned_text") == "g h i j k")
   }
+
+  test("segment dedup map: every dropped occurrence attributed to min-doc survivor") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f x y z"), // boilerplate twice in doc 2 (idx 0 and 2)
+      (3L, "g h i j k")).toDF("doc_id", "text")
+    val m = Dedup.segmentDedupMap(df, "doc_id", "text", segWords = 3, maxDf = 1)
+      .orderBy(col("id"), col("seg_idx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // occurrences: doc1 idx0 (the survivor), doc2 idx0, doc2 idx2
+    assert(m.toSeq == Seq((1L, 0, 1L, 0), (2L, 0, 1L, 0), (2L, 2, 1L, 0)))
+    // per-doc map counts agree with segmentDedup's n_dropped
+    val dropped = Dedup.segmentDedup(df, "doc_id", "text", segWords = 3, maxDf = 1)
+      .select("id", "n_dropped").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perDoc = m.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(dropped.forall { case (id, n) => perDoc.getOrElse(id, 0L) == n })
+  }
 }
