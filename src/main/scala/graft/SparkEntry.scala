@@ -273,14 +273,23 @@ object SparkEntry {
         .orderBy(vid)
     }),
 
-    // O9: DB-level additional_data round trip (lib.rs:296-303).
+    // O9: DB-level additional_data round trip (lib.rs:296-303) —
+    // including a NESTED JSON value (the reference stores arbitrary
+    // serde_json::Values, tests/unit_tests.rs:62-64): the sidecar must
+    // return it as the same JSON structure, not a flattened rendering.
     "o9_meta" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_o9").toString
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def txt(v: String): com.fasterxml.jackson.databind.JsonNode =
+        com.fasterxml.jackson.databind.node.TextNode.valueOf(v)
       storeD(s, dir)
-        .withAdditionalData(Map("engine" -> "graft", "version" -> "0.1.0")).save(tmp)
+        .withAdditionalDataJson(Map(
+          "engine" -> txt("graft"), "version" -> txt("0.1.0"),
+          "config" -> mapper.readTree("""{"m":8,"probe":[1,2],"note":"nested"}""")))
+        .save(tmp)
       val back = VectorStore.load(s, tmp)
       import s.implicits._
-      back.additionalData.toSeq.sortBy(_._1).toDF("k", "v").orderBy(col("k"))
+      back.additionalDataStrings.toSeq.sortBy(_._1).toDF("k", "v").orderBy(col("k"))
     }),
 
     // O10: len / vector element count (lib.rs:306-318).
@@ -425,9 +434,13 @@ object SparkEntry {
         |       round(embedding[1]::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS v0
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // the config value is the compact Jackson rendering of the nested
+    // node, key order preserved from insertion
     "o9_meta" ->
       """SELECT * FROM (
-        |  SELECT 'engine' AS k, 'graft' AS v UNION ALL SELECT 'version', '0.1.0')
+        |  SELECT 'engine' AS k, 'graft' AS v
+        |  UNION ALL SELECT 'version', '0.1.0'
+        |  UNION ALL SELECT 'config', '{"m":8,"probe":[1,2],"note":"nested"}')
         |ORDER BY k""".stripMargin,
 
     "o10_counts" ->

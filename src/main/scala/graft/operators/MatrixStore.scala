@@ -221,7 +221,7 @@ object MatrixStore {
     val meta = VectorStore.readMeta(spark, s"$path/_meta.json")
     val nBuckets = meta.additionalData.getOrElse("nBuckets",
       throw new IllegalArgumentException(
-        s"$path is not a VectorStore.Partitioned layout (no nBuckets in sidecar)")).toInt
+        s"$path is not a VectorStore.Partitioned layout (no nBuckets in sidecar)")).asInt()
     val dim = meta.embeddingDim
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

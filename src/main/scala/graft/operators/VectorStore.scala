@@ -31,7 +31,7 @@ final case class VectorStore(
     df: DataFrame,
     embeddingDim: Int,
     metric: String = "cosine",
-    additionalData: Map[String, String] = Map.empty) {
+    additionalData: Map[String, com.fasterxml.jackson.databind.JsonNode] = Map.empty) {
 
   import VectorStore._
 
@@ -191,9 +191,28 @@ final case class VectorStore(
       .saveAsTable(tableName)
 
   // ------------------------------------------------------------------- O9
-  /** Whole-map replace, like store_additional_data (lib.rs:301-303). */
-  def withAdditionalData(data: Map[String, String]): VectorStore =
+  /** Whole-map replace, like store_additional_data (lib.rs:301-303).
+    * The reference stores arbitrary `serde_json::Value`s
+    * (lib.rs:46-47, nested config in tests/unit_tests.rs:62-64), so the
+    * canonical value type here is a Jackson [[com.fasterxml.jackson.databind.JsonNode]] —
+    * nested objects/arrays/numbers round-trip the sidecar and the
+    * reference-format codec byte-faithfully. */
+  def withAdditionalDataJson(
+      data: Map[String, com.fasterxml.jackson.databind.JsonNode]): VectorStore =
     copy(additionalData = data)
+
+  /** String-valued convenience over [[withAdditionalDataJson]] (values
+    * become JSON strings). */
+  def withAdditionalData(data: Map[String, String]): VectorStore =
+    copy(additionalData = data.map { case (k, v) =>
+      k -> (com.fasterxml.jackson.databind.node.TextNode.valueOf(v):
+        com.fasterxml.jackson.databind.JsonNode) })
+
+  /** additional_data rendered to strings: JSON strings unquoted, any
+    * other value as its compact JSON text. */
+  def additionalDataStrings: Map[String, String] =
+    additionalData.map { case (k, v) =>
+      k -> (if (v.isTextual) v.asText else v.toString) }
 }
 
 object VectorStore {
@@ -234,7 +253,8 @@ object VectorStore {
         .withColumn(BucketCol, bucketOf(nBuckets))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$path/data")
       val meta = Meta(store.embeddingDim, store.metric,
-        store.additionalData + ("nBuckets" -> nBuckets.toString)).toJson
+        store.additionalData + ("nBuckets" ->
+          com.fasterxml.jackson.databind.node.IntNode.valueOf(nBuckets))).toJson
       writeSidecar(store.df.sparkSession, s"$path/_meta.json", meta)
     }
 
@@ -251,7 +271,7 @@ object VectorStore {
       * metadata; new ids are appended whole. */
     def upsert(spark: SparkSession, path: String, batch: DataFrame): Unit = {
       val meta = readMeta(spark, s"$path/_meta.json")
-      val nBuckets = meta.additionalData("nBuckets").toInt
+      val nBuckets = meta.additionalData("nBuckets").asInt()
       val full = spark.read.parquet(s"$path/data")
       val elemType = full.schema(VectorCol).dataType.asInstanceOf[ArrayType].elementType
       val b = withNormalizedVector(batch, elemType)
@@ -288,7 +308,7 @@ object VectorStore {
     def delete(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
       if (ids.isEmpty) return
       val meta = readMeta(spark, s"$path/_meta.json")
-      val nBuckets = meta.additionalData("nBuckets").toInt
+      val nBuckets = meta.additionalData("nBuckets").asInt()
       import spark.implicits._
       val idDf = ids.toDF(IdCol).withColumn(BucketCol, bucketOf(nBuckets))
       val touched = idDf.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
@@ -325,14 +345,17 @@ object VectorStore {
   }
 
   private[operators] final case class Meta(
-      embeddingDim: Int, metric: String, additionalData: Map[String, String]) {
+      embeddingDim: Int, metric: String,
+      additionalData: Map[String, com.fasterxml.jackson.databind.JsonNode]) {
     def toJson: String = {
       def esc(s: String) = s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
+      // values are JsonNodes — their own toString IS their JSON text, so
+      // nested objects/arrays/numbers persist without flattening
       val ad = additionalData.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }.mkString("{", ", ", "}")
+        .map { case (k, v) => s""""${esc(k)}": ${v.toString}""" }.mkString("{", ", ", "}")
       s"""{"embedding_dim": $embeddingDim, "metric": "${esc(metric)}", "additional_data": $ad}"""
     }
   }
@@ -398,10 +421,10 @@ object VectorStore {
     val node = mapper.readTree(txt)
     val ad = Option(node.get("additional_data")).map { n =>
       val it = n.properties().iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+      val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.result()
-    }.getOrElse(Map.empty[String, String])
+    }.getOrElse(Map.empty[String, com.fasterxml.jackson.databind.JsonNode])
     Meta(node.get("embedding_dim").asInt(), node.get("metric").asText(), ad)
   }
 }

@@ -84,15 +84,14 @@ object NanoJsonCodec {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq), schema)
     val ad = Option(root.get("additional_data")).map { n =>
-      val b = Map.newBuilder[String, String]
+      val b = Map.newBuilder[String, com.fasterxml.jackson.databind.JsonNode]
       val props = n.properties().iterator()
       while (props.hasNext) {
         val e = props.next()
-        b += (e.getKey ->
-          (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString))
+        b += (e.getKey -> e.getValue)
       }
       b.result()
-    }.getOrElse(Map.empty[String, String])
+    }.getOrElse(Map.empty[String, com.fasterxml.jackson.databind.JsonNode])
     VectorStore(df, dim, "cosine", ad)
   }
 
@@ -131,7 +130,10 @@ object NanoJsonCodec {
     root.put("matrix", encodeMatrix(matrix.toArray))
     if (store.additionalData.nonEmpty) {
       val ad = root.putObject("additional_data")
-      store.additionalData.toSeq.sortBy(_._1).foreach { case (k, v) => ad.put(k, v) }
+      // values are JsonNodes — set() embeds them as-is, so nested
+      // objects/arrays survive the reference-format round trip
+      store.additionalData.toSeq.sortBy(_._1)
+        .foreach { case (k, v) => ad.set[ObjectNode](k, v) }
     }
     Files.writeString(Paths.get(file), mapper.writeValueAsString(root))
   }

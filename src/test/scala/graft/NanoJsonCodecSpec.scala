@@ -35,7 +35,7 @@ class NanoJsonCodecSpec extends AnyFunSuite {
     Files.writeString(f, json)
     val st = NanoJsonCodec.read(spark, f.toString)
     assert(st.embeddingDim == 2)
-    assert(st.additionalData == Map("version" -> "0.1.1"))
+    assert(st.additionalDataStrings == Map("version" -> "0.1.1"))
     val row = st.df.head()
     assert(row.getAs[String]("__id__") == "v1")
     assert(row.getAs[scala.collection.Seq[Float]]("vector").toSeq == Seq(0.6f, 0.8f))
@@ -104,6 +104,18 @@ class NanoJsonCodecSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("does not match"))
   }
 
+  test("additional_data nested JSON survives the reference-format round trip") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nested = mapper.readTree("""{"a":{"b":[1,2]},"n":3.5}""")
+    val st = VectorStore.fromDataFrame(
+      Seq(("a", Seq(3f, 4f))).toDF("id", "vec"), "id", "vec", 2)
+      .withAdditionalDataJson(Map("cfg" -> nested))
+    val f = Files.createTempFile("nanonest", ".json").toString
+    NanoJsonCodec.write(st, f)
+    val back = NanoJsonCodec.read(spark, f)
+    assert(back.additionalData("cfg") == nested) // structural, not a rendering
+  }
+
   test("store -> file -> store round trip preserves ids, vectors, metadata") {
     val st = VectorStore.fromDataFrame(
       Seq(("a", Seq(3f, 4f), "x"), ("b", Seq(0f, 5f), "y")).toDF("id", "vec", "tag"),
@@ -112,7 +124,7 @@ class NanoJsonCodecSpec extends AnyFunSuite {
     NanoJsonCodec.write(st, f)
     val back = NanoJsonCodec.read(spark, f)
     assert(back.embeddingDim == 2)
-    assert(back.additionalData == Map("k" -> "v"))
+    assert(back.additionalDataStrings == Map("k" -> "v"))
     val rows = back.df.collect().map(r =>
       r.getAs[String]("__id__") -> r.getAs[Seq[Float]]("vector")).toMap
     // vectors come back unit-normalized (stored normalized, lib.rs:158,173)

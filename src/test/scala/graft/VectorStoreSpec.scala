@@ -116,8 +116,22 @@ class VectorStoreSpec extends AnyFunSuite {
     val back = VectorStore.load(spark, dir)
     assert(back.embeddingDim == 4)
     assert(back.metric == "cosine")
-    assert(back.additionalData == Map("version" -> "1.0", "note" -> "t"))
+    assert(back.additionalDataStrings == Map("version" -> "1.0", "note" -> "t"))
     assert(back.len() == 3)
+  }
+
+  test("additional_data nested JSON values survive the sidecar structurally (lib.rs:46-47)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nested = mapper.readTree("""{"threshold":0.8,"tags":["a","b"],"deep":{"n":1}}""")
+    val dir = java.nio.file.Files.createTempDirectory("vjson").toString
+    mkStore(base).withAdditionalDataJson(Map(
+      "config" -> nested,
+      "count" -> com.fasterxml.jackson.databind.node.IntNode.valueOf(7))).save(dir)
+    val back = VectorStore.load(spark, dir)
+    // structural equality of the JSON tree, not a string rendering
+    assert(back.additionalData("config") == nested)
+    assert(back.additionalData("config").get("deep").get("n").asInt() == 1)
+    assert(back.additionalData("count").isNumber && back.additionalData("count").asInt() == 7)
   }
 
   test("load validation fails on dim mismatch (lib.rs:396-425)") {
