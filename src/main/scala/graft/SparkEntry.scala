@@ -1540,6 +1540,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming: GROUPED contamination stats — the stateful-aggregation
+    // twin of text_contam (one small state row per in-flight doc;
+    // complete mode here because the documents fixture has no event
+    // time — the tsCol variant evicts state by watermark, spec-covered).
+    "stream_contam_agg" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val evalGrams = d.filter(col("doc_id") % 97 === 0)
+        .select(explode(Dedup.wordShingles(col("text"), 3)).as("gram"))
+      val st = s.readStream.schema(d.schema).parquet(stagedTableDir(dir, "documents"))
+        .filter(col("doc_id") < 200 && col("doc_id") % 97 =!= 0)
+      graft.streaming.StreamingOps.runBounded(
+          graft.streaming.StreamingOps.contaminationStatsStream(
+            st, evalGrams, "doc_id", "text", n = 3, threshold = 0.05),
+          mode = "complete")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal: binary payload metadata (deterministic byte stats).
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2175,6 +2193,22 @@ object SparkEntry {
     // the streaming gate = text_contam semantics, train side bounded to
     // the streamed subset; eval grams still come from the FULL corpus
     "stream_contam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-3)) AS i, toks
+        |       FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS gram FROM g0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, count(*) AS n_grams,
+        |              count(*) FILTER (gram IN (SELECT gram FROM ev)) AS n_hits
+        |       FROM g WHERE doc_id % 97 != 0 AND doc_id < 200 GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_hits,
+        |       round(n_hits::DOUBLE / n_grams, 6) AS contam_frac,
+        |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated
+        |FROM tr ORDER BY doc_id""".stripMargin,
+
+    // grouped streaming twin: identical formulation to stream_contam
+    // (stateful agg instead of per-row gate; same bounded train split)
+    "stream_contam_agg" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-3)) AS i, toks
         |       FROM t WHERE len(toks) >= 3),

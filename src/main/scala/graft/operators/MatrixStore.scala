@@ -120,6 +120,36 @@ final class MatrixStore private (
     new MatrixStore(combined, dim, nBuckets)
   }
 
+  /** Persist the cache's contents as a [[VectorStore.Partitioned]]
+    * on-disk layout (`data/__bucket__=b` parquet directories + sidecar),
+    * closing the latency path's cold-start gap: a warm bucket-aligned
+    * cache saves once, and [[MatrixStore.fromPartitionedLayout]] reloads
+    * it with NO shuffle — each slab flattens straight into its bucket's
+    * partition directory, and the load path slabs each directory back.
+    * Requires a bucket-aligned cache ([[MatrixStore.fromStoreBucketed]] /
+    * [[MatrixStore.fromPartitionedLayout]]); a partition-aligned build
+    * (bucket = -1) has no stable on-disk partition identity. */
+  def save(path: String): Unit = {
+    val nb = nBuckets.getOrElse(throw new IllegalArgumentException(
+      "save needs a bucket-aligned cache — build with fromStoreBucketed"))
+    val d = dim
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    blocks.flatMap { b =>
+        val m = b.matrix
+        b.ids.indices.iterator.map { r =>
+          (b.ids(r), java.util.Arrays.copyOfRange(m, r * d, (r + 1) * d).toSeq,
+            b.bucket.toLong)
+        }
+      }
+      .toDF(VectorStore.IdCol, VectorStore.VectorCol, VectorStore.BucketCol)
+      .write.mode("overwrite")
+      .partitionBy(VectorStore.BucketCol).parquet(s"$path/data")
+    VectorStore.writeSidecar(spark, s"$path/_meta.json",
+      VectorStore.Meta(d, "cosine", Map("nBuckets" ->
+        com.fasterxml.jackson.databind.node.IntNode.valueOf(nb))).toJson)
+  }
+
   /** Release the pinned blocks. `blocking = true` waits for the executors
     * to actually free the memory — required between timed rebuilds, where
     * an async release would let the old ~N×dim×4-byte slab race the new

@@ -257,6 +257,50 @@ object StreamingOps {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Streaming twin of
+    * [[graft.operators.TextAnalysis.contaminationStats]]: grouped
+    * per-doc eval-set overlap as a STATEFUL streaming aggregation (the
+    * stateless per-row gate is `contaminationGateColumns`; this is the
+    * grouped formulation, which also stays correct when one document's
+    * text arrives as several rows across microbatches).
+    *
+    * Shape: explode the distinct word n-grams (stateless), stream-static
+    * broadcast join against the eval grams (stateless — the static side
+    * re-broadcasts per microbatch), then a grouped count/sum whose state
+    * is one small row per in-flight document. With `tsCol` set the group
+    * key carries an event-time window and the watermark EVICTS each
+    * doc's aggregation state once it closes (append mode, the unbounded-
+    * ingest path); without it, state is one row per doc and the run is
+    * complete-mode — bounded inputs only, same trade as
+    * [[simhashPairsStream]]'s ttl=None. */
+  def contaminationStatsStream(docs: DataFrame, evalGrams: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.05,
+      tsCol: Option[String] = None, watermark: String = "1 hour"): DataFrame = {
+    val ev = broadcast(
+      evalGrams.select(col(evalGrams.columns.head).as("gram")).distinct()
+        .withColumn("__hit__", lit(1L)))
+    val base = tsCol match {
+      case Some(ts) => docs.withWatermark(ts, watermark)
+        .select(col(idCol).as("id"), col(ts).as("__ts__"),
+          explode(graft.operators.Dedup.wordShingles(col(textCol), n)).as("gram"))
+      case None => docs.select(col(idCol).as("id"),
+        explode(graft.operators.Dedup.wordShingles(col(textCol), n)).as("gram"))
+    }
+    val grouped = tsCol match {
+      case Some(_) => base.join(ev, Seq("gram"), "left")
+        .groupBy(col("id"), window(col("__ts__"), watermark))
+      case None => base.join(ev, Seq("gram"), "left").groupBy(col("id"))
+    }
+    grouped
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit__"), lit(0L))).as("n_hits"))
+      .withColumn("contam_frac",
+        round(col("n_hits").cast(DoubleType) / col("n_grams"), 6))
+      .withColumn("contaminated",
+        col("n_hits").cast(DoubleType) / col("n_grams") >= threshold)
+      .drop("window")
+  }
+
   /** Read a parquet directory as a bounded stream (test/local harness).
     * `maxFilesPerTrigger = None` drains the directory in ONE microbatch —
     * use it when cross-batch event-time order cannot be guaranteed (the

@@ -164,6 +164,62 @@ class TextEventsSpec extends AnyFunSuite {
     assert(streamed.exists { case (a, b, h) => a == 1L && b == 500000L && h == 0 })
   }
 
+  test("streaming grouped contamination stats equal the batch formulation") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma completely different tail here"),
+      (3L, "nothing shared with the benchmark split at all"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val evalGrams = evalDocs
+      .select(explode(graft.operators.Dedup.wordShingles(col("text"), 3)).as("gram"))
+    val dir = java.nio.file.Files.createTempDirectory("contamstream")
+    docs.write.parquet(s"$dir/data")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/data").schema).parquet(s"$dir/data")
+    val streamed = graft.streaming.StreamingOps.runBounded(
+        graft.streaming.StreamingOps.contaminationStatsStream(
+          stream, evalGrams, "doc_id", "text"),
+        mode = "complete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = TextAnalysis.contaminationStats(docs, evalDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming contamination stats with event time run append-mode (watermark evicts)") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma completely different tail here"),
+      (3L, "nothing shared with the benchmark split at all"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val evalGrams = evalDocs
+      .select(explode(graft.operators.Dedup.wordShingles(col("text"), 3)).as("gram"))
+    val dir = java.nio.file.Files.createTempDirectory("contamwm")
+    docs.write.parquet(s"$dir/data")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/data").schema).parquet(s"$dir/data")
+      // synthetic event time: one hour per doc id, so every doc's window
+      // closes once the watermark passes it
+      .withColumn("ts", timestamp_seconds(col("doc_id") * 3600))
+    // APPEND mode: rows only emit because the watermark finalizes (and
+    // evicts) each doc's aggregation state — the unbounded-ingest path
+    val streamed = graft.streaming.StreamingOps.runBounded(
+        graft.streaming.StreamingOps.contaminationStatsStream(
+          stream, evalGrams, "doc_id", "text", tsCol = Some("ts"), watermark = "1 hour"),
+        mode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = TextAnalysis.contaminationStats(docs, evalDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // bounded-input caveat shared with stream_hourly: the finalized set
+    // is everything the advancing watermark closed; on this fixture that
+    // is all but the max-ts doc, which stays in state
+    assert(streamed.subsetOf(batch) && streamed.nonEmpty)
+  }
+
   test("streaming minhash pairs equal the batch band-join candidates") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

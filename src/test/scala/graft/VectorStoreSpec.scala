@@ -331,6 +331,38 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("nBuckets"))
   }
 
+  test("matrix cache save/load round trip: bitwise-equal queries, shuffle-free reload") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val nBuckets = 8
+    val mx = graft.operators.MatrixStore.fromStoreBucketed(st, nBuckets)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_save").toString
+    mx.save(dir)
+    val back = graft.operators.MatrixStore.fromPartitionedLayout(spark, dir)
+    try {
+      assert(back.nBuckets.contains(nBuckets))
+      val qs = (0L to 4L).map { i =>
+        i.toString -> e.filter(col("vec_id") === i)
+          .select("embedding").head().getSeq[Float](0).toArray
+      }
+      val a = mx.queryBatch(qs, 10)
+      val b = back.queryBatch(qs, 10)
+      qs.foreach { case (qid, _) =>
+        assert(a(qid).toSeq == b(qid).toSeq, s"query $qid differs after save/load")
+      }
+      // the saved layout is a REAL Partitioned layout: the store loader
+      // opens it too (same sidecar + bucket directories)
+      val asStore = VectorStore.Partitioned.load(spark, dir)
+      assert(asStore.len() == st.len() && asStore.embeddingDim == 64)
+    } finally { back.unpersist(); mx.unpersist() }
+    // partition-aligned caches refuse to save (no stable bucket identity)
+    val flat = graft.operators.MatrixStore.fromStore(st)
+    try {
+      val ex = intercept[IllegalArgumentException](flat.save(dir))
+      assert(ex.getMessage.contains("fromStoreBucketed"))
+    } finally flat.unpersist()
+  }
+
   test("top-k properties: query(k) is a prefix of query(k+1); threshold = filtered top-k") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
