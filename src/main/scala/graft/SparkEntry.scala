@@ -1078,6 +1078,19 @@ object SparkEntry {
       ivfContract(approx, exact)
     }),
 
+    // ANN: collect-free residual IVF×PQ batch probe — same contract;
+    // probes, ADC tables, and scoring are all plan expressions
+    // (rank parity with the collect path is spec-asserted).
+    "ann_ivfpq_res_batch" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.ivfPqResidualTopKBatch(cachedIvfPqRes(s, dir), q,
+        "vec_id", "embedding", k = 3, nProbe = 6)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+    }),
+
     // ANN: IVF list re-balancing contract — oversized lists split by a
     // local re-cluster. Engine-independent invariants: assignment row
     // count preserved, max list size never increases, probes on the
@@ -1218,6 +1231,18 @@ object SparkEntry {
     "text_contam" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       TextAnalysis.contaminationStats(
+          d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3, threshold = 0.05)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: two-phase Bloom decontamination — phase-1 native Bloom gate
+    // (no false negatives), phase-2 exact verify join for flagged docs
+    // only. Same oracle as text_contam: the filter only routes work.
+    "text_contam_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.contaminationStatsBloom(
           d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
           "doc_id", "text", n = 3, threshold = 0.05)
         .withColumnRenamed("id", "doc_id")
@@ -2114,6 +2139,9 @@ object SparkEntry {
     "ann_ivfpq_res" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
+    "ann_ivfpq_res_batch" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
     "ann_ivf_topk" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
@@ -2201,6 +2229,22 @@ object SparkEntry {
         |tr AS (SELECT doc_id, count(*) AS n_grams,
         |              count(*) FILTER (gram IN (SELECT gram FROM ev)) AS n_hits
         |       FROM g WHERE doc_id % 97 != 0 AND doc_id < 200 GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_hits,
+        |       round(n_hits::DOUBLE / n_grams, 6) AS contam_frac,
+        |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated
+        |FROM tr ORDER BY doc_id""".stripMargin,
+
+    // two-phase bloom variant returns EXACTLY the contaminationStats
+    // output (phase 1 only routes; phase 2 is the exact join)
+    "text_contam_bloom" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-3)) AS i, toks
+        |       FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS gram FROM g0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, count(*) AS n_grams,
+        |              count(*) FILTER (gram IN (SELECT gram FROM ev)) AS n_hits
+        |       FROM g WHERE doc_id % 97 != 0 GROUP BY doc_id)
         |SELECT doc_id, n_grams, n_hits,
         |       round(n_hits::DOUBLE / n_grams, 6) AS contam_frac,
         |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated

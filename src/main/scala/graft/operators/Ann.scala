@@ -630,6 +630,64 @@ object Ann {
       .transform(topKHits(_, "id", k))
   }
 
+  /** Collect-free residual IVF×PQ probe for DataFrame-sized query
+    * batches — [[ivfPqResidualTopK]] with every driver-side step
+    * re-expressed as expressions, composing [[ivfTopKBatch]]'s join
+    * shape with the residual ADC identity:
+    *
+    *  - probe selection: queries × broadcast normalized centroids,
+    *    top-nProbe per query by (dot desc, cluster) — identical ordering
+    *    to the collect path, the exact dot(q̂,ĉ) term rides along;
+    *  - ADC tables: the residual codebooks are a PLAN LITERAL
+    *    (m × nCodes × subDim doubles — a few KB), and each probe row
+    *    computes its m × nCodes table with nested `transform`s over the
+    *    sliced query vector, amortized across that list's candidates;
+    *  - scoring: candidates join probes on `cluster` (equi join), codes
+    *    look up through `zip_with`/`element_at`, top k×rerankFactor per
+    *    query bound by the rank window (WindowGroupLimit), exact re-rank.
+    *
+    * No collect anywhere, so a query batch of millions of rows never
+    * funnels through the driver. */
+  def ivfPqResidualTopKBatch(index: IvfPqIndex, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int,
+      nProbe: Int, rerankFactor: Int = 8): DataFrame = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val subDim = index.subDim
+    val cdf = broadcast(index.centNorm.toDF("cluster", "cn"))
+    val q = queries.select(col(qidCol).cast(StringType).as("qid"),
+      graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qvn"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("qcdot").desc, col("cluster"))
+    val books = typedlit(index.codebooks)
+    def dotSlice(vec: Column, start: Column, cent: Column): Column =
+      aggregate(zip_with(slice(vec, start, lit(subDim)), cent, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    val probes = q.crossJoin(cdf)
+      .withColumn("qcdot", dotD(col("qvn"), col("cn")))
+      .withColumn("__rnk__", row_number().over(probeW))
+      .filter(col("__rnk__") <= nProbe)
+      .withColumn("table", transform(books, (book, j) =>
+        transform(book, cent => dotSlice(col("qvn"), j * subDim + 1, cent))))
+      .select(col("qid"), col("qvn"), col("cluster"), col("qcdot"), col("table"))
+    val approxW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__approx__").desc, col("id"))
+    index.codes
+      .select(col("id").cast(StringType).as("id"),
+        col("cluster").cast(IntegerType).as("cluster"), col("v"), col("codes"))
+      .join(probes, Seq("cluster"))
+      .withColumn("__approx__",
+        col("qcdot") + aggregate(zip_with(col("codes"), col("table"),
+            (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("__rnk__", row_number().over(approxW))
+      .filter(col("__rnk__") <= k * rerankFactor)
+      .withColumn("__score__",
+        dotD(graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false),
+          col("qvn")))
+      .transform(topKHits(_, "id", k))
+  }
+
   /** PQ top-k with asymmetric-distance (ADC) scoring + exact re-rank.
     *
     * Per query, the driver precomputes the m × nCodes lookup table

@@ -293,6 +293,81 @@ object TextAnalysis {
         col("n_hits").cast(DoubleType) / col("n_grams") >= threshold)
   }
 
+  /** Two-phase Bloom-filter decontamination — the variant for eval
+    * SUITES whose distinct-gram set is too large to broadcast as an
+    * exact table (the assumption [[contaminationStats]] rests on).
+    *
+    * Phase 1 folds the eval grams into one Bloom filter (Spark's native
+    * `BloomFilterAggregate` over xxhash64 — a few MB regardless of gram
+    * count) and gates every corpus gram through `might_contain`: a
+    * Bloom filter has NO false negatives, so a doc whose grams all miss
+    * is EXACTLY clean (n_hits = 0) and never shuffles anywhere. Phase 2
+    * re-checks only the flagged minority's grams against the exact gram
+    * table with a plain equi join — at fpp≈1% the shuffle carries a few
+    * percent of the corpus grams instead of all of them, and the eval
+    * table itself joins distributed (no broadcast needed). Output is
+    * EXACTLY [[contaminationStats]] — the filter only routes work.
+    *
+    * @param fpp target false-positive rate for the phase-1 filter
+    *            (drives the optimal bit count for the measured distinct
+    *            gram count). */
+  def contaminationStatsBloom(
+      docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.05, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val evalGrams = evalDocs
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    // size the filter from the measured gram count (one cheap count over
+    // the eval split): optimal bits = -n ln(p) / (ln 2)^2
+    val nItems = math.max(1L, evalGrams.count())
+    val numBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.expression(col("gram")))),
+      org.apache.spark.sql.catalyst.expressions.Literal(nItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression()
+    // the aggregated filter binary collects to the driver and rides as a
+    // plan CONSTANT (might_contain requires one; this is what
+    // df.stat.bloomFilter does too) — O(numBits/8) bytes regardless of
+    // gram count, the whole point of the structure
+    val bfBytes = evalGrams.agg(ColumnBridge.column(bloomAgg).as("__bf__"))
+      .head().getAs[Array[Byte]]("__bf__")
+    val grams = docs
+      .select(col(idCol).as("id"), explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+    def mightContain(v: Column): Column = ColumnBridge.column(
+      new BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(bfBytes, BinaryType),
+        new XxHash64(Seq(ColumnBridge.expression(v)))))
+    // phase 1: per-doc gram count + bloom-maybe count, no data shuffle of
+    // gram text — the filter is a literal in the row-local predicate
+    val phase1 = grams
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(mightContain(col("gram")), 1L).otherwise(0L))
+          .as("__n_maybe__"))
+    // phase 2: exact verify for the flagged minority only (no false
+    // negatives -> unflagged docs are exactly clean)
+    val flagged = phase1.filter(col("__n_maybe__") > 0L).select(col("id"))
+    val exactHits = grams
+      .join(flagged, Seq("id"), "left_semi")
+      .join(evalGrams.withColumn("__hit__", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(sum(coalesce(col("__hit__"), lit(0L))).as("n_hits"))
+    phase1
+      .join(exactHits, Seq("id"), "left_outer")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contam_frac",
+        round(col("n_hits").cast(DoubleType) / col("n_grams"), 6))
+      .withColumn("contaminated",
+        col("n_hits").cast(DoubleType) / col("n_grams") >= threshold)
+  }
+
   /** Stateless per-row contamination gate: the eval-set's distinct grams
     * ride along as ONE plan literal (collected once — eval sets are
     * small by nature) and each row's overlap is an in-row

@@ -529,6 +529,27 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(selfs.length == 20 && selfs.forall(identity))
   }
 
+  test("ivfpq residual batch probe ranks identically to the collect path") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8)
+    val idx = Ann.ivfPqBuildResidual(ivf, m = 8, nCodes = 16)
+    val q = e.filter(col("vec_id") < 10)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    val viaCollect = Ann.ivfPqResidualTopK(idx, q, "vec_id", "embedding",
+      k = 5, nProbe = 3)
+    val viaJoin = Ann.ivfPqResidualTopKBatch(idx, q, "vec_id", "embedding",
+      k = 5, nProbe = 3)
+    assert(key(viaJoin) == key(viaCollect))
+    // structural: no LocalTableScan carries QUERY-derived rows (probes /
+    // ADC tables are plan expressions); the nLists-row centroid table is
+    // the one legitimate local relation, same as ivfTopKBatch
+    val localScans = viaJoin.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("LocalTableScan")).toSeq
+    assert(localScans.forall(l => !l.contains("qid") && !l.contains("table")),
+      s"batch probe must not materialize driver-side query tables:\n${localScans.mkString("\n")}")
+  }
+
   test("pq: codes in range, ADC+rerank self-hit and high recall vs brute force") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val idx = Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)

@@ -164,6 +164,25 @@ class TextEventsSpec extends AnyFunSuite {
     assert(streamed.exists { case (a, b, h) => a == 1L && b == 500000L && h == 0 })
   }
 
+  test("bloom two-phase contamination equals the exact formulation; bloom gate in plan") {
+    import graft.operators.TextAnalysis
+    val d = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val eval_ = d.filter(col("doc_id") % 97 === 0)
+    val bloom = TextAnalysis.contaminationStatsBloom(train, eval_, "doc_id", "text")
+    val exact = TextAnalysis.contaminationStats(train, eval_, "doc_id", "text")
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(bloom) == key(exact))
+    // the phase-1 gate is the native bloom expression, not a UDF
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"))
+    // no false negatives at a hostile fpp either: equality must hold
+    // because phase 2 is exact (high fpp only flags more docs)
+    val sloppy = TextAnalysis.contaminationStatsBloom(train, eval_, "doc_id", "text",
+      fpp = 0.5)
+    assert(key(sloppy) == key(exact))
+  }
+
   test("streaming grouped contamination stats equal the batch formulation") {
     import graft.operators.TextAnalysis
     val docs = Seq(
