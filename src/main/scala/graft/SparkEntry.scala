@@ -1237,6 +1237,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Pipeline: the composed end-to-end cleaning job — exact dedup →
+    // Gopher repetition gate → decontamination → corpus-relative length
+    // filter → per-source corpus stats. Every stage is an
+    // already-oracle-checked operator; this key proves they COMPOSE
+    // (each stage's distribution feeds the next, e.g. the length
+    // percentiles are computed over the cleaned set, not the raw corpus).
+    "pipe_e2e" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val evalD = d.filter(col("doc_id") % 97 === 0)
+      val surv = Dedup.dropExactDups(
+        d.filter(col("doc_id") % 97 =!= 0), "doc_id", Seq("text"))
+      val rep = TextAnalysis.repetitionColumns(col("text"))
+        .foldLeft(surv) { case (df, (n, c)) => df.withColumn(n, c) }
+        .filter(col("repetition_pass"))
+      val clean = rep.join(
+        TextAnalysis.contaminationStats(rep, evalD, "doc_id", "text",
+            n = 3, threshold = 0.05)
+          .filter(!col("contaminated")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val wc = clean.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).as("nw"))
+      val cuts = wc.agg(
+        expr("percentile(nw, 0.1)").as("lo"), expr("percentile(nw, 0.9)").as("hi"))
+      wc.crossJoin(broadcast(cuts))
+        .filter(col("nw") >= col("lo") && col("nw") <= col("hi"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("nw")).as("sum_nw"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
+
     // Text: two-phase Bloom decontamination — phase-1 native Bloom gate
     // (no false negatives), phase-2 exact verify join for flagged docs
     // only. Same oracle as text_contam: the filter only routes work.
@@ -2233,6 +2264,49 @@ object SparkEntry {
         |       round(n_hits::DOUBLE / n_grams, 6) AS contam_frac,
         |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated
         |FROM tr ORDER BY doc_id""".stripMargin,
+
+    // composed pipeline: each stage is the proven per-operator
+    // formulation, chained — survivors (min doc per text, train split) →
+    // repetition gate → decontam (eval grams from the full corpus) →
+    // post-clean percentile length filter → per-source stats
+    "pipe_e2e" ->
+      """WITH surv AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT doc_id, text, source,
+        |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents WHERE doc_id % 97 != 0)
+        |  WHERE rn = 1),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surv),
+        |b0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-2)) AS i, toks
+        |       FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, count(*) AS c
+        |       FROM b0 GROUP BY 1, 2),
+        |st AS (SELECT doc_id, max(c) AS mx FROM bc GROUP BY doc_id),
+        |w AS (SELECT doc_id, len(string_split(text, ' ')) AS nw,
+        |             len(list_distinct(string_split(text, ' '))) AS ndw FROM surv),
+        |rep AS (SELECT w.doc_id FROM w LEFT JOIN st ON w.doc_id = st.doc_id
+        |        WHERE (1.0 - ndw::DOUBLE / nw) < 0.55
+        |          AND (CASE WHEN nw < 2 THEN 0.0 ELSE mx::DOUBLE / (nw-1) END) < 0.07),
+        |gt AS (SELECT s.doc_id, string_split(s.text, ' ') AS toks
+        |       FROM surv s JOIN rep USING (doc_id)),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-3)) AS i, toks
+        |       FROM gt WHERE len(toks) >= 3),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS gram FROM g0),
+        |et AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 97 = 0),
+        |e0 AS (SELECT unnest(generate_series(0, len(toks)-3)) AS i, toks
+        |       FROM et WHERE len(toks) >= 3),
+        |ev AS (SELECT DISTINCT array_to_string(toks[i+1:i+3], ' ') AS gram FROM e0),
+        |ct AS (SELECT doc_id, count(*) AS n_grams,
+        |              count(*) FILTER (gram IN (SELECT gram FROM ev)) AS n_hits
+        |       FROM g GROUP BY doc_id),
+        |clean AS (SELECT doc_id FROM ct WHERE n_hits::DOUBLE / n_grams < 0.05),
+        |wcl AS (SELECT s.doc_id, s.source, len(string_split(s.text, ' '))::BIGINT AS nw
+        |        FROM surv s JOIN clean USING (doc_id)),
+        |c AS (SELECT quantile_cont(nw, 0.1) AS lo, quantile_cont(nw, 0.9) AS hi FROM wcl)
+        |SELECT source, count(*) AS n, CAST(sum(nw) AS BIGINT) AS sum_nw,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM wcl, c WHERE nw >= lo AND nw <= hi
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // two-phase bloom variant returns EXACTLY the contaminationStats
     // output (phase 1 only routes; phase 2 is the exact join)
