@@ -1237,6 +1237,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Pipeline: ONE-PASS approximate length filter — approx_percentile
+    // (KLL-style sketch, mergeable: one corpus pass at any scale) vs
+    // pipe_lengthfilter's exact sort-based percentile. Sketch outputs
+    // are engine-specific, so the oracle is a contract: the exact-filter
+    // kept count value-matches, and the approx cutoffs / kept count sit
+    // within tolerance of the exact ones.
+    "pipe_lengthfilter_approx" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        TextAnalysis.tokenCountWs(col("text")).as("nw"))
+      val cuts = d.agg(
+        expr("approx_percentile(nw, 0.1, 1000)").cast(DoubleType).as("alo"),
+        expr("approx_percentile(nw, 0.9, 1000)").cast(DoubleType).as("ahi"),
+        expr("percentile(nw, 0.1)").as("elo"),
+        expr("percentile(nw, 0.9)").as("ehi"))
+      d.crossJoin(broadcast(cuts))
+        .agg(
+          sum(when(col("nw") >= col("elo") && col("nw") <= col("ehi"), 1L)
+            .otherwise(0L)).as("n_exact"),
+          sum(when(col("nw") >= col("alo") && col("nw") <= col("ahi"), 1L)
+            .otherwise(0L)).as("n_approx"),
+          first(col("alo")).as("alo"), first(col("ahi")).as("ahi"),
+          first(col("elo")).as("elo"), first(col("ehi")).as("ehi"))
+        .select(col("n_exact"),
+          (abs(col("alo") - col("elo")) <= greatest(lit(1.0), col("elo") * 0.05)).as("lo_ok"),
+          (abs(col("ahi") - col("ehi")) <= greatest(lit(1.0), col("ehi") * 0.05)).as("hi_ok"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            greatest(lit(1L), (col("n_exact") * 0.02).cast(LongType))).as("kept_ok"))
+    }),
+
     // Pipeline: the composed end-to-end cleaning job — exact dedup →
     // Gopher repetition gate → decontamination → corpus-relative length
     // filter → per-source corpus stats. Every stage is an
@@ -1612,6 +1641,37 @@ object SparkEntry {
           mode = "complete")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // Streaming: the composed cleaning pipeline as ONE streaming query —
+    // stateless per-row gates (Gopher repetition + plan-literal
+    // contamination) chained into a stateful per-source aggregation.
+    // Exact dedup is deliberately absent from the stream twin: a
+    // streaming dropDuplicates keeps the FIRST arrival, which is
+    // nondeterministic across shuffles, while the batch pipeline keeps
+    // min doc_id — per-source stats would then disagree run to run.
+    "stream_e2e" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val evalGrams = d.filter(col("doc_id") % 97 === 0)
+        .select(explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+        .distinct().orderBy(col("g"))
+        .collect().map(_.getString(0)).toSeq
+      val st = s.readStream.schema(d.schema).parquet(stagedTableDir(dir, "documents"))
+        .filter(col("doc_id") < 200 && col("doc_id") % 97 =!= 0)
+      val gated = (TextAnalysis.repetitionColumns(col("text")) ++
+          TextAnalysis.contaminationGateColumns(col("text"), evalGrams))
+        .foldLeft(st.select(col("doc_id"), col("source"), col("text"))) {
+          case (df, (n, c)) => df.withColumn(n, c)
+        }
+        .filter(col("repetition_pass") && !col("contaminated"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).as("nw"))
+      graft.streaming.StreamingOps.runBounded(
+          gated.groupBy(col("source"))
+            .agg(count(lit(1)).as("n"), sum(col("nw")).as("sum_nw"),
+              min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")),
+          mode = "complete")
+        .orderBy(col("source"))
     }),
 
     // Multimodal: binary payload metadata (deterministic byte stats).
@@ -2265,6 +2325,15 @@ object SparkEntry {
         |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated
         |FROM tr ORDER BY doc_id""".stripMargin,
 
+    // approx sketch values are engine-specific -> contract booleans;
+    // the exact kept count anchors the check to a real value
+    "pipe_lengthfilter_approx" ->
+      """WITH t AS (SELECT len(string_split(text, ' '))::BIGINT AS nw FROM documents),
+        |c AS (SELECT quantile_cont(nw, 0.1) AS lo, quantile_cont(nw, 0.9) AS hi FROM t)
+        |SELECT CAST((SELECT count(*) FROM t, c WHERE nw >= lo AND nw <= hi) AS BIGINT)
+        |         AS n_exact,
+        |       TRUE AS lo_ok, TRUE AS hi_ok, TRUE AS kept_ok""".stripMargin,
+
     // composed pipeline: each stage is the proven per-operator
     // formulation, chained — survivors (min doc per text, train split) →
     // repetition gate → decontam (eval grams from the full corpus) →
@@ -2323,6 +2392,40 @@ object SparkEntry {
         |       round(n_hits::DOUBLE / n_grams, 6) AS contam_frac,
         |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated
         |FROM tr ORDER BY doc_id""".stripMargin,
+
+    // streaming composed pipeline: independent per-row gates (repetition
+    // + contamination) then per-source stats; train side bounded like the
+    // other stream keys, eval grams from the FULL corpus
+    "stream_e2e" ->
+      """WITH tr AS (SELECT doc_id, source, text FROM documents
+        |            WHERE doc_id % 97 != 0 AND doc_id < 200),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tr),
+        |b0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-2)) AS i, toks
+        |       FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bigram, count(*) AS c
+        |       FROM b0 GROUP BY 1, 2),
+        |st AS (SELECT doc_id, max(c) AS mx FROM bc GROUP BY doc_id),
+        |w AS (SELECT doc_id, len(string_split(text, ' ')) AS nw,
+        |             len(list_distinct(string_split(text, ' '))) AS ndw FROM tr),
+        |rep AS (SELECT w.doc_id FROM w LEFT JOIN st ON w.doc_id = st.doc_id
+        |        WHERE (1.0 - ndw::DOUBLE / nw) < 0.55
+        |          AND (CASE WHEN nw < 2 THEN 0.0 ELSE mx::DOUBLE / (nw-1) END) < 0.07),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-3)) AS i, toks
+        |       FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS gram FROM g0),
+        |et AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 97 = 0),
+        |e0 AS (SELECT unnest(generate_series(0, len(toks)-3)) AS i, toks
+        |       FROM et WHERE len(toks) >= 3),
+        |ev AS (SELECT DISTINCT array_to_string(toks[i+1:i+3], ' ') AS gram FROM e0),
+        |ct AS (SELECT doc_id, count(*) AS n_grams,
+        |              count(*) FILTER (gram IN (SELECT gram FROM ev)) AS n_hits
+        |       FROM g GROUP BY doc_id),
+        |clean AS (SELECT doc_id FROM ct WHERE n_hits::DOUBLE / n_grams < 0.05)
+        |SELECT source, count(*) AS n,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_nw,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM tr JOIN rep USING (doc_id) JOIN clean USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // grouped streaming twin: identical formulation to stream_contam
     // (stateful agg instead of per-row gate; same bounded train split)
