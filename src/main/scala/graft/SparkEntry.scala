@@ -734,6 +734,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup: incremental ingestion — a new batch (doc_id >= 300) exact-
+    // deduped against the existing base corpus (doc_id < 300); the base
+    // contributes only its distinct content hashes.
+    "dedup_incr_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.dropExactDupsAgainst(
+          d.filter(col("doc_id") < 300), d.filter(col("doc_id") >= 300), "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dedup: incremental near-dup — cross-corpus MinHash band join
+    // (batch × base only, never base-internal), portable hashes so the
+    // full pipeline is oracle-checkable like dedup_minhash_port.
+    "dedup_incr_minhash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.minhashLshPairsAgainst(
+          d.filter(col("doc_id") < 300), d.filter(col("doc_id") >= 300),
+          "doc_id", "text", portableHash = true)
+        .select(col("id_base"), col("id_batch"),
+          round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_base"), col("id_batch"))
+    }),
+
     // Text: top-3 tokens per document by tf-idf.
     "text_tfidf" -> ((s, dir) => {
       TextAnalysis.tfidfTopTerms(
@@ -1968,6 +1993,44 @@ object SparkEntry {
         |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 ORDER BY a.doc_id""".stripMargin,
+
+    // batch survivors: text not present in the base corpus
+    "dedup_incr_exact" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id >= 300
+        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 300)
+        |ORDER BY doc_id""".stripMargin,
+
+    // cross-corpus band join: same portable-minhash pipeline as
+    // dedup_minhash_port, but candidates are (base, batch) pairs only
+    "dedup_incr_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM documents),
+        |sg AS (
+        |  SELECT id, sh,
+        |    list_transform(generate_series(0, 31), k ->
+        |      list_min(list_transform(sh, s ->
+        |        ('0x' || substr(md5(s), 1, 12))::BIGINT + k * ('0x' || substr(md5(s), 13, 12))::BIGINT))) AS sig
+        |  FROM t),
+        |bd AS (
+        |  SELECT id, g.b, array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS bk
+        |  FROM sg, generate_series(0, 7) AS g(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_base, b.id AS id_batch
+        |  FROM bd a JOIN bd b ON a.b = b.b AND a.bk = b.bk
+        |  WHERE a.id < 300 AND b.id >= 300),
+        |j AS (
+        |  SELECT c.id_base, c.id_batch,
+        |    round(len(list_intersect(sa.sig, sb.sig))::DOUBLE / 32.0, 6) AS est_jaccard,
+        |    round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |          len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard
+        |  FROM cand c JOIN sg sa ON sa.id = c.id_base JOIN sg sb ON sb.id = c.id_batch)
+        |SELECT id_base, id_batch, est_jaccard, jaccard FROM j ORDER BY id_base, id_batch""".stripMargin,
 
     "dedup_minhash_port" ->
       """WITH t AS (

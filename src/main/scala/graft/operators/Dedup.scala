@@ -78,6 +78,80 @@ object Dedup {
   def minhashSignaturePortable(shingles: Column, numHashes: Int): Column =
     graft.functions.PortableHashes.portableMinHash(shingles, numHashes)
 
+  /** Incremental exact dedup: drop batch rows whose content already
+    * exists in a base corpus — the ingestion-time shape for a corpus
+    * that grows batch by batch. The base side reduces to its DISTINCT
+    * content hashes before the join (scalars; base text is never
+    * reshuffled), and the batch anti-joins on the hash. At 100 TB the
+    * base hash projection is the persisted ingestion index — appended
+    * per accepted batch, never rebuilt. */
+  def dropExactDupsAgainst(base: DataFrame, batch: DataFrame,
+      contentCol: String): DataFrame = {
+    val baseH = base.select(xxhash64(col(contentCol)).as("__h__")).distinct()
+    batch.join(baseH, xxhash64(col(contentCol)) === col("__h__"), "left_anti")
+  }
+
+  /** (id, band, band_hash) rows for the MinHash band join — the shared
+    * banding of [[minhashLshPairs]] and [[minhashLshPairsAgainst]].
+    * Shuffles carry only these three scalars. */
+  private def minhashBanded(base: DataFrame, shingleN: Int, numHashes: Int,
+      bands: Int, portableHash: Boolean): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    base
+      .withColumn("sig",
+        if (portableHash) minhashSignaturePortable(wordShingles(col("text"), shingleN), numHashes)
+        else minhashSignature(wordShingles(col("text"), shingleN), numHashes))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast(StringType)), ",")))).as(Seq("band", "band_hash")))
+  }
+
+  /** Cross-corpus MinHash-LSH near-dup pairs: candidates between an
+    * incoming batch and an existing base corpus ONLY (base-internal
+    * pairs are out of scope — the base is already deduped — and the
+    * batch dedups itself with [[minhashLshPairs]]). Same banding as the
+    * self-join variant, but the band join is base-banded × batch-banded,
+    * so at scale the base's banded projection is the persisted LSH
+    * index (append-only) and a batch's cost is proportional to the
+    * batch, not the corpus. Output: (id_base, id_batch, est_jaccard
+    * [, jaccard]). */
+  def minhashLshPairsAgainst(
+      base: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      exactVerify: Boolean = true, portableHash: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val baseN = base.select(col(idCol).as("id"), col(textCol).as("text"))
+    val batchN = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val cand = minhashBanded(baseN, shingleN, numHashes, bands, portableHash)
+      .select(col("band"), col("band_hash"), col("id").as("id_base"))
+      .join(minhashBanded(batchN, shingleN, numHashes, bands, portableHash)
+          .select(col("band"), col("band_hash"), col("id").as("id_batch")),
+        Seq("band", "band_hash"))
+      .select(col("id_base"), col("id_batch"))
+      .distinct()
+    def pay(side: DataFrame, candIds: DataFrame, suffix: String) = {
+      val p = side.join(candIds, Seq("id"), "left_semi")
+        .withColumn("shingles", wordShingles(col("text"), shingleN))
+        .withColumn("sig",
+          if (portableHash) minhashSignaturePortable(col("shingles"), numHashes)
+          else minhashSignature(col("shingles"), numHashes))
+      val cols = Seq(col("id").as(s"id_$suffix"), col("sig").as(s"sig_$suffix")) ++
+        (if (exactVerify) Seq(col("shingles").as(s"sh_$suffix")) else Nil)
+      p.select(cols: _*)
+    }
+    val pairs = cand
+      .join(pay(baseN, cand.select(col("id_base").as("id")), "base"), Seq("id_base"))
+      .join(pay(batchN, cand.select(col("id_batch").as("id")), "batch"), Seq("id_batch"))
+    val est = (size(array_intersect(col("sig_base"), col("sig_batch")))
+      .cast(DoubleType) / numHashes).as("est_jaccard")
+    if (exactVerify)
+      pairs.select(col("id_base"), col("id_batch"), est,
+        jaccard(col("sh_base"), col("sh_batch")).as("jaccard"))
+    else pairs.select(col("id_base"), col("id_batch"), est)
+  }
+
   /** MinHash-LSH near-dup candidate pairs.
     *
     * shingle -> minhash signature -> band hashes -> explode bands ->
@@ -91,22 +165,12 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       exactVerify: Boolean = true, portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    def sigOf = if (portableHash)
-      minhashSignaturePortable(wordShingles(col("text"), shingleN), numHashes)
-    else minhashSignature(wordShingles(col("text"), shingleN), numHashes)
     // Band shuffle carries ONLY (id, band, band_hash): the shingle and
     // signature arrays are projected away before the explode, so the
     // self-join moves 8 small rows per doc instead of 8 copies of every
     // array — the shuffle is what dominates at scale.
-    val banded = base
-      .withColumn("sig", sigOf)
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast(StringType)), ",")))).as(Seq("band", "band_hash")))
+    val banded = minhashBanded(base, shingleN, numHashes, bands, portableHash)
     val cand = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
         Seq("band", "band_hash"))

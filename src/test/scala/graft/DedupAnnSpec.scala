@@ -301,6 +301,35 @@ class DedupAnnSpec extends AnyFunSuite {
       s"boilerplate-only pairs must be pruned, got ${capped.keySet}")
   }
 
+  test("incremental dedup: batch deduped against base; cross pairs only") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark catalyst optimizer rewrites logical plans")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+      (12L, "completely different content about query engines"),
+      (13L, "completely different content about query engines")) // batch-internal dup
+      .toDF("doc_id", "text")
+    // exact: only the base-duplicated row drops (batch-internal dups are
+    // minhashLshPairs/dropExactDups territory, deliberately untouched)
+    val kept = Dedup.dropExactDupsAgainst(base, batch, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L, 13L))
+    // near-dup: pairs are strictly (base, batch) — no batch-internal
+    // (12,13) pair, no base-internal pair
+    val pairs = Dedup.minhashLshPairsAgainst(base, batch, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)) && pairs.contains((1L, 11L)))
+    assert(pairs.forall { case (b, q) => b <= 2L && q >= 10L })
+    // exact-dup pair carries jaccard 1.0
+    val j = Dedup.minhashLshPairsAgainst(base, batch, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 16)
+      .filter(col("id_batch") === 10L).select("jaccard").head().getDouble(0)
+    assert(j == 1.0)
+  }
+
   test("minhash signatures-only mode finds the same candidate pairs") {
     val withV = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleN = 2,
       numHashes = 32, bands = 16).select("id_a", "id_b").collect().toSet
