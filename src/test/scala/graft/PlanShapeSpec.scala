@@ -62,6 +62,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "LSH candidate generation must never degrade to all-pairs")
   }
 
+  test("incremental minhash: cross-corpus band join stays equi, never cartesian") {
+    val p = plan("dedup_incr_minhash")
+    assert(p.contains("Join"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "base x batch candidate generation must stay an equi band join")
+    // the doc-id split predicates reach the scans
+    assert(p.contains("PushedFilters") && p.contains("doc_id"))
+  }
+
+  test("bloom contamination: phase-1 gate is the native bloom expression, no join") {
+    val p = plan("text_contam_bloom")
+    assert(p.contains("might_contain"),
+      "phase-1 must gate through the constant bloom filter, not a join or UDF")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("contamination: eval grams broadcast; corpus side never sort-merges") {
     val p = plan("text_contam")
     assert(p.contains("BroadcastHashJoin"),
