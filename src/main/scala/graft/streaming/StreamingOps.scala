@@ -327,6 +327,42 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ingestion that also keeps a bucket-aligned
+    * [[graft.operators.MatrixStore]] scan cache fresh: each microbatch
+    * (a) merges into the bucketed on-disk layout
+    * ([[graft.operators.VectorStore.Partitioned.upsert]] — only touched
+    * partitions rewrite) and (b) rebuilds ONLY those buckets' slabs in
+    * the held cache via `refreshBuckets`, swapping the handle in
+    * `cache` and releasing the superseded one. The serving path reads
+    * `cache.get` and always sees a complete, query-consistent snapshot
+    * (the swap is atomic; refresh materializes before the swap).
+    * foreachBatch serializes batches, so upsert and refresh apply in
+    * arrival order — the full ingestion-to-serving loop of the
+    * reference's insert-then-query lifecycle, distributed. */
+  def upsertStreamWithCache(batches: DataFrame, storePath: String,
+      cache: java.util.concurrent.atomic.AtomicReference[graft.operators.MatrixStore])
+      : StreamingQuery =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val spark = b.sparkSession
+          graft.operators.VectorStore.Partitioned.upsert(spark, storePath, b)
+          val nb = cache.get.nBuckets.getOrElse(throw new IllegalArgumentException(
+            "upsertStreamWithCache needs a bucket-aligned cache"))
+          val touched = b
+            .select(graft.operators.VectorStore.Partitioned.bucketOf(nb)
+              .cast("int").as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val old = cache.get
+          val fresh = old.refreshBuckets(
+            graft.operators.VectorStore.Partitioned.load(spark, storePath), touched)
+          cache.set(fresh)
+          old.unpersist()
+        }
+      }
+      .start()
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drain a bounded streaming DataFrame through the memory sink and hand

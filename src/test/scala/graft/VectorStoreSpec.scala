@@ -459,6 +459,54 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(state("9002")._2 == "ins")
   }
 
+  test("streaming upsert keeps the matrix cache fresh; equals full rebuild bitwise") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val st = mkStore((0 until 16).map(i => (i.toString, Seq(i + 1f, 1f, 0f, 0f), s"c$i")))
+    val store = Files.createTempDirectory("mcstore").toString
+    VectorStore.Partitioned.init(st, store, nBuckets = 4)
+    val cache = new java.util.concurrent.atomic.AtomicReference(
+      graft.operators.MatrixStore.fromPartitionedLayout(spark, store))
+    val watch = Files.createTempDirectory("mcwatch")
+    def stage(name: String, rows: Seq[(String, Seq[Float], String)], mtime: Long): Unit = {
+      val staging = Files.createTempDirectory(s"mcstage_$name")
+      rows.toDF("id", "vec", "color")
+        .select(col("id").as("__id__"),
+          col("vec").cast(ArrayType(FloatType)).as("vector"), col("color"))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stage("b1", Seq(("3", Seq(0f, 0f, 1f, 0f), "NEW"), ("9001", Seq(1f, 0f, 0f, 0f), "one")), t0)
+    stage("b2", Seq(("9001", Seq(0f, 1f, 0f, 0f), "two"), ("9002", Seq(0f, 0f, 0f, 1f), "ins")), t0 + 5000)
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    val q = graft.streaming.StreamingOps.upsertStreamWithCache(stream, store, cache)
+    try q.processAllAvailable() finally q.stop()
+    // the incrementally-refreshed cache equals a cold full rebuild
+    val rebuilt = graft.operators.MatrixStore.fromPartitionedLayout(spark, store)
+    try {
+      val queries = Seq(
+        "q3" -> Array(0f, 0f, 1f, 0f),
+        "q9001" -> Array(0f, 1f, 0f, 0f),
+        "q9002" -> Array(0f, 0f, 0f, 1f))
+      val a = cache.get.queryBatch(queries, 5)
+      val b = rebuilt.queryBatch(queries, 5)
+      queries.foreach { case (qid, _) =>
+        assert(a(qid).toSeq == b(qid).toSeq, s"$qid differs from full rebuild")
+      }
+      // the stream's newest vectors are what the cache serves
+      assert(a("q9001").head._1 == "9001")
+      assert(a("q9002").head._1 == "9002")
+      assert(cache.get.nBuckets.contains(4))
+    } finally { rebuilt.unpersist(); cache.get.unpersist() }
+  }
+
   test("empty store lifecycle (unit_tests.rs:250-278)") {
     val empty = mkStore(base).delete(Seq("a", "b", "c"))
     assert(empty.isEmpty)
