@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.VectorFunctions._
-import graft.operators.VectorStore
+import graft.operators.{DedupIndex, VectorStore}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7.
   *
@@ -756,6 +756,21 @@ object SparkEntry {
         .select(col("id_base"), col("id_batch"),
           round(col("est_jaccard"), 6).as("est_jaccard"),
           round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_base"), col("id_batch"))
+    }),
+
+    // Dedup: incremental near-dup through the PERSISTED ingestion index
+    // (DedupIndex) — the base corpus contributes only its stored
+    // hash/band/signature projections; base text is never read. Same
+    // candidate set + signature estimate as dedup_incr_minhash.
+    "dedup_incr_index" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+      DedupIndex.create(d.filter(col("doc_id") < 300), "doc_id", "text", path,
+        portableHash = true)
+      DedupIndex.candidates(s, path, d.filter(col("doc_id") >= 300), "doc_id", "text")
+        .select(col("id_base"), col("id_batch"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy(col("id_base"), col("id_batch"))
     }),
 
@@ -2000,6 +2015,35 @@ object SparkEntry {
         |WHERE doc_id >= 300
         |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 300)
         |ORDER BY doc_id""".stripMargin,
+
+    // index-backed probe: same cross-corpus candidate set + signature
+    // estimate as dedup_incr_minhash, no exact-jaccard column (the
+    // index stores no text by design)
+    "dedup_incr_index" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM documents),
+        |sg AS (
+        |  SELECT id,
+        |    list_transform(generate_series(0, 31), k ->
+        |      list_min(list_transform(sh, s ->
+        |        ('0x' || substr(md5(s), 1, 12))::BIGINT + k * ('0x' || substr(md5(s), 13, 12))::BIGINT))) AS sig
+        |  FROM t),
+        |bd AS (
+        |  SELECT id, g.b, array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS bk
+        |  FROM sg, generate_series(0, 7) AS g(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_base, b.id AS id_batch
+        |  FROM bd a JOIN bd b ON a.b = b.b AND a.bk = b.bk
+        |  WHERE a.id < 300 AND b.id >= 300)
+        |SELECT c.id_base, c.id_batch,
+        |  round(len(list_intersect(sa.sig, sb.sig))::DOUBLE / 32.0, 6) AS est_jaccard
+        |FROM cand c JOIN sg sa ON sa.id = c.id_base JOIN sg sb ON sb.id = c.id_batch
+        |ORDER BY c.id_base, c.id_batch""".stripMargin,
 
     // cross-corpus band join: same portable-minhash pipeline as
     // dedup_minhash_port, but candidates are (base, batch) pairs only

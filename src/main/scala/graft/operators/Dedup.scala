@@ -91,22 +91,29 @@ object Dedup {
     batch.join(baseH, xxhash64(col(contentCol)) === col("__h__"), "left_anti")
   }
 
-  /** (id, band, band_hash) rows for the MinHash band join — the shared
-    * banding of [[minhashLshPairs]] and [[minhashLshPairsAgainst]].
-    * Shuffles carry only these three scalars. */
-  private def minhashBanded(base: DataFrame, shingleN: Int, numHashes: Int,
-      bands: Int, portableHash: Boolean): DataFrame = {
+  /** Explode (id, sig) rows into (id, band, band_hash) — the band-key
+    * derivation shared by the in-memory band joins and the persisted
+    * ingestion index ([[DedupIndex]]). Shuffles carry only these three
+    * scalars. */
+  private[operators] def bandedOfSignatures(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    base
-      .withColumn("sig",
-        if (portableHash) minhashSignaturePortable(wordShingles(col("text"), shingleN), numHashes)
-        else minhashSignature(wordShingles(col("text"), shingleN), numHashes))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast(StringType)), ",")))).as(Seq("band", "band_hash")))
+    sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(array_join(
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast(StringType)), ",")))).as(Seq("band", "band_hash")))
   }
+
+  /** (id, band, band_hash) rows for the MinHash band join — the shared
+    * banding of [[minhashLshPairs]] and [[minhashLshPairsAgainst]]. */
+  private def minhashBanded(base: DataFrame, shingleN: Int, numHashes: Int,
+      bands: Int, portableHash: Boolean): DataFrame =
+    bandedOfSignatures(
+      base.withColumn("sig",
+        if (portableHash) minhashSignaturePortable(wordShingles(col("text"), shingleN), numHashes)
+        else minhashSignature(wordShingles(col("text"), shingleN), numHashes)),
+      numHashes, bands)
 
   /** Cross-corpus MinHash-LSH near-dup pairs: candidates between an
     * incoming batch and an existing base corpus ONLY (base-internal

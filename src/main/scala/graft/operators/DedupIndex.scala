@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, append-only dedup ingestion index — the on-disk artifact
+  * the incremental dedup operators ([[Dedup.dropExactDupsAgainst]],
+  * [[Dedup.minhashLshPairsAgainst]]) describe: instead of re-deriving
+  * the base corpus's hashes and MinHash projection on every incoming
+  * batch, the corpus maintains
+  *
+  *   - `hashes/`  — distinct 64-bit content hashes (exact-dup probe),
+  *   - `bands/`   — the (id, band, band_hash) LSH projection
+  *                  (near-dup candidate probe),
+  *   - `sigs/`    — the (id, sig) MinHash signatures (signature-level
+  *                  Jaccard estimate without touching base text),
+  *
+  * each as plain parquet, plus a JSON sidecar pinning the parameters
+  * (shingleN/numHashes/bands/portableHash) so a probe with mismatched
+  * parameters fails loudly instead of silently finding nothing.
+  *
+  * Lifecycle: [[DedupIndex.create]] over the initial corpus, then per
+  * accepted batch [[DedupIndex.append]] — both are APPEND-shaped writes
+  * proportional to the batch; nothing is ever rebuilt. At 100 TB the
+  * index is the only thing an ingest touches: the corpus text stays
+  * cold. Exact-jaccard verification of candidates (which needs text)
+  * stays in [[Dedup.minhashLshPairsAgainst]] — by design the index
+  * stores no text.
+  */
+object DedupIndex {
+
+  final case class Params(
+      shingleN: Int, numHashes: Int, bands: Int, portableHash: Boolean)
+
+  private def sidecar(path: String) = s"$path/_dedup_index.json"
+
+  private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
+    VectorStore.writeSidecar(spark, sidecar(path),
+      s"""{"shingle_n": ${p.shingleN}, "num_hashes": ${p.numHashes}, """ +
+        s""""bands": ${p.bands}, "portable_hash": ${p.portableHash}}""")
+
+  def readParams(spark: SparkSession, path: String): Params = {
+    val pth = new org.apache.hadoop.fs.Path(sidecar(path))
+    val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(pth)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    Params(node.get("shingle_n").asInt(), node.get("num_hashes").asInt(),
+      node.get("bands").asInt(), node.get("portable_hash").asBoolean())
+  }
+
+  /** The three projections of one corpus slice, under the index params. */
+  private def project(df: DataFrame, idCol: String, textCol: String, p: Params)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val hashes = base.select(xxhash64(col("text")).as("content_hash")).distinct()
+    val sigs = base.select(col("id"), {
+      val sh = Dedup.wordShingles(col("text"), p.shingleN)
+      (if (p.portableHash) Dedup.minhashSignaturePortable(sh, p.numHashes)
+      else Dedup.minhashSignature(sh, p.numHashes)).as("sig")
+    })
+    val bands = Dedup.bandedOfSignatures(sigs, p.numHashes, p.bands)
+    (hashes, bands, sigs)
+  }
+
+  /** Build the index over the initial corpus. */
+  def create(df: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      portableHash: Boolean = false): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val p = Params(shingleN, numHashes, bands, portableHash)
+    val (hashes, banded, sigs) = project(df, idCol, textCol, p)
+    hashes.write.mode("overwrite").parquet(s"$path/hashes")
+    banded.write.mode("overwrite").parquet(s"$path/bands")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    writeParams(df.sparkSession, path, p)
+  }
+
+  /** Append an ACCEPTED batch's projections — cost ∝ batch, no rewrite.
+    * (Dedup the batch first; the index trusts its inputs.) */
+  def append(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val p = readParams(df.sparkSession, path)
+    val (hashes, banded, sigs) = project(df, idCol, textCol, p)
+    hashes.write.mode("append").parquet(s"$path/hashes")
+    banded.write.mode("append").parquet(s"$path/bands")
+    sigs.write.mode("append").parquet(s"$path/sigs")
+  }
+
+  /** Exact-dup filter against the index: batch rows whose content hash
+    * is already present are dropped (anti join on the stored hashes —
+    * base text is never read). */
+  def filterExact(spark: SparkSession, path: String, batch: DataFrame,
+      contentCol: String): DataFrame = {
+    val idx = spark.read.parquet(s"$path/hashes")
+      .select(col("content_hash").as("__h__")).distinct()
+    batch.join(idx, xxhash64(col(contentCol)) === col("__h__"), "left_anti")
+  }
+
+  /** Near-dup candidates against the index: (id_base, id_batch,
+    * est_jaccard) from the stored bands and signatures — one equi band
+    * join plus a signature re-join for candidates only; the base corpus
+    * TEXT is never touched. Pass the candidate pairs to
+    * [[Dedup.minhashLshPairsAgainst]]-style exact verification only if
+    * the estimate is not enough. */
+  def candidates(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val p = readParams(spark, path)
+    val batchN = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val batchSigs = batchN.select(col("id"), {
+      val sh = Dedup.wordShingles(col("text"), p.shingleN)
+      (if (p.portableHash) Dedup.minhashSignaturePortable(sh, p.numHashes)
+      else Dedup.minhashSignature(sh, p.numHashes)).as("sig")
+    })
+    val cand = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("band_hash"), col("id").as("id_base"))
+      .join(Dedup.bandedOfSignatures(batchSigs, p.numHashes, p.bands)
+          .select(col("band"), col("band_hash"), col("id").as("id_batch")),
+        Seq("band", "band_hash"))
+      .select(col("id_base"), col("id_batch"))
+      .distinct()
+    cand
+      .join(spark.read.parquet(s"$path/sigs")
+        .select(col("id").as("id_base"), col("sig").as("sig_base")), Seq("id_base"))
+      .join(batchSigs.select(col("id").as("id_batch"), col("sig").as("sig_batch")),
+        Seq("id_batch"))
+      .select(col("id_base"), col("id_batch"),
+        (size(array_intersect(col("sig_base"), col("sig_batch")))
+          .cast("double") / p.numHashes).as("est_jaccard"))
+  }
+}

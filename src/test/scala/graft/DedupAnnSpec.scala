@@ -330,6 +330,42 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(j == 1.0)
   }
 
+  test("persisted dedup index: probe equals in-memory operators; append extends it") {
+    import graft.operators.DedupIndex
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark catalyst optimizer rewrites logical plans")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "completely different content about query engines")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    DedupIndex.create(base, "doc_id", "text", path, shingleN = 2, numHashes = 32, bands = 16)
+    // exact filter through the index == the in-memory anti-join
+    val keptIdx = DedupIndex.filterExact(spark, path, batch, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptMem = Dedup.dropExactDupsAgainst(base, batch, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIdx == keptMem && keptIdx == Set(11L, 12L))
+    // candidates through the index == the in-memory band join's pairs
+    val candIdx = DedupIndex.candidates(spark, path, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candMem = Dedup.minhashLshPairsAgainst(base, batch, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 16, exactVerify = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candIdx == candMem && candIdx.contains((1L, 10L)))
+    // append the accepted batch; a re-probe of the same content now hits it
+    DedupIndex.append(batch.filter(col("doc_id") === 12L), "doc_id", "text", path)
+    val reprobe = Seq((20L, "completely different content about query engines"))
+      .toDF("doc_id", "text")
+    assert(DedupIndex.filterExact(spark, path, reprobe, "text").isEmpty)
+    assert(DedupIndex.candidates(spark, path, reprobe, "doc_id", "text")
+      .collect().exists(r => r.getLong(0) == 12L && r.getLong(1) == 20L))
+    // stored params drive the probe (sidecar round trip)
+    val p = DedupIndex.readParams(spark, path)
+    assert(p.shingleN == 2 && p.numHashes == 32 && p.bands == 16 && !p.portableHash)
+  }
+
   test("minhash signatures-only mode finds the same candidate pairs") {
     val withV = Dedup.minhashLshPairs(docs, "doc_id", "text", shingleN = 2,
       numHashes = 32, bands = 16).select("id_a", "id_b").collect().toSet
