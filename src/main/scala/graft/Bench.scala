@@ -83,12 +83,21 @@ object Bench {
       qmx.query(qv, 10)
       val tQuantQuery = median3 { () => qmx.query(qv, 10); () }
       qmx.unpersist(blocking = true)
+      // local serving replica (MatrixStore.toLocal): the endpoint tier —
+      // same kernel, zero task-scheduling overhead. Build outside the
+      // timed section (a replica materializes once, serves many queries).
+      val mx2 = graft.operators.MatrixStore.fromStore(cached)
+      val local = mx2.toLocal()
+      mx2.unpersist(blocking = true)
+      local.query(qv, 10)
+      val tLocalQuery = median3 { () => local.query(qv, 10); () }
       cached.df.unpersist(blocking = true)
       raw.unpersist(blocking = true)
       Map("ref_insert_100k_d1024" -> tInsert, "ref_query_100k_d1024" -> tQuery,
         "ref_matrix_build_100k_d1024" -> tMatrixBuild,
         "ref_query_matrix_100k_d1024" -> tMatrixQuery,
-        "ref_query_matrix_int8_100k_d1024" -> tQuantQuery)
+        "ref_query_matrix_int8_100k_d1024" -> tQuantQuery,
+        "ref_query_local_100k_d1024" -> tLocalQuery)
     } catch { case _: Throwable => Map.empty }
   }
 

@@ -222,6 +222,26 @@ object SparkEntry {
     // O3b: the batch-first query API (SURVEY §7.4.4) — many query
     // vectors at once through the bounded-heap aggregate, with threshold
     // and metadata predicate applied like the single-query path.
+    // O3 latency path, serving tier: the driver-local replica
+    // (MatrixStore.toLocal) must rank bitwise-identically to the
+    // distributed matrix scan — engine-side comparison, contract booleans
+    // (the float-element matrix path is spec-pinned, not value-oracled).
+    "o3c_topk_local" -> ((s, dir) => {
+      import s.implicits._
+      val st = VectorStore.fromDataFrame(Tables.embeddings(s, dir), "vec_id", "embedding", 64)
+      val mx = graft.operators.MatrixStore.fromStore(st)
+      val local = mx.toLocal()
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toString -> r.getSeq[Float](1).toArray).toSeq
+      val viaMx = mx.queryBatch(qs, 10)
+      val equal = qs.forall { case (qid, qv) =>
+        local.query(qv, 10).toSeq == viaMx(qid).toSeq
+      }
+      mx.unpersist()
+      Seq((qs.size.toLong, equal)).toDF("n_queries", "rank_equal")
+    }),
+
     "o3b_topk_batch" -> ((s, dir) => {
       val st = storeD(s, dir)
       val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
@@ -387,6 +407,9 @@ object SparkEntry {
          |s AS (SELECT e.vec_id, e.label, $cosExpr AS sc FROM embeddings e CROSS JOIN q)
          |SELECT CAST(vec_id AS VARCHAR) AS __id__, label, round(sc, 6) AS __metrics__
          |FROM s ORDER BY sc DESC, vec_id LIMIT 10""".stripMargin,
+
+    "o3c_topk_local" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS rank_equal""",
 
     "o3b_topk_batch" ->
       """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

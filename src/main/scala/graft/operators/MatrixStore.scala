@@ -150,11 +150,72 @@ final class MatrixStore private (
         com.fasterxml.jackson.databind.node.IntNode.valueOf(nb))).toJson)
   }
 
+  /** Collect the slabs into a driver-local serving replica — see
+    * [[LocalMatrixStore]]. Memory cost: one full copy of the matrix
+    * (N × dim × 4 bytes + ids) in the local JVM. */
+  def toLocal(): LocalMatrixStore =
+    new LocalMatrixStore(blocks.collect(), dim)
+
   /** Release the pinned blocks. `blocking = true` waits for the executors
     * to actually free the memory — required between timed rebuilds, where
     * an async release would let the old ~N×dim×4-byte slab race the new
     * build for cache space. */
   def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
+}
+
+/** Driver-local serving replica of a [[MatrixStore]] — the endpoint
+  * tier for single-query latency. Spark builds and MAINTAINS the matrix
+  * at cluster scale (bucketed layout, incremental refresh, persist); a
+  * serving process materializes the slabs it serves in-process — which
+  * is the reference's entire design (lib.rs:44-48) reappearing as the
+  * leaf of the distributed system — and answers queries with zero task-
+  * scheduling overhead: a multithreaded scan over primitive `float[]`
+  * slabs with the same left-to-right double-accumulation kernel,
+  * inclusive threshold, NaN exclusion, and (score DESC, id ASC) tie
+  * order as [[MatrixStore.queryBatch]], so results are bitwise-equal by
+  * construction (the per-slab heap merge is order-insensitive).
+  *
+  * This is deliberately NOT a distributed operator: it exists because a
+  * 13 ms top-k over an in-memory matrix is below Spark's scheduling
+  * floor, and the scale answer for serving is replication (each replica
+  * holds the partitions it serves), not tasks. */
+final class LocalMatrixStore private[operators] (
+    blocks: Array[MatrixStore.Block], val dim: Int) {
+
+  def nRows: Long = blocks.iterator.map(_.ids.length.toLong).sum
+
+  /** Exact top-k cosine query; returns (id, score) best-first. */
+  def query(queryVec: Array[Float], topK: Int,
+      betterThan: Option[Double] = None): Array[(String, Double)] = {
+    val qn = VectorStore.normalizeLocal(queryVec)
+    require(qn.length == dim, s"query dim ${qn.length} != store dim $dim")
+    val thr = betterThan.getOrElse(Double.MinValue)
+    val worstFirst = MatrixStore.worstFirst
+    val d = dim
+    val partials = new Array[Array[(Double, String)]](blocks.length)
+    java.util.stream.IntStream.range(0, blocks.length).parallel().forEach { bi =>
+      val b = blocks(bi)
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, String)](worstFirst)
+      val m = b.matrix
+      val n = b.ids.length
+      var r = 0
+      while (r < n) {
+        val off = r * d
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += m(off + i).toDouble * qn(i); i += 1 }
+        if (s >= thr) { // NaN fails the comparison, exactly like the distributed kernel
+          val e = (s, b.ids(r))
+          if (heap.size < topK) heap.enqueue(e)
+          else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
+        }
+        r += 1
+      }
+      partials(bi) = heap.toArray
+    }
+    partials.iterator.flatMap(_.iterator).toArray
+      .sorted(worstFirst).take(topK).map { case (s, id) => (id, s) }
+  }
 }
 
 object MatrixStore {

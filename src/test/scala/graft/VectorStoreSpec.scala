@@ -507,6 +507,27 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally { rebuilt.unpersist(); cache.get.unpersist() }
   }
 
+  test("local serving replica: bitwise-equal to the distributed matrix scan") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    val local = mx.toLocal()
+    try {
+      assert(local.nRows == st.len())
+      (0L to 9L).foreach { i =>
+        val q = e.filter(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray
+        assert(local.query(q, 10).toSeq == mx.query(q, 10).toSeq, s"query $i differs")
+        // inclusive threshold behaves identically
+        assert(local.query(q, 10, betterThan = Some(0.5)).toSeq ==
+          mx.query(q, 10, betterThan = Some(0.5)).toSeq)
+      }
+      // and both equal the DataFrame store path's ranking
+      val q0 = e.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0).toArray
+      val viaStore = st.query(q0, 10).select("__id__").collect().map(_.getString(0)).toSeq
+      assert(local.query(q0, 10).map(_._1).toSeq == viaStore)
+    } finally mx.unpersist()
+  }
+
   test("empty store lifecycle (unit_tests.rs:250-278)") {
     val empty = mkStore(base).delete(Seq("a", "b", "c"))
     assert(empty.isEmpty)
