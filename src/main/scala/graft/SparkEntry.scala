@@ -782,6 +782,17 @@ object SparkEntry {
         .orderBy(col("id_base"), col("id_batch"))
     }),
 
+    // Dedup: incremental SimHash near-dup — the Hamming-radius sibling
+    // of dedup_incr_minhash (batch fingerprint chunks × base chunks,
+    // pigeonhole-complete cross pairs only).
+    "dedup_incr_simhash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.simhashPairsAgainst(
+          d.filter(col("doc_id") < 150), d.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+          "doc_id", "text", maxHamming = 3, portableHash = true)
+        .orderBy(col("id_base"), col("id_batch"))
+    }),
+
     // Dedup: incremental near-dup through the PERSISTED ingestion index
     // (DedupIndex) — the base corpus contributes only its stored
     // hash/band/signature projections; base text is never read. Same
@@ -2038,6 +2049,23 @@ object SparkEntry {
         |WHERE doc_id >= 300
         |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 300)
         |ORDER BY doc_id""".stripMargin,
+
+    // cross-corpus simhash: banding-free brute-force oracle over the
+    // bounded split (the chunk join is pigeonhole-complete)
+    "dedup_incr_simhash" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |f AS (SELECT doc_id AS id,
+        |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
+        |    CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+        |        CASE WHEN ((('0x' || substr(md5(t), 1, 12))::BIGINT >> b) & 1) = 1
+        |             THEN 1 ELSE -1 END)) > 0
+        |    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS fp
+        |  FROM d)
+        |SELECT a.id AS id_base, b.id AS id_batch,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM f a JOIN f b ON a.id < 150 AND b.id >= 150
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_base, id_batch""".stripMargin,
 
     // index-backed probe: same cross-corpus candidate set + signature
     // estimate as dedup_incr_minhash, no exact-jaccard column (the

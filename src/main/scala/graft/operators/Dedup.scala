@@ -314,6 +314,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus SimHash near-dup pairs — the batch-vs-base twin of
+    * [[simhashPairs]] and the Hamming-radius sibling of
+    * [[minhashLshPairsAgainst]]: fingerprint chunks of the incoming
+    * batch equi-join the base's chunks (pigeonhole-complete for
+    * hamming <= maxHamming, like the self-join variant), so only
+    * (base, batch) pairs emerge and a batch's cost is proportional to
+    * the batch. At scale the base's (id, ci, cv, fp) projection is an
+    * append-only stored index like [[DedupIndex]]'s band table.
+    * Output: (id_base, id_batch, hamming). */
+  def simhashPairsAgainst(
+      base: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
+    val fpBits = if (portableHash) 48 else 64
+    val nChunks = maxHamming + 1
+    require(maxHamming >= 0 && nChunks <= fpBits,
+      s"maxHamming must be in [0, ${fpBits - 1}], got $maxHamming")
+    def banded(df: DataFrame) = {
+      val fp = if (portableHash) simhash48Portable(tokens(col(textCol)))
+        else simhash64(tokens(col(textCol)))
+      df.select(col(idCol).as("id"), fp.as("fp"))
+        .select(col("id"), col("fp"), explode(fpChunks(col("fp"), fpBits, nChunks)).as("c"))
+        .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    }
+    banded(base)
+      .select(col("ci"), col("cv"), col("id").as("id_base"), col("fp").as("fp_base"))
+      .join(banded(batch)
+          .select(col("ci"), col("cv"), col("id").as("id_batch"), col("fp").as("fp_batch")),
+        Seq("ci", "cv"))
+      .select(col("id_base"), col("id_batch"),
+        simhashHamming(col("fp_base"), col("fp_batch")).cast(IntegerType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // --------------------------------------------------- winnowing pairs
   /** Winnowing near-dup candidate pairs: the classic local-fingerprint
     * index. Explode each doc's winnowing fingerprints

@@ -330,6 +330,28 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(j == 1.0)
   }
 
+  test("incremental simhash: cross pairs only, equals self-join restricted to the split") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark catalyst optimizer rewrites logical plans")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1 (hamming 0)
+      (11L, "the quick brown fox jumps over the lazy cat"),  // near dup of 1
+      (12L, "completely different content about query engines"),
+      (13L, "completely different content about query engines")) // batch-internal dup
+      .toDF("doc_id", "text")
+    val cross = Dedup.simhashPairsAgainst(base, batch, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cross.exists { case (b, q, h) => b == 1L && q == 10L && h == 0 })
+    assert(cross.forall { case (b, q, _) => b <= 2L && q >= 10L },
+      s"only (base, batch) pairs allowed, got $cross")
+    // equals the self-join variant restricted to cross pairs
+    val self = Dedup.simhashPairs(base.unionByName(batch), "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => a <= 2L && b >= 10L }.toSet
+    assert(cross == self)
+  }
+
   test("persisted dedup index: probe equals in-memory operators; append extends it") {
     import graft.operators.DedupIndex
     val base = Seq(
