@@ -688,6 +688,68 @@ object Ann {
       .transform(topKHits(_, "id", k))
   }
 
+  // ---------------------------------------------- quantized-index persist
+  /** Persist a PQ index: encoded rows as parquet + the codebooks as a
+    * small JSON table — the same parquet+sidecar pattern as [[ivfSave]],
+    * so every index family (IVF, PQ, residual IVF×PQ) survives a
+    * cold start without refitting KMeans. m and subDim are derivable
+    * from the codebook table; no extra metadata file. */
+  def pqSave(index: PqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.codebooks.zipWithIndex
+      .flatMap { case (book, j) => book.zipWithIndex.map { case (cv, c) => (j, c, cv) } }
+      .toDF("subspace", "code", "cvec")
+      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+  }
+
+  /** Load a persisted PQ index. */
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val books = readCodebooks(spark, s"$path/codebooks")
+    PqIndex(books.size, books.head.head.size, books, codes)
+  }
+
+  /** Persist a residual IVF×PQ index: the coarse IVF layout (cluster-
+    * partitioned, [[ivfSave]]) + residual-encoded rows partitioned the
+    * same way (a probe prunes both at file listing) + normalized
+    * centroids and residual codebooks as JSON sidecars. */
+  def ivfPqSave(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    ivfSave(index.ivf, s"$path/ivf")
+    index.codes.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/codes")
+    index.centNorm.toDF("cluster", "cn")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centnorm")
+    index.codebooks.zipWithIndex
+      .flatMap { case (book, j) => book.zipWithIndex.map { case (cv, c) => (j, c, cv) } }
+      .toDF("subspace", "code", "cvec")
+      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+  }
+
+  /** Load a persisted residual IVF×PQ index. */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val ivf = ivfLoad(spark, s"$path/ivf")
+    val codes = spark.read.parquet(s"$path/codes")
+    val centNorm = spark.read.json(s"$path/centnorm")
+      .select(col("cluster").cast(IntegerType), col("cn"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+      .sortBy(_._1)
+    val books = readCodebooks(spark, s"$path/codebooks")
+    IvfPqIndex(ivf, books.size, books.head.head.size, centNorm, books, codes)
+  }
+
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.json(path)
+      .select(col("subspace").cast(IntegerType), col("code").cast(IntegerType), col("cvec"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val m = rows.map(_._1).max + 1
+    (0 until m).map(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq)
+  }
+
   /** PQ top-k with asymmetric-distance (ADC) scoring + exact re-rank.
     *
     * Per query, the driver precomputes the m × nCodes lookup table

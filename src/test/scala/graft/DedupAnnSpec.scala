@@ -637,6 +637,31 @@ class DedupAnnSpec extends AnyFunSuite {
       s"batch probe must not materialize driver-side query tables:\n${localScans.mkString("\n")}")
   }
 
+  test("pq and residual ivfpq indexes save/load: identical query results") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSeq.sorted
+    // PQ round trip
+    val pq = Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    val pqDir = java.nio.file.Files.createTempDirectory("pqsave").toString
+    Ann.pqSave(pq, pqDir)
+    val pqBack = Ann.pqLoad(spark, pqDir)
+    assert(pqBack.m == pq.m && pqBack.subDim == pq.subDim && pqBack.codebooks == pq.codebooks)
+    assert(key(Ann.pqTopK(pqBack, q, "vec_id", "embedding", k = 3)) ==
+      key(Ann.pqTopK(pq, q, "vec_id", "embedding", k = 3)))
+    // residual IVF×PQ round trip
+    val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8)
+    val res = Ann.ivfPqBuildResidual(ivf, m = 8, nCodes = 16)
+    val resDir = java.nio.file.Files.createTempDirectory("ivfpqsave").toString
+    Ann.ivfPqSave(res, resDir)
+    val resBack = Ann.ivfPqLoad(spark, resDir)
+    assert(resBack.centNorm == res.centNorm && resBack.codebooks == res.codebooks)
+    assert(key(Ann.ivfPqResidualTopK(resBack, q, "vec_id", "embedding", k = 3, nProbe = 4)) ==
+      key(Ann.ivfPqResidualTopK(res, q, "vec_id", "embedding", k = 3, nProbe = 4)))
+  }
+
   test("pq: codes in range, ADC+rerank self-hit and high recall vs brute force") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val idx = Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
