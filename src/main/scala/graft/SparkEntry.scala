@@ -1199,6 +1199,56 @@ object SparkEntry {
           (col("mx_a") <= col("mx_b")).as("max_not_increased"))
     }),
 
+    // ANN: incremental IVF maintenance — the index is built WITHOUT the
+    // query vectors, which then arrive as an appended batch (assignment
+    // to existing centroids as a plan expression; no KMeans refit — the
+    // append path contains no fit by construction, spec-asserted).
+    // Self-hit therefore proves the appended rows actually landed in
+    // probeable lists; recall floor as in the other IVF contracts.
+    "ann_ivf_append" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val base = Ann.ivfBuild(e.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        nLists = 16)
+      val idx = Ann.ivfAppend(base, q, "vec_id", "embedding")
+      val approx = Ann.ivfTopK(idx, q, "vec_id", "embedding", k = 3, nProbe = 4)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      ivfContract(approx, exact)
+    }),
+
+    // ANN: incremental PQ maintenance — codebooks fitted on the base
+    // corpus only; the query vectors arrive as an appended batch encoded
+    // by plan-literal argmin (no refit). Exact re-rank restores rank-1
+    // self-hits once the ADC pass recalls them.
+    "ann_pq_append" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val base = Ann.pqBuild(e.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        m = 8, nCodes = 16)
+      val idx = Ann.pqAppend(base, q, "vec_id", "embedding")
+      val approx = Ann.pqTopK(idx, q, "vec_id", "embedding", k = 3)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+    }),
+
+    // ANN: incremental residual IVF×PQ maintenance — the full composed
+    // index absorbs the appended batch (coarse assign + residual encode
+    // against existing centroids/codebooks, zero fits); contract as in
+    // ann_ivfpq_res.
+    "ann_ivfpq_res_append" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val baseIvf = Ann.ivfBuild(e.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        nLists = 16)
+      val base = Ann.ivfPqBuildResidual(baseIvf, m = 8, nCodes = 16)
+      val idx = Ann.ivfPqAppendResidual(base, q, "vec_id", "embedding")
+      val approx = Ann.ivfPqResidualTopK(idx, q, "vec_id", "embedding", k = 3, nProbe = 6)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+    }),
+
     // Text: PII scrub — URLs / emails / long digit runs replaced with
     // typed placeholders. The corpus itself contains no PII, so the
     // query plants deterministic PII-shaped strings derived from the
@@ -2410,6 +2460,18 @@ object SparkEntry {
     "ann_ivf_balanced" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
         |       TRUE AS rows_preserved, TRUE AS max_not_increased""".stripMargin,
+
+    // incremental index maintenance: same engine-independent contract
+    // booleans (the appended batch IS the query set, so self_hit proves
+    // the append landed)
+    "ann_ivf_append" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_pq_append" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_ivfpq_res_append" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
     // per-query structural invariants of the ranked probe output
     "ann_ivf_probe" ->

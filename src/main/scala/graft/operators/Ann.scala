@@ -798,4 +798,138 @@ object Ann {
           col("qvn")))
       .transform(topKHits(_, "id", k))
   }
+
+  // -------------------------------------------- incremental maintenance
+  /** Nearest-centroid assignment as a pure plan expression: first
+    * centroid of minimum squared Euclidean distance — the exact
+    * KMeans.transform assignment rule (MLlib's findClosest keeps the
+    * first strictly-smaller center; `array_position` returns the first
+    * occurrence of the min) — with the centroids riding as a plan
+    * literal, so appending a batch NEVER refits anything. Requires dense
+    * cluster ids 0..n-1 ([[ivfBuild]] and [[ivfRebalance]] both maintain
+    * density). */
+  private def nearestCentroidExpr(vecCol: Column,
+      centroids: Seq[(Int, Seq[Double])]): Column = {
+    val ordered = centroids.sortBy(_._1)
+    require(ordered.map(_._1) == (0 until ordered.size),
+      s"cluster ids must be dense 0..${ordered.size - 1}, got ${ordered.map(_._1)}")
+    val cents = typedlit(ordered.map(_._2))
+    val dists = transform(cents, c =>
+      aggregate(zip_with(vecCol.cast(ArrayType(DoubleType)), c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+  }
+
+  /** PQ-encode an (already unit-normalized, or residual) vector into m
+    * codes with EXISTING codebooks as a plan literal — per-subspace
+    * argmin by squared Euclidean, the same first-min tie rule as
+    * [[nearestCentroidExpr]]. No fit anywhere. */
+  private def pqEncodeExpr(nvCol: Column, books: Seq[Seq[Seq[Double]]],
+      subDim: Int): Column = {
+    val bk = typedlit(books)
+    transform(bk, (book, j) => {
+      val sub = slice(nvCol, j * lit(subDim) + 1, lit(subDim))
+      val dists = transform(book, cent =>
+        aggregate(zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+    })
+  }
+
+  /** Incremental IVF maintenance: absorb a new batch at cost ∝ batch.
+    *
+    * The batch is assigned to the EXISTING centroids (one narrow
+    * expression pass — no KMeans fit, no scan of the base assignment)
+    * and unioned in; the coarse quantizer is deliberately left alone
+    * (FAISS's `IndexIVF.add` discipline: assignment drifts only when the
+    * data distribution does, at which point [[ivfRebalance]] splits the
+    * lists that actually grew hot). Pass `rebalanceFactor` to bound skew
+    * per append: [[ivfRebalance]] early-returns on one count-aggregate
+    * when nothing is oversized, so the steady-state cost stays ∝ batch.
+    */
+  def ivfAppend(index: IvfIndex, batch: DataFrame, idCol: String, vecCol: String,
+      rebalanceFactor: Option[Double] = None): IvfIndex = {
+    val idType = index.assigned.schema("id").dataType
+    val vType = index.assigned.schema("v").dataType
+    val assignedBatch = batch
+      .select(col(idCol).cast(idType).as("id"), col(vecCol).cast(vType).as("v"))
+      .withColumn("cluster", nearestCentroidExpr(col("v"), index.centroids))
+    val appended = IvfIndex(index.centroids,
+      index.assigned.select(col("id"), col("v"), col("cluster"))
+        .unionByName(assignedBatch))
+    rebalanceFactor.fold(appended)(f => ivfRebalance(appended, f))
+  }
+
+  /** Append a batch to a PERSISTED IVF index ([[ivfSave]] layout) at
+    * cost ∝ batch: assignment reads only the tiny centroid sidecar (plus
+    * one parquet-footer schema probe), and the append-mode partitioned
+    * write creates files only under the cluster directories the batch
+    * lands in — untouched lists are never read or rewritten, the
+    * append-only discipline of `VectorStore.Partitioned.upsert` and
+    * `DedupIndex.append`. Returns the touched cluster ids (bounded by
+    * nLists, the same justified driver-side list as the bucketed store's
+    * touched-bucket collect). */
+  def ivfAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Seq[Int] = {
+    val centroids = spark.read.json(s"$path/centroids")
+      .select(col("cluster").cast(IntegerType), col("cvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val listsSchema = spark.read.parquet(s"$path/lists").schema
+    val assignedBatch = batch
+      .select(col(idCol).cast(listsSchema("id").dataType).as("id"),
+        col(vecCol).cast(listsSchema("v").dataType).as("v"))
+      .withColumn("cluster", nearestCentroidExpr(col("v"), centroids))
+      .localCheckpoint(true)
+    val touched = assignedBatch.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assignedBatch.write.mode("append").partitionBy("cluster").parquet(s"$path/lists")
+    touched
+  }
+
+  /** Incremental PQ maintenance: encode a new batch with the EXISTING
+    * codebooks (plan-literal argmin per subspace — no KMeans fit) and
+    * union it into the code table. Codebooks fitted on the base corpus
+    * quantize drift-free batches at the same distortion; refit only on
+    * distribution shift, exactly like the coarse quantizer note on
+    * [[ivfAppend]]. */
+  def pqAppend(index: PqIndex, batch: DataFrame, idCol: String, vecCol: String): PqIndex = {
+    val idType = index.codes.schema("id").dataType
+    val vType = index.codes.schema("v").dataType
+    val enc = batch
+      .select(col(idCol).cast(idType).as("id"), col(vecCol).cast(vType).as("v"),
+        graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("__nv__"))
+      .withColumn("codes", pqEncodeExpr(col("__nv__"), index.codebooks, index.subDim))
+      .select(col("id"), col("v"), col("codes"))
+    PqIndex(index.m, index.subDim, index.codebooks, index.codes.unionByName(enc))
+  }
+
+  /** Incremental residual IVF×PQ maintenance: coarse-assign the batch to
+    * the existing centroids, residual-encode against the normalized
+    * centroid (one broadcast join), PQ-encode with the existing residual
+    * codebooks — the full [[ivfPqBuildResidual]] encode path with every
+    * fit replaced by a plan-literal argmin. Both the embedded IVF
+    * assignment and the code table absorb the batch, so probes and saves
+    * see one consistent index. */
+  def ivfPqAppendResidual(index: IvfPqIndex, batch: DataFrame,
+      idCol: String, vecCol: String): IvfPqIndex = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val idType = index.codes.schema("id").dataType
+    val vType = index.codes.schema("v").dataType
+    val cdf = broadcast(index.centNorm.toDF("cluster", "cn"))
+    val encoded = batch
+      .select(col(idCol).cast(idType).as("id"), col(vecCol).cast(vType).as("v"),
+        graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("__nv__"))
+      .withColumn("cluster", nearestCentroidExpr(col("v"), index.ivf.centroids))
+      .join(cdf, Seq("cluster"))
+      .withColumn("__res__", zip_with(col("__nv__"), col("cn"), (a, b) => a - b))
+      .withColumn("codes", pqEncodeExpr(col("__res__"), index.codebooks, index.subDim))
+      .select(col("id"), col("cluster"), col("v"), col("codes"))
+    val ivfGrown = IvfIndex(index.ivf.centroids,
+      index.ivf.assigned.select(col("id"), col("v"), col("cluster"))
+        .unionByName(encoded.select(col("id"), col("v"), col("cluster"))))
+    IvfPqIndex(ivfGrown, index.m, index.subDim, index.centNorm, index.codebooks,
+      index.codes.select(col("id"), col("cluster"), col("v"), col("codes"))
+        .unionByName(encoded))
+  }
 }

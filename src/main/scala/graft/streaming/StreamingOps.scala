@@ -105,6 +105,49 @@ object StreamingOps {
   /** Per-bucket membership state for [[simhashPairsStream]]. */
   final case class BucketMembers(members: List[(Long, Long)])
 
+  /** Pair-key dedup with the same retention contract as the bucket
+    * state it follows. `ttl = None` → exact global `dropDuplicates`:
+    * the pair-key store holds every pair ever emitted (exact batch
+    * parity — bounded streams only, the trade both pair streams
+    * document for their bucket state too). `ttl = Some(t)` → a TTL'd
+    * stateful dedup keyed on the pair, evicted by the SAME
+    * ProcessingTimeTimeout mechanism as the bucket membership (not an
+    * event-time watermark, which would only advance while pairs flow —
+    * a sparse-pair stream would never evict), so the pair-key store
+    * holds only pairs active within the trailing `t` and an unbounded
+    * ingest keeps every stateful operator in the query bounded. A pair
+    * re-surfacing after the horizon re-emits — but its bucket
+    * membership has also evicted by then, so within one TTL the two
+    * bounds agree and the output is duplicate-free. */
+  private def dedupPairs(pairs: DataFrame, keys: Seq[String],
+      ttl: Option[String]): DataFrame = ttl match {
+    case None => pairs.dropDuplicates(keys)
+    case Some(t) =>
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import org.apache.spark.sql.{Encoder, Encoders, Row}
+      implicit val rowEnc: Encoder[Row] = Encoders.row(pairs.schema)
+      implicit val keyEnc: Encoder[String] = Encoders.STRING
+      implicit val seenEnc: Encoder[Boolean] = Encoders.scalaBoolean
+      pairs
+        .groupByKey(r => keys.map(k => String.valueOf(r.get(r.fieldIndex(k)))).mkString("|"))
+        .flatMapGroupsWithState[Boolean, Row](
+          OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+          case (_, rows, state: GroupState[Boolean]) =>
+            if (!rows.hasNext && state.hasTimedOut) {
+              // idle-pair eviction: the key may re-emit after the horizon
+              state.remove()
+              Iterator.empty
+            } else {
+              // first sighting inside the TTL emits; every sighting
+              // refreshes the clock (sliding TTL, like bucket members)
+              val out = if (state.exists) Iterator.empty else Iterator(rows.next())
+              state.update(true)
+              state.setTimeoutDuration(t)
+              out
+            }
+        }
+  }
+
   /** Streaming near-dup pair detection — the stateful twin of
     * [[graft.operators.Dedup.simhashPairs]]'s band join.
     *
@@ -121,10 +164,12 @@ object StreamingOps {
     * State is bounded by `ttl`: when set, each bucket's membership is
     * evicted after that much processing-time inactivity (same
     * GroupStateTimeout mechanism as [[sessionizeStream]]'s
-    * flushTimeout), so an unbounded ingest holds only the trailing
-    * window of each bucket — near-dup detection becomes
-    * bounded-lookback, the standard production trade. With `ttl = None`
-    * membership is the stream's whole history (exactly the batch band
+    * flushTimeout) AND the pair-key dedup store holds only the trailing
+    * `ttl` of emitted pairs ([[dedupPairs]]'s TTL bound), so an
+    * unbounded ingest keeps every stateful operator in the query
+    * bounded — near-dup detection becomes bounded-lookback, the
+    * standard production trade. With `ttl = None` membership and the
+    * pair store are the stream's whole history (exactly the batch band
     * join's candidate space; only safe for bounded streams). Requires a
     * numeric (long-castable) id column.
     */
@@ -181,7 +226,7 @@ object StreamingOps {
           }
       }
       .toDF("id_a", "id_b", "hamming")
-      .dropDuplicates("id_a", "id_b")
+      .transform(dedupPairs(_, Seq("id_a", "id_b"), ttl))
   }
 
   /** Per-bucket membership state for [[minhashPairsStream]]. */
@@ -200,10 +245,12 @@ object StreamingOps {
     * dropDuplicates on the pair key.
     *
     * Same retention contract as [[simhashPairsStream]]: `ttl` evicts
-    * idle buckets after that much processing-time inactivity (bounded
-    * state on unbounded ingest, bounded-lookback semantics); `None`
-    * keeps the stream's whole history per bucket (exact batch parity,
-    * bounded streams only). Requires a numeric (long-castable) id.
+    * idle buckets after that much processing-time inactivity and
+    * bounds the pair-key dedup store to the same trailing window
+    * ([[dedupPairs]] — bounded state on unbounded ingest,
+    * bounded-lookback semantics); `None` keeps the stream's whole
+    * history per bucket and per pair (exact batch parity, bounded
+    * streams only). Requires a numeric (long-castable) id.
     */
   def minhashPairsStream(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
@@ -254,7 +301,7 @@ object StreamingOps {
           }
       }
       .toDF("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+      .transform(dedupPairs(_, Seq("id_a", "id_b"), ttl))
   }
 
   /** Streaming twin of

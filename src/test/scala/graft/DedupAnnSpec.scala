@@ -685,4 +685,96 @@ class DedupAnnSpec extends AnyFunSuite {
         Seq("qid", "id"), "left_semi").count()
     assert(hits >= 30, s"recall too low: $hits/50")
   }
+
+  test("ivf append: no refit, rows land, recall parity with full rebuild") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val base = Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 8)
+    val batch = e.filter(col("vec_id") < 10)
+    val idx = Ann.ivfAppend(base, batch, "vec_id", "embedding")
+    // the append path never refits: the centroid seq is the SAME object
+    assert(idx.centroids eq base.centroids)
+    assert(idx.assigned.count() == e.count())
+    // appended rows are probeable: self-hit at rank 1 for every batch row
+    val qs = batch
+    val viaAppend = Ann.ivfTopK(idx, qs, "vec_id", "embedding", k = 5, nProbe = 4)
+    val selfs = viaAppend.filter(col("rank") === 1)
+      .select((col("id") === col("qid").cast("string")).as("ok")).as[Boolean].collect()
+    assert(selfs.length == 10 && selfs.forall(identity), "appended rows must self-hit")
+    // recall(append + probe) >= recall(full rebuild + probe) - eps
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", qs, "vec_id", "embedding", k = 5)
+    def recall(hits: org.apache.spark.sql.DataFrame): Long =
+      hits.join(exact.select(col("qid").cast("long").as("qid"), col("id")),
+        Seq("qid", "id"), "left_semi").count()
+    val rebuilt = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8)
+    val ra = recall(viaAppend.withColumn("qid", col("qid").cast("long")))
+    val rr = recall(Ann.ivfTopK(rebuilt, qs, "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("qid", col("qid").cast("long")))
+    assert(ra >= rr - 5, s"append recall $ra/50 fell more than eps below rebuild recall $rr/50")
+    // optional skew-bounded append: rebalance engages only when asked,
+    // and preserves row count
+    val bounded = Ann.ivfAppend(base, batch, "vec_id", "embedding",
+      rebalanceFactor = Some(1.1))
+    assert(bounded.assigned.count() == e.count())
+  }
+
+  test("ivf persisted append: only touched cluster dirs gain files; loaded probe sees batch") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val base = Ann.ivfBuild(e.filter(col("vec_id") >= 5), "vec_id", "embedding", nLists = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    Ann.ivfSave(base, dir)
+    def filesByCluster(): Map[Int, Set[String]] = {
+      val lists = new java.io.File(s"$dir/lists")
+      lists.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .map(d => d.getName.stripPrefix("cluster=").toInt ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = filesByCluster()
+    val touched = Ann.ivfAppendSave(spark, dir, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding")
+    val after = filesByCluster()
+    assert(touched.nonEmpty && touched.toSet.subsetOf(before.keySet ++ after.keySet))
+    for ((c, files) <- before if !touched.contains(c))
+      assert(after(c) == files, s"untouched cluster dir $c was rewritten")
+    for (c <- touched)
+      assert(after(c).size > before.getOrElse(c, Set.empty[String]).size,
+        s"touched cluster dir $c gained no files")
+    val back = Ann.ivfLoad(spark, dir)
+    assert(back.assigned.count() == e.count())
+    val hits = Ann.ivfTopK(back, e.filter(col("vec_id") === 3), "vec_id", "embedding",
+      k = 3, nProbe = 4).collect()
+    assert(hits.head.getAs[String]("id") == "3", "appended row must self-hit after reload")
+  }
+
+  test("pq append: plan-expression encoding matches KMeans.transform codes; residual append keeps contract") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val full = Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    // re-encode the SAME rows through the append path with the SAME
+    // books: the argmin expression must reproduce model.transform's
+    // assignment (identical first-min tie rule; disagreement possible
+    // only on float near-ties, so require >= 99.9% exact agreement)
+    val reEnc = Ann.pqAppend(full.copy(codes = full.codes.limit(0)), e, "vec_id", "embedding")
+    assert(reEnc.codebooks eq full.codebooks) // no refit
+    val joined = full.codes.select(col("id"), col("codes").as("c_build"))
+      .join(reEnc.codes.select(col("id"), col("codes").as("c_append")), Seq("id"))
+    val n = joined.count()
+    val agree = joined.filter(col("c_build") === col("c_append")).count()
+    assert(n == e.count(), "append must encode every batch row")
+    assert(agree >= n * 999 / 1000,
+      s"append encoding diverged from build encoding: $agree/$n agree")
+    // residual IVF×PQ append: zero fits, batch probeable under the contract
+    val baseIvf = Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 8)
+    val baseRes = Ann.ivfPqBuildResidual(baseIvf, m = 8, nCodes = 16)
+    val grown = Ann.ivfPqAppendResidual(baseRes, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding")
+    assert(grown.codebooks eq baseRes.codebooks)
+    assert(grown.centNorm eq baseRes.centNorm)
+    assert(grown.codes.count() == e.count())
+    val q = e.filter(col("vec_id") < 10)
+    val approx = Ann.ivfPqResidualTopK(grown, q, "vec_id", "embedding", k = 5, nProbe = 4)
+    val self = approx.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 10 && self.forall(identity),
+      "residual-appended rows must self-hit at rank 1")
+  }
 }

@@ -303,6 +303,45 @@ class TextEventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pair-key dedup state is TTL-bounded: pair re-emits after the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.minhashPairsStream(
+        ms.toDF.toDF("doc_id", "text"), "doc_id", "text", ttl = Some("4 seconds"))
+      .writeStream.outputMode("append").format("memory").queryName("t_pairbound").start()
+    def waitProcessed(n: Long): Unit = {
+      val end = System.currentTimeMillis + 60000
+      def total = q.recentProgress.map(_.numInputRows).sum
+      while (total < n && System.currentTimeMillis < end) Thread.sleep(50)
+      assert(total >= n, s"stream did not reach $n input rows in time")
+    }
+    def pairCount = spark.table("t_pairbound").collect()
+      .count(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    try {
+      // warmup: the query's FIRST batch pays state-store init + JIT and
+      // can exceed the TTL all by itself; pay it on a throwaway doc so
+      // the paired adds below land well inside one TTL of each other
+      ms.addData((999L, "warmup doc unrelated to anything else here"))
+      waitProcessed(1)
+      ms.addData((1L, dup)); waitProcessed(2)
+      ms.addData((2L, dup)); waitProcessed(3) // emits (1,2) the first time
+      val end0 = System.currentTimeMillis + 30000
+      while (pairCount < 1 && System.currentTimeMillis < end0) Thread.sleep(50)
+      assert(pairCount == 1)
+      Thread.sleep(12000) // idle past the 4s TTL: bucket AND pair state evict
+      ms.addData((1L, dup)); waitProcessed(4) // re-registers id 1; no pair yet
+      ms.addData((2L, dup)); waitProcessed(5) // re-pairs (1,2) post-horizon
+      val end = System.currentTimeMillis + 30000
+      while (pairCount < 2 && System.currentTimeMillis < end) Thread.sleep(50)
+      // the global-dedup formulation would suppress this forever; the
+      // bounded store must let the re-surfaced pair through
+      assert(pairCount == 2,
+        "pair key must re-emit once the TTL evicted its dedup state")
+    } finally q.stop()
+  }
+
   test("minhash pair-stream TTL evicts idle bucket state") {
     ttlEvictionCheck(
       df => graft.streaming.StreamingOps.minhashPairsStream(
