@@ -271,6 +271,39 @@ object SparkEntry {
         .withColumn("__metrics__", round(col("__metrics__"), 6))
     }),
 
+    // O4 on the latency tiers: the metadata predicate lowers to an
+    // id-level allow set (evaluated ONCE on the store's metadata), and
+    // filter + threshold + top-k — the reference's full hot path
+    // (lib.rs:211-222) — runs on both the distributed matrix scan and
+    // the local replica, ranking bitwise-identically to the DataFrame
+    // path's O4 query over the same float store. Contract booleans
+    // (float-matrix scores are engine-compared, o3c_topk_local style).
+    "o4b_filter_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val st = VectorStore.fromDataFrame(Tables.embeddings(s, dir), "vec_id", "embedding", 64)
+      val mx = graft.operators.MatrixStore.fromStore(st)
+      val local = mx.toLocal()
+      val allowed = st.df.filter(col("label") === 3)
+        .select(col("__id__").cast(StringType)).as[String].collect().toSet
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toString -> r.getSeq[Float](1).toArray).toSeq
+      val viaMx = mx.queryBatch(qs, 5, betterThan = Some(0.1), allowedIds = Some(allowed))
+      val dfPath = qs.map { case (qid, qv) =>
+        qid -> st.query(qv, 5, betterThan = Some(0.1), filter = Some(col("label") === 3))
+          .select(col("__id__"), col("__metrics__"))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      }
+      val dfEqual = dfPath.forall { case (qid, expect) => viaMx(qid).toSeq == expect }
+      val localEqual = qs.forall { case (qid, qv) =>
+        local.query(qv, 5, betterThan = Some(0.1), allowedIds = Some(allowed)).toSeq ==
+          viaMx(qid).toSeq
+      }
+      mx.unpersist()
+      Seq((qs.size.toLong, dfEqual, localEqual))
+        .toDF("n_queries", "df_equal", "local_equal")
+    }),
+
     // O5: inclusive better_than threshold (lib.rs:198,222).
     "o5_threshold_topk" -> ((s, dir) => {
       storeD(s, dir).query(qvec(s, dir), 100, betterThan = Some(0.2))
@@ -443,6 +476,9 @@ object SparkEntry {
          |s AS (SELECT e.vec_id, e.label, $cosExpr AS sc FROM embeddings e CROSS JOIN q WHERE e.label = 3)
          |SELECT CAST(vec_id AS VARCHAR) AS __id__, label, round(sc, 6) AS __metrics__
          |FROM s ORDER BY sc DESC, vec_id LIMIT 5""".stripMargin,
+
+    "o4b_filter_matrix" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS df_equal, TRUE AS local_equal""",
 
     "o5_threshold_topk" ->
       s"""WITH $qCte,
@@ -815,6 +851,19 @@ object SparkEntry {
           d.filter(col("doc_id") >= 300), "doc_id", "text")
         .select(col("id_base"), col("id_batch"),
           round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("id_base"), col("id_batch"))
+    }),
+
+    // Dedup: incremental SimHash near-dup through the PERSISTED
+    // ingestion index — the base side is the stored fingerprint-chunk
+    // projection (simchunks/); neither base text nor base fingerprints
+    // are re-derived on the probe. Exact Hamming output, same contract
+    // as dedup_incr_simhash (probe parity vs simhashPairsAgainst is
+    // spec-asserted).
+    "dedup_incr_simidx" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      DedupIndex.simhashCandidates(s, cachedDedupIndex(s, dir),
+          d.filter(col("doc_id") >= 300), "doc_id", "text")
         .orderBy(col("id_base"), col("id_batch"))
     }),
 
@@ -1840,6 +1889,35 @@ object SparkEntry {
         .select(col("id"), col("n_bytes"), col("format"),
           round(element_at(col("feature"), 1).cast(DoubleType), 6).as("f0"))
         .orderBy(col("id"))
+    }),
+
+    // Multimodal: REAL image decode through javax.imageio — width,
+    // height, and channel means come from actual pixels of
+    // deterministic solid-color PNG fixtures derived from doc_id
+    // (closed-form in the oracle), decoded distributed through the same
+    // per-partition seam as mm_features. The stub contract stays for
+    // formats the JDK has no reader for.
+    "mm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id")).as[Long].collect().sorted
+      val fixtures = ids.map { id =>
+        val w = 4 + (id % 8).toInt
+        val h = 3 + (id % 5).toInt
+        val rgb = new java.awt.Color((id % 256).toInt, (id * 7 % 256).toInt,
+          (id * 13 % 256).toInt)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = img.createGraphics()
+        try { gfx.setColor(rgb); gfx.fillRect(0, 0, w, h) } finally gfx.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.MediaRow(id, bos.toByteArray, "png")
+      }.toSeq
+      Multimodal.decodeFeatures(s.createDataset(fixtures), dim = 16)
+        .select(col("id").as("doc_id"), col("format"),
+          col("width"), col("height"), col("avg_r"), col("avg_g"), col("avg_b"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2155,6 +2233,23 @@ object SparkEntry {
         |  round(len(list_intersect(sa.sig, sb.sig))::DOUBLE / 32.0, 6) AS est_jaccard
         |FROM cand c JOIN sg sa ON sa.id = c.id_base JOIN sg sb ON sb.id = c.id_batch
         |ORDER BY c.id_base, c.id_batch""".stripMargin,
+
+    // index-backed simhash probe: banding-free brute-force oracle over
+    // the cached index's split (base < 300, batch >= 300), 48-bit
+    // portable fingerprints — the chunk join is pigeonhole-complete
+    "dedup_incr_simidx" ->
+      """WITH f AS (SELECT doc_id AS id,
+        |  CAST(list_sum(list_transform(generate_series(0, 47), b ->
+        |    CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+        |        CASE WHEN ((('0x' || substr(md5(t), 1, 12))::BIGINT >> b) & 1) = 1
+        |             THEN 1 ELSE -1 END)) > 0
+        |    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS fp
+        |  FROM documents)
+        |SELECT a.id AS id_base, b.id AS id_batch,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM f a JOIN f b ON a.id < 300 AND b.id >= 300
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_base, id_batch""".stripMargin,
 
     // cross-corpus band join: same portable-minhash pipeline as
     // dedup_minhash_port, but candidates are (base, batch) pairs only
@@ -3011,9 +3106,22 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  CAST(ceil(octet_length(CAST(text AS BLOB))::DOUBLE / 256.0) AS BIGINT) AS n_chunks,
         |  CASE WHEN starts_with(text, 'GIF8') THEN 'gif'
+        |       WHEN starts_with(text, 'BM') THEN 'bmp'
         |       WHEN starts_with(text, 'RIFF') THEN 'riff'
         |       WHEN starts_with(text, 'fLaC') THEN 'flac'
         |       ELSE 'bin' END AS format
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // real-decode fixtures are solid wxh PNGs whose geometry and color
+    // are closed-form functions of doc_id — the decoded pixel stats
+    // must reproduce them exactly
+    "mm_decode" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(4 + doc_id % 8 AS INTEGER) AS width,
+        |  CAST(3 + doc_id % 5 AS INTEGER) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS avg_r,
+        |  CAST((doc_id * 7) % 256 AS BIGINT) AS avg_g,
+        |  CAST((doc_id * 13) % 256 AS BIGINT) AS avg_b
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
   )
 }

@@ -82,13 +82,18 @@ object Dedup {
     * exists in a base corpus — the ingestion-time shape for a corpus
     * that grows batch by batch. The base side reduces to its DISTINCT
     * content hashes before the join (scalars; base text is never
-    * reshuffled), and the batch anti-joins on the hash. At 100 TB the
+    * reshuffled), and the batch anti-joins on the hash. The hash is
+    * 128-bit md5 — the same family as [[contentHash]] — because hash
+    * equality here IS content equality (no text verification follows):
+    * at the billions-of-docs design point a 64-bit hash has a
+    * plausible birthday collision, which would silently drop a unique
+    * document; 2^64 is a rounding error, 2^128 is not. At 100 TB the
     * base hash projection is the persisted ingestion index — appended
     * per accepted batch, never rebuilt. */
   def dropExactDupsAgainst(base: DataFrame, batch: DataFrame,
       contentCol: String): DataFrame = {
-    val baseH = base.select(xxhash64(col(contentCol)).as("__h__")).distinct()
-    batch.join(baseH, xxhash64(col(contentCol)) === col("__h__"), "left_anti")
+    val baseH = base.select(md5(col(contentCol)).as("__h__")).distinct()
+    batch.join(baseH, md5(col(contentCol)) === col("__h__"), "left_anti")
   }
 
   /** Explode (id, sig) rows into (id, band, band_hash) — the band-key

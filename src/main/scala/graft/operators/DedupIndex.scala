@@ -9,15 +9,23 @@ import org.apache.spark.sql.functions._
   * the base corpus's hashes and MinHash projection on every incoming
   * batch, the corpus maintains
   *
-  *   - `hashes/`  — distinct 64-bit content hashes (exact-dup probe),
+  *   - `hashes/`  — distinct 128-bit md5 content hashes (exact-dup
+  *                  probe; hash equality stands in for content
+  *                  equality, so 64 bits would not do),
   *   - `bands/`   — the (id, band, band_hash) LSH projection
   *                  (near-dup candidate probe),
   *   - `sigs/`    — the (id, sig) MinHash signatures (signature-level
   *                  Jaccard estimate without touching base text),
+  *   - `simchunks/` — the (id, fp, ci, cv) SimHash fingerprint-chunk
+  *                  projection ([[Dedup.simhashPairsAgainst]]'s base
+  *                  side, pigeonhole-complete for hamming <=
+  *                  simMaxHamming; fp rides along so the Hamming
+  *                  verify also never touches base text),
   *
   * each as plain parquet, plus a JSON sidecar pinning the parameters
-  * (shingleN/numHashes/bands/portableHash) so a probe with mismatched
-  * parameters fails loudly instead of silently finding nothing.
+  * (shingleN/numHashes/bands/portableHash/simMaxHamming) so a probe
+  * with mismatched parameters fails loudly instead of silently finding
+  * nothing.
   *
   * Lifecycle: [[DedupIndex.create]] over the initial corpus, then per
   * accepted batch [[DedupIndex.append]] — both are APPEND-shaped writes
@@ -30,14 +38,17 @@ import org.apache.spark.sql.functions._
 object DedupIndex {
 
   final case class Params(
-      shingleN: Int, numHashes: Int, bands: Int, portableHash: Boolean)
+      shingleN: Int, numHashes: Int, bands: Int, portableHash: Boolean,
+      simMaxHamming: Int = 3)
 
   private def sidecar(path: String) = s"$path/_dedup_index.json"
 
   private def writeParams(spark: SparkSession, path: String, p: Params): Unit =
     VectorStore.writeSidecar(spark, sidecar(path),
       s"""{"shingle_n": ${p.shingleN}, "num_hashes": ${p.numHashes}, """ +
-        s""""bands": ${p.bands}, "portable_hash": ${p.portableHash}}""")
+        s""""bands": ${p.bands}, "portable_hash": ${p.portableHash}, """ +
+        s""""sim_max_hamming": ${p.simMaxHamming}, """ +
+        s""""content_hash": "md5"}""")
 
   def readParams(spark: SparkSession, path: String): Params = {
     val pth = new org.apache.hadoop.fs.Path(sidecar(path))
@@ -45,34 +56,61 @@ object DedupIndex {
     val in = fs.open(pth)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    // a probe against an index whose content-hash family differs would
+    // silently match nothing — fail loudly instead (missing field =
+    // pre-md5 index: rebuild with create())
+    val algo = Option(node.get("content_hash")).map(_.asText()).getOrElse("xxhash64")
+    require(algo == "md5",
+      s"index at $path uses content_hash=$algo; this build probes md5 — rebuild the index")
+    require(node.has("sim_max_hamming"),
+      s"index at $path predates the simhash projection — rebuild with create()")
     Params(node.get("shingle_n").asInt(), node.get("num_hashes").asInt(),
-      node.get("bands").asInt(), node.get("portable_hash").asBoolean())
+      node.get("bands").asInt(), node.get("portable_hash").asBoolean(),
+      node.get("sim_max_hamming").asInt())
   }
 
-  /** The three projections of one corpus slice, under the index params. */
+  /** The four projections of one corpus slice, under the index params. */
   private def project(df: DataFrame, idCol: String, textCol: String, p: Params)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val hashes = base.select(xxhash64(col("text")).as("content_hash")).distinct()
+    // 128-bit md5, not a 64-bit hash: filterExact treats hash equality
+    // as content equality with no text verification, so the projection
+    // must make collisions negligible at billions of documents (see
+    // Dedup.dropExactDupsAgainst)
+    val hashes = base.select(md5(col("text")).as("content_hash")).distinct()
     val sigs = base.select(col("id"), {
       val sh = Dedup.wordShingles(col("text"), p.shingleN)
       (if (p.portableHash) Dedup.minhashSignaturePortable(sh, p.numHashes)
       else Dedup.minhashSignature(sh, p.numHashes)).as("sig")
     })
     val bands = Dedup.bandedOfSignatures(sigs, p.numHashes, p.bands)
-    (hashes, bands, sigs)
+    (hashes, bands, sigs, simChunksOf(base, "text", p))
+  }
+
+  /** (id, fp, ci, cv) SimHash chunk projection of (id, text) rows —
+    * the shared banding of the stored base side and the probe's batch
+    * side, so the equi join is pigeonhole-complete by construction. */
+  private def simChunksOf(rows: DataFrame, textCol: String, p: Params): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val fp = if (p.portableHash) Dedup.simhash48Portable(toks) else Dedup.simhash64(toks)
+    val fpBits = if (p.portableHash) 48 else 64
+    rows.select(col("id"), fp.as("fp"))
+      .select(col("id"), col("fp"),
+        explode(Dedup.fpChunks(col("fp"), fpBits, p.simMaxHamming + 1)).as("c"))
+      .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
   }
 
   /** Build the index over the initial corpus. */
   def create(df: DataFrame, idCol: String, textCol: String, path: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      portableHash: Boolean = false): Unit = {
+      portableHash: Boolean = false, simMaxHamming: Int = 3): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val p = Params(shingleN, numHashes, bands, portableHash)
-    val (hashes, banded, sigs) = project(df, idCol, textCol, p)
+    val p = Params(shingleN, numHashes, bands, portableHash, simMaxHamming)
+    val (hashes, banded, sigs, simchunks) = project(df, idCol, textCol, p)
     hashes.write.mode("overwrite").parquet(s"$path/hashes")
     banded.write.mode("overwrite").parquet(s"$path/bands")
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    simchunks.write.mode("overwrite").parquet(s"$path/simchunks")
     writeParams(df.sparkSession, path, p)
   }
 
@@ -80,10 +118,11 @@ object DedupIndex {
     * (Dedup the batch first; the index trusts its inputs.) */
   def append(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val p = readParams(df.sparkSession, path)
-    val (hashes, banded, sigs) = project(df, idCol, textCol, p)
+    val (hashes, banded, sigs, simchunks) = project(df, idCol, textCol, p)
     hashes.write.mode("append").parquet(s"$path/hashes")
     banded.write.mode("append").parquet(s"$path/bands")
     sigs.write.mode("append").parquet(s"$path/sigs")
+    simchunks.write.mode("append").parquet(s"$path/simchunks")
   }
 
   /** Exact-dup filter against the index: batch rows whose content hash
@@ -91,9 +130,33 @@ object DedupIndex {
     * base text is never read). */
   def filterExact(spark: SparkSession, path: String, batch: DataFrame,
       contentCol: String): DataFrame = {
+    readParams(spark, path) // loud param check (incl. content-hash algo)
     val idx = spark.read.parquet(s"$path/hashes")
       .select(col("content_hash").as("__h__")).distinct()
-    batch.join(idx, xxhash64(col(contentCol)) === col("__h__"), "left_anti")
+    batch.join(idx, md5(col(contentCol)) === col("__h__"), "left_anti")
+  }
+
+  /** SimHash near-dup pairs against the index: (id_base, id_batch,
+    * hamming) — [[Dedup.simhashPairsAgainst]] with the base side read
+    * straight from the stored `simchunks/` projection, so neither base
+    * text nor base fingerprints are re-derived on a probe; only the
+    * BATCH is fingerprinted (cost ∝ batch). Pigeonhole-complete for
+    * hamming <= the index's simMaxHamming, and exact (the stored fp
+    * verifies the Hamming distance — no estimate column needed). */
+  def simhashCandidates(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val p = readParams(spark, path)
+    val batchChunks = simChunksOf(
+      batch.select(col(idCol).as("id"), col(textCol).as("text")), "text", p)
+    spark.read.parquet(s"$path/simchunks")
+      .select(col("ci"), col("cv"), col("id").as("id_base"), col("fp").as("fp_base"))
+      .join(batchChunks
+          .select(col("ci"), col("cv"), col("id").as("id_batch"), col("fp").as("fp_batch")),
+        Seq("ci", "cv"))
+      .select(col("id_base"), col("id_batch"),
+        Dedup.simhashHamming(col("fp_base"), col("fp_batch")).cast("int").as("hamming"))
+      .filter(col("hamming") <= p.simMaxHamming)
+      .distinct()
   }
 
   /** Near-dup candidates against the index: (id_base, id_batch,

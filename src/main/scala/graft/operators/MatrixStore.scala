@@ -36,23 +36,36 @@ import org.apache.spark.storage.StorageLevel
   * order-insensitive.
   */
 final class MatrixStore private (
-    private val blocks: RDD[MatrixStore.Block],
+    private[operators] val blocks: RDD[MatrixStore.Block],
     val dim: Int,
     val nBuckets: Option[Int]) extends Serializable {
 
-  /** Exact top-k cosine query; returns (id, score) best-first. */
+  /** Exact top-k cosine query; returns (id, score) best-first.
+    * `allowedIds` is the O4 metadata predicate lowered to the id level
+    * (evaluate the predicate ONCE on the metadata table, ship the
+    * qualifying ids) — with it, filter + threshold + top-k, the
+    * reference's full hot path (lib.rs:211-222), runs on this tier. */
   def query(queryVec: Array[Float], topK: Int,
-      betterThan: Option[Double] = None): Array[(String, Double)] =
-    queryBatch(Seq("q" -> queryVec), topK, betterThan)("q")
+      betterThan: Option[Double] = None,
+      allowedIds: Option[Set[String]] = None): Array[(String, Double)] =
+    queryBatch(Seq("q" -> queryVec), topK, betterThan, allowedIds)("q")
 
   /** Batch exact top-k: every query scores against each matrix row in
     * ONE pass over the cache (rows outer, queries inner — the row's
     * elements stay hot in cache across queries). Per-(partition, query)
     * bounded heaps, merged per query on the driver; kernel semantics
     * identical to [[query]], so `queryBatch(qs)(qid)` ==
-    * `query(qs(qid))` element for element. */
+    * `query(qs(qid))` element for element.
+    *
+    * `allowedIds` rides as one broadcast and gates rows BEFORE any
+    * flops are spent on them — the id-set form of the DataFrame path's
+    * pred-before-scoring contract, checked per row against the slab's
+    * id array. Meant for selective predicates (the set must fit in
+    * executor memory); a low-selectivity filter belongs on the
+    * DataFrame path, where the predicate prunes at the scan. */
   def queryBatch(queries: Seq[(String, Array[Float])], topK: Int,
-      betterThan: Option[Double] = None): Map[String, Array[(String, Double)]] = {
+      betterThan: Option[Double] = None,
+      allowedIds: Option[Set[String]] = None): Map[String, Array[(String, Double)]] = {
     if (queries.isEmpty) return Map.empty
     val qn: Array[Array[Double]] = queries.map(q => VectorStore.normalizeLocal(q._2)).toArray
     qn.foreach(q => require(q.length == dim, s"query dim ${q.length} != store dim $dim"))
@@ -61,9 +74,11 @@ final class MatrixStore private (
     val k = topK
     val nq = qn.length
     val qB = blocks.sparkContext.broadcast(qn)
+    val allowedB = allowedIds.map(blocks.sparkContext.broadcast(_))
     val worstFirst = MatrixStore.worstFirst
     val partials = blocks.mapPartitions { it =>
       val qs = qB.value
+      val allowed = allowedB.map(_.value).orNull
       val heaps = Array.fill(nq)(
         scala.collection.mutable.PriorityQueue.empty[(Double, String)](worstFirst))
       it.foreach { b =>
@@ -71,20 +86,22 @@ final class MatrixStore private (
         val n = b.ids.length
         var r = 0
         while (r < n) {
-          val off = r * d
-          var qi = 0
-          while (qi < nq) {
-            val qv = qs(qi)
-            var s = 0.0
-            var i = 0
-            while (i < d) { s += m(off + i).toDouble * qv(i); i += 1 }
-            if (s >= thr) {
-              val heap = heaps(qi)
-              val e = (s, b.ids(r))
-              if (heap.size < k) heap.enqueue(e)
-              else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
+          if (allowed == null || allowed.contains(b.ids(r))) {
+            val off = r * d
+            var qi = 0
+            while (qi < nq) {
+              val qv = qs(qi)
+              var s = 0.0
+              var i = 0
+              while (i < d) { s += m(off + i).toDouble * qv(i); i += 1 }
+              if (s >= thr) {
+                val heap = heaps(qi)
+                val e = (s, b.ids(r))
+                if (heap.size < k) heap.enqueue(e)
+                else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
+              }
+              qi += 1
             }
-            qi += 1
           }
           r += 1
         }
@@ -184,12 +201,42 @@ final class LocalMatrixStore private[operators] (
 
   def nRows: Long = blocks.iterator.map(_.ids.length.toLong).sum
 
-  /** Exact top-k cosine query; returns (id, score) best-first. */
+  /** Incrementally refresh the replica after a bucketed upsert/delete
+    * cycle: ship ONLY the `touched` buckets' slabs from the (already
+    * refreshed) bucket-aligned distributed cache and splice them over
+    * this replica's copies of those buckets — the touched-buckets-only
+    * delta that completes the ingestion-to-serving loop
+    * (`Partitioned.upsert` → `refreshBuckets` → here, each step cost ∝
+    * touched). Untouched slabs are reused by reference (zero copy); a
+    * touched bucket the refreshed cache no longer has (fully deleted)
+    * drops out. Returns a NEW replica — serving code swaps the handle
+    * atomically, same discipline as the cache tier. Requires a
+    * bucket-aligned source cache and a replica whose blocks carry
+    * bucket tags (i.e. built from one). */
+  def refresh(mx: MatrixStore, touched: Seq[Int]): LocalMatrixStore = {
+    require(mx.nBuckets.isDefined,
+      "refresh needs a bucket-aligned cache — build with fromStoreBucketed")
+    require(mx.dim == dim, s"cache dim ${mx.dim} != replica dim $dim")
+    val touchedSet = touched.toSet
+    require(blocks.forall(_.bucket >= 0),
+      "refresh needs a bucket-aligned replica — toLocal() of a bucketed cache")
+    val fresh = mx.blocks.filter(b => touchedSet.contains(b.bucket)).collect()
+    val kept = blocks.filterNot(b => touchedSet.contains(b.bucket))
+    new LocalMatrixStore(kept ++ fresh, dim)
+  }
+
+  /** Exact top-k cosine query; returns (id, score) best-first.
+    * `allowedIds` is the O4 metadata predicate lowered to the id level
+    * (same contract as [[MatrixStore.queryBatch]]) — with it the
+    * replica serves the reference's full hot path
+    * (filter + threshold + top-k, lib.rs:211-222) in-process. */
   def query(queryVec: Array[Float], topK: Int,
-      betterThan: Option[Double] = None): Array[(String, Double)] = {
+      betterThan: Option[Double] = None,
+      allowedIds: Option[Set[String]] = None): Array[(String, Double)] = {
     val qn = VectorStore.normalizeLocal(queryVec)
     require(qn.length == dim, s"query dim ${qn.length} != store dim $dim")
     val thr = betterThan.getOrElse(Double.MinValue)
+    val allowed = allowedIds.orNull
     val worstFirst = MatrixStore.worstFirst
     val d = dim
     val partials = new Array[Array[(Double, String)]](blocks.length)
@@ -200,14 +247,16 @@ final class LocalMatrixStore private[operators] (
       val n = b.ids.length
       var r = 0
       while (r < n) {
-        val off = r * d
-        var s = 0.0
-        var i = 0
-        while (i < d) { s += m(off + i).toDouble * qn(i); i += 1 }
-        if (s >= thr) { // NaN fails the comparison, exactly like the distributed kernel
-          val e = (s, b.ids(r))
-          if (heap.size < topK) heap.enqueue(e)
-          else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
+        if (allowed == null || allowed.contains(b.ids(r))) {
+          val off = r * d
+          var s = 0.0
+          var i = 0
+          while (i < d) { s += m(off + i).toDouble * qn(i); i += 1 }
+          if (s >= thr) { // NaN fails the comparison, exactly like the distributed kernel
+            val e = (s, b.ids(r))
+            if (heap.size < topK) heap.enqueue(e)
+            else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
+          }
         }
         r += 1
       }

@@ -8,20 +8,28 @@ import org.apache.spark.sql.types._
   * columns with typed metadata; decode / feature-extraction runs
   * per-partition over the typed Dataset.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernel is a clearly-marked deterministic STUB
-  * ([[Multimodal.stubDecode]]) — but the Spark-side plumbing (schema,
-  * binary handling, per-partition batching, feature normalization) is real
-  * and tested, and a production decoder drops into the same seam.
+  * Image formats the JDK's own `javax.imageio` ships readers for
+  * (png/gif/bmp/jpeg) are decoded FOR REAL — width, height, and
+  * per-channel pixel means come from actual pixels
+  * ([[Multimodal.tryDecodeImage]], value-oracled by `mm_decode`).
+  * Everything else (audio/video/unknown) keeps the clearly-marked
+  * deterministic STUB ([[Multimodal.stubDecode]]) — those codecs are
+  * absent in this environment — and a production decoder drops into the
+  * same per-partition seam.
   */
 object Multimodal {
 
   /** One media record: opaque payload + typed metadata. */
   final case class MediaRow(id: Long, media: Array[Byte], mimeHint: String)
 
-  /** Extracted features: payload stats + fixed-dim embedding. */
+  /** Extracted features: payload stats + fixed-dim embedding. For
+    * payloads `javax.imageio` can decode, `width`/`height` and the
+    * per-channel pixel means are REAL; for everything else they are -1
+    * (the labeled stub seam). */
   final case class MediaFeatures(
-      id: Long, n_bytes: Long, format: String, feature: Array[Float])
+      id: Long, n_bytes: Long, format: String,
+      width: Int, height: Int, avg_r: Long, avg_g: Long, avg_b: Long,
+      feature: Array[Float])
 
   /** Container sniffing from magic bytes — pure Catalyst expression. */
   def sniffFormat(bin: Column): Column = {
@@ -29,9 +37,42 @@ object Multimodal {
     when(magic.startsWith("ffd8ff"), "jpeg")
       .when(magic.startsWith("89504e47"), "png")
       .when(magic.startsWith("47494638"), "gif")
+      .when(magic.startsWith("424d"), "bmp")
       .when(magic.startsWith("52494646"), "riff") // wav/avi/webp family
       .when(magic.startsWith("664c6143"), "flac")
       .otherwise("bin")
+  }
+
+  /** Real image decode through the JDK's `javax.imageio` (pure-JVM,
+    * headless-safe — no native codec needed for png/gif/bmp/jpeg).
+    * Returns (width, height, mean R, mean G, mean B over all pixels),
+    * or None when no ImageIO reader accepts the payload — callers fall
+    * back to the stub seam. Channel means round half-up to longs, so a
+    * solid-color fixture reproduces its exact channel bytes (the
+    * `mm_decode` oracle's closed form). */
+  def tryDecodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some((w, h, math.round(sr.toDouble / n), math.round(sg.toDouble / n),
+          math.round(sb.toDouble / n)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** STUB decoder — deterministic fake standing in for a real image/audio
@@ -57,19 +98,31 @@ object Multimodal {
 
   /** Per-partition feature extraction over the typed Dataset — the real
     * distributed plumbing: one decoder context per partition (the
-    * expensive-init pattern real codecs need), streaming the rows. */
+    * expensive-init pattern real codecs need), streaming the rows.
+    * Image-magic payloads go through the REAL `javax.imageio` decode
+    * ([[tryDecodeImage]]); everything else keeps the stub seam with
+    * width/height/channel means pinned to -1. The decode attempt is
+    * gated on magic bytes so non-image payloads never pay an ImageIO
+    * reader probe. */
   def decodeFeatures(ds: Dataset[MediaRow], dim: Int): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // per-partition decoder init would go here (real codec handle)
+      // per-partition decoder init for non-JDK codecs would go here
       rows.map { r =>
         val m = r.media
         val fmt =
           if (m.length >= 3 && (m(0) & 0xff) == 0xff && (m(1) & 0xff) == 0xd8) "jpeg"
           else if (m.length >= 4 && (m(0) & 0xff) == 0x89 && m(1) == 'P' && m(2) == 'N' && m(3) == 'G') "png"
+          else if (m.length >= 4 && m(0) == 'G' && m(1) == 'I' && m(2) == 'F' && m(3) == '8') "gif"
+          else if (m.length >= 2 && m(0) == 'B' && m(1) == 'M') "bmp"
           else if (r.mimeHint.nonEmpty) r.mimeHint
           else "bin"
-        MediaFeatures(r.id, m.length.toLong, fmt, stubDecode(m, dim))
+        val decoded =
+          if (fmt == "jpeg" || fmt == "png" || fmt == "gif" || fmt == "bmp")
+            tryDecodeImage(m)
+          else None
+        val (w, h, ar, ag, ab) = decoded.getOrElse((-1, -1, -1L, -1L, -1L))
+        MediaFeatures(r.id, m.length.toLong, fmt, w, h, ar, ag, ab, stubDecode(m, dim))
       }
     }
   }

@@ -317,7 +317,13 @@ object StreamingOps {
     * is one small row per in-flight document. With `tsCol` set the group
     * key carries an event-time window and the watermark EVICTS each
     * doc's aggregation state once it closes (append mode, the unbounded-
-    * ingest path); without it, state is one row per doc and the run is
+    * ingest path) — this variant ASSUMES all of one document's rows
+    * carry the same event timestamp (e.g. the doc's ingest time
+    * replicated to its chunk rows): rows of one doc that straddle
+    * window boundaries aggregate per window, emitting one PARTIAL
+    * (n_grams, n_hits, contam_frac) row per window for that id, which
+    * the caller must re-combine. Without `tsCol`, state is one row per
+    * doc (multi-microbatch arrivals combine exactly) and the run is
     * complete-mode — bounded inputs only, same trade as
     * [[simhashPairsStream]]'s ttl=None. */
   def contaminationStatsStream(docs: DataFrame, evalGrams: DataFrame,
@@ -380,15 +386,31 @@ object StreamingOps {
     * ([[graft.operators.VectorStore.Partitioned.upsert]] — only touched
     * partitions rewrite) and (b) rebuilds ONLY those buckets' slabs in
     * the held cache via `refreshBuckets`, swapping the handle in
-    * `cache` and releasing the superseded one. The serving path reads
-    * `cache.get` and always sees a complete, query-consistent snapshot
-    * (the swap is atomic; refresh materializes before the swap).
-    * foreachBatch serializes batches, so upsert and refresh apply in
-    * arrival order — the full ingestion-to-serving loop of the
-    * reference's insert-then-query lifecycle, distributed. */
+    * `cache` and RETIRING the superseded one. foreachBatch serializes
+    * batches, so upsert and refresh apply in arrival order — the full
+    * ingestion-to-serving loop of the reference's insert-then-query
+    * lifecycle, distributed.
+    *
+    * Consistency contract: a reader that obtains the handle via
+    * `cache.get` AT THE START OF EACH QUERY sees a complete snapshot
+    * (the swap is atomic; refresh materializes before the swap) —
+    * PROVIDED the query finishes within `graceMillis` of the swap.
+    * Superseded handles are not unpersisted at swap time: an eager
+    * release could evict a still-scanning reader's blocks, and the
+    * recompute would read partition directories the upsert has already
+    * rewritten (missing files / mixed generations). Instead each
+    * retired handle is released only after `graceMillis` has elapsed
+    * since its swap-out, amortized across later batches — bound your
+    * serving-side query latency by the grace period (or hold one
+    * handle per query and size `graceMillis` above your p100). A
+    * reader that caches the handle ACROSS queries outlives any grace
+    * period and gets no guarantee. `graceMillis = 0` restores eager
+    * release for single-writer/no-concurrent-reader use. */
   def upsertStreamWithCache(batches: DataFrame, storePath: String,
-      cache: java.util.concurrent.atomic.AtomicReference[graft.operators.MatrixStore])
-      : StreamingQuery =
+      cache: java.util.concurrent.atomic.AtomicReference[graft.operators.MatrixStore],
+      graceMillis: Long = 60000L): StreamingQuery = {
+    val retired =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, graft.operators.MatrixStore)]()
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -405,10 +427,20 @@ object StreamingOps {
           val fresh = old.refreshBuckets(
             graft.operators.VectorStore.Partitioned.load(spark, storePath), touched)
           cache.set(fresh)
-          old.unpersist()
+          retired.add((System.currentTimeMillis, old))
+        }
+        // release retired handles whose grace period has fully elapsed —
+        // in-flight readers that grabbed them pre-swap have had
+        // graceMillis to drain
+        var head = retired.peek()
+        while (head != null &&
+            System.currentTimeMillis - head._1 >= graceMillis) {
+          retired.poll()._2.unpersist()
+          head = retired.peek()
         }
       }
       .start()
+  }
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 

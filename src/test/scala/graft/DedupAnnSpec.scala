@@ -386,6 +386,34 @@ class DedupAnnSpec extends AnyFunSuite {
     // stored params drive the probe (sidecar round trip)
     val p = DedupIndex.readParams(spark, path)
     assert(p.shingleN == 2 && p.numHashes == 32 && p.bands == 16 && !p.portableHash)
+    assert(p.simMaxHamming == 3)
+  }
+
+  test("dedup index simhash probe equals simhashPairsAgainst; append extends it") {
+    import graft.operators.DedupIndex
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark catalyst optimizer rewrites logical plans")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "completely different content about query engines")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("dedupsimidx").toString
+    DedupIndex.create(base, "doc_id", "text", path, simMaxHamming = 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // probe through the stored chunk projection == the in-memory
+    // cross-corpus band join, pair for pair and hamming for hamming
+    val viaIdx = key(DedupIndex.simhashCandidates(spark, path, batch, "doc_id", "text"))
+    val viaMem = key(Dedup.simhashPairsAgainst(base, batch, "doc_id", "text", maxHamming = 3))
+    assert(viaIdx == viaMem)
+    assert(viaIdx.exists { case (b, t, h) => b == 1L && t == 10L && h == 0 })
+    // append extends the simhash projection too
+    DedupIndex.append(batch.filter(col("doc_id") === 12L), "doc_id", "text", path)
+    val reprobe = Seq((20L, "completely different content about query engines"))
+      .toDF("doc_id", "text")
+    assert(key(DedupIndex.simhashCandidates(spark, path, reprobe, "doc_id", "text"))
+      .contains((12L, 20L, 0)))
   }
 
   test("minhash signatures-only mode finds the same candidate pairs") {

@@ -81,6 +81,41 @@ class TextEventsSpec extends AnyFunSuite {
     // unit norm
     val n = math.sqrt(byId(1L).feature.map(x => x * x).sum)
     assert(math.abs(n - 1.0) < 1e-5)
+    // undecodable image-magic payloads fall back to the stub seam
+    assert(byId(1L).width == -1 && byId(1L).height == -1 && byId(1L).avg_r == -1L)
+  }
+
+  test("multimodal: javax.imageio decodes real PNG/BMP pixels; stub kept elsewhere") {
+    def solid(w: Int, h: Int, r: Int, g: Int, b: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = img.createGraphics()
+      try { gfx.setColor(new java.awt.Color(r, g, b)); gfx.fillRect(0, 0, w, h) }
+      finally gfx.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = solid(6, 4, 10, 20, 30, "png")
+    val bmp = solid(3, 5, 200, 100, 50, "bmp")
+    assert(Multimodal.tryDecodeImage(png).contains((6, 4, 10L, 20L, 30L)))
+    assert(Multimodal.tryDecodeImage(bmp).contains((3, 5, 200L, 100L, 50L)))
+    assert(Multimodal.tryDecodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    // through the distributed seam: real dims for decodable rows,
+    // -1 sentinel (stub contract) for the rest
+    val df = Seq((1L, png, ""), (2L, bmp, ""), (3L, "plain".getBytes("UTF-8"), "text"))
+      .toDF("id", "media", "mimeHint")
+    val byId = Multimodal.decodeFeatures(df.as[Multimodal.MediaRow], dim = 8)
+      .collect().map(f => f.id -> f).toMap
+    assert(byId(1L).format == "png" && byId(1L).width == 6 && byId(1L).height == 4 &&
+      byId(1L).avg_r == 10L && byId(1L).avg_g == 20L && byId(1L).avg_b == 30L)
+    assert(byId(2L).format == "bmp" && byId(2L).width == 3 && byId(2L).height == 5 &&
+      byId(2L).avg_r == 200L)
+    assert(byId(3L).format == "text" && byId(3L).width == -1 && byId(3L).avg_b == -1L)
+    // sniffFormat agrees on the bmp magic
+    val sniffed = df.select(col("id"), Multimodal.sniffFormat(col("media")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sniffed(2L) == "bmp")
   }
 
   test("chunk sampling shapes") {

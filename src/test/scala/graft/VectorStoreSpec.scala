@@ -533,4 +533,92 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(empty.isEmpty)
     assert(empty.query(Array(1f, 0f, 0f, 0f), 5).collect().isEmpty)
   }
+
+  test("O4 id-set predicate on the fast tiers matches the DataFrame path bitwise") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    val local = mx.toLocal()
+    try {
+      val allowed = st.df.filter(col("label") === 3)
+        .select(col("__id__")).collect().map(_.getString(0)).toSet
+      assert(allowed.nonEmpty)
+      (0L to 4L).foreach { i =>
+        val q = e.filter(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray
+        val expect = st.query(q, 5, betterThan = Some(0.1), filter = Some(col("label") === 3))
+          .select("__id__", "__metrics__")
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        assert(mx.query(q, 5, Some(0.1), Some(allowed)).toSeq == expect, s"mx query $i")
+        assert(local.query(q, 5, Some(0.1), Some(allowed)).toSeq == expect, s"local query $i")
+        // every returned id satisfies the predicate
+        assert(mx.query(q, 5, None, Some(allowed)).forall(h => allowed(h._1)))
+      }
+      // empty allow set: empty results, not an error
+      val q0 = e.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0).toArray
+      assert(mx.query(q0, 5, None, Some(Set.empty[String])).isEmpty)
+      assert(local.query(q0, 5, None, Some(Set.empty[String])).isEmpty)
+    } finally mx.unpersist()
+  }
+
+  test("local replica incremental refresh equals cold toLocal after bucketed upsert") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val nBuckets = 8
+    val mx = graft.operators.MatrixStore.fromStoreBucketed(st, nBuckets)
+    val replica = mx.toLocal()
+    // upsert: reverse 5 vectors, insert 5 far ids (touches a bucket subset)
+    val batch = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").cast("string").as("__id__"),
+        reverse(col("embedding")).as("vector"), col("label"))
+      .union(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).cast("string").as("__id__"),
+          col("embedding").as("vector"), col("label")))
+    val st2 = st.upsert(batch).store
+    val touched = batch
+      .select(VectorStore.Partitioned.bucketOf(nBuckets).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(touched.nonEmpty && touched.size < nBuckets)
+    val refreshed = mx.refreshBuckets(st2, touched)
+    val delta = replica.refresh(refreshed, touched) // touched slabs only
+    val cold = refreshed.toLocal()
+    try {
+      assert(delta.nRows == cold.nRows)
+      val qs = (0L to 4L).map { i =>
+        e.filter(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray
+      } :+ batch.filter(col("__id__") === "0").select("vector").head().getSeq[Float](0).toArray
+      qs.zipWithIndex.foreach { case (q, i) =>
+        assert(delta.query(q, 10).toSeq == cold.query(q, 10).toSeq, s"query $i differs")
+      }
+      // the updated vector self-hits through the delta-refreshed replica
+      assert(delta.query(qs.last, 5).head._1 == "0")
+      // a non-bucket-aligned replica refuses refresh loudly
+      val flat = graft.operators.MatrixStore.fromStore(st)
+      val flatLocal = flat.toLocal()
+      val ex = intercept[IllegalArgumentException](flatLocal.refresh(refreshed, touched))
+      assert(ex.getMessage.contains("bucket-aligned"))
+      flat.unpersist()
+    } finally { refreshed.unpersist(); mx.unpersist() }
+  }
+
+  test("int8 local replica: exact scores, equals distributed int8 tier and exact replica") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    val exactLocal = mx.toLocal()
+    val qmx = graft.operators.QuantizedMatrixStore.fromStore(st)
+    val qlocal = qmx.toLocal()
+    try {
+      assert(qlocal.nRows == st.len())
+      (0L until 10L).foreach { i =>
+        val q = e.filter(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray
+        val viaLocal = qlocal.query(q, 10, oversample = 8).toSeq
+        // same kernel as the distributed int8 tier, element for element
+        assert(viaLocal == qmx.query(q, 10, oversample = 8).toSeq, s"query $i vs distributed")
+        // emitted scores are EXACT: bitwise-equal to the exact replica
+        // for every id both return (on this fixture nomination recalls
+        // the full top-10, so the whole ranking matches)
+        assert(viaLocal == exactLocal.query(q, 10).toSeq, s"query $i vs exact replica")
+      }
+    } finally { mx.unpersist(); qmx.unpersist() }
+  }
 }
