@@ -21,7 +21,7 @@ object Bench {
     * advisor note), BENCH_LOCAL.json records every per-pass median
     * alongside the min. Within a pass, a System.gc() between query
     * groups stops one query's garbage from being charged to the next. */
-  private def median3(body: () => Unit): Double = {
+  private[graft] def median3(body: () => Unit): Double = {
     val ts = (0 until 3).map { _ =>
       val t0 = System.nanoTime()
       body()
