@@ -283,6 +283,8 @@ object SparkEntry {
       val st = VectorStore.fromDataFrame(Tables.embeddings(s, dir), "vec_id", "embedding", 64)
       val mx = graft.operators.MatrixStore.fromStore(st)
       val local = mx.toLocal()
+      val qmx = graft.operators.QuantizedMatrixStore.fromStore(st)
+      val qlocal = qmx.toLocal()
       val allowed = st.df.filter(col("label") === 3)
         .select(col("__id__").cast(StringType)).as[String].collect().toSet
       val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
@@ -299,9 +301,17 @@ object SparkEntry {
         local.query(qv, 5, betterThan = Some(0.1), allowedIds = Some(allowed)).toSeq ==
           viaMx(qid).toSeq
       }
-      mx.unpersist()
-      Seq((qs.size.toLong, dfEqual, localEqual))
-        .toDF("n_queries", "df_equal", "local_equal")
+      // int8 tiers: same filtered ranking (no threshold — the int8
+      // nomination phase composes filter + oversample; exact rerank
+      // restores exact scores)
+      val int8Equal = qs.forall { case (qid, qv) =>
+        val expect = mx.query(qv, 5, allowedIds = Some(allowed)).toSeq
+        qmx.query(qv, 5, oversample = 8, allowedIds = Some(allowed)).toSeq == expect &&
+          qlocal.query(qv, 5, oversample = 8, allowedIds = Some(allowed)).toSeq == expect
+      }
+      mx.unpersist(); qmx.unpersist()
+      Seq((qs.size.toLong, dfEqual, localEqual, int8Equal))
+        .toDF("n_queries", "df_equal", "local_equal", "int8_equal")
     }),
 
     // O5: inclusive better_than threshold (lib.rs:198,222).
@@ -478,7 +488,8 @@ object SparkEntry {
          |FROM s ORDER BY sc DESC, vec_id LIMIT 5""".stripMargin,
 
     "o4b_filter_matrix" ->
-      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS df_equal, TRUE AS local_equal""",
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS df_equal, TRUE AS local_equal,
+        |       TRUE AS int8_equal""".stripMargin,
 
     "o5_threshold_topk" ->
       s"""WITH $qCte,

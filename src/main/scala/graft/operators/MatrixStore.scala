@@ -265,6 +265,60 @@ final class LocalMatrixStore private[operators] (
     partials.iterator.flatMap(_.iterator).toArray
       .sorted(worstFirst).take(topK).map { case (s, id) => (id, s) }
   }
+
+  /** Batch exact top-k on the replica: one pass over the slabs, rows
+    * outer / queries inner (the row's elements stay hot across
+    * queries), per-(slab, query) bounded heaps merged per query —
+    * [[MatrixStore.queryBatch]]'s kernel in-process, so
+    * `queryBatch(qs)(qid)` == `query(qs(qid))` element for element.
+    * Same optional `allowedIds` O4 gate as the single-query path. */
+  def queryBatch(queries: Seq[(String, Array[Float])], topK: Int,
+      betterThan: Option[Double] = None,
+      allowedIds: Option[Set[String]] = None): Map[String, Array[(String, Double)]] = {
+    if (queries.isEmpty) return Map.empty
+    val qn: Array[Array[Double]] = queries.map(q => VectorStore.normalizeLocal(q._2)).toArray
+    qn.foreach(q => require(q.length == dim, s"query dim ${q.length} != store dim $dim"))
+    val thr = betterThan.getOrElse(Double.MinValue)
+    val allowed = allowedIds.orNull
+    val d = dim
+    val k = topK
+    val nq = qn.length
+    val worstFirst = MatrixStore.worstFirst
+    val partials = new Array[Array[Array[(Double, String)]]](blocks.length)
+    java.util.stream.IntStream.range(0, blocks.length).parallel().forEach { bi =>
+      val b = blocks(bi)
+      val heaps = Array.fill(nq)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, String)](worstFirst))
+      val m = b.matrix
+      val n = b.ids.length
+      var r = 0
+      while (r < n) {
+        if (allowed == null || allowed.contains(b.ids(r))) {
+          val off = r * d
+          var qi = 0
+          while (qi < nq) {
+            val qv = qn(qi)
+            var s = 0.0
+            var i = 0
+            while (i < d) { s += m(off + i).toDouble * qv(i); i += 1 }
+            if (s >= thr) {
+              val heap = heaps(qi)
+              val e = (s, b.ids(r))
+              if (heap.size < k) heap.enqueue(e)
+              else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
+            }
+            qi += 1
+          }
+        }
+        r += 1
+      }
+      partials(bi) = heaps.map(_.toArray)
+    }
+    queries.iterator.zipWithIndex.map { case ((qid, _), qi) =>
+      qid -> partials.iterator.flatMap(_(qi)).toArray.sorted(worstFirst).take(k)
+        .map { case (s, id) => (id, s) }
+    }.toMap
+  }
 }
 
 object MatrixStore {

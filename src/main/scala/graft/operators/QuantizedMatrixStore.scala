@@ -27,8 +27,13 @@ final class QuantizedMatrixStore private (
 
   /** Two-phase top-k cosine: int8 nomination + exact f32 rerank.
     * Returned (id, score) pairs carry EXACT scores in the exact order
-    * ([[MatrixStore.worstFirst]] semantics). */
-  def query(queryVec: Array[Float], topK: Int, oversample: Int = 8): Array[(String, Double)] = {
+    * ([[MatrixStore.worstFirst]] semantics). `allowedIds` is the O4
+    * metadata predicate lowered to the id level (same contract as
+    * [[MatrixStore.queryBatch]]), gating rows before the CODES scan —
+    * nomination then happens among allowed rows only, so the filter
+    * never costs recall. */
+  def query(queryVec: Array[Float], topK: Int, oversample: Int = 8,
+      allowedIds: Option[Set[String]] = None): Array[(String, Double)] = {
     require(oversample >= 1, "oversample must be >= 1")
     val qn: Array[Double] = VectorStore.normalizeLocal(queryVec)
     require(qn.length == dim, s"query dim ${qn.length} != store dim $dim")
@@ -42,8 +47,10 @@ final class QuantizedMatrixStore private (
     val nCand = math.max(k * oversample, k)
     val worstFirst = MatrixStore.worstFirst
     val qB = blocks.sparkContext.broadcast((qq, qn))
+    val allowedB = allowedIds.map(blocks.sparkContext.broadcast(_))
     val partials = blocks.mapPartitions { it =>
       val (q8, qd) = qB.value
+      val allowed = allowedB.map(_.value).orNull
       val exactHeap = scala.collection.mutable.PriorityQueue.empty[(Double, String)](worstFirst)
       it.foreach { b =>
         val codes = b.codes
@@ -55,13 +62,15 @@ final class QuantizedMatrixStore private (
           Ordering.by[(Double, Int), Double](_._1).reverse) // min-heap on approx score
         var r = 0
         while (r < n) {
-          val off = r * d
-          var acc = 0
-          var i = 0
-          while (i < d) { acc += codes(off + i) * q8(i); i += 1 }
-          val approx = acc * b.invScale(r)
-          if (candHeap.size < nCand) candHeap.enqueue((approx, r))
-          else if (approx > candHeap.head._1) { candHeap.dequeue(); candHeap.enqueue((approx, r)) }
+          if (allowed == null || allowed.contains(b.ids(r))) {
+            val off = r * d
+            var acc = 0
+            var i = 0
+            while (i < d) { acc += codes(off + i) * q8(i); i += 1 }
+            val approx = acc * b.invScale(r)
+            if (candHeap.size < nCand) candHeap.enqueue((approx, r))
+            else if (approx > candHeap.head._1) { candHeap.dequeue(); candHeap.enqueue((approx, r)) }
+          }
           r += 1
         }
         // phase 2: exact double-accumulated f32 dot for the candidates
@@ -106,8 +115,10 @@ final class LocalQuantizedMatrixStore private[operators] (
 
   /** Two-phase top-k cosine: int8 nomination + exact f32 rerank;
     * (id, score) best-first, exact scores, [[MatrixStore.worstFirst]]
-    * order. */
-  def query(queryVec: Array[Float], topK: Int, oversample: Int = 8): Array[(String, Double)] = {
+    * order. `allowedIds` gates rows before the codes scan (O4 on the
+    * int8 replica — same contract as the distributed tier). */
+  def query(queryVec: Array[Float], topK: Int, oversample: Int = 8,
+      allowedIds: Option[Set[String]] = None): Array[(String, Double)] = {
     require(oversample >= 1, "oversample must be >= 1")
     val qn: Array[Double] = VectorStore.normalizeLocal(queryVec)
     require(qn.length == dim, s"query dim ${qn.length} != store dim $dim")
@@ -118,6 +129,7 @@ final class LocalQuantizedMatrixStore private[operators] (
     val d = dim
     val k = topK
     val nCand = math.max(k * oversample, k)
+    val allowed = allowedIds.orNull
     val worstFirst = MatrixStore.worstFirst
     val partials = new Array[Array[(Double, String)]](blocks.length)
     java.util.stream.IntStream.range(0, blocks.length).parallel().forEach { bi =>
@@ -129,13 +141,15 @@ final class LocalQuantizedMatrixStore private[operators] (
         Ordering.by[(Double, Int), Double](_._1).reverse) // min-heap on approx score
       var r = 0
       while (r < n) {
-        val off = r * d
-        var acc = 0
-        var i = 0
-        while (i < d) { acc += codes(off + i) * qq(i); i += 1 }
-        val approx = acc * b.invScale(r)
-        if (candHeap.size < nCand) candHeap.enqueue((approx, r))
-        else if (approx > candHeap.head._1) { candHeap.dequeue(); candHeap.enqueue((approx, r)) }
+        if (allowed == null || allowed.contains(b.ids(r))) {
+          val off = r * d
+          var acc = 0
+          var i = 0
+          while (i < d) { acc += codes(off + i) * qq(i); i += 1 }
+          val approx = acc * b.invScale(r)
+          if (candHeap.size < nCand) candHeap.enqueue((approx, r))
+          else if (approx > candHeap.head._1) { candHeap.dequeue(); candHeap.enqueue((approx, r)) }
+        }
         r += 1
       }
       val m = b.matrix

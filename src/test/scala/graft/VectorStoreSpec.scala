@@ -600,6 +600,42 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally { refreshed.unpersist(); mx.unpersist() }
   }
 
+  test("replica batch query and int8 O4 filter: all tiers agree") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    val local = mx.toLocal()
+    val qmx = graft.operators.QuantizedMatrixStore.fromStore(st)
+    val qlocal = qmx.toLocal()
+    try {
+      val qs = Seq(0L, 3L, 9L).map { i =>
+        i.toString -> e.filter(col("vec_id") === i).select("embedding")
+          .head().getSeq[Float](0).toArray
+      }
+      // replica batch kernel == replica per-query kernel == distributed batch
+      val viaBatch = local.queryBatch(qs, 5)
+      val viaDist = mx.queryBatch(qs, 5)
+      qs.foreach { case (qid, v) =>
+        assert(viaBatch(qid).toSeq == local.query(v, 5).toSeq, s"qid $qid vs per-query")
+        assert(viaBatch(qid).toSeq == viaDist(qid).toSeq, s"qid $qid vs distributed")
+      }
+      // O4 id-set filter on the int8 tiers == filtered exact tier
+      val allowed = st.df.filter(col("label") === 3)
+        .select(col("__id__")).collect().map(_.getString(0)).toSet
+      qs.foreach { case (qid, v) =>
+        val expect = mx.query(v, 5, None, Some(allowed)).toSeq
+        assert(qmx.query(v, 5, oversample = 8, Some(allowed)).toSeq == expect,
+          s"qid $qid int8 distributed")
+        assert(qlocal.query(v, 5, oversample = 8, Some(allowed)).toSeq == expect,
+          s"qid $qid int8 replica")
+      }
+      // filtered batch with threshold agrees too
+      val fb = local.queryBatch(qs, 5, Some(0.1), Some(allowed))
+      val fd = mx.queryBatch(qs, 5, Some(0.1), Some(allowed))
+      qs.foreach { case (qid, _) => assert(fb(qid).toSeq == fd(qid).toSeq) }
+    } finally { mx.unpersist(); qmx.unpersist() }
+  }
+
   test("int8 local replica: exact scores, equals distributed int8 tier and exact replica") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
