@@ -408,7 +408,31 @@ object StreamingOps {
     * release for single-writer/no-concurrent-reader use. */
   def upsertStreamWithCache(batches: DataFrame, storePath: String,
       cache: java.util.concurrent.atomic.AtomicReference[graft.operators.MatrixStore],
-      graceMillis: Long = 60000L): StreamingQuery = {
+      graceMillis: Long = 60000L): StreamingQuery =
+    upsertStreamServing(batches, storePath, cache, None, graceMillis)
+
+  /** [[upsertStreamWithCache]] extended to the SERVING REPLICA tier:
+    * after each batch's bucketed upsert + cache refresh, the
+    * driver-local replica is delta-refreshed with only the touched
+    * buckets' slabs ([[graft.operators.LocalMatrixStore.refresh]]) and
+    * the handle swapped atomically — the complete
+    * ingestion-to-serving loop (disk layout → distributed cache →
+    * in-process replica), every step cost ∝ touched buckets. Unlike
+    * the cache tier, superseded replicas need no grace period: a
+    * replica is plain immutable JVM arrays, so an in-flight reader on
+    * the old handle finishes safely and the object is garbage
+    * collected when released. Requires a bucket-aligned cache and a
+    * replica built from one (`cache.get.toLocal()`). */
+  def upsertStreamWithReplica(batches: DataFrame, storePath: String,
+      cache: java.util.concurrent.atomic.AtomicReference[graft.operators.MatrixStore],
+      replica: java.util.concurrent.atomic.AtomicReference[graft.operators.LocalMatrixStore],
+      graceMillis: Long = 60000L): StreamingQuery =
+    upsertStreamServing(batches, storePath, cache, Some(replica), graceMillis)
+
+  private def upsertStreamServing(batches: DataFrame, storePath: String,
+      cache: java.util.concurrent.atomic.AtomicReference[graft.operators.MatrixStore],
+      replica: Option[java.util.concurrent.atomic.AtomicReference[graft.operators.LocalMatrixStore]],
+      graceMillis: Long): StreamingQuery = {
     val retired =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, graft.operators.MatrixStore)]()
     batches.writeStream
@@ -427,6 +451,8 @@ object StreamingOps {
           val fresh = old.refreshBuckets(
             graft.operators.VectorStore.Partitioned.load(spark, storePath), touched)
           cache.set(fresh)
+          // replica tier: ship only the touched buckets' slabs in-process
+          replica.foreach(r => r.set(r.get.refresh(fresh, touched)))
           retired.add((System.currentTimeMillis, old))
         }
         // release retired handles whose grace period has fully elapsed —

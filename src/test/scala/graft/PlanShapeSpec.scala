@@ -135,4 +135,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "PQ scoring must not shuffle the codes table against queries")
   }
+
+  test("ivf append: batch assignment is a narrow expression pass, no exchange") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val base = graft.operators.Ann.ivfBuild(
+      e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 4)
+    val appended = graft.operators.Ann.ivfAppend(
+      base, e.filter(col("vec_id") < 10), "vec_id", "embedding")
+    val p = appended.assigned.queryExecution.executedPlan.toString
+    // centroids ride as a plan literal; assignment is projection-only —
+    // appending must introduce neither a shuffle nor any ML stage
+    assert(p.contains("Union"))
+    assert(!p.contains("Exchange"),
+      s"append assignment must not shuffle:\n$p")
+  }
+
+  test("dedup index simhash probe: stored-chunk equi join; base text never read") {
+    val p = plan("dedup_incr_simidx")
+    assert(p.contains("Join"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "index-chunk x batch-chunk candidate generation must stay an equi join")
+    // the base side comes from the stored simchunks projection — the
+    // only documents scan in the plan is the batch's (doc_id >= 300)
+    assert(p.contains("simchunks"), "probe must read the stored projection")
+    assert(p.contains("PushedFilters") && p.contains("doc_id"))
+  }
 }

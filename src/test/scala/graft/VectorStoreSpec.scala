@@ -507,6 +507,53 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally { rebuilt.unpersist(); cache.get.unpersist() }
   }
 
+  test("streaming upsert keeps the serving replica fresh; equals cold toLocal bitwise") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val st = mkStore((0 until 16).map(i => (i.toString, Seq(i + 1f, 1f, 0f, 0f), s"c$i")))
+    val store = Files.createTempDirectory("mrstore").toString
+    VectorStore.Partitioned.init(st, store, nBuckets = 4)
+    val cache = new java.util.concurrent.atomic.AtomicReference(
+      graft.operators.MatrixStore.fromPartitionedLayout(spark, store))
+    val replica = new java.util.concurrent.atomic.AtomicReference(cache.get.toLocal())
+    val watch = Files.createTempDirectory("mrwatch")
+    def stage(name: String, rows: Seq[(String, Seq[Float], String)], mtime: Long): Unit = {
+      val staging = Files.createTempDirectory(s"mrstage_$name")
+      rows.toDF("id", "vec", "color")
+        .select(col("id").as("__id__"),
+          col("vec").cast(ArrayType(FloatType)).as("vector"), col("color"))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stage("b1", Seq(("3", Seq(0f, 0f, 1f, 0f), "NEW"), ("9001", Seq(1f, 0f, 0f, 0f), "one")), t0)
+    stage("b2", Seq(("9001", Seq(0f, 1f, 0f, 0f), "two"), ("9002", Seq(0f, 0f, 0f, 1f), "ins")), t0 + 5000)
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    val q = graft.streaming.StreamingOps.upsertStreamWithReplica(
+      stream, store, cache, replica, graceMillis = 0L)
+    try q.processAllAvailable() finally q.stop()
+    // the delta-refreshed replica equals a cold collect of a full rebuild
+    val rebuilt = graft.operators.MatrixStore.fromPartitionedLayout(spark, store)
+    val cold = rebuilt.toLocal()
+    try {
+      assert(replica.get.nRows == cold.nRows)
+      Seq(
+        Array(0f, 0f, 1f, 0f),   // updated vector of id 3
+        Array(0f, 1f, 0f, 0f),   // id 9001's SECOND upsert wins
+        Array(0f, 0f, 0f, 1f),   // inserted id 9002
+        Array(1f, 1f, 0f, 0f)).zipWithIndex.foreach { case (v, i) =>
+        assert(replica.get.query(v, 5).toSeq == cold.query(v, 5).toSeq, s"query $i differs")
+      }
+      assert(replica.get.query(Array(0f, 1f, 0f, 0f), 1).head._1 == "9001")
+    } finally { rebuilt.unpersist(); cache.get.unpersist() }
+  }
+
   test("local serving replica: bitwise-equal to the distributed matrix scan") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
