@@ -932,4 +932,47 @@ object Ann {
       index.codes.select(col("id"), col("cluster"), col("v"), col("codes"))
         .unionByName(encoded))
   }
+
+  /** Append a batch to a PERSISTED residual IVF×PQ index ([[ivfPqSave]]
+    * layout) at cost ∝ batch: only the tiny sidecars load (raw
+    * centroids for assignment, normalized centroids for residuals,
+    * residual codebooks for encoding — all plan literals / broadcast),
+    * the batch coarse-assigns and residual-encodes as expressions with
+    * zero fits, and append-mode partitioned writes create files only
+    * under the cluster directories the batch lands in — for BOTH the
+    * coarse `ivf/lists` layout and the residual `codes` layout, which
+    * stay row-consistent. Returns the touched cluster ids. */
+  def ivfPqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Seq[Int] = {
+    import spark.implicits._
+    val centroids = spark.read.json(s"$path/ivf/centroids")
+      .select(col("cluster").cast(IntegerType), col("cvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val centNorm = spark.read.json(s"$path/centnorm")
+      .select(col("cluster").cast(IntegerType), col("cn"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val books = readCodebooks(spark, s"$path/codebooks")
+    val subDim = books.head.head.size
+    val codesSchema = spark.read.parquet(s"$path/codes").schema
+    val listsSchema = spark.read.parquet(s"$path/ivf/lists").schema
+    val cdf = broadcast(centNorm.toDF("cluster", "cn"))
+    val encoded = batch
+      .select(col(idCol).cast(codesSchema("id").dataType).as("id"),
+        col(vecCol).cast(codesSchema("v").dataType).as("v"),
+        graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("__nv__"))
+      .withColumn("cluster", nearestCentroidExpr(col("v"), centroids))
+      .join(cdf, Seq("cluster"))
+      .withColumn("__res__", zip_with(col("__nv__"), col("cn"), (a, b) => a - b))
+      .withColumn("codes", pqEncodeExpr(col("__res__"), books, subDim))
+      .select(col("id"), col("cluster"), col("v"), col("codes"))
+      .localCheckpoint(true)
+    val touched = encoded.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    encoded.write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+    encoded
+      .select(col("id").cast(listsSchema("id").dataType).as("id"),
+        col("v").cast(listsSchema("v").dataType).as("v"), col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/ivf/lists")
+    touched
+  }
 }

@@ -774,6 +774,47 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(hits.head.getAs[String]("id") == "3", "appended row must self-hit after reload")
   }
 
+  test("residual ivfpq persisted append: touched dirs only in both layouts; reload probes the batch") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val baseIvf = Ann.ivfBuild(e.filter(col("vec_id") >= 5), "vec_id", "embedding", nLists = 8)
+    val base = Ann.ivfPqBuildResidual(baseIvf, m = 8, nCodes = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqappend").toString
+    Ann.ivfPqSave(base, dir)
+    def filesByCluster(sub: String): Map[Int, Set[String]] = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .map(c => c.getName.stripPrefix("cluster=").toInt ->
+          c.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val beforeCodes = filesByCluster("codes")
+    val beforeLists = filesByCluster("ivf/lists")
+    val touched = Ann.ivfPqAppendSave(spark, dir, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding")
+    assert(touched.nonEmpty)
+    val afterCodes = filesByCluster("codes")
+    val afterLists = filesByCluster("ivf/lists")
+    for ((c, files) <- beforeCodes if !touched.contains(c))
+      assert(afterCodes(c) == files, s"untouched codes dir $c was rewritten")
+    for ((c, files) <- beforeLists if !touched.contains(c))
+      assert(afterLists(c) == files, s"untouched lists dir $c was rewritten")
+    for (c <- touched) {
+      assert(afterCodes(c).size > beforeCodes.getOrElse(c, Set.empty[String]).size,
+        s"touched codes dir $c gained no files")
+      assert(afterLists(c).size > beforeLists.getOrElse(c, Set.empty[String]).size,
+        s"touched lists dir $c gained no files")
+    }
+    val back = Ann.ivfPqLoad(spark, dir)
+    assert(back.codes.count() == e.count())
+    assert(back.ivf.assigned.count() == e.count())
+    val q = e.filter(col("vec_id") < 5)
+    val approx = Ann.ivfPqResidualTopK(back, q, "vec_id", "embedding", k = 3, nProbe = 6)
+    val self = approx.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 5 && self.forall(identity),
+      "persisted-appended rows must self-hit after reload")
+  }
+
   test("pq append: plan-expression encoding matches KMeans.transform codes; residual append keeps contract") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val full = Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
