@@ -1868,6 +1868,78 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Streaming ingestion onto the PERSISTED dedup index
+    // (StreamingOps.dedupIngestStream): two deterministic microbatches
+    // (doc_id 300-399, then 400-499, mtime-ordered so the file source
+    // delivers them in sequence) each drop in-batch exact dups, anti-join
+    // the stored hashes, and append the accepted remainder. The stored id
+    // set afterwards is an exact SQL fold: all base ids, then per batch
+    // the min-id winner of each content group not yet in the index.
+    "stream_ingest_dedupidx" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val d = Tables.documents(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
+      DedupIndex.create(d.filter(col("doc_id") < 300), "doc_id", "text", idx,
+        portableHash = true)
+      val watch = java.nio.file.Files.createTempDirectory("graft_ingest_watch")
+      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = watch.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val batch1 = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val t0 = System.currentTimeMillis() - 120000
+      stage("b1", batch1, t0)
+      stage("b2", d.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+        .select(col("doc_id"), col("text")), t0 + 5000)
+      val st = s.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      val q = graft.streaming.StreamingOps.dedupIngestStream(st, idx, "doc_id", "text")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$idx/sigs").select(col("id")).orderBy(col("id"))
+    }),
+
+    // Streaming ANN ingestion onto a PERSISTED IVF index
+    // (StreamingOps.ivfIngestStream): vec_id<10 arrive as two appended
+    // microbatches assigned to the base index's existing centroids — no
+    // KMeans fit in the stream; the reloaded index then satisfies the
+    // same quality contract as ann_ivf_append.
+    "stream_ingest_ivf" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val e = Tables.embeddings(s, dir)
+      val base = Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding",
+        nLists = 16)
+      val path = java.nio.file.Files.createTempDirectory("graft_ingest_ivf").toString
+      Ann.ivfSave(base, path)
+      val watch = java.nio.file.Files.createTempDirectory("graft_ingest_ivf_watch")
+      val b1 = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+      def stage(name: String, df: DataFrame): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_ivfstage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
+      }
+      stage("v1", b1)
+      stage("v2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")))
+      val st = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      val sq = graft.streaming.StreamingOps.ivfIngestStream(st, path, "vec_id", "embedding")
+      try sq.processAllAvailable() finally sq.stop()
+      val q = e.filter(col("vec_id") < 10)
+      val approx = Ann.ivfTopK(Ann.ivfLoad(s, path), q, "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      ivfContract(approx, exact)
+    }),
+
     // Multimodal: binary payload metadata (deterministic byte stats).
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2578,6 +2650,29 @@ object SparkEntry {
 
     "ann_ivfpq_res_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "stream_ingest_ivf" ->
+      """SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    // exact fold of the two-microbatch ingest: base ids, then per batch
+    // the min-id winner of each content group whose md5 is not yet in
+    // the index (batch 2 probes base ∪ batch 1 = everything below its
+    // own id range, because accepted batch-1 hashes were appended)
+    "stream_ingest_dedupidx" ->
+      """WITH b1 AS (
+        |  SELECT min(doc_id) AS id FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 400
+        |    AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 300)
+        |  GROUP BY md5(text)),
+        |b2 AS (
+        |  SELECT min(doc_id) AS id FROM documents
+        |  WHERE doc_id >= 400 AND doc_id < 500
+        |    AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 400)
+        |  GROUP BY md5(text))
+        |SELECT id FROM (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT id FROM b1
+        |  UNION ALL SELECT id FROM b2) ORDER BY id""".stripMargin,
 
     // per-query structural invariants of the ranked probe output
     "ann_ivf_probe" ->

@@ -468,6 +468,55 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming dedup ingestion against the persisted index
+    * ([[graft.operators.DedupIndex]]): each microbatch (a) drops its
+    * own in-batch exact duplicates, (b) drops rows whose content the
+    * index has already accepted (md5 anti-join on the stored hashes —
+    * base text never read), and (c) APPENDS the accepted remainder's
+    * projections. Cost ∝ batch per step; the index grows append-only,
+    * so re-delivered content is idempotent at the content level and
+    * the stream never rebuilds anything. Near-dup (band/simhash)
+    * probes stay queries over the same index — gating on them is a
+    * policy decision left to the caller. foreachBatch serializes, so
+    * accepted batches append in arrival order. */
+  def dedupIngestStream(batches: DataFrame, indexPath: String,
+      idCol: String, textCol: String): StreamingQuery =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          import graft.operators.{Dedup, DedupIndex}
+          val fresh = Dedup.dropExactDups(b, idCol, Seq(textCol))
+          // materialize once: the append derives four projections from it
+          val accepted = DedupIndex
+            .filterExact(b.sparkSession, indexPath, fresh, textCol)
+            .localCheckpoint(true)
+          if (!accepted.isEmpty)
+            DedupIndex.append(accepted, idCol, textCol, indexPath)
+        }
+      }
+      .start()
+
+  /** Streaming ANN ingestion onto a PERSISTED IVF index
+    * ([[graft.operators.Ann.ivfSave]] layout): each microbatch assigns
+    * to the EXISTING centroids and appends only the landed clusters'
+    * directories ([[graft.operators.Ann.ivfAppendSave]]) — no KMeans
+    * fit anywhere in the stream, the cost-∝-batch ANN twin of
+    * [[upsertStream]]. Probes (`ivfLoad` + `ivfTopK`) pick up appended
+    * rows on their next index load; rebalancing on skew stays an
+    * offline decision ([[graft.operators.Ann.ivfRebalance]]). */
+  def ivfIngestStream(batches: DataFrame, indexPath: String,
+      idCol: String, vecCol: String): StreamingQuery =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          graft.operators.Ann.ivfAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
+          ()
+        }
+      }
+      .start()
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drain a bounded streaming DataFrame through the memory sink and hand

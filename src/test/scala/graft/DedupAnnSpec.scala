@@ -714,6 +714,80 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(hits >= 30, s"recall too low: $hits/50")
   }
 
+  test("streaming ingestion: dedup index accepts only new content; ivf index grows per batch") {
+    import graft.operators.DedupIndex
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    // --- dedup index ingest ---
+    val base = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val idxPath = Files.createTempDirectory("dedupingest").toString
+    DedupIndex.create(base, "doc_id", "text", idxPath)
+    val watch = Files.createTempDirectory("dedupingest_watch")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val staging = Files.createTempDirectory(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stage("b1", Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // already in index
+      (11L, "completely different content about query engines"),
+      (12L, "completely different content about query engines")) // in-batch dup
+      .toDF("doc_id", "text"), t0)
+    stage("b2", Seq(
+      (20L, "completely different content about query engines"), // accepted in b1
+      (21L, "spark catalyst optimizer rewrites logical plans"))  // new
+      .toDF("doc_id", "text"), t0 + 5000)
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    val q = graft.streaming.StreamingOps.dedupIngestStream(stream, idxPath, "doc_id", "text")
+    try q.processAllAvailable() finally q.stop()
+    // exactly one copy of each distinct content made it in: 1 base +
+    // 11 (first in-batch survivor) + 21
+    val storedIds = spark.read.parquet(s"$idxPath/sigs")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(storedIds == Set(1L, 11L, 21L), s"got $storedIds")
+    // a re-probe of any ingested content is now a dup
+    val reprobe = Seq((99L, "spark catalyst optimizer rewrites logical plans"))
+      .toDF("doc_id", "text")
+    assert(DedupIndex.filterExact(spark, idxPath, reprobe, "text").isEmpty)
+
+    // --- persisted ivf ingest ---
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val baseIvf = Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 4)
+    val ivfPath = Files.createTempDirectory("ivfingest").toString
+    Ann.ivfSave(baseIvf, ivfPath)
+    val ivfWatch = Files.createTempDirectory("ivfingest_watch")
+    val s1 = Files.createTempDirectory("ivfstage1")
+    e.filter(col("vec_id") < 5).select("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s1.toString)
+    val p1 = Files.list(s1).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(p1, ivfWatch.resolve("v1.parquet"))
+    val s2 = Files.createTempDirectory("ivfstage2")
+    e.filter(col("vec_id") >= 5 && col("vec_id") < 10).select("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s2.toString)
+    val p2 = Files.list(s2).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(p2, ivfWatch.resolve("v2.parquet"))
+    val vschema = spark.read.parquet(ivfWatch.toString).schema
+    val vstream = spark.readStream.schema(vschema).option("maxFilesPerTrigger", "1")
+      .parquet(ivfWatch.toString)
+    val vq = graft.streaming.StreamingOps.ivfIngestStream(vstream, ivfPath, "vec_id", "embedding")
+    try vq.processAllAvailable() finally vq.stop()
+    val back = Ann.ivfLoad(spark, ivfPath)
+    assert(back.assigned.count() == e.count())
+    val hits = Ann.ivfTopK(back, e.filter(col("vec_id") === 3), "vec_id", "embedding",
+      k = 3, nProbe = 2).collect()
+    assert(hits.head.getAs[String]("id") == "3", "stream-ingested row must self-hit")
+  }
+
   test("ivf append: no refit, rows land, recall parity with full rebuild") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val base = Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 8)
