@@ -1034,6 +1034,32 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup: SemDeDup-style semantic dedup — KMeans-cluster-blocked
+    // cosine near-dup, component survivors. The blocking is the engine's
+    // own coarse quantizer (not SQL-replicable), so the oracle is the
+    // contract form: the result must PARTITION the corpus (unique ids,
+    // exactly one min-id survivor per group), and every dropped row must
+    // have a within-cluster neighbor at cos >= tau (verified against the
+    // same pair generator the op consumed).
+    "dedup_semantic" -> ((s, dir) => {
+      val idx = cachedIvf(s, dir)
+      val r = Dedup.semanticDedup(idx.assigned, "id", "v", "cluster", tau = 0.3)
+        .localCheckpoint(true)
+      val pairIds = Dedup.semanticPairs(idx.assigned, "id", "v", "cluster", tau = 0.3)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val gOk = r.groupBy(col("group_id"))
+        .agg(min(col("id")).as("min_id"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .agg(min(col("min_id") === col("group_id")).as("lead_ok"),
+          min(col("n_keep") === 1L).as("one_keep"))
+      val dropOk = r.filter(!col("keep"))
+        .join(pairIds, Seq("id"), "left_anti")
+        .agg((count(lit(1)) === 0L).as("dropped_have_dup"))
+      r.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) === countDistinct(col("id"))).as("ids_unique"))
+        .crossJoin(gOk).crossJoin(dropOk)
+    }),
+
     // Dedup: multi-signal consensus — pairs both text-similar (3-gram
     // Jaccard on adjacent ids) AND embedding-similar (cosine in the same
     // id block). Composition of two oracle-checked operators; the kind
@@ -1369,6 +1395,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("source"))
+    }),
+
+    // Pipeline: deterministic sharded training output — writeShards
+    // routes each row to shard = md5-prefix(doc_id) mod 8, globally
+    // shuffled within the shard by an independent salted hash, plus a
+    // row-count manifest. The key reads the WRITTEN layout back and
+    // folds it per shard; the oracle recomputes the pure-key assignment
+    // in SQL, so routing, write, and readback are all value-checked.
+    "pipe_shards" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      graft.operators.Relational.writeShards(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+        "doc_id", out, nShards = 8)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast(LongType).as("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("text")).cast(LongType)).as("sum_len"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("shard"))
     }),
 
     // Pipeline: concat-and-chunk sequence packing per source shard —
@@ -2939,6 +2984,22 @@ object SparkEntry {
 
     // same md5-prefix hash as pipe_sample; rate keyed off the source's
     // numeric suffix (src0..src4 800, src5..src9 400, rest 100)
+    // pure-key recompute of the shard routing; n/sum_len/min_id fold the
+    // written layout the Spark side read back
+    "pipe_shards" ->
+      """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS shard,
+        |       count(*) AS n,
+        |       sum(octet_length(CAST(text AS BLOB))) AS sum_len,
+        |       min(doc_id) AS min_id
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // contract form (KMeans blocking is not SQL-replicable): exact row
+    // total from the table, invariants as booleans
+    "dedup_semantic" ->
+      """SELECT count(*) AS n_rows, TRUE AS ids_unique, TRUE AS lead_ok,
+        |       TRUE AS one_keep, TRUE AS dropped_have_dup
+        |FROM embeddings""".stripMargin,
+
     "pipe_mixture" ->
       """WITH r AS (SELECT *, CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 800
         |                          WHEN CAST(substr(source, 4) AS INT) < 10 THEN 400

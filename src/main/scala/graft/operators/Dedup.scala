@@ -722,4 +722,48 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Within-cluster embedding near-dup pairs — the candidate generator
+    * of [[semanticDedup]]. One equi self-join on the cluster id: pair
+    * volume is Σ|cluster|² / 2, so the coarse quantizer's list sizing is
+    * the scale knob (nLists ∝ corpus keeps E[cluster] constant;
+    * [[Ann.ivfRebalance]] splits skewed lists, which bounds the worst
+    * cluster too). The join carries (cluster, id, normalized vector)
+    * only; cosine == dot on the pre-normalized vectors, one dot per
+    * candidate pair. */
+  def semanticPairs(assigned: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, tau: Double): DataFrame = {
+    val v = assigned.select(col(clusterCol).as("__c__"), col(idCol).as("id"),
+      graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("v"))
+    v.select(col("__c__"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(v.select(col("__c__"), col("id").as("id_b"), col("v").as("v_b")), Seq("__c__"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", graft.functions.VectorFunctions.dotD(col("v_a"), col("v_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster-blocked cosine near-dup with component
+    * survivors. Candidates come from [[semanticPairs]] (pairs in
+    * DIFFERENT coarse clusters are never compared — the paper's
+    * approximation, which is what makes the op sub-quadratic), duplicate
+    * groups are the connected components of the threshold graph
+    * ([[connectedComponents]] — min-id label), and the deterministic
+    * survivor of each group is its smallest id (the paper keeps an
+    * arbitrary representative; min-id makes the choice
+    * engine-reproducible). Returns every input row as
+    * (id, group_id, keep): singletons keep trivially with
+    * group_id = id. */
+  def semanticDedup(assigned: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, tau: Double): DataFrame = {
+    val comps = connectedComponents(
+      semanticPairs(assigned, idCol, vecCol, clusterCol, tau)
+        .select(col("id_a"), col("id_b")))
+    assigned.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("group_id"),
+        (coalesce(col("component"), col("id")) === col("id")).as("keep"))
+  }
 }

@@ -50,6 +50,57 @@ object Relational {
     hash1000 < rate
   }
 
+  /** Deterministic shard assignment for training-data output: shard =
+    * first-48-md5-bits(key) mod nShards — a pure function of the key,
+    * in the same portable-hash family as [[hashSampleKeep]] (the
+    * md5-prefix value is uniform, so shards are balanced in
+    * expectation; any engine can recompute the assignment). */
+  def shardOf(key: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    (conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+      % nShards.toLong).cast(IntegerType)
+  }
+
+  /** Write a deterministically sharded-and-shuffled training dataset.
+    *
+    * The final step of a data pipeline before a training run wants a
+    * GLOBAL shuffle (no source/time locality within a shard) that is
+    * nevertheless REPRODUCIBLE. Both come from pure key functions:
+    * rows land in `shard=<k>/` by [[shardOf]] the id, and are ordered
+    * within the shard by an independent salted md5 of the id — so the
+    * (shard, position) of every row is a function of its id alone,
+    * independent of input partitioning, task scheduling, or engine.
+    * Two runs over the same rows produce row-identical shard files
+    * (spec-pinned), which makes training jobs resumable and data
+    * ablations diffable.
+    *
+    * One shuffle total: repartition on the shard column routes each
+    * shard's rows to one task (nShards output files — size shards to
+    * your training loader, e.g. 256 MB-1 GB each at 100 TB), and the
+    * within-partition sort is shuffle-free. A `_manifest.json` sidecar
+    * records per-shard row counts so loaders can size epochs without
+    * listing data files; the count pass aggregates to nShards rows
+    * before the driver sees it. */
+  def writeShards(df: DataFrame, idCol: String, path: String, nShards: Int): Unit = {
+    val spark = df.sparkSession
+    val withShard = df
+      .withColumn("shard", shardOf(col(idCol), nShards))
+      .withColumn("__ord__", md5(concat(lit("ord|"), col(idCol).cast("string"))))
+    withShard
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord__"), col(idCol))
+      .drop("__ord__")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val counts = withShard.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val shardsJson = counts
+      .map { case (s, n) => s"""{"shard": $s, "rows": $n}""" }.mkString(", ")
+    VectorStore.writeSidecar(spark, s"$path/_manifest.json",
+      s"""{"n_shards": $nShards, "total": ${counts.map(_._2).sum}, """ +
+        s""""order": "md5(ord|id)", "shards": [$shardsJson]}""")
+  }
+
   /** Two-phase salted sum for skewed grouping keys.
     *
     * Phase 1 aggregates on (keys, salt) so a hot key fans out over

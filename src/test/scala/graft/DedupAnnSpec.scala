@@ -788,6 +788,64 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(hits.head.getAs[String]("id") == "3", "stream-ingested row must self-hit")
   }
 
+  test("semantic dedup: cluster-blocked components, min-id survivors, cross-cluster pairs never compared") {
+    // two tight clusters on orthogonal axes + one far singleton; hand
+    // clusters stand in for the KMeans assignment (the op is blind to
+    // where the blocking came from)
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0),
+      (2L, Seq(0.999, 0.01, 0.0), 0),   // near-dup of 1
+      (3L, Seq(0.98, 0.05, 0.0), 0),    // near-dup of 1 and 2
+      (4L, Seq(0.0, 1.0, 0.0), 1),
+      (5L, Seq(0.0, 0.999, 0.01), 1),   // near-dup of 4
+      (6L, Seq(0.0, 0.0, 1.0), 1),      // same CLUSTER as 4/5 but not similar
+      (7L, Seq(1.0, 0.0, 0.0), 1))      // identical to 1 but OTHER cluster: must survive
+      .toDF("id", "v", "cluster")
+    val byId = Dedup.semanticDedup(rows, "id", "v", "cluster", tau = 0.95)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(byId.size == 7)
+    assert(byId(1L) == ((1L, true)))
+    assert(byId(2L) == ((1L, false)))
+    assert(byId(3L) == ((1L, false)))   // transitive member joins group 1
+    assert(byId(4L) == ((4L, true)))
+    assert(byId(5L) == ((4L, false)))
+    assert(byId(6L) == ((6L, true)))    // co-clustered but dissimilar: singleton
+    assert(byId(7L) == ((7L, true)))    // cross-cluster twin of 1 never compared
+  }
+
+  test("shard writer: pure-key routing, reproducible within-shard order, manifest counts") {
+    import graft.operators.Relational
+    import java.nio.file.Files
+    val d = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val out1 = Files.createTempDirectory("shards1").toString
+    val out2 = Files.createTempDirectory("shards2").toString
+    Relational.writeShards(d, "doc_id", out1, nShards = 4)
+    // second run over a DIFFERENT input partitioning must produce
+    // row-identical shard contents in the same order
+    Relational.writeShards(d.repartition(13), "doc_id", out2, nShards = 4)
+    for (s <- 0 until 4) {
+      def rows(base: String) = spark.read
+        .parquet(s"$base/shard=$s").select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val (a, b) = (rows(out1), rows(out2))
+      assert(a == b, s"shard $s differs between runs")
+      assert(a.toSet.forall(id =>
+        java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 12), 16) % 4 == s),
+        s"shard $s contains a misrouted id")
+    }
+    // manifest counts match the written layout
+    val manifest = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out1/_manifest.json")), "UTF-8"))
+    assert(manifest.get("n_shards").asInt() == 4)
+    assert(manifest.get("total").asLong() == d.count())
+    val it = manifest.get("shards").elements()
+    var total = 0L
+    while (it.hasNext) { total += it.next().get("rows").asLong() }
+    assert(total == d.count())
+  }
+
   test("ivf append: no refit, rows land, recall parity with full rebuild") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val base = Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 8)

@@ -161,4 +161,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("simchunks"), "probe must read the stored projection")
     assert(p.contains("PushedFilters") && p.contains("doc_id"))
   }
+
+  test("semantic dedup pairs: cluster self-join stays equi, never cartesian") {
+    import org.apache.spark.sql.functions.col
+    val idx = SparkEntry.cachedIvf(spark, TestSpark.sf)
+    val p = graft.operators.Dedup
+      .semanticPairs(idx.assigned, "id", "v", "cluster", tau = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Join"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"within-cluster candidate generation must stay an equi join:\n$p")
+  }
+
+  test("shard writer readback: shard predicate prunes to one partition directory") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_plan").toString
+    graft.operators.Relational.writeShards(
+      Tables.documents(spark, TestSpark.sf).select(col("doc_id"), col("text")),
+      "doc_id", out, nShards = 4)
+    val q = spark.read.parquet(out).filter(col("shard") === 2)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // partition pruning, not a post-scan filter: a training loader
+    // reading one shard must touch one directory
+    assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+      s"shard filter must prune partitions:\n$scan")
+    assert(q.count() > 0)
+  }
 }
