@@ -1302,6 +1302,45 @@ object SparkEntry {
       ivfContract(approx, exact)
     }),
 
+    // ANN: skew-triggered maintenance of the persisted IVF layout — a
+    // hot appended batch (300 jittered near-copies of one vector, all
+    // landing in one cluster) trips ivfMaintain, which rebalances and
+    // swaps the on-disk layout atomically; probes on the reloaded index
+    // keep the quality contract against brute force over base ∪ batch.
+    "ann_ivf_maintain" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val base = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_maint").toString
+      Ann.ivfSave(base, path)
+      val hot = e.filter(col("vec_id") === 42)
+        .select(col("embedding").cast("array<double>").as("v"))
+      val batch = s.range(300).crossJoin(hot)
+        .select((col("id") + 1000000L).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + when(i === 0, (col("id").cast("double") + 1.0) * 1e-4).otherwise(lit(0.0)))
+            .as("embedding"))
+      Ann.ivfAppendSave(s, path, batch, "vec_id", "embedding")
+      val mxBefore = s.read.parquet(s"$path/lists")
+        .groupBy(col("cluster")).count().agg(max(col("count"))).head.getLong(0)
+      val ran = Ann.ivfMaintain(s, path, maxFactor = 2.0)
+      val after = s.read.parquet(s"$path/lists")
+      val mxAfter = after.groupBy(col("cluster")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      val corpus = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .unionByName(batch.select(col("vec_id"), col("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+      // post-split there are more, smaller lists than the build's 8 —
+      // probe wider so each query still covers its share of the space
+      val approx = Ann.ivfTopK(Ann.ivfLoad(s, path), q, "vec_id", "embedding",
+        k = 3, nProbe = 6)
+      val exact = Ann.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      ivfContract(approx, exact)
+        .crossJoin(after.agg((count(lit(1)) === e.count() + 300L).as("rows_preserved")))
+        .withColumn("rebalanced", lit(ran))
+        .withColumn("hot_list_shrunk", lit(mxAfter < mxBefore))
+    }),
+
     // ANN: incremental PQ maintenance — codebooks fitted on the base
     // corpus only; the query vectors arrive as an appended batch encoded
     // by plan-literal argmin (no refit). Exact re-rank restores rank-1
@@ -2689,6 +2728,10 @@ object SparkEntry {
     // the append landed)
     "ann_ivf_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_ivf_maintain" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
+        |       TRUE AS rows_preserved, TRUE AS rebalanced, TRUE AS hot_list_shrunk""".stripMargin,
 
     "ann_pq_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",

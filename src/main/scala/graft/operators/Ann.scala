@@ -886,6 +886,42 @@ object Ann {
     touched
   }
 
+  /** Skew-triggered maintenance for a PERSISTED IVF layout — the
+    * offline half of the ingest loop [[ivfAppendSave]] leaves open:
+    * append-only writes concentrate drifted batches into hot lists, and
+    * a hot list makes every probe that selects it scan far more than
+    * its share (one partition directory dominates). Loads the layout,
+    * runs [[ivfRebalance]] (which itself decides skew from the list
+    * sizes — a partition-column-only count scan, no payload bytes), and
+    * iff anything was split, swaps the rewritten lists + centroid
+    * sidecar in via write-to-staging + rename — a reader never sees a
+    * half-written layout (rebalance materializes before the swap, so it
+    * also never reads what it is replacing). Returns true iff a
+    * rebalance ran; call it from the ingest scheduler after
+    * [[ivfAppendSave]] whenever the returned touched-cluster list grew
+    * a directory past the bound. */
+  def ivfMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFactor: Double = 2.0, seed: Long = 42L, maxIter: Int = 5): Boolean = {
+    val idx = ivfLoad(spark, path)
+    val reb = ivfRebalance(idx, maxFactor, seed, maxIter)
+    if (reb eq idx) return false
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listsTmp = new org.apache.hadoop.fs.Path(s"$path/lists__rebalancing")
+    val centsTmp = new org.apache.hadoop.fs.Path(s"$path/centroids__rebalancing")
+    reb.assigned.write.mode("overwrite").partitionBy("cluster").parquet(listsTmp.toString)
+    reb.centroids.toDF("cluster", "cvec")
+      .coalesce(1).write.mode("overwrite").json(centsTmp.toString)
+    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    fs.delete(lists, true)
+    require(fs.rename(listsTmp, lists), s"rename of rebalanced lists failed under $path")
+    fs.delete(cents, true)
+    require(fs.rename(centsTmp, cents), s"rename of rebalanced centroids failed under $path")
+    true
+  }
+
   /** Incremental PQ maintenance: encode a new batch with the EXISTING
     * codebooks (plan-literal argmin per subspace — no KMeans fit) and
     * union it into the code table. Codebooks fitted on the base corpus

@@ -846,6 +846,39 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(total == d.count())
   }
 
+  test("ivf maintain: persisted layout rebalances only when skewed; probes survive the swap") {
+    import java.nio.file.Files
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val base = Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 8)
+    val path = Files.createTempDirectory("ivfmaint").toString
+    Ann.ivfSave(base, path)
+    val listsBefore = spark.read.parquet(s"$path/lists").count()
+    // fresh layout, generous bound: no-op, nothing rewritten
+    assert(!Ann.ivfMaintain(spark, path, maxFactor = 100.0))
+    // skew it: 300 jittered near-copies of one vector land in one cluster
+    // (jitter keeps them distinct so the local re-fit can split them)
+    val hot = e.filter(col("vec_id") === 42)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val batch = spark.range(300).crossJoin(hot)
+      .select((col("id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + when(i === 0, (col("id").cast("double") + 1.0) * 1e-4).otherwise(lit(0.0)))
+          .as("embedding"))
+    Ann.ivfAppendSave(spark, path, batch, "vec_id", "embedding")
+    val sizesBefore = spark.read.parquet(s"$path/lists")
+      .groupBy(col("cluster")).count().collect().map(_.getLong(1))
+    assert(Ann.ivfMaintain(spark, path, maxFactor = 2.0), "skewed layout must rebalance")
+    val after = spark.read.parquet(s"$path/lists")
+    val sizesAfter = after.groupBy(col("cluster")).count().collect().map(_.getLong(1))
+    assert(after.count() == listsBefore + 300, "rows must survive the swap")
+    assert(sizesAfter.max < sizesBefore.max, "hot list must shrink")
+    assert(sizesAfter.length > sizesBefore.length, "split must add lists")
+    // probes on the swapped layout: the hot vector still self-hits
+    val hits = Ann.ivfTopK(Ann.ivfLoad(spark, path),
+      e.filter(col("vec_id") === 42), "vec_id", "embedding", k = 3, nProbe = 4).collect()
+    assert(hits.head.getAs[String]("id") == "42")
+  }
+
   test("ivf append: no refit, rows land, recall parity with full rebuild") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val base = Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 8)
