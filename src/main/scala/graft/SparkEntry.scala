@@ -1451,8 +1451,39 @@ object SparkEntry {
         .groupBy(col("shard").cast(LongType).as("shard"))
         .agg(count(lit(1)).as("n"),
           sum(octet_length(col("text")).cast(LongType)).as("sum_len"),
-          min(col("doc_id")).as("min_id"))
+          min(col("doc_id")).as("min_id"),
+          sum(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+            .cast(LongType) % 2147483648L).as("ids_chk"))
         .orderBy(col("shard"))
+    }),
+
+    // Dedup: semantic dedup over a TEXT corpus — char-bigram random-sign
+    // embeddings, clustered by the engine's coarse quantizer, component
+    // survivors. Same contract form as dedup_semantic; tau high enough
+    // that groups are dominated by exact/near-identical texts.
+    "dedup_semantic_text" -> ((s, dir) => {
+      // the corpus slice has no exact-dup texts, so plant 50 (copies of
+      // doc_id<50 under new ids): identical texts embed identically and
+      // land in the same cluster, so a correct op MUST group them — the
+      // survivor bound below is non-vacuous at every sf
+      val d0 = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val d = d0.unionByName(d0.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      val r = Dedup.semanticDedupText(d, "doc_id", "text", tau = 0.92, dim = 16,
+          nLists = 8)
+        .localCheckpoint(true)
+      val gOk = r.groupBy(col("group_id"))
+        .agg(min(col("id")).as("min_id"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .agg(min(col("min_id") === col("group_id")).as("lead_ok"),
+          min(col("n_keep") === 1L).as("one_keep"))
+      val nDistinct = d.select(col("text")).distinct().count()
+      r.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) === countDistinct(col("id"))).as("ids_unique"),
+          (sum(when(col("keep"), 1L).otherwise(0L)) <= lit(nDistinct))
+            .as("exact_dups_grouped"))
+        .crossJoin(gOk)
     }),
 
     // Pipeline: concat-and-chunk sequence packing per source shard —
@@ -3033,8 +3064,16 @@ object SparkEntry {
       """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS shard,
         |       count(*) AS n,
         |       sum(octet_length(CAST(text AS BLOB))) AS sum_len,
-        |       min(doc_id) AS min_id
+        |       min(doc_id) AS min_id,
+        |       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |                % 2147483648) AS BIGINT) AS ids_chk
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "dedup_semantic_text" ->
+      """SELECT CAST(count(*) + sum(CASE WHEN doc_id < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+        |       TRUE AS ids_unique, TRUE AS exact_dups_grouped,
+        |       TRUE AS lead_ok, TRUE AS one_keep
+        |FROM documents WHERE doc_id < 300""".stripMargin,
 
     // contract form (KMeans blocking is not SQL-replicable): exact row
     // total from the table, invariants as booleans

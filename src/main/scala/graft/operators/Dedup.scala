@@ -743,6 +743,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Deterministic text embedding for corpora without a vector column:
+    * a random-signs (JL-style) projection of the char-bigram count
+    * vector. Each bigram is hashed ONCE (xxhash64); dimension j takes
+    * the bigram's count with the sign of hash bit j, so
+    * `emb[j] = Σ_g c_g · (±1)_gj` — the SimHash accumulator kept as a
+    * vector instead of collapsed to signs. Cosine on these vectors
+    * approximates cosine on the bigram counts. Everything is per-row
+    * expression work (no shuffle, no UDF); the inner fold is cheap
+    * integer arithmetic — the hash is hoisted out of the per-dimension
+    * loop, so cost is |bigrams| digests + |bigrams|·dim adds per row.
+    * dim ≤ 63 (one 64-bit hash supplies the sign bits). */
+  def textEmbedding(text: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 63, s"dim must be in [1, 63], got $dim")
+    val hashed = transform(
+      map_entries(graft.functions.PortableHashes.charBigramCounts(text)),
+      e => struct(xxhash64(e.getField("key")).as("h"),
+        e.getField("value").cast(DoubleType).as("c")))
+    val zeros = array((0 until dim).map(_ => lit(0.0)): _*)
+    aggregate(hashed, zeros, (acc, e) =>
+      zip_with(acc,
+        array((0 until dim).map(j => e.getField("c") *
+          (shiftright(e.getField("h"), j).bitwiseAND(lit(1L)).cast(DoubleType) * 2.0
+            - 1.0)): _*),
+        (a, s) => a + s))
+  }
+
+  /** [[semanticDedup]] for TEXT corpora: derive [[textEmbedding]]
+    * vectors, cluster them ([[Ann.ivfBuild]] — the same coarse
+    * quantizer the ANN side uses), and dedup within clusters.
+    * Exact-duplicate texts produce identical embeddings (cos = 1), so
+    * they always group; near-dup texts group when their bigram
+    * distributions agree past tau. Complements the lexical families:
+    * MinHash sees shared shingles, SimHash shared tokens — this sees
+    * character-distribution similarity, robust to token reordering. */
+  def semanticDedupText(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, dim: Int = 16, nLists: Int = 16): DataFrame = {
+    val emb = df.select(col(idCol), textEmbedding(col(textCol), dim).as("__emb__"))
+    val idx = Ann.ivfBuild(emb, idCol, "__emb__", nLists)
+    semanticDedup(idx.assigned, "id", "v", "cluster", tau)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster-blocked cosine near-dup with component
     * survivors. Candidates come from [[semanticPairs]] (pairs in

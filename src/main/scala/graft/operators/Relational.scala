@@ -91,11 +91,18 @@ object Relational {
       .sortWithinPartitions(col("shard"), col("__ord__"), col(idCol))
       .drop("__ord__")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // per-shard integrity checksum: order-insensitive sum of a 31-bit
+    // md5-prefix per id (31 bits so a 4-billion-row shard still fits the
+    // BIGINT sum) — any engine can recompute it from ids alone, so a
+    // loader can verify a shard without trusting the writer
+    val idChk = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long") % 2147483648L)
     val counts = withShard.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .agg(count(lit(1)).as("n"), sum(idChk).as("chk")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val shardsJson = counts
-      .map { case (s, n) => s"""{"shard": $s, "rows": $n}""" }.mkString(", ")
+      .map { case (s, n, c) => s"""{"shard": $s, "rows": $n, "ids_chk": $c}""" }
+      .mkString(", ")
     VectorStore.writeSidecar(spark, s"$path/_manifest.json",
       s"""{"n_shards": $nShards, "total": ${counts.map(_._2).sum}, """ +
         s""""order": "md5(ord|id)", "shards": [$shardsJson]}""")

@@ -842,8 +842,40 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(manifest.get("total").asLong() == d.count())
     val it = manifest.get("shards").elements()
     var total = 0L
-    while (it.hasNext) { total += it.next().get("rows").asLong() }
+    val chkByShard = scala.collection.mutable.Map[Int, Long]()
+    while (it.hasNext) {
+      val n = it.next()
+      total += n.get("rows").asLong()
+      chkByShard(n.get("shard").asInt()) = n.get("ids_chk").asLong()
+    }
     assert(total == d.count())
+    // integrity checksum: recomputable from the shard's ids alone
+    for (s <- 0 until 4) {
+      val ids = spark.read.parquet(s"$out1/shard=$s")
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val expect = ids.map(id => java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 12),
+        16) % 2147483648L).sum
+      assert(chkByShard(s) == expect, s"shard $s checksum mismatch")
+    }
+  }
+
+  test("text embedding + semantic text dedup: exact dups collapse, embeddings deterministic") {
+    val m = docs.select(col("doc_id"), Dedup.textEmbedding(col("text"), 16).as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(m(1L) == m(2L), "identical texts must embed identically")
+    assert(m(1L) != m(4L), "different texts must embed differently")
+    assert(m.values.forall(_.exists(_ != 0.0)), "no zero vectors")
+    // second evaluation bit-identical (pure function of the text)
+    val m2 = docs.select(col("doc_id"), Dedup.textEmbedding(col("text"), 16).as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(m == m2)
+    val r = Dedup.semanticDedupText(docs, "doc_id", "text", tau = 0.99, dim = 16,
+        nLists = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r(1L)._2, "survivor of the exact-dup group")
+    assert(r(2L) == ((1L, false)), "exact dup must drop into 1's group")
+    assert(r(4L)._2 && r(5L)._2, "distinct contents survive")
   }
 
   test("ivf maintain: persisted layout rebalances only when skewed; probes survive the swap") {
