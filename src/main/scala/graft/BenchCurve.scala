@@ -18,12 +18,17 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchCurve {
 
-  /** Headline keys with genuinely sf-scaling inputs (see Scaladoc). */
+  /** Headline keys with genuinely sf-scaling inputs (see Scaladoc).
+    * Round-8 additions: pipe_shards (one shuffle over documents),
+    * dedup_semantic / dedup_semantic_text (cluster-blocked pair joins
+    * whose within-cluster volume is the quantity to watch), and
+    * ann_ivf_topk (build + probe over the scaling embeddings). */
   private val keys = Seq(
     "q1_agg", "q5_join_agg", "q6_filter_sum", "q14_promo", "q_window",
     "q_salted_agg", "events_hourly", "events_funnel",
     "text_stats", "text_langid", "dedup_exact", "dedup_simhash",
-    "o3_topk", "pipe_e2e")
+    "o3_topk", "pipe_e2e",
+    "pipe_shards", "dedup_semantic", "dedup_semantic_text", "ann_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val sfs =

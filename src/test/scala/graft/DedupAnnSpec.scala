@@ -860,6 +860,44 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup family triangulation: each lens sees its own near-dup class and misses the others'") {
+    // 1/2 exact dups; 3 = token REORDER of 1; 4 = one-token substitution
+    // of 1; 5 = unrelated. Every family is deterministic, so the found
+    // pair sets are pinned exactly.
+    val tri = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (5L, "totally unrelated content about spark physical plans here"))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // MinHash (shingle lens): sees the substitution (7/9 shared
+    // shingles), is BLIND to the reorder — a reversed sentence shares no
+    // 3-shingle with the original
+    val mh = pairSet(Dedup.minhashLshPairs(tri, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8))
+    assert(mh == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // SimHash (token-bag lens): reorder is INVISIBLE (hamming 0), the
+    // substitution falls outside radius 3
+    val sh = pairSet(Dedup.simhashPairs(tri, "doc_id", "text", maxHamming = 3))
+    assert(sh == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // semantic (char-distribution lens): sees ALL THREE dup classes —
+    // exact at cos 1, reorder at ~0.992, substitution at ~0.963 — and
+    // rejects unrelated content outright (cos < 0)
+    val embedded = tri.withColumn("c", lit(0))
+      .withColumn("emb", Dedup.textEmbedding(col("text"), 16))
+    val sem = pairSet(Dedup.semanticPairs(embedded, "doc_id", "emb", "c", tau = 0.9))
+    assert(sem == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)))
+    val cosOf = Dedup.semanticPairs(embedded, "doc_id", "emb", "c", tau = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cosOf((1L, 2L)) == 1.0)
+    assert(cosOf((1L, 3L)) > 0.99 && cosOf((1L, 4L)) > 0.96)
+    assert(cosOf((1L, 5L)) < 0.0, "unrelated content must score below zero")
+  }
+
   test("text embedding + semantic text dedup: exact dups collapse, embeddings deterministic") {
     val m = docs.select(col("doc_id"), Dedup.textEmbedding(col("text"), 16).as("emb"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
