@@ -58,6 +58,20 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", m = 8, nCodes = 16)
     })
 
+  /** Per-JVM OPQ index cache — built once per sf dir and round-tripped
+    * through [[graft.operators.Ann.opqSave]]/[[graft.operators.Ann.opqLoad]]
+    * so the registered query also exercises the persisted layout (same
+    * posture as [[cachedIvf]]). */
+  private val opqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.OpqIndex]()
+  private[graft] def cachedOpq(s: SparkSession, dir: String): graft.operators.Ann.OpqIndex =
+    opqCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft_opq_idx").toString
+      val idx = graft.operators.Ann.opqBuild(
+        Tables.embeddings(s, dir), "vec_id", "embedding", m = 8, nCodes = 16)
+      graft.operators.Ann.opqSave(idx, path)
+      graft.operators.Ann.opqLoad(s, path)
+    })
+
   /** Per-JVM persisted dedup-index cache (create once per sf dir, like
     * [[cachedIvf]] — the index is the amortized artifact; probes are
     * what the registered query measures). */
@@ -1218,6 +1232,23 @@ object SparkEntry {
       val approx = Ann.pqTopK(cachedPq(s, dir), q, "vec_id", "embedding", k = 3)
       // pqTopK's qid is STRING (driver-table key); align the exact side
       // so the contract joins string=string, not via numeric coercion
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+    }),
+
+    // ANN: OPQ — an orthogonal rotation (parametric OPQ: PCA + eigenvalue
+    // allocation) learned from the corpus balances variance across the PQ
+    // subspaces before encoding; the stored codes are plain PQ codes in
+    // the rotated space and queries rotate once (codegen mat-vec) on the
+    // Q-sized side. Rotation+codebooks are engine-specific, so the check
+    // is the same engine-independent contract as PQ: self at rank 1
+    // (exact re-rank in the rotated space preserves cosine by
+    // orthogonality), recall@k vs brute force >= floor.
+    "ann_opq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.opqTopK(cachedOpq(s, dir), q, "vec_id", "embedding", k = 3)
       val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
         .withColumn("qid", col("qid").cast(StringType))
       ivfContract(approx, exact)
@@ -2733,6 +2764,10 @@ object SparkEntry {
 
     // PQ + exact rerank: same engine-independent contract booleans
     "ann_pq" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    // OPQ: rotation + codebooks are engine-specific; same contract
+    "ann_opq" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
     "ann_ivfpq" ->

@@ -1011,4 +1011,120 @@ object Ann {
       .write.mode("append").partitionBy("cluster").parquet(s"$path/ivf/lists")
     touched
   }
+
+  // ------------------------------------------ optimized product quantization
+  /** OPQ index: an orthogonal rotation learned from the corpus, then a
+    * plain PQ index fit in the ROTATED space. Query-time cost is one
+    * extra mat-vec on the Q-sized query side only — the stored codes are
+    * ordinary PQ codes, so every scan/ADC/re-rank property of [[PqIndex]]
+    * carries over unchanged. */
+  final case class OpqIndex(
+      rotation: Seq[Seq[Double]], // dim×dim orthogonal, y = R x (rows are basis vectors)
+      pq: PqIndex)
+
+  /** Learn the parametric-OPQ rotation (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 — the closed-form PCA + eigenvalue-
+    * allocation solution, not the iterated Procrustes one): eigen-
+    * decompose the corpus covariance, then deal the eigenvectors into
+    * the `m` subspaces so each subspace's eigenvalue PRODUCT (≈ its
+    * quantization-error share) is balanced — greedy assignment of
+    * eigenvalues in descending order to the subspace with the smallest
+    * current log-product. Plain PQ slices the raw axes, so a corpus
+    * whose variance concentrates in a few correlated directions wastes
+    * most of its code budget on near-constant subspaces; the rotation
+    * spends the same m×log2(nCodes) bits evenly.
+    *
+    * The covariance is one distributed pass ([[org.apache.spark.mllib
+    * .linalg.distributed.RowMatrix#computeCovariance]] — the public
+    * Spark API for a distributed Gram/covariance; `ml.stat.Summarizer`
+    * has no covariance metric, which is why this one call drops to the
+    * RDD layer). The dim×dim eigendecomposition is driver-side breeze —
+    * at dim=1024 that is a 1M-double local matrix, trivially
+    * driver-sized at any corpus scale. Rotating by R (orthonormal rows)
+    * preserves dot products and norms exactly in math and to FP
+    * round-off in practice, so cosine in the rotated space IS cosine in
+    * the original space. */
+  def opqRotation(data: DataFrame, vecCol: String, m: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val dim = data.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val rm = new RowMatrix(data.select(col(vecCol)).rdd
+      .map(r => OldVectors.dense(r.getSeq[Double](0).toArray)))
+    val cov = rm.computeCovariance()
+    // both mllib DenseMatrix.toArray and the breeze ctor are column-major
+    val covB = new breeze.linalg.DenseMatrix(dim, dim, cov.toArray)
+    val es = breeze.linalg.eigSym(covB)
+    // descending eigenvalue order; eigenvectors are the matrix columns
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i))
+    val logEig = order.map(i => math.log(math.max(es.eigenvalues(i), 1e-12)))
+    val bucketOf = new Array[Int](dim) // position in `order` -> subspace
+    val bucketLog = Array.fill(m)(0.0)
+    val bucketFill = Array.fill(m)(0)
+    for (p <- 0 until dim) {
+      val j = (0 until m).filter(bucketFill(_) < subDim).minBy(b => (bucketLog(b), b))
+      bucketOf(p) = j; bucketLog(j) += logEig(p); bucketFill(j) += 1
+    }
+    // row r of R = the eigenvector (a column of es.eigenvectors) dealt
+    // to bucket r/subDim, in assignment order within the bucket
+    (0 until m).flatMap { j =>
+      (0 until dim).filter(p => bucketOf(p) == j).map { p =>
+        val c = order(p)
+        (0 until dim).map(r => es.eigenvectors(r, c)).toVector
+      }
+    }
+  }
+
+  /** Build an OPQ index: learn the rotation on the unit-normalized
+    * corpus, rotate (codegen [[graft.functions.MatVecMul]] — the
+    * rotation rides the plan as a reference object, never inlined into
+    * codegen source), then fit plain PQ in the rotated space. Rotated
+    * unit vectors are still unit, so [[pqBuild]]'s internal re-normalize
+    * is an FP no-op and the ADC ≈ cosine identity of [[pqTopK]] holds
+    * verbatim. */
+  def opqBuild(data: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, nCodes: Int = 16, seed: Long = 42L, maxIter: Int = 5): OpqIndex = {
+    val nv = graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false)
+    val normed = data.select(col(idCol).as("id"), nv.as("__nv__")).cache()
+    val rot = opqRotation(normed, "__nv__", m)
+    val rotated = normed.select(col("id"),
+      graft.functions.MatVec.matvec(rot, col("__nv__")).as("__rv__"))
+    val pq = pqBuild(rotated, "id", "__rv__", m, nCodes, seed, maxIter)
+    normed.unpersist()
+    OpqIndex(rot, pq)
+  }
+
+  /** OPQ top-k: rotate the (Q-sized) query side with the index's
+    * rotation, then run the stock PQ ADC scan + exact re-rank. Scores
+    * are exact cosines computed in the rotated space — equal to
+    * original-space cosines by orthogonality (to FP round-off, inside
+    * the 6-decimal output rounding). */
+  def opqTopK(index: OpqIndex, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, rerankFactor: Int = 8): DataFrame = {
+    val nv = graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false)
+    val rq = queries.select(col(qidCol).as("qid"),
+      graft.functions.MatVec.matvec(index.rotation, nv).as("__rq__"))
+    pqTopK(index.pq, rq, "qid", "__rq__", k, rerankFactor)
+  }
+
+  /** Persist an OPQ index: rotation as a JSON sidecar + the stock PQ
+    * layout ([[pqSave]]). */
+  def opqSave(index: OpqIndex, path: String): Unit = {
+    val spark = index.pq.codes.sparkSession
+    import spark.implicits._
+    pqSave(index.pq, s"$path/pq")
+    index.rotation.zipWithIndex.map { case (rv, r) => (r, rv) }
+      .toDF("row", "rvec")
+      .coalesce(1).write.mode("overwrite").json(s"$path/rotation")
+  }
+
+  /** Load a persisted OPQ index. */
+  def opqLoad(spark: org.apache.spark.sql.SparkSession, path: String): OpqIndex = {
+    val rot = spark.read.json(s"$path/rotation")
+      .select(col("row").cast(IntegerType), col("rvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1).map(_._2).toSeq
+    OpqIndex(rot, pqLoad(spark, s"$path/pq"))
+  }
 }

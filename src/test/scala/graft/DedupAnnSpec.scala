@@ -1081,4 +1081,54 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(self.length == 10 && self.forall(identity),
       "residual-appended rows must self-hit at rank 1")
   }
+
+  test("opq: rotation orthonormal and cosine-preserving; self-hit and recall vs brute force") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val idx = Ann.opqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    // R R^T = I to FP tolerance — the rotation is exactly orthonormal in
+    // math (rows are eigenvectors of a symmetric matrix), so any drift
+    // here is a bookkeeping bug, not round-off
+    val R = idx.rotation.map(_.toArray).toArray
+    val dim = R.length
+    assert(dim == 64 && R.forall(_.length == dim))
+    for (i <- 0 until dim; j <- i until dim) {
+      var s = 0.0; var c = 0
+      while (c < dim) { s += R(i)(c) * R(j)(c); c += 1 }
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(s - want) < 1e-8, s"RR^T[$i][$j] = $s")
+    }
+    val q = e.filter(col("vec_id") < 10)
+    val approx = Ann.opqTopK(idx, q, "vec_id", "embedding", k = 5)
+    // exact re-rank in the rotated space => recalled self still ranks 1
+    val self = approx.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 10 && self.forall(identity))
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 5)
+      .withColumn("qid", col("qid").cast("string"))
+    val hits = approx.join(exact, Seq("qid", "id"), "left_semi").count()
+    assert(hits >= 30, s"opq recall too low: $hits/50")
+    // orthogonality preserves dot products: rotated-space re-rank scores
+    // equal original-space cosines on the shared hits (both sides round
+    // their output to 6 decimals, so allow one ulp of that rounding)
+    val maxDrift = approx.select(col("qid"), col("id"), col("score").as("s_rot"))
+      .join(exact.select(col("qid"), col("id"), col("score").as("s_orig")), Seq("qid", "id"))
+      .select(abs(col("s_rot") - col("s_orig")).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(maxDrift <= 2e-6, s"rotated-space cosine drifted: $maxDrift")
+  }
+
+  test("opq: save/load round trip gives identical query results") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val idx = Ann.opqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    val dir = java.nio.file.Files.createTempDirectory("opqsave").toString
+    Ann.opqSave(idx, dir)
+    val back = Ann.opqLoad(spark, dir)
+    assert(back.rotation == idx.rotation, "rotation must round-trip exactly (JSON doubles)")
+    assert(back.pq.m == idx.pq.m && back.pq.codebooks == idx.pq.codebooks)
+    val q = e.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(key(Ann.opqTopK(back, q, "vec_id", "embedding", k = 3).select("qid", "rank", "id")) ==
+      key(Ann.opqTopK(idx, q, "vec_id", "embedding", k = 3).select("qid", "rank", "id")))
+  }
 }

@@ -134,4 +134,41 @@ class FunctionsSpec extends AnyFunSuite {
     val k10 = st.query(q, 10).select("__id__").as[String].collect().toSeq
     assert(k10.take(5) == k5)
   }
+
+  test("matvec: value table, float input widening, null-as-zero, length mismatch throws") {
+    import graft.functions.MatVec.matvec
+    // 2x3 * [1,2,3] = [1*1+2*2+3*3, 4*1+5*2+6*3] = [14, 32]
+    val m = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))
+    val got = Seq(Seq(1.0, 2.0, 3.0)).toDF("v")
+      .select(matvec(m, col("v")).as("y")).head().getSeq[Double](0)
+    assert(got == Seq(14.0, 32.0))
+    // float input widens to double before multiply (same as the dot kernel)
+    val gotF = Seq(Seq(1f, 2f, 3f)).toDF("v")
+      .select(matvec(m, col("v")).as("y")).head().getSeq[Double](0)
+    assert(gotF == Seq(14.0, 32.0))
+    // null element reads as 0.0, mirroring every other vector kernel
+    val gotN = Seq(Seq[java.lang.Double](1.0, null, 3.0)).toDF("v")
+      .select(matvec(m, col("v")).as("y")).head().getSeq[Double](0)
+    assert(gotN == Seq(1.0 + 9.0, 4.0 + 18.0))
+    // wrong dimensionality is corruption, not data
+    val ex = intercept[Exception] {
+      Seq(Seq(1.0, 2.0)).toDF("v").select(matvec(m, col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("matvec") || ex.getCause.getMessage.contains("matvec"))
+  }
+
+  test("matvec: codegen path agrees with an interpreted HOF formulation on random data") {
+    import graft.functions.MatVec.matvec
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val m = Seq.fill(dim)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val vecs = Seq.fill(20)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("v")
+    val viaExpr = df.select(matvec(m, col("v")).as("y")).collect().map(_.getSeq[Double](0))
+    // reference fold: same left-to-right double accumulation per row
+    val viaLocal = vecs.map(v => m.map(row => row.zip(v).foldLeft(0.0) { case (s, (a, b)) => s + a * b }))
+    viaExpr.zip(viaLocal).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"codegen $x != fold $y") }
+    }
+  }
 }
