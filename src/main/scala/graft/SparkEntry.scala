@@ -1388,6 +1388,22 @@ object SparkEntry {
       ivfContract(approx, exact)
     }),
 
+    // ANN: incremental OPQ maintenance — the rotation is a fixed linear
+    // map learned from the base corpus, so an appended batch just
+    // rotates through it and encodes by plan-literal argmin (zero fits,
+    // like ann_pq_append). Same self-hit/recall contract.
+    "ann_opq_append" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val base = Ann.opqBuild(e.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        m = 8, nCodes = 16)
+      val idx = Ann.opqAppend(base, q, "vec_id", "embedding")
+      val approx = Ann.opqTopK(idx, q, "vec_id", "embedding", k = 3)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+    }),
+
     // ANN: incremental residual IVF×PQ maintenance — the full composed
     // index absorbs the appended batch (coarse assign + residual encode
     // against existing centroids/codebooks, zero fits); contract as in
@@ -2800,6 +2816,9 @@ object SparkEntry {
         |       TRUE AS rows_preserved, TRUE AS rebalanced, TRUE AS hot_list_shrunk""".stripMargin,
 
     "ann_pq_append" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_opq_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
     "ann_ivfpq_res_append" ->

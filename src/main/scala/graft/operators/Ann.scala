@@ -1063,7 +1063,13 @@ object Ann {
     val bucketLog = Array.fill(m)(0.0)
     val bucketFill = Array.fill(m)(0)
     for (p <- 0 until dim) {
-      val j = (0 until m).filter(bucketFill(_) < subDim).minBy(b => (bucketLog(b), b))
+      // greedy balance: each eigenvalue joins the non-full bucket whose
+      // accumulated log-product is closest to zero (the MAX — logs of
+      // unit-normalized-corpus eigenvalues are negative, so minBy here
+      // would feed every large eigenvalue to the same bucket and
+      // recreate exactly the axis-clustering PQ pathology OPQ exists
+      // to fix; the anisotropic-corpus spec pins the distinction)
+      val j = (0 until m).filter(bucketFill(_) < subDim).maxBy(b => (bucketLog(b), -b))
       bucketOf(p) = j; bucketLog(j) += logEig(p); bucketFill(j) += 1
     }
     // row r of R = the eigenvector (a column of es.eigenvectors) dealt
@@ -1117,6 +1123,20 @@ object Ann {
     index.rotation.zipWithIndex.map { case (rv, r) => (r, rv) }
       .toDF("row", "rvec")
       .coalesce(1).write.mode("overwrite").json(s"$path/rotation")
+  }
+
+  /** Incremental OPQ maintenance: rotate the new batch with the EXISTING
+    * rotation (a fixed linear map — batches never change it) and encode
+    * through [[pqAppend]]'s plan-literal argmin. Zero fits anywhere: the
+    * rotation was learned once from the base covariance, and a
+    * drift-free batch has the same covariance, so the eigenbasis it
+    * would re-learn is the one it already has — the exact analog of the
+    * codebook-reuse argument on [[pqAppend]]. */
+  def opqAppend(index: OpqIndex, batch: DataFrame, idCol: String, vecCol: String): OpqIndex = {
+    val nv = graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false)
+    val rotated = batch.select(col(idCol).as("id"),
+      graft.functions.MatVec.matvec(index.rotation, nv).as("__rv__"))
+    OpqIndex(index.rotation, pqAppend(index.pq, rotated, "id", "__rv__"))
   }
 
   /** Load a persisted OPQ index. */

@@ -1117,6 +1117,49 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(maxDrift <= 2e-6, s"rotated-space cosine drifted: $maxDrift")
   }
 
+  test("opq: beats plain pq on an anisotropic corpus at equal code budget") {
+    // corpus with all its variance in the first 4 raw axes (a 4-D latent)
+    // plus tiny noise elsewhere: raw-axis PQ gives subspace 0 four codes
+    // for a 4-D signal and spends subspaces 1-3 entirely on noise, while
+    // the OPQ rotation deals one high-variance eigendirection to each
+    // subspace — four codes per effective dimension
+    val rnd = new scala.util.Random(123)
+    val rows = (0 until 400).map { i =>
+      val v = Array.tabulate(16)(d =>
+        if (d < 4) rnd.nextDouble() * 2 - 1 else (rnd.nextDouble() * 2 - 1) * 0.01)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", 5)
+      .withColumn("qid", col("qid").cast("string"))
+    def recall(approx: org.apache.spark.sql.DataFrame): Long =
+      approx.join(exact, Seq("qid", "id"), "left_semi").count()
+    val pq = Ann.pqBuild(df, "vec_id", "embedding", m = 4, nCodes = 8)
+    val opq = Ann.opqBuild(df, "vec_id", "embedding", m = 4, nCodes = 8)
+    // tight re-rank budget so ADC quality, not the exact re-rank, decides
+    val rPq = recall(Ann.pqTopK(pq, q, "vec_id", "embedding", k = 5, rerankFactor = 3))
+    val rOpq = recall(Ann.opqTopK(opq, q, "vec_id", "embedding", k = 5, rerankFactor = 3))
+    assert(rOpq > rPq, s"opq recall $rOpq should beat raw-axis pq $rPq on anisotropic data")
+    assert(rOpq >= 50, s"opq recall too low on its favorable case: $rOpq/100 (pq: $rPq)")
+  }
+
+  test("opq append: batch encodes through the fixed rotation with no refit; self-hit holds") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val base = Ann.opqBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", m = 8, nCodes = 16)
+    val grown = Ann.opqAppend(base, q, "vec_id", "embedding")
+    // rotation and codebooks are untouched; only the code table grew
+    assert(grown.rotation == base.rotation)
+    assert(grown.pq.codebooks == base.pq.codebooks)
+    assert(grown.pq.codes.count() == base.pq.codes.count() + 10)
+    val approx = Ann.opqTopK(grown, q, "vec_id", "embedding", k = 5)
+    val self = approx.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 10 && self.forall(identity),
+      "appended rows must self-hit at rank 1")
+  }
+
   test("opq: save/load round trip gives identical query results") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val idx = Ann.opqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
