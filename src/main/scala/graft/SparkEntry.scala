@@ -1504,6 +1504,28 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // Pipeline: size-targeted sharding — nShards derived from a target
+    // payload size per shard (one aggregate pass, integer ceiling
+    // division) instead of a fixed count; the layout and per-shard
+    // folds are pipe_shards'. The oracle recomputes the shard count
+    // from the same two numbers, so the sizing rule itself is
+    // value-checked alongside routing and readback.
+    "pipe_shards_sized" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_shards_sized").toString
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val k = graft.operators.Relational.writeShardsSizedBytes(
+        d, "doc_id", "text", out, targetBytesPerShard = 24576L)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast(LongType).as("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("text")).cast(LongType)).as("sum_len"),
+          min(col("doc_id")).as("min_id"),
+          sum(conv(substring(md5(col("doc_id").cast(StringType)), 1, 12), 16, 10)
+            .cast(LongType) % 2147483648L).as("ids_chk"))
+        .withColumn("n_shards", lit(k.toLong))
+        .orderBy(col("shard"))
+    }),
+
     // Dedup: semantic dedup over a TEXT corpus — char-bigram random-sign
     // embeddings, clustered by the engine's coarse quantizer, component
     // survivors. Same contract form as dedup_semantic; tau high enough
@@ -3121,6 +3143,23 @@ object SparkEntry {
         |       min(doc_id) AS min_id,
         |       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
         |                % 2147483648) AS BIGINT) AS ids_chk
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // sized variant: the shard count is itself part of the contract —
+    // recomputed from total payload bytes by the same integer ceiling
+    // division (sum cast to BIGINT before // per the HUGEINT gotcha)
+    "pipe_shards_sized" ->
+      """WITH t AS (SELECT GREATEST(
+        |    (CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) + 24575) // 24576,
+        |    1) AS k FROM documents)
+        |SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |         % (SELECT k FROM t) AS shard,
+        |       count(*) AS n,
+        |       sum(octet_length(CAST(text AS BLOB))) AS sum_len,
+        |       min(doc_id) AS min_id,
+        |       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |                % 2147483648) AS BIGINT) AS ids_chk,
+        |       (SELECT k FROM t) AS n_shards
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "dedup_semantic_text" ->

@@ -108,6 +108,43 @@ object Relational {
         s""""order": "md5(ord|id)", "shards": [$shardsJson]}""")
   }
 
+  /** Number of shards for a total and a per-shard target: ceiling
+    * division in pure integers (`(total + target - 1) / target`, never
+    * FP — at 100 TB totals a double CEIL can round across the shard
+    * boundary), floored at one shard. Exposed so loaders and oracles can
+    * recompute the choice from the same two numbers. */
+  def shardCountFor(total: Long, targetPerShard: Long): Int = {
+    require(targetPerShard > 0, s"target per shard must be positive, got $targetPerShard")
+    math.max(1L, (total + targetPerShard - 1) / targetPerShard).toInt
+  }
+
+  /** [[writeShards]] with nShards chosen from a target ROW count per
+    * shard: one count pass, then the stock deterministic layout. Returns
+    * the chosen shard count (also recorded in the manifest). */
+  def writeShardsSized(df: DataFrame, idCol: String, path: String,
+      targetRowsPerShard: Long): Int = {
+    val k = shardCountFor(df.count(), targetRowsPerShard)
+    writeShards(df, idCol, path, k)
+    k
+  }
+
+  /** [[writeShards]] with nShards chosen from a target PAYLOAD size per
+    * shard — the knob training loaders actually hold ("256 MB-1 GB
+    * files"): one aggregate pass sums `octet_length(payloadCol)`, then
+    * ceiling-divides by the target. The payload column is a sizing
+    * proxy (parquet encoding and the other columns shift the real file
+    * size); the choice only needs to be deterministic and
+    * recomputable, not byte-exact. */
+  def writeShardsSizedBytes(df: DataFrame, idCol: String, payloadCol: String,
+      path: String, targetBytesPerShard: Long): Int = {
+    val total = df
+      .agg(coalesce(sum(octet_length(col(payloadCol).cast(BinaryType)).cast(LongType)), lit(0L)))
+      .head().getLong(0)
+    val k = shardCountFor(total, targetBytesPerShard)
+    writeShards(df, idCol, path, k)
+    k
+  }
+
   /** Two-phase salted sum for skewed grouping keys.
     *
     * Phase 1 aggregates on (keys, salt) so a hot key fans out over

@@ -860,6 +860,37 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("sized shard writers: integer ceiling choice, floor of one, layout honors the choice") {
+    import graft.operators.Relational
+    import java.nio.file.Files
+    // the pure sizing rule: integer ceiling division, floored at 1
+    assert(Relational.shardCountFor(0L, 10L) == 1)
+    assert(Relational.shardCountFor(10L, 10L) == 1)
+    assert(Relational.shardCountFor(11L, 10L) == 2)
+    assert(Relational.shardCountFor(1L, Long.MaxValue) == 1)
+    val d = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val n = d.count()
+    val outR = Files.createTempDirectory("shardsSizedR").toString
+    val kR = Relational.writeShardsSized(d, "doc_id", outR, targetRowsPerShard = 100L)
+    assert(kR == Relational.shardCountFor(n, 100L))
+    val back = spark.read.parquet(outR)
+    assert(back.count() == n)
+    assert(back.agg(max(col("shard").cast("int"))).head().getInt(0) < kR)
+    // bytes variant: shard count recomputable from total payload bytes
+    val total = d.agg(sum(octet_length(col("text"))).cast("long")).head().getLong(0)
+    val target = math.max(1L, total / 3)
+    val outB = Files.createTempDirectory("shardsSizedB").toString
+    val kB = Relational.writeShardsSizedBytes(d, "doc_id", "text", outB, target)
+    assert(kB == Relational.shardCountFor(total, target))
+    assert(kB == 3 || kB == 4, s"target of a third of the corpus should give 3-4 shards, got $kB")
+    // the manifest records the sized choice
+    val manifest = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$outB/_manifest.json")), "UTF-8"))
+    assert(manifest.get("n_shards").asInt() == kB)
+  }
+
   test("dedup family triangulation: each lens sees its own near-dup class and misses the others'") {
     // 1/2 exact dups; 3 = token REORDER of 1; 4 = one-token substitution
     // of 1; 5 = unrelated. Every family is deterministic, so the found
