@@ -28,7 +28,8 @@ object BenchCurve {
     "q_salted_agg", "events_hourly", "events_funnel",
     "text_stats", "text_langid", "dedup_exact", "dedup_simhash",
     "o3_topk", "pipe_e2e",
-    "pipe_shards", "dedup_semantic", "dedup_semantic_text", "ann_ivf_topk")
+    "pipe_shards", "dedup_semantic", "dedup_semantic_text", "ann_ivf_topk",
+    "ann_opq")
 
   def main(args: Array[String]): Unit = {
     val sfs =

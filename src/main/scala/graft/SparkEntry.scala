@@ -72,6 +72,18 @@ object SparkEntry {
       graft.operators.Ann.opqLoad(s, path)
     })
 
+  /** Per-JVM iterated-OPQ cache — the refinement (one KMeans + one
+    * Procrustes pass per iteration) is the amortized build artifact;
+    * the registered query measures probes plus the distortion
+    * contract. */
+  private val opqIterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.operators.Ann.OpqIndex, Seq[Double])]()
+  private[graft] def cachedOpqIter(s: SparkSession, dir: String): (graft.operators.Ann.OpqIndex, Seq[Double]) =
+    opqIterCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      graft.operators.Ann.opqBuildIterated(
+        Tables.embeddings(s, dir), "vec_id", "embedding", m = 8, nCodes = 16, opqIters = 3)
+    })
+
   /** Per-JVM persisted dedup-index cache (create once per sf dir, like
     * [[cachedIvf]] — the index is the amortized artifact; probes are
     * what the registered query measures). */
@@ -1386,6 +1398,22 @@ object SparkEntry {
       val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
         .withColumn("qid", col("qid").cast(StringType))
       ivfContract(approx, exact)
+    }),
+
+    // ANN: iterated (non-parametric) OPQ — Procrustes alternation on top
+    // of the parametric init (PQ refit in the rotated space, then the
+    // SVD closed form for the best orthogonal map onto the
+    // quantization). Contract adds distortion_ok: the refinement must
+    // not end worse than the parametric start it refines.
+    "ann_opq_iter" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val (idx, dist) = cachedOpqIter(s, dir)
+      val approx = Ann.opqTopK(idx, q, "vec_id", "embedding", k = 3)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+        .withColumn("distortion_ok", lit(dist.last <= dist.head + 1e-9))
     }),
 
     // ANN: incremental OPQ maintenance — the rotation is a fixed linear
@@ -2842,6 +2870,10 @@ object SparkEntry {
 
     "ann_opq_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_opq_iter" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
+        |       TRUE AS distortion_ok""".stripMargin,
 
     "ann_ivfpq_res_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",

@@ -1147,4 +1147,117 @@ object Ann {
       .sortBy(_._1).map(_._2).toSeq
     OpqIndex(rot, pqLoad(spark, s"$path/pq"))
   }
+
+  /** Non-parametric (iterated) OPQ — the alternating refinement from Ge
+    * et al. CVPR 2013 §4 on top of the parametric init: repeat
+    * { fit PQ codebooks in the current rotated space; solve the
+    * orthogonal Procrustes problem for the rotation that best maps the
+    * corpus onto its own quantization }. Each Procrustes step needs
+    * only the dim×dim cross-matrix A = Σᵢ xᵢ qᵢᵀ (qᵢ = decoded code of
+    * the rotated row), accumulated with the per-iteration distortion in
+    * ONE distributed `treeAggregate` pass (a dim²-double accumulator —
+    * 32 KB at dim=64, 8 MB at dim=1024 — merged log-depth; the same
+    * driver-sized-result shape as `RowMatrix.computeCovariance`, which
+    * is also why this drops to the RDD layer: DataFrame aggregation of
+    * an outer-product sum would explode dim² rows per input row). The
+    * SVD of A is driver-side breeze; R = V Uᵀ maximizes tr(R A), the
+    * classic closed form.
+    *
+    * Returns the fitted index plus the per-iteration distortion
+    * E[‖R x − Q(R x)‖²]. The first entry is the parametric-init
+    * distortion; codebooks are REFIT per iteration from the fixed seed
+    * (not warm-started), so per-step monotonicity is near-exact rather
+    * than guaranteed — the spec pins last ≤ first, which alternation
+    * does guarantee up to KMeans reseeding noise. */
+  def opqBuildIterated(data: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, nCodes: Int = 16, seed: Long = 42L, maxIter: Int = 5,
+      opqIters: Int = 3): (OpqIndex, Seq[Double]) = {
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val nv = graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false)
+    val normed = data.select(col(idCol).as("id"), nv.as("__nv__")).cache()
+    val dim = normed.select(size(col("__nv__"))).head().getInt(0)
+    var rot = opqRotation(normed, "__nv__", m)
+    var pq: PqIndex = null
+    val dist = scala.collection.mutable.ArrayBuffer[Double]()
+    var it = 0
+    while (it < opqIters) {
+      val rotated = normed.select(col("id"),
+        graft.functions.MatVec.matvec(rot, col("__nv__")).as("__rv__"))
+      pq = pqBuild(rotated, "id", "__rv__", m, nCodes, seed, maxIter)
+      val books = pq.codebooks.map(_.map(_.toArray).toArray).toArray
+      val subDim = pq.subDim
+      val withCodes = normed
+        .join(pq.codes.select(col("id"), col("codes")), Seq("id"))
+        .select(col("__nv__"),
+          graft.functions.MatVec.matvec(rot, col("__nv__")).as("__rv__"),
+          col("codes"))
+      val (aArr, dSum, nRows) = withCodes.rdd
+        .treeAggregate((new Array[Double](dim * dim), 0.0, 0L))(
+          seqOp = { case ((a, d, n), row) =>
+            val x = row.getSeq[Double](0).toArray
+            val rv = row.getSeq[Double](1).toArray
+            val codes = row.getSeq[Int](2).toArray
+            val q = new Array[Double](dim)
+            var j = 0
+            while (j < books.length) {
+              System.arraycopy(books(j)(codes(j)), 0, q, j * subDim, subDim)
+              j += 1
+            }
+            var dd = 0.0
+            var r = 0
+            while (r < dim) {
+              val e = rv(r) - q(r); dd += e * e
+              val base = r * dim
+              var c = 0
+              while (c < dim) { a(base + c) += x(r) * q(c); c += 1 }
+              r += 1
+            }
+            (a, d + dd, n + 1)
+          },
+          combOp = { case ((a1, d1, n1), (a2, d2, n2)) =>
+            var i = 0
+            while (i < a1.length) { a1(i) += a2(i); i += 1 }
+            (a1, d1 + d2, n1 + n2)
+          })
+      dist += dSum / math.max(nRows, 1L)
+      if (it < opqIters - 1) {
+        val a = breeze.linalg.DenseMatrix.tabulate(dim, dim)((r, c) => aArr(r * dim + c))
+        val s = breeze.linalg.svd(a) // A = U S Vt
+        val rn = s.Vt.t * s.U.t      // R = V Uᵀ maximizes tr(R A)
+        rot = (0 until dim).map(r => (0 until dim).map(c => rn(r, c)).toVector)
+      }
+      it += 1
+    }
+    normed.unpersist()
+    (OpqIndex(rot, pq), dist.toSeq)
+  }
+
+  /** Append a batch to a PERSISTED OPQ index ([[opqSave]] layout) at
+    * cost ∝ batch: only the rotation and codebook sidecars load (both
+    * become plan literals), the batch rotates and encodes as
+    * expressions with zero fits — the persisted twin of [[opqAppend]],
+    * mirroring [[ivfPqAppendSave]]. The codes layout is flat (PQ scans
+    * every code row by design), so append-mode parquet just adds the
+    * batch's files. Returns the appended row count. */
+  def opqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Long = {
+    val rot = spark.read.json(s"$path/rotation")
+      .select(col("row").cast(IntegerType), col("rvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1).map(_._2).toSeq
+    val books = readCodebooks(spark, s"$path/pq/codebooks")
+    val subDim = books.head.head.size
+    val codesSchema = spark.read.parquet(s"$path/pq/codes").schema
+    val nv = graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false)
+    val encoded = batch
+      .select(col(idCol).cast(codesSchema("id").dataType).as("id"),
+        graft.functions.MatVec.matvec(rot, nv).as("__rv__"))
+      .select(col("id"), col("__rv__").cast(codesSchema("v").dataType).as("v"),
+        pqEncodeExpr(
+          graft.functions.VectorNormalize.normalize(col("__rv__"), outputFloat = false),
+          books, subDim).as("codes"))
+      .localCheckpoint(true)
+    encoded.write.mode("append").parquet(s"$path/pq/codes")
+    encoded.count()
+  }
 }

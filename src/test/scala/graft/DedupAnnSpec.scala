@@ -1191,6 +1191,58 @@ class DedupAnnSpec extends AnyFunSuite {
       "appended rows must self-hit at rank 1")
   }
 
+  test("iterated opq: procrustes alternation does not raise distortion; rotation stays orthonormal") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val (idx, dist) = Ann.opqBuildIterated(e, "vec_id", "embedding",
+      m = 8, nCodes = 16, opqIters = 3)
+    assert(dist.size == 3)
+    // dist.head is the parametric-init distortion; alternation must not
+    // end worse than it started (per-step KMeans reseeding noise aside)
+    assert(dist.last <= dist.head + 1e-9,
+      s"iterated distortion ${dist.last} worse than parametric init ${dist.head} ($dist)")
+    // the SVD-updated rotation must still be orthonormal
+    val R = idx.rotation.map(_.toArray).toArray
+    val dim = R.length
+    for (i <- 0 until dim; j <- i until dim) {
+      var s = 0.0; var c = 0
+      while (c < dim) { s += R(i)(c) * R(j)(c); c += 1 }
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(s - want) < 1e-8, s"RR^T[$i][$j] = $s after procrustes updates")
+    }
+    // the standard quality contract still holds on the refined index
+    val q = e.filter(col("vec_id") < 10)
+    val approx = Ann.opqTopK(idx, q, "vec_id", "embedding", k = 5)
+    val self = approx.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 10 && self.forall(identity))
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 5)
+      .withColumn("qid", col("qid").cast("string"))
+    val hits = approx.join(exact, Seq("qid", "id"), "left_semi").count()
+    assert(hits >= 30, s"iterated opq recall too low: $hits/50")
+  }
+
+  test("opq persisted append: batch encodes from sidecars alone; reload probes the batch") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val base = Ann.opqBuild(e.filter(col("vec_id") >= 5), "vec_id", "embedding", m = 8, nCodes = 16)
+    val dir = java.nio.file.Files.createTempDirectory("opqappend").toString
+    Ann.opqSave(base, dir)
+    assert(Ann.opqAppendSave(spark, dir, q, "vec_id", "embedding") == 5L)
+    val back = Ann.opqLoad(spark, dir)
+    assert(back.pq.codes.count() == base.pq.codes.count() + 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // row-for-row equal to the in-memory append path
+    val mem = Ann.opqAppend(base, q, "vec_id", "embedding")
+    val fromDisk = Ann.opqTopK(back, q, "vec_id", "embedding", k = 3)
+    assert(key(fromDisk) == key(Ann.opqTopK(mem, q, "vec_id", "embedding", k = 3)))
+    val self = fromDisk.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 5 && self.forall(identity),
+      "persisted-appended rows must self-hit at rank 1")
+  }
+
   test("opq: save/load round trip gives identical query results") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val idx = Ann.opqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
