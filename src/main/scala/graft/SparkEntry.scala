@@ -1400,6 +1400,18 @@ object SparkEntry {
       ivfContract(approx, exact)
     }),
 
+    // ANN: collect-free OPQ batch probe — query rotation, ADC tables,
+    // and scoring are all plan expressions (codebooks as plan literal);
+    // rank parity with the collect path is spec-asserted. Same contract.
+    "ann_opq_batch" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.opqTopKBatch(cachedOpq(s, dir), q, "vec_id", "embedding", k = 3)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+    }),
+
     // ANN: iterated (non-parametric) OPQ — Procrustes alternation on top
     // of the parametric init (PQ refit in the rotated space, then the
     // SVD closed form for the best orthogonal map onto the
@@ -2874,6 +2886,9 @@ object SparkEntry {
     "ann_opq_iter" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
         |       TRUE AS distortion_ok""".stripMargin,
+
+    "ann_opq_batch" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
     "ann_ivfpq_res_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",

@@ -688,6 +688,45 @@ object Ann {
       .transform(topKHits(_, "id", k))
   }
 
+  /** Collect-free PQ probe for DataFrame-sized query batches —
+    * [[pqTopK]] with the driver-side ADC-table build re-expressed as
+    * expressions: the codebooks ride as a PLAN LITERAL (m × nCodes ×
+    * subDim doubles, a few KB) and each query row computes its own
+    * m × nCodes table with nested `transform`s before the scan join.
+    * Plain PQ has no coarse structure to prune with, so the join is the
+    * honest all-pairs codes × queries the collect path also does — the
+    * difference is that a query batch of millions of rows never funnels
+    * through the driver (the planner broadcasts the query side while it
+    * fits and falls back to a shuffled cartesian beyond that). Rank
+    * parity with the collect path is spec-asserted. */
+  def pqTopKBatch(index: PqIndex, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, rerankFactor: Int = 8): DataFrame = {
+    val subDim = index.subDim
+    val books = typedlit(index.codebooks)
+    def dotSlice(vec: Column, start: Column, cent: Column): Column =
+      aggregate(zip_with(slice(vec, start, lit(subDim)), cent, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    val q = queries.select(col(qidCol).cast(StringType).as("qid"),
+        graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qvn"))
+      .withColumn("table", transform(books, (book, j) =>
+        transform(book, cent => dotSlice(col("qvn"), j * subDim + 1, cent))))
+    val approxW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__approx__").desc, col("id"))
+    index.codes
+      .select(col("id").cast(StringType).as("id"), col("v"), col("codes"))
+      .crossJoin(q)
+      .withColumn("__approx__",
+        aggregate(zip_with(col("codes"), col("table"),
+            (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("__rnk__", row_number().over(approxW))
+      .filter(col("__rnk__") <= k * rerankFactor)
+      .withColumn("__score__",
+        dotD(graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false),
+          col("qvn")))
+      .transform(topKHits(_, "id", k))
+  }
+
   // ---------------------------------------------- quantized-index persist
   /** Persist a PQ index: encoded rows as parquet + the codebooks as a
     * small JSON table — the same parquet+sidecar pattern as [[ivfSave]],
@@ -1112,6 +1151,17 @@ object Ann {
     val rq = queries.select(col(qidCol).as("qid"),
       graft.functions.MatVec.matvec(index.rotation, nv).as("__rq__"))
     pqTopK(index.pq, rq, "qid", "__rq__", k, rerankFactor)
+  }
+
+  /** Collect-free OPQ probe for DataFrame-sized query batches: rotate
+    * the query side as an expression ([[graft.functions.MatVecMul]]),
+    * then [[pqTopKBatch]] — nothing funnels through the driver. */
+  def opqTopKBatch(index: OpqIndex, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, rerankFactor: Int = 8): DataFrame = {
+    val nv = graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false)
+    val rq = queries.select(col(qidCol).as("qid"),
+      graft.functions.MatVec.matvec(index.rotation, nv).as("__rq__"))
+    pqTopKBatch(index.pq, rq, "qid", "__rq__", k, rerankFactor)
   }
 
   /** Persist an OPQ index: rotation as a JSON sidecar + the stock PQ

@@ -1191,6 +1191,20 @@ class DedupAnnSpec extends AnyFunSuite {
       "appended rows must self-hit at rank 1")
   }
 
+  test("pq and opq batch probes rank identically to their collect paths") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val pq = Ann.pqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    assert(key(Ann.pqTopKBatch(pq, q, "vec_id", "embedding", k = 5)) ==
+      key(Ann.pqTopK(pq, q, "vec_id", "embedding", k = 5)))
+    val opq = Ann.opqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)
+    assert(key(Ann.opqTopKBatch(opq, q, "vec_id", "embedding", k = 5)) ==
+      key(Ann.opqTopK(opq, q, "vec_id", "embedding", k = 5)))
+  }
+
   test("iterated opq: procrustes alternation does not raise distortion; rotation stays orthonormal") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val (idx, dist) = Ann.opqBuildIterated(e, "vec_id", "embedding",
