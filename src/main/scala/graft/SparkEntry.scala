@@ -1400,6 +1400,30 @@ object SparkEntry {
       ivfContract(approx, exact)
     }),
 
+    // ANN: persisted delete — only the cluster directories holding the
+    // deleted ids are rewritten (atomic per-dir swap, emptied dirs
+    // removed); the reloaded index must exclude the ids everywhere
+    // while surviving queries keep the quality contract vs brute force
+    // over the remaining corpus. Completes the reference's mutate
+    // surface (delete, lib.rs:273-286) on the index tier.
+    "ann_ivf_delete" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+      Ann.ivfSave(Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16), path)
+      val delIds = (0 until 5).map(_.toString)
+      Ann.ivfDeleteSave(s, path, delIds)
+      val back = Ann.ivfLoad(s, path)
+      val remaining = e.filter(col("vec_id") >= 5)
+      val q = e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+      val approx = Ann.ivfTopK(back, q, "vec_id", "embedding", k = 3, nProbe = 4)
+      val exact = Ann.bruteForceTopK(remaining, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+        .withColumn("deleted_absent", lit(
+          back.assigned.filter(col("id").cast(StringType).isin(delIds: _*)).count() == 0L))
+    }),
+
     // ANN: collect-free OPQ batch probe — query rotation, ADC tables,
     // and scoring are all plan expressions (codebooks as plan literal);
     // rank parity with the collect path is spec-asserted. Same contract.
@@ -2889,6 +2913,10 @@ object SparkEntry {
 
     "ann_opq_batch" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_ivf_delete" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
+        |       TRUE AS deleted_absent""".stripMargin,
 
     "ann_ivfpq_res_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",

@@ -1051,7 +1051,71 @@ object Ann {
     touched
   }
 
-  // ------------------------------------------ optimized product quantization
+  /** Rewrite one partition directory of a cluster-partitioned layout
+    * without the rows matching `drop`: materialize the survivors FIRST
+    * (localCheckpoint — the source files are about to be deleted), write
+    * them to a dot-prefixed sibling (invisible to parquet listings if a
+    * crash strands it), then delete + rename — the same atomic-swap
+    * discipline as [[ivfMaintain]]'s centroid update. An emptied
+    * directory is removed outright (mirroring the bucketed store's
+    * delete, VectorStore O7b); absent partition values are fine for
+    * every reader of the root. */
+  private def rewritePartitionDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, drop: Column): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dirPath.getParent, s".${dirPath.getName}.rewrite.tmp")
+    val kept = spark.read.parquet(dir).filter(!drop).localCheckpoint(true)
+    if (kept.isEmpty) {
+      fs.delete(dirPath, true)
+    } else {
+      kept.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dirPath, true)
+      require(fs.rename(tmp, dirPath), s"rename of rewritten $dir failed")
+    }
+  }
+
+  /** Delete ids from a PERSISTED IVF layout ([[ivfSave]]) at cost ∝
+    * touched clusters: one scan of (id, cluster) — vectors never read —
+    * finds which cluster directories hold the ids, and ONLY those are
+    * rewritten (atomic per-directory swap; untouched directories keep
+    * their files byte-identical, spec-asserted). Centroids are left in
+    * place: a thinned list still probes correctly, and an emptied one
+    * simply returns nothing — [[ivfMaintain]] owns re-fitting geometry
+    * when enough mass moves. With append ([[ivfAppendSave]]), skew
+    * maintenance ([[ivfMaintain]]) and this, the persisted index
+    * supports the reference's full mutate surface (upsert/delete,
+    * lib.rs:150-185,273-286) incrementally. The id list is driver-sized
+    * by the same argument as the reference's `delete(&[String])`.
+    * Returns the touched cluster ids. */
+  def ivfDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[String]): Seq[Int] = {
+    val drop = col("id").cast(StringType).isin(ids: _*)
+    val touched = spark.read.parquet(s"$path/lists")
+      .filter(drop).select(col("cluster").cast(IntegerType))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    touched.foreach(c => rewritePartitionDir(spark, s"$path/lists/cluster=$c", drop))
+    touched
+  }
+
+  /** Delete ids from a PERSISTED residual IVF×PQ layout ([[ivfPqSave]])
+    * — the same touched-directories-only rewrite applied to BOTH
+    * cluster-partitioned layouts (coarse `ivf/lists` and residual
+    * `codes`), which stay row-consistent. Returns the touched cluster
+    * ids. */
+  def ivfPqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[String]): Seq[Int] = {
+    val drop = col("id").cast(StringType).isin(ids: _*)
+    val touched = spark.read.parquet(s"$path/codes")
+      .filter(drop).select(col("cluster").cast(IntegerType))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    touched.foreach { c =>
+      rewritePartitionDir(spark, s"$path/codes/cluster=$c", drop)
+      rewritePartitionDir(spark, s"$path/ivf/lists/cluster=$c", drop)
+    }
+    touched
+  }
   /** OPQ index: an orthogonal rotation learned from the corpus, then a
     * plain PQ index fit in the ROTATED space. Query-time cost is one
     * extra mat-vec on the Q-sized query side only — the stored codes are

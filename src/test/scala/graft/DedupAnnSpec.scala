@@ -1191,6 +1191,72 @@ class DedupAnnSpec extends AnyFunSuite {
       "appended rows must self-hit at rank 1")
   }
 
+  test("ivf persisted delete: touched dirs only, emptied dir removed, reload excludes deleted") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivfdelete").toString
+    val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+    Ann.ivfSave(idx, dir)
+    def listing(): Map[String, Long] = Files.walk(Paths.get(s"$dir/lists")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+      .map(p => p.toString -> Files.size(p)).toMap
+    val before = listing()
+    // drain ONE whole cluster (dir must disappear) + one id from another
+    val clusters = idx.assigned.select(col("cluster").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val c0 = clusters.head
+    val drained = idx.assigned.filter(col("cluster") === c0)
+      .select(col("id").cast("string")).collect().map(_.getString(0)).toSeq
+    val other = idx.assigned.filter(col("cluster") =!= c0)
+      .select(col("id").cast("string"), col("cluster").cast("int")).head()
+    val delIds = drained :+ other.getString(0)
+    val touched = Ann.ivfDeleteSave(spark, dir, delIds)
+    assert(touched.toSet == Set(c0, other.getInt(1)))
+    assert(!Files.exists(Paths.get(s"$dir/lists/cluster=$c0")), "drained dir must be removed")
+    // untouched cluster dirs keep their files byte-identical
+    val after = listing()
+    val untouchedBefore = before.filter { case (p, _) => !touched.exists(c => p.contains(s"cluster=$c/")) }
+    val untouchedAfter = after.filter { case (p, _) => !touched.exists(c => p.contains(s"cluster=$c/")) }
+    assert(untouchedBefore == untouchedAfter, "untouched cluster dirs must not be rewritten")
+    val back = Ann.ivfLoad(spark, dir)
+    assert(back.assigned.count() == e.count() - delIds.size)
+    assert(back.assigned.filter(col("id").cast("string").isin(delIds: _*)).count() == 0L)
+    // a surviving query still self-hits; a deleted vector is gone from results
+    val delSet = delIds.toSet
+    val qSurvive = e.filter(!col("vec_id").cast("string").isin(delIds: _*)).limit(5)
+    val hits = Ann.ivfTopK(back, qSurvive, "vec_id", "embedding", k = 3, nProbe = 4)
+    val self = hits.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 5 && self.forall(identity))
+    val qDel = e.filter(col("vec_id").cast("string").isin(delIds: _*))
+    val delHits = Ann.ivfTopK(back, qDel, "vec_id", "embedding", k = 3, nProbe = 4)
+    assert(delHits.filter(col("id").isin(delSet.toSeq: _*)).count() == 0L,
+      "deleted ids must never appear in results")
+  }
+
+  test("residual ivfpq persisted delete: both layouts rewritten consistently; probes exclude deleted") {
+    import java.nio.file.Files
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivfpqdelete").toString
+    val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8)
+    Ann.ivfPqSave(Ann.ivfPqBuildResidual(ivf, m = 8, nCodes = 16), dir)
+    val delIds = Seq("0", "1", "2")
+    Ann.ivfPqDeleteSave(spark, dir, delIds)
+    val back = Ann.ivfPqLoad(spark, dir)
+    // coarse and code layouts stay row-consistent
+    assert(back.codes.count() == e.count() - 3)
+    assert(back.ivf.assigned.count() == e.count() - 3)
+    assert(back.codes.filter(col("id").cast("string").isin(delIds: _*)).count() == 0L)
+    val q = e.filter(col("vec_id") < 6)
+    val hits = Ann.ivfPqResidualTopK(back, q, "vec_id", "embedding", k = 3, nProbe = 4)
+    assert(hits.filter(col("id").isin(delIds: _*)).count() == 0L)
+    // surviving queries (vec_id 3..5) still self-hit at rank 1
+    val self = hits.filter(col("rank") === 1 && !col("qid").isin(delIds: _*))
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 3 && self.forall(identity))
+  }
+
   test("pq and opq batch probes rank identically to their collect paths") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
