@@ -1400,6 +1400,39 @@ object SparkEntry {
       ivfContract(approx, exact)
     }),
 
+    // ANN: shrink maintenance — after a bulk delete thins one list far
+    // below the mean, ivfShrinkSave dissolves it (rows re-assign to the
+    // nearest surviving centroid, survivors renumber via directory
+    // renames, sidecar swaps last); the contract checks probes on the
+    // shrunk geometry plus the structural booleans.
+    "ann_ivf_shrink" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_shrink").toString
+      val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+      Ann.ivfSave(idx, path)
+      val sizes = idx.assigned.groupBy(col("cluster").cast(IntegerType).as("c"))
+        .agg(count(lit(1)).as("n")).collect().map(r => r.getInt(0) -> r.getLong(1))
+      val cBig = sizes.maxBy(_._2)._1
+      val ids = idx.assigned.filter(col("cluster") === cBig)
+        .select(col("id").cast(StringType)).collect().map(_.getString(0)).toSeq
+      val del = ids.drop(2)
+      Ann.ivfDeleteSave(s, path, del)
+      val (dissolved, _) = Ann.ivfShrinkSave(s, path)
+      val back = Ann.ivfLoad(s, path)
+      val remaining = e.filter(!col("vec_id").cast(StringType).isin(del: _*))
+      val q = remaining.orderBy(col("vec_id")).limit(5)
+      val approx = Ann.ivfTopK(back, q, "vec_id", "embedding", k = 3, nProbe = 4)
+      val exact = Ann.bruteForceTopK(remaining, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+        .withColumn("shrunk", lit(dissolved.contains(cBig)))
+        .withColumn("dense_ids",
+          lit(back.centroids.map(_._1) == (0 until back.centroids.size)))
+        .withColumn("rows_preserved",
+          lit(back.assigned.count() == e.count() - del.size))
+    }),
+
     // ANN: persisted delete — only the cluster directories holding the
     // deleted ids are rewritten (atomic per-dir swap, emptied dirs
     // removed); the reloaded index must exclude the ids everywhere
@@ -2917,6 +2950,10 @@ object SparkEntry {
     "ann_ivf_delete" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
         |       TRUE AS deleted_absent""".stripMargin,
+
+    "ann_ivf_shrink" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
+        |       TRUE AS shrunk, TRUE AS dense_ids, TRUE AS rows_preserved""".stripMargin,
 
     "ann_ivfpq_res_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",

@@ -1051,6 +1051,106 @@ object Ann {
     touched
   }
 
+  /** Merge undersized lists — the dual of [[ivfRebalance]], for the
+    * debris deletes leave behind: a list far below the mean pays a
+    * probe's fixed per-list cost for almost no candidates, and its
+    * centroid keeps soaking probe budget that productive lists should
+    * get. Lists under `mean / minFactor` rows (and empty ones) are
+    * dissolved: their centroids are dropped, survivors renumber densely
+    * (the id-density invariant every assignment expression relies on),
+    * and their rows re-assign to the nearest SURVIVING centroid as a
+    * plan expression — no fit anywhere, cost ∝ moved rows, which are
+    * few by the very definition of undersized. No-op when nothing is
+    * undersized or everything is (a uniformly tiny index has no
+    * surviving geometry to merge into). */
+  def ivfShrink(index: IvfIndex, minFactor: Double = 4.0): IvfIndex = {
+    require(minFactor > 1.0, s"minFactor must be > 1, got $minFactor")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val sizes = index.assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    if (total == 0L) return index
+    val mean = total.toDouble / index.centroids.size
+    val drop = index.centroids.map(_._1)
+      .filter(c => sizes.getOrElse(c, 0L) < mean / minFactor).toSet
+    if (drop.isEmpty || drop.size == index.centroids.size) return index
+    val kept = index.centroids.filterNot(c => drop.contains(c._1))
+    val remap = kept.map(_._1).zipWithIndex.toMap
+    val keptDense = kept.map { case (old, v) => (remap(old), v) }
+    val remapDf = broadcast(remap.toSeq.toDF("cluster", "__new__"))
+    val keptRows = index.assigned.join(remapDf, Seq("cluster"))
+      .withColumn("cluster", col("__new__")).drop("__new__")
+    val moved = index.assigned.filter(col("cluster").isin(drop.toSeq: _*))
+      .withColumn("cluster", nearestCentroidExpr(col("v"), keptDense))
+    IvfIndex(keptDense, keptRows.unionByName(moved))
+  }
+
+  /** Persisted [[ivfShrink]] at cost ∝ moved rows: the dissolved lists'
+    * rows re-assign against the surviving centroids (plan expression,
+    * materialized BEFORE any disk mutation), the dissolved directories
+    * are deleted, the survivors' dense renumbering happens as pure
+    * partition-directory RENAMES (metadata ops — compaction only ever
+    * moves a directory down to a slot that is already vacant when
+    * processed in ascending order), the moved rows append, and the
+    * centroid sidecar swaps last via the same tmp+rename discipline as
+    * [[ivfMaintain]]. A crash between the deletes and the appends loses
+    * the (checkpointed, driver-held) moved rows — run maintenance
+    * single-writer and re-derivable from the base corpus, the same
+    * posture as every other mutator here. Returns (dissolved old ids,
+    * receiving new ids); (Nil, Nil) = no-op. */
+  def ivfShrinkSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      minFactor: Double = 4.0): (Seq[Int], Seq[Int]) = {
+    import spark.implicits._
+    require(minFactor > 1.0, s"minFactor must be > 1, got $minFactor")
+    val centroids = spark.read.json(s"$path/centroids")
+      .select(col("cluster").cast(IntegerType), col("cvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+    val listsSchema = spark.read.parquet(s"$path/lists").schema
+    val sizes = spark.read.parquet(s"$path/lists")
+      .groupBy(col("cluster").cast(IntegerType).as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    if (total == 0L) return (Nil, Nil)
+    val mean = total.toDouble / centroids.size
+    val drop = centroids.map(_._1)
+      .filter(c => sizes.getOrElse(c, 0L) < mean / minFactor)
+    if (drop.isEmpty || drop.size == centroids.size) return (Nil, Nil)
+    val kept = centroids.filterNot(c => drop.contains(c._1))
+    val remap = kept.map(_._1).zipWithIndex.toMap
+    val keptDense = kept.map { case (old, v) => (remap(old), v) }
+    val dropWithRows = drop.filter(c => sizes.getOrElse(c, 0L) > 0L)
+    val moved =
+      if (dropWithRows.isEmpty) None
+      else Some(spark.read
+        .parquet(dropWithRows.map(c => s"$path/lists/cluster=$c"): _*)
+        .select(col("id").cast(listsSchema("id").dataType).as("id"),
+          col("v").cast(listsSchema("v").dataType).as("v"))
+        .withColumn("cluster", nearestCentroidExpr(col("v"), keptDense))
+        .localCheckpoint(true))
+    val receiving = moved.toSeq.flatMap(_.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0))).sorted
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach(c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cluster=$c"), true))
+    kept.map(_._1).zipWithIndex.foreach { case (old, nw) =>
+      if (old != nw) require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$path/lists/cluster=$old"),
+        new org.apache.hadoop.fs.Path(s"$path/lists/cluster=$nw")),
+        s"rename of cluster=$old -> cluster=$nw failed under $path")
+    }
+    moved.foreach(_.write.mode("append").partitionBy("cluster").parquet(s"$path/lists"))
+    val centsTmp = new org.apache.hadoop.fs.Path(s"$path/centroids__shrinking")
+    keptDense.toDF("cluster", "cvec")
+      .coalesce(1).write.mode("overwrite").json(centsTmp.toString)
+    val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    fs.delete(cents, true)
+    require(fs.rename(centsTmp, cents), s"rename of shrunk centroids failed under $path")
+    (drop.sorted, receiving)
+  }
+
   /** Rewrite one partition directory of a cluster-partitioned layout
     * without the rows matching `drop`: materialize the survivors FIRST
     * (localCheckpoint — the source files are about to be deleted), write

@@ -1235,6 +1235,46 @@ class DedupAnnSpec extends AnyFunSuite {
       "deleted ids must never appear in results")
   }
 
+  test("ivf shrink: undersized lists dissolve into survivors, dense ids, rows preserved") {
+    import java.nio.file.Files
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivfshrink").toString
+    val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+    Ann.ivfSave(idx, dir)
+    // thin the largest list to 2 rows via persisted delete, then shrink
+    val sizes = idx.assigned.groupBy(col("cluster").cast("int").as("c"))
+      .agg(count(lit(1)).as("n")).collect().map(r => r.getInt(0) -> r.getLong(1))
+    val cBig = sizes.maxBy(_._2)._1
+    val ids = idx.assigned.filter(col("cluster") === cBig)
+      .select(col("id").cast("string")).collect().map(_.getString(0)).toSeq
+    val keep2 = ids.take(2)
+    val del = ids.drop(2)
+    Ann.ivfDeleteSave(spark, dir, del)
+    val (dissolved, receiving) = Ann.ivfShrinkSave(spark, dir, minFactor = 4.0)
+    assert(dissolved.contains(cBig), s"thinned list $cBig must dissolve (got $dissolved)")
+    assert(receiving.nonEmpty)
+    val back = Ann.ivfLoad(spark, dir)
+    // dense renumbering, fewer centroids, zero row loss
+    assert(back.centroids.map(_._1) == (0 until back.centroids.size))
+    assert(back.centroids.size == 16 - dissolved.size)
+    assert(back.assigned.count() == e.count() - del.size)
+    assert(back.assigned.filter(col("id").cast("string").isin(keep2: _*)).count() == 2,
+      "the thinned list's surviving rows must move, not vanish")
+    // probes on the shrunk geometry still self-hit
+    val q = e.filter(!col("vec_id").cast("string").isin(del: _*))
+      .orderBy(col("vec_id")).limit(5)
+    val hits = Ann.ivfTopK(back, q, "vec_id", "embedding", k = 3, nProbe = 4)
+    val self = hits.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 5 && self.forall(identity))
+    // the in-memory twin reaches the same geometry
+    val thinned = Ann.IvfIndex(idx.centroids,
+      idx.assigned.filter(!col("id").cast("string").isin(del: _*)))
+    val mem = Ann.ivfShrink(thinned, minFactor = 4.0)
+    assert(mem.centroids.size == back.centroids.size)
+    assert(mem.assigned.count() == back.assigned.count())
+  }
+
   test("residual ivfpq persisted delete: both layouts rewritten consistently; probes exclude deleted") {
     import java.nio.file.Files
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
