@@ -891,6 +891,22 @@ object SparkEntry {
         .orderBy(col("id_base"), col("id_batch"))
     }),
 
+    // Dedup: forget documents in the persisted index — deleted docs'
+    // projection rows vanish, so their content becomes ingestable again
+    // UNLESS a surviving document still carries the same hash. The
+    // whole semantics is one SQL predicate (batch text not among the
+    // SURVIVING base texts), so the oracle is exact.
+    "dedup_idx_delete" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_del").toString
+      DedupIndex.create(d.filter(col("doc_id") < 300), "doc_id", "text", path)
+      DedupIndex.delete(s, path, (0 until 50).map(_.toString))
+      val probe = d.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      DedupIndex.filterExact(s, path, probe, "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Dedup: incremental SimHash near-dup through the PERSISTED
     // ingestion index — the base side is the stored fingerprint-chunk
     // projection (simchunks/); neither base text nor base fingerprints
@@ -2572,6 +2588,16 @@ object SparkEntry {
     // index-backed probe: same cross-corpus candidate set + signature
     // estimate as dedup_incr_minhash, no exact-jaccard column (the
     // index stores no text by design)
+    // forget semantics: a probe row stays ingestable iff its text is
+    // absent from the SURVIVING base slice (deleted ids 0..49 removed)
+    "dedup_idx_delete" ->
+      """SELECT doc_id + 10000 AS doc_id
+        |FROM documents
+        |WHERE doc_id < 100
+        |  AND text NOT IN (SELECT text FROM documents
+        |                   WHERE doc_id >= 50 AND doc_id < 300)
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_incr_index" ->
       """WITH t AS (
         |  SELECT doc_id AS id,

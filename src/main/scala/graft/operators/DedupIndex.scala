@@ -48,7 +48,7 @@ object DedupIndex {
       s"""{"shingle_n": ${p.shingleN}, "num_hashes": ${p.numHashes}, """ +
         s""""bands": ${p.bands}, "portable_hash": ${p.portableHash}, """ +
         s""""sim_max_hamming": ${p.simMaxHamming}, """ +
-        s""""content_hash": "md5"}""")
+        s""""content_hash": "md5", "hashes_keyed": true}""")
 
   def readParams(spark: SparkSession, path: String): Params = {
     val pth = new org.apache.hadoop.fs.Path(sidecar(path))
@@ -64,6 +64,9 @@ object DedupIndex {
       s"index at $path uses content_hash=$algo; this build probes md5 — rebuild the index")
     require(node.has("sim_max_hamming"),
       s"index at $path predates the simhash projection — rebuild with create()")
+    require(Option(node.get("hashes_keyed")).exists(_.asBoolean()),
+      s"index at $path stores unkeyed content hashes (no per-doc rows) — " +
+        "delete() cannot know which hash rows belong to a document; rebuild with create()")
     Params(node.get("shingle_n").asInt(), node.get("num_hashes").asInt(),
       node.get("bands").asInt(), node.get("portable_hash").asBoolean(),
       node.get("sim_max_hamming").asInt())
@@ -77,7 +80,7 @@ object DedupIndex {
     // as content equality with no text verification, so the projection
     // must make collisions negligible at billions of documents (see
     // Dedup.dropExactDupsAgainst)
-    val hashes = base.select(md5(col("text")).as("content_hash")).distinct()
+    val hashes = base.select(col("id"), md5(col("text")).as("content_hash"))
     val sigs = base.select(col("id"), {
       val sh = Dedup.wordShingles(col("text"), p.shingleN)
       (if (p.portableHash) Dedup.minhashSignaturePortable(sh, p.numHashes)
@@ -189,5 +192,33 @@ object DedupIndex {
       .select(col("id_base"), col("id_batch"),
         (size(array_intersect(col("sig_base"), col("sig_batch")))
           .cast("double") / p.numHashes).as("est_jaccard"))
+  }
+
+  /** Forget documents: remove every projection row the given ids
+    * contributed — hash, bands, signature, fingerprint chunks. Because
+    * the hash projection is keyed per document (a probe distincts it,
+    * [[filterExact]]), a deleted document's content becomes ingestable
+    * again UNLESS another surviving document still carries the same
+    * hash — exactly the semantics "forget this document" needs. Each
+    * projection rewrites through a dot-prefixed tmp + atomic rename
+    * (survivors materialized first); this is the one index operation
+    * whose cost is ∝ index size, not batch — a forget pass over
+    * projections that hold a few dozen bytes per document, with the
+    * corpus text never read. Deleting every document this way is out of
+    * scope: drop the index directory and [[create]] afresh instead. */
+  def delete(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
+    require(ids.nonEmpty, "delete needs at least one id")
+    readParams(spark, path) // loud layout check (incl. keyed hashes)
+    val drop = col("id").cast(org.apache.spark.sql.types.StringType).isin(ids: _*)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("hashes", "bands", "sigs", "simchunks").foreach { proj =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$proj")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/.$proj.rewrite.tmp")
+      val kept = spark.read.parquet(dir.toString).filter(!drop).localCheckpoint(true)
+      kept.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      require(fs.rename(tmp, dir), s"rename of rewritten $proj failed under $path")
+    }
   }
 }

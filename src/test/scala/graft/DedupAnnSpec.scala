@@ -389,6 +389,38 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(p.simMaxHamming == 3)
   }
 
+  test("dedup index delete: forgotten doc re-ingestable unless a survivor shares its content") {
+    import graft.operators.DedupIndex
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact twin of 1
+      (3L, "spark catalyst optimizer rewrites logical plans"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("dedupidxdel").toString
+    DedupIndex.create(base, "doc_id", "text", path, shingleN = 2, numHashes = 32, bands = 16)
+    // forget doc 1 (twin 2 survives) and doc 3 (unique content)
+    DedupIndex.delete(spark, path, Seq("1", "3"))
+    val probe = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"),
+      (30L, "spark catalyst optimizer rewrites logical plans"))
+      .toDF("doc_id", "text")
+    val kept = DedupIndex.filterExact(spark, path, probe, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 20 still blocked (survivor 2 carries the hash); 30 ingestable again
+    assert(kept == Set(30L), s"got $kept")
+    // no candidate pair may reference a forgotten id, in either family
+    val cand = DedupIndex.candidates(spark, path, probe, "doc_id", "text")
+      .select("id_base").collect().map(_.getLong(0)).toSet
+    assert(cand == Set(2L), s"got $cand")
+    val sim = DedupIndex.simhashCandidates(spark, path, probe, "doc_id", "text")
+      .select("id_base").collect().map(_.getLong(0)).toSet
+    assert(sim == Set(2L), s"got $sim")
+    // append after delete keeps working (the layouts stayed readable)
+    DedupIndex.append(probe.filter(col("doc_id") === 30L), "doc_id", "text", path)
+    assert(DedupIndex.filterExact(spark, path,
+      probe.filter(col("doc_id") === 30L), "text").isEmpty)
+  }
+
   test("dedup index simhash probe equals simhashPairsAgainst; append extends it") {
     import graft.operators.DedupIndex
     val base = Seq(
@@ -1273,6 +1305,38 @@ class DedupAnnSpec extends AnyFunSuite {
     val mem = Ann.ivfShrink(thinned, minFactor = 4.0)
     assert(mem.centroids.size == back.centroids.size)
     assert(mem.assigned.count() == back.assigned.count())
+  }
+
+  test("persisted ivf lifecycle: build, append, delete, shrink, maintain keep the contract throughout") {
+    import java.nio.file.Files
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivflifecycle").toString
+    // build WITHOUT vec_id < 10, then absorb them as an appended batch
+    Ann.ivfSave(Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding",
+      nLists = 8), dir)
+    val touched = Ann.ivfAppendSave(spark, dir,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding")
+    assert(touched.nonEmpty)
+    // delete five of the original rows, then run both maintenance ops
+    // (each may be a no-op on this geometry — the contract below must
+    // hold regardless of which of them fired)
+    val del = (10 until 15).map(_.toString)
+    Ann.ivfDeleteSave(spark, dir, del)
+    Ann.ivfShrinkSave(spark, dir)
+    Ann.ivfMaintain(spark, dir)
+    val back = Ann.ivfLoad(spark, dir)
+    assert(back.assigned.count() == e.count() - del.size)
+    assert(back.assigned.filter(col("id").cast("string").isin(del: _*)).count() == 0L)
+    assert(back.centroids.map(_._1) == (0 until back.centroids.size),
+      "centroid ids must stay dense through the whole lifecycle")
+    // appended rows still probe correctly after the full mutate sequence
+    val q = e.filter(col("vec_id") < 10)
+    val hits = Ann.ivfTopK(back, q, "vec_id", "embedding", k = 3, nProbe = 4)
+    val self = hits.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 10 && self.forall(identity),
+      "appended rows must survive delete/shrink/maintain and self-hit")
+    assert(hits.filter(col("id").isin(del: _*)).count() == 0L)
   }
 
   test("residual ivfpq persisted delete: both layouts rewritten consistently; probes exclude deleted") {
