@@ -1449,6 +1449,37 @@ object SparkEntry {
           lit(back.assigned.count() == e.count() - del.size))
     }),
 
+    // ANN: shrink on the composed residual index — the dissolved lists'
+    // rows re-assign AND residual-re-encode against their new centroid
+    // (existing codebooks, no fit); both layouts stay row-consistent.
+    "ann_ivfpq_shrink" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_shrink").toString
+      val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+      Ann.ivfPqSave(Ann.ivfPqBuildResidual(ivf, m = 8, nCodes = 16), path)
+      val sizes = ivf.assigned.groupBy(col("cluster").cast(IntegerType).as("c"))
+        .agg(count(lit(1)).as("n")).collect().map(r => r.getInt(0) -> r.getLong(1))
+      val cBig = sizes.maxBy(_._2)._1
+      val ids = ivf.assigned.filter(col("cluster") === cBig)
+        .select(col("id").cast(StringType)).collect().map(_.getString(0)).toSeq
+      val del = ids.drop(2)
+      Ann.ivfPqDeleteSave(s, path, del)
+      val (dissolved, _) = Ann.ivfPqShrinkSave(s, path)
+      val back = Ann.ivfPqLoad(s, path)
+      val remaining = e.filter(!col("vec_id").cast(StringType).isin(del: _*))
+      val q = remaining.orderBy(col("vec_id")).limit(5)
+      val approx = Ann.ivfPqResidualTopK(back, q, "vec_id", "embedding", k = 3, nProbe = 6)
+      val exact = Ann.bruteForceTopK(remaining, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+        .withColumn("shrunk", lit(dissolved.contains(cBig)))
+        .withColumn("layouts_consistent",
+          lit(back.codes.count() == back.ivf.assigned.count()))
+        .withColumn("rows_preserved",
+          lit(back.codes.count() == e.count() - del.size))
+    }),
+
     // ANN: persisted delete — only the cluster directories holding the
     // deleted ids are rewritten (atomic per-dir swap, emptied dirs
     // removed); the reloaded index must exclude the ids everywhere
@@ -2980,6 +3011,10 @@ object SparkEntry {
     "ann_ivf_shrink" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
         |       TRUE AS shrunk, TRUE AS dense_ids, TRUE AS rows_preserved""".stripMargin,
+
+    "ann_ivfpq_shrink" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
+        |       TRUE AS shrunk, TRUE AS layouts_consistent, TRUE AS rows_preserved""".stripMargin,
 
     "ann_ivfpq_res_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",

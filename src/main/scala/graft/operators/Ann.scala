@@ -1151,6 +1151,96 @@ object Ann {
     (drop.sorted, receiving)
   }
 
+  /** Persisted shrink for the RESIDUAL IVF×PQ layout ([[ivfPqSave]]) —
+    * [[ivfShrinkSave]] extended to the composed index: dissolved lists'
+    * rows re-assign to the nearest surviving centroid AND residual-
+    * re-encode against it (their old codes quantized the residual vs a
+    * centroid that no longer exists; the surviving rows' codes are
+    * untouched because their centroid survives verbatim under a new
+    * id). Encoding uses the existing codebooks — no fit anywhere. Both
+    * cluster-partitioned layouts renumber via directory renames and
+    * absorb the moved rows, staying row-consistent; the three sidecars
+    * (raw centroids, normalized centroids, codebooks) swap last.
+    * Returns (dissolved old ids, receiving new ids). */
+  def ivfPqShrinkSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      minFactor: Double = 4.0): (Seq[Int], Seq[Int]) = {
+    import spark.implicits._
+    require(minFactor > 1.0, s"minFactor must be > 1, got $minFactor")
+    val centroids = spark.read.json(s"$path/ivf/centroids")
+      .select(col("cluster").cast(IntegerType), col("cvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+    val centNorm = spark.read.json(s"$path/centnorm")
+      .select(col("cluster").cast(IntegerType), col("cn"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+    val books = readCodebooks(spark, s"$path/codebooks")
+    val subDim = books.head.head.size
+    val codesSchema = spark.read.parquet(s"$path/codes").schema
+    val listsSchema = spark.read.parquet(s"$path/ivf/lists").schema
+    val sizes = spark.read.parquet(s"$path/codes")
+      .groupBy(col("cluster").cast(IntegerType).as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    if (total == 0L) return (Nil, Nil)
+    val mean = total.toDouble / centroids.size
+    val drop = centroids.map(_._1)
+      .filter(c => sizes.getOrElse(c, 0L) < mean / minFactor)
+    if (drop.isEmpty || drop.size == centroids.size) return (Nil, Nil)
+    val kept = centroids.filterNot(c => drop.contains(c._1))
+    val remap = kept.map(_._1).zipWithIndex.toMap
+    val keptDense = kept.map { case (old, v) => (remap(old), v) }
+    val keptNormDense = centNorm.filterNot(c => drop.contains(c._1))
+      .map { case (old, v) => (remap(old), v) }
+    val dropWithRows = drop.filter(c => sizes.getOrElse(c, 0L) > 0L)
+    val moved =
+      if (dropWithRows.isEmpty) None
+      else Some {
+        val cdf = broadcast(keptNormDense.toDF("cluster", "cn"))
+        spark.read
+          .parquet(dropWithRows.map(c => s"$path/ivf/lists/cluster=$c"): _*)
+          .select(col("id").cast(codesSchema("id").dataType).as("id"),
+            col("v").cast(codesSchema("v").dataType).as("v"),
+            graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false)
+              .as("__nv__"))
+          .withColumn("cluster", nearestCentroidExpr(col("v"), keptDense))
+          .join(cdf, Seq("cluster"))
+          .withColumn("__res__", zip_with(col("__nv__"), col("cn"), (a, b) => a - b))
+          .withColumn("codes", pqEncodeExpr(col("__res__"), books, subDim))
+          .select(col("id"), col("cluster"), col("v"), col("codes"))
+          .localCheckpoint(true)
+      }
+    val receiving = moved.toSeq.flatMap(_.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0))).sorted
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"$path/codes", s"$path/ivf/lists").foreach { root =>
+      drop.foreach(c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/cluster=$c"), true))
+      kept.map(_._1).zipWithIndex.foreach { case (old, nw) =>
+        if (old != nw) require(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$root/cluster=$old"),
+          new org.apache.hadoop.fs.Path(s"$root/cluster=$nw")),
+          s"rename of cluster=$old -> cluster=$nw failed under $root")
+      }
+    }
+    moved.foreach { m =>
+      m.write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+      m.select(col("id").cast(listsSchema("id").dataType).as("id"),
+          col("v").cast(listsSchema("v").dataType).as("v"), col("cluster"))
+        .write.mode("append").partitionBy("cluster").parquet(s"$path/ivf/lists")
+    }
+    def swapJson(df: DataFrame, target: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"${target}__shrinking")
+      df.coalesce(1).write.mode("overwrite").json(tmp.toString)
+      val tgt = new org.apache.hadoop.fs.Path(target)
+      fs.delete(tgt, true)
+      require(fs.rename(tmp, tgt), s"rename of $target failed")
+    }
+    swapJson(keptDense.toDF("cluster", "cvec"), s"$path/ivf/centroids")
+    swapJson(keptNormDense.toDF("cluster", "cn"), s"$path/centnorm")
+    (drop.sorted, receiving)
+  }
+
   /** Rewrite one partition directory of a cluster-partitioned layout
     * without the rows matching `drop`: materialize the survivors FIRST
     * (localCheckpoint — the source files are about to be deleted), write

@@ -1361,6 +1361,47 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(self.length == 3 && self.forall(identity))
   }
 
+  test("residual ivfpq shrink: moved rows residual-re-encode; both layouts consistent") {
+    import java.nio.file.Files
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivfpqshrink").toString
+    val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+    Ann.ivfPqSave(Ann.ivfPqBuildResidual(ivf, m = 8, nCodes = 16), dir)
+    // thin the biggest list to 2 rows, then shrink the composed index
+    val sizes = ivf.assigned.groupBy(col("cluster").cast("int").as("c"))
+      .agg(count(lit(1)).as("n")).collect().map(r => r.getInt(0) -> r.getLong(1))
+    val cBig = sizes.maxBy(_._2)._1
+    val ids = ivf.assigned.filter(col("cluster") === cBig)
+      .select(col("id").cast("string")).collect().map(_.getString(0)).toSeq
+    val keep2 = ids.take(2)
+    val del = ids.drop(2)
+    Ann.ivfPqDeleteSave(spark, dir, del)
+    val (dissolved, receiving) = Ann.ivfPqShrinkSave(spark, dir, minFactor = 4.0)
+    assert(dissolved.contains(cBig) && receiving.nonEmpty)
+    val back = Ann.ivfPqLoad(spark, dir)
+    // both layouts absorbed the move and agree row-for-row
+    assert(back.codes.count() == e.count() - del.size)
+    assert(back.ivf.assigned.count() == e.count() - del.size)
+    assert(back.centNorm.map(_._1) == (0 until back.centNorm.size))
+    assert(back.ivf.centroids.map(_._1) == (0 until back.ivf.centroids.size))
+    // the moved rows' codes now quantize residuals vs their NEW centroid:
+    // they must still self-hit at rank 1 through the full probe path
+    val qMoved = e.filter(col("vec_id").cast("string").isin(keep2: _*))
+    val hitsMoved = Ann.ivfPqResidualTopK(back, qMoved, "vec_id", "embedding",
+      k = 3, nProbe = 6)
+    val selfMoved = hitsMoved.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(selfMoved.length == 2 && selfMoved.forall(identity),
+      "moved rows must re-encode against their new centroid and stay probeable")
+    // untouched rows keep working too
+    val q = e.filter(!col("vec_id").cast("string").isin(del: _*))
+      .orderBy(col("vec_id")).limit(5)
+    val hits = Ann.ivfPqResidualTopK(back, q, "vec_id", "embedding", k = 3, nProbe = 6)
+    val self = hits.filter(col("rank") === 1)
+      .select((col("id") === col("qid")).as("ok")).as[Boolean].collect()
+    assert(self.length == 5 && self.forall(identity))
+  }
+
   test("pq and opq batch probes rank identically to their collect paths") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
