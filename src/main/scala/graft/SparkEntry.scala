@@ -2233,6 +2233,43 @@ object SparkEntry {
       s.read.parquet(s"$idx/sigs").select(col("id")).orderBy(col("id"))
     }),
 
+    // Streaming tombstones (StreamingOps.tombstoneStream): vec_id<10
+    // arrive as two mtime-ordered microbatches of ids to forget; each
+    // batch rewrites only the touched buckets of the persisted store.
+    // The surviving id set is an exact SQL fold.
+    "stream_tombstone" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val e = Tables.embeddings(s, dir)
+      val storeDir = java.nio.file.Files.createTempDirectory("graft_tomb_store").toString
+      graft.operators.VectorStore.Partitioned.init(
+        graft.operators.VectorStore.fromDataFrame(e, "vec_id", "embedding", 64),
+        storeDir, 8)
+      val watch = java.nio.file.Files.createTempDirectory("graft_tomb_watch")
+      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_tstage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = watch.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val b1 = e.filter(col("vec_id") < 5).select(col("vec_id").as("id"))
+      val t0 = System.currentTimeMillis() - 120000
+      stage("t1", b1, t0)
+      stage("t2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").as("id")), t0 + 5000)
+      val st = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      val q = graft.streaming.StreamingOps.tombstoneStream(st, "id",
+        storePath = Some(storeDir))
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.VectorStore.Partitioned.load(s, storeDir)
+        .df.select(col("__id__").cast(LongType).as("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Streaming ANN ingestion onto a PERSISTED IVF index
     // (StreamingOps.ivfIngestStream): vec_id<10 arrive as two appended
     // microbatches assigned to the base index's existing centroids — no
@@ -3021,6 +3058,11 @@ object SparkEntry {
 
     "stream_ingest_ivf" ->
       """SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    // streaming tombstones: the surviving id set is everything the two
+    // microbatches did not forget
+    "stream_tombstone" ->
+      """SELECT vec_id FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id""",
 
     // exact fold of the two-microbatch ingest: base ids, then per batch
     // the min-id winner of each content group whose md5 is not yet in

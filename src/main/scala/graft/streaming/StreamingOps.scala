@@ -517,6 +517,38 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming tombstones — the DELETE twin of the ingestion streams:
+    * each microbatch carries ids to forget, applied per batch to
+    * whichever persisted artifacts are wired — the bucketed store
+    * ([[graft.operators.VectorStore.Partitioned.delete]], touched
+    * buckets only), the IVF layout
+    * ([[graft.operators.Ann.ivfDeleteSave]], touched cluster dirs
+    * only), and the dedup index ([[graft.operators.DedupIndex.delete]],
+    * the documented index-sized forget pass). The id list driver-
+    * collects per microbatch — bounded by the batch, the same shape as
+    * the reference's `delete(&[String])` (lib.rs:273-286). Shrink/
+    * rebalance after heavy deletion stay offline decisions
+    * ([[graft.operators.Ann.ivfShrinkSave]]/[[graft.operators.Ann.ivfMaintain]]),
+    * exactly like the append side. */
+  def tombstoneStream(ids: DataFrame, idCol: String,
+      storePath: Option[String] = None,
+      ivfPath: Option[String] = None,
+      dedupIndexPath: Option[String] = None): StreamingQuery =
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val spark = b.sparkSession
+        val list = b.select(col(idCol).cast(StringType)).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (list.nonEmpty) {
+          storePath.foreach(p =>
+            graft.operators.VectorStore.Partitioned.delete(spark, p, list))
+          ivfPath.foreach(p => graft.operators.Ann.ivfDeleteSave(spark, p, list))
+          dedupIndexPath.foreach(p => graft.operators.DedupIndex.delete(spark, p, list))
+        }
+      }
+      .start()
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drain a bounded streaming DataFrame through the memory sink and hand

@@ -1361,6 +1361,60 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(self.length == 3 && self.forall(identity))
   }
 
+  test("streaming tombstones: store, ivf index, and dedup index forget per microbatch") {
+    import graft.operators.{DedupIndex, VectorStore}
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    // persisted artifacts: bucketed store + ivf layout + dedup index
+    val storeDir = Files.createTempDirectory("tombstore").toString
+    VectorStore.Partitioned.init(
+      VectorStore.fromDataFrame(e, "vec_id", "embedding", 64), storeDir, 8)
+    val ivfDir = Files.createTempDirectory("tombivf").toString
+    Ann.ivfSave(Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8), ivfDir)
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    val idxDir = Files.createTempDirectory("tombdedup").toString
+    DedupIndex.create(docs, "doc_id", "text", idxDir)
+    // two tombstone microbatches, mtime-ordered for the file source
+    val watch = Files.createTempDirectory("tomb_watch")
+    def stage(name: String, ids: Seq[Long], mtime: Long): Unit = {
+      val staging = Files.createTempDirectory(s"tombstage_$name")
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stage("t1", Seq(0L, 1L, 2L), t0)
+    stage("t2", Seq(3L, 4L), t0 + 5000)
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    val q = graft.streaming.StreamingOps.tombstoneStream(stream, "id",
+      storePath = Some(storeDir), ivfPath = Some(ivfDir), dedupIndexPath = Some(idxDir))
+    try q.processAllAvailable() finally q.stop()
+    val del = (0L until 5L).map(_.toString)
+    // store forgot
+    val store = VectorStore.Partitioned.load(spark, storeDir)
+    assert(store.df.count() == e.count() - 5)
+    assert(store.df.filter(col("__id__").isin(del: _*)).count() == 0L)
+    // ivf layout forgot
+    val ivf = Ann.ivfLoad(spark, ivfDir)
+    assert(ivf.assigned.count() == e.count() - 5)
+    assert(ivf.assigned.filter(col("id").cast("string").isin(del: _*)).count() == 0L)
+    // dedup index forgot: copies of the tombstoned docs are ingestable again
+    val reprobe = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 900L).as("doc_id"), col("text"))
+    assert(DedupIndex.filterExact(spark, idxDir, reprobe, "text").count() == 5L)
+    // and surviving content is still blocked
+    val blocked = docs.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+      .select((col("doc_id") + 900L).as("doc_id"), col("text"))
+    assert(DedupIndex.filterExact(spark, idxDir, blocked, "text").isEmpty)
+  }
+
   test("residual ivfpq shrink: moved rows residual-re-encode; both layouts consistent") {
     import java.nio.file.Files
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
