@@ -549,6 +549,53 @@ object StreamingOps {
       }
       .start()
 
+  /** [[tombstoneStream]] extended to the SERVING tiers — the delete
+    * analog of [[upsertStreamWithReplica]]: after each microbatch's
+    * touched-bucket store delete, the bucket-aligned cache rebuilds
+    * ONLY the buckets the forgotten ids hashed into, the handle swaps
+    * atomically, and the replica (when wired) delta-refreshes the same
+    * touched buckets — a fully-drained bucket drops out of both tiers.
+    * Superseded cache handles retire on the same grace-period schedule,
+    * with the same consistency contract and caveats, as the upsert
+    * side. */
+  def tombstoneStreamServing(ids: DataFrame, idCol: String, storePath: String,
+      cache: java.util.concurrent.atomic.AtomicReference[graft.operators.MatrixStore],
+      replica: Option[java.util.concurrent.atomic.AtomicReference[graft.operators.LocalMatrixStore]] = None,
+      graceMillis: Long = 60000L): StreamingQuery = {
+    val retired =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, graft.operators.MatrixStore)]()
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val spark = b.sparkSession
+        val list = b.select(col(idCol).cast(StringType)).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (list.nonEmpty) {
+          graft.operators.VectorStore.Partitioned.delete(spark, storePath, list)
+          val nb = cache.get.nBuckets.getOrElse(throw new IllegalArgumentException(
+            "tombstoneStreamServing needs a bucket-aligned cache"))
+          // same id→bucket function the store's layout uses
+          val touched = b
+            .select(pmod(xxhash64(col(idCol).cast(StringType)), lit(nb.toLong))
+              .cast("int").as("bucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val old = cache.get
+          val fresh = old.refreshBuckets(
+            graft.operators.VectorStore.Partitioned.load(spark, storePath), touched)
+          cache.set(fresh)
+          replica.foreach(r => r.set(r.get.refresh(fresh, touched)))
+          retired.add((System.currentTimeMillis, old))
+        }
+        var head = retired.peek()
+        while (head != null &&
+            System.currentTimeMillis - head._1 >= graceMillis) {
+          retired.poll()._2.unpersist()
+          head = retired.peek()
+        }
+      }
+      .start()
+  }
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drain a bounded streaming DataFrame through the memory sink and hand

@@ -1415,6 +1415,41 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(DedupIndex.filterExact(spark, idxDir, blocked, "text").isEmpty)
   }
 
+  test("serving-tier tombstones: cache and replica forget, bitwise-equal to cold rebuild") {
+    import graft.operators.VectorStore
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("tombserve").toString
+    VectorStore.Partitioned.init(
+      VectorStore.fromDataFrame(e, "vec_id", "embedding", 64), dir, 8)
+    val cache = new java.util.concurrent.atomic.AtomicReference(
+      graft.operators.MatrixStore.fromPartitionedLayout(spark, dir))
+    val replica = new java.util.concurrent.atomic.AtomicReference(cache.get.toLocal())
+    val watch = Files.createTempDirectory("tombserve_watch")
+    val staging = Files.createTempDirectory("tombserve_stage")
+    (0L until 5L).toDF("id").coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, watch.resolve("t1.parquet"))
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(watch.toString)
+    val q = graft.streaming.StreamingOps.tombstoneStreamServing(
+      stream, "id", dir, cache, Some(replica), graceMillis = 0L)
+    try q.processAllAvailable() finally q.stop()
+    // both serving tiers forgot the ids without a cold rebuild
+    val q0 = e.filter(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).toArray
+    assert(!cache.get.query(q0, 10).toSeq.map(_._1).contains("0"))
+    assert(!replica.get.query(q0, 10).toSeq.map(_._1).contains("0"))
+    // and serve bitwise-identically to a cold rebuild of the mutated layout
+    val cold = graft.operators.MatrixStore.fromPartitionedLayout(spark, dir)
+    try {
+      assert(cache.get.query(q0, 10).toSeq == cold.query(q0, 10).toSeq)
+      assert(replica.get.query(q0, 10).toSeq == cold.toLocal().query(q0, 10).toSeq)
+    } finally { cold.unpersist(); cache.get.unpersist() }
+  }
+
   test("residual ivfpq shrink: moved rows residual-re-encode; both layouts consistent") {
     import java.nio.file.Files
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
