@@ -109,6 +109,34 @@ object Bench {
       val tLocalQuery = median3 { () =>
         var i = 0; while (i < 10) { local.query(qv, 10); i += 1 }
       } / 10.0
+      // HNSW replica: the sub-linear serving tier (HnswReplica) — the
+      // graph walk reads O(ef·M·log N) rows where every other tier
+      // scans all N. Build is timed ONCE (an index build is offline/
+      // amortized, same stance as the warmed IVF index); queries
+      // amortize over 10 like the other serving tiers.
+      val tH0 = System.nanoTime()
+      val hnsw = local.toHnsw(m = 16, efConstruction = 64)
+      val tHnswBuild = (System.nanoTime() - tH0) / 1e9
+      hnsw.query(qv, 10)
+      val tHnswQuery = median3 { () =>
+        var i = 0; while (i < 10) { hnsw.query(qv, 10); i += 1 }
+      } / 10.0
+      // a latency number from an approximate index is hollow without
+      // its recall: average recall@10 vs the exact replica over 20
+      // spread queries, committed alongside the time (value is a
+      // fraction, not seconds)
+      val hnswRecall = {
+        val qids = (0 until 20).map(i => (i * 4999).toString)
+        val qvs = cached.df
+          .filter(col("__id__").isin(qids: _*))
+          .select(col("__id__"), col("vector")).collect()
+          .map(r => r.getString(0) -> r.getSeq[Float](1).toArray)
+        val per = qvs.map { case (_, v) =>
+          val ex = local.query(v, 10).map(_._1).toSet
+          hnsw.query(v, 10).count(p => ex.contains(p._1)) / 10.0
+        }
+        per.sum / per.length
+      }
       cached.df.unpersist(blocking = true)
       raw.unpersist(blocking = true)
       Map("ref_insert_100k_d1024" -> tInsert, "ref_query_100k_d1024" -> tQuery,
@@ -116,7 +144,10 @@ object Bench {
         "ref_query_matrix_100k_d1024" -> tMatrixQuery,
         "ref_query_matrix_int8_100k_d1024" -> tQuantQuery,
         "ref_query_local_100k_d1024" -> tLocalQuery,
-        "ref_query_local_int8_100k_d1024" -> tQuantLocalQuery)
+        "ref_query_local_int8_100k_d1024" -> tQuantLocalQuery,
+        "ref_hnsw_build_100k_d1024" -> tHnswBuild,
+        "ref_query_hnsw_100k_d1024" -> tHnswQuery,
+        "ref_hnsw_recall10_100k_d1024" -> hnswRecall)
     } catch { case _: Throwable => Map.empty }
   }
 
@@ -141,8 +172,9 @@ object Bench {
       Tables.lineitem(spark, sfDir).count()
       Tables.embeddings(spark, sfDir).count()
       // index builds are offline/amortized in production: build the IVF
-      // index in warmup so ann_ivf_probe times the probe, ann_ivf_topk
-      // still times build+probe
+      // index in warmup so every ann_ivf_* key that probes the shared
+      // index (ann_ivf_topk included, round-9 amortization) times the
+      // probe, not a rebuild of the same index
       SparkEntry.cachedIvf(spark, sfDir)
     } catch { case _: Throwable => }
     // Per-query median-of-3 (see median3). A failing query reports the
@@ -191,7 +223,10 @@ object Bench {
     // expensive queries first, within a hard length budget, plus an
     // "omitted" count; the COMPLETE full-precision map is written to
     // BENCH_LOCAL.json (committed per round) for the judge.
-    val total = results.values.filter(_ >= 0).sum
+    // ref_hnsw_recall10 is a FRACTION riding in the same map (committed
+    // next to the latency it qualifies); keep it out of the seconds total
+    val total = results
+      .filter { case (k, v) => v >= 0 && !k.contains("recall10") }.values.sum
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val footerFor = (om: Int) => s"""},"omitted":$om,"sf":"$sfDir"}"""

@@ -635,6 +635,42 @@ object SparkEntry {
         .orderBy(col("l_suppkey"), col("rn"))
     }),
 
+    // ANN serving tier: in-process HNSW graph over the local replica's
+    // slabs (LocalMatrixStore.toHnsw) — sub-linear queries where the
+    // exact replica scans O(N·d). Contract: recall@10 vs the exact scan
+    // holds a floor on EVERY query, each query's own stored vector comes
+    // back at rank 1, and every emitted (id, score) is bitwise-equal to
+    // the exact tier's score for that id (shared kernel — approximation
+    // moves WHICH ids are found, never their scores). Graph walk is
+    // engine-specific, so the contract is booleans (o3c style); the
+    // add/delete maintenance surface is spec-pinned.
+    "ann_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      val st = VectorStore.fromDataFrame(Tables.embeddings(s, dir), "vec_id", "embedding", 64)
+      val mx = graft.operators.MatrixStore.fromStore(st)
+      val local = mx.toLocal()
+      val hnsw = local.toHnsw(m = 16, efConstruction = 100)
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toString -> r.getSeq[Float](1).toArray).toSeq
+      val exact = qs.map { case (qid, qv) => qid -> local.query(qv, 10) }.toMap
+      val approx = qs.map { case (qid, qv) => qid -> hnsw.query(qv, 10, ef = 96) }.toMap
+      val recallOk = qs.forall { case (qid, _) =>
+        val ex = exact(qid).map(_._1).toSet
+        approx(qid).count(p => ex.contains(p._1)) >= 9 // recall@10 >= 0.9 per query
+      }
+      val selfHit = qs.forall { case (qid, _) => approx(qid).head._1 == qid }
+      val scoresExact = {
+        val fullExact = qs.map { case (qid, qv) =>
+          qid -> local.query(qv, Int.MaxValue).toMap }.toMap
+        qs.forall { case (qid, _) =>
+          approx(qid).forall { case (id, sc) => fullExact(qid)(id) == sc } }
+      }
+      mx.unpersist()
+      Seq((qs.size.toLong, recallOk, selfHit, scoresExact))
+        .toDF("n_queries", "recall_ok", "self_hit", "scores_exact")
+    }),
+
     // ANN: IVF build + probe under the recall/self-hit contract. The
     // KMeans assignment is engine-specific, so the hit list is not
     // oracle-expressible; the checkable invariants are (a) every query's
@@ -643,10 +679,29 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 5)
-      val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+      val idx = cachedIvf(s, dir)
       val approx = Ann.ivfTopK(idx, q, "vec_id", "embedding", k = 3, nProbe = 4)
       val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
       ivfContract(approx, exact)
+    }),
+
+    // ANN: O4 predicate on the INDEX tier — the metadata predicate
+    // lowers to a one-column allow frame (label even, evaluated once)
+    // and gates candidates with a distributed semi join BEFORE scoring;
+    // queries are drawn from the allowed set so the self-hit/recall
+    // contract stays non-vacuous, and vs brute force over the FILTERED
+    // corpus. all_allowed is the filter-correctness boolean.
+    "ann_ivf_filter" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val allowedRows = e.filter(col("label") % 2 === 0)
+      val q = allowedRows.filter(col("vec_id") < 10)
+      val approx = Ann.ivfTopK(cachedIvf(s, dir), q, "vec_id", "embedding",
+        k = 3, nProbe = 6, allowed = Some(allowedRows.select("vec_id")))
+      val exact = Ann.bruteForceTopK(allowedRows, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      val allowedIds = allowedRows.select(col("vec_id").cast(StringType).as("id"))
+      val allOk = approx.join(allowedIds, Seq("id"), "left_anti").isEmpty
+      ivfContract(approx, exact).withColumn("all_allowed", lit(allOk))
     }),
 
     // ANN: IVF probe for DataFrame-sized query batches — pure join
@@ -905,6 +960,33 @@ object SparkEntry {
         .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       DedupIndex.filterExact(s, path, probe, "text")
         .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // Dedup: compact the persisted index — create + append leave one
+    // file set per batch; compact rewrites each projection into <= N
+    // files range-sorted by its probe key. Logically a no-op: the
+    // post-compact probe must equal dedup_incr_index's output (same
+    // base/batch split, oracle recomputes from raw text);
+    // files_bounded is the structural claim, checked engine-side.
+    "dedup_idx_compact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_cmp").toString
+      DedupIndex.create(d.filter(col("doc_id") < 200), "doc_id", "text", path,
+        portableHash = true)
+      DedupIndex.append(d.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+        "doc_id", "text", path)
+      DedupIndex.compact(s, path, filesPerProjection = 4)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bounded = Seq("hashes", "bands", "sigs", "simchunks").forall { proj =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$proj"))
+          .count(st => st.getPath.getName.endsWith(".parquet")) <= 4
+      }
+      DedupIndex.candidates(s, path, d.filter(col("doc_id") >= 300), "doc_id", "text")
+        .select(col("id_base"), col("id_batch"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .withColumn("files_bounded", lit(bounded))
+        .orderBy(col("id_base"), col("id_batch"))
     }),
 
     // Dedup: incremental SimHash near-dup through the PERSISTED
@@ -1424,7 +1506,7 @@ object SparkEntry {
     "ann_ivf_shrink" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_shrink").toString
-      val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+      val idx = cachedIvf(s, dir)
       Ann.ivfSave(idx, path)
       val sizes = idx.assigned.groupBy(col("cluster").cast(IntegerType).as("c"))
         .agg(count(lit(1)).as("n")).collect().map(r => r.getInt(0) -> r.getLong(1))
@@ -1455,7 +1537,7 @@ object SparkEntry {
     "ann_ivfpq_shrink" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_shrink").toString
-      val ivf = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16)
+      val ivf = cachedIvf(s, dir)
       Ann.ivfPqSave(Ann.ivfPqBuildResidual(ivf, m = 8, nCodes = 16), path)
       val sizes = ivf.assigned.groupBy(col("cluster").cast(IntegerType).as("c"))
         .agg(count(lit(1)).as("n")).collect().map(r => r.getInt(0) -> r.getLong(1))
@@ -1489,7 +1571,7 @@ object SparkEntry {
     "ann_ivf_delete" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
-      Ann.ivfSave(Ann.ivfBuild(e, "vec_id", "embedding", nLists = 16), path)
+      Ann.ivfSave(cachedIvf(s, dir), path)
       val delIds = (0 until 5).map(_.toString)
       Ann.ivfDeleteSave(s, path, delIds)
       val back = Ann.ivfLoad(s, path)
@@ -2666,6 +2748,36 @@ object SparkEntry {
         |                   WHERE doc_id >= 50 AND doc_id < 300)
         |ORDER BY doc_id""".stripMargin,
 
+    // compaction is logically a no-op: same probe recomputation as
+    // dedup_incr_index (create 0..200 + append 200..300 == base < 300);
+    // files_bounded folds the engine-side structural check
+    "dedup_idx_compact" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM documents),
+        |sg AS (
+        |  SELECT id,
+        |    list_transform(generate_series(0, 31), k ->
+        |      list_min(list_transform(sh, s ->
+        |        ('0x' || substr(md5(s), 1, 12))::BIGINT + k * ('0x' || substr(md5(s), 13, 12))::BIGINT))) AS sig
+        |  FROM t),
+        |bd AS (
+        |  SELECT id, g.b, array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS bk
+        |  FROM sg, generate_series(0, 7) AS g(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_base, b.id AS id_batch
+        |  FROM bd a JOIN bd b ON a.b = b.b AND a.bk = b.bk
+        |  WHERE a.id < 300 AND b.id >= 300)
+        |SELECT c.id_base, c.id_batch,
+        |  round(len(list_intersect(sa.sig, sb.sig))::DOUBLE / 32.0, 6) AS est_jaccard,
+        |  true AS files_bounded
+        |FROM cand c JOIN sg sa ON sa.id = c.id_base JOIN sg sb ON sb.id = c.id_batch
+        |ORDER BY c.id_base, c.id_batch""".stripMargin,
+
     "dedup_incr_index" ->
       """WITH t AS (
         |  SELECT doc_id AS id,
@@ -3007,6 +3119,17 @@ object SparkEntry {
 
     "ann_ivfpq_res_batch" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_hnsw" ->
+      """SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok,
+        |       TRUE AS self_hit, TRUE AS scores_exact""".stripMargin,
+
+    // the query count is data-dependent (allowed queries = vec_id < 10
+    // with even label), so the oracle recomputes it
+    "ann_ivf_filter" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |        WHERE vec_id < 10 AND label % 2 = 0) AS n_queries,
+        |       TRUE AS recall_ok, TRUE AS self_hit, TRUE AS all_allowed""".stripMargin,
 
     "ann_ivf_topk" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",

@@ -246,9 +246,20 @@ object Ann {
   /** IVF probe: rank centroids per query by cosine, take the nProbe
     * nearest lists, score only rows in those lists, reduce with the
     * bounded-heap aggregate. Candidate set is |data| * nProbe / nLists in
-    * expectation — the sub-linear scan path. */
+    * expectation — the sub-linear scan path.
+    *
+    * `allowed` is the O4 metadata predicate lowered to a one-column id
+    * frame (evaluate it ONCE against the store's metadata, the same
+    * contract as the fast tiers' allow set) — a left-semi join gates the
+    * candidate rows BEFORE scoring, so filter + top-k (lib.rs:211-222)
+    * runs on the index tier too, distributed (no driver-side id set —
+    * the allow frame may be any size; Catalyst broadcasts it when
+    * small). Recall note, standard for filtered ANN: the probe still
+    * selects lists by raw proximity, so a highly selective predicate
+    * thins candidates — raise nProbe accordingly (or use the exact
+    * tiers, whose filter costs nothing). */
   def ivfTopK(index: IvfIndex, queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, allowed: Option[DataFrame] = None): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     val cdf = index.centroids.toDF("cluster", "cvec")
@@ -272,8 +283,17 @@ object Ann {
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probes.schema)
     val probedClusters = probeRows.map(_.getAs[Int]("cluster")).distinct.toSeq
-    index.assigned
+    val pruned = index.assigned
       .filter(col("cluster").isin(probedClusters: _*))
+    val gated = allowed match {
+      // cast the allow frame to the index's own id type: no implicit
+      // join-key coercion, and the semi join stays sargable
+      case Some(a) => pruned.join(
+        a.select(col(a.columns.head).cast(pruned.schema("id").dataType).as("id")),
+        Seq("id"), "left_semi")
+      case None => pruned
+    }
+    gated
       .withColumn("__nv__",
         graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false))
       .join(broadcast(probesLocal), Seq("cluster"))

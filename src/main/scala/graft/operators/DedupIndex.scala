@@ -210,15 +210,61 @@ object DedupIndex {
     require(ids.nonEmpty, "delete needs at least one id")
     readParams(spark, path) // loud layout check (incl. keyed hashes)
     val drop = col("id").cast(org.apache.spark.sql.types.StringType).isin(ids: _*)
+    Seq("hashes", "bands", "sigs", "simchunks").foreach { proj =>
+      rewriteProjection(spark, path, proj)(_.filter(!drop))
+    }
+  }
+
+  /** Probe key of each projection — the column(s) a probe's equi join
+    * or anti join lands on. Compaction range-partitions and sorts by
+    * these so parquet row-group min/max stats cover tight key ranges. */
+  private val probeKeys: Seq[(String, Seq[String])] = Seq(
+    "hashes" -> Seq("content_hash"),
+    "bands" -> Seq("band", "band_hash"),
+    "sigs" -> Seq("id"),
+    "simchunks" -> Seq("ci", "cv"))
+
+  /** Compact the index layout. [[append]] (and its streaming twin) adds
+    * a fresh set of part-files per batch — correct, append-shaped, but
+    * after thousands of microbatches each probe opens thousands of tiny
+    * files and every row group spans the full key range. Compaction
+    * rewrites each projection into at most `filesPerProjection` files,
+    * RANGE-partitioned and sorted by that projection's probe key
+    * ([[probeKeys]]), so post-compact probes open a bounded file count
+    * and row-group stats become selective. Logically a no-op: probe
+    * results are identical before and after (spec-asserted; the
+    * `dedup_idx_compact` oracle recomputes the probe from raw text).
+    * Same staging discipline as [[delete]]: survivors materialize
+    * first, then a tmp + atomic-rename swap per projection — a reader
+    * never sees a half-written projection. Cost ∝ index size (a few
+    * dozen bytes per document, text never read); run it on the
+    * maintenance cadence, e.g. whenever a projection's file count
+    * exceeds a few × `filesPerProjection`. */
+  def compact(spark: SparkSession, path: String,
+      filesPerProjection: Int = 8): Unit = {
+    require(filesPerProjection > 0, "filesPerProjection must be positive")
+    readParams(spark, path) // loud layout check
+    probeKeys.foreach { case (proj, key) =>
+      rewriteProjection(spark, path, proj) { df =>
+        df.repartitionByRange(filesPerProjection, key.map(col): _*)
+          .sortWithinPartitions(key.map(col): _*)
+      }
+    }
+  }
+
+  /** Rewrite one projection through dot-prefixed staging + atomic
+    * rename (shared by [[delete]] and [[compact]]). The transformed
+    * rows are materialized (localCheckpoint) BEFORE the swap so the
+    * rewrite never reads a directory it is replacing. */
+  private def rewriteProjection(spark: SparkSession, path: String,
+      proj: String)(f: DataFrame => DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("hashes", "bands", "sigs", "simchunks").foreach { proj =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/$proj")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/.$proj.rewrite.tmp")
-      val kept = spark.read.parquet(dir.toString).filter(!drop).localCheckpoint(true)
-      kept.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dir, true)
-      require(fs.rename(tmp, dir), s"rename of rewritten $proj failed under $path")
-    }
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$proj")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.$proj.rewrite.tmp")
+    val kept = f(spark.read.parquet(dir.toString)).localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true)
+    require(fs.rename(tmp, dir), s"rename of rewritten $proj failed under $path")
   }
 }

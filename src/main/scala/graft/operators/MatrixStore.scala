@@ -225,6 +225,27 @@ final class LocalMatrixStore private[operators] (
     new LocalMatrixStore(kept ++ fresh, dim)
   }
 
+  /** Index this replica's rows into an in-process HNSW graph — the
+    * sub-linear serving sibling ([[HnswReplica]]): same vectors, same
+    * score kernel, O(ef·M·log N) per query instead of O(N·d). The slab
+    * vectors are already L2-normalized (every ingest path normalizes),
+    * which [[HnswReplica]] requires. One-off build cost ∝ N·log N
+    * parallel across the pool; after that, [[HnswReplica.add]] /
+    * [[HnswReplica.markDeleted]] maintain it incrementally. */
+  def toHnsw(m: Int = 16, efConstruction: Int = 100,
+      seed: Long = 42L): HnswReplica = {
+    val n = nRows.toInt
+    val allIds = new Array[String](n)
+    val flat = new Array[Float](n * dim)
+    var off = 0
+    blocks.foreach { b =>
+      System.arraycopy(b.ids, 0, allIds, off, b.ids.length)
+      System.arraycopy(b.matrix, 0, flat, off * dim, b.matrix.length)
+      off += b.ids.length
+    }
+    HnswReplica.build(allIds, flat, dim, m, efConstruction, seed)
+  }
+
   /** Exact top-k cosine query; returns (id, score) best-first.
     * `allowedIds` is the O4 metadata predicate lowered to the id level
     * (same contract as [[MatrixStore.queryBatch]]) — with it the

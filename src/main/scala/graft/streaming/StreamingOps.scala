@@ -596,6 +596,57 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming ingestion extended to the GRAPH serving tier: each
+    * microbatch (a) merges into the bucketed on-disk layout (touched
+    * partitions only — disk stays the source of truth) and (b) inserts
+    * the batch into the in-process [[graft.operators.HnswReplica]]
+    * (cost ∝ batch · log N, upsert = tombstone old row + insert new).
+    * No handle swap is needed at this tier: foreachBatch serializes
+    * batches, which IS the replica's supported single-writer regime —
+    * serving threads query the same handle throughout (the CAS-
+    * published neighbor lists keep every read consistent; see
+    * [[graft.operators.HnswReplica]]'s concurrency contract). The
+    * batch collect is batch-sized and lands on the driver because the
+    * graph replica is driver-local by design — the same justified
+    * seam as `LocalMatrixStore.refresh`. */
+  def upsertStreamWithHnsw(batches: DataFrame, storePath: String,
+      hnsw: graft.operators.HnswReplica): StreamingQuery =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val spark = b.sparkSession
+          graft.operators.VectorStore.Partitioned.upsert(spark, storePath, b)
+          val rows = b.select(
+              col(graft.operators.VectorStore.IdCol).cast(StringType),
+              col(graft.operators.VectorStore.VectorCol).cast(ArrayType(FloatType)))
+            .collect()
+            .map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toSeq
+          hnsw.add(rows)
+        }
+      }
+      .start()
+
+  /** The delete twin of [[upsertStreamWithHnsw]]: per microbatch,
+    * forget the ids in the bucketed layout (touched partitions only)
+    * and tombstone them in the graph replica — queries stop returning
+    * them immediately; the graph still routes through them, which is
+    * standard HNSW practice (connectivity is preserved; reclaim space
+    * by rebuilding from the store on the maintenance cadence). */
+  def tombstoneStreamHnsw(ids: DataFrame, idCol: String, storePath: String,
+      hnsw: graft.operators.HnswReplica): StreamingQuery =
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val list = b.select(col(idCol).cast(StringType)).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (list.nonEmpty) {
+          graft.operators.VectorStore.Partitioned.delete(b.sparkSession, storePath, list)
+          hnsw.markDeleted(list)
+        }
+      }
+      .start()
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drain a bounded streaming DataFrame through the memory sink and hand

@@ -421,6 +421,60 @@ class DedupAnnSpec extends AnyFunSuite {
       probe.filter(col("doc_id") === 30L), "text").isEmpty)
   }
 
+  test("dedup index compact: probes identical, files bounded, key-sorted, layout maintainable") {
+    import graft.operators.DedupIndex
+    val docs = (0L until 30L).map(i =>
+      (i, s"document number $i about shared topic ${i % 5} with common words"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("dedupidxcmp").toString
+    DedupIndex.create(docs.filter(col("doc_id") < 10), "doc_id", "text", path,
+      shingleN = 2, numHashes = 32, bands = 16)
+    // four appends -> five file sets per projection
+    (10L until 30L by 5L).foreach { lo =>
+      DedupIndex.append(docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 5),
+        "doc_id", "text", path)
+    }
+    val probe = Seq(
+      (100L, "document number 3 about shared topic 3 with common words"), // exact dup of 3
+      (101L, "entirely novel content that matches nothing stored here"))
+      .toDF("doc_id", "text")
+    def snap() = (
+      DedupIndex.filterExact(spark, path, probe, "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet,
+      DedupIndex.candidates(spark, path, probe, "doc_id", "text")
+        .select("id_base", "id_batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      DedupIndex.simhashCandidates(spark, path, probe, "doc_id", "text")
+        .select("id_base", "id_batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val before = snap()
+    assert(before._1 == Set(101L)) // non-vacuous: the exact dup is caught
+    DedupIndex.compact(spark, path, filesPerProjection = 2)
+    // compaction is logically a no-op on every probe family
+    assert(snap() == before)
+    // file count bounded per projection
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("hashes", "bands", "sigs", "simchunks").foreach { proj =>
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$proj"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(n <= 2, s"$proj has $n files after compact")
+    }
+    // rows are sorted by the probe key within each rewritten file
+    // (range partitioning + sortWithinPartitions survive the write)
+    val sigFiles = spark.read.parquet(s"$path/sigs")
+      .select(input_file_name().as("f"), col("id").cast("long").as("id"))
+      .collect().groupBy(_.getString(0)).values
+    assert(sigFiles.forall { rows =>
+      val ids = rows.map(_.getLong(1)).toSeq; ids == ids.sorted })
+    // the compacted layout stays maintainable: delete + append still work
+    DedupIndex.delete(spark, path, Seq("3"))
+    assert(DedupIndex.filterExact(spark, path, probe, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(100L, 101L))
+    DedupIndex.append(probe, "doc_id", "text", path)
+    assert(DedupIndex.filterExact(spark, path, probe, "text").isEmpty)
+  }
+
   test("dedup index simhash probe equals simhashPairsAgainst; append extends it") {
     import graft.operators.DedupIndex
     val base = Seq(

@@ -554,6 +554,117 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally { rebuilt.unpersist(); cache.get.unpersist() }
   }
 
+  test("hnsw replica: recall + bitwise scores vs exact scan; add/delete/upsert maintenance") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    val local = mx.toLocal()
+    try {
+      val hnsw = local.toHnsw(m = 8, efConstruction = 64)
+      assert(hnsw.nRows == local.nRows)
+      val queries = (0L to 19L).map { i =>
+        i.toString -> e.filter(col("vec_id") === i).select("embedding")
+          .head().getSeq[Float](0).toArray
+      }
+      queries.foreach { case (qid, q) =>
+        val exact = local.query(q, 10)
+        val approx = hnsw.query(q, 10, ef = 96)
+        // self-hit: the stored vector itself is rank 1 (score 1-ish is max)
+        assert(approx.head._1 == qid, s"query $qid: rank-1 ${approx.head._1}")
+        // recall@10 floor per query
+        val hits = approx.map(_._1).count(exact.map(_._1).toSet)
+        assert(hits >= 9, s"query $qid recall $hits/10")
+        // every emitted score is bitwise-equal to the exact kernel's
+        val full = local.query(q, Int.MaxValue).toMap
+        approx.foreach { case (id, s) => assert(full(id) == s, s"score drift on $id") }
+        // threshold + O4 allow-set gates behave like the exact tier's
+        val thr = exact(4)._2
+        assert(hnsw.query(q, 10, ef = 96, betterThan = Some(thr)).forall(_._2 >= thr))
+        val allow = exact.take(3).map(_._1).toSet
+        assert(hnsw.query(q, 10, ef = 96, allowedIds = Some(allow))
+          .forall(p => allow.contains(p._1)))
+      }
+      // delete: tombstoned id vanishes; the runner-up keeps its exact score
+      val (q0id, q0) = queries.head
+      val before = hnsw.query(q0, 2, ef = 96)
+      hnsw.markDeleted(Seq(q0id))
+      val after = hnsw.query(q0, 1, ef = 96)
+      assert(after.head == before(1), "runner-up should be rank 1 after delete")
+      assert(hnsw.nRows == local.nRows - 1)
+      // add: a fresh exact-duplicate vector of q0 lands at rank 1
+      hnsw.add(Seq("fresh" -> q0))
+      assert(hnsw.query(q0, 1, ef = 96).head._1 == "fresh")
+      // upsert: re-adding an existing id tombstones the old row
+      val (q1id, q1) = queries(1)
+      hnsw.add(Seq(q1id -> q0)) // q1's id now carries q0's vector
+      val hits = hnsw.query(q0, 3, ef = 96).map(_._1)
+      assert(hits.contains(q1id), "upserted id should match its new vector")
+      assert(hnsw.query(q1, 10, ef = 96).count(_._1 == q1id) <= 1,
+        "an upserted id must not appear twice")
+    } finally mx.unpersist()
+  }
+
+  test("streaming upsert + tombstones keep the hnsw graph tier fresh") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val st = mkStore((0 until 16).map(i => (i.toString, Seq(i + 1f, 1f, 0f, 0f), s"c$i")))
+    val store = Files.createTempDirectory("mhstore").toString
+    VectorStore.Partitioned.init(st, store, nBuckets = 4)
+    val cache = graft.operators.MatrixStore.fromPartitionedLayout(spark, store)
+    val hnsw = cache.toLocal().toHnsw(m = 4, efConstruction = 8)
+    cache.unpersist()
+    val watch = Files.createTempDirectory("mhwatch")
+    def stage(name: String, rows: Seq[(String, Seq[Float], String)], mtime: Long): Unit = {
+      val staging = Files.createTempDirectory(s"mhstage_$name")
+      rows.toDF("id", "vec", "color")
+        .select(col("id").as("__id__"),
+          col("vec").cast(ArrayType(FloatType)).as("vector"), col("color"))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stage("b1", Seq(("3", Seq(0f, 0f, 1f, 0f), "NEW"), ("9001", Seq(1f, 0f, 0f, 0f), "one")), t0)
+    stage("b2", Seq(("9001", Seq(0f, 1f, 0f, 0f), "two"), ("9002", Seq(0f, 0f, 0f, 1f), "ins")), t0 + 5000)
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    val q = graft.streaming.StreamingOps.upsertStreamWithHnsw(stream, store, hnsw)
+    try q.processAllAvailable() finally q.stop()
+    // upserts landed in the graph: updated vector, second-upsert-wins, insert
+    assert(hnsw.query(Array(0f, 0f, 1f, 0f), 1, ef = 16).head._1 == "3")
+    assert(hnsw.query(Array(0f, 1f, 0f, 0f), 1, ef = 16).head._1 == "9001")
+    assert(hnsw.query(Array(0f, 1f, 0f, 0f), 18, ef = 32).count(_._1 == "9001") == 1,
+      "an upserted id must appear once")
+    assert(hnsw.query(Array(0f, 0f, 0f, 1f), 1, ef = 16).head._1 == "9002")
+    assert(hnsw.nRows == 18) // 16 base + 9001 + 9002 (upserts tombstone, not grow)
+    // and the disk layout the stream maintained agrees with the graph
+    val rebuilt = graft.operators.MatrixStore.fromPartitionedLayout(spark, store)
+    val cold = rebuilt.toLocal()
+    assert(cold.query(Array(0f, 1f, 0f, 0f), 1).head._1 == "9001")
+    rebuilt.unpersist()
+    // tombstone twin: forgotten ids stop being served and leave the layout
+    val watch2 = Files.createTempDirectory("mhtomb")
+    val staging2 = Files.createTempDirectory("mhtombstage")
+    Seq("9002", "3").toDF("__id__").coalesce(1)
+      .write.mode("overwrite").parquet(staging2.toString)
+    val part2 = Files.list(staging2).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part2, watch2.resolve("t1.parquet"))
+    val schema2 = spark.read.parquet(watch2.toString).schema
+    val stream2 = spark.readStream.schema(schema2).parquet(watch2.toString)
+    val q2 = graft.streaming.StreamingOps.tombstoneStreamHnsw(stream2, "__id__", store, hnsw)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(hnsw.query(Array(0f, 0f, 0f, 1f), 1, ef = 16).headOption.forall(_._1 != "9002"))
+    assert(hnsw.query(Array(0f, 0f, 1f, 0f), 18, ef = 32).forall(_._1 != "3"))
+    assert(hnsw.nRows == 16)
+    val rebuilt2 = graft.operators.MatrixStore.fromPartitionedLayout(spark, store)
+    try assert(rebuilt2.toLocal().nRows == 16) finally rebuilt2.unpersist()
+  }
+
   test("local serving replica: bitwise-equal to the distributed matrix scan") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
