@@ -671,6 +671,33 @@ object SparkEntry {
         .toDF("n_queries", "recall_ok", "self_hit", "scores_exact")
     }),
 
+    // ANN serving tier: HNSW persistence — the reloaded graph must be
+    // structurally identical (identical answers, tombstones intact) and
+    // still maintainable (post-reload add lands), giving the graph tier
+    // the same cold-start story as every persisted index family.
+    "ann_hnsw_persist" -> ((s, dir) => {
+      import s.implicits._
+      val st = VectorStore.fromDataFrame(Tables.embeddings(s, dir), "vec_id", "embedding", 64)
+      val mx = graft.operators.MatrixStore.fromStore(st)
+      val hnsw = mx.toLocal().toHnsw(m = 16, efConstruction = 100)
+      mx.unpersist()
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toString -> r.getSeq[Float](1).toArray).toSeq
+      hnsw.markDeleted(Seq("2"))
+      val path = java.nio.file.Files.createTempDirectory("graft_hnsw_persist").toString
+      hnsw.save(s, path)
+      val back = graft.operators.HnswReplica.load(s, path)
+      val identical = qs.forall { case (_, qv) =>
+        back.query(qv, 10, ef = 96).toSeq == hnsw.query(qv, 10, ef = 96).toSeq }
+      val tombKept = qs.forall { case (_, qv) =>
+        back.query(qv, 10, ef = 96).forall(_._1 != "2") }
+      back.add(Seq("fresh" -> qs.head._2))
+      val addWorks = back.query(qs.head._2, 2, ef = 96).map(_._1).contains("fresh")
+      Seq((qs.size.toLong, identical, tombKept, addWorks))
+        .toDF("n_queries", "identical", "tomb_kept", "add_works")
+    }),
+
     // ANN: IVF build + probe under the recall/self-hit contract. The
     // KMeans assignment is engine-specific, so the hit list is not
     // oracle-expressible; the checkable invariants are (a) every query's
@@ -3123,6 +3150,10 @@ object SparkEntry {
     "ann_hnsw" ->
       """SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok,
         |       TRUE AS self_hit, TRUE AS scores_exact""".stripMargin,
+
+    "ann_hnsw_persist" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS identical,
+        |       TRUE AS tomb_kept, TRUE AS add_works""".stripMargin,
 
     // the query count is data-dependent (allowed queries = vec_id < 10
     // with even label), so the oracle recomputes it

@@ -402,6 +402,35 @@ final class HnswReplica private (
       if (idx != null && ids(idx.intValue()) == id) deleted.set(idx.intValue())
     }
 
+  /** Persist the graph so a serving process cold-starts WITHOUT the
+    * O(N·log N) rebuild — the same lifecycle parity every other index
+    * family has (ivfSave/pqSave/opqSave). Layout: `nodes/` parquet
+    * (idx, id, vector slab row, level, tombstone flag), `links/`
+    * parquet ((node, level) → neighbor array), and a JSON sidecar
+    * pinning (dim, m, efConstruction, seed, count, entry state) so a
+    * probe against mismatched parameters fails loudly. The write runs
+    * through Spark, so the artifact lands wherever the cluster's
+    * storage is — build distributed-adjacent, serve anywhere. */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val d = dim
+    val nodeRows = (0 until count).map { i =>
+      (i, ids(i),
+        java.util.Arrays.copyOfRange(mat, i * d, (i + 1) * d).toSeq,
+        levels(i), deleted.get(i))
+    }
+    nodeRows.toDF("idx", "id", "vec", "level", "tomb")
+      .write.mode("overwrite").parquet(s"$path/nodes")
+    val linkRows = (0 until count).flatMap { i =>
+      links(i).indices.map(l => (i, l, links(i)(l).get().toSeq))
+    }
+    linkRows.toDF("idx", "level", "nbrs")
+      .write.mode("overwrite").parquet(s"$path/links")
+    VectorStore.writeSidecar(spark, s"$path/_hnsw.json",
+      s"""{"dim": $dim, "m": $m, "ef_construction": $efConstruction, """ +
+        s""""seed": $seed, "count": $count, "entry_state": ${entryState.get()}}""")
+  }
+
   /** Approximate top-k cosine query: greedy descent + ef-beam at the
     * base layer, then the O4/threshold gates and the exact tiers'
     * (score DESC, id ASC) order over the surviving candidates.
@@ -434,6 +463,47 @@ final class HnswReplica private (
 }
 
 object HnswReplica {
+
+  /** Reload a [[HnswReplica.save]]d graph — bit-identical structure
+    * (nodes, levels, links, tombstones, entry point), so queries on
+    * the reloaded replica equal the original's exactly; add/delete
+    * keep working (levels derive from the pinned seed and global
+    * index, exactly as if the rows had been inserted here). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): HnswReplica = {
+    val pth = new org.apache.hadoop.fs.Path(s"$path/_hnsw.json")
+    val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(pth)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    val dim = node.get("dim").asInt()
+    val h = new HnswReplica(dim, node.get("m").asInt(),
+      node.get("ef_construction").asInt(), node.get("seed").asLong())
+    val n = node.get("count").asInt()
+    h.ids = new Array[String](n)
+    h.mat = new Array[Float](n * dim)
+    h.levels = new Array[Int](n)
+    h.links = new Array[Array[AtomicReference[Array[Int]]]](n)
+    h.count = n
+    spark.read.parquet(s"$path/nodes").collect().foreach { r =>
+      val i = r.getAs[Int]("idx")
+      h.ids(i) = r.getAs[String]("id")
+      val v = r.getAs[scala.collection.Seq[Float]]("vec")
+      var j = 0
+      while (j < dim) { h.mat(i * dim + j) = v(j); j += 1 }
+      h.levels(i) = r.getAs[Int]("level")
+      if (r.getAs[Boolean]("tomb")) h.deleted.set(i)
+      h.links(i) = Array.fill(h.levels(i) + 1)(
+        new AtomicReference(Array.empty[Int]))
+    }
+    spark.read.parquet(s"$path/links").collect().foreach { r =>
+      h.links(r.getAs[Int]("idx"))(r.getAs[Int]("level"))
+        .set(r.getAs[scala.collection.Seq[Int]]("nbrs").toArray)
+    }
+    var i = 0
+    while (i < n) { h.idToIdx.put(h.ids(i), Integer.valueOf(i)); i += 1 }
+    h.entryState.set(node.get("entry_state").asLong())
+    h
+  }
 
   /** Build a graph over `(ids, rowMajorVectors)` — vectors MUST already
     * be L2-normalized (they are when they come from a store/replica

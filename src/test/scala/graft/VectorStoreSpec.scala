@@ -604,6 +604,34 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally mx.unpersist()
   }
 
+  test("hnsw save/load: reloaded graph answers identically; maintenance keeps working") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    val local = mx.toLocal()
+    try {
+      val hnsw = local.toHnsw(m = 8, efConstruction = 64)
+      val q0 = e.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0).toArray
+      val q7 = e.filter(col("vec_id") === 7L).select("embedding").head().getSeq[Float](0).toArray
+      hnsw.markDeleted(Seq("3")) // tombstones must survive the round trip
+      val path = java.nio.file.Files.createTempDirectory("hnswsave").toString
+      hnsw.save(spark, path)
+      val back = graft.operators.HnswReplica.load(spark, path)
+      assert(back.nRows == hnsw.nRows)
+      Seq(q0, q7).foreach { q =>
+        assert(back.query(q, 10, ef = 96).toSeq == hnsw.query(q, 10, ef = 96).toSeq,
+          "reloaded graph must answer identically")
+        assert(back.query(q, 10, ef = 96).forall(_._1 != "3"))
+      }
+      // post-reload maintenance: add an exact dup of q0, delete another id
+      back.add(Seq("fresh" -> q0))
+      assert(back.query(q0, 1, ef = 96).head._1 == "fresh" ||
+        back.query(q0, 2, ef = 96).map(_._1).contains("fresh"))
+      back.markDeleted(Seq("fresh"))
+      assert(back.query(q0, 10, ef = 96).forall(_._1 != "fresh"))
+    } finally mx.unpersist()
+  }
+
   test("streaming upsert + tombstones keep the hnsw graph tier fresh") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
