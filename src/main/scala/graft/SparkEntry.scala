@@ -422,6 +422,35 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // F4: ColBERT-style MaxSim late-interaction scoring — token sets
+    // built by grouping consecutive embeddings (8 per pseudo-doc,
+    // normalized, vec_id order), all-pairs scored against the first two
+    // docs' token sets, top-3 per query by (rounded score DESC, doc).
+    // Ranking on the ROUNDED score keeps rank stable across engines;
+    // the raw fold itself is sequential double in both. The all-pairs
+    // cross join is the bounded demo shape — the scaladoc sends
+    // unbounded corpora through an ANN candidate tier first.
+    "f4_maxsim" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val nv = graft.functions.VectorNormalize.normalize(col("embedding"), outputFloat = false)
+      val docs = e
+        .select((col("vec_id") / 8).cast(LongType).as("doc"), col("vec_id"), nv.as("nv"))
+        .groupBy(col("doc"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("nv")))).as("ts"))
+        .select(col("doc"), transform(col("ts"), t => t.getField("nv")).as("toks"))
+      val qs = docs.filter(col("doc") < 2)
+        .select(col("doc").as("qdoc"), col("toks").as("qtoks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qdoc")).orderBy(col("score").desc, col("doc"))
+      docs.crossJoin(broadcast(qs))
+        .withColumn("score",
+          round(graft.functions.VectorFunctions.maxSimD(col("qtoks"), col("toks")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qdoc"), col("rank"), col("doc"), col("score"))
+        .orderBy(col("qdoc"), col("rank"))
+    }),
+
     // F3: deterministic ordering under ties — scores bucketed to 1 decimal
     // force ties, broken by id (SURVEY.md §4.2; reference leaves ties
     // unspecified, lib.rs:100).
@@ -568,6 +597,24 @@ object SparkEntry {
         |       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
         |       round(embedding[1]::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS v0
         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
+
+    "f4_maxsim" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(vec_id // 8 AS BIGINT) AS doc,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings),
+        |d AS (SELECT doc, list(nv ORDER BY vec_id) AS toks FROM n GROUP BY doc),
+        |q AS (SELECT doc AS qdoc, toks AS qtoks FROM d WHERE doc < 2),
+        |sc AS (SELECT q.qdoc, d.doc,
+        |  round(list_sum(list_transform(q.qtoks,
+        |    qv -> list_max(list_transform(d.toks, dv -> list_dot_product(qv, dv))))), 6) AS score
+        |  FROM q CROSS JOIN d),
+        |r AS (SELECT qdoc, doc, score,
+        |  row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, doc) AS rank
+        |  FROM sc)
+        |SELECT qdoc, CAST(rank AS INTEGER) AS rank, doc, score
+        |FROM r WHERE rank <= 3 ORDER BY qdoc, rank""".stripMargin,
 
     "f3_ties" ->
       s"""WITH $qCte,
@@ -1468,6 +1515,39 @@ object SparkEntry {
       val approx = Ann.ivfTopK(idx, q, "vec_id", "embedding", k = 3, nProbe = 4)
       val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
       ivfContract(approx, exact)
+    }),
+
+    // ANN: Lloyd-step centroid drift maintenance — after a fit-free
+    // append, recentering moves each centroid to its list's exact mean
+    // (assignments untouched by construction). The mean minimizes
+    // within-list squared distance, so total distortion must NOT
+    // increase (Lloyd monotonicity — checked numerically here), and
+    // probes on the recentered geometry keep the usual contract.
+    "ann_ivf_recenter" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val base = Ann.ivfBuild(e.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        nLists = 16)
+      val appended = Ann.ivfAppend(base, q, "vec_id", "embedding")
+      def distortion(idx: graft.operators.Ann.IvfIndex): Double = {
+        val cdf = idx.centroids.toDF("cluster", "cvec")
+        idx.assigned
+          .join(broadcast(cdf), Seq("cluster"))
+          .select(aggregate(
+            zip_with(col("v").cast(ArrayType(DoubleType)), col("cvec"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x).as("d2"))
+          .agg(sum(col("d2"))).head.getDouble(0)
+      }
+      val before = distortion(appended)
+      val rec = Ann.ivfRecenter(appended)
+      val after = distortion(rec)
+      val approx = Ann.ivfTopK(rec, q, "vec_id", "embedding", k = 3, nProbe = 4)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      ivfContract(approx, exact)
+        .withColumn("distortion_not_increased", lit(after <= before + 1e-9))
+        .withColumn("assignments_untouched", lit(rec.assigned eq appended.assigned))
     }),
 
     // ANN: skew-triggered maintenance of the persisted IVF layout — a
@@ -3177,6 +3257,10 @@ object SparkEntry {
     // the append landed)
     "ann_ivf_append" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    "ann_ivf_recenter" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
+        |       TRUE AS distortion_not_increased, TRUE AS assignments_untouched""".stripMargin,
 
     "ann_ivf_maintain" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,

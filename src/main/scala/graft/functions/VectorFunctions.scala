@@ -42,6 +42,22 @@ object VectorFunctions {
   /** L2 norm in double. */
   def l2normD(v: Column): Column = sqrt(dotD(v, v))
 
+  /** ColBERT-style late-interaction MaxSim over two ARRAY<ARRAY<float|
+    * double>> token-embedding columns: for each query token, the max
+    * dot product against the document's tokens, summed across query
+    * tokens (Khattab & Zaharia 2020). Composed from built-in
+    * higher-order functions around the [[VectorDot]] kernel (its
+    * interpreted path — HOF lambdas are CodegenFallback regardless),
+    * left-to-right double fold everywhere, so the value is
+    * deterministic and engine-portable. Cost is |q|·|d| dots per pair:
+    * this is the RERANK scorer for an ANN-nominated candidate set, not
+    * the retriever — pair it with a top-k tier for the candidates. */
+  def maxSimD(qTokens: Column, dTokens: Column): Column =
+    aggregate(
+      transform(qTokens, qv => array_max(transform(dTokens, dv => dotD(qv, dv)))),
+      lit(0.0),
+      (acc, x) => acc + x)
+
   /** Cosine similarity of two raw (not pre-normalized) vectors.
     * Once vectors are unit-normalized at ingest (lib.rs:158,173) cosine
     * degenerates to `dotD` — `VectorStore` uses that fast path. */

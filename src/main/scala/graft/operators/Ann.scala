@@ -906,6 +906,55 @@ object Ann {
     * per append: [[ivfRebalance]] early-returns on one count-aggregate
     * when nothing is oversized, so the steady-state cost stays ∝ batch.
     */
+  /** Lloyd-step centroid refresh — the drift maintenance that completes
+    * the fit-free ingest loop. [[ivfAppend]] assigns new rows to the
+    * EXISTING centroids (no KMeans refit, by design); after enough
+    * drifted batches each centroid no longer sits at its list's mean,
+    * and probes — which rank centroids as list proxies — lose fidelity.
+    * Recentering moves every centroid to the exact mean of its assigned
+    * rows, assignments untouched: one combining aggregation pass
+    * (ML `Summarizer.mean` does map-side partial aggregation — no
+    * N×dim row explosion, the 100 TB shape), then an nLists-row collect
+    * (same justified tiny collect as the probe table). The mean
+    * minimizes within-list sum of squared distance, so total distortion
+    * NEVER increases (Lloyd's monotonicity — spec-pinned); run it on
+    * the maintenance cadence between rebalance/shrink, which handle
+    * list SIZES where this handles list POSITIONS. */
+  def ivfRecenter(index: IvfIndex): IvfIndex = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val means = index.assigned
+      .select(col("cluster").cast(IntegerType).as("cluster"),
+        array_to_vector(col("v").cast(ArrayType(DoubleType))).as("fv"))
+      .groupBy(col("cluster"))
+      .agg(Summarizer.mean(col("fv")).as("mv"))
+      .select(col("cluster"), vector_to_array(col("mv")).as("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toMap
+    // a list that lost every row (possible after deletes) keeps its old
+    // centroid — shrink maintenance is the operation that dissolves it
+    val fresh = index.centroids.map { case (c, old) => (c, means.getOrElse(c, old)) }
+    IvfIndex(fresh, index.assigned)
+  }
+
+  /** [[ivfRecenter]] for a PERSISTED layout: one aggregation pass over
+    * `lists/`, then ONLY the centroid sidecar rewrites (staging + atomic
+    * rename — readers never see a half-written sidecar; the row data is
+    * untouched by construction). */
+  def ivfRecenterSave(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val idx = ivfLoad(spark, path)
+    val fresh = ivfRecenter(idx)
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.centroids.recenter.tmp")
+    fresh.centroids.toDF("cluster", "cvec")
+      .coalesce(1).write.mode("overwrite").json(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"rename of recentered centroids failed under $path")
+  }
+
   def ivfAppend(index: IvfIndex, batch: DataFrame, idCol: String, vecCol: String,
       rebalanceFactor: Option[Double] = None): IvfIndex = {
     val idType = index.assigned.schema("id").dataType

@@ -421,6 +421,49 @@ class DedupAnnSpec extends AnyFunSuite {
       probe.filter(col("doc_id") === 30L), "text").isEmpty)
   }
 
+  test("ivf recenter: centroids land on exact list means; distortion never increases; persisted twin matches") {
+    import graft.operators.Ann
+    // two well-separated clusters, then a drifted batch pulls one mean
+    val base = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(0.1, 0.9))).toDF("vec_id", "embedding")
+    val idx = Ann.ivfBuild(base, "vec_id", "embedding", nLists = 2, seed = 3L)
+    val drift = Seq((10L, Seq(0.7, 0.3)), (11L, Seq(0.6, 0.4))).toDF("vec_id", "embedding")
+    val appended = Ann.ivfAppend(idx, drift, "vec_id", "embedding")
+    def distortion(ix: Ann.IvfIndex): Double = {
+      val cmap = ix.centroids.toMap
+      ix.assigned.select(col("cluster").cast("int"), col("v").cast("array<double>"))
+        .collect().map { r =>
+          val c = cmap(r.getInt(0)); val v = r.getSeq[Double](1)
+          v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.sum
+    }
+    val before = distortion(appended)
+    val rec = Ann.ivfRecenter(appended)
+    val after = distortion(rec)
+    assert(after <= before + 1e-12, s"distortion rose: $before -> $after")
+    // each recentered centroid is the EXACT mean of its assigned rows
+    val byCluster = appended.assigned
+      .select(col("cluster").cast("int"), col("v").cast("array<double>"))
+      .collect().groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getSeq[Double](1))).toMap
+    rec.centroids.foreach { case (c, cv) =>
+      val rows = byCluster(c).toSeq
+      val mean = rows.transpose.map(xs => xs.sum / rows.length)
+      cv.zip(mean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+    // persisted twin: only the sidecar changes; reload matches in-memory
+    val path = java.nio.file.Files.createTempDirectory("ivfrecenter").toString
+    Ann.ivfSave(appended, path)
+    Ann.ivfRecenterSave(spark, path)
+    val back = Ann.ivfLoad(spark, path)
+    val recMap = rec.centroids.toMap
+    back.centroids.foreach { case (c, cv) =>
+      cv.zip(recMap(c)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+    assert(back.assigned.count() == appended.assigned.count())
+  }
+
   test("dedup index compact: probes identical, files bounded, key-sorted, layout maintainable") {
     import graft.operators.DedupIndex
     val docs = (0L until 30L).map(i =>

@@ -56,6 +56,22 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("maxSimD: hand-checked late-interaction score; reduces to dot on single tokens") {
+    val df = Seq((
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),           // query tokens
+      Seq(Seq(1.0, 0.0), Seq(0.6, 0.8)))           // doc tokens
+    ).toDF("q", "d")
+    // token 1: max(1.0, 0.6) = 1.0; token 2: max(0.0, 0.8) = 0.8
+    val got = df.select(maxSimD(col("q"), col("d")).as("s")).head().getDouble(0)
+    assert(math.abs(got - 1.8) < 1e-12)
+    // single-token sets degenerate to the plain dot product
+    val one = Seq((Seq(Seq(0.5, 0.5)), Seq(Seq(0.25, 0.75)))).toDF("q", "d")
+    val viaMax = one.select(maxSimD(col("q"), col("d"))).head().getDouble(0)
+    val viaDot = one.select(dotD(element_at(col("q"), 1), element_at(col("d"), 1)))
+      .head().getDouble(0)
+    assert(viaMax == viaDot)
+  }
+
   test("codegen VectorDot agrees exactly with the HOF formulation") {
     val cases = samples(vecGen, 40).filter(_.nonEmpty).map(a => (a, a.map(x => x * 0.7f - 1f)))
     val df = cases.toDF("a", "b")
