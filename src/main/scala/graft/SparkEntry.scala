@@ -1830,10 +1830,10 @@ object SparkEntry {
       s.read.parquet(out)
         .groupBy(col("shard").cast(LongType).as("shard"))
         .agg(count(lit(1)).as("n"),
-          sum(octet_length(col("text")).cast(LongType)).as("sum_len"),
-          min(col("doc_id")).as("min_id"),
+          sum(octet_length(col("text")).cast(LongType)).cast(LongType).as("sum_len"),
+          min(col("doc_id")).cast(LongType).as("min_id"),
           sum(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-            .cast(LongType) % 2147483648L).as("ids_chk"))
+            .cast(LongType) % 2147483648L).cast(LongType).as("ids_chk"))
         .orderBy(col("shard"))
     }),
 
@@ -1851,10 +1851,10 @@ object SparkEntry {
       s.read.parquet(out)
         .groupBy(col("shard").cast(LongType).as("shard"))
         .agg(count(lit(1)).as("n"),
-          sum(octet_length(col("text")).cast(LongType)).as("sum_len"),
-          min(col("doc_id")).as("min_id"),
+          sum(octet_length(col("text")).cast(LongType)).cast(LongType).as("sum_len"),
+          min(col("doc_id")).cast(LongType).as("min_id"),
           sum(conv(substring(md5(col("doc_id").cast(StringType)), 1, 12), 16, 10)
-            .cast(LongType) % 2147483648L).as("ids_chk"))
+            .cast(LongType) % 2147483648L).cast(LongType).as("ids_chk"))
         .withColumn("n_shards", lit(k.toLong))
         .orderBy(col("shard"))
     }),
@@ -3590,10 +3590,10 @@ object SparkEntry {
     // pure-key recompute of the shard routing; n/sum_len/min_id fold the
     // written layout the Spark side read back
     "pipe_shards" ->
-      """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS shard,
-        |       count(*) AS n,
-        |       sum(octet_length(CAST(text AS BLOB))) AS sum_len,
-        |       min(doc_id) AS min_id,
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_len,
+        |       CAST(min(doc_id) AS BIGINT) AS min_id,
         |       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
         |                % 2147483648) AS BIGINT) AS ids_chk
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
@@ -3605,14 +3605,14 @@ object SparkEntry {
       """WITH t AS (SELECT GREATEST(
         |    (CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) + 24575) // 24576,
         |    1) AS k FROM documents)
-        |SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-        |         % (SELECT k FROM t) AS shard,
-        |       count(*) AS n,
-        |       sum(octet_length(CAST(text AS BLOB))) AS sum_len,
-        |       min(doc_id) AS min_id,
+        |SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |         % (SELECT k FROM t) AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_len,
+        |       CAST(min(doc_id) AS BIGINT) AS min_id,
         |       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
         |                % 2147483648) AS BIGINT) AS ids_chk,
-        |       (SELECT k FROM t) AS n_shards
+        |       CAST((SELECT k FROM t) AS BIGINT) AS n_shards
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "dedup_semantic_text" ->

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md). */
 object Tables {
@@ -12,16 +12,30 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
   def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
 
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it only as a raw
-    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench
-    * and the test sessions). Truncate ns -> us exactly like DuckDB does
-    * when it surfaces the column as a micros TIMESTAMP. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    if (raw.schema("ts").dataType == LongType) {
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else raw
-  }
+  /** Normalize an event-time column to session-zoned TIMESTAMP (epoch
+    * micros) regardless of the parquet physical type the generator used:
+    *  - TIMESTAMP(NANOS) under spark.sql.legacy.parquet.nanosAsLong=true
+    *    surfaces as a raw long of nanoseconds -> truncate ns -> us
+    *    (exactly what DuckDB does when it reads the same file);
+    *  - TIMESTAMP(MICROS) with isAdjustedToUTC=false surfaces as
+    *    TIMESTAMP_NTZ -> reinterpret the wall-clock under the UTC
+    *    session (all graft sessions pin spark.sql.session.timeZone=UTC),
+    *    matching DuckDB's epoch_us of the same column;
+    *  - TIMESTAMP passes through.
+    * Shared by the batch reader ([[events]]) and the streaming reader
+    * (graft.streaming.StreamingOps.eventsStream) so the two paths can
+    * never diverge on physical-type handling again. */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
+
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(t(s, dir, "events"))
   def lineitem(s: SparkSession, dir: String): DataFrame   = t(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame     = t(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame   = t(s, dir, "customer")

@@ -98,6 +98,9 @@ final class QuantizedMatrixStore private (
     new LocalQuantizedMatrixStore(blocks.collect(), dim)
 
   def unpersist(blocking: Boolean = false): Unit = blocks.unpersist(blocking)
+
+  // test/profiling seam — not part of the serving API
+  private[operators] def blocksForProfiling: RDD[QuantizedMatrixStore.QBlock] = blocks
 }
 
 /** Driver-local serving replica of a [[QuantizedMatrixStore]] — the

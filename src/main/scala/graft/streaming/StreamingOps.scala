@@ -12,17 +12,23 @@ import org.apache.spark.sql.types._
   * surface — this is north-star scope. */
 object StreamingOps {
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark surfaces as
-    * a raw long under spark.sql.legacy.parquet.nanosAsLong — declare it as
-    * LONG and convert after read (same ns->us truncation as the batch
-    * reader in [[graft.Tables.events]]). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Stream read schema for events.parquet. The generator's physical type
+    * for `ts` has changed across testdata versions (TIMESTAMP(NANOS) read
+    * as raw long under nanosAsLong vs TIMESTAMP(MICROS) read as
+    * TIMESTAMP_NTZ), so the forced schema is built from a one-time batch
+    * probe of the directory's footer — never assumed — and the conversion
+    * is the shared [[graft.Tables.normalizeTs]], identical to the batch
+    * reader. */
+  def eventsSchema(spark: SparkSession, dir: String): StructType = {
+    val probed = spark.read.parquet(dir).schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", probed),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   /** Streaming tumbling-window aggregation with a watermark; late data
     * beyond 1 hour is dropped deterministically. */
@@ -360,9 +366,9 @@ object StreamingOps {
     * FileStreamSource feeds files in listing order, not time order). */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = Some(1)): DataFrame = {
-    val rd = spark.readStream.schema(eventsSchema)
+    val rd = spark.readStream.schema(eventsSchema(spark, dir))
     maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n.toString))
-    rd.parquet(dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(rd.parquet(dir))
   }
 
   /** Streaming ingestion into the bucketed vector store: every
