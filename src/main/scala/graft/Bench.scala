@@ -109,34 +109,43 @@ object Bench {
       val tLocalQuery = median3 { () =>
         var i = 0; while (i < 10) { local.query(qv, 10); i += 1 }
       } / 10.0
-      // HNSW replica: the sub-linear serving tier (HnswReplica) — the
-      // graph walk reads O(ef·M·log N) rows where every other tier
-      // scans all N. Build is timed ONCE (an index build is offline/
-      // amortized, same stance as the warmed IVF index); queries
-      // amortize over 10 like the other serving tiers.
+      // HNSW serving tier, SHARDED (HnswShards): id-hash shards of
+      // ~6.25k rows, independent graphs queried in parallel + merged.
+      // On this 1024-dim uniform workload a single 100k graph cannot
+      // reach useful recall at serving latency (distance concentration;
+      // r8 committed 0.135 honestly) — sharding holds the small-graph
+      // recall at one small-graph search's wall latency. Build is timed
+      // ONCE (offline/amortized stance, same as the warmed IVF index);
+      // queries amortize over 10 like the other serving tiers. The
+      // recall-latency PAIR is committed for three ef operating points
+      // (an approximate index's latency is hollow without its recall);
+      // the headline keys carry the ef=256 point (recall 0.96-0.97).
       val tH0 = System.nanoTime()
-      val hnsw = local.toHnsw(m = 16, efConstruction = 64)
+      val hnsw = local.toHnswSharded() // 16 shards, m=32, efC=400
       val tHnswBuild = (System.nanoTime() - tH0) / 1e9
-      hnsw.query(qv, 10)
-      val tHnswQuery = median3 { () =>
-        var i = 0; while (i < 10) { hnsw.query(qv, 10); i += 1 }
-      } / 10.0
-      // a latency number from an approximate index is hollow without
-      // its recall: average recall@10 vs the exact replica over 20
-      // spread queries, committed alongside the time (value is a
-      // fraction, not seconds)
-      val hnswRecall = {
+      val hnswQueryVecs = {
         val qids = (0 until 20).map(i => (i * 4999).toString)
-        val qvs = cached.df
+        cached.df
           .filter(col("__id__").isin(qids: _*))
           .select(col("__id__"), col("vector")).collect()
           .map(r => r.getString(0) -> r.getSeq[Float](1).toArray)
-        val per = qvs.map { case (_, v) =>
-          val ex = local.query(v, 10).map(_._1).toSet
-          hnsw.query(v, 10).count(p => ex.contains(p._1)) / 10.0
-        }
-        per.sum / per.length
       }
+      val exact = hnswQueryVecs.map { case (id, v) =>
+        id -> local.query(v, 10).map(_._1).toSet
+      }.toMap
+      def hnswPoint(ef: Int): (Double, Double) = {
+        hnsw.query(qv, 10, ef = ef) // warm
+        val t = median3 { () =>
+          var i = 0; while (i < 10) { hnsw.query(qv, 10, ef = ef); i += 1 }
+        } / 10.0
+        val rec = hnswQueryVecs.map { case (id, v) =>
+          hnsw.query(v, 10, ef = ef).count(p => exact(id).contains(p._1)) / 10.0
+        }.sum / hnswQueryVecs.length
+        (t, rec)
+      }
+      val (tHnsw64, rHnsw64) = hnswPoint(64)
+      val (tHnsw128, rHnsw128) = hnswPoint(128)
+      val (tHnsw256, rHnsw256) = hnswPoint(256)
       cached.df.unpersist(blocking = true)
       raw.unpersist(blocking = true)
       Map("ref_insert_100k_d1024" -> tInsert, "ref_query_100k_d1024" -> tQuery,
@@ -146,8 +155,12 @@ object Bench {
         "ref_query_local_100k_d1024" -> tLocalQuery,
         "ref_query_local_int8_100k_d1024" -> tQuantLocalQuery,
         "ref_hnsw_build_100k_d1024" -> tHnswBuild,
-        "ref_query_hnsw_100k_d1024" -> tHnswQuery,
-        "ref_hnsw_recall10_100k_d1024" -> hnswRecall)
+        "ref_query_hnsw_100k_d1024" -> tHnsw256,
+        "ref_hnsw_recall10_100k_d1024" -> rHnsw256,
+        "ref_query_hnsw_ef64_100k_d1024" -> tHnsw64,
+        "ref_hnsw_recall10_ef64_100k_d1024" -> rHnsw64,
+        "ref_query_hnsw_ef128_100k_d1024" -> tHnsw128,
+        "ref_hnsw_recall10_ef128_100k_d1024" -> rHnsw128)
     } catch { case _: Throwable => Map.empty }
   }
 

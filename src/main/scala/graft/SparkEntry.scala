@@ -745,6 +745,56 @@ object SparkEntry {
         .toDF("n_queries", "identical", "tomb_kept", "add_works")
     }),
 
+    // ANN serving tier, SHARDED (HnswShards): id-hash shards queried in
+    // parallel and merged under the exact order — the operating shape
+    // that holds small-graph recall on corpora where one big graph
+    // can't (see HnswShards scaladoc). Contract: per-query recall@10
+    // floor vs the exact replica, self-hit, bitwise-exact scores, and
+    // the full mutate surface routed across shards — delete tombstones
+    // on the owning shard, re-add upserts back, persist/reload answers
+    // identically.
+    "ann_hnsw_shard" -> ((s, dir) => {
+      import s.implicits._
+      val st = VectorStore.fromDataFrame(Tables.embeddings(s, dir), "vec_id", "embedding", 64)
+      val mx = graft.operators.MatrixStore.fromStore(st)
+      val local = mx.toLocal()
+      val hnsw = local.toHnswSharded(nShards = 4, m = 16, efConstruction = 100)
+      mx.unpersist()
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toString -> r.getSeq[Float](1).toArray).toSeq
+      val exact = qs.map { case (qid, qv) => qid -> local.query(qv, 10) }.toMap
+      val approx = qs.map { case (qid, qv) => qid -> hnsw.query(qv, 10, ef = 96) }.toMap
+      val recallOk = qs.forall { case (qid, _) =>
+        val ex = exact(qid).map(_._1).toSet
+        approx(qid).count(p => ex.contains(p._1)) >= 9 // recall@10 >= 0.9 per query
+      }
+      val selfHit = qs.forall { case (qid, _) => approx(qid).head._1 == qid }
+      val scoresExact = {
+        val fullExact = qs.map { case (qid, qv) =>
+          qid -> local.query(qv, Int.MaxValue).toMap }.toMap
+        qs.forall { case (qid, _) =>
+          approx(qid).forall { case (id, sc) => fullExact(qid)(id) == sc } }
+      }
+      // mutate surface across shards: delete routes to the owning
+      // shard; re-adding the id upserts onto that same shard
+      val victim = qs.head._1
+      hnsw.markDeleted(Seq(victim))
+      val deleted = qs.forall { case (_, qv) =>
+        hnsw.query(qv, 10, ef = 96).forall(_._1 != victim) }
+      hnsw.add(Seq(victim -> qs.head._2))
+      val reAdded = hnsw.query(qs.head._2, 1, ef = 96).head._1 == victim
+      val path = java.nio.file.Files.createTempDirectory("graft_hnsw_shard").toString
+      hnsw.save(s, path)
+      val back = graft.operators.HnswShards.load(s, path)
+      val identical = qs.forall { case (_, qv) =>
+        back.query(qv, 10, ef = 96).toSeq == hnsw.query(qv, 10, ef = 96).toSeq }
+      Seq((qs.size.toLong, hnsw.nShards.toLong, recallOk, selfHit, scoresExact,
+        deleted, reAdded, identical))
+        .toDF("n_queries", "n_shards", "recall_ok", "self_hit", "scores_exact",
+          "del_routed", "add_routed", "persist_identical")
+    }),
+
     // ANN: IVF build + probe under the recall/self-hit contract. The
     // KMeans assignment is engine-specific, so the hit list is not
     // oracle-expressible; the checkable invariants are (a) every query's
@@ -3234,6 +3284,12 @@ object SparkEntry {
     "ann_hnsw_persist" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS identical,
         |       TRUE AS tomb_kept, TRUE AS add_works""".stripMargin,
+
+    "ann_hnsw_shard" ->
+      """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(4 AS BIGINT) AS n_shards,
+        |       TRUE AS recall_ok, TRUE AS self_hit, TRUE AS scores_exact,
+        |       TRUE AS del_routed, TRUE AS add_routed,
+        |       TRUE AS persist_identical""".stripMargin,
 
     // the query count is data-dependent (allowed queries = vec_id < 10
     // with even label), so the oracle recomputes it

@@ -1,0 +1,137 @@
+package graft.operators
+
+/** Sharded HNSW serving replica: the corpus id-hash-partitioned into
+  * independent [[HnswReplica]] graphs, queried in PARALLEL and merged.
+  *
+  * Why shard an in-process index at all: HNSW recall on high-dimensional
+  * weakly-structured data degrades sharply with graph size (distance
+  * concentration — measured on the 1024-dim uniform microbench:
+  * recall@10 at ef=64 is ~0.96 for a 12.5k graph but ~0.67 for a 100k
+  * graph at the same m/efConstruction), while every EXACT tier in this
+  * library is partition-parallel. Sharding converts graph size into
+  * parallelism: each shard searches its own small graph — so per-shard
+  * recall is the small-graph recall — and the union of per-shard top-k
+  * supersets the global top-k candidates, so UNION recall matches the
+  * small-graph recall while wall latency is one small-graph search
+  * (shards run on the common pool). This is also the shape a
+  * distributed serving fleet has (each replica owns a shard, queries
+  * fan out, merge top-k), collapsed into one process.
+  *
+  * Routing is by id hash (not round-robin), so [[add]] upserts and
+  * [[markDeleted]] land on the shard that owns the id — the same
+  * pure-key routing discipline as every bucketed tier. Scores obey the
+  * same fidelity contract as [[HnswReplica]]: each shard re-scores its
+  * survivors with the exact double kernel, and the merge uses the exact
+  * tiers' (score DESC, id ASC) order — approximation affects only which
+  * ids the beams surface.
+  */
+final class HnswShards private (
+    private val shards: Array[HnswReplica], val dim: Int) {
+
+  def nShards: Int = shards.length
+  def nRows: Long = shards.iterator.map(_.nRows).sum
+
+  private def shardOf(id: String): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(id, 0x48534852),
+      shards.length)
+
+  /** Approximate top-k cosine: every shard runs its own beam (same `ef`
+    * each — `ef` is a per-shard knob) concurrently on the common pool;
+    * exact-scored per-shard results merge under the exact order. The
+    * O4/threshold gates push into each shard's search. */
+  def query(queryVec: Array[Float], topK: Int, ef: Int = 64,
+      betterThan: Option[Double] = None,
+      allowedIds: Option[Set[String]] = None): Array[(String, Double)] = {
+    val per = new Array[Array[(String, Double)]](shards.length)
+    java.util.stream.IntStream.range(0, shards.length).parallel().forEach { si =>
+      per(si) = shards(si).query(queryVec, topK, ef, betterThan, allowedIds)
+    }
+    per.iterator.flatten.map { case (id, s) => (s, id) }.toArray
+      .sorted(MatrixStore.worstFirst).take(topK).map { case (s, id) => (id, s) }
+  }
+
+  /** Route each row to its id-hash shard and insert; shards ingest their
+    * sub-batches in parallel (each shard is single-writer, and distinct
+    * shards share no state). Upsert/tombstone semantics per shard are
+    * [[HnswReplica.add]]'s. */
+  def add(batch: Seq[(String, Array[Float])]): Unit = {
+    val routed = batch.groupBy { case (id, _) => shardOf(id) }
+    java.util.stream.IntStream.range(0, shards.length).parallel().forEach { si =>
+      routed.get(si).foreach(shards(si).add)
+    }
+  }
+
+  def markDeleted(dropIds: Seq[String]): Unit =
+    dropIds.groupBy(shardOf).foreach { case (si, ids) =>
+      shards(si).markDeleted(ids)
+    }
+
+  /** Persist every shard under `path/shard=<i>/` plus a sidecar pinning
+    * the shard count and dim — same cold-start story as
+    * [[HnswReplica.save]], sharded. */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    shards.zipWithIndex.foreach { case (h, si) =>
+      h.save(spark, s"$path/shard=$si")
+    }
+    VectorStore.writeSidecar(spark, s"$path/_hnsw_shards.json",
+      s"""{"dim": $dim, "n_shards": ${shards.length}}""")
+  }
+}
+
+object HnswShards {
+
+  /** Default shard sizing: ~6.25k rows per shard (the measured knee on
+    * the 1024-dim uniform microbench: 16x6.25k shards reach recall@10 =
+    * 0.965 at ef=256 in 10.8 ms where one 100k graph manages 0.835 at
+    * ef=1024 in 49 ms) capped at 32 shards (the pool width). */
+  def defaultShards(n: Long): Int =
+    math.max(1, math.min(32, math.ceil(n / 6250.0).toInt))
+
+  /** Partition `(ids, rowMajor)` by id hash and build per-shard graphs
+    * concurrently. Vectors must already be L2-normalized (same contract
+    * as [[HnswReplica.build]]). */
+  private[operators] def build(allIds: Array[String], rowMajor: Array[Float],
+      dim: Int, nShards: Int, m: Int, efConstruction: Int,
+      seed: Long): HnswShards = {
+    require(nShards >= 1, "nShards must be >= 1")
+    def route(id: String): Int =
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(id, 0x48534852), nShards)
+    val n = allIds.length
+    val counts = new Array[Int](nShards)
+    val routeOf = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val s = route(allIds(i)); routeOf(i) = s; counts(s) += 1; i += 1
+    }
+    val sIds = Array.tabulate(nShards)(s => new Array[String](counts(s)))
+    val sVecs = Array.tabulate(nShards)(s => new Array[Float](counts(s) * dim))
+    val fill = new Array[Int](nShards)
+    i = 0
+    while (i < n) {
+      val s = routeOf(i); val p = fill(s)
+      sIds(s)(p) = allIds(i)
+      System.arraycopy(rowMajor, i * dim, sVecs(s), p * dim, dim)
+      fill(s) = p + 1
+      i += 1
+    }
+    val shards = new Array[HnswReplica](nShards)
+    java.util.stream.IntStream.range(0, nShards).parallel().forEach { s =>
+      shards(s) = HnswReplica.build(sIds(s), sVecs(s), dim, m, efConstruction,
+        seed + s)
+    }
+    new HnswShards(shards, dim)
+  }
+
+  /** Reload a [[HnswShards.save]]d replica. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): HnswShards = {
+    val pth = new org.apache.hadoop.fs.Path(s"$path/_hnsw_shards.json")
+    val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(pth)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    val dim = node.get("dim").asInt()
+    val k = node.get("n_shards").asInt()
+    val shards = Array.tabulate(k)(si => HnswReplica.load(spark, s"$path/shard=$si"))
+    new HnswShards(shards, dim)
+  }
+}

@@ -246,6 +246,28 @@ final class LocalMatrixStore private[operators] (
     HnswReplica.build(allIds, flat, dim, m, efConstruction, seed)
   }
 
+  /** Sharded variant of [[toHnsw]] ([[HnswShards]]): id-hash-partition
+    * the rows into `nShards` independent graphs, query them in parallel
+    * and merge. On large high-dim corpora this holds the SMALL-graph
+    * recall at the wall latency of one small-graph search — the
+    * operating points a single 100k+ graph can't reach (see
+    * [[HnswShards]]'s scaladoc for the measured numbers). `nShards = 0`
+    * picks [[HnswShards.defaultShards]] (~12.5k rows per shard). */
+  def toHnswSharded(nShards: Int = 0, m: Int = 32, efConstruction: Int = 400,
+      seed: Long = 42L): HnswShards = {
+    val n = nRows.toInt
+    val allIds = new Array[String](n)
+    val flat = new Array[Float](n * dim)
+    var off = 0
+    blocks.foreach { b =>
+      System.arraycopy(b.ids, 0, allIds, off, b.ids.length)
+      System.arraycopy(b.matrix, 0, flat, off * dim, b.matrix.length)
+      off += b.ids.length
+    }
+    val k = if (nShards > 0) nShards else HnswShards.defaultShards(n.toLong)
+    HnswShards.build(allIds, flat, dim, k, m, efConstruction, seed)
+  }
+
   /** Exact top-k cosine query; returns (id, score) best-first.
     * `allowedIds` is the O4 metadata predicate lowered to the id level
     * (same contract as [[MatrixStore.queryBatch]]) — with it the

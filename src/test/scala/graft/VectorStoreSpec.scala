@@ -632,6 +632,53 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally mx.unpersist()
   }
 
+  test("sharded hnsw: parallel shard fan-out matches exact tier; cross-shard maintenance + persistence") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    val local = mx.toLocal()
+    try {
+      val hs = local.toHnswSharded(nShards = 4, m = 8, efConstruction = 64)
+      assert(hs.nShards == 4)
+      assert(hs.nRows == local.nRows)
+      val queries = (0L to 9L).map { i =>
+        i.toString -> e.filter(col("vec_id") === i).select("embedding")
+          .head().getSeq[Float](0).toArray
+      }
+      queries.foreach { case (qid, q) =>
+        val exact = local.query(q, 10)
+        val approx = hs.query(q, 10, ef = 96)
+        assert(approx.head._1 == qid, s"query $qid: rank-1 ${approx.head._1}")
+        val hits = approx.map(_._1).count(exact.map(_._1).toSet)
+        assert(hits >= 9, s"query $qid recall $hits/10")
+        val full = local.query(q, Int.MaxValue).toMap
+        approx.foreach { case (id, s) => assert(full(id) == s, s"score drift on $id") }
+        // gates push into every shard's search
+        val thr = exact(4)._2
+        assert(hs.query(q, 10, ef = 96, betterThan = Some(thr)).forall(_._2 >= thr))
+        val allow = exact.take(3).map(_._1).toSet
+        assert(hs.query(q, 10, ef = 96, allowedIds = Some(allow))
+          .forall(p => allow.contains(p._1)))
+      }
+      // delete routes to the owning shard; upsert re-add lands on it too
+      val (q0id, q0) = queries.head
+      hs.markDeleted(Seq(q0id))
+      assert(hs.query(q0, 10, ef = 96).forall(_._1 != q0id))
+      assert(hs.nRows == local.nRows - 1)
+      hs.add(Seq(q0id -> q0))
+      assert(hs.query(q0, 1, ef = 96).head._1 == q0id)
+      assert(hs.nRows == local.nRows)
+      // persistence: reload answers identically, shard count pinned
+      val path = java.nio.file.Files.createTempDirectory("hnswshards").toString
+      hs.save(spark, path)
+      val back = graft.operators.HnswShards.load(spark, path)
+      assert(back.nShards == 4 && back.nRows == hs.nRows)
+      queries.take(3).foreach { case (_, q) =>
+        assert(back.query(q, 10, ef = 96).toSeq == hs.query(q, 10, ef = 96).toSeq)
+      }
+    } finally mx.unpersist()
+  }
+
   test("streaming upsert + tombstones keep the hnsw graph tier fresh") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._

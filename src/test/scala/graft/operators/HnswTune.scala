@@ -44,6 +44,27 @@ object HnswTune {
       scored.sortBy(t => (-t._1, t._2)).take(k).map(_._2.toString).toSet
     }
 
+    if (args.length > 2 && args(2) == "shards") {
+      // sharded mode: args = n dim "shards" nShards m efC
+      val (ns, m, efc) = (args(3).toInt, args(4).toInt, args(5).toInt)
+      val t0 = System.nanoTime()
+      val h = HnswShards.build(ids, flat, dim, ns, m, efc, 42L)
+      val tb = (System.nanoTime() - t0) / 1e9
+      val line = Seq(32, 64, 128, 256).map { ef =>
+        val warm = qIdx.take(3).foreach { qi =>
+          h.query(java.util.Arrays.copyOfRange(flat, qi * dim, (qi + 1) * dim), k, ef = ef)
+        }
+        val t1 = System.nanoTime()
+        val rec = qIdx.zipWithIndex.map { case (qi, w) =>
+          val q = java.util.Arrays.copyOfRange(flat, qi * dim, (qi + 1) * dim)
+          h.query(q, k, ef = ef).count(p => truth(w).contains(p._1)) / k.toDouble
+        }.sum / nq
+        val tq = (System.nanoTime() - t1) / 1e9 / nq * 1000
+        f"ef=$ef%4d r=$rec%.3f ${tq}%.2fms"
+      }.mkString("  ")
+      println(f"shards=$ns m=$m efC=$efc build=${tb}%.1fs  $line")
+      return
+    }
     val configs =
       if (args.length > 2) Seq((args(2).toInt, args(3).toInt))
       else Seq((16, 64), (16, 200), (32, 200), (32, 400), (48, 400))
