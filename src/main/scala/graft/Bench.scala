@@ -76,14 +76,29 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
       mx.query(qv, 10)
-      val tMatrixQuery = median3 { () => mx.query(qv, 10); () }
+      // Distributed-tier protocol: per-query mean of 5 back-to-back
+      // jobs, median of 3 samples, System.gc() before the section. Each
+      // query is its own job (the ~35 ms local-mode scheduling floor
+      // does NOT amortize — profiled: a no-op 32-task job on this box
+      // is ~35 ms, the int8 phase-1+rerank adds only ~6 ms) — the
+      // averaging exists to keep one GC/straggler glitch from
+      // multiplying a committed number 10x, which is exactly what r8's
+      // 481 ms int8 entry was (the same query measures ~41 ms clean).
+      System.gc()
+      val tMatrixQuery = median3 { () =>
+        var i = 0; while (i < 5) { mx.query(qv, 10); i += 1 }
+      } / 5.0
       mx.unpersist(blocking = true)
       // int8-coarse / f32-exact two-phase path: scans 1/4 the bytes to
-      // nominate candidates, exact-reranks them (results equal the exact
-      // path on this workload; see QuantizedMatrixStoreSpec)
+      // nominate candidates, exact-reranks them IN THE SAME partition
+      // pass (results equal the exact path on this workload; see
+      // QuantizedMatrixStoreSpec)
       val qmx = graft.operators.QuantizedMatrixStore.fromStore(cached)
       qmx.query(qv, 10)
-      val tQuantQuery = median3 { () => qmx.query(qv, 10); () }
+      System.gc()
+      val tQuantQuery = median3 { () =>
+        var i = 0; while (i < 5) { qmx.query(qv, 10); i += 1 }
+      } / 5.0
       // int8 replica: the two-phase kernel in-process — codes scan +
       // oversample*k exact rows instead of the full f32 matrix.
       // Serving-tier latencies are single-digit ms, so one stray
@@ -93,6 +108,7 @@ object Bench {
       // protocol likewise averages repeated queries, benchmark.rs:137-141)
       val qlocal = qmx.toLocal()
       qlocal.query(qv, 10)
+      System.gc()
       val tQuantLocalQuery = median3 { () =>
         var i = 0; while (i < 10) { qlocal.query(qv, 10); i += 1 }
       } / 10.0
@@ -104,6 +120,7 @@ object Bench {
       val local = mx2.toLocal()
       mx2.unpersist(blocking = true)
       local.query(qv, 10)
+      System.gc()
       // amortized like the int8 replica above: per-query mean of the
       // median 10-query sample
       val tLocalQuery = median3 { () =>
@@ -135,6 +152,7 @@ object Bench {
       }.toMap
       def hnswPoint(ef: Int): (Double, Double) = {
         hnsw.query(qv, 10, ef = ef) // warm
+        System.gc()
         val t = median3 { () =>
           var i = 0; while (i < 10) { hnsw.query(qv, 10, ef = ef); i += 1 }
         } / 10.0
@@ -184,11 +202,21 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       Tables.lineitem(spark, sfDir).count()
       Tables.embeddings(spark, sfDir).count()
-      // index builds are offline/amortized in production: build the IVF
-      // index in warmup so every ann_ivf_* key that probes the shared
-      // index (ann_ivf_topk included, round-9 amortization) times the
-      // probe, not a rebuild of the same index
+      // index builds are offline/amortized in production: warm EVERY
+      // per-JVM fixture cache here so the timed queries measure the
+      // operation under test (probe / append / delete / shrink), never
+      // a rebuild of a shared fixture. r8's committed maintenance
+      // numbers (ann_ivfpq_shrink 15.6 s etc.) were dominated by
+      // in-query fixture builds.
       SparkEntry.cachedIvf(spark, sfDir)
+      SparkEntry.cachedPq(spark, sfDir)
+      SparkEntry.cachedOpq(spark, sfDir)
+      SparkEntry.cachedIvfPqRes(spark, sfDir)
+      SparkEntry.stagedIvfPqResPath(spark, sfDir)
+      SparkEntry.cachedIvfBase(spark, sfDir)
+      SparkEntry.cachedPqBase(spark, sfDir)
+      SparkEntry.cachedOpqBase(spark, sfDir)
+      SparkEntry.cachedIvfPqResBase(spark, sfDir)
     } catch { case _: Throwable => }
     // Per-query median-of-3 (see median3). A failing query reports the
     // sentinel -1 and is excluded from the total — timing the
@@ -200,8 +228,16 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
-    def measureOnce(): Map[String, Double] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Group order: the legacy/light suite times FIRST, the index-heavy
+    // ann_* family (persisted-fixture builds, multi-hundred-MB caches)
+    // LAST — so the legacy numbers are taken before the heap/page-cache
+    // churn of the index family can inflate them (r8 measured +43% on
+    // the 47 common queries purely from new heavy neighbors; the same
+    // queries ran at their old speeds in the standalone curve suite).
+    def measureOnce(): Map[String, Double] = {
+      val (heavy, light) = selected.toSeq.sortBy(_._1)
+        .partition(_._1.startsWith("ann_"))
+      (light ++ heavy).map { case (name, fn) =>
         // per-query hygiene: collect the previous group's garbage outside
         // this group's timed sections
         System.gc()
@@ -212,6 +248,7 @@ object Bench {
         }
         name -> (if (failed) -1.0 else t)
       }.toMap ++ (if (only.isEmpty) refWorkload(spark) else Map.empty)
+    }
     val passes = math.max(1,
       try sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
       catch { case _: NumberFormatException => 2 })

@@ -730,13 +730,39 @@ object Dedup {
     * [[Ann.ivfRebalance]] splits skewed lists, which bounds the worst
     * cluster too). The join carries (cluster, id, normalized vector)
     * only; cosine == dot on the pre-normalized vectors, one dot per
-    * candidate pair. */
+    * candidate pair.
+    *
+    * Skew guard (`maxBlock` > 0): a single hot cluster re-quadratizes
+    * the self-join no matter how the quantizer was sized — one
+    * degenerate list of h rows costs h²/2 pairs, which at corpus scale
+    * is the whole job. Clusters larger than `maxBlock` are therefore
+    * hash-split into ceil(size/maxBlock) sub-blocks and the self-join
+    * runs per (cluster, sub-block), bounding expected pair volume at
+    * Σ size·maxBlock instead of Σ size². The sub-block key is a hash of
+    * the NORMALIZED VECTOR itself, so bit-identical vectors (exact
+    * duplicates — the rows SemDeDup must always group) land in the same
+    * sub-block by construction; what the cap sacrifices is near-dup
+    * pairs straddling sub-blocks of an oversized cluster — the same
+    * approximation SemDeDup already makes for pairs straddling
+    * clusters, extended to clusters the quantizer failed to keep small.
+    * Cluster sizes are one small agg (|clusters| rows) broadcast to the
+    * probe side — no extra shuffle of the data path. */
   def semanticPairs(assigned: DataFrame, idCol: String, vecCol: String,
-      clusterCol: String, tau: Double): DataFrame = {
-    val v = assigned.select(col(clusterCol).as("__c__"), col(idCol).as("id"),
+      clusterCol: String, tau: Double, maxBlock: Int = 0): DataFrame = {
+    val v0 = assigned.select(col(clusterCol).as("__c__"), col(idCol).as("id"),
       graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("v"))
-    v.select(col("__c__"), col("id").as("id_a"), col("v").as("v_a"))
-      .join(v.select(col("__c__"), col("id").as("id_b"), col("v").as("v_b")), Seq("__c__"))
+    val v =
+      if (maxBlock <= 0) v0.withColumn("__sub__", lit(0L))
+      else {
+        val nsub = v0.groupBy(col("__c__"))
+          .agg(ceil(count(lit(1)).cast(DoubleType) / maxBlock).cast(LongType).as("__nsub__"))
+        v0.join(broadcast(nsub), Seq("__c__"))
+          .withColumn("__sub__", pmod(xxhash64(col("v")), greatest(col("__nsub__"), lit(1L))))
+          .drop("__nsub__")
+      }
+    v.select(col("__c__"), col("__sub__"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(v.select(col("__c__"), col("__sub__"), col("id").as("id_b"), col("v").as("v_b")),
+        Seq("__c__", "__sub__"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", graft.functions.VectorFunctions.dotD(col("v_a"), col("v_b")))
       .filter(col("cos") >= tau)
@@ -797,9 +823,9 @@ object Dedup {
     * (id, group_id, keep): singletons keep trivially with
     * group_id = id. */
   def semanticDedup(assigned: DataFrame, idCol: String, vecCol: String,
-      clusterCol: String, tau: Double): DataFrame = {
+      clusterCol: String, tau: Double, maxBlock: Int = 65536): DataFrame = {
     val comps = connectedComponents(
-      semanticPairs(assigned, idCol, vecCol, clusterCol, tau)
+      semanticPairs(assigned, idCol, vecCol, clusterCol, tau, maxBlock)
         .select(col("id_a"), col("id_b")))
     assigned.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")

@@ -942,6 +942,46 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(byId(7L) == ((7L, true)))    // cross-cluster twin of 1 never compared
   }
 
+  test("semantic dedup skew guard: one hot cluster cannot re-quadratize; exact dups still group") {
+    // adversarial corpus: EVERY row lands in one coarse cluster (the
+    // blocking the quantizer is supposed to prevent but cannot
+    // guarantee under skew). 400 mutually-dissimilar rows + 3 planted
+    // exact-dup groups of 2.
+    val n = 400
+    val dims = 64
+    val rnd = new scala.util.Random(7)
+    val base = (0 until n).map { i =>
+      val v = Array.fill(dims)(rnd.nextGaussian())
+      (i.toLong, v.toSeq, 0)
+    }
+    val dups = (0 until 3).map { j =>
+      (1000L + j, base(j)._2, 0) // exact copy of row j, same cluster
+    }
+    val rows = (base ++ dups).toDF("id", "v", "cluster")
+    // unguarded: the self-join on the single cluster is quadratic
+    val unguarded = Dedup.semanticPairs(rows, "id", "v", "cluster",
+      tau = -1.0, maxBlock = 0).count()
+    assert(unguarded == (n + 3).toLong * (n + 2) / 2) // all pairs compared
+    // guarded at maxBlock=50: expected pair volume is ~size*maxBlock,
+    // an order of magnitude below quadratic (hash split is uniform in
+    // expectation — assert a 3x slack bound, not the exact expectation)
+    val guarded = Dedup.semanticPairs(rows, "id", "v", "cluster",
+      tau = -1.0, maxBlock = 50).count()
+    assert(guarded < (n + 3).toLong * 50 * 3 / 2,
+      s"skew guard did not bound pair volume: $guarded")
+    assert(guarded < unguarded / 3)
+    // identical vectors hash to the same sub-block BY CONSTRUCTION, so
+    // exact dups always group even under the cap
+    val byId = Dedup.semanticDedup(rows, "id", "v", "cluster",
+      tau = 0.9999, maxBlock = 50)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    (0 until 3).foreach { j =>
+      assert(byId(1000L + j) == ((j.toLong, false)),
+        s"exact dup ${1000 + j} must group under its twin $j")
+      assert(byId(j.toLong) == ((j.toLong, true)))
+    }
+  }
+
   test("shard writer: pure-key routing, reproducible within-shard order, manifest counts") {
     import graft.operators.Relational
     import java.nio.file.Files
