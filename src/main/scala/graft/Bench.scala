@@ -235,6 +235,12 @@ object Bench {
     // the 47 common queries purely from new heavy neighbors; the same
     // queries ran at their old speeds in the standalone curve suite).
     def measureOnce(): Map[String, Double] = {
+      // the reference-parity microbench runs FIRST each pass: its
+      // headline numbers (insert, serving-tier latencies) are the
+      // direct baseline comparison and deserve a quiet heap, not one
+      // carrying a full suite pass's allocation churn
+      System.gc()
+      val ref = if (only.isEmpty) refWorkload(spark) else Map.empty[String, Double]
       val (heavy, light) = selected.toSeq.sortBy(_._1)
         .partition(_._1.startsWith("ann_"))
       (light ++ heavy).map { case (name, fn) =>
@@ -247,7 +253,7 @@ object Bench {
           catch { case _: Throwable => failed = true }
         }
         name -> (if (failed) -1.0 else t)
-      }.toMap ++ (if (only.isEmpty) refWorkload(spark) else Map.empty)
+      }.toMap ++ ref
     }
     val passes = math.max(1,
       try sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt

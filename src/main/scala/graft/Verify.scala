@@ -16,8 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long + convert
-      // (Tables.events) to match DuckDB's ns->us truncation.
+      // events.parquet's ts physical type varies by testdata generation
+      // (NANOS or MICROS); nanosAsLong lets the nanos shape surface as a
+      // raw long, and Tables.normalizeTs converts whichever shape is
+      // present to the session TIMESTAMP DuckDB agrees with.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
