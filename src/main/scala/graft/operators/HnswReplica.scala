@@ -52,7 +52,8 @@ import java.util.concurrent.atomic.AtomicReference
   * filter is free).
   */
 final class HnswReplica private (
-    val dim: Int, m: Int, efConstruction: Int, seed: Long) {
+    val dim: Int, m: Int, efConstruction: Int, seed: Long)
+  extends HnswMaintainable {
 
   private val maxM = m
   private val maxM0 = 2 * m

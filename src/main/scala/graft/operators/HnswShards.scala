@@ -26,7 +26,8 @@ package graft.operators
   * ids the beams surface.
   */
 final class HnswShards private (
-    private val shards: Array[HnswReplica], val dim: Int) {
+    private val shards: Array[HnswReplica], val dim: Int)
+  extends HnswMaintainable {
 
   def nShards: Int = shards.length
   def nRows: Long = shards.iterator.map(_.nRows).sum

@@ -616,7 +616,7 @@ object StreamingOps {
     * graph replica is driver-local by design — the same justified
     * seam as `LocalMatrixStore.refresh`. */
   def upsertStreamWithHnsw(batches: DataFrame, storePath: String,
-      hnsw: graft.operators.HnswReplica): StreamingQuery =
+      hnsw: graft.operators.HnswMaintainable): StreamingQuery =
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -640,7 +640,7 @@ object StreamingOps {
     * standard HNSW practice (connectivity is preserved; reclaim space
     * by rebuilding from the store on the maintenance cadence). */
   def tombstoneStreamHnsw(ids: DataFrame, idCol: String, storePath: String,
-      hnsw: graft.operators.HnswReplica): StreamingQuery =
+      hnsw: graft.operators.HnswMaintainable): StreamingQuery =
     ids.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>

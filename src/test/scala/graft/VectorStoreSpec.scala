@@ -679,6 +679,49 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally mx.unpersist()
   }
 
+  test("streaming upsert + tombstones drive the SHARDED hnsw tier through the same trait") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val st = mkStore((0 until 16).map(i => (i.toString, Seq(i + 1f, 1f, 0f, 0f), s"c$i")))
+    val store = Files.createTempDirectory("shstore").toString
+    VectorStore.Partitioned.init(st, store, nBuckets = 4)
+    val cache = graft.operators.MatrixStore.fromPartitionedLayout(spark, store)
+    val hs = cache.toLocal().toHnswSharded(nShards = 3, m = 4, efConstruction = 8)
+    cache.unpersist()
+    val watch = Files.createTempDirectory("shwatch")
+    val staging = Files.createTempDirectory("shstage")
+    Seq(("3", Seq(0f, 0f, 1f, 0f), "NEW"), ("9001", Seq(1f, 0f, 0f, 0f), "ins"))
+      .toDF("id", "vec", "color")
+      .select(col("id").as("__id__"),
+        col("vec").cast(ArrayType(FloatType)).as("vector"), col("color"))
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, watch.resolve("b1.parquet"))
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(watch.toString)
+    // same entry point as the single-graph twin — HnswMaintainable
+    val q = graft.streaming.StreamingOps.upsertStreamWithHnsw(stream, store, hs)
+    try q.processAllAvailable() finally q.stop()
+    assert(hs.query(Array(0f, 0f, 1f, 0f), 1, ef = 16).head._1 == "3",
+      "cross-shard upsert must reach id 3's owning shard")
+    assert(hs.query(Array(1f, 0f, 0f, 0f), 17, ef = 32).count(_._1 == "9001") == 1)
+    assert(hs.nRows == 17) // 16 base + 9001; id 3 upserted in place
+    val watch2 = Files.createTempDirectory("shtomb")
+    val staging2 = Files.createTempDirectory("shtombstage")
+    Seq("9001").toDF("__id__").coalesce(1)
+      .write.mode("overwrite").parquet(staging2.toString)
+    val part2 = Files.list(staging2).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part2, watch2.resolve("t1.parquet"))
+    val stream2 = spark.readStream
+      .schema(spark.read.parquet(watch2.toString).schema).parquet(watch2.toString)
+    val q2 = graft.streaming.StreamingOps.tombstoneStreamHnsw(stream2, "__id__", store, hs)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(hs.query(Array(1f, 0f, 0f, 0f), 17, ef = 32).forall(_._1 != "9001"))
+    assert(hs.nRows == 16)
+  }
+
   test("streaming upsert + tombstones keep the hnsw graph tier fresh") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
