@@ -345,6 +345,39 @@ object SparkEntry {
       Seq((qs.size.toLong, equal)).toDF("n_queries", "rank_equal")
     }),
 
+    // O3d: int8 two-phase tiers (distributed + in-process replica) — on
+    // this corpus the nomination phase never drops a true top-10 row
+    // (spec-pinned oversample contract), so BOTH int8 tiers must return
+    // the exact tier's results verbatim: same ids, same order, and
+    // bitwise-equal scores (phase-2 rerank uses the exact kernel). The
+    // O4 allow-set gate is checked on the quantized path too.
+    "o3d_topk_int8" -> ((s, dir) => {
+      import s.implicits._
+      val st = VectorStore.fromDataFrame(Tables.embeddings(s, dir), "vec_id", "embedding", 64)
+      val mx = graft.operators.MatrixStore.fromStore(st)
+      val local = mx.toLocal()
+      mx.unpersist()
+      val qmx = graft.operators.QuantizedMatrixStore.fromStore(st)
+      val qlocal = qmx.toLocal()
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toString -> r.getSeq[Float](1).toArray).toSeq
+      val equalDist = qs.forall { case (_, qv) =>
+        qmx.query(qv, 10).toSeq == local.query(qv, 10).toSeq
+      }
+      val equalLocal = qs.forall { case (_, qv) =>
+        qlocal.query(qv, 10).toSeq == local.query(qv, 10).toSeq
+      }
+      val filterOk = qs.forall { case (_, qv) =>
+        val allow = local.query(qv, 20).map(_._1).toSet.take(7)
+        qlocal.query(qv, 5, allowedIds = Some(allow))
+          .toSeq == local.query(qv, 5, allowedIds = Some(allow)).toSeq
+      }
+      qmx.unpersist()
+      Seq((qs.size.toLong, equalDist, equalLocal, filterOk))
+        .toDF("n_queries", "dist_equal", "local_equal", "filter_equal")
+    }),
+
     "o3b_topk_batch" -> ((s, dir) => {
       val st = storeD(s, dir)
       val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
@@ -585,6 +618,10 @@ object SparkEntry {
 
     "o3c_topk_local" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS rank_equal""",
+
+    "o3d_topk_int8" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS dist_equal,
+        |       TRUE AS local_equal, TRUE AS filter_equal""".stripMargin,
 
     "o3b_topk_batch" ->
       """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
