@@ -897,6 +897,44 @@ object SparkEntry {
           "del_routed", "add_routed", "persist_identical")
     }),
 
+    // ANN serving tier, sharded lifecycle: tombstone-GC maintenance
+    // (rebuild ONLY shards past the tombstone bound, from live rows,
+    // same params/seed) and delta persistence (checkpoint rewrites only
+    // shards touched since the last save — cost ∝ churn, not corpus).
+    // The sharded twin of ann_ivf_maintain's posture.
+    "ann_hnsw_maintain" -> ((s, dir) => {
+      import s.implicits._
+      val st = VectorStore.fromDataFrame(Tables.embeddings(s, dir), "vec_id", "embedding", 64)
+      val mx = graft.operators.MatrixStore.fromStore(st)
+      val local = mx.toLocal()
+      val hs = local.toHnswSharded(nShards = 4, m = 16, efConstruction = 100)
+      mx.unpersist()
+      val path = java.nio.file.Files.createTempDirectory("graft_hnsw_maint").toString
+      hs.save(s, path)
+      val allIds = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast(StringType)).collect().map(_.getString(0))
+      val victims = allIds.take(allIds.length / 3)
+      hs.markDeleted(victims)
+      val live = hs.nRows
+      val rebuilt = hs.maintain(maxTombFrac = 0.2)
+      val tombsGone = hs.nTombstones < victims.length.toLong
+      val liveKept = hs.nRows == live
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val survivorsOnly = hs.query(qv, 10, ef = 96)
+        .forall { case (id, _) => !victims.contains(id) }
+      val touched = hs.saveDelta(s, path)
+      val back = graft.operators.HnswShards.load(s, path)
+      val reloadEqual =
+        back.query(qv, 10, ef = 96).toSeq == hs.query(qv, 10, ef = 96).toSeq &&
+          back.nRows == hs.nRows
+      Seq((hs.nShards.toLong, rebuilt.nonEmpty, tombsGone, liveKept,
+        survivorsOnly, touched.nonEmpty && touched.size <= 4, reloadEqual,
+        hs.saveDelta(s, path).isEmpty))
+        .toDF("n_shards", "rebuilt_some", "tombs_gone", "live_kept",
+          "survivors_only", "delta_bounded", "reload_equal", "second_delta_empty")
+    }),
+
     // ANN: IVF build + probe under the recall/self-hit contract. The
     // KMeans assignment is engine-specific, so the hit list is not
     // oracle-expressible; the checkable invariants are (a) every query's
@@ -3389,6 +3427,12 @@ object SparkEntry {
         |       TRUE AS recall_ok, TRUE AS self_hit, TRUE AS scores_exact,
         |       TRUE AS del_routed, TRUE AS add_routed,
         |       TRUE AS persist_identical""".stripMargin,
+
+    "ann_hnsw_maintain" ->
+      """SELECT CAST(4 AS BIGINT) AS n_shards, TRUE AS rebuilt_some,
+        |       TRUE AS tombs_gone, TRUE AS live_kept, TRUE AS survivors_only,
+        |       TRUE AS delta_bounded, TRUE AS reload_equal,
+        |       TRUE AS second_delta_empty""".stripMargin,
 
     // the query count is data-dependent (allowed queries = vec_id < 10
     // with even label), so the oracle recomputes it

@@ -74,6 +74,30 @@ final class HnswReplica private (
   private val entryState = new java.util.concurrent.atomic.AtomicLong(-1L)
 
   def nRows: Long = count.toLong - deleted.cardinality()
+  def nTombstones: Long = deleted.cardinality().toLong
+
+  // maintenance seams for the sharded tier ([[HnswShards.maintain]])
+  private[operators] def buildParams: (Int, Int, Long) = (m, efConstruction, seed)
+
+  /** Live (non-tombstoned) rows as (ids, row-major float slab) — the
+    * input a tombstone-GC rebuild needs; vectors are already
+    * normalized (every ingest path normalizes before storage). */
+  private[operators] def liveRows: (Array[String], Array[Float]) = {
+    val n = nRows.toInt
+    val outIds = new Array[String](n)
+    val outVec = new Array[Float](n * dim)
+    var o = 0
+    var i = 0
+    while (i < count) {
+      if (!deleted.get(i)) {
+        outIds(o) = ids(i)
+        System.arraycopy(mat, i * dim, outVec, o * dim, dim)
+        o += 1
+      }
+      i += 1
+    }
+    (outIds, outVec)
+  }
 
   /** Deterministic HNSW level for the node at global index `idx`. */
   private def levelOf(idx: Int): Int = {

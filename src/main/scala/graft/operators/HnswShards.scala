@@ -31,6 +31,12 @@ final class HnswShards private (
 
   def nShards: Int = shards.length
   def nRows: Long = shards.iterator.map(_.nRows).sum
+  def nTombstones: Long = shards.iterator.map(_.nTombstones).sum
+
+  // per-shard dirty-since-last-save flags (single-writer contract, like
+  // the underlying graphs) + the path the flags are relative to
+  private val dirty = Array.fill(shards.length)(true)
+  private var savedTo: String = null
 
   private def shardOf(id: String): Int =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(id, 0x48534852),
@@ -58,24 +64,70 @@ final class HnswShards private (
   def add(batch: Seq[(String, Array[Float])]): Unit = {
     val routed = batch.groupBy { case (id, _) => shardOf(id) }
     java.util.stream.IntStream.range(0, shards.length).parallel().forEach { si =>
-      routed.get(si).foreach(shards(si).add)
+      routed.get(si).foreach { rows => shards(si).add(rows); dirty(si) = true }
     }
   }
 
   def markDeleted(dropIds: Seq[String]): Unit =
     dropIds.groupBy(shardOf).foreach { case (si, ids) =>
       shards(si).markDeleted(ids)
+      dirty(si) = true
     }
+
+  /** Tombstone GC: rebuild every shard whose tombstone fraction exceeds
+    * `maxTombFrac` from its LIVE rows only (same m/efConstruction/seed,
+    * so levels re-derive deterministically for the surviving rows).
+    * Tombstones are correct to serve through — the graph routes via
+    * them — but they cost memory and beam steps forever; production
+    * HNSW practice is exactly this rebuild-on-a-maintenance-cadence.
+    * Per-shard cost ∝ shard size (small by construction), and only
+    * offending shards rebuild — the sharded twin of `ivfMaintain`.
+    * Returns the rebuilt shard indices. NOT safe concurrent with
+    * queries (swap or quiesce, same single-writer contract as add). */
+  def maintain(maxTombFrac: Double = 0.2): Seq[Int] = {
+    require(maxTombFrac > 0 && maxTombFrac < 1, "maxTombFrac must be in (0,1)")
+    val hit = shards.indices.filter { si =>
+      val total = shards(si).nRows + shards(si).nTombstones
+      total > 0 && shards(si).nTombstones.toDouble / total > maxTombFrac
+    }
+    hit.foreach { si =>
+      val (m, efc, seed) = shards(si).buildParams
+      val (liveIds, liveVec) = shards(si).liveRows
+      shards(si) = HnswReplica.build(liveIds, liveVec, dim, m, efc, seed)
+      dirty(si) = true
+    }
+    hit
+  }
 
   /** Persist every shard under `path/shard=<i>/` plus a sidecar pinning
     * the shard count and dim — same cold-start story as
-    * [[HnswReplica.save]], sharded. */
+    * [[HnswReplica.save]], sharded. A FULL save; see [[saveDelta]] for
+    * the incremental twin. */
   def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     shards.zipWithIndex.foreach { case (h, si) =>
       h.save(spark, s"$path/shard=$si")
     }
     VectorStore.writeSidecar(spark, s"$path/_hnsw_shards.json",
       s"""{"dim": $dim, "n_shards": ${shards.length}}""")
+    java.util.Arrays.fill(dirty, false)
+    savedTo = path
+  }
+
+  /** Incremental persistence: rewrite ONLY the shards touched (add /
+    * markDeleted / maintain) since the last save to the SAME path —
+    * cost ∝ churn, not corpus, which is what a streaming-maintained
+    * serving artifact needs on its checkpoint cadence. Falls back to a
+    * full [[save]] when this instance has never saved to `path` (the
+    * dirty flags are only meaningful relative to a known on-disk
+    * state). Returns the shard indices rewritten. */
+  def saveDelta(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Int] = {
+    if (savedTo != path) { save(spark, path); return shards.indices }
+    val touched = shards.indices.filter(dirty(_))
+    touched.foreach { si =>
+      shards(si).save(spark, s"$path/shard=$si")
+      dirty(si) = false
+    }
+    touched
   }
 }
 
@@ -133,6 +185,11 @@ object HnswShards {
     val dim = node.get("dim").asInt()
     val k = node.get("n_shards").asInt()
     val shards = Array.tabulate(k)(si => HnswReplica.load(spark, s"$path/shard=$si"))
-    new HnswShards(shards, dim)
+    val h = new HnswShards(shards, dim)
+    // a loaded replica is in sync with its source path: deltas from
+    // here on can checkpoint back to it incrementally
+    java.util.Arrays.fill(h.dirty, false)
+    h.savedTo = path
+    h
   }
 }

@@ -679,6 +679,52 @@ class VectorStoreSpec extends AnyFunSuite {
     } finally mx.unpersist()
   }
 
+  test("sharded hnsw maintenance: tombstone GC rebuilds only offending shards; delta save rewrites only churn") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    val local = mx.toLocal()
+    val hs = local.toHnswSharded(nShards = 4, m = 8, efConstruction = 64)
+    mx.unpersist()
+    val q0 = e.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0).toArray
+    // full save, then churn: delete a third of ONE shard's ids
+    val path = java.nio.file.Files.createTempDirectory("hsmaint").toString
+    hs.save(spark, path)
+    val allIds = e.select(col("vec_id").cast("string")).collect().map(_.getString(0))
+    // find the shard of id "0" by deleting ids until one shard crosses the bound:
+    // simpler — delete every id that routes with "0"-style hash bucket 0..n/3
+    val victims = allIds.take(allIds.length / 3)
+    hs.markDeleted(victims)
+    val tombsBefore = hs.nTombstones
+    assert(tombsBefore == victims.length.toLong)
+    val live = hs.nRows
+    val beforeHits = hs.query(q0, 10, ef = 96).toSeq
+    val rebuilt = hs.maintain(maxTombFrac = 0.2)
+    assert(rebuilt.nonEmpty, "a third of the corpus deleted must trip the 0.2 bound somewhere")
+    assert(hs.nTombstones < tombsBefore, "rebuilt shards must drop their tombstones")
+    assert(hs.nRows == live, "maintenance must not change live rows")
+    // results still exact-scored and tombstone-free
+    val afterHits = hs.query(q0, 10, ef = 96).toSeq
+    assert(afterHits.forall { case (id, _) => !victims.contains(id) })
+    assert(afterHits.map(_._1).toSet.subsetOf(
+      local.query(q0, Int.MaxValue).map(_._1).toSet))
+    assert(beforeHits.nonEmpty && afterHits.nonEmpty)
+    // delta save: only the shards touched since the full save rewrite
+    val touched = hs.saveDelta(spark, path)
+    assert(touched.nonEmpty && touched.size <= 4)
+    val back = graft.operators.HnswShards.load(spark, path)
+    assert(back.nRows == hs.nRows && back.nTombstones == hs.nTombstones)
+    assert(back.query(q0, 10, ef = 96).toSeq == hs.query(q0, 10, ef = 96).toSeq)
+    // a second delta with no churn rewrites nothing
+    assert(hs.saveDelta(spark, path).isEmpty)
+    // and a loaded replica checkpoints deltas back to its own path
+    back.markDeleted(Seq(afterHits.head._1))
+    val t2 = back.saveDelta(spark, path)
+    assert(t2.size == 1, s"one deleted id must touch exactly one shard, got $t2")
+    val back2 = graft.operators.HnswShards.load(spark, path)
+    assert(back2.query(q0, 10, ef = 96).forall(_._1 != afterHits.head._1))
+  }
+
   test("streaming upsert + tombstones drive the SHARDED hnsw tier through the same trait") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
