@@ -2307,6 +2307,45 @@ object SparkEntry {
         .orderBy(col("click_id"))
     }),
 
+    // Events: as-of with TOLERANCE — the purchase must lie within 10
+    // minutes before the click or the match nulls out (kdb wj / pandas
+    // merge_asof(tolerance=...) semantics); same single keyed
+    // exchange + window plan, the bound is a per-row post-filter.
+    "events_asof_tol" -> ((s, dir) => {
+      val l = eventsOf(s, dir, "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = eventsOf(s, dir, "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      EventAnalytics.asofJoin(l, r, "user_id", "ts",
+          toleranceMicros = Some(600000000L), forward = false)
+        .select(
+          col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof.ts")).as("prev_ts_us"),
+          col("asof.event_id").as("prev_event_id"),
+          col("asof.value").as("prev_value"))
+        .orderBy(col("click_id"))
+    }),
+
+    // Events: FORWARD as-of — the earliest purchase at-or-after each
+    // click, within a 30-minute horizon (time-to-conversion analysis:
+    // the forward direction production as-of engines expose).
+    "events_asof_fwd" -> ((s, dir) => {
+      val l = eventsOf(s, dir, "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = eventsOf(s, dir, "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      EventAnalytics.asofJoin(l, r, "user_id", "ts",
+          toleranceMicros = Some(1800000000L), forward = true)
+        .select(
+          col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof.ts")).as("next_ts_us"),
+          col("asof.event_id").as("next_event_id"),
+          col("asof.value").as("next_value"))
+        .orderBy(col("click_id"))
+    }),
+
     // Events: bounded-lookback range join — views of the same user in the
     // 10 minutes before each click (time-bucketed equi-join, no nested
     // loop).
@@ -3943,6 +3982,36 @@ object SparkEntry {
         |           ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST) AS rn
         |  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts)
         |SELECT click_id, user_id, ts_us, prev_ts_us, prev_event_id, prev_value
+        |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+
+    "events_asof_tol" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT l.event_id AS click_id, l.user_id,
+        |         CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+        |         CAST(epoch_us(r.ts) AS BIGINT) AS prev_ts_us,
+        |         r.event_id AS prev_event_id, r.value AS prev_value,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |           ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST) AS rn
+        |  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+        |    AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000)
+        |SELECT click_id, user_id, ts_us, prev_ts_us, prev_event_id, prev_value
+        |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+
+    "events_asof_fwd" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT l.event_id AS click_id, l.user_id,
+        |         CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+        |         CAST(epoch_us(r.ts) AS BIGINT) AS next_ts_us,
+        |         r.event_id AS next_event_id, r.value AS next_value,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |           ORDER BY r.ts ASC NULLS LAST, r.event_id ASC NULLS LAST) AS rn
+        |  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts >= l.ts
+        |    AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000)
+        |SELECT click_id, user_id, ts_us, next_ts_us, next_event_id, next_value
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
 
     "events_lookback" ->

@@ -73,21 +73,59 @@ object EventAnalytics {
     * Output: every left column plus an `asof` struct of the matched right
     * row (`ts` + right's other non-key columns).
     */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame =
+    asofJoin(left, right, key, ts, toleranceMicros = None, forward = false)
+
+  /** [[asofJoin]] with the two knobs production as-of engines expose:
+    *
+    *  - `forward = true` flips the direction — attach the EARLIEST right
+    *    row with `right.ts >= left.ts` (inclusive; at equal timestamps
+    *    the right row matches, and among right rows sharing (key, ts)
+    *    the SMALLEST payload tuple wins — the ascending-order mirror of
+    *    the backward variant's largest-wins rule).
+    *  - `toleranceMicros = Some(t)` bounds the match window: a matched
+    *    row further than `t` microseconds from the left timestamp nulls
+    *    out (exactly how kdb's `wj`/pandas `merge_asof(tolerance=...)`
+    *    behave). The bound is a per-row post-filter on the already-
+    *    matched struct — the plan keeps the single keyed exchange +
+    *    window, no extra join, so the 100 TB shape is unchanged.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      toleranceMicros: Option[Long], forward: Boolean): DataFrame = {
     val payloadCols = right.columns.filterNot(c => c == key || c == ts)
+    // tag layout puts right rows on the matching side of the left row at
+    // equal timestamps: backward = rights sort BEFORE lefts (0 < 1) so
+    // the trailing frame sees them; forward = rights sort AFTER (2 > 1)
+    // so the leading frame sees them — inclusive semantics both ways
+    val rTag = if (forward) 2 else 0
     val r2 = right.select(
-      col(key), col(ts), lit(0).as("__tag__"),
+      col(key), col(ts), lit(rTag).as("__tag__"),
       struct(col(ts) +: payloadCols.map(col): _*).as("asof"))
     val l2 = left
       .withColumn("__tag__", lit(1))
       .withColumn("asof", lit(null).cast(r2.schema("asof").dataType))
-    val w = Window.partitionBy(col(key))
+    val w0 = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__tag__"), col("asof"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    l2.unionByName(r2, allowMissingColumns = true)
-      .withColumn("asof", last(col("asof"), ignoreNulls = true).over(w))
+    val matched =
+      if (forward)
+        first(col("asof"), ignoreNulls = true)
+          .over(w0.rowsBetween(0, Window.unboundedFollowing))
+      else
+        last(col("asof"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.unboundedPreceding, 0))
+    val joined = l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("asof", matched)
       .filter(col("__tag__") === 1)
       .drop("__tag__")
+    toleranceMicros match {
+      case None => joined
+      case Some(tol) =>
+        val delta =
+          if (forward) unix_micros(col(s"asof.$ts")) - unix_micros(col(ts))
+          else unix_micros(col(ts)) - unix_micros(col(s"asof.$ts"))
+        joined.withColumn("asof",
+          when(col("asof").isNotNull && delta <= tol, col("asof")))
+    }
   }
 
   /** Bounded-lookback range join: for each left row, aggregate the right
