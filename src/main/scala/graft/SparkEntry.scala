@@ -2360,6 +2360,20 @@ object SparkEntry {
         .orderBy(col("click_id"))
     }),
 
+    // Events: forward window — purchases of the same user in the 30
+    // minutes AFTER each click (conversion-window aggregates; forward
+    // twin of the bucketed range join, probes own + NEXT bucket).
+    "events_lookforward" -> ((s, dir) => {
+      val l = eventsOf(s, dir, "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = eventsOf(s, dir, "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      EventAnalytics.lookforwardStats(l, r, "user_id", "ts", "value", horizonMinutes = 30)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("n_matches"), col("sum_value"))
+        .orderBy(col("click_id"))
+    }),
+
     // Events: funnel conversion — purchases preceded by a click of the
     // same user within 30 minutes (asofJoin composition, no new shuffle
     // shape).
@@ -4023,6 +4037,18 @@ object SparkEntry {
         |       CAST(coalesce(sum(CAST(round(r.value * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0 AS sum_value
         |FROM l LEFT JOIN r ON r.user_id = l.user_id
         |  AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000 AND epoch_us(r.ts) < epoch_us(l.ts)
+        |GROUP BY l.event_id, l.user_id, l.ts
+        |ORDER BY click_id""".stripMargin,
+
+    "events_lookforward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id AS click_id, l.user_id,
+        |       CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+        |       CAST(count(r.ts) AS BIGINT) AS n_matches,
+        |       CAST(coalesce(sum(CAST(round(r.value * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0 AS sum_value
+        |FROM l LEFT JOIN r ON r.user_id = l.user_id
+        |  AND epoch_us(r.ts) > epoch_us(l.ts) AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
         |GROUP BY l.event_id, l.user_id, l.ts
         |ORDER BY click_id""".stripMargin,
 

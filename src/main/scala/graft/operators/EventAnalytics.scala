@@ -142,21 +142,39 @@ object EventAnalytics {
     * `sum_value` of the matched right rows (0 / 0.0 when none).
     */
   def lookbackStats(left: DataFrame, right: DataFrame, key: String, ts: String,
-      valCol: String, lookbackMinutes: Int): DataFrame = {
-    val lookUs = lookbackMinutes * 60L * 1000000L
+      valCol: String, lookbackMinutes: Int): DataFrame =
+    lookWindowStats(left, right, key, ts, valCol, lookbackMinutes, forward = false)
+
+  /** Forward twin of [[lookbackStats]]: aggregate the right rows with
+    * `l.ts < r.ts <= l.ts + horizon` — "what happens in the N minutes
+    * AFTER each event" (conversion-window aggregates). Same
+    * bucketed-range-join shape: each left row probes its own bucket and
+    * the NEXT one instead of the previous one. */
+  def lookforwardStats(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valCol: String, horizonMinutes: Int): DataFrame =
+    lookWindowStats(left, right, key, ts, valCol, horizonMinutes, forward = true)
+
+  private def lookWindowStats(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valCol: String, windowMinutes: Int, forward: Boolean): DataFrame = {
+    val lookUs = windowMinutes * 60L * 1000000L
     val lUs = unix_micros(col(ts))
     val blk = floor(lUs.cast(DoubleType) / lookUs).cast(LongType)
     // per-row tag assigned BEFORE the probe fan-out, so duplicate left
     // rows stay distinct output rows instead of collapsing in the final
     // groupBy (and double-counting their matches)
+    val probeBlks = if (forward) array(blk, blk + 1) else array(blk, blk - 1)
     val l2 = left.withColumn("__rowid__", monotonically_increasing_id())
       .withColumn("__lus__", lUs)
-      .withColumn("__blk__", explode(array(blk, blk - 1)))
+      .withColumn("__blk__", explode(probeBlks))
     val r2 = right.select(
       col(key), unix_micros(col(ts)).as("__rus__"),
       round(col(valCol) * 100).cast(LongType).as("__rcents__"),
       blk.as("__blk__"))
-    val hit = col("__rus__") >= col("__lus__") - lookUs && col("__rus__") < col("__lus__")
+    val hit =
+      if (forward)
+        col("__rus__") > col("__lus__") && col("__rus__") <= col("__lus__") + lookUs
+      else
+        col("__rus__") >= col("__lus__") - lookUs && col("__rus__") < col("__lus__")
     val groupCols = col("__rowid__") +: left.columns.map(col)
     l2.join(r2, Seq(key, "__blk__"), "left_outer")
       .groupBy(groupCols: _*)
