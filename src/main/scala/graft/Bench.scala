@@ -164,6 +164,33 @@ object Bench {
       val (tHnsw64, rHnsw64) = hnswPoint(64)
       val (tHnsw128, rHnsw128) = hnswPoint(128)
       val (tHnsw256, rHnsw256) = hnswPoint(256)
+      // binary sign-bit tier (BinaryMatrixStore): Hamming nomination over
+      // dim/8-byte signatures (32x fewer coarse bytes than f32, 4x fewer
+      // than int8) + exact f32 rerank. Nomination is approximate, so the
+      // recall-latency PAIR is committed per oversample operating point,
+      // same policy as the HNSW ef curve; amortization protocol matches
+      // the other tiers (distributed: mean of 5; replica: mean of 10).
+      val bmx = graft.operators.BinaryMatrixStore.fromStore(cached)
+      bmx.query(qv, 10)
+      System.gc()
+      val tBqQuery = median3 { () =>
+        var i = 0; while (i < 5) { bmx.query(qv, 10); i += 1 }
+      } / 5.0
+      val blocal = bmx.toLocal()
+      def bqPoint(os: Int): (Double, Double) = {
+        blocal.query(qv, 10, oversample = os) // warm
+        System.gc()
+        val t = median3 { () =>
+          var i = 0; while (i < 10) { blocal.query(qv, 10, oversample = os); i += 1 }
+        } / 10.0
+        val rec = hnswQueryVecs.map { case (id, v) =>
+          blocal.query(v, 10, oversample = os).count(p => exact(id).contains(p._1)) / 10.0
+        }.sum / hnswQueryVecs.length
+        (t, rec)
+      }
+      val (tBq16, rBq16) = bqPoint(16)
+      val (tBq64, rBq64) = bqPoint(64)
+      bmx.unpersist(blocking = true)
       cached.df.unpersist(blocking = true)
       raw.unpersist(blocking = true)
       Map("ref_insert_100k_d1024" -> tInsert, "ref_query_100k_d1024" -> tQuery,
@@ -178,7 +205,12 @@ object Bench {
         "ref_query_hnsw_ef64_100k_d1024" -> tHnsw64,
         "ref_hnsw_recall10_ef64_100k_d1024" -> rHnsw64,
         "ref_query_hnsw_ef128_100k_d1024" -> tHnsw128,
-        "ref_hnsw_recall10_ef128_100k_d1024" -> rHnsw128)
+        "ref_hnsw_recall10_ef128_100k_d1024" -> rHnsw128,
+        "ref_query_matrix_bq_100k_d1024" -> tBqQuery,
+        "ref_query_local_bq_100k_d1024" -> tBq16,
+        "ref_bq_recall10_100k_d1024" -> rBq16,
+        "ref_query_local_bq_os64_100k_d1024" -> tBq64,
+        "ref_bq_recall10_os64_100k_d1024" -> rBq64)
     } catch { case _: Throwable => Map.empty }
   }
 

@@ -378,6 +378,51 @@ object SparkEntry {
         .toDF("n_queries", "dist_equal", "local_equal", "filter_equal")
     }),
 
+    // O3 on the BINARY serving tier (BinaryMatrixStore): sign-bit
+    // signatures (32x fewer coarse bytes than f32) nominate, exact f32
+    // rescoring emits. Nomination is approximate, so the contract is the
+    // labeled one: self-hit (own signature has Hamming 0), every emitted
+    // score bitwise-equal to the exact tier's score for that id, recall
+    // floor vs the exact top-10, local == distributed kernel, and the O4
+    // allow-set gating rows BEFORE the signature scan.
+    "o3e_topk_bq" -> ((s, dir) => {
+      import s.implicits._
+      val st = VectorStore.fromDataFrame(Tables.embeddings(s, dir), "vec_id", "embedding", 64)
+      val mx = graft.operators.MatrixStore.fromStore(st)
+      val local = mx.toLocal()
+      mx.unpersist()
+      val bmx = graft.operators.BinaryMatrixStore.fromStore(st)
+      val blocal = bmx.toLocal()
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toString -> r.getSeq[Float](1).toArray).toSeq
+      val localEqDist = qs.forall { case (_, qv) =>
+        blocal.query(qv, 10).toSeq == bmx.query(qv, 10).toSeq
+      }
+      val selfHit = qs.forall { case (qid, qv) => blocal.query(qv, 10).head._1 == qid }
+      val scoresExact = qs.forall { case (_, qv) =>
+        val exactAll = local.query(qv, Int.MaxValue).toMap
+        blocal.query(qv, 10).forall { case (id, sc) => exactAll(id) == sc }
+      }
+      val recallOk = {
+        val hits = qs.map { case (_, qv) =>
+          val exactTop = local.query(qv, 10).map(_._1).toSet
+          blocal.query(qv, 10).count(p => exactTop.contains(p._1))
+        }.sum
+        hits.toDouble / (qs.size * 10) >= 0.8
+      }
+      val filterOk = qs.forall { case (_, qv) =>
+        val allow = local.query(qv, 20).map(_._1).toSet.take(7)
+        val got = blocal.query(qv, 5, allowedIds = Some(allow))
+        val exactFiltered = local.query(qv, 5, allowedIds = Some(allow)).toMap
+        got.forall { case (id, sc) => allow.contains(id) && exactFiltered.get(id).forall(_ == sc) }
+      }
+      bmx.unpersist()
+      Seq((qs.size.toLong, localEqDist, selfHit, scoresExact, recallOk, filterOk))
+        .toDF("n_queries", "local_eq_dist", "self_hit", "scores_exact",
+          "recall_ok", "filter_ok")
+    }),
+
     "o3b_topk_batch" -> ((s, dir) => {
       val st = storeD(s, dir)
       val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
@@ -935,6 +980,46 @@ object SparkEntry {
           "survivors_only", "delta_bounded", "reload_equal", "second_delta_empty")
     }),
 
+    // ANN serving tier, sharded lifecycle part 2: size-drift RESHARD.
+    // Tombstone GC (ann_hnsw_maintain) keeps graphs clean but cannot fix
+    // per-shard row counts drifting off the recall-calibrated knee after
+    // heavy delete/growth; needsReshard gates (cost: two longs), reshard
+    // rebuilds live rows under the new modulus as a NEW handle (old one
+    // serves until the swap). Contract: the gate fires after a 20% bulk
+    // delete, the resharded tier carries exactly the live rows with no
+    // tombstones, deleted ids stay gone, emitted scores stay exact, and
+    // the superseded handle still answers.
+    "ann_hnsw_reshard" -> ((s, dir) => {
+      import s.implicits._
+      val st = VectorStore.fromDataFrame(Tables.embeddings(s, dir), "vec_id", "embedding", 64)
+      val mx = graft.operators.MatrixStore.fromStore(st)
+      val local = mx.toLocal()
+      val hs = local.toHnswSharded(nShards = 4, m = 16, efConstruction = 100)
+      mx.unpersist()
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0).toString -> r.getSeq[Float](1).toArray).toSeq
+      val victims = Tables.embeddings(s, dir).filter(col("vec_id") >= 400)
+        .select(col("vec_id").cast(StringType)).collect().map(_.getString(0)).toSeq
+      hs.markDeleted(victims)
+      val live = hs.nRows
+      val gate = hs.needsReshard()
+      val r = gate.map(hs.reshard).getOrElse(hs)
+      val resharded = gate.contains(1) && r.nShards == 1 &&
+        r.nRows == live && r.nTombstones == 0
+      val victimSet = victims.toSet
+      val victimsGone = qs.forall { case (_, qv) =>
+        r.query(qv, 10, ef = 96).forall(p => !victimSet.contains(p._1)) }
+      val selfHit = qs.forall { case (qid, qv) => r.query(qv, 10, ef = 96).head._1 == qid }
+      val scoresExact = qs.forall { case (_, qv) =>
+        val exactAll = local.query(qv, Int.MaxValue).toMap
+        r.query(qv, 10, ef = 96).forall { case (id, sc) => exactAll(id) == sc } }
+      val oldValid = qs.forall { case (_, qv) => hs.query(qv, 5, ef = 96).nonEmpty }
+      Seq((qs.size.toLong, resharded, victimsGone, selfHit, scoresExact, oldValid))
+        .toDF("n_queries", "resharded", "victims_gone", "self_hit",
+          "scores_exact", "old_valid")
+    }),
+
     // ANN: IVF build + probe under the recall/self-hit contract. The
     // KMeans assignment is engine-specific, so the hit list is not
     // oracle-expressible; the checkable invariants are (a) every query's
@@ -1474,6 +1559,69 @@ object SparkEntry {
       Ann.bruteForceTopK(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ANN: sign-Hamming neighbors on the PACKED codegen kernel
+    // (SignPack + HammingDist, one XOR+POPCNT per 64 dims) — the
+    // nomination metric of the binary tier, VALUE-checked: the oracle
+    // recomputes the same distances from the UNPACKED formulation
+    // (count of sign disagreements), so a single packing bug anywhere
+    // in the bit layout breaks the hash match.
+    "emb_hamming" -> ((s, dir) => {
+      val sig = graft.functions.BinarySig
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), sig.signPack(col("embedding")).as("qsig"))
+      val d = e.select(col("vec_id").as("id"), sig.signPack(col("embedding")).as("sig"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("hamming"), col("id"))
+      d.crossJoin(broadcast(qs))
+        .withColumn("hamming", sig.hammingDist(col("sig"), col("qsig")).cast(LongType))
+        .withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("id"), col("hamming"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ANN: binary-coarse batch probe at TOTAL oversample — nomination
+    // covers the corpus, so the two-phase pipeline (signature scan →
+    // exact rerank join) must reproduce the exact brute-force scan
+    // VERBATIM; the oracle is the same brute-force SQL as
+    // ann_batch_topk. The moderate-oversample operating point's
+    // recall/self-hit contract is ann_bq_batch.
+    "ann_bq_exact" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val n = e.count().toInt
+      val sigs = Ann.bqSigs(e, "vec_id", "embedding")
+      Ann.bqTopKBatch(sigs, e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, oversample = n / 3 + 1)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ANN: binary-coarse batch probe at the real operating point
+    // (oversample 16): per-query self-hit, every emitted score exact
+    // (bitwise-equal to brute force for that id), recall@5 floor.
+    "ann_bq_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val sigs = Ann.bqSigs(e, "vec_id", "embedding")
+      val approx = Ann.bqTopKBatch(sigs, e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, oversample = 16)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+      val a = approx.collect().map(r => (r.get(0).toString, r.getString(2)) -> r.getDouble(3)).toMap
+      val ex = exact.collect().map(r => (r.get(0).toString, r.getString(2)) -> r.getDouble(3)).toMap
+      val exTop = ex.keys.groupBy(_._1).map { case (qid, ks) => qid -> ks.map(_._2).toSet }
+      val selfHit = approx.filter(col("rank") === 1 && col("qid") === col("id")).count() == 5
+      val scoresExact = a.forall { case (k0, sc) => !ex.contains(k0) || ex(k0) == sc }
+      val recallOk = {
+        val hits = a.keys.count { case (qid, id) => exTop(qid).contains(id) }
+        hits.toDouble / ex.size >= 0.8
+      }
+      Seq((5L, selfHit, scoresExact, recallOk))
+        .toDF("n_queries", "self_hit", "scores_exact", "recall_ok")
     }),
 
     // ANN: hyperplane-LSH bucketed top-k (approximate; recall checked in
@@ -3375,6 +3523,47 @@ object SparkEntry {
         |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
+    // The packed XOR+POPCNT kernel vs the UNPACKED sign-mismatch count:
+    // value-identical by construction of SignPack (bit i of word i/64
+    // <=> element i >= 0), recomputed here positionally.
+    "emb_hamming" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |h AS (SELECT qs.qid, e.vec_id AS id,
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> CASE WHEN (e.embedding[i] >= 0) = (qs.qv[i] >= 0) THEN 0 ELSE 1 END)) AS hamming
+        |      FROM embeddings e CROSS JOIN qs),
+        |r AS (SELECT qid, id, hamming,
+        |        row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS rn
+        |      FROM h)
+        |SELECT qid, CAST(rn AS INTEGER) AS rank, id, CAST(hamming AS BIGINT) AS hamming
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // Total-oversample binary probe == the exact scan, so the oracle is
+    // the same brute-force SQL as ann_batch_topk (qid/id as VARCHAR:
+    // the two-phase pipeline's join keys are strings).
+    "ann_bq_exact" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |sc AS (SELECT qs.qid, e.vec_id AS id,
+        |         list_dot_product(e.embedding::DOUBLE[], qs.qv) /
+        |         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |          sqrt(list_dot_product(qs.qv, qs.qv))) AS sc
+        |       FROM embeddings e CROSS JOIN qs),
+        |r AS (SELECT qid, id, sc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
+        |      FROM sc)
+        |SELECT CAST(qid AS VARCHAR) AS qid, CAST(rn AS INTEGER) AS rank,
+        |       CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
+        |FROM r WHERE rn <= 3 ORDER BY CAST(qid AS VARCHAR), rn""".stripMargin,
+
+    "ann_bq_batch" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS self_hit,
+        |       TRUE AS scores_exact, TRUE AS recall_ok""".stripMargin,
+
+    "o3e_topk_bq" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS local_eq_dist,
+        |       TRUE AS self_hit, TRUE AS scores_exact, TRUE AS recall_ok,
+        |       TRUE AS filter_ok""".stripMargin,
+
     // Mirrors Ann.lshTopK exactly: the sin-family hyperplanes are pure
     // math, so the whole sign-LSH pipeline is oracle-expressible.
     "ann_lsh_topk" -> (lshCte + "\n" +
@@ -3486,6 +3675,11 @@ object SparkEntry {
         |       TRUE AS tombs_gone, TRUE AS live_kept, TRUE AS survivors_only,
         |       TRUE AS delta_bounded, TRUE AS reload_equal,
         |       TRUE AS second_delta_empty""".stripMargin,
+
+    "ann_hnsw_reshard" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS resharded,
+        |       TRUE AS victims_gone, TRUE AS self_hit, TRUE AS scores_exact,
+        |       TRUE AS old_valid""".stripMargin,
 
     // the query count is data-dependent (allowed queries = vec_id < 10
     // with even label), so the oracle recomputes it

@@ -747,6 +747,56 @@ object Ann {
       .transform(topKHits(_, "id", k))
   }
 
+  // ------------------------------------------------ binary signature scan
+  /** Sign-bit signature table for a vector column: (id STRING, sig
+    * ARRAY<BIGINT>) via [[graft.functions.SignPack]] on the normalized
+    * vector — dim/8 bytes per row, the 32x-compressed coarse artifact
+    * of the binary scan tier ([[BinaryMatrixStore]]) as a persistable
+    * DataFrame. At corpus scale this is the table the nomination pass
+    * scans INSTEAD of the vectors: 100 TB of 1024-dim f32 signatures
+    * down to ~3 TB. */
+  def bqSigs(data: DataFrame, idCol: String, vecCol: String): DataFrame =
+    data.select(col(idCol).cast(StringType).as("id"),
+      graft.functions.BinarySig.signPack(
+        graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false))
+        .as("sig"))
+
+  /** Collect-free binary-coarse top-k for DataFrame-sized query batches:
+    * phase 1 scans ONLY the signature table with the codegen XOR+POPCNT
+    * [[graft.functions.HammingDist]] kernel (queries broadcast with
+    * their own signatures; per-query smallest-Hamming `k * oversample`
+    * kept by the bounded-heap aggregate, so the nomination shuffle is
+    * O(partitions x Q x k x oversample) regardless of corpus size);
+    * phase 2 joins the nominees back to the FLOAT table — touching only
+    * Q x k x oversample vector rows — and re-scores exactly. Same
+    * emitted schema and exact-score contract as [[bruteForceTopK]];
+    * what is approximate is nomination only (recall floor spec-pinned,
+    * committed in BENCH_LOCAL). The DataFrame twin of
+    * [[BinaryMatrixStore]], for when queries are a table, not a call. */
+  def bqTopKBatch(sigs: DataFrame, data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, oversample: Int = 16): DataFrame = {
+    require(oversample >= 1, "oversample must be >= 1")
+    val q = queries.select(col(qidCol).cast(StringType).as("qid"),
+        graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qvn"))
+      .withColumn("qsig", graft.functions.BinarySig.signPack(col("qvn")))
+    val nominated = sigs
+      .crossJoin(broadcast(q.select(col("qid"), col("qsig"))))
+      .withColumn("__score__",
+        -graft.functions.BinarySig.hammingDist(col("sig"), col("qsig"))
+          .cast(DoubleType))
+      .groupBy(col("qid"))
+      .agg(TopKByScore.topk(col("__score__"), col("id"), k * oversample).as("hits"))
+      .select(col("qid"), explode(col("hits.id")).as("id"))
+    nominated
+      .join(data.select(col(idCol).cast(StringType).as("id"),
+        graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false)
+          .as("__nv__")), Seq("id"))
+      .join(broadcast(q.select(col("qid"), col("qvn"))), Seq("qid"))
+      .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
+      .transform(topKHits(_, "id", k))
+  }
+
   // ---------------------------------------------- quantized-index persist
   /** Persist a PQ index: encoded rows as parquet + the codebooks as a
     * small JSON table — the same parquet+sidecar pattern as [[ivfSave]],

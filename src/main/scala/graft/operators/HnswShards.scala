@@ -99,13 +99,65 @@ final class HnswShards private (
     hit
   }
 
+  /** Re-shard to a new shard count: every shard's LIVE rows re-route
+    * under the new modulus and per-shard graphs rebuild (same
+    * m/efConstruction, per-shard seeds re-derived), returning a NEW
+    * instance — the old one stays valid for serving until the caller
+    * swaps the handle (same atomic-swap discipline as
+    * [[LocalMatrixStore.refresh]]). This is the size-drift maintenance
+    * [[maintain]] can't do: tombstone GC keeps per-shard graphs clean,
+    * but after heavy growth/shrink the per-shard row count leaves the
+    * recall-calibrated knee ([[HnswShards.defaultShards]]) — growth
+    * degrades recall (bigger graphs), shrink wastes fan-out. Cost is a
+    * full rebuild ∝ corpus, so callers gate it on [[needsReshard]];
+    * tombstones do not survive (the new graphs hold live rows only). */
+  def reshard(newShards: Int): HnswShards = {
+    require(newShards >= 1, "newShards must be >= 1")
+    val (m, efc, seed0) = shards(0).buildParams
+    val perShard = shards.map(_.liveRows)
+    val total = perShard.iterator.map(_._1.length).sum
+    val allIds = new Array[String](total)
+    val flat = new Array[Float](total * dim)
+    var off = 0
+    perShard.foreach { case (ids, vecs) =>
+      System.arraycopy(ids, 0, allIds, off, ids.length)
+      System.arraycopy(vecs, 0, flat, off * dim, vecs.length)
+      off += ids.length
+    }
+    HnswShards.build(allIds, flat, dim, newShards, m, efc, seed0)
+  }
+
+  /** Recommended shard count after drift, or None while the current
+    * count is within `slack` of [[HnswShards.defaultShards]]'s sizing
+    * for the live row count — the gate for [[reshard]], checkable every
+    * maintenance cadence for the cost of two longs. */
+  def needsReshard(slack: Double = 2.0): Option[Int] = {
+    require(slack > 1.0, "slack must be > 1")
+    val live = nRows
+    val ideal = HnswShards.defaultShards(live)
+    val perShard = live.toDouble / nShards
+    val idealPer = live.toDouble / ideal
+    if (ideal != nShards && (perShard > idealPer * slack || perShard < idealPer / slack))
+      Some(ideal)
+    else None
+  }
+
   /** Persist every shard under `path/shard=<i>/` plus a sidecar pinning
     * the shard count and dim — same cold-start story as
     * [[HnswReplica.save]], sharded. A FULL save; see [[saveDelta]] for
-    * the incremental twin. */
+    * the incremental twin. Shard directories beyond the current count
+    * (left over when a [[reshard]] shrank the layout saved here before)
+    * are removed, so the directory always equals the sidecar. */
   def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     shards.zipWithIndex.foreach { case (h, si) =>
       h.save(spark, s"$path/shard=$si")
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("shard=") && nm.drop(6).toIntOption.exists(_ >= shards.length))
+        fs.delete(st.getPath, true)
     }
     VectorStore.writeSidecar(spark, s"$path/_hnsw_shards.json",
       s"""{"dim": $dim, "n_shards": ${shards.length}}""")

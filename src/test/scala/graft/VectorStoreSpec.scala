@@ -725,6 +725,47 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(back2.query(q0, 10, ef = 96).forall(_._1 != afterHits.head._1))
   }
 
+  test("sharded hnsw reshard: live rows re-route under the new modulus; handles stay valid") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+    val mx = graft.operators.MatrixStore.fromStore(st)
+    val local = mx.toLocal()
+    val hs = local.toHnswSharded(nShards = 2, m = 8, efConstruction = 64)
+    mx.unpersist()
+    val q0 = e.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0).toArray
+    val allIds = e.select(col("vec_id").cast("string")).collect().map(_.getString(0))
+    val victims = allIds.filter(_ != "0").take(20)
+    hs.markDeleted(victims)
+    val live = hs.nRows
+    val up = hs.reshard(5)
+    assert(up.nShards == 5 && up.nRows == live && up.nTombstones == 0,
+      "reshard carries live rows only and drops tombstones")
+    // deleted ids stay deleted; every emitted score is exact
+    val hits = up.query(q0, 10, ef = 96)
+    assert(hits.head._1 == "0" && hits.forall { case (id, _) => !victims.contains(id) })
+    val exactAll = local.query(q0, Int.MaxValue).toMap
+    hits.foreach { case (id, s) => assert(exactAll(id) == s) }
+    // the old handle keeps serving until the caller swaps (atomic-swap contract)
+    assert(hs.query(q0, 5, ef = 96).nonEmpty && hs.nShards == 2)
+    // post-reshard maintenance still routes by the NEW modulus
+    up.add(Seq("zzz-new" -> q0))
+    assert(up.query(q0, 2, ef = 96).map(_._1).contains("zzz-new"))
+    // saving a shrunken layout over a wider one removes the stale shard dirs
+    val path = java.nio.file.Files.createTempDirectory("hsreshard").toString
+    up.save(spark, path)
+    val down = up.reshard(2)
+    down.save(spark, path)
+    val back = graft.operators.HnswShards.load(spark, path)
+    assert(back.nShards == 2 && back.nRows == live + 1)
+    assert(back.query(q0, 10, ef = 96).toSeq == down.query(q0, 10, ef = 96).toSeq)
+    assert(!new java.io.File(s"$path/shard=4").exists(),
+      "stale shard dirs beyond the new count must be removed")
+    // drift gate: 500 live rows size to 1 shard, so a 5-shard layout
+    // trips the bound and a 1-shard one is quiet
+    assert(up.needsReshard() == Some(1))
+    assert(down.reshard(1).needsReshard().isEmpty)
+  }
+
   test("streaming upsert + tombstones drive the SHARDED hnsw tier through the same trait") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
