@@ -1709,6 +1709,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ANN: INCREMENTAL k-NN graph maintenance — a 10% batch appends at
+    // cost ∝ old·batch + batch·union instead of a union² rebuild, and
+    // the result is EXACT: old nodes re-select from (old raw edges ∪
+    // batch scores), new nodes scan the grown corpus. The oracle is the
+    // full-rebuild brute-force SQL over the union — identical to
+    // ann_knn_graph's — so the incremental path must reproduce the
+    // rebuild VERBATIM. (At scale the base graph comes from
+    // knnGraphBlocked and lives in the lakehouse; raw-score edges feed
+    // the next append.)
+    "ann_knn_append" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val oldData = e.filter(col("vec_id") < 450)
+      val batch = e.filter(col("vec_id") >= 450)
+      val oldGraph = Ann.knnGraph(oldData, "vec_id", "embedding", oldData,
+        k = 3, roundScores = false)
+      Ann.knnGraphAppend(oldGraph, oldData, "vec_id", "embedding", batch, k = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ANN: probe-only IVF over a persisted index (build amortized across
     // calls via a per-JVM cache — production shape: index built offline).
     // Per-query structural contract: exactly k hits, the query's own
@@ -2149,6 +2168,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("source"))
+    }),
+
+    // Pipeline: per-stratum QUOTA sampling — exactly min(quota, |stratum|)
+    // documents per language, picked in portable-md5-of-id order (stable
+    // across runs/engines/partitionings, monotone in the quota). The
+    // row_number-under-window filter lowers to WindowGroupLimit (rank-
+    // limit pushdown), bounding the shuffle to quota rows per stratum
+    // per map task. VALUE-checked row for row against the oracle.
+    "pipe_stratified" -> ((s, dir) => {
+      graft.operators.Relational.stratifiedQuota(
+          Tables.documents(s, dir), "doc_id", Seq("lang"), quota = 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Pipeline: temperature-rebalanced mixture rates (share ∝ sqrt(n),
+    // the alpha = 0.5 multilingual flattening) — per-language sampling
+    // rates toward a 300-row target, derived from the data in one
+    // groupBy + groups-sized arithmetic. sqrt (IEEE-exact) rather than
+    // a general pow keeps both engines bit-identical.
+    "pipe_temperature" -> ((s, dir) => {
+      graft.operators.Relational.temperatureMixRates(
+          Tables.documents(s, dir), "lang", targetRows = 300)
+        .select(col("lang"), col("n"),
+          round(col("share"), 6).as("share"), round(col("rate"), 6).as("rate"))
+        .orderBy(col("lang"))
+    }),
+
+    // Pipeline: the temperature rates APPLIED as a deterministic filter —
+    // keep iff the 48-bit md5-of-id unit hash falls under the language's
+    // derived rate (broadcast join against the groups-sized rate frame).
+    // Survivor stats + exact id checksum per language, value-checked.
+    "pipe_temp_sample" -> ((s, dir) => {
+      graft.operators.Relational.temperatureSample(
+          Tables.documents(s, dir), "doc_id", "lang", targetRows = 300)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"), sum(col("doc_id")).as("ids_sum"))
+        .orderBy(col("lang"))
     }),
 
     // Pipeline: deterministic sharded training output — writeShards
@@ -3510,6 +3568,21 @@ object SparkEntry {
         |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
         |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
+    // the incremental append must equal the full rebuild verbatim, so its
+    // oracle IS the rebuild: brute-force k-NN over the whole table
+    "ann_knn_append" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings),
+        |sc AS (SELECT qs.qid, e.vec_id AS id,
+        |         list_dot_product(e.embedding::DOUBLE[], qs.qv) /
+        |         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |          sqrt(list_dot_product(qs.qv, qs.qv))) AS sc
+        |       FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.qid),
+        |r AS (SELECT qid, id, sc,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, CAST(id AS VARCHAR)) AS rn
+        |      FROM sc)
+        |SELECT qid, CAST(rn AS INTEGER) AS rank, CAST(id AS VARCHAR) AS id, round(sc, 6) AS score
+        |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
     "ann_batch_topk" ->
       """WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
         |sc AS (SELECT qs.qid, e.vec_id AS id,
@@ -3817,6 +3890,37 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 < 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_stratified" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    // share = sqrt(n) / sum(sqrt(n)) — alpha = 0.5 temperature, sqrt is
+    // IEEE-exact so both engines compute identical doubles
+    "pipe_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n,
+        |        sqrt(CAST(n AS DOUBLE)) / sum(sqrt(CAST(n AS DOUBLE))) OVER () AS share
+        |      FROM c)
+        |SELECT lang, n, round(share, 6) AS share,
+        |       round(least(1.0, 300.0 * share / CAST(n AS DOUBLE)), 6) AS rate
+        |FROM s ORDER BY lang""".stripMargin,
+
+    "pipe_temp_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n,
+        |        sqrt(CAST(n AS DOUBLE)) / sum(sqrt(CAST(n AS DOUBLE))) OVER () AS share
+        |      FROM c),
+        |r AS (SELECT lang, least(1.0, 300.0 * share / CAST(n AS DOUBLE)) AS rate FROM s),
+        |k AS (SELECT d.lang, d.doc_id FROM documents d JOIN r ON d.lang = r.lang
+        |      WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |             / 281474976710656.0) < r.rate)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, min(doc_id) AS min_id,
+        |       max(doc_id) AS max_id, CAST(sum(doc_id) AS BIGINT) AS ids_sum
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     // distinct 3-gram shingles per doc (wordShingles = DISTINCT set);
     // eval split = doc_id % 97 == 0; contam_frac over the distinct set

@@ -18,7 +18,8 @@ object Ann {
   /** Shared tail of every top-k pipeline: reduce scored (qid, id, score)
     * rows with the bounded-heap aggregate and explode the per-query hit
     * arrays into ranked rows. */
-  private def topKHits(scored: DataFrame, idCol: String, k: Int): DataFrame =
+  private def topKHits(scored: DataFrame, idCol: String, k: Int,
+      roundScores: Boolean = true): DataFrame =
     scored
       .groupBy(col("qid"))
       .agg(TopKByScore.topk(col("__score__"), col(idCol).cast(StringType), k).as("hits"))
@@ -27,7 +28,7 @@ object Ann {
         col("qid"),
         (col("rank0") + 1).cast(IntegerType).as("rank"),
         col("hit.id").as("id"),
-        round(col("hit.score"), 6).as("score"))
+        (if (roundScores) round(col("hit.score"), 6) else col("hit.score")).as("score"))
 
   /** Exact batch top-k: score every (query, row) pair, then reduce with
     * the bounded-heap aggregate [[TopKByScore]].
@@ -60,7 +61,7 @@ object Ann {
     * [[lshTopK]]/[[ivfTopK]] as the sub-quadratic approximate path. */
   def knnGraph(
       data: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int, roundScores: Boolean = true): DataFrame = {
     val d = data.select(col(idCol).as(idCol),
       graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("__nv__"))
     val scored = d
@@ -68,7 +69,45 @@ object Ann {
         graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("qv"))))
       .filter(col(idCol) =!= col("qid")) // self excluded
       .withColumn("__score__", dotD(col("__nv__"), col("qv")))
-    topKHits(scored, idCol, k)
+    topKHits(scored, idCol, k, roundScores)
+  }
+
+  /** Incrementally maintain a k-NN graph after appending a batch of NEW
+    * rows — EXACT, not approximate: for an existing node, the true
+    * top-k over the grown corpus is contained in (its old top-k) ∪ (its
+    * scores against the batch), so merging those and re-selecting
+    * reproduces a full rebuild bit for bit, at cost ∝ |old|·|batch|
+    * (one broadcast-scored pass) + |batch|·|union| (the new nodes'
+    * rows) instead of |union|² — the difference between "nightly graph
+    * rebuild" and "graph follows ingestion" at corpus scale.
+    *
+    * `oldGraph` must carry RAW scores (build it with
+    * `knnGraph(..., roundScores = false)` / [[knnGraphAppend]] output
+    * with `roundScores = false`): selection must compare the same
+    * doubles a rebuild would, and a 6-dp-rounded edge list loses the
+    * order of near-tied candidates. Batch ids must be NEW (disjoint
+    * from the old corpus) — this is append maintenance, not upsert.
+    * Output schema/rounding matches [[knnGraph]] (`roundScores`
+    * controls the output; keep raw to feed the NEXT append). */
+  def knnGraphAppend(
+      oldGraph: DataFrame, oldData: DataFrame, idCol: String, vecCol: String,
+      batch: DataFrame, k: Int, roundScores: Boolean = true): DataFrame = {
+    val unionData = oldData.select(col(idCol), col(vecCol))
+      .unionByName(batch.select(col(idCol), col(vecCol)))
+    // new nodes: exact top-k vs the whole grown corpus
+    val newNodeEdges = knnGraph(unionData, idCol, vecCol, batch, k, roundScores)
+    // old nodes: old raw edges ∪ raw scores against the batch, re-selected
+    val crossScored = oldData.select(col(idCol).as("qid"),
+        graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("qv"))
+      .crossJoin(broadcast(batch.select(col(idCol).as("__bid__"),
+        graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("__bv__"))))
+      .select(col("qid"), col("__bid__").cast(StringType).as("id"),
+        dotD(col("__bv__"), col("qv")).as("__score__"))
+    val merged = oldGraph
+      .select(col("qid"), col("id"), col("score").as("__score__"))
+      .unionByName(crossScored)
+    val oldNodeEdges = topKHits(merged, "id", k, roundScores)
+    oldNodeEdges.unionByName(newNodeEdges)
   }
 
   /** All-pairs k-NN graph in broadcast-bounded query blocks.

@@ -50,6 +50,78 @@ object Relational {
     hash1000 < rate
   }
 
+  /** Deterministic per-stratum quota sampling: the first `quota` rows of
+    * every stratum in portable-md5-of-id order — the "N documents per
+    * language/domain" step of a corpus mix, as a pure function of
+    * (strata, id). Unlike a rate, a QUOTA yields exact per-stratum
+    * counts (min(quota, stratum size)), which is what a curated
+    * evaluation slice or a balanced fine-tuning mix specifies; the
+    * md5 order makes the picked set stable across runs, engines, and
+    * partitionings, and monotone in `quota` (raising the quota only
+    * ADDS rows — a grown slice supersets the old one).
+    *
+    * Scale: one hash partition per strata combination; the
+    * `row_number <= quota` filter lowers to WindowGroupLimit in Spark 4
+    * (rank-limit pushdown), so each map task keeps at most `quota` rows
+    * per stratum BEFORE the shuffle — the shuffle carries
+    * O(partitions × strata × quota), not the corpus. */
+  def stratifiedQuota(df: DataFrame, idCol: String, strataCols: Seq[String],
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= quota)
+      .drop("__rn__")
+  }
+
+  /** Temperature-rebalanced mixture rates: per-group sampling rates that
+    * move the mix from the natural distribution (alpha = 1) toward
+    * uniform (alpha = 0) — the standard multilingual/multi-domain
+    * rebalancing step (share ∝ count^alpha). Fixed to alpha = 0.5
+    * (`sqrt`) so the whole pipeline is bit-reproducible across engines:
+    * sqrt is IEEE-exact where a general `pow` may differ in the last
+    * ulp between libm builds. Returns one row per group:
+    * (group, n, share, rate) with rate = min(1, targetRows·share/n) —
+    * feed the rates to [[temperatureSampleKeep]] or read them off for
+    * an external sampler. Cost: one groupBy over the corpus (map-side
+    * combine), then arithmetic on a groups-sized frame. */
+  def temperatureMixRates(df: DataFrame, groupCol: String,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val denomW = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    counts
+      .withColumn("__sq__", sqrt(col("n").cast(DoubleType)))
+      .withColumn("share", col("__sq__") / sum(col("__sq__")).over(denomW))
+      .withColumn("rate",
+        least(lit(1.0), lit(targetRows.toDouble) * col("share") / col("n").cast(DoubleType)))
+      .drop("__sq__")
+  }
+
+  /** Apply [[temperatureMixRates]] as a deterministic filter: keep a row
+    * iff its portable 48-bit md5-of-id unit-interval hash falls under
+    * its group's rate. The rates frame is groups-sized, so the join
+    * broadcasts; the keep decision is a pure function of (id, group,
+    * targetRows) — same reproducibility contract as
+    * [[hashSampleKeep]], with the rate derived from data instead of
+    * hand-set. The expected kept count is ~targetRows (exact per-group
+    * expectation n·rate; a group already below its target keeps
+    * everything, so small groups are never subsampled past parity). */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      targetRows: Long): DataFrame = {
+    val rates = temperatureMixRates(df, groupCol, targetRows)
+      .select(col(groupCol), col("rate"))
+    val unit = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(281474976710656.0) // 2^48
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(unit < col("rate"))
+      .drop("rate")
+  }
+
   /** Deterministic shard assignment for training-data output: shard =
     * first-48-md5-bits(key) mod nShards — a pure function of the key,
     * in the same portable-hash family as [[hashSampleKeep]] (the

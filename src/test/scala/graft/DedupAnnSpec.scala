@@ -50,6 +50,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(g2.length == 1 && g2.head.getAs[Long]("keep_id") == 1L)
   }
 
+  test("knn graph append: incremental maintenance equals the full rebuild verbatim") {
+    val e = Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"), col("embedding"))
+    val oldData = e.filter(col("vec_id") < 400)
+    val b1 = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val b2 = e.filter(col("vec_id") >= 450)
+    val g0 = Ann.knnGraph(oldData, "vec_id", "embedding", oldData, 3, roundScores = false)
+    // one append == full rebuild over the union, bit for bit
+    val a1 = Ann.knnGraphAppend(g0, oldData, "vec_id", "embedding", b1, 3)
+    val union1 = oldData.unionByName(b1)
+    val r1 = Ann.knnGraph(union1, "vec_id", "embedding", union1, 3)
+    assert(a1.exceptAll(r1).isEmpty && r1.exceptAll(a1).isEmpty)
+    // chained: RAW edges feed the next append; two appends == one rebuild
+    val a1raw = Ann.knnGraphAppend(g0, oldData, "vec_id", "embedding", b1, 3,
+      roundScores = false)
+    val a2 = Ann.knnGraphAppend(a1raw, union1, "vec_id", "embedding", b2, 3)
+    val r2 = Ann.knnGraph(e, "vec_id", "embedding", e, 3)
+    assert(a2.exceptAll(r2).isEmpty && r2.exceptAll(a2).isEmpty)
+  }
+
   test("blocked pairs reject non-numeric ids with a clear error") {
     val df = Seq(("doc-1", Seq(1.0f, 0.0f)), ("doc-2", Seq(1.0f, 0.0f))).toDF("sid", "vec")
     val ex = intercept[IllegalArgumentException] {

@@ -173,6 +173,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"within-cluster candidate generation must stay an equi join:\n$p")
   }
 
+  test("bq batch probe: queries broadcast on both phases; rerank joins stay equi") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val sigs = graft.operators.Ann.bqSigs(e, "vec_id", "embedding")
+    val q = graft.operators.Ann.bqTopKBatch(sigs, e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5, oversample = 16)
+    val p = q.queryExecution.executedPlan.toString
+    // nomination crossJoin(broadcast(q)) and the rerank's two joins must
+    // never shuffle the corpus side against the Q-sized query table
+    assert(p.contains("Broadcast"), "query side must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "rerank must stay an equi join on (id)/(qid), not a product")
+    // phase 1 scans the packed signature kernel, not the float vectors
+    assert(p.contains("sign_pack") && p.contains("hamming_dist"),
+      "nomination must run on the packed signature kernel")
+  }
+
+  test("stratified quota: rank filter lowers to WindowGroupLimit") {
+    import org.apache.spark.sql.functions.col
+    val q = graft.operators.Relational.stratifiedQuota(
+      Tables.documents(spark, TestSpark.sf), "doc_id", Seq("lang"), 10)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"quota filter must push into WindowGroupLimit (map-side bounded):\n${p.take(800)}")
+  }
+
+  test("temperature sample: rate table broadcasts; corpus side never shuffles for the join") {
+    import org.apache.spark.sql.functions.col
+    val q = graft.operators.Relational.temperatureSample(
+      Tables.documents(spark, TestSpark.sf), "doc_id", "lang", 300)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "groups-sized rate frame must broadcast against the corpus")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("shard writer readback: shard predicate prunes to one partition directory") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft_shards_plan").toString

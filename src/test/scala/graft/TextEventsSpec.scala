@@ -616,6 +616,51 @@ class TextEventsSpec extends AnyFunSuite {
     assert(uni == mix)
   }
 
+  test("stratified quota: exact per-stratum counts, monotone in quota, partitioning-independent") {
+    import graft.operators.Relational
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val q10 = Relational.stratifiedQuota(docs, "doc_id", Seq("lang"), 10)
+    val counts = q10.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (l, n) =>
+      assert(counts(l) == math.min(10L, n), s"lang $l quota count") }
+    // monotone: a larger quota SUPERSETS the smaller slice
+    val ids10 = q10.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids20 = Relational.stratifiedQuota(docs, "doc_id", Seq("lang"), 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids20))
+    // pure function of (strata, id): partitioning cannot change the pick
+    val ids10b = Relational.stratifiedQuota(docs.repartition(7), "doc_id", Seq("lang"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids10b == ids10)
+  }
+
+  test("temperature mixing: shares sum to 1, small groups flatten up, sample is deterministic") {
+    import graft.operators.Relational
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val rates = Relational.temperatureMixRates(docs, "lang", targetRows = 300)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(rates.map(_._3).sum - 1.0) < 1e-9)
+    assert(rates.forall { case (_, _, _, r) => r > 0.0 && r <= 1.0 })
+    // expected kept = sum(n · rate): at most the target (the min-cap only
+    // removes mass), and well above half of it on this mix
+    val expKept = rates.map { case (_, n, _, r) => n * r }.sum
+    assert(expKept <= 300.0 + 1e-6 && expKept > 200.0, s"expected kept $expKept")
+    // temperature flattening: the smallest group gets the largest rate
+    val sorted = rates.sortBy(_._2)
+    assert(sorted.head._4 >= sorted.last._4)
+    // the applied sample is a pure function of (id, lang): rerun under a
+    // different partitioning keeps the identical set, size near expectation
+    val kept = Relational.temperatureSample(docs, "doc_id", "lang", 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(math.abs(kept.size - expKept) < 80, s"kept ${kept.size} vs expected $expKept")
+    val kept2 = Relational.temperatureSample(docs.repartition(5), "doc_id", "lang", 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+  }
+
   test("contamination: eval-set n-gram overlap fraction per training doc") {
     val train = Seq(
       (1L, "a b c d e f"),          // shares grams "a b c".."d e f" with eval
