@@ -1624,6 +1624,50 @@ object SparkEntry {
         .toDF("n_queries", "self_hit", "scores_exact", "recall_ok")
     }),
 
+    // ANN: PERSISTED binary signature index lifecycle — save bucketed by
+    // id hash, fit-free append (new files land only in touched bucket
+    // dirs; every pre-existing file stays byte-identical), delete
+    // rewrites only the buckets holding the ids (atomic per-dir swap),
+    // and the reloaded index probes EXACTLY: total-oversample
+    // bqTopKBatch over the post-mutation index equals brute force over
+    // the live corpus verbatim.
+    "ann_bq_persist" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val base = e.filter(col("vec_id") < 450)
+      val batch = e.filter(col("vec_id") >= 450)
+      val path = java.nio.file.Files.createTempDirectory("graft_bq_idx").toString
+      Ann.bqSaveIndex(base, "vec_id", "embedding", path, nBuckets = 8)
+      def snap(): Map[String, (Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$path/sigs")).filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+      }
+      val s0 = snap()
+      Ann.bqAppendSave(s, path, batch, "vec_id", "embedding")
+      val s1 = snap()
+      val appendPreserves = s0.forall { case (p, v) => s1.get(p).contains(v) }
+      val touched = Ann.bqDeleteSave(s, path, Seq("0", "1"))
+      val s2 = snap()
+      val touchedDirs = touched.map(b => s"bucket=$b").toSet
+      val deleteBounded = s1.forall { case (p, v) =>
+        touchedDirs.exists(p.contains) || s2.get(p).contains(v) }
+      val idx = Ann.bqLoadIndex(s, path)
+      val countOk = idx.sigs.count() == 498L
+      val cur = e.filter(!col("vec_id").isin(0L, 1L))
+      val q = cur.filter(col("vec_id") < 7)
+      val probe = Ann.bqTopKBatch(idx.sigs, cur, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3, oversample = 200)
+      val brute = Ann.bruteForceTopK(cur, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      val probeExact = probe.exceptAll(brute).isEmpty && brute.exceptAll(probe).isEmpty
+      Seq((8L, appendPreserves, touched.nonEmpty && touched.size <= 2,
+        deleteBounded, countOk, probeExact))
+        .toDF("n_buckets", "append_preserves", "delete_touched_bounded",
+          "delete_bounded", "count_ok", "probe_exact")
+    }),
+
     // ANN: hyperplane-LSH bucketed top-k (approximate; recall checked in
     // ScalaTest against brute force — rows-only here).
     "ann_lsh_topk" -> ((s, dir) => {
@@ -2168,6 +2212,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("source"))
+    }),
+
+    // Relational: SKETCH aggregates under their error contracts — at
+    // 100 TB, exact countDistinct is a full shuffle of every key and an
+    // exact percentile a global sort; the HLL++ and quantile-digest
+    // sketches are the scale substitutes, mergeable across partitions
+    // with bounded error. Approximate answers are NOT oracle-matchable
+    // across engines (different sketch impls), so the contract is the
+    // honest one: each sketch's error vs the EXACT answer (computed
+    // in-engine on the same data) stays inside its configured bound.
+    "q_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val n = li.count()
+      val exactNdv = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+      val approxNdv = li.select(approx_count_distinct(col("l_orderkey"), rsd = 0.02))
+        .head().getLong(0)
+      val ndvOk = math.abs(approxNdv - exactNdv).toDouble / exactNdv <= 0.05
+      val p50 = li.select(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)))
+        .head().getDouble(0)
+      // accuracy 10000 bounds the RANK error to ~1e-4; assert a loose 1%
+      val below = li.filter(col("l_extendedprice") <= p50).count()
+      val quantileOk = math.abs(below.toDouble / n - 0.5) <= 0.01
+      Seq((n, ndvOk, quantileOk)).toDF("n", "ndv_ok", "quantile_ok")
     }),
 
     // Pipeline: per-stratum QUOTA sampling — exactly min(quota, |stratum|)
@@ -2940,6 +3008,58 @@ object SparkEntry {
       ivfContract(approx, exact)
     }),
 
+    // Streaming ingestion of the PERSISTED binary signature index + the
+    // tombstone twin: two appended microbatches land sign-packed rows in
+    // touched bucket dirs only (fit-free), a tombstone microbatch
+    // forgets two ids via the bounded per-dir rewrite, and the reloaded
+    // index probes EXACTLY — total-oversample bqTopKBatch over the
+    // post-stream index equals brute force over the live corpus.
+    "stream_ingest_bq" -> ((s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val path = java.nio.file.Files.createTempDirectory("graft_ingest_bq").toString
+      Ann.bqSaveIndex(e.filter(col("vec_id") >= 10), "vec_id", "embedding", path, nBuckets = 8)
+      val watch = java.nio.file.Files.createTempDirectory("graft_ingest_bq_watch")
+      val b1 = e.filter(col("vec_id") < 5)
+      def stage(name: String, df: DataFrame): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_bqstage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
+      }
+      stage("v1", b1)
+      stage("v2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10))
+      val st = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      val sq = graft.streaming.StreamingOps.bqIngestStream(st, path, "vec_id", "embedding")
+      try sq.processAllAvailable() finally sq.stop()
+      // tombstone microbatch: forget ids 3 and 7
+      val watchDel = java.nio.file.Files.createTempDirectory("graft_ingest_bq_del")
+      val dels = e.filter(col("vec_id").isin(3L, 7L)).select(col("vec_id"))
+      val tmpDel = java.nio.file.Files.createTempDirectory("graft_bqstage_del")
+      dels.coalesce(1).write.mode("overwrite").parquet(tmpDel.toString)
+      java.nio.file.Files.copy(
+        java.nio.file.Files.list(tmpDel).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get,
+        watchDel.resolve("del.parquet"))
+      val stDel = s.readStream.schema(dels.schema).parquet(watchDel.toString)
+      val sqDel = graft.streaming.StreamingOps.tombstoneStream(stDel, "vec_id",
+        bqIndexPath = Some(path))
+      try sqDel.processAllAvailable() finally sqDel.stop()
+      val idx = Ann.bqLoadIndex(s, path)
+      val cur = e.filter(!col("vec_id").isin(3L, 7L))
+      val n = cur.count().toInt
+      val q = cur.filter(col("vec_id") < 6)
+      val probe = Ann.bqTopKBatch(idx.sigs, cur, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3, oversample = n / 3 + 1)
+      val brute = Ann.bruteForceTopK(cur, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      val probeExact = probe.exceptAll(brute).isEmpty && brute.exceptAll(probe).isEmpty
+      Seq((idx.sigs.count(), probeExact)).toDF("n_rows", "probe_exact")
+    }),
+
     // Multimodal: binary payload metadata (deterministic byte stats).
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -3632,6 +3752,11 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS self_hit,
         |       TRUE AS scores_exact, TRUE AS recall_ok""".stripMargin,
 
+    "ann_bq_persist" ->
+      """SELECT CAST(8 AS BIGINT) AS n_buckets, TRUE AS append_preserves,
+        |       TRUE AS delete_touched_bounded, TRUE AS delete_bounded,
+        |       TRUE AS count_ok, TRUE AS probe_exact""".stripMargin,
+
     "o3e_topk_bq" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS local_eq_dist,
         |       TRUE AS self_hit, TRUE AS scores_exact, TRUE AS recall_ok,
@@ -3816,6 +3941,11 @@ object SparkEntry {
     "stream_ingest_ivf" ->
       """SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
+    // streamed sig-index rows = corpus minus the two tombstoned ids
+    "stream_ingest_bq" ->
+      """SELECT (SELECT CAST(count(*) - 2 AS BIGINT) FROM embeddings) AS n_rows,
+        |       TRUE AS probe_exact""".stripMargin,
+
     // streaming tombstones: the surviving id set is everything the two
     // microbatches did not forget
     "stream_tombstone" ->
@@ -3890,6 +4020,10 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000 < 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sketch" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+        |       TRUE AS ndv_ok, TRUE AS quantile_ok""".stripMargin,
 
     "pipe_stratified" ->
       """WITH r AS (SELECT lang, doc_id,

@@ -836,6 +836,72 @@ object Ann {
       .transform(topKHits(_, "id", k))
   }
 
+  /** Persisted binary signature index: the [[bqSigs]] table bucketed by
+    * id hash with a sidecar pinning the bucket count. */
+  final case class BqIndex(nBuckets: Int, sigs: DataFrame)
+
+  private def bqBucketOf(nBuckets: Int): Column =
+    pmod(xxhash64(col("id")), lit(nBuckets.toLong))
+
+  /** Persist a signature index for `data`: signatures partitioned into
+    * `nBuckets` id-hash directories + a sidecar. Bucketing exists for
+    * the MAINTENANCE cost model, not the probe (a nomination scan reads
+    * all buckets anyway): append lands new files only in touched
+    * directories, delete rewrites only the directories holding the ids
+    * — the same pure-key routing discipline as every persisted family
+    * here. */
+  def bqSaveIndex(data: DataFrame, idCol: String, vecCol: String,
+      path: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    bqSigs(data, idCol, vecCol)
+      .withColumn("bucket", bqBucketOf(nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/sigs")
+    VectorStore.writeSidecar(data.sparkSession, s"$path/_bq.json",
+      s"""{"n_buckets": $nBuckets}""")
+  }
+
+  /** Load a persisted signature index (cold-start: no re-encoding). */
+  def bqLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String): BqIndex = {
+    val pth = new org.apache.hadoop.fs.Path(s"$path/_bq.json")
+    val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(pth)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val nb = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      .get("n_buckets").asInt()
+    BqIndex(nb, spark.read.parquet(s"$path/sigs").select(col("id"), col("sig")))
+  }
+
+  /** Append a batch to a persisted signature index at cost ∝ batch:
+    * encode with [[bqSigs]] (fit-free — sign bits need no trained
+    * state), write in APPEND mode so only the touched bucket
+    * directories gain files; every pre-existing file stays byte-
+    * identical. Batch ids must be new (append, not upsert). */
+  def bqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val nb = bqLoadIndex(spark, path).nBuckets
+    bqSigs(batch, idCol, vecCol)
+      .withColumn("bucket", bqBucketOf(nb))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/sigs")
+  }
+
+  /** Delete ids from a persisted signature index at cost ∝ touched
+    * buckets: the ids' bucket set is computed (driver-sized id list,
+    * same argument as the reference's `delete(&[String])`), and ONLY
+    * those directories rewrite (atomic per-dir swap via the shared
+    * rewrite helper; untouched directories keep their files byte-
+    * identical). Returns the touched bucket ids. */
+  def bqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    val nb = bqLoadIndex(spark, path).nBuckets
+    val touched = ids.toDF("id").select(bqBucketOf(nb).as("b"))
+      .distinct().as[Long].collect().toSeq.sorted
+    touched.foreach { b =>
+      rewritePartitionDir(spark, s"$path/sigs/bucket=$b", col("id").isin(ids: _*))
+    }
+    touched
+  }
+
   // ---------------------------------------------- quantized-index persist
   /** Persist a PQ index: encoded rows as parquet + the codebooks as a
     * small JSON table — the same parquet+sidecar pattern as [[ivfSave]],

@@ -523,6 +523,24 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ingestion of the persisted binary signature index
+    * ([[graft.operators.Ann.bqSaveIndex]] layout): each microbatch
+    * sign-packs (fit-free — no trained state to drift) and appends,
+    * landing files only in the touched bucket directories. The coarse
+    * artifact of the binary scan tier follows ingestion at cost ∝
+    * batch, same posture as [[ivfIngestStream]]. */
+  def bqIngestStream(batches: DataFrame, indexPath: String,
+      idCol: String, vecCol: String): StreamingQuery =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          graft.operators.Ann.bqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming tombstones — the DELETE twin of the ingestion streams:
     * each microbatch carries ids to forget, applied per batch to
     * whichever persisted artifacts are wired — the bucketed store
@@ -539,7 +557,8 @@ object StreamingOps {
   def tombstoneStream(ids: DataFrame, idCol: String,
       storePath: Option[String] = None,
       ivfPath: Option[String] = None,
-      dedupIndexPath: Option[String] = None): StreamingQuery =
+      dedupIndexPath: Option[String] = None,
+      bqIndexPath: Option[String] = None): StreamingQuery =
     ids.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -551,6 +570,7 @@ object StreamingOps {
             graft.operators.VectorStore.Partitioned.delete(spark, p, list))
           ivfPath.foreach(p => graft.operators.Ann.ivfDeleteSave(spark, p, list))
           dedupIndexPath.foreach(p => graft.operators.DedupIndex.delete(spark, p, list))
+          bqIndexPath.foreach(p => graft.operators.Ann.bqDeleteSave(spark, p, list))
         }
       }
       .start()
