@@ -2238,6 +2238,29 @@ object SparkEntry {
       Seq((n, ndvOk, quantileOk)).toDF("n", "ndv_ok", "quantile_ok")
     }),
 
+    // Pipeline END-TO-END: quality gate → exact dedup → temperature
+    // rebalance → deterministic shard manifest, composed as ONE
+    // declarative plan (no materialization between stages — Catalyst
+    // sees the whole pipeline and the only shuffles are the dedup
+    // window, the rate groupBy, and the final manifest agg). Every
+    // stage is the already-oracle-checked operator; the composition is
+    // value-checked end to end: the oracle recomputes all four stages
+    // in SQL and must match the shard manifest exactly.
+    "pipe_e2e" -> ((s, dir) => {
+      val R = graft.operators.Relational
+      val d = Tables.documents(s, dir)
+      val quality = TextAnalysis.qualityColumns(col("text"))
+        .find(_._1 == "quality").get._2
+      val gated = d.withColumn("quality", quality).filter(col("quality") >= 0.5)
+      val deduped = Dedup.dropExactDups(gated, "doc_id", Seq("text"))
+      val sampled = R.temperatureSample(deduped, "doc_id", "lang", targetRows = 200)
+      sampled.withColumn("shard", R.shardOf(col("doc_id"), 4).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"), sum(col("doc_id")).as("ids_sum"))
+        .orderBy(col("shard"))
+    }),
+
     // Pipeline: per-stratum QUOTA sampling — exactly min(quota, |stratum|)
     // documents per language, picked in portable-md5-of-id order (stable
     // across runs/engines/partitionings, monotone in the quota). The
@@ -4024,6 +4047,36 @@ object SparkEntry {
     "q_sketch" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
         |       TRUE AS ndv_ok, TRUE AS quantile_ok""".stripMargin,
+
+    // the four stages recomputed in SQL: quality formula = text_stats's,
+    // dedup = min-id row_number over text, rates = pipe_temperature's
+    // over the SURVIVORS, shard = pipe_shards' md5 routing
+    "pipe_e2e" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, text,
+        |    round(least(len(string_split(text, ' '))::DOUBLE / 20.0, 1.0) * 0.4 +
+        |          least(len(list_filter(string_split(text, ' '),
+        |              w -> w IN ('the','a','of','and','to','in','is','on')))::DOUBLE
+        |            / len(string_split(text, ' '))::DOUBLE * 5.0, 1.0) * 0.3 +
+        |          (1.0 - least(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE
+        |            / length(text)::DOUBLE * 10.0, 1.0)) * 0.3, 6) AS quality
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang, text FROM g WHERE quality >= 0.5),
+        |dd AS (SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM f) WHERE rn = 1),
+        |c AS (SELECT lang, count(*) AS n FROM dd GROUP BY lang),
+        |sh AS (SELECT lang, n,
+        |        sqrt(CAST(n AS DOUBLE)) / sum(sqrt(CAST(n AS DOUBLE))) OVER () AS share
+        |      FROM c),
+        |r AS (SELECT lang, least(1.0, 200.0 * share / CAST(n AS DOUBLE)) AS rate FROM sh),
+        |k AS (SELECT dd.doc_id FROM dd JOIN r USING (lang)
+        |      WHERE (('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |             / 281474976710656.0) < r.rate)
+        |SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 4 AS BIGINT) AS shard,
+        |       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       CAST(sum(doc_id) AS BIGINT) AS ids_sum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pipe_stratified" ->
       """WITH r AS (SELECT lang, doc_id,
