@@ -241,6 +241,7 @@ object Bench {
       // numbers (ann_ivfpq_shrink 15.6 s etc.) were dominated by
       // in-query fixture builds.
       SparkEntry.cachedIvf(spark, sfDir)
+      SparkEntry.cachedIvfBq(spark, sfDir)
       SparkEntry.cachedPq(spark, sfDir)
       SparkEntry.cachedOpq(spark, sfDir)
       SparkEntry.cachedIvfPqRes(spark, sfDir)

@@ -50,6 +50,21 @@ object SparkEntry {
       graft.operators.Ann.ivfLoad(s, path)
     })
 
+  /** Per-JVM IVF×BQ hybrid cache — compose once per sf dir off the
+    * shared coarse quantizer and keep the (id, v, sig) lists cached, so
+    * the registered query times probes, not fits (same posture as
+    * [[cachedIvf]]). */
+  private val ivfBqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.IvfBqIndex]()
+  private[graft] def cachedIvfBq(s: SparkSession, dir: String): graft.operators.Ann.IvfBqIndex =
+    ivfBqCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val idx = graft.operators.Ann.ivfBqBuild(
+        graft.operators.Ann.ivfBuild(
+          Tables.embeddings(s, dir), "vec_id", "embedding", nLists = 8))
+      idx.lists.cache().count()
+      idx
+    })
+
   /** Per-JVM PQ index cache (build once per sf dir, like [[cachedIvf]]). */
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.PqIndex]()
   private[graft] def cachedPq(s: SparkSession, dir: String): graft.operators.Ann.PqIndex =
@@ -1020,6 +1035,58 @@ object SparkEntry {
           "scores_exact", "old_valid")
     }),
 
+    // ANN serving tier, sharded lifecycle part 3: the reshard gate ON
+    // THE STREAMING INGEST CADENCE. HnswShardsServing implements
+    // HnswMaintainable, so the EXISTING streaming twin
+    // (upsertStreamWithHnsw) drives it unchanged: each microbatch
+    // upserts the bucketed layout, inserts into the current sharded
+    // graph, then checks needsReshard — when the drift gate fires, the
+    // rebuild runs aside and the finished instance swaps in atomically
+    // (queries never see a half-built layout). Contract: the base
+    // 8-shard layout is far under the knee, the stream triggers exactly
+    // one swap down to defaultShards, every base AND streamed row
+    // serves (self-hit), and emitted scores stay exact.
+    "stream_hnsw_reshard" -> ((s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val base = e.filter(col("vec_id") < n / 2)
+      val st = VectorStore.fromDataFrame(base, "vec_id", "embedding", 64)
+      val storeDir = java.nio.file.Files.createTempDirectory("graft_resh_store").toString
+      graft.operators.VectorStore.Partitioned.init(st, storeDir, nBuckets = 8)
+      val cache = graft.operators.MatrixStore.fromPartitionedLayout(s, storeDir)
+      val hs = cache.toLocal().toHnswSharded(nShards = 8, m = 16, efConstruction = 100)
+      cache.unpersist()
+      val serving = new graft.operators.HnswShardsServing(hs, slack = 2.0)
+      val shardsBefore = serving.nShards.toLong
+      val watch = java.nio.file.Files.createTempDirectory("graft_resh_watch")
+      val batch = e.filter(col("vec_id") >= n / 2)
+        .select(col("vec_id").cast(StringType).as(graft.operators.VectorStore.IdCol),
+          col("embedding").cast(ArrayType(FloatType))
+            .as(graft.operators.VectorStore.VectorCol))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_resh_stage")
+      batch.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, watch.resolve("b1.parquet"))
+      val stream = s.readStream.schema(batch.schema).parquet(watch.toString)
+      val q = graft.streaming.StreamingOps.upsertStreamWithHnsw(stream, storeDir, serving)
+      try q.processAllAvailable() finally q.stop()
+      val shardsAfter = serving.nShards.toLong
+      val ideal = graft.operators.HnswShards.defaultShards(n).toLong
+      val rowsOk = serving.nRows == n
+      val qs = e.filter(col("vec_id") < 3 || col("vec_id") >= n - 3)
+        .select(col("vec_id").cast(StringType), col("embedding")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toSeq
+      val selfHit = qs.forall { case (qid, qv) =>
+        serving.query(qv, 10, ef = 96).head._1 == qid }
+      Seq((n, shardsBefore, shardsAfter, ideal,
+        serving.resharded == 1, rowsOk, selfHit))
+        .toDF("n_rows", "shards_before", "shards_after", "ideal_shards",
+          "one_swap", "rows_ok", "self_hit")
+    }),
+
     // ANN: IVF build + probe under the recall/self-hit contract. The
     // KMeans assignment is engine-specific, so the hit list is not
     // oracle-expressible; the checkable invariants are (a) every query's
@@ -1666,6 +1733,169 @@ object SparkEntry {
         deleteBounded, countOk, probeExact))
         .toDF("n_buckets", "append_preserves", "delete_touched_bounded",
           "delete_bounded", "count_ok", "probe_exact")
+    }),
+
+    // ANN: IVF × BQ hybrid — coarse cluster routing (sub-linear: probe
+    // nProbe of nLists partition dirs) times sign-bit signatures (the
+    // nomination pass reads only the 32x-compressed sig column of the
+    // probed lists; the rerank joins nominees back to their float rows).
+    // Contract at the real operating point (nProbe=4/8, oversample=16):
+    // per-query self-hit, every emitted score exact (bitwise-equal to
+    // brute force for that id), recall@5 floor, O4 gate respected; and
+    // the degenerate point (nProbe=nLists, total oversample) == brute
+    // force VERBATIM — approximation lives only in candidate selection.
+    "ann_ivfbq" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val n = e.count().toInt
+      val q = e.filter(col("vec_id") < 5)
+      val hy = cachedIvfBq(s, dir)
+      val approx = Ann.ivfBqTopK(hy, q, "vec_id", "embedding",
+        k = 5, nProbe = 4, oversample = 16)
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+      val a = approx.collect().map(r => (r.get(0).toString, r.getString(2)) -> r.getDouble(3)).toMap
+      val ex = exact.collect().map(r => (r.get(0).toString, r.getString(2)) -> r.getDouble(3)).toMap
+      val exTop = ex.keys.groupBy(_._1).map { case (qid, ks) => qid -> ks.map(_._2).toSet }
+      val selfHit = approx.filter(col("rank") === 1 && col("qid") === col("id")).count() == 5
+      val scoresExact = a.forall { case (k0, sc) => !ex.contains(k0) || ex(k0) == sc }
+      val recallOk = {
+        val hits = a.keys.count { case (qid, id) => exTop(qid).contains(id) }
+        hits.toDouble / ex.size >= 0.8
+      }
+      val total = Ann.ivfBqTopK(hy, q, "vec_id", "embedding",
+        k = 3, nProbe = 8, oversample = n / 3 + 1)
+      val brute = Ann.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      val totalExact = total.exceptAll(brute).isEmpty && brute.exceptAll(total).isEmpty
+      val allow = e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+      val gatedRes = Ann.ivfBqTopK(hy, q, "vec_id", "embedding",
+        k = 5, nProbe = 8, oversample = n / 5 + 1, allowed = Some(allow))
+      val filterOk = gatedRes.filter(col("id").cast("long") % 2 =!= 0).count() == 0 &&
+        gatedRes.count() > 0
+      Seq((5L, selfHit, scoresExact, recallOk, totalExact, filterOk))
+        .toDF("n_queries", "self_hit", "scores_exact", "recall_ok",
+          "total_exact", "filter_ok")
+    }),
+
+    // ANN: PERSISTED IVF×BQ hybrid lifecycle — save (one cluster-
+    // partitioned table carrying both column families + centroid
+    // sidecar), fit-free append (new files land only under the touched
+    // cluster dirs; every pre-existing file byte-identical), delete
+    // rewrites only the dirs holding the ids, and the reloaded index
+    // probes EXACTLY at the degenerate point vs brute force over the
+    // live corpus.
+    "ann_ivfbq_persist" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val nAll = e.count()
+      val base = e.filter(col("vec_id") < nAll - 50)
+      val batch = e.filter(col("vec_id") >= nAll - 50)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfbq_idx").toString
+      Ann.ivfBqSave(Ann.ivfBqBuild(
+        Ann.ivfBuild(base, "vec_id", "embedding", nLists = 8)), path)
+      def snap(): Map[String, (Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$path/lists")).filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+      }
+      val s0 = snap()
+      val touchedA = Ann.ivfBqAppendSave(s, path, batch, "vec_id", "embedding")
+      val s1 = snap()
+      val appendPreserves = s0.forall { case (p, v) => s1.get(p).contains(v) }
+      val touchedD = Ann.ivfBqDeleteSave(s, path, Seq("0", "1"))
+      val s2 = snap()
+      val touchedDirs = touchedD.map(c => s"cluster=$c").toSet
+      val deleteBounded = s1.forall { case (p, v) =>
+        touchedDirs.exists(p.contains) || s2.get(p).contains(v) }
+      val idx = Ann.ivfBqLoad(s, path)
+      val countOk = idx.lists.count() == nAll - 2
+      val cur = e.filter(!col("vec_id").isin(0L, 1L))
+      val q = cur.filter(col("vec_id") < 7)
+      val probe = Ann.ivfBqTopK(idx, q, "vec_id", "embedding",
+        k = 3, nProbe = 8, oversample = nAll.toInt)
+      val brute = Ann.bruteForceTopK(cur, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      val probeExact = probe.exceptAll(brute).isEmpty && brute.exceptAll(probe).isEmpty
+      Seq((8L, touchedA.nonEmpty, appendPreserves,
+        touchedD.nonEmpty && touchedD.size <= 2, deleteBounded, countOk, probeExact))
+        .toDF("n_lists", "append_touched", "append_preserves",
+          "delete_touched_bounded", "delete_bounded", "count_ok", "probe_exact")
+    }),
+
+    // ANN: hybrid probe for DataFrame-sized query batches — pure join
+    // pipeline, NO driver collect (probe selection distributed, list
+    // selection an equi join, nomination over (id, sig) only, exact
+    // rerank join). Contract: at the degenerate point it equals brute
+    // force VERBATIM, and at the real operating point it equals the
+    // collect-probe variant row-for-row (identical deterministic probe
+    // ordering by construction).
+    "ann_ivfbq_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val n = e.count().toInt
+      val q = e.filter(col("vec_id") < 5)
+      val hy = cachedIvfBq(s, dir)
+      val total = Ann.ivfBqTopKBatch(hy, q, "vec_id", "embedding",
+        k = 3, nProbe = 8, oversample = n / 3 + 1)
+      val brute = Ann.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      val totalExact = total.exceptAll(brute).isEmpty && brute.exceptAll(total).isEmpty
+      val batchOp = Ann.ivfBqTopKBatch(hy, q, "vec_id", "embedding",
+        k = 5, nProbe = 4, oversample = 16)
+      val collectOp = Ann.ivfBqTopK(hy, q, "vec_id", "embedding",
+        k = 5, nProbe = 4, oversample = 16)
+      val batchEqCollect = batchOp.exceptAll(collectOp).isEmpty &&
+        collectOp.exceptAll(batchOp).isEmpty
+      val selfHit = batchOp.filter(col("rank") === 1 && col("qid") === col("id")).count() == 5
+      Seq((5L, totalExact, batchEqCollect, selfHit))
+        .toDF("n_queries", "total_exact", "batch_eq_collect", "self_hit")
+    }),
+
+    // ANN: skew maintenance on the PERSISTED hybrid — a hot drifted
+    // batch lands in one list via fit-free append; ivfBqMaintain trips
+    // the rebalance (signatures ride through untouched — they are
+    // row-local sign bits) and atomically swaps lists + sidecar; the
+    // reloaded hybrid keeps the quality contract over base ∪ batch.
+    "ann_ivfbq_maintain" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val base = Ann.ivfBqBuild(Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8))
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfbq_maint").toString
+      Ann.ivfBqSave(base, path)
+      val hot = e.filter(col("vec_id") === 42)
+        .select(col("embedding").cast("array<double>").as("v"))
+      val batch = s.range(300).crossJoin(hot)
+        .select((col("id") + 1000000L).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + when(i === 0, (col("id").cast("double") + 1.0) * 1e-4).otherwise(lit(0.0)))
+            .as("embedding"))
+      Ann.ivfBqAppendSave(s, path, batch, "vec_id", "embedding")
+      val mxBefore = s.read.parquet(s"$path/lists")
+        .groupBy(col("cluster")).count().agg(max(col("count"))).head.getLong(0)
+      val ran = Ann.ivfBqMaintain(s, path, maxFactor = 2.0)
+      val after = s.read.parquet(s"$path/lists")
+      val mxAfter = after.groupBy(col("cluster")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      // signatures survived the rebalance bit-for-bit: every row's sig
+      // still equals the sign-pack of its own vector
+      val sigsIntact = after
+        .filter(graft.functions.BinarySig.signPack(
+          graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false))
+          =!= col("sig"))
+        .isEmpty
+      val corpus = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .unionByName(batch.select(col("vec_id"), col("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.ivfBqTopK(Ann.ivfBqLoad(s, path), q, "vec_id", "embedding",
+        k = 3, nProbe = 6, oversample = 64)
+      val exact = Ann.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      ivfContract(approx, exact)
+        .crossJoin(after.agg((count(lit(1)) === e.count() + 300L).as("rows_preserved")))
+        .withColumn("rebalanced", lit(ran))
+        .withColumn("hot_list_shrunk", lit(mxAfter < mxBefore))
+        .withColumn("sigs_intact", lit(sigsIntact))
     }),
 
     // ANN: hyperplane-LSH bucketed top-k (approximate; recall checked in
@@ -3083,6 +3313,58 @@ object SparkEntry {
       Seq((idx.sigs.count(), probeExact)).toDF("n_rows", "probe_exact")
     }),
 
+    // Streaming ingestion + tombstones on the PERSISTED IVF×BQ hybrid:
+    // two appended microbatches assign to the existing centroid sidecar
+    // and sign-pack (both fit-free), landing files only under touched
+    // cluster dirs; a tombstone microbatch forgets two ids via the
+    // bounded per-dir rewrite; the reloaded hybrid probes EXACTLY at
+    // the degenerate point vs brute force over the live corpus.
+    "stream_ingest_ivfbq" -> ((s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val path = java.nio.file.Files.createTempDirectory("graft_ingest_ivfbq").toString
+      Ann.ivfBqSave(Ann.ivfBqBuild(Ann.ivfBuild(
+        e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 8)), path)
+      val watch = java.nio.file.Files.createTempDirectory("graft_ingest_ivfbq_watch")
+      val b1 = e.filter(col("vec_id") < 5)
+      def stage(name: String, df: DataFrame): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_ivfbqstage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
+      }
+      stage("v1", b1)
+      stage("v2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10))
+      val st = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      val sq = graft.streaming.StreamingOps.ivfBqIngestStream(st, path, "vec_id", "embedding")
+      try sq.processAllAvailable() finally sq.stop()
+      val watchDel = java.nio.file.Files.createTempDirectory("graft_ingest_ivfbq_del")
+      val dels = e.filter(col("vec_id").isin(3L, 7L)).select(col("vec_id"))
+      val tmpDel = java.nio.file.Files.createTempDirectory("graft_ivfbqstage_del")
+      dels.coalesce(1).write.mode("overwrite").parquet(tmpDel.toString)
+      java.nio.file.Files.copy(
+        java.nio.file.Files.list(tmpDel).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get,
+        watchDel.resolve("del.parquet"))
+      val stDel = s.readStream.schema(dels.schema).parquet(watchDel.toString)
+      val sqDel = graft.streaming.StreamingOps.tombstoneStream(stDel, "vec_id",
+        ivfBqPath = Some(path))
+      try sqDel.processAllAvailable() finally sqDel.stop()
+      val idx = Ann.ivfBqLoad(s, path)
+      val cur = e.filter(!col("vec_id").isin(3L, 7L))
+      val n = cur.count().toInt
+      val q = cur.filter(col("vec_id") < 6)
+      val probe = Ann.ivfBqTopK(idx, q, "vec_id", "embedding",
+        k = 3, nProbe = 8, oversample = n / 3 + 1)
+      val brute = Ann.bruteForceTopK(cur, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      val probeExact = probe.exceptAll(brute).isEmpty && brute.exceptAll(probe).isEmpty
+      Seq((idx.lists.count(), probeExact)).toDF("n_rows", "probe_exact")
+    }),
+
     // Multimodal: binary payload metadata (deterministic byte stats).
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -3780,6 +4062,26 @@ object SparkEntry {
         |       TRUE AS delete_touched_bounded, TRUE AS delete_bounded,
         |       TRUE AS count_ok, TRUE AS probe_exact""".stripMargin,
 
+    "ann_ivfbq" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS self_hit,
+        |       TRUE AS scores_exact, TRUE AS recall_ok,
+        |       TRUE AS total_exact, TRUE AS filter_ok""".stripMargin,
+
+    "ann_ivfbq_persist" ->
+      """SELECT CAST(8 AS BIGINT) AS n_lists, TRUE AS append_touched,
+        |       TRUE AS append_preserves, TRUE AS delete_touched_bounded,
+        |       TRUE AS delete_bounded, TRUE AS count_ok,
+        |       TRUE AS probe_exact""".stripMargin,
+
+    "ann_ivfbq_batch" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS total_exact,
+        |       TRUE AS batch_eq_collect, TRUE AS self_hit""".stripMargin,
+
+    "ann_ivfbq_maintain" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
+        |       TRUE AS rows_preserved, TRUE AS rebalanced,
+        |       TRUE AS hot_list_shrunk, TRUE AS sigs_intact""".stripMargin,
+
     "o3e_topk_bq" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS local_eq_dist,
         |       TRUE AS self_hit, TRUE AS scores_exact, TRUE AS recall_ok,
@@ -3902,6 +4204,16 @@ object SparkEntry {
         |       TRUE AS victims_gone, TRUE AS self_hit, TRUE AS scores_exact,
         |       TRUE AS old_valid""".stripMargin,
 
+    // the ideal shard count is pure arithmetic on the corpus size
+    // (HnswShards.defaultShards), so the oracle recomputes it
+    "stream_hnsw_reshard" ->
+      """WITH c AS (SELECT COUNT(*) AS n FROM embeddings)
+        |SELECT n AS n_rows, CAST(8 AS BIGINT) AS shards_before,
+        |       GREATEST(1, LEAST(32, CAST(CEIL(n / 6250.0) AS BIGINT))) AS shards_after,
+        |       GREATEST(1, LEAST(32, CAST(CEIL(n / 6250.0) AS BIGINT))) AS ideal_shards,
+        |       TRUE AS one_swap, TRUE AS rows_ok, TRUE AS self_hit
+        |FROM c""".stripMargin,
+
     // the query count is data-dependent (allowed queries = vec_id < 10
     // with even label), so the oracle recomputes it
     "ann_ivf_filter" ->
@@ -3966,6 +4278,10 @@ object SparkEntry {
 
     // streamed sig-index rows = corpus minus the two tombstoned ids
     "stream_ingest_bq" ->
+      """SELECT (SELECT CAST(count(*) - 2 AS BIGINT) FROM embeddings) AS n_rows,
+        |       TRUE AS probe_exact""".stripMargin,
+
+    "stream_ingest_ivfbq" ->
       """SELECT (SELECT CAST(count(*) - 2 AS BIGINT) FROM embeddings) AS n_rows,
         |       TRUE AS probe_exact""".stripMargin,
 

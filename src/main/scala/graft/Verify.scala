@@ -8,8 +8,9 @@ object Verify {
     // args: <sfDir> <outDir> [comma-separated query-name filter]
     // (the driver passes 2 args; the filter is for local iteration)
     val sfDir = args(0); val outDir = args(1)
+    // filter accepts comma-separated in one arg AND/OR extra args
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) Some(args.drop(2).flatMap(_.split(",")).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,10 +29,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      println(s"[verify] running $name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        println(s"[verify] ok $name")
+      } catch { case e: Throwable =>
+        // stdout, not stderr: the forked-run output strategy passes
+        // stdout through but can swallow stderr, and a silent per-query
+        // failure is exactly what this line exists to prevent
+        println(s"[verify] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

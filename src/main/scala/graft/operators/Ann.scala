@@ -902,6 +902,226 @@ object Ann {
     touched
   }
 
+  // ------------------------------------------------- IVF × BQ hybrid
+  /** Composed coarse+compressed index: IVF cluster routing OVER sign-bit
+    * signatures — the sub-linear axis (probe nProbe of nLists partition
+    * directories) multiplied by the 32x-compressed axis (the nomination
+    * pass reads only the `sig` column of the probed lists; parquet
+    * column pruning keeps the float vectors on disk until the rerank).
+    * `lists` carries (id, v, sig, cluster): one cluster-partitioned
+    * table, two column families — probes read (id, sig), reranks read
+    * (id, v), each touching only its own column chunks of only the
+    * probed directories. At 100 TB of 1024-dim f32 that turns the
+    * nomination scan into ~3 TB x nProbe/nLists. */
+  final case class IvfBqIndex(centroids: Seq[(Int, Seq[Double])], lists: DataFrame)
+
+  /** Compose an existing coarse quantizer with sign-bit signatures:
+    * pure per-row encoding (fit-free — sign bits need no trained state),
+    * so composition costs one projection pass over the assigned table. */
+  def ivfBqBuild(ivf: IvfIndex): IvfBqIndex =
+    IvfBqIndex(ivf.centroids,
+      ivf.assigned.select(col("id"), col("v"), col("cluster"))
+        .withColumn("sig", graft.functions.BinarySig.signPack(
+          graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false))))
+
+  /** Hybrid probe: (1) rank centroids per query and keep the nProbe
+    * nearest lists — the probe table is Q x nProbe rows, collected once
+    * so the probed cluster ids become a STATIC isin filter (file-listing
+    * partition pruning on an [[ivfBqSave]]d layout, same argument as
+    * [[ivfTopK]]); (2) Hamming-nominate `k * oversample` candidates per
+    * query with the codegen XOR+POPCNT kernel over ONLY the probed
+    * lists' (id, sig) columns; (3) rerank the nominees exactly against
+    * their float rows — a broadcast-sized join back to the same pruned
+    * scan, projecting (id, v) this time. Emitted scores are exact dots
+    * (what is approximate is candidate selection: coarse routing x
+    * signature nomination). `allowed` is the O4 predicate lowered to an
+    * id frame, gated by left-semi join BEFORE the signature scan. */
+  def ivfBqTopK(index: IvfBqIndex, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int, oversample: Int = 16,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    require(oversample >= 1, "oversample must be >= 1")
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    val cdf = index.centroids.toDF("cluster", "cvec")
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cdist", cosineD(col("qv"), col("cvec")))
+      .withColumn("rnk", row_number().over(probeW))
+      .filter(col("rnk") <= nProbe)
+      .select(col("qid"),
+        graft.functions.VectorNormalize.normalize(col("qv"), outputFloat = false).as("qvn"),
+        col("cluster"))
+      .withColumn("qsig", graft.functions.BinarySig.signPack(col("qvn")))
+    val probeRows = probes.collect()
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val probedClusters = probeRows.map(_.getAs[Int]("cluster")).distinct.toSeq
+    val pruned = index.lists.filter(col("cluster").isin(probedClusters: _*))
+    val gated = allowed match {
+      case Some(a) => pruned.join(
+        a.select(col(a.columns.head).cast(pruned.schema("id").dataType).as("id")),
+        Seq("id"), "left_semi")
+      case None => pruned
+    }
+    val nominated = gated.select(col("cluster"), col("id"), col("sig"))
+      .join(broadcast(probesLocal.select(col("qid"), col("qsig"), col("cluster"))),
+        Seq("cluster"))
+      .withColumn("__score__",
+        -graft.functions.BinarySig.hammingDist(col("sig"), col("qsig"))
+          .cast(DoubleType))
+      .groupBy(col("qid"))
+      .agg(TopKByScore.topk(col("__score__"), col("id").cast(StringType), k * oversample)
+        .as("hits"))
+      .select(col("qid"), explode(col("hits.id")).as("id"))
+    nominated
+      .join(gated.select(col("id").cast(StringType).as("id"),
+        graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false)
+          .as("__nv__")), Seq("id"))
+      .join(broadcast(probesLocal.select(col("qid"), col("qvn")).dropDuplicates("qid")),
+        Seq("qid"))
+      .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
+      .transform(topKHits(_, "id", k))
+  }
+
+  /** Hybrid probe for DataFrame-sized query batches — NO driver collect
+    * anywhere: probe selection runs distributed (queries × broadcast
+    * centroids, top-nProbe per query), list selection is an equi join on
+    * `cluster` (DPP prunes a persisted layout's unprobed directories
+    * when the probe side broadcasts, same argument as [[ivfTopKBatch]]),
+    * nomination scans only (id, sig) of the joined lists with the
+    * XOR+POPCNT kernel, and the exact rerank joins the nominees back to
+    * the float rows. A query batch of millions of rows never funnels
+    * through the driver — the collect-free twin [[ivfBqTopK]]'s scaladoc
+    * promises, completing the batch-probe family (ivf/pq/opq/bq/hybrid). */
+  def ivfBqTopKBatch(index: IvfBqIndex, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, nProbe: Int, oversample: Int = 16): DataFrame = {
+    require(oversample >= 1, "oversample must be >= 1")
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    val cdf = index.centroids.toDF("cluster", "cvec")
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("cdist", cosineD(col("qv"), col("cvec")))
+      .withColumn("rnk", row_number().over(probeW))
+      .filter(col("rnk") <= nProbe)
+      .select(col("qid"),
+        graft.functions.VectorNormalize.normalize(col("qv"), outputFloat = false).as("qvn"),
+        col("cluster"))
+      .withColumn("qsig", graft.functions.BinarySig.signPack(col("qvn")))
+    val nominated = index.lists.select(col("cluster"), col("id"), col("sig"))
+      .join(probes.select(col("qid"), col("qsig"), col("cluster")), Seq("cluster"))
+      .withColumn("__score__",
+        -graft.functions.BinarySig.hammingDist(col("sig"), col("qsig"))
+          .cast(DoubleType))
+      .groupBy(col("qid"))
+      .agg(TopKByScore.topk(col("__score__"), col("id").cast(StringType), k * oversample)
+        .as("hits"))
+      .select(col("qid"), explode(col("hits.id")).as("id"))
+    nominated
+      .join(index.lists.select(col("id").cast(StringType).as("id"),
+        graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false)
+          .as("__nv__")), Seq("id"))
+      .join(probes.select(col("qid"), col("qvn")).dropDuplicates("qid"), Seq("qid"))
+      .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
+      .transform(topKHits(_, "id", k))
+  }
+
+  /** Skew-triggered maintenance for a PERSISTED hybrid layout — the
+    * exact analog of [[ivfMaintain]]: append-only ingestion
+    * ([[ivfBqAppendSave]]) concentrates drifted batches into hot lists;
+    * this loads the layout, runs [[ivfRebalance]] over it (signatures
+    * ride through the rebalance untouched — they are row-local sign
+    * bits, unaffected by which cluster a row lives in; only the
+    * KMeans sub-fits read vectors), and iff anything split, swaps the
+    * rewritten lists + centroid sidecar via staging + rename. Returns
+    * true iff a rebalance ran. */
+  def ivfBqMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFactor: Double = 2.0, seed: Long = 42L, maxIter: Int = 5): Boolean = {
+    val hy = ivfBqLoad(spark, path)
+    val asIvf = IvfIndex(hy.centroids, hy.lists)
+    val reb = ivfRebalance(asIvf, maxFactor, seed, maxIter)
+    if (reb eq asIvf) return false
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listsTmp = new org.apache.hadoop.fs.Path(s"$path/lists__rebalancing")
+    val centsTmp = new org.apache.hadoop.fs.Path(s"$path/centroids__rebalancing")
+    reb.assigned.write.mode("overwrite").partitionBy("cluster").parquet(listsTmp.toString)
+    reb.centroids.toDF("cluster", "cvec")
+      .coalesce(1).write.mode("overwrite").json(centsTmp.toString)
+    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    fs.delete(lists, true)
+    require(fs.rename(listsTmp, lists), s"rename of rebalanced lists failed under $path")
+    fs.delete(cents, true)
+    require(fs.rename(centsTmp, cents), s"rename of rebalanced centroids failed under $path")
+    true
+  }
+
+  /** Persist the hybrid: one cluster-partitioned table (id, v, sig) +
+    * the centroid sidecar — identical layout discipline to [[ivfSave]],
+    * plus the signature column family riding in the same files. */
+  def ivfBqSave(index: IvfBqIndex, path: String): Unit = {
+    index.lists.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/lists")
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("cluster", "cvec")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+  }
+
+  /** Load a persisted hybrid index (cold start, no refit/re-encode). */
+  def ivfBqLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfBqIndex = {
+    val lists = spark.read.parquet(s"$path/lists")
+    val centroids = spark.read.json(s"$path/centroids")
+      .select(col("cluster").cast("int"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    IvfBqIndex(centroids, lists)
+  }
+
+  /** Append a batch to a PERSISTED hybrid layout at cost ∝ batch: assign
+    * against the existing centroid sidecar (no KMeans fit), sign-encode
+    * (no trained state), append-mode partitioned write — new files land
+    * only under the clusters the batch routes to; every pre-existing
+    * file stays byte-identical. Returns the touched cluster ids. */
+  def ivfBqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Seq[Int] = {
+    val centroids = spark.read.json(s"$path/centroids")
+      .select(col("cluster").cast(IntegerType), col("cvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val listsSchema = spark.read.parquet(s"$path/lists").schema
+    val assignedBatch = batch
+      .select(col(idCol).cast(listsSchema("id").dataType).as("id"),
+        col(vecCol).cast(listsSchema("v").dataType).as("v"))
+      .withColumn("sig", graft.functions.BinarySig.signPack(
+        graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false)))
+      .withColumn("cluster", nearestCentroidExpr(col("v"), centroids))
+      .localCheckpoint(true)
+    val touched = assignedBatch.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assignedBatch.write.mode("append").partitionBy("cluster").parquet(s"$path/lists")
+    touched
+  }
+
+  /** Delete ids from a PERSISTED hybrid layout at cost ∝ touched
+    * clusters: an (id, cluster)-only scan (neither vectors nor
+    * signatures read) locates the directories, and only those rewrite
+    * (atomic per-dir swap). Returns the touched cluster ids. */
+  def ivfBqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[String]): Seq[Int] = {
+    val drop = col("id").cast(StringType).isin(ids: _*)
+    val touched = spark.read.parquet(s"$path/lists")
+      .filter(drop).select(col("cluster").cast(IntegerType))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    touched.foreach(c => rewritePartitionDir(spark, s"$path/lists/cluster=$c", drop))
+    touched
+  }
+
   // ---------------------------------------------- quantized-index persist
   /** Persist a PQ index: encoded rows as parquet + the codebooks as a
     * small JSON table — the same parquet+sidecar pattern as [[ivfSave]],

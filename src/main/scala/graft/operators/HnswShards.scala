@@ -183,6 +183,48 @@ final class HnswShards private (
   }
 }
 
+/** Atomic serving handle with the reshard gate ON the ingest cadence:
+  * queries always read the CURRENT sharded graph; [[add]] inserts into
+  * it and then checks [[HnswShards.needsReshard]] — when size drift
+  * leaves the recall-calibrated knee, the rebuild runs ASIDE on the
+  * ingest thread and the finished instance swaps in atomically, so
+  * query threads never see a half-built layout and never block on the
+  * rebuild (the same swap discipline as `LocalMatrixStore.refresh`).
+  * Implements [[HnswMaintainable]], so the existing streaming twins
+  * (`StreamingOps.upsertStreamWithHnsw` / `tombstoneStreamHnsw`) drive
+  * the full grow-past-the-knee → reshard → keep-serving loop with no
+  * extra plumbing: foreachBatch serializes ingest (the single-writer
+  * regime this handle requires); reads are lock-free. `resharded`
+  * counts swaps for observability. */
+final class HnswShardsServing(initial: HnswShards, slack: Double = 2.0)
+  extends HnswMaintainable {
+  require(slack > 1.0, "slack must be > 1")
+  private val ref = new java.util.concurrent.atomic.AtomicReference(initial)
+  private val swaps = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The instance currently serving (for save/maintain/inspection). */
+  def current: HnswShards = ref.get()
+  def resharded: Int = swaps.get()
+  def nShards: Int = ref.get().nShards
+  def nRows: Long = ref.get().nRows
+
+  def add(batch: Seq[(String, Array[Float])]): Unit = {
+    val h = ref.get()
+    h.add(batch)
+    h.needsReshard(slack).foreach { n =>
+      ref.set(h.reshard(n))
+      swaps.incrementAndGet()
+    }
+  }
+
+  def markDeleted(dropIds: Seq[String]): Unit = ref.get().markDeleted(dropIds)
+
+  def query(queryVec: Array[Float], topK: Int, ef: Int = 64,
+      betterThan: Option[Double] = None,
+      allowedIds: Option[Set[String]] = None): Array[(String, Double)] =
+    ref.get().query(queryVec, topK, ef, betterThan, allowedIds)
+}
+
 object HnswShards {
 
   /** Default shard sizing: ~6.25k rows per shard (the measured knee on

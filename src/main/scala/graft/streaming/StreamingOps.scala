@@ -541,6 +541,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ingestion of the persisted IVF×BQ hybrid
+    * ([[graft.operators.Ann.ivfBqSave]] layout): each microbatch
+    * assigns to the EXISTING centroid sidecar and sign-packs — both
+    * fit-free — and appends only the landed clusters' directories
+    * ([[graft.operators.Ann.ivfBqAppendSave]]). The composed
+    * coarse+compressed index follows ingestion at cost ∝ batch, same
+    * posture as its two parents above. */
+  def ivfBqIngestStream(batches: DataFrame, indexPath: String,
+      idCol: String, vecCol: String): StreamingQuery =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          graft.operators.Ann.ivfBqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming tombstones — the DELETE twin of the ingestion streams:
     * each microbatch carries ids to forget, applied per batch to
     * whichever persisted artifacts are wired — the bucketed store
@@ -558,7 +577,8 @@ object StreamingOps {
       storePath: Option[String] = None,
       ivfPath: Option[String] = None,
       dedupIndexPath: Option[String] = None,
-      bqIndexPath: Option[String] = None): StreamingQuery =
+      bqIndexPath: Option[String] = None,
+      ivfBqPath: Option[String] = None): StreamingQuery =
     ids.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -571,6 +591,7 @@ object StreamingOps {
           ivfPath.foreach(p => graft.operators.Ann.ivfDeleteSave(spark, p, list))
           dedupIndexPath.foreach(p => graft.operators.DedupIndex.delete(spark, p, list))
           bqIndexPath.foreach(p => graft.operators.Ann.bqDeleteSave(spark, p, list))
+          ivfBqPath.foreach(p => graft.operators.Ann.ivfBqDeleteSave(spark, p, list))
         }
       }
       .start()

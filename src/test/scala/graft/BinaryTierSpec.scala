@@ -137,4 +137,59 @@ class BinaryTierSpec extends AnyFunSuite {
     val selfHits = approx.filter(col("rank") === 1 && col("qid") === col("id")).count()
     assert(selfHits == 3)
   }
+
+  test("ivfBq hybrid: degenerate probe equals brute force; persisted lifecycle bounded") {
+    val e = Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"), col("embedding"))
+    val n = e.count().toInt
+    val q = e.filter(col("vec_id") < 3)
+    val hy = Ann.ivfBqBuild(Ann.ivfBuild(e, "vec_id", "embedding", nLists = 4))
+    // nProbe = nLists and total oversample: candidate selection is total,
+    // so the hybrid must reproduce the exact scan verbatim
+    val full = Ann.ivfBqTopK(hy, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, oversample = n / 5 + 1)
+    val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty)
+    // the collect-free batch twin selects the same probes (same
+    // deterministic (cosine desc, cluster) ranking) => row-identical
+    // at ANY operating point, not just the degenerate one
+    val opCollect = Ann.ivfBqTopK(hy, q, "vec_id", "embedding",
+      k = 5, nProbe = 2, oversample = 4)
+    val opBatch = Ann.ivfBqTopKBatch(hy, q, "vec_id", "embedding",
+      k = 5, nProbe = 2, oversample = 4)
+    assert(opBatch.exceptAll(opCollect).isEmpty && opCollect.exceptAll(opBatch).isEmpty)
+
+    // persisted lifecycle: append touches only the batch's cluster dirs,
+    // delete rewrites only the dirs holding the ids
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfbq_spec").toString
+    val base = e.filter(col("vec_id") < n - 20)
+    val batch = e.filter(col("vec_id") >= n - 20)
+    Ann.ivfBqSave(Ann.ivfBqBuild(Ann.ivfBuild(base, "vec_id", "embedding", nLists = 4)), path)
+    def snap(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/lists")).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val s0 = snap()
+    Ann.ivfBqAppendSave(spark, path, batch, "vec_id", "embedding")
+    val s1 = snap()
+    assert(s0.forall { case (p, v) => s1.get(p).contains(v) },
+      "append must leave every pre-existing file byte-identical")
+    val touched = Ann.ivfBqDeleteSave(spark, path, Seq("0"))
+    assert(touched.size == 1)
+    val s2 = snap()
+    val touchedDirs = touched.map(c => s"cluster=$c").toSet
+    assert(s1.forall { case (p, v) =>
+      touchedDirs.exists(p.contains) || s2.get(p).contains(v) },
+      "delete must rewrite only the touched cluster dirs")
+    val idx = Ann.ivfBqLoad(spark, path)
+    assert(idx.lists.count() == n - 1)
+    // reloaded index still probes exactly at the degenerate point
+    val cur = e.filter(col("vec_id") =!= 0)
+    val q2 = cur.filter(col("vec_id") < 4)
+    val probe = Ann.ivfBqTopK(idx, q2, "vec_id", "embedding",
+      k = 3, nProbe = 4, oversample = n)
+    val brute2 = Ann.bruteForceTopK(cur, "vec_id", "embedding", q2, "vec_id", "embedding", k = 3)
+    assert(probe.exceptAll(brute2).isEmpty && brute2.exceptAll(probe).isEmpty)
+  }
 }

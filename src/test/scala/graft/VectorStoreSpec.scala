@@ -870,6 +870,46 @@ class VectorStoreSpec extends AnyFunSuite {
     try assert(rebuilt2.toLocal().nRows == 16) finally rebuilt2.unpersist()
   }
 
+  test("streaming ingest trips the reshard gate through the serving handle") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    // 8 shards over 8 rows is far under the ~6.25k knee: the first
+    // streamed batch must trip needsReshard and swap in a 1-shard tier
+    val st = mkStore((0 until 8).map(i => (i.toString, Seq(i + 1f, 1f, 0f, 0f), s"c$i")))
+    val store = Files.createTempDirectory("rsstore").toString
+    VectorStore.Partitioned.init(st, store, nBuckets = 4)
+    val cache = graft.operators.MatrixStore.fromPartitionedLayout(spark, store)
+    val hs = cache.toLocal().toHnswSharded(nShards = 8, m = 4, efConstruction = 8)
+    cache.unpersist()
+    val serving = new graft.operators.HnswShardsServing(hs, slack = 2.0)
+    assert(serving.nShards == 8 && serving.resharded == 0)
+    val watch = Files.createTempDirectory("rswatch")
+    val staging = Files.createTempDirectory("rsstage")
+    Seq(("100", Seq(0f, 0f, 1f, 0f)), ("101", Seq(0f, 0f, 0f, 1f)))
+      .toDF("id", "vec")
+      .select(col("id").as("__id__"),
+        col("vec").cast(ArrayType(FloatType)).as("vector"))
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, watch.resolve("b1.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(watch.toString).schema).parquet(watch.toString)
+    val q = graft.streaming.StreamingOps.upsertStreamWithHnsw(stream, store, serving)
+    try q.processAllAvailable() finally q.stop()
+    // gate fired once, handle swapped to the ideal count, nothing lost
+    assert(serving.resharded == 1)
+    assert(serving.nShards == graft.operators.HnswShards.defaultShards(10))
+    assert(serving.nRows == 10)
+    // both streamed and base rows serve from the swapped handle
+    assert(serving.query(Array(0f, 0f, 1f, 0f), 1, ef = 16).head._1 == "100")
+    assert(serving.query(Array(0f, 0f, 0f, 1f), 1, ef = 16).head._1 == "101")
+    assert(serving.query(Array(8f, 1f, 0f, 0f), 1, ef = 16).head._1 == "7")
+    // the delete twin drives the swapped handle through the same trait
+    serving.markDeleted(Seq("100"))
+    assert(serving.query(Array(0f, 0f, 1f, 0f), 10, ef = 16).forall(_._1 != "100"))
+  }
+
   test("local serving replica: bitwise-equal to the distributed matrix scan") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
