@@ -223,4 +223,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shard filter must prune partitions:\n$scan")
     assert(q.count() > 0)
   }
+
+  test("ivfBq hybrid probe: cluster partition pruning + sig-only nomination scan") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfbq_plan").toString
+    graft.operators.Ann.ivfBqSave(graft.operators.Ann.ivfBqBuild(
+      graft.operators.Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8)), path)
+    val idx = graft.operators.Ann.ivfBqLoad(spark, path)
+    val q = e.filter(col("vec_id") < 2)
+    val df = graft.operators.Ann.ivfBqTopK(idx, q, "vec_id", "embedding",
+      k = 3, nProbe = 2, oversample = 4)
+    // AQE wraps the tree, so match the FileScan LINES of the plan text
+    val listScans = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.filter(l => l.contains("FileScan parquet") && l.contains("lists"))
+      .toSeq
+    assert(listScans.nonEmpty, "probe must scan the persisted lists")
+    // every scan of the lists table is pruned to the probed clusters
+    // (static isin from the collected probe table -> file-listing-time
+    // partition pruning, the ivfTopK discipline)
+    assert(listScans.forall(s =>
+      s.contains("PartitionFilters") && s.contains("cluster#")),
+      s"lists scans must carry cluster partition filters:\n${listScans.mkString("\n")}")
+    // the nomination pass reads (id, sig) WITHOUT the float vectors:
+    // parquet column pruning is what turns 100 TB of f32 into the ~3 TB
+    // signature read
+    def readSchema(s: String): String =
+      s.drop(s.indexOf("ReadSchema:"))
+    assert(listScans.exists(s =>
+      readSchema(s).contains("sig") && !readSchema(s).contains("v:")),
+      s"one lists scan must project signatures only:\n${listScans.mkString("\n")}")
+    // and the plan stays correct end to end
+    assert(df.count() > 0)
+  }
 }
