@@ -2530,6 +2530,43 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Pipeline: fractional repeat UPSAMPLING — the boost half of data
+    // mixing (floor(w) whole copies per row + one more on a portable
+    // (id, copy)-keyed md5 draw under frac(w); w < 1 degenerates to
+    // the plain downsample). The per-lang fold (rows, distinct docs,
+    // copy-weighted checksum) is VALUE-checked: the oracle recomputes
+    // the copy explosion and every draw in SQL.
+    "pipe_upsample" -> ((s, dir) => {
+      graft.operators.Relational.upsampleRepeat(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          Map("zh" -> 2.5, "de" -> 1.75, "en" -> 0.4), defaultWeight = 1.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast(LongType).as("n_rows"),
+          countDistinct(col("doc_id")).cast(LongType).as("n_docs"),
+          sum(col("doc_id") * (col("copy") + 1L)).cast(LongType).as("wchk"))
+        .orderBy(col("lang"))
+    }),
+
+    // Dedup: QUALITY-AWARE survivor policy — near-dup components keep
+    // their best-scoring member (q desc, id asc tiebreak) instead of
+    // the min id. Planted duplicates (doc_id+100000 twins of doc_id<40,
+    // whose synthetic quality q = id % 7 DIFFERS from their original's)
+    // make the policy observable; the oracle recomputes the whole
+    // survivor set with a SQL window over identical-text groups.
+    "dedup_best_survivor" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dups = d0.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val d = d0.unionByName(dups).withColumn("q", (col("doc_id") % 7).cast(LongType))
+      val h = d.select(col("doc_id"), md5(col("text")).as("h"))
+      val pairs = h.as("a").join(h.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      graft.operators.Dedup.dropNearDupsBy(d, "doc_id", "q", pairs)
+        .select(col("doc_id"), col("q")).orderBy(col("doc_id"))
+    }),
+
     // Pipeline: deterministic sharded training output — writeShards
     // routes each row to shard = md5-prefix(doc_id) mod 8, globally
     // shuffled within the shard by an independent salted hash, plus a
@@ -4423,6 +4460,39 @@ object SparkEntry {
         |             / 281474976710656.0) < r.rate)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, min(doc_id) AS min_id,
         |       max(doc_id) AS max_id, CAST(sum(doc_id) AS BIGINT) AS ids_sum
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // survivors = rank-1 rows of a window over identical-text groups
+    // (singleton groups are trivially rank 1 = pass-through)
+    "dedup_best_survivor" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 100000, text FROM documents WHERE doc_id < 40),
+        |r AS (SELECT doc_id, doc_id % 7 AS q,
+        |        row_number() OVER (PARTITION BY md5(text)
+        |                           ORDER BY (doc_id % 7) DESC, doc_id) AS rn
+        |      FROM d)
+        |SELECT doc_id, CAST(q AS BIGINT) AS q FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // recompute the copy explosion (one row per 0..floor(w)) and the
+    // (id, copy)-keyed 48-bit md5 draw for the fractional tail copy
+    "pipe_upsample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |             CASE lang WHEN 'zh' THEN 2.5 WHEN 'de' THEN 1.75
+        |                       WHEN 'en' THEN 0.4 ELSE 1.0 END AS wt
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, wt,
+        |        unnest(generate_series(0, CAST(floor(wt) AS BIGINT))) AS copy
+        |      FROM b),
+        |k AS (SELECT doc_id, lang, copy FROM c
+        |      WHERE copy < CAST(floor(wt) AS BIGINT)
+        |         OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |                                 CAST(copy AS VARCHAR)), 1, 12))::BIGINT
+        |             / 281474976710656.0) < wt - floor(wt))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id * (copy + 1)) AS BIGINT) AS wchk
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     // distinct 3-gram shingles per doc (wordShingles = DISTINCT set);

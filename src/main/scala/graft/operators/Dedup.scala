@@ -552,6 +552,38 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDups]] with a QUALITY-AWARE survivor policy: keep the
+    * component member MAXIMIZING `scoreCol` (ties broken by ascending
+    * id, so selection stays deterministic and cross-engine
+    * reproducible) instead of the minimum id. This is the production
+    * dedup stance: a near-dup cluster should keep its best-quality
+    * member (longest, cleanest, highest LM score — any
+    * [[TextAnalysis.qualityColumns]] output works), not whichever
+    * happened to be crawled first. Unpaired documents pass through
+    * untouched.
+    *
+    * Scale shape: components ride the existing log-diameter star
+    * contraction; the survivor pick adds ONE WindowGroupLimit pass
+    * over the PAIRED rows only (a groups-sized frame — unpaired rows,
+    * the vast majority at realistic dup rates, never enter the
+    * window shuffle), and the final anti-join carries only loser ids. */
+  def dropNearDupsBy(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val idT = df.schema(idCol).dataType
+    val scored = comp.join(
+      df.select(col(idCol).cast(comp.schema("id").dataType).as("id"),
+        col(scoreCol).as("__score__")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("__score__").desc, col("id"))
+    val losers = scored
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") =!= 1)
+      .select(col("id").cast(idT).as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Dedup provenance: (survivor_id, dropped_id) for every document a
     * dedup pass removed — the lineage record a training-data pipeline
     * keeps so every dropped document is attributable to the survivor

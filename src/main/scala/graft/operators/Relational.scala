@@ -122,6 +122,45 @@ object Relational {
       .drop("rate")
   }
 
+  /** Deterministic fractional REPEAT sampling — the UPSAMPLE half of
+    * the mixing story. [[temperatureSample]] / [[mixtureSampleKeep]]
+    * can only thin a source; production mixes also boost curated
+    * sources past one epoch (wiki × 2.7 and the like). Each row of
+    * group g emits floor(w_g) whole copies plus one extra iff its
+    * portable 48-bit md5 draw — keyed by (id, copy index), so each
+    * epoch draws independently — falls under frac(w_g). Expected
+    * multiplicity is exactly w_g per row; w < 1 degenerates to the
+    * plain deterministic downsample (0 whole copies, kept with
+    * probability w), so one operator covers the whole weight axis.
+    *
+    * The output carries a 0-based `copy` column so downstream
+    * sharding/shuffling treats copies as distinct rows (feed
+    * [[writeShards]] a composite key like concat(id, '#', copy)).
+    * The decision is a pure function of (id, group, weights) — the
+    * same cross-engine reproducibility contract as every sampler in
+    * this file. Scale: weights are a literal when-chain (sources are
+    * few), the copy explosion is a generator — cost ∝ OUTPUT rows, no
+    * shuffle, no driver funnel. */
+  def upsampleRepeat(df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0.0 && w.isFinite, s"weights must be finite and >= 0, got $w"))
+    val wcol = weights.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (g, w)) => Some(acc match {
+        case None => when(col(groupCol) === g, lit(w))
+        case Some(c) => c.when(col(groupCol) === g, lit(w))
+      })
+    }.map(_.otherwise(lit(defaultWeight))).getOrElse(lit(defaultWeight))
+    val whole = floor(col("__w__")).cast(LongType)
+    val unit = conv(substring(md5(concat(col(idCol).cast("string"), lit("|"),
+        col("copy").cast("string"))), 1, 12), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(281474976710656.0) // 2^48
+    df.withColumn("__w__", wcol)
+      .withColumn("copy", explode(sequence(lit(0L), floor(col("__w__")).cast(LongType))))
+      .filter(col("copy") < whole || unit < (col("__w__") - floor(col("__w__"))))
+      .drop("__w__")
+  }
+
   /** Deterministic shard assignment for training-data output: shard =
     * first-48-md5-bits(key) mod nShards — a pure function of the key,
     * in the same portable-hash family as [[hashSampleKeep]] (the

@@ -278,6 +278,27 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(kept ++ m.map(_._2) == Set(1L, 2L, 3L, 7L, 10L, 11L, 99L))
   }
 
+  test("dropNearDupsBy keeps the best-scoring component member; ties break on id") {
+    // component {1,2,3,7}: scores 5,9,9,1 -> survivor 2 (max score 9, min id
+    // among the tied); component {10,11}: scores 0,4 -> survivor 11
+    // (a HIGHER id than dropNearDups' min-id pick — the policy is visible)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L), (10L, 0L), (11L, 4L),
+        (99L, 0L)).toDF("doc_id", "q")
+    val kept = graft.operators.Dedup.dropNearDupsBy(docs, "doc_id", "q", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 11L, 99L))
+    // stable under repartitioning (deterministic ordering)
+    val kept2 = graft.operators.Dedup
+      .dropNearDupsBy(docs.repartition(5), "doc_id", "q", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+    // empty pair list: clean corpus passes through untouched
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Dedup.dropNearDupsBy(docs, "doc_id", "q", noPairs)
+      .count() == 7L)
+  }
+
   test("connectedComponents and dropNearDups handle an empty pair list") {
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.operators.Dedup.connectedComponents(noPairs).isEmpty)

@@ -661,6 +661,41 @@ class TextEventsSpec extends AnyFunSuite {
     assert(kept2 == kept)
   }
 
+  test("upsampleRepeat: exact whole copies, fractional tail near expectation, deterministic") {
+    import graft.operators.Relational
+    val docs = Tables.documents(spark, TestSpark.sf).select(col("doc_id"), col("lang"))
+    val n = docs.count()
+    // integer weight: every row emits EXACTLY w copies (tail prob 0)
+    val x2 = Relational.upsampleRepeat(docs, "doc_id", "lang", Map.empty, defaultWeight = 2.0)
+    assert(x2.count() == 2 * n)
+    assert(x2.groupBy("doc_id").count().filter(col("count") =!= 2).isEmpty)
+    // copies carry distinct 0-based indices
+    assert(x2.filter(!col("copy").isin(0L, 1L)).isEmpty)
+    // fractional weight: multiplicity in {floor(w), floor(w)+1} and the
+    // total lands near n*w (48-bit md5 draws are uniform)
+    val x = Relational.upsampleRepeat(docs, "doc_id", "lang", Map.empty, defaultWeight = 1.6)
+    val mult = x.groupBy("doc_id").count()
+    assert(mult.filter(!col("count").isin(1L, 2L)).isEmpty)
+    val total = x.count().toDouble
+    assert(math.abs(total - 1.6 * n) < 0.15 * n, s"total $total vs ${1.6 * n}")
+    // w < 1 degenerates to the plain downsample: subset of input, one copy each
+    val down = Relational.upsampleRepeat(docs, "doc_id", "lang", Map.empty, defaultWeight = 0.3)
+    assert(down.filter(col("copy") =!= 0L).isEmpty)
+    assert(math.abs(down.count().toDouble - 0.3 * n) < 0.15 * n)
+    // pure function of (id, group, weights): identical under repartition
+    val a = x.select(col("doc_id"), col("copy")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Relational.upsampleRepeat(docs.repartition(7), "doc_id", "lang",
+        Map.empty, defaultWeight = 1.6)
+      .select(col("doc_id"), col("copy")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // per-group weights hit their own groups only
+    val wmap = Map("en" -> 3.0)
+    val g = Relational.upsampleRepeat(docs, "doc_id", "lang", wmap, defaultWeight = 1.0)
+    val en = docs.filter(col("lang") === "en").count()
+    assert(g.filter(col("lang") === "en").count() == 3 * en)
+    assert(g.filter(col("lang") =!= "en").count() == n - en)
+  }
+
   test("contamination: eval-set n-gram overlap fraction per training doc") {
     val train = Seq(
       (1L, "a b c d e f"),          // shares grams "a b c".."d e f" with eval
