@@ -2567,6 +2567,28 @@ object SparkEntry {
         .select(col("doc_id"), col("q")).orderBy(col("doc_id"))
     }),
 
+    // Dedup composition, fully VALUE-checked end to end: portable
+    // MinHash+LSH candidate pairs (exact-jaccard gated) -> connected
+    // components -> QUALITY-AWARE survivor (longest member wins) ->
+    // per-lang corpus fold. The oracle recomputes every stage in SQL,
+    // including the components (recursive label propagation — feasible
+    // because real near-dup graphs are sparse; the engine side uses the
+    // log-diameter star contraction, so agreement here value-checks
+    // that algorithm against an independent formulation).
+    "dedup_neardup_survivor" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", portableHash = true)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val scored = d.withColumn("q", TextAnalysis.tokenCountWs(col("text")))
+      Dedup.dropNearDupsBy(scored, "doc_id", "q", pairs)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast(LongType).as("n_kept"),
+          sum(col("doc_id")).cast(LongType).as("ids_sum"),
+          sum(col("q")).cast(LongType).as("q_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Pipeline: deterministic sharded training output — writeShards
     // routes each row to shard = md5-prefix(doc_id) mod 8, globally
     // shuffled within the shard by an independent salted hash, plus a
@@ -4474,6 +4496,54 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, CAST(q AS BIGINT) AS q FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // full-pipeline recomputation: the dedup_minhash_port CTEs derive
+    // the identical candidate pairs + exact jaccard; a recursive
+    // label-propagation CTE derives the components (sparse graph =>
+    // the reachable-label enumeration stays tiny); the survivor window
+    // and per-lang fold mirror the engine exactly
+    "dedup_neardup_survivor" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM documents),
+        |sg AS (
+        |  SELECT id, sh,
+        |    list_transform(generate_series(0, 31), k ->
+        |      list_min(list_transform(sh, s ->
+        |        ('0x' || substr(md5(s), 1, 12))::BIGINT + k * ('0x' || substr(md5(s), 13, 12))::BIGINT))) AS sig
+        |  FROM t),
+        |bd AS (
+        |  SELECT id, g.b, array_to_string(sig[g.b*4+1 : g.b*4+4], ',') AS bk
+        |  FROM sg, generate_series(0, 7) AS g(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bd a JOIN bd b ON a.b = b.b AND a.bk = b.bk AND a.id < b.id),
+        |pr AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sg sa ON sa.id = c.id_a JOIN sg sb ON sb.id = c.id_b
+        |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pr
+        |          UNION ALL SELECT id_b, id_a FROM pr),
+        |lbl(id, comp) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, l.comp FROM edges e JOIN lbl l ON l.id = e.v),
+        |cc AS (SELECT id, min(comp) AS comp FROM lbl GROUP BY id),
+        |qd AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+        |       FROM documents),
+        |rk AS (SELECT c.id,
+        |         row_number() OVER (PARTITION BY c.comp ORDER BY q.q DESC, c.id) AS rn
+        |       FROM cc c JOIN qd q ON q.doc_id = c.id),
+        |kept AS (SELECT * FROM qd
+        |         WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn != 1))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(doc_id) AS BIGINT) AS ids_sum, CAST(sum(q) AS BIGINT) AS q_sum
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     // recompute the copy explosion (one row per 0..floor(w)) and the
     // (id, copy)-keyed 48-bit md5 draw for the fractional tail copy
