@@ -29,7 +29,7 @@ object BenchCurve {
     "text_stats", "text_langid", "dedup_exact", "dedup_simhash",
     "o3_topk", "pipe_e2e",
     "pipe_shards", "dedup_semantic", "dedup_semantic_text", "ann_ivf_topk",
-    "ann_opq")
+    "ann_opq", "ann_ivfbq", "pipe_upsample", "dedup_neardup_survivor")
 
   def main(args: Array[String]): Unit = {
     val sfs =
