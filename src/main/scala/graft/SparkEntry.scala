@@ -1849,8 +1849,14 @@ object SparkEntry {
       val batchEqCollect = batchOp.exceptAll(collectOp).isEmpty &&
         collectOp.exceptAll(batchOp).isEmpty
       val selfHit = batchOp.filter(col("rank") === 1 && col("qid") === col("id")).count() == 5
-      Seq((5L, totalExact, batchEqCollect, selfHit))
-        .toDF("n_queries", "total_exact", "batch_eq_collect", "self_hit")
+      // O4 gate on the batch twin: same semi-join-before-scan contract
+      val allow = e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+      val gatedB = Ann.ivfBqTopKBatch(hy, q, "vec_id", "embedding",
+        k = 5, nProbe = 8, oversample = n / 5 + 1, allowed = Some(allow))
+      val filterOk = gatedB.filter(col("id").cast("long") % 2 =!= 0).count() == 0 &&
+        gatedB.count() > 0
+      Seq((5L, totalExact, batchEqCollect, selfHit, filterOk))
+        .toDF("n_queries", "total_exact", "batch_eq_collect", "self_hit", "filter_ok")
     }),
 
     // ANN: skew maintenance on the PERSISTED hybrid — a hot drifted
@@ -4134,7 +4140,8 @@ object SparkEntry {
 
     "ann_ivfbq_batch" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS total_exact,
-        |       TRUE AS batch_eq_collect, TRUE AS self_hit""".stripMargin,
+        |       TRUE AS batch_eq_collect, TRUE AS self_hit,
+        |       TRUE AS filter_ok""".stripMargin,
 
     "ann_ivfbq_maintain" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,

@@ -358,7 +358,7 @@ object Ann {
     * scan the shuffle join performs is the honest cost, and it still
     * never bottlenecks on the driver. */
   def ivfTopKBatch(index: IvfIndex, queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, allowed: Option[DataFrame] = None): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     val cdf = index.centroids.toDF("cluster", "cvec")
@@ -372,7 +372,16 @@ object Ann {
       .select(col("qid"),
         graft.functions.VectorNormalize.normalize(col("qv"), outputFloat = false).as("qvn"),
         col("cluster"))
-    index.assigned
+    // O4 gate, same contract as ivfTopK: the predicate lowered to a
+    // one-column id frame, semi-joined BEFORE scoring
+    val gated = allowed match {
+      case Some(a) => index.assigned.join(
+        a.select(col(a.columns.head)
+          .cast(index.assigned.schema("id").dataType).as("id")),
+        Seq("id"), "left_semi")
+      case None => index.assigned
+    }
+    gated
       .withColumn("__nv__",
         graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false))
       .join(probes, Seq("cluster"))
@@ -811,7 +820,15 @@ object Ann {
     * emitted schema and exact-score contract as [[bruteForceTopK]];
     * what is approximate is nomination only (recall floor spec-pinned,
     * committed in BENCH_LOCAL). The DataFrame twin of
-    * [[BinaryMatrixStore]], for when queries are a table, not a call. */
+    * [[BinaryMatrixStore]], for when queries are a table, not a call.
+    *
+    * Sizing note: the serving tier nominates k·oversample PER SLAB and
+    * unions, while this plan keeps ONE deterministic global
+    * top-(k·oversample) — partition-count-independent results (the
+    * oracle stance), at the price that matching the tier's rerank
+    * volume on hard (high-dim, structure-free) corpora needs
+    * oversample scaled by roughly the tier's block count (the
+    * ref_ivfbq curve in BENCH_LOCAL quantifies this at 100k×1024). */
   def bqTopKBatch(sigs: DataFrame, data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, oversample: Int = 16): DataFrame = {
@@ -996,7 +1013,8 @@ object Ann {
     * through the driver — the collect-free twin [[ivfBqTopK]]'s scaladoc
     * promises, completing the batch-probe family (ivf/pq/opq/bq/hybrid). */
   def ivfBqTopKBatch(index: IvfBqIndex, queries: DataFrame, qidCol: String,
-      qvecCol: String, k: Int, nProbe: Int, oversample: Int = 16): DataFrame = {
+      qvecCol: String, k: Int, nProbe: Int, oversample: Int = 16,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(oversample >= 1, "oversample must be >= 1")
     val spark = index.lists.sparkSession
     import spark.implicits._
@@ -1012,7 +1030,15 @@ object Ann {
         graft.functions.VectorNormalize.normalize(col("qv"), outputFloat = false).as("qvn"),
         col("cluster"))
       .withColumn("qsig", graft.functions.BinarySig.signPack(col("qvn")))
-    val nominated = index.lists.select(col("cluster"), col("id"), col("sig"))
+    // O4 gate before the signature scan, same contract as ivfBqTopK
+    val lists = allowed match {
+      case Some(a) => index.lists.join(
+        a.select(col(a.columns.head)
+          .cast(index.lists.schema("id").dataType).as("id")),
+        Seq("id"), "left_semi")
+      case None => index.lists
+    }
+    val nominated = lists.select(col("cluster"), col("id"), col("sig"))
       .join(probes.select(col("qid"), col("qsig"), col("cluster")), Seq("cluster"))
       .withColumn("__score__",
         -graft.functions.BinarySig.hammingDist(col("sig"), col("qsig"))
@@ -1022,7 +1048,7 @@ object Ann {
         .as("hits"))
       .select(col("qid"), explode(col("hits.id")).as("id"))
     nominated
-      .join(index.lists.select(col("id").cast(StringType).as("id"),
+      .join(lists.select(col("id").cast(StringType).as("id"),
         graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false)
           .as("__nv__")), Seq("id"))
       .join(probes.select(col("qid"), col("qvn")).dropDuplicates("qid"), Seq("qid"))

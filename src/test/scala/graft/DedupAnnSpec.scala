@@ -627,6 +627,14 @@ class DedupAnnSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(formatted.toLowerCase.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the cluster-partitioned scan:\n$formatted")
+    // O4 gate on the batch twin: only allowed ids are ever emitted, and
+    // the allowed queries still self-hit
+    val allow = e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val gated = Ann.ivfTopKBatch(back, qs.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", k = 3, nProbe = 8, allowed = Some(allow))
+    val rows = gated.collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(2).toLong % 2 == 0))
+    assert(rows.filter(r => r.getInt(1) == 1).forall(r => r.get(0).toString == r.getString(2)))
   }
 
   test("ivf topk: self-hit always found; recall beats plain LSH setup") {
