@@ -1904,6 +1904,74 @@ object SparkEntry {
         .withColumn("sigs_intact", lit(sigsIntact))
     }),
 
+    // Maintenance: small-file COMPACTION on the persisted layouts —
+    // append-mode ingestion (ivfAppendSave / Partitioned.upsert /
+    // every streaming twin) pays for its touched-dirs-only writes by
+    // accumulating files; compaction rewrites only dirs past the bound
+    // to one file via atomic swap. Contract: file count strictly drops
+    // on both layouts, every row survives (count + id checksum), the
+    // IVF probe result is IDENTICAL before/after, and dirs at/under
+    // the bound keep their files byte-identical.
+    "ann_idx_compact" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val base = e.filter(col("vec_id") >= 40)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      def pq(root: String): Map[String, (Long, Long)] =
+        walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+      // IVF layout + 4 small appends -> per-list file debt
+      val path = java.nio.file.Files.createTempDirectory("graft_compact_ivf").toString
+      Ann.ivfSave(Ann.ivfBuild(base, "vec_id", "embedding", nLists = 4), path)
+      (0 until 4).foreach { i =>
+        Ann.ivfAppendSave(s, path,
+          e.filter(col("vec_id") >= 10 * i && col("vec_id") < 10 * (i + 1)),
+          "vec_id", "embedding")
+      }
+      val q = e.filter(col("vec_id") < 5)
+      val probeBefore = Ann.ivfTopK(Ann.ivfLoad(s, path), q, "vec_id", "embedding",
+        k = 3, nProbe = 4).localCheckpoint(true)
+      val ivfBefore = pq(s"$path/lists")
+      val compacted = Ann.ivfCompactSave(s, path, maxFiles = 2)
+      val ivfAfter = pq(s"$path/lists")
+      val compactedDirs = compacted.toSet
+      val untouchedSame = ivfBefore.forall { case (p, v) =>
+        compactedDirs.exists(p.contains) || ivfAfter.get(p).contains(v) }
+      val probeAfter = Ann.ivfTopK(Ann.ivfLoad(s, path), q, "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      val probeSame = probeAfter.exceptAll(probeBefore).isEmpty &&
+        probeBefore.exceptAll(probeAfter).isEmpty
+      val ivfRowsOk = s.read.parquet(s"$path/lists").count() == e.count()
+      // bucketed store + 3 upsert batches
+      val sp = java.nio.file.Files.createTempDirectory("graft_compact_store").toString
+      VectorStore.Partitioned.init(
+        VectorStore.fromDataFrame(base, "vec_id", "embedding", 64), sp, nBuckets = 4)
+      (0 until 3).foreach { i =>
+        VectorStore.Partitioned.upsert(s, sp,
+          e.filter(col("vec_id") >= 10 * i && col("vec_id") < 10 * (i + 1))
+            .select(col("vec_id").cast(StringType).as(VectorStore.IdCol),
+              col("embedding").cast(ArrayType(FloatType)).as(VectorStore.VectorCol)))
+      }
+      val stBefore = pq(s"$sp/data").size
+      val compactedSt = VectorStore.Partitioned.compact(s, sp, maxFiles = 2)
+      val stAfter = pq(s"$sp/data").size
+      val chk = VectorStore.Partitioned.load(s, sp).df
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(col(VectorStore.IdCol).cast(LongType)).cast(LongType).as("ids"))
+        .head()
+      val expect = e.filter(!(col("vec_id") >= 30 && col("vec_id") < 40))
+        .agg(count(lit(1)).cast(LongType), sum(col("vec_id")).cast(LongType)).head()
+      val storeRowsOk = chk.getLong(0) == expect.getLong(0) &&
+        chk.getLong(1) == expect.getLong(1)
+      Seq((compacted.nonEmpty, ivfAfter.size < ivfBefore.size, untouchedSame,
+        probeSame, ivfRowsOk,
+        compactedSt.nonEmpty, stAfter < stBefore, storeRowsOk))
+        .toDF("ivf_compacted", "ivf_files_dropped", "ivf_untouched_same",
+          "probe_same", "ivf_rows_ok", "store_compacted", "store_files_dropped",
+          "store_rows_ok")
+    }),
+
     // ANN: hyperplane-LSH bucketed top-k (approximate; recall checked in
     // ScalaTest against brute force — rows-only here).
     "ann_lsh_topk" -> ((s, dir) => {
@@ -4142,6 +4210,12 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS total_exact,
         |       TRUE AS batch_eq_collect, TRUE AS self_hit,
         |       TRUE AS filter_ok""".stripMargin,
+
+    "ann_idx_compact" ->
+      """SELECT TRUE AS ivf_compacted, TRUE AS ivf_files_dropped,
+        |       TRUE AS ivf_untouched_same, TRUE AS probe_same,
+        |       TRUE AS ivf_rows_ok, TRUE AS store_compacted,
+        |       TRUE AS store_files_dropped, TRUE AS store_rows_ok""".stripMargin,
 
     "ann_ivfbq_maintain" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,

@@ -1720,6 +1720,62 @@ object Ann {
     * directory is removed outright (mirroring the bucketed store's
     * delete, VectorStore O7b); absent partition values are fine for
     * every reader of the root. */
+  /** Compact partition directories that accumulated more than `maxFiles`
+    * parquet files — append-mode ingestion's small-file debt, the
+    * classic scale killer (a 100 TB layout ingested in small batches
+    * degrades every scan to open-file overhead). Each offending
+    * directory rewrites to ONE file through dot-prefixed staging + an
+    * atomic rename (readers never see a half-written dir); rows are
+    * untouched, and directories at or under the bound keep their files
+    * byte-identical. The file COUNT scan is a driver-side listing (one
+    * RPC per dir — bounded by the partition count, no data read);
+    * rewrite cost ∝ offending dirs only. Returns the compacted
+    * directory names. Shared by every cluster/bucket-partitioned
+    * layout in the library (IVF lists, BQ sigs, hybrid lists, the
+    * bucketed store). */
+  private[operators] def compactDirs(spark: org.apache.spark.sql.SparkSession,
+      root: String, maxFiles: Int): Seq[String] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val offenders = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .filter { st =>
+        fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+      }
+      .map(_.getPath)
+    offenders.foreach { dir =>
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir.getParent, s".${dir.getName}.compact.tmp")
+      // one file per compacted dir: the whole point is shrinking the
+      // file count; per-dir volume is bounded by the bucketing design
+      val rows = spark.read.parquet(dir.toString).coalesce(1).localCheckpoint(true)
+      rows.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      require(fs.rename(tmp, dir), s"rename of compacted $dir failed")
+    }
+    offenders.map(_.getName).sorted
+  }
+
+  /** Compact a PERSISTED IVF layout's list directories ([[ivfSave]];
+    * the maintenance sibling of [[ivfMaintain]] for file-count debt
+    * rather than skew — run both on the ingest cadence behind
+    * [[ivfAppendSave]]). */
+  def ivfCompactSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFiles: Int = 8): Seq[String] =
+    compactDirs(spark, s"$path/lists", maxFiles)
+
+  /** Compact a persisted signature index's bucket dirs ([[bqSaveIndex]]). */
+  def bqCompactSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFiles: Int = 8): Seq[String] =
+    compactDirs(spark, s"$path/sigs", maxFiles)
+
+  /** Compact a persisted hybrid layout's list dirs ([[ivfBqSave]]). */
+  def ivfBqCompactSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFiles: Int = 8): Seq[String] =
+    compactDirs(spark, s"$path/lists", maxFiles)
+
   private def rewritePartitionDir(spark: org.apache.spark.sql.SparkSession,
       dir: String, drop: Column): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

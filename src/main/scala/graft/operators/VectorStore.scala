@@ -329,6 +329,17 @@ object VectorStore {
       }
     }
 
+    /** Compact bucket directories that accumulated more than `maxFiles`
+      * parquet files — every [[upsert]]/streaming-ingest batch appends
+      * files to its touched buckets, and at ingest cadence the
+      * small-file debt is what kills scan throughput long before data
+      * volume does. Offending dirs rewrite to one file via staging +
+      * atomic rename ([[Ann.compactDirs]] — the shared helper behind
+      * every partitioned layout's compaction); rows and untouched
+      * buckets byte-identical. Returns compacted dir names. */
+    def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Seq[String] =
+      Ann.compactDirs(spark, s"$path/data", maxFiles)
+
     /** Dynamic-partition-overwrite write of a touched-buckets DataFrame
       * (shared by [[upsert]] and [[delete]]); restores the session's
       * overwrite mode afterwards. */

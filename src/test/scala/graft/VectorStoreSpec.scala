@@ -870,6 +870,58 @@ class VectorStoreSpec extends AnyFunSuite {
     try assert(rebuilt2.toLocal().nRows == 16) finally rebuilt2.unpersist()
   }
 
+  test("compaction: offending dirs rewrite to one file, rows and cool dirs untouched") {
+    import java.nio.file.Files
+    import graft.operators.Ann
+    val st = mkStore((0 until 16).map(i => (i.toString, Seq(i + 1f, 1f, 0f, 0f), s"c$i")))
+    val store = Files.createTempDirectory("cmpstore").toString
+    VectorStore.Partitioned.init(st, store, nBuckets = 4)
+    // three upserts of one row each: their bucket dirs accumulate files
+    (100 until 103).foreach { i =>
+      VectorStore.Partitioned.upsert(spark, store,
+        Seq((i.toString, Seq(0f, 0f, 1f, 0f))).toDF("id", "vec")
+          .select(col("id").as("__id__"),
+            col("vec").cast(ArrayType(FloatType)).as("vector")))
+    }
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    def pq(root: String) = walk(new java.io.File(root))
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    val before = pq(s"$store/data")
+    val rowsBefore = VectorStore.Partitioned.load(spark, store).df
+      .orderBy(col("__id__")).collect().map(_.toString).toSeq
+    val compacted = VectorStore.Partitioned.compact(spark, store, maxFiles = 1)
+    assert(compacted.nonEmpty)
+    val after = pq(s"$store/data")
+    assert(after.size < before.size, "compaction must shrink the file count")
+    // every compacted dir is down to one file; cool dirs byte-identical
+    compacted.foreach { d =>
+      assert(new java.io.File(s"$store/data/$d").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1)
+    }
+    assert(before.forall { case (p, v) =>
+      compacted.exists(p.contains) || after.get(p).contains(v) })
+    val rowsAfter = VectorStore.Partitioned.load(spark, store).df
+      .orderBy(col("__id__")).collect().map(_.toString).toSeq
+    assert(rowsAfter == rowsBefore, "compaction must not change a single row")
+    // idempotent: a second pass finds nothing over the bound
+    assert(VectorStore.Partitioned.compact(spark, store, maxFiles = 1).isEmpty)
+    // the hybrid wrapper rides the same helper
+    val e = Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"), col("embedding"))
+    val hp = Files.createTempDirectory("cmphy").toString
+    Ann.ivfBqSave(Ann.ivfBqBuild(Ann.ivfBuild(
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding", nLists = 2)), hp)
+    (0 until 3).foreach { i =>
+      Ann.ivfBqAppendSave(spark, hp,
+        e.filter(col("vec_id") >= 5 * i && col("vec_id") < 5 * (i + 1)),
+        "vec_id", "embedding")
+    }
+    val hBefore = pq(s"$hp/lists").size
+    assert(Ann.ivfBqCompactSave(spark, hp, maxFiles = 2).nonEmpty)
+    assert(pq(s"$hp/lists").size < hBefore)
+    assert(spark.read.parquet(s"$hp/lists").count() == e.filter(col("vec_id") >= 20).count() + 15)
+  }
+
   test("streaming ingest trips the reshard gate through the serving handle") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
