@@ -1776,6 +1776,14 @@ object Ann {
       maxFiles: Int = 8): Seq[String] =
     compactDirs(spark, s"$path/lists", maxFiles)
 
+  /** Compact a persisted residual IVF×PQ layout ([[ivfPqSave]]): both
+    * cluster-partitioned halves (codes + coarse lists) repay their
+    * append debt together. */
+  def ivfPqCompactSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFiles: Int = 8): Seq[String] =
+    (compactDirs(spark, s"$path/codes", maxFiles) ++
+      compactDirs(spark, s"$path/ivf/lists", maxFiles)).distinct.sorted
+
   private def rewritePartitionDir(spark: org.apache.spark.sql.SparkSession,
       dir: String, drop: Column): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

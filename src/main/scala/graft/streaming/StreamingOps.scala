@@ -377,14 +377,42 @@ object StreamingOps {
     * rewritten per batch) — the reference's insert loop
     * (lib.rs:150-185) as a stream. foreachBatch serializes batches, so
     * upserts apply in arrival order. */
-  def upsertStream(batches: DataFrame, storePath: String): StreamingQuery =
+  /** Shared compaction cadence for the ingestion streams: every
+    * `compactEvery` non-empty microbatches, run the layout's compactor
+    * so the stream repays its own small-file debt (touched-dirs-only
+    * appends accumulate one file per batch per dir; unbounded ingest
+    * without compaction degrades every scan to file-open overhead).
+    * 0 disables. foreachBatch serializes batches, so compaction never
+    * races an append on the same layout, and the per-dir atomic swap
+    * keeps concurrent READERS safe — same guarantees as running the
+    * maintenance offline, minus the scheduler. */
+  private final class CompactCadence(every: Int,
+      run: SparkSession => Unit) {
+    require(every >= 0, s"compactEvery must be >= 0, got $every")
+    private var n = 0
+    def tick(spark: SparkSession): Unit = if (every > 0) {
+      n += 1
+      if (n % every == 0) run(spark)
+    }
+  }
+
+  def upsertStream(batches: DataFrame, storePath: String,
+      compactEvery: Int = 0, compactMaxFiles: Int = 8): StreamingQuery = {
+    val cadence = new CompactCadence(compactEvery, s => {
+      graft.operators.VectorStore.Partitioned.compact(s, storePath, compactMaxFiles)
+      ()
+    })
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty) graft.operators.VectorStore.Partitioned.upsert(
-          b.sparkSession, storePath, b)
+        if (!b.isEmpty) {
+          graft.operators.VectorStore.Partitioned.upsert(
+            b.sparkSession, storePath, b)
+          cadence.tick(b.sparkSession)
+        }
       }
       .start()
+  }
 
   /** Streaming ingestion that also keeps a bucket-aligned
     * [[graft.operators.MatrixStore]] scan cache fresh: each microbatch
@@ -512,16 +540,22 @@ object StreamingOps {
     * rows on their next index load; rebalancing on skew stays an
     * offline decision ([[graft.operators.Ann.ivfRebalance]]). */
   def ivfIngestStream(batches: DataFrame, indexPath: String,
-      idCol: String, vecCol: String): StreamingQuery =
+      idCol: String, vecCol: String,
+      compactEvery: Int = 0, compactMaxFiles: Int = 8): StreamingQuery = {
+    val cadence = new CompactCadence(compactEvery, s => {
+      graft.operators.Ann.ivfCompactSave(s, indexPath, compactMaxFiles)
+      ()
+    })
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
           graft.operators.Ann.ivfAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
-          ()
+          cadence.tick(b.sparkSession)
         }
       }
       .start()
+  }
 
   /** Streaming ingestion of the persisted binary signature index
     * ([[graft.operators.Ann.bqSaveIndex]] layout): each microbatch
@@ -530,16 +564,22 @@ object StreamingOps {
     * artifact of the binary scan tier follows ingestion at cost ∝
     * batch, same posture as [[ivfIngestStream]]. */
   def bqIngestStream(batches: DataFrame, indexPath: String,
-      idCol: String, vecCol: String): StreamingQuery =
+      idCol: String, vecCol: String,
+      compactEvery: Int = 0, compactMaxFiles: Int = 8): StreamingQuery = {
+    val cadence = new CompactCadence(compactEvery, s => {
+      graft.operators.Ann.bqCompactSave(s, indexPath, compactMaxFiles)
+      ()
+    })
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
           graft.operators.Ann.bqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
-          ()
+          cadence.tick(b.sparkSession)
         }
       }
       .start()
+  }
 
   /** Streaming ingestion of the persisted IVF×BQ hybrid
     * ([[graft.operators.Ann.ivfBqSave]] layout): each microbatch
@@ -549,16 +589,22 @@ object StreamingOps {
     * coarse+compressed index follows ingestion at cost ∝ batch, same
     * posture as its two parents above. */
   def ivfBqIngestStream(batches: DataFrame, indexPath: String,
-      idCol: String, vecCol: String): StreamingQuery =
+      idCol: String, vecCol: String,
+      compactEvery: Int = 0, compactMaxFiles: Int = 8): StreamingQuery = {
+    val cadence = new CompactCadence(compactEvery, s => {
+      graft.operators.Ann.ivfBqCompactSave(s, indexPath, compactMaxFiles)
+      ()
+    })
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
           graft.operators.Ann.ivfBqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
-          ()
+          cadence.tick(b.sparkSession)
         }
       }
       .start()
+  }
 
   /** Streaming tombstones — the DELETE twin of the ingestion streams:
     * each microbatch carries ids to forget, applied per batch to

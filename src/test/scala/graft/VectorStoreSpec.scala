@@ -922,6 +922,41 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$hp/lists").count() == e.filter(col("vec_id") >= 20).count() + 15)
   }
 
+  test("ingest streams repay their own small-file debt on the compact cadence") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import graft.operators.Ann
+    val e = Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"), col("embedding"))
+    val path = Files.createTempDirectory("cadidx").toString
+    Ann.ivfBqSave(Ann.ivfBqBuild(Ann.ivfBuild(
+      e.filter(col("vec_id") >= 40), "vec_id", "embedding", nLists = 2)), path)
+    val watch = Files.createTempDirectory("cadwatch")
+    (0 until 4).foreach { i =>
+      val tmp = Files.createTempDirectory(s"cadstage$i")
+      e.filter(col("vec_id") >= 10 * i && col("vec_id") < 10 * (i + 1))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, watch.resolve(s"b$i.parquet"))
+    }
+    val st = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    // 4 single-batch triggers, compaction fires after batches 2 and 4
+    val q = graft.streaming.StreamingOps.ivfBqIngestStream(st, path,
+      "vec_id", "embedding", compactEvery = 2, compactMaxFiles = 1)
+    try q.processAllAvailable() finally q.stop()
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    // the final cadence ran at batch 4, so no dir holds more than one
+    // file (nothing appended after it)
+    new java.io.File(s"$path/lists").listFiles().filter(_.isDirectory).foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) <= 1,
+        s"dir ${d.getName} must be compacted by the cadence")
+    }
+    // and nothing was lost across appends + compactions
+    assert(spark.read.parquet(s"$path/lists").count() == e.count())
+  }
+
   test("streaming ingest trips the reshard gate through the serving handle") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
