@@ -2663,6 +2663,30 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Pipeline composition: UPSAMPLED copies flow through the shard
+    // writer on a composite (id#copy) key — each repeat routes
+    // independently (copies of one doc spread across shards, which is
+    // what a training run wants) and the whole layout stays a pure
+    // function of (id, weights, nShards). Readback folds per shard;
+    // the oracle recomputes the copy explosion, every fractional draw,
+    // AND the md5 shard routing.
+    "pipe_upsample_shards" -> ((s, dir) => {
+      val up = graft.operators.Relational.upsampleRepeat(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          Map("zh" -> 2.5, "de" -> 1.75, "en" -> 0.4), defaultWeight = 1.0)
+        .withColumn("rid", concat(col("doc_id").cast(StringType), lit("#"),
+          col("copy").cast(StringType)))
+      val out = java.nio.file.Files.createTempDirectory("graft_upshards").toString
+      graft.operators.Relational.writeShards(up, "rid", out, nShards = 4)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast(LongType).as("shard"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          countDistinct(col("doc_id")).cast(LongType).as("n_docs"),
+          sum(col("doc_id") * (col("copy") + 1L)).cast(LongType).as("wchk"))
+        .orderBy(col("shard"))
+    }),
+
     // Pipeline: deterministic sharded training output — writeShards
     // routes each row to shard = md5-prefix(doc_id) mod 8, globally
     // shuffled within the shard by an independent salted hash, plus a
@@ -4863,6 +4887,30 @@ object SparkEntry {
     // numeric suffix (src0..src4 800, src5..src9 400, rest 100)
     // pure-key recompute of the shard routing; n/sum_len/min_id fold the
     // written layout the Spark side read back
+    // copy explosion + fractional draws (as pipe_upsample) + the same
+    // md5 routing as pipe_shards, keyed on the composite id#copy
+    "pipe_upsample_shards" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |             CASE lang WHEN 'zh' THEN 2.5 WHEN 'de' THEN 1.75
+        |                       WHEN 'en' THEN 0.4 ELSE 1.0 END AS wt
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, wt,
+        |        unnest(generate_series(0, CAST(floor(wt) AS BIGINT))) AS copy
+        |      FROM b),
+        |k AS (SELECT doc_id, lang, copy FROM c
+        |      WHERE copy < CAST(floor(wt) AS BIGINT)
+        |         OR (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |                                 CAST(copy AS VARCHAR)), 1, 12))::BIGINT
+        |             / 281474976710656.0) < wt - floor(wt)),
+        |sh AS (SELECT doc_id, copy,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |                             CAST(copy AS VARCHAR)), 1, 12))::BIGINT % 4 AS shard
+        |       FROM k)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id * (copy + 1)) AS BIGINT) AS wchk
+        |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin,
+
     "pipe_shards" ->
       """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8 AS BIGINT) AS shard,
         |       CAST(count(*) AS BIGINT) AS n,

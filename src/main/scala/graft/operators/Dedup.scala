@@ -584,6 +584,30 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Provenance twin of [[dropNearDupsBy]]: (survivor_id, dropped_id)
+    * under the best-scoring survivor policy — every dropped document
+    * attributes to the member that replaced it, exactly as
+    * [[survivorMap]] does for the min-id policy. Derived from the same
+    * components and the same (score desc, id asc) window, so
+    * dropNearDupsBy(df) ∪ {dropped ids here} == the paired universe. */
+  def survivorMapBy(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val scored = comp.join(
+      df.select(col(idCol).cast(comp.schema("id").dataType).as("id"),
+        col(scoreCol).as("__score__")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("__score__").desc, col("id"))
+    val ranked = scored.withColumn("__rn__", row_number().over(w))
+    val winners = ranked.filter(col("__rn__") === 1)
+      .select(col("component"), col("id").as("survivor_id"))
+    ranked.filter(col("__rn__") =!= 1)
+      .select(col("component"), col("id").as("dropped_id"))
+      .join(winners, Seq("component"))
+      .select(col("survivor_id"), col("dropped_id"))
+  }
+
   /** Dedup provenance: (survivor_id, dropped_id) for every document a
     * dedup pass removed — the lineage record a training-data pipeline
     * keeps so every dropped document is attributable to the survivor

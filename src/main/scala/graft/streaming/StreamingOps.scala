@@ -514,7 +514,16 @@ object StreamingOps {
     * policy decision left to the caller. foreachBatch serializes, so
     * accepted batches append in arrival order. */
   def dedupIngestStream(batches: DataFrame, indexPath: String,
-      idCol: String, textCol: String): StreamingQuery =
+      idCol: String, textCol: String,
+      compactEvery: Int = 0, compactFilesPerProjection: Int = 8): StreamingQuery = {
+    // same cadence contract as the index ingest streams; DedupIndex owns
+    // its own compactor (per-projection range-repartition + probe-key
+    // co-sort), so the cadence both bounds the file count AND restores
+    // probe locality as the stream appends
+    val cadence = new CompactCadence(compactEvery, s => {
+      graft.operators.DedupIndex.compact(s, indexPath, compactFilesPerProjection)
+      ()
+    })
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -527,9 +536,11 @@ object StreamingOps {
             .localCheckpoint(true)
           if (!accepted.isEmpty)
             DedupIndex.append(accepted, idCol, textCol, indexPath)
+          cadence.tick(b.sparkSession)
         }
       }
       .start()
+  }
 
   /** Streaming ANN ingestion onto a PERSISTED IVF index
     * ([[graft.operators.Ann.ivfSave]] layout): each microbatch assigns

@@ -297,6 +297,12 @@ class DedupAnnSpec extends AnyFunSuite {
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.operators.Dedup.dropNearDupsBy(docs, "doc_id", "q", noPairs)
       .count() == 7L)
+    // provenance twin: every dropped id attributes to ITS policy winner,
+    // and survivors ∪ dropped == the paired universe
+    val m = graft.operators.Dedup.survivorMapBy(docs, "doc_id", "q", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((2L, 1L), (2L, 3L), (2L, 7L), (11L, 10L)))
+    assert(kept ++ m.map(_._2) == Set(1L, 2L, 3L, 7L, 10L, 11L, 99L))
   }
 
   test("connectedComponents and dropNearDups handle an empty pair list") {
