@@ -200,11 +200,12 @@ object Bench {
       // compare it against — while recall must hold the serving bar.
       // Own try: a hybrid failure degrades these three keys to absent,
       // never the whole ref map.
+      var hyLists: org.apache.spark.sql.DataFrame = null
       val hybridMetrics: Map[String, Double] = try {
         val tIB0 = System.nanoTime()
         val built = graft.operators.Ann.ivfBqBuild(graft.operators.Ann.ivfBuild(
           cached.df, "__id__", "vector", nLists = 64, maxIter = 2))
-        val hyLists = built.lists.cache()
+        hyLists = built.lists.cache()
         hyLists.count()
         val hy = built.copy(lists = hyLists)
         val tIvfBqBuild = (System.nanoTime() - tIB0) / 1e9
@@ -246,7 +247,6 @@ object Bench {
         val (tNp8, rNp8) = hybridPoint(8, 64)
         val (tNp32, rNp32) = hybridPoint(32, 128)
         val (tNp64, rNp64) = hybridPoint(64, 512)
-        hyLists.unpersist(blocking = true)
         Map("ref_ivfbq_build_100k_d1024" -> tIvfBqBuild,
           "ref_query_ivfbq_100k_d1024" -> tNp8,
           "ref_ivfbq_recall10_100k_d1024" -> rNp8,
@@ -255,6 +255,9 @@ object Bench {
           "ref_query_ivfbq_np64_100k_d1024" -> tNp64,
           "ref_ivfbq_recall10_np64_100k_d1024" -> rNp64)
       } catch { case _: Throwable => Map.empty }
+      // release in finally-position: a failed hybrid point must not pin
+      // the ~450MB lists cache for the rest of the pass
+      finally if (hyLists != null) hyLists.unpersist(blocking = true)
       cached.df.unpersist(blocking = true)
       raw.unpersist(blocking = true)
       Map("ref_insert_100k_d1024" -> tInsert, "ref_query_100k_d1024" -> tQuery,

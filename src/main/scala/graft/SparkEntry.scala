@@ -50,10 +50,11 @@ object SparkEntry {
       graft.operators.Ann.ivfLoad(s, path)
     })
 
-  /** Per-JVM IVF×BQ hybrid cache — compose once per sf dir off the
-    * shared coarse quantizer and keep the (id, v, sig) lists cached, so
-    * the registered query times probes, not fits (same posture as
-    * [[cachedIvf]]). */
+  /** Per-JVM IVF×BQ hybrid cache — fits its OWN 8-list coarse
+    * quantizer (sized for the registered queries' nProbe=4/8 operating
+    * points; [[cachedIvf]]'s 16-list fit serves the ivf_* keys) and
+    * keeps the (id, v, sig) lists cached, so the registered query
+    * times probes, not fits. */
   private val ivfBqCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ann.IvfBqIndex]()
   private[graft] def cachedIvfBq(s: SparkSession, dir: String): graft.operators.Ann.IvfBqIndex =
@@ -2550,7 +2551,7 @@ object SparkEntry {
     // stage is the already-oracle-checked operator; the composition is
     // value-checked end to end: the oracle recomputes all four stages
     // in SQL and must match the shard manifest exactly.
-    "pipe_e2e" -> ((s, dir) => {
+    "pipe_e2e_mix" -> ((s, dir) => {
       val R = graft.operators.Relational
       val d = Tables.documents(s, dir)
       val quality = TextAnalysis.qualityColumns(col("text"))
@@ -4531,7 +4532,7 @@ object SparkEntry {
     // the four stages recomputed in SQL: quality formula = text_stats's,
     // dedup = min-id row_number over text, rates = pipe_temperature's
     // over the SURVIVORS, shard = pipe_shards' md5 routing
-    "pipe_e2e" ->
+    "pipe_e2e_mix" ->
       """WITH g AS (
         |  SELECT doc_id, lang, text,
         |    round(least(len(string_split(text, ' '))::DOUBLE / 20.0, 1.0) * 0.4 +

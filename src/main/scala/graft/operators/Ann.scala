@@ -1066,27 +1066,11 @@ object Ann {
     * rewritten lists + centroid sidecar via staging + rename. Returns
     * true iff a rebalance ran. */
   def ivfBqMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
-      maxFactor: Double = 2.0, seed: Long = 42L, maxIter: Int = 5): Boolean = {
-    val hy = ivfBqLoad(spark, path)
-    val asIvf = IvfIndex(hy.centroids, hy.lists)
-    val reb = ivfRebalance(asIvf, maxFactor, seed, maxIter)
-    if (reb eq asIvf) return false
-    import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listsTmp = new org.apache.hadoop.fs.Path(s"$path/lists__rebalancing")
-    val centsTmp = new org.apache.hadoop.fs.Path(s"$path/centroids__rebalancing")
-    reb.assigned.write.mode("overwrite").partitionBy("cluster").parquet(listsTmp.toString)
-    reb.centroids.toDF("cluster", "cvec")
-      .coalesce(1).write.mode("overwrite").json(centsTmp.toString)
-    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
-    fs.delete(lists, true)
-    require(fs.rename(listsTmp, lists), s"rename of rebalanced lists failed under $path")
-    fs.delete(cents, true)
-    require(fs.rename(centsTmp, cents), s"rename of rebalanced centroids failed under $path")
-    true
-  }
+      maxFactor: Double = 2.0, seed: Long = 42L, maxIter: Int = 5): Boolean =
+    // the hybrid layout IS the IVF layout plus a sig column that
+    // ivfRebalance passes through untouched, so the coarse maintainer
+    // applies verbatim — one swap implementation to keep correct
+    ivfMaintain(spark, path, maxFactor, seed, maxIter)
 
   /** Persist the hybrid: one cluster-partitioned table (id, v, sig) +
     * the centroid sidecar — identical layout discipline to [[ivfSave]],
@@ -1739,8 +1723,33 @@ object Ann {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Seq.empty
+    // crash residue from an earlier interrupted pass. `.compact.tmp` is
+    // always droppable (the original dir is intact until rename-away).
+    // `.compact.old` is the ORIGINAL renamed away: if the crash hit
+    // between the two renames the partition dir is missing and `.old`
+    // holds the only copy — restore it; if the dir exists the swap
+    // completed and `.old` is a leftover — drop it. Either way the
+    // listing below then sees only real partition dirs.
+    fs.listStatus(rootPath).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && nm.endsWith(".compact.tmp")) fs.delete(st.getPath, true)
+      else if (st.isDirectory && nm.endsWith(".compact.old")) {
+        val orig = new org.apache.hadoop.fs.Path(rootPath,
+          nm.stripPrefix(".").stripSuffix(".compact.old"))
+        if (fs.exists(orig)) fs.delete(st.getPath, true)
+        else require(fs.rename(st.getPath, orig),
+          s"recovery rename of $nm back to ${orig.getName} failed")
+      }
+    }
     val offenders = fs.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .filter { st =>
+        val nm = st.getPath.getName
+        // partition dirs only — a '<col>=<val>' name. Never staging
+        // ('.…') ; a leading '_' alone is NOT metadata here, because
+        // the bucketed store partitions by '__bucket__=N' (metadata
+        // files like _SUCCESS carry no '=').
+        st.isDirectory && nm.contains("=") && !nm.startsWith(".")
+      }
       .filter { st =>
         fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")) > maxFiles
       }
@@ -1748,12 +1757,24 @@ object Ann {
     offenders.foreach { dir =>
       val tmp = new org.apache.hadoop.fs.Path(
         dir.getParent, s".${dir.getName}.compact.tmp")
+      val old = new org.apache.hadoop.fs.Path(
+        dir.getParent, s".${dir.getName}.compact.old")
       // one file per compacted dir: the whole point is shrinking the
       // file count; per-dir volume is bounded by the bucketing design
       val rows = spark.read.parquet(dir.toString).coalesce(1).localCheckpoint(true)
       rows.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dir, true)
+      // swap via two renames (rename-away, rename-in): each rename is
+      // atomic and the dir-missing window is two metadata ops, not a
+      // recursive delete. A reader that LISTS the root inside that
+      // window, or executes a plan whose file listing predates the
+      // swap, can still miss the partition / hit FileNotFound — the
+      // same re-plan-after-maintenance caveat as every rewrite in this
+      // file (delete/shrink/rebalance); serving reads should hold the
+      // in-process tiers or reload their index handle after a
+      // maintenance tick.
+      require(fs.rename(dir, old), s"rename-away of $dir failed")
       require(fs.rename(tmp, dir), s"rename of compacted $dir failed")
+      fs.delete(old, true)
     }
     offenders.map(_.getName).sorted
   }

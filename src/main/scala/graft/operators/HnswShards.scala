@@ -186,16 +186,24 @@ final class HnswShards private (
 /** Atomic serving handle with the reshard gate ON the ingest cadence:
   * queries always read the CURRENT sharded graph; [[add]] inserts into
   * it and then checks [[HnswShards.needsReshard]] — when size drift
-  * leaves the recall-calibrated knee, the rebuild runs ASIDE on the
-  * ingest thread and the finished instance swaps in atomically, so
-  * query threads never see a half-built layout and never block on the
+  * leaves the recall-calibrated knee, the rebuild runs on the ingest
+  * thread and the finished instance swaps in atomically, so query
+  * threads never see a half-built layout and never block on the
   * rebuild (the same swap discipline as `LocalMatrixStore.refresh`).
   * Implements [[HnswMaintainable]], so the existing streaming twins
   * (`StreamingOps.upsertStreamWithHnsw` / `tombstoneStreamHnsw`) drive
   * the full grow-past-the-knee → reshard → keep-serving loop with no
-  * extra plumbing: foreachBatch serializes ingest (the single-writer
-  * regime this handle requires); reads are lock-free. `resharded`
-  * counts swaps for observability. */
+  * extra plumbing.
+  *
+  * Concurrency contract: MUTATIONS SERIALIZE ON THE HANDLE (`add` and
+  * `markDeleted` synchronize), because the upsert and tombstone twins
+  * are separate streaming queries = separate threads — an
+  * unsynchronized delete could land on a superseded instance after a
+  * reshard swap and be lost, and concurrent add/markDeleted would
+  * violate the underlying graphs' single-writer regime. The lock also
+  * means a tombstone batch waits out an in-flight reshard — bounded by
+  * one rebuild. Reads stay lock-free on the atomic reference.
+  * `resharded` counts swaps for observability. */
 final class HnswShardsServing(initial: HnswShards, slack: Double = 2.0)
   extends HnswMaintainable {
   require(slack > 1.0, "slack must be > 1")
@@ -208,7 +216,7 @@ final class HnswShardsServing(initial: HnswShards, slack: Double = 2.0)
   def nShards: Int = ref.get().nShards
   def nRows: Long = ref.get().nRows
 
-  def add(batch: Seq[(String, Array[Float])]): Unit = {
+  def add(batch: Seq[(String, Array[Float])]): Unit = synchronized {
     val h = ref.get()
     h.add(batch)
     h.needsReshard(slack).foreach { n =>
@@ -217,7 +225,9 @@ final class HnswShardsServing(initial: HnswShards, slack: Double = 2.0)
     }
   }
 
-  def markDeleted(dropIds: Seq[String]): Unit = ref.get().markDeleted(dropIds)
+  def markDeleted(dropIds: Seq[String]): Unit = synchronized {
+    ref.get().markDeleted(dropIds)
+  }
 
   def query(queryVec: Array[Float], topK: Int, ef: Int = 64,
       betterThan: Option[Double] = None,

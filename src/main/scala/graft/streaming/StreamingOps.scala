@@ -383,9 +383,12 @@ object StreamingOps {
     * appends accumulate one file per batch per dir; unbounded ingest
     * without compaction degrades every scan to file-open overhead).
     * 0 disables. foreachBatch serializes batches, so compaction never
-    * races an append on the same layout, and the per-dir atomic swap
-    * keeps concurrent READERS safe — same guarantees as running the
-    * maintenance offline, minus the scheduler. */
+    * races an APPEND on the same layout. Readers get the library-wide
+    * maintenance caveat (same as delete/shrink/rebalance): a scan
+    * whose file listing predates a swap may miss the rewritten dir or
+    * hit FileNotFound — reload index handles after a maintenance tick,
+    * or serve from the in-process tiers, exactly as when running the
+    * compactor offline. */
   private final class CompactCadence(every: Int,
       run: SparkSession => Unit) {
     require(every >= 0, s"compactEvery must be >= 0, got $every")
