@@ -122,6 +122,48 @@ object Relational {
       .drop("rate")
   }
 
+  /** [[temperatureMixRates]] WITHOUT the min(1) cap: per-group target
+    * WEIGHTS w = targetRows · share / n, where share ∝ sqrt(n). A
+    * group under its temperature-fair size gets w > 1 — an UPSAMPLE
+    * factor — instead of silently stopping at parity, so feeding these
+    * weights to [[upsampleRepeatByRates]] hits the target mix exactly
+    * in expectation from BOTH directions (head languages thin, tail
+    * languages repeat). Returns (group, n, share, weight). */
+  def temperatureMixWeights(df: DataFrame, groupCol: String,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val denomW = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("__sq__", sqrt(col("n").cast(DoubleType)))
+      .withColumn("share", col("__sq__") / sum(col("__sq__")).over(denomW))
+      .withColumn("weight",
+        lit(targetRows.toDouble) * col("share") / col("n").cast(DoubleType))
+      .drop("__sq__")
+  }
+
+  /** [[upsampleRepeat]] with weights from a DATAFRAME instead of a
+    * literal map — the form that scales past a handful of groups (the
+    * weights frame broadcasts; the decision stays the same pure
+    * function of (id, group, weight)). `rates` must carry `groupCol`
+    * and a `weight` column; groups absent from it are DROPPED (inner
+    * join — supply an explicit default row if pass-through is wanted).
+    * Compose with [[temperatureMixWeights]] for data-derived
+    * two-directional temperature mixing. */
+  def upsampleRepeatByRates(df: DataFrame, idCol: String, groupCol: String,
+      rates: DataFrame): DataFrame = {
+    val r = broadcast(rates.select(col(groupCol),
+      col("weight").cast(DoubleType).as("__w__")))
+    val whole = floor(col("__w__")).cast(LongType)
+    val unit = conv(substring(md5(concat(col(idCol).cast("string"), lit("|"),
+        col("copy").cast("string"))), 1, 12), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(281474976710656.0) // 2^48
+    df.join(r, Seq(groupCol))
+      .withColumn("copy", explode(sequence(lit(0L), floor(col("__w__")).cast(LongType))))
+      .filter(col("copy") < whole || unit < (col("__w__") - floor(col("__w__"))))
+      .drop("__w__")
+  }
+
   /** Deterministic fractional REPEAT sampling — the UPSAMPLE half of
     * the mixing story. [[temperatureSample]] / [[mixtureSampleKeep]]
     * can only thin a source; production mixes also boost curated

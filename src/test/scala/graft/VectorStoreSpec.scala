@@ -922,6 +922,42 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$hp/lists").count() == e.filter(col("vec_id") >= 20).count() + 15)
   }
 
+  test("compaction crash recovery: tmp dropped, renamed-away original restored") {
+    import java.nio.file.Files
+    import graft.operators.Ann
+    // drive through the public IVF wrapper (compactDirs is
+    // package-private): root is the layout's lists dir
+    val base = Files.createTempDirectory("cmprec").toString
+    val root = s"$base/lists"
+    def writeDir(name: String, ids: Seq[Long]): Unit =
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+    writeDir("cluster=0", Seq(1L, 2L))
+    writeDir("cluster=1", Seq(3L, 4L))
+    // crash state A: a stale staging dir from an interrupted pass —
+    // must be dropped, never treated as a partition dir
+    writeDir(".cluster=0.compact.tmp", Seq(99L))
+    // crash state B: an original renamed away with the second rename
+    // never run — the partition dir is MISSING and .old holds the only
+    // copy; recovery must restore it
+    writeDir(".cluster=1.compact.old", Seq(3L, 4L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/cluster=1"), true)
+    val compacted = Ann.ivfCompactSave(spark, base, maxFiles = 8)
+    assert(compacted.isEmpty, "nothing over the bound; recovery only")
+    assert(!new java.io.File(s"$root/.cluster=0.compact.tmp").exists)
+    assert(!new java.io.File(s"$root/.cluster=1.compact.old").exists)
+    val restored = spark.read.parquet(s"$root/cluster=1")
+      .collect().map(_.getLong(0)).toSet
+    assert(restored == Set(3L, 4L), "renamed-away original must be restored")
+    // crash state C: .old leftover with the swap COMPLETE (dir present)
+    writeDir(".cluster=0.compact.old", Seq(98L))
+    Ann.ivfCompactSave(spark, base, maxFiles = 8)
+    assert(!new java.io.File(s"$root/.cluster=0.compact.old").exists)
+    assert(spark.read.parquet(s"$root/cluster=0")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("ingest streams repay their own small-file debt on the compact cadence") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
