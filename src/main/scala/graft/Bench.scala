@@ -198,8 +198,8 @@ object Bench {
       // the HNSW build). Probes ride the DataFrame engine, so the
       // latency is job-scheduling-bound like ref_query — the number to
       // compare it against — while recall must hold the serving bar.
-      // Own try: a hybrid failure degrades these three keys to absent,
-      // never the whole ref map.
+      // Own try: a hybrid failure degrades the ref_ivfbq_* keys to
+      // absent, never the whole ref map.
       var hyLists: org.apache.spark.sql.DataFrame = null
       val hybridMetrics: Map[String, Double] = try {
         val tIB0 = System.nanoTime()

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scale-curve benchmark: the headline queries timed at every available
   * scale factor in ONE run, so nonlinear plan behavior (a band join
@@ -30,6 +31,73 @@ object BenchCurve {
     "o3_topk", "pipe_e2e",
     "pipe_shards", "dedup_semantic", "dedup_semantic_text", "ann_ivf_topk",
     "ann_opq", "ann_ivfbq", "pipe_upsample", "dedup_neardup_survivor")
+
+  /** Large-N synthetic scale points for the compressed index families
+    * — the 100×-posture evidence the sf curve can't give (sf0.001→0.1
+    * wall times are flat, fixed-overhead-dominated at these local
+    * sizes). Two corpora (100k and 1M rows × dim 256, the same
+    * hash-expression generator as Bench's reference workload), with
+    * nLists ∝ √N (standard IVF sizing, so rows-per-probed-list ∝ √N at
+    * fixed nProbe): across the 10× N step the exact brute-force probe
+    * must grow ~linearly, the ivf/ivfbq probes ~√N (≈3.2×), and bq's
+    * flat signature scan linearly at 1/32 the bytes. Build costs are
+    * committed alongside so the amortization story is auditable.
+    * Probes run the collect-free batch twins over the PERSISTED
+    * layouts (partition pruning is part of what's being measured). */
+  private def scalePoints(spark: SparkSession): String = {
+    import graft.operators.Ann
+    val dim = 256
+    val k = 10
+    val nProbe = 8
+    val points = Seq(100000L, 1000000L).map { n =>
+      val nLists = math.max(64, math.sqrt(n.toDouble).round.toInt)
+      val gen = spark.range(n).select(
+        col("id").cast("string").as("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(hash(col("id"), i), lit(1000)).cast("double") / 500.0 - 1.0)
+            .cast("float")).as("v"))
+      val corpus = gen.cache()
+      corpus.count()
+      val queries = corpus.limit(16).cache()
+      queries.count()
+      val base = java.nio.file.Files.createTempDirectory(s"scale$n").toString
+      def timed(df: => org.apache.spark.sql.DataFrame): Double = {
+        df.count() // warm (plan + page cache), then median-of-3
+        Bench.median3(() => { df.count(); () })
+      }
+      val probeExact = timed(Ann.bruteForceTopK(
+        corpus, "id", "v", queries, "id", "v", k))
+      val tBq0 = System.nanoTime()
+      Ann.bqSaveIndex(corpus, "id", "v", s"$base/bq", nBuckets = 32)
+      val buildBq = (System.nanoTime() - tBq0) / 1e9
+      val sigs = Ann.bqLoadIndex(spark, s"$base/bq").sigs.cache()
+      sigs.count()
+      val probeBq = timed(Ann.bqTopKBatch(
+        sigs, corpus, "id", "v", queries, "id", "v", k, oversample = 8))
+      val tIvf0 = System.nanoTime()
+      val ivf = Ann.ivfBuild(corpus, "id", "v", nLists = nLists, maxIter = 2)
+      Ann.ivfSave(ivf, s"$base/ivf")
+      val buildIvf = (System.nanoTime() - tIvf0) / 1e9
+      val ivfL = Ann.ivfLoad(spark, s"$base/ivf")
+      val probeIvf = timed(Ann.ivfTopKBatch(ivfL, queries, "id", "v", k, nProbe))
+      val tHy0 = System.nanoTime()
+      Ann.ivfBqSave(Ann.ivfBqBuild(ivf), s"$base/ivfbq")
+      val buildHy = (System.nanoTime() - tHy0) / 1e9
+      val hy = Ann.ivfBqLoad(spark, s"$base/ivfbq")
+      val probeHy = timed(Ann.ivfBqTopKBatch(
+        hy, queries, "id", "v", k, nProbe, oversample = 8))
+      corpus.unpersist(blocking = true)
+      queries.unpersist(blocking = true)
+      sigs.unpersist(blocking = true)
+      System.gc()
+      s"""{"n":$n,"n_lists":$nLists,"build_bq":$buildBq,""" +
+        s""""build_ivf":$buildIvf,"build_ivfbq":$buildHy,""" +
+        s""""probe_exact":$probeExact,"probe_bq":$probeBq,""" +
+        s""""probe_ivf":$probeIvf,"probe_ivfbq":$probeHy}"""
+    }
+    s""""scale":{"dim":$dim,"k":$k,"n_probe":$nProbe,""" +
+      s""""points":[${points.mkString(",")}]}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfs =
@@ -62,6 +130,7 @@ object BenchCurve {
         name -> (if (failed) -1.0 else t)
       }.toMap
     }.toMap
+    val scaleJson = scalePoints(spark)
     val sfName = (d: String) => d.substring(d.lastIndexOf('/') + 1)
     val json = {
       val qs = keys.map { k =>
@@ -69,7 +138,7 @@ object BenchCurve {
         s""""$k":{$per}"""
       }.mkString(",")
       s"""{"sfs":[${sfs.map(d => s""""${sfName(d)}"""").mkString(",")}],""" +
-        s""""queries":{$qs}}"""
+        s""""queries":{$qs},$scaleJson}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_CURVE.json"), json.getBytes("UTF-8"))

@@ -1074,6 +1074,8 @@ object SparkEntry {
       val stream = s.readStream.schema(batch.schema).parquet(watch.toString)
       val q = graft.streaming.StreamingOps.upsertStreamWithHnsw(stream, storeDir, serving)
       try q.processAllAvailable() finally q.stop()
+      // the rebuild runs aside; barrier on the swap before asserting
+      serving.awaitReshard()
       val shardsAfter = serving.nShards.toLong
       val ideal = graft.operators.HnswShards.defaultShards(n).toLong
       val rowsOk = serving.nRows == n
@@ -3523,6 +3525,99 @@ object SparkEntry {
       Seq((idx.lists.count(), probeExact)).toDF("n_rows", "probe_exact")
     }),
 
+    // Round-10: REPLAY IDEMPOTENCE of the append-mode index ingest
+    // streams. The engine re-delivers the last un-committed batch after
+    // a crash-restart; a raw append would land its rows twice
+    // (duplicate probe ids, double-counted lists). The BatchLedger
+    // protocol (snapshot → in-progress marker → append → applied
+    // marker, with rollback of a half-landed batch) makes each batch
+    // land exactly once. This query runs a checkpointed hybrid ingest,
+    // injects the crash-recovery state by DROPPING the engine's last
+    // commit marker, restarts from the same checkpoint so the final
+    // batch re-delivers in full, and proves row count, distinct ids,
+    // and a probe are IDENTICAL to single delivery.
+    "stream_ingest_replay" -> ((s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val path = java.nio.file.Files.createTempDirectory("graft_replay_idx").toString
+      Ann.ivfBqSave(Ann.ivfBqBuild(Ann.ivfBuild(
+        e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 8)), path)
+      val watch = java.nio.file.Files.createTempDirectory("graft_replay_watch")
+      val b1 = e.filter(col("vec_id") < 5)
+      def stage(name: String, df: DataFrame): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_rplstage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
+      }
+      stage("v1", b1)
+      stage("v2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10))
+      val cp = java.nio.file.Files.createTempDirectory("graft_replay_cp").toString
+      def run(): Unit = {
+        val st = s.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        val q = graft.streaming.StreamingOps.ivfBqIngestStream(
+          st, path, "vec_id", "embedding", checkpointDir = Some(cp))
+        try q.processAllAvailable() finally q.stop()
+      }
+      def probe(): Seq[String] = {
+        val idx = Ann.ivfBqLoad(s, path)
+        Ann.ivfBqTopK(idx, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 3, nProbe = 2, oversample = 4).collect().map(_.toString).sorted.toSeq
+      }
+      run()
+      val countOnce = s.read.parquet(s"$path/lists").count()
+      val probeOnce = probe()
+      // crash injection: drop the last batch's engine commit (+ its
+      // local-FS checksum sidecar) so the restart re-delivers it
+      val commits = new java.io.File(s"$cp/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      val lastNm = commits.last.getName
+      commits.last.delete()
+      new java.io.File(s"$cp/commits/.$lastNm.crc").delete()
+      run()
+      val lists = s.read.parquet(s"$path/lists")
+      Seq((lists.count(),
+        lists.count() == countOnce,
+        lists.select(col("id")).distinct().count() == countOnce,
+        probe() == probeOnce))
+        .toDF("n_rows", "count_single_delivery", "ids_unique", "probe_identical")
+    }),
+
+    // Round-10: crash-safe persisted DELETE rewrite. The worst crash
+    // window of the two-rename swap (original renamed away to
+    // .rewrite.old, rename-in never ran — the partition dir is MISSING
+    // and the dot-file holds the only copy) plus a stale staging dir
+    // are injected; the next delete call's recovery sweep restores the
+    // stranded directory BEFORE its touched-scan, so the delete lands
+    // on the full corpus: no row is lost, no staging residue survives.
+    "ann_idx_recover" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val path = java.nio.file.Files.createTempDirectory("graft_recov_idx").toString
+      Ann.ivfSave(Ann.ivfBuild(e, "vec_id", "embedding", nLists = 4), path)
+      val lists = s"$path/lists"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val all = s.read.parquet(lists)
+        .select(col("id").cast(StringType)).collect().map(_.getString(0)).toSet
+      val victim = new java.io.File(lists).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).head.getName
+      fs.rename(new org.apache.hadoop.fs.Path(s"$lists/$victim"),
+        new org.apache.hadoop.fs.Path(s"$lists/.$victim.rewrite.old"))
+      Seq(-1L).toDF("id").write.parquet(s"$lists/.$victim.rewrite.tmp")
+      val stranded = s.read.parquet(lists).count() < all.size
+      val dropIds = Seq("1", "2")
+      Ann.ivfDeleteSave(s, path, dropIds)
+      val after = s.read.parquet(lists)
+        .select(col("id").cast(StringType)).collect().map(_.getString(0)).toSet
+      val residueGone = !new java.io.File(s"$lists/.$victim.rewrite.old").exists &&
+        !new java.io.File(s"$lists/.$victim.rewrite.tmp").exists
+      Seq((after.size.toLong, stranded, after == all -- dropIds, residueGone))
+        .toDF("n_rows", "stranded_pre_recovery", "restored_then_deleted", "residue_gone")
+    }),
+
     // Multimodal: binary payload metadata (deterministic byte stats).
     "mm_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -4449,6 +4544,19 @@ object SparkEntry {
     "stream_ingest_ivfbq" ->
       """SELECT (SELECT CAST(count(*) - 2 AS BIGINT) FROM embeddings) AS n_rows,
         |       TRUE AS probe_exact""".stripMargin,
+
+    // replayed batch must not change the layout: rows = full corpus
+    // (base >= 10 plus the two streamed batches), landed exactly once
+    "stream_ingest_replay" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows,
+        |       TRUE AS count_single_delivery, TRUE AS ids_unique,
+        |       TRUE AS probe_identical""".stripMargin,
+
+    // post-recovery delete = full corpus minus the two dropped ids
+    "ann_idx_recover" ->
+      """SELECT (SELECT CAST(count(*) - 2 AS BIGINT) FROM embeddings) AS n_rows,
+        |       TRUE AS stranded_pre_recovery, TRUE AS restored_then_deleted,
+        |       TRUE AS residue_gone""".stripMargin,
 
     // streaming tombstones: the surviving id set is everything the two
     // microbatches did not forget

@@ -910,6 +910,9 @@ object Ann {
   def bqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Long] = {
     import spark.implicits._
+    recoverStagedDirs(
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$path/sigs"))
     val nb = bqLoadIndex(spark, path).nBuckets
     val touched = ids.toDF("id").select(bqBucketOf(nb).as("b"))
       .distinct().as[Long].collect().toSeq.sorted
@@ -1047,8 +1050,16 @@ object Ann {
       .agg(TopKByScore.topk(col("__score__"), col("id").cast(StringType), k * oversample)
         .as("hits"))
       .select(col("qid"), explode(col("hits.id")).as("id"))
+    // rerank against the CLUSTER-RESTRICTED lists, not the full table:
+    // the broadcast semi-join on the partition column keeps DPP alive
+    // for a persisted layout, so the (id, v) rerank scan reads only the
+    // probed directories — the same sub-linear posture as the
+    // nomination scan (and as ivfBqTopK's collect-path rerank)
+    val rerankLists = lists
+      .join(broadcast(probes.select(col("cluster")).distinct()),
+        Seq("cluster"), "left_semi")
     nominated
-      .join(lists.select(col("id").cast(StringType).as("id"),
+      .join(rerankLists.select(col("id").cast(StringType).as("id"),
         graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false)
           .as("__nv__")), Seq("id"))
       .join(probes.select(col("qid"), col("qvn")).dropDuplicates("qid"), Seq("qid"))
@@ -1124,6 +1135,9 @@ object Ann {
     * (atomic per-dir swap). Returns the touched cluster ids. */
   def ivfBqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Int] = {
+    recoverStagedDirs(
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$path/lists"))
     val drop = col("id").cast(StringType).isin(ids: _*)
     val touched = spark.read.parquet(s"$path/lists")
       .filter(drop).select(col("cluster").cast(IntegerType))
@@ -1723,24 +1737,7 @@ object Ann {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Seq.empty
-    // crash residue from an earlier interrupted pass. `.compact.tmp` is
-    // always droppable (the original dir is intact until rename-away).
-    // `.compact.old` is the ORIGINAL renamed away: if the crash hit
-    // between the two renames the partition dir is missing and `.old`
-    // holds the only copy — restore it; if the dir exists the swap
-    // completed and `.old` is a leftover — drop it. Either way the
-    // listing below then sees only real partition dirs.
-    fs.listStatus(rootPath).foreach { st =>
-      val nm = st.getPath.getName
-      if (st.isDirectory && nm.endsWith(".compact.tmp")) fs.delete(st.getPath, true)
-      else if (st.isDirectory && nm.endsWith(".compact.old")) {
-        val orig = new org.apache.hadoop.fs.Path(rootPath,
-          nm.stripPrefix(".").stripSuffix(".compact.old"))
-        if (fs.exists(orig)) fs.delete(st.getPath, true)
-        else require(fs.rename(st.getPath, orig),
-          s"recovery rename of $nm back to ${orig.getName} failed")
-      }
-    }
+    recoverStagedDirs(fs, rootPath)
     val offenders = fs.listStatus(rootPath).toSeq
       .filter { st =>
         val nm = st.getPath.getName
@@ -1805,19 +1802,66 @@ object Ann {
     (compactDirs(spark, s"$path/codes", maxFiles) ++
       compactDirs(spark, s"$path/ivf/lists", maxFiles)).distinct.sorted
 
+  /** Sweep crash residue left by an interrupted [[compactDirs]] or
+    * [[rewritePartitionDir]] swap under `root`. A `.…tmp` staging dir
+    * is always droppable (the original partition dir is intact until
+    * rename-away). A `.…old` dir is the ORIGINAL renamed away: if the
+    * crash hit between the two renames the partition dir is missing and
+    * `.old` holds the only copy — restore it (for a delete rewrite this
+    * resurrects the to-be-dropped rows, which is the correct retriable
+    * state: the delete simply hasn't happened yet and the caller's
+    * re-run completes it); if the dir exists the swap completed and
+    * `.old` is a leftover — drop it. Either way subsequent listings see
+    * only real partition dirs. Called at the top of every maintenance
+    * and persisted-delete entry point, so one call after a crash heals
+    * the layout before any data is read. */
+  private[operators] def recoverStagedDirs(fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(rootPath)) return
+    val tmpSuffixes = Seq(".compact.tmp", ".rewrite.tmp")
+    val oldSuffixes = Seq(".compact.old", ".rewrite.old")
+    fs.listStatus(rootPath).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && tmpSuffixes.exists(nm.endsWith)) fs.delete(st.getPath, true)
+      else if (st.isDirectory && oldSuffixes.exists(nm.endsWith)) {
+        val orig = new org.apache.hadoop.fs.Path(rootPath,
+          oldSuffixes.foldLeft(nm.stripPrefix("."))(_.stripSuffix(_)))
+        if (fs.exists(orig)) fs.delete(st.getPath, true)
+        else require(fs.rename(st.getPath, orig),
+          s"recovery rename of $nm back to ${orig.getName} failed")
+      }
+    }
+  }
+
+  /** Rewrite one partition directory keeping only rows NOT matching
+    * `drop`, via the same crash-safe two-rename swap as [[compactDirs]]:
+    * kept rows stage to a dot-prefixed `.rewrite.tmp` sibling, the
+    * original renames away to `.rewrite.old`, the staging dir renames
+    * in, and only then is the original dropped. A crash at ANY point
+    * leaves either the original intact (tmp droppable) or `.old`
+    * holding the full pre-delete copy — [[recoverStagedDirs]] (run by
+    * every delete/compact entry point) restores it, so no window exists
+    * where the only copy lives in an invisible dot-file. A directory
+    * whose kept set is empty is removed outright (every row matched
+    * `drop`, so a partially-completed recursive delete is itself
+    * retriable). Backs every persisted delete (IVF / BQ / hybrid /
+    * IVF×PQ). */
   private def rewritePartitionDir(spark: org.apache.spark.sql.SparkSession,
       dir: String, drop: Column): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val tmp = new org.apache.hadoop.fs.Path(
       dirPath.getParent, s".${dirPath.getName}.rewrite.tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      dirPath.getParent, s".${dirPath.getName}.rewrite.old")
     val kept = spark.read.parquet(dir).filter(!drop).localCheckpoint(true)
     if (kept.isEmpty) {
       fs.delete(dirPath, true)
     } else {
       kept.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dirPath, true)
+      require(fs.rename(dirPath, old), s"rename-away of $dir failed")
       require(fs.rename(tmp, dirPath), s"rename of rewritten $dir failed")
+      fs.delete(old, true)
     }
   }
 
@@ -1836,6 +1880,8 @@ object Ann {
     * Returns the touched cluster ids. */
   def ivfDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/lists"))
     val drop = col("id").cast(StringType).isin(ids: _*)
     val touched = spark.read.parquet(s"$path/lists")
       .filter(drop).select(col("cluster").cast(IntegerType))
@@ -1851,6 +1897,9 @@ object Ann {
     * ids. */
   def ivfPqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/codes"))
+    recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/ivf/lists"))
     val drop = col("id").cast(StringType).isin(ids: _*)
     val touched = spark.read.parquet(s"$path/codes")
       .filter(drop).select(col("cluster").cast(IntegerType))

@@ -113,6 +113,16 @@ final class HnswShards private (
     * tombstones do not survive (the new graphs hold live rows only). */
   def reshard(newShards: Int): HnswShards = {
     require(newShards >= 1, "newShards must be >= 1")
+    val (allIds, flat, m, efc, seed0) = snapshotLive()
+    HnswShards.build(allIds, flat, dim, newShards, m, efc, seed0)
+  }
+
+  /** Flatten the LIVE rows plus build params into plain arrays — the
+    * cheap (memcpy ∝ corpus, zero graph work) first half of [[reshard]],
+    * exposed so [[HnswShardsServing]] can take the snapshot
+    * synchronously under its mutation lock and run the expensive graph
+    * build from it on a background thread. */
+  private[operators] def snapshotLive(): (Array[String], Array[Float], Int, Int, Long) = {
     val (m, efc, seed0) = shards(0).buildParams
     val perShard = shards.map(_.liveRows)
     val total = perShard.iterator.map(_._1.length).sum
@@ -124,7 +134,7 @@ final class HnswShards private (
       System.arraycopy(vecs, 0, flat, off * dim, vecs.length)
       off += ids.length
     }
-    HnswShards.build(allIds, flat, dim, newShards, m, efc, seed0)
+    (allIds, flat, m, efc, seed0)
   }
 
   /** Recommended shard count after drift, or None while the current
@@ -186,53 +196,131 @@ final class HnswShards private (
 /** Atomic serving handle with the reshard gate ON the ingest cadence:
   * queries always read the CURRENT sharded graph; [[add]] inserts into
   * it and then checks [[HnswShards.needsReshard]] — when size drift
-  * leaves the recall-calibrated knee, the rebuild runs on the ingest
-  * thread and the finished instance swaps in atomically, so query
-  * threads never see a half-built layout and never block on the
-  * rebuild (the same swap discipline as `LocalMatrixStore.refresh`).
-  * Implements [[HnswMaintainable]], so the existing streaming twins
+  * leaves the recall-calibrated knee, a BACKGROUND rebuild starts and
+  * the finished instance swaps in atomically, so query threads never
+  * see a half-built layout and never block on the rebuild (the same
+  * swap discipline as `LocalMatrixStore.refresh`). Implements
+  * [[HnswMaintainable]], so the existing streaming twins
   * (`StreamingOps.upsertStreamWithHnsw` / `tombstoneStreamHnsw`) drive
   * the full grow-past-the-knee → reshard → keep-serving loop with no
   * extra plumbing.
+  *
+  * Reshard protocol (the rebuild must NOT run on the ingest thread —
+  * at scale it is a full-corpus graph build, and stalling every
+  * upsert/tombstone batch for its duration would back the streams up
+  * by exactly the thing the gate is supposed to amortize):
+  *  1. the triggering `add` snapshots the live rows under the mutation
+  *     lock (memcpy ∝ corpus — the cheap half) and starts a daemon
+  *     rebuild thread over the snapshot;
+  *  2. mutations that arrive during the rebuild apply to the CURRENT
+  *     instance as usual (serving stays fresh) and are journaled in
+  *     arrival order;
+  *  3. the rebuild thread, under the same lock, REPLAYS the journal
+  *     into the fresh instance and swaps it in — the pause ingest can
+  *     observe is ∝ mutations-during-rebuild, never ∝ corpus.
+  * Snapshot + ordered replay reproduces the exact mutation history, so
+  * no add or tombstone is lost across the swap; at most one rebuild is
+  * in flight (the gate is skipped while one runs). A failed rebuild
+  * (e.g. OOM) surfaces on [[lastReshardError]] and serving continues
+  * on the current instance.
   *
   * Concurrency contract: MUTATIONS SERIALIZE ON THE HANDLE (`add` and
   * `markDeleted` synchronize), because the upsert and tombstone twins
   * are separate streaming queries = separate threads — an
   * unsynchronized delete could land on a superseded instance after a
   * reshard swap and be lost, and concurrent add/markDeleted would
-  * violate the underlying graphs' single-writer regime. The lock also
-  * means a tombstone batch waits out an in-flight reshard — bounded by
-  * one rebuild. Reads stay lock-free on the atomic reference.
-  * `resharded` counts swaps for observability. */
-final class HnswShardsServing(initial: HnswShards, slack: Double = 2.0)
+  * violate the underlying graphs' single-writer regime. Reads stay
+  * lock-free on the atomic reference. `resharded` counts swaps for
+  * observability; [[awaitReshard]] is the barrier for callers that
+  * need the swap to have landed (checkpoint/save cadences, specs).
+  *
+  * `preSwapHook` runs on the rebuild thread after the graph build and
+  * before the journal replay + swap — a deterministic seam for
+  * concurrency specs (hold the swap open, mutate, release); the
+  * default is a no-op. */
+final class HnswShardsServing(initial: HnswShards, slack: Double = 2.0,
+    preSwapHook: () => Unit = () => ())
   extends HnswMaintainable {
   require(slack > 1.0, "slack must be > 1")
   private val ref = new java.util.concurrent.atomic.AtomicReference(initial)
   private val swaps = new java.util.concurrent.atomic.AtomicInteger(0)
+  // reshard-in-flight state, all guarded by `this`
+  private var journal: scala.collection.mutable.ArrayBuffer[
+    Either[Seq[(String, Array[Float])], Seq[String]]] = null
+  private var rebuild: Thread = null
+  @volatile private var rebuildError: Throwable = null
 
   /** The instance currently serving (for save/maintain/inspection). */
   def current: HnswShards = ref.get()
   def resharded: Int = swaps.get()
   def nShards: Int = ref.get().nShards
   def nRows: Long = ref.get().nRows
+  def reshardInFlight: Boolean = synchronized { rebuild != null }
+  def lastReshardError: Option[Throwable] = Option(rebuildError)
 
   def add(batch: Seq[(String, Array[Float])]): Unit = synchronized {
     val h = ref.get()
     h.add(batch)
-    h.needsReshard(slack).foreach { n =>
-      ref.set(h.reshard(n))
-      swaps.incrementAndGet()
-    }
+    if (rebuild != null) journal += Left(batch)
+    else h.needsReshard(slack).foreach(startReshard(h, _))
   }
 
   def markDeleted(dropIds: Seq[String]): Unit = synchronized {
     ref.get().markDeleted(dropIds)
+    if (rebuild != null) journal += Right(dropIds)
   }
 
   def query(queryVec: Array[Float], topK: Int, ef: Int = 64,
       betterThan: Option[Double] = None,
       allowedIds: Option[Set[String]] = None): Array[(String, Double)] =
     ref.get().query(queryVec, topK, ef, betterThan, allowedIds)
+
+  /** Block until no rebuild is in flight (including the journal replay
+    * and swap). Call before [[HnswShards.save]]/[[HnswShards.saveDelta]]
+    * on [[current]] when the persisted artifact must reflect a
+    * completed reshard. */
+  def awaitReshard(timeoutMillis: Long = 300000L): Unit = {
+    val t = synchronized(rebuild)
+    if (t != null) {
+      t.join(timeoutMillis)
+      require(!t.isAlive, s"reshard did not finish within ${timeoutMillis}ms")
+    }
+  }
+
+  // caller holds the lock (only reached from add)
+  private def startReshard(h: HnswShards, n: Int): Unit = {
+    val (ids, flat, m, efc, seed) = h.snapshotLive()
+    journal = scala.collection.mutable.ArrayBuffer.empty
+    rebuildError = null
+    val t = new Thread(() => {
+      try {
+        val fresh = HnswShards.build(ids, flat, h.dim, n, m, efc, seed)
+        preSwapHook()
+        finishReshard(fresh)
+      } catch {
+        case e: Throwable =>
+          rebuildError = e
+          HnswShardsServing.this.synchronized { journal = null; rebuild = null }
+      }
+    }, "hnsw-reshard")
+    t.setDaemon(true)
+    rebuild = t
+    t.start()
+  }
+
+  // runs on the rebuild thread; the lock makes the replay+swap atomic
+  // w.r.t. concurrent mutations (they either precede the replay in the
+  // journal or land on the fresh instance after the swap)
+  private def finishReshard(fresh: HnswShards): Unit = synchronized {
+    journal.foreach {
+      case Left(batch) => fresh.add(batch)
+      case Right(ids)  => fresh.markDeleted(ids)
+    }
+    ref.set(fresh)
+    swaps.incrementAndGet()
+    journal = null
+    rebuild = null
+  }
 }
 
 object HnswShards {

@@ -152,8 +152,19 @@ object Relational {
     * two-directional temperature mixing. */
   def upsampleRepeatByRates(df: DataFrame, idCol: String, groupCol: String,
       rates: DataFrame): DataFrame = {
+    // runtime twin of upsampleRepeat's driver-side require: a negative
+    // or NaN weight would otherwise silently emit wrong rows (sequence
+    // to a negative floor yields descending copy indices) — fail fast
+    // inside the plan instead, since the weights live in a frame
+    val guarded = when(
+      col("__w__") >= 0.0 && col("__w__") <= Double.MaxValue, // NaN/±Inf fail
+      col("__w__"))
+      .otherwise(raise_error(concat(
+        lit("upsampleRepeatByRates: weights must be finite and >= 0, got "),
+        col("__w__").cast(StringType))))
     val r = broadcast(rates.select(col(groupCol),
-      col("weight").cast(DoubleType).as("__w__")))
+      col("weight").cast(DoubleType).as("__w__"))
+      .withColumn("__w__", guarded))
     val whole = floor(col("__w__")).cast(LongType)
     val unit = conv(substring(md5(concat(col(idCol).cast("string"), lit("|"),
         col("copy").cast("string"))), 1, 12), 16, 10)

@@ -378,44 +378,41 @@ object StreamingOps {
     * (lib.rs:150-185) as a stream. foreachBatch serializes batches, so
     * upserts apply in arrival order. */
   /** Shared compaction cadence for the ingestion streams: every
-    * `compactEvery` non-empty microbatches, run the layout's compactor
-    * so the stream repays its own small-file debt (touched-dirs-only
-    * appends accumulate one file per batch per dir; unbounded ingest
-    * without compaction degrades every scan to file-open overhead).
-    * 0 disables. foreachBatch serializes batches, so compaction never
-    * races an APPEND on the same layout. Readers get the library-wide
-    * maintenance caveat (same as delete/shrink/rebalance): a scan
-    * whose file listing predates a swap may miss the rewritten dir or
-    * hit FileNotFound — reload index handles after a maintenance tick,
-    * or serve from the in-process tiers, exactly as when running the
-    * compactor offline. */
-  private final class CompactCadence(every: Int,
-      run: SparkSession => Unit) {
+    * `compactEvery` microbatches, run the layout's compactor so the
+    * stream repays its own small-file debt (touched-dirs-only appends
+    * accumulate one file per batch per dir; unbounded ingest without
+    * compaction degrades every scan to file-open overhead). 0 disables.
+    * The tick derives from the engine's `batchId` (`batchId % every ==
+    * every - 1`), NOT a driver-memory counter, so the cadence survives
+    * a checkpoint restart and a re-delivered batch cannot double-tick
+    * — compaction timing is deterministic per batch id. foreachBatch
+    * serializes batches, so compaction never races an APPEND on the
+    * same layout. Readers get the library-wide maintenance caveat
+    * (same as delete/shrink/rebalance): a scan whose file listing
+    * predates a swap may miss the rewritten dir or hit FileNotFound —
+    * reload index handles after a maintenance tick, or serve from the
+    * in-process tiers, exactly as when running the compactor offline. */
+  private def cadenceTick(every: Int, batchId: Long)(run: => Unit): Unit = {
     require(every >= 0, s"compactEvery must be >= 0, got $every")
-    private var n = 0
-    def tick(spark: SparkSession): Unit = if (every > 0) {
-      n += 1
-      if (n % every == 0) run(spark)
-    }
+    if (every > 0 && batchId % every == every - 1) run
   }
 
   def upsertStream(batches: DataFrame, storePath: String,
-      compactEvery: Int = 0, compactMaxFiles: Int = 8): StreamingQuery = {
-    val cadence = new CompactCadence(compactEvery, s => {
-      graft.operators.VectorStore.Partitioned.compact(s, storePath, compactMaxFiles)
-      ()
-    })
+      compactEvery: Int = 0, compactMaxFiles: Int = 8): StreamingQuery =
     batches.writeStream
       .outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
           graft.operators.VectorStore.Partitioned.upsert(
             b.sparkSession, storePath, b)
-          cadence.tick(b.sparkSession)
+        }
+        cadenceTick(compactEvery, batchId) {
+          graft.operators.VectorStore.Partitioned.compact(
+            b.sparkSession, storePath, compactMaxFiles)
+          ()
         }
       }
       .start()
-  }
 
   /** Streaming ingestion that also keeps a bucket-aligned
     * [[graft.operators.MatrixStore]] scan cache fresh: each microbatch
@@ -522,14 +519,12 @@ object StreamingOps {
     // same cadence contract as the index ingest streams; DedupIndex owns
     // its own compactor (per-projection range-repartition + probe-key
     // co-sort), so the cadence both bounds the file count AND restores
-    // probe locality as the stream appends
-    val cadence = new CompactCadence(compactEvery, s => {
-      graft.operators.DedupIndex.compact(s, indexPath, compactFilesPerProjection)
-      ()
-    })
+    // probe locality as the stream appends. No batch ledger needed: the
+    // append is content-idempotent (a re-delivered batch anti-joins the
+    // hashes its first delivery stored and contributes nothing).
     batches.writeStream
       .outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
           import graft.operators.{Dedup, DedupIndex}
           val fresh = Dedup.dropExactDups(b, idCol, Seq(textCol))
@@ -539,7 +534,11 @@ object StreamingOps {
             .localCheckpoint(true)
           if (!accepted.isEmpty)
             DedupIndex.append(accepted, idCol, textCol, indexPath)
-          cadence.tick(b.sparkSession)
+        }
+        cadenceTick(compactEvery, batchId) {
+          graft.operators.DedupIndex.compact(
+            b.sparkSession, indexPath, compactFilesPerProjection)
+          ()
         }
       }
       .start()
@@ -552,20 +551,30 @@ object StreamingOps {
     * fit anywhere in the stream, the cost-∝-batch ANN twin of
     * [[upsertStream]]. Probes (`ivfLoad` + `ivfTopK`) pick up appended
     * rows on their next index load; rebalancing on skew stays an
-    * offline decision ([[graft.operators.Ann.ivfRebalance]]). */
+    * offline decision ([[graft.operators.Ann.ivfRebalance]]).
+    *
+    * Raw appends are NOT naturally idempotent, so each batch runs
+    * through [[BatchLedger.runIdempotent]]: a batch the engine
+    * re-delivers after a checkpoint restart is skipped (or rolled back
+    * and re-applied if the first delivery crashed mid-append) — rows
+    * land exactly once. */
   def ivfIngestStream(batches: DataFrame, indexPath: String,
       idCol: String, vecCol: String,
-      compactEvery: Int = 0, compactMaxFiles: Int = 8): StreamingQuery = {
-    val cadence = new CompactCadence(compactEvery, s => {
-      graft.operators.Ann.ivfCompactSave(s, indexPath, compactMaxFiles)
-      ()
-    })
-    batches.writeStream
-      .outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      compactEvery: Int = 0, compactMaxFiles: Int = 8,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val ws = batches.writeStream.outputMode("append")
+    checkpointDir.foreach(ws.option("checkpointLocation", _))
+    ws.foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
-          graft.operators.Ann.ivfAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
-          cadence.tick(b.sparkSession)
+          BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
+            batchId, Seq(s"$indexPath/lists")) {
+            graft.operators.Ann.ivfAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
+          }
+        }
+        cadenceTick(compactEvery, batchId) {
+          graft.operators.Ann.ivfCompactSave(
+            b.sparkSession, indexPath, compactMaxFiles)
+          ()
         }
       }
       .start()
@@ -576,20 +585,25 @@ object StreamingOps {
     * sign-packs (fit-free — no trained state to drift) and appends,
     * landing files only in the touched bucket directories. The coarse
     * artifact of the binary scan tier follows ingestion at cost ∝
-    * batch, same posture as [[ivfIngestStream]]. */
+    * batch, same posture as [[ivfIngestStream]] — including its
+    * [[BatchLedger]] wrap, so re-delivered batches land exactly once. */
   def bqIngestStream(batches: DataFrame, indexPath: String,
       idCol: String, vecCol: String,
-      compactEvery: Int = 0, compactMaxFiles: Int = 8): StreamingQuery = {
-    val cadence = new CompactCadence(compactEvery, s => {
-      graft.operators.Ann.bqCompactSave(s, indexPath, compactMaxFiles)
-      ()
-    })
-    batches.writeStream
-      .outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      compactEvery: Int = 0, compactMaxFiles: Int = 8,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val ws = batches.writeStream.outputMode("append")
+    checkpointDir.foreach(ws.option("checkpointLocation", _))
+    ws.foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
-          graft.operators.Ann.bqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
-          cadence.tick(b.sparkSession)
+          BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
+            batchId, Seq(s"$indexPath/sigs")) {
+            graft.operators.Ann.bqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
+          }
+        }
+        cadenceTick(compactEvery, batchId) {
+          graft.operators.Ann.bqCompactSave(
+            b.sparkSession, indexPath, compactMaxFiles)
+          ()
         }
       }
       .start()
@@ -601,20 +615,25 @@ object StreamingOps {
     * fit-free — and appends only the landed clusters' directories
     * ([[graft.operators.Ann.ivfBqAppendSave]]). The composed
     * coarse+compressed index follows ingestion at cost ∝ batch, same
-    * posture as its two parents above. */
+    * posture as its two parents above — including their
+    * [[BatchLedger]] wrap, so re-delivered batches land exactly once. */
   def ivfBqIngestStream(batches: DataFrame, indexPath: String,
       idCol: String, vecCol: String,
-      compactEvery: Int = 0, compactMaxFiles: Int = 8): StreamingQuery = {
-    val cadence = new CompactCadence(compactEvery, s => {
-      graft.operators.Ann.ivfBqCompactSave(s, indexPath, compactMaxFiles)
-      ()
-    })
-    batches.writeStream
-      .outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      compactEvery: Int = 0, compactMaxFiles: Int = 8,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val ws = batches.writeStream.outputMode("append")
+    checkpointDir.foreach(ws.option("checkpointLocation", _))
+    ws.foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
-          graft.operators.Ann.ivfBqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
-          cadence.tick(b.sparkSession)
+          BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
+            batchId, Seq(s"$indexPath/lists")) {
+            graft.operators.Ann.ivfBqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
+          }
+        }
+        cadenceTick(compactEvery, batchId) {
+          graft.operators.Ann.ivfBqCompactSave(
+            b.sparkSession, indexPath, compactMaxFiles)
+          ()
         }
       }
       .start()

@@ -694,6 +694,22 @@ class TextEventsSpec extends AnyFunSuite {
     val en = docs.filter(col("lang") === "en").count()
     assert(g.filter(col("lang") === "en").count() == 3 * en)
     assert(g.filter(col("lang") =!= "en").count() == n - en)
+    // the rates-frame twin rejects bad weights at runtime instead of
+    // silently emitting wrong rows (negative floor -> descending copies)
+    Seq(-1.0, Double.NaN, Double.PositiveInfinity).foreach { bad =>
+      val rates = Seq(("en", bad)).toDF("lang", "weight")
+      val ex = intercept[Exception] {
+        Relational.upsampleRepeatByRates(docs, "doc_id", "lang", rates).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("weights must be finite and >= 0")),
+        s"weight $bad must fail fast")
+    }
+    // and a valid rates frame still matches the literal-map twin
+    val gr = Relational.upsampleRepeatByRates(docs, "doc_id", "lang",
+      Seq(("en", 3.0), ("de", 1.0), ("fr", 1.0)).toDF("lang", "weight"))
+    assert(gr.filter(col("lang") === "en").count() == 3 * en)
   }
 
   test("contamination: eval-set n-gram overlap fraction per training doc") {

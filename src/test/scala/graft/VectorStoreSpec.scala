@@ -958,6 +958,43 @@ class VectorStoreSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("delete-rewrite crash recovery: stranded .rewrite.old restored before the delete runs") {
+    import java.nio.file.Files
+    import graft.operators.Ann
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 30)
+    val path = Files.createTempDirectory("rwrec").toString
+    Ann.ivfSave(Ann.ivfBuild(e, "vec_id", "embedding", nLists = 3), path)
+    val lists = s"$path/lists"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val allBefore = spark.read.parquet(lists)
+      .select(col("id").cast("string")).collect().map(_.getString(0)).toSet
+    // pick a victim cluster dir and simulate the crash window of an
+    // earlier delete: original renamed away to .rewrite.old, the
+    // rename-in never ran (partition dir MISSING), plus a stale
+    // staging dir that must never be read as data
+    val victim = new java.io.File(lists).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).head.getName
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$lists/$victim"),
+      new org.apache.hadoop.fs.Path(s"$lists/.$victim.rewrite.old")))
+    Seq(-1L).toDF("id").write.parquet(s"$lists/.$victim.rewrite.tmp")
+    // ids stranded in .old are invisible right now
+    assert(spark.read.parquet(lists)
+      .select(col("id").cast("string")).collect().map(_.getString(0)).toSet != allBefore)
+    // the next delete call sweeps first: the stranded dir is restored,
+    // so the touched-scan sees every row and the delete lands on the
+    // full corpus — no data loss across the injected crash
+    val dropIds = allBefore.take(2).toSeq
+    Ann.ivfDeleteSave(spark, path, dropIds)
+    assert(!new java.io.File(s"$lists/.$victim.rewrite.old").exists)
+    assert(!new java.io.File(s"$lists/.$victim.rewrite.tmp").exists)
+    val after = spark.read.parquet(lists)
+      .select(col("id").cast("string")).collect().map(_.getString(0)).toSet
+    assert(after == allBefore -- dropIds,
+      "post-recovery delete must act on the restored full corpus")
+  }
+
   test("ingest streams repay their own small-file debt on the compact cadence") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
@@ -993,6 +1030,103 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/lists").count() == e.count())
   }
 
+  test("index ingest streams are replay-idempotent across a checkpoint restart") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import graft.operators.Ann
+    // the hybrid family as representative — all three raw-append
+    // ingest streams share the same BatchLedger wrap
+    val e = Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"), col("embedding"))
+    val path = Files.createTempDirectory("rplidx").toString
+    Ann.ivfBqSave(Ann.ivfBqBuild(Ann.ivfBuild(
+      e.filter(col("vec_id") >= 40), "vec_id", "embedding", nLists = 2)), path)
+    val watch = Files.createTempDirectory("rplwatch")
+    (0 until 2).foreach { i =>
+      val tmp = Files.createTempDirectory(s"rplstage$i")
+      e.filter(col("vec_id") >= 10 * i && col("vec_id") < 10 * (i + 1))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, watch.resolve(s"b$i.parquet"))
+    }
+    val cp = Files.createTempDirectory("rplcp").toString
+    def run(): Unit = {
+      val st = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      val q = graft.streaming.StreamingOps.ivfBqIngestStream(st, path,
+        "vec_id", "embedding", checkpointDir = Some(cp))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val lists = spark.read.parquet(s"$path/lists")
+    val countOnce = lists.count()
+    assert(countOnce == e.filter(col("vec_id") >= 40).count() + 20)
+    def probe(): Seq[String] = {
+      val q = e.filter(col("vec_id") < 3)
+      Ann.ivfBqTopK(Ann.ivfBqLoad(spark, path), q, "vec_id", "embedding",
+        k = 5, nProbe = 2, oversample = 4)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val probeOnce = probe()
+    // crash injection: drop the LAST batch's engine commit so a
+    // restart from the same checkpoint re-delivers it in full
+    val commits = new java.io.File(s"$cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val lastName = commits.last.getName
+    assert(commits.last.delete())
+    // local-FS checksum sidecar would block the re-commit rename
+    new java.io.File(s"$cp/commits/.$lastName.crc").delete()
+    run()
+    val after = spark.read.parquet(s"$path/lists")
+    assert(after.count() == countOnce,
+      "replayed batch must not double-append")
+    assert(after.select(col("id")).distinct().count() == countOnce,
+      "no duplicate ids after replay")
+    assert(probe() == probeOnce,
+      "probe results must be identical to single delivery")
+  }
+
+  test("batch ledger rolls back a crashed mid-append delivery, then applies exactly once") {
+    import java.nio.file.Files
+    import graft.streaming.BatchLedger
+    val base = Files.createTempDirectory("bldg").toString
+    val data = s"$base/lists"
+    val ledger = s"$base/_ledger"
+    Seq(1L, 2L).toDF("id").coalesce(1).write.parquet(s"$data/cluster=0")
+    def fileSet(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(data)).map(_.getPath).toSet
+    }
+    val before = fileSet()
+    // delivery 1 of batch 7 crashes AFTER appending but BEFORE the
+    // ledger finalize — the worst window
+    val boom = intercept[RuntimeException] {
+      BatchLedger.runIdempotent(spark, ledger, 7L, Seq(data)) {
+        Seq(3L).toDF("id").coalesce(1).write.mode("append").parquet(s"$data/cluster=0")
+        Seq(4L).toDF("id").coalesce(1).write.parquet(s"$data/cluster=1")
+        throw new RuntimeException("injected crash")
+      }
+    }
+    assert(boom.getMessage == "injected crash")
+    assert(fileSet() != before, "partial append visible pre-recovery")
+    assert(new java.io.File(ledger).listFiles()
+      .exists(_.getName.endsWith(".inprogress")))
+    // delivery 2 (the engine replay): rollback restores the pre-batch
+    // state, then the append runs once
+    assert(BatchLedger.runIdempotent(spark, ledger, 7L, Seq(data)) {
+      Seq(3L).toDF("id").coalesce(1).write.mode("append").parquet(s"$data/cluster=0")
+    })
+    assert(spark.read.parquet(data).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "rollback must drop the partial rows; re-apply lands once")
+    // delivery 3 (a second replay): fully applied → skipped
+    assert(!BatchLedger.runIdempotent(spark, ledger, 7L, Seq(data)) {
+      fail("apply must not run for an already-applied batch")
+    })
+  }
+
   test("streaming ingest trips the reshard gate through the serving handle") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
@@ -1021,6 +1155,7 @@ class VectorStoreSpec extends AnyFunSuite {
     val q = graft.streaming.StreamingOps.upsertStreamWithHnsw(stream, store, serving)
     try q.processAllAvailable() finally q.stop()
     // gate fired once, handle swapped to the ideal count, nothing lost
+    serving.awaitReshard()
     assert(serving.resharded == 1)
     assert(serving.nShards == graft.operators.HnswShards.defaultShards(10))
     assert(serving.nRows == 10)
@@ -1031,6 +1166,44 @@ class VectorStoreSpec extends AnyFunSuite {
     // the delete twin drives the swapped handle through the same trait
     serving.markDeleted(Seq("100"))
     assert(serving.query(Array(0f, 0f, 1f, 0f), 10, ef = 16).forall(_._1 != "100"))
+  }
+
+  test("reshard rebuild runs off the ingest thread; journaled mutations survive the swap") {
+    import java.nio.file.Files
+    val st = mkStore((0 until 8).map(i => (i.toString, Seq(i + 1f, 1f, 0f, 0f), s"c$i")))
+    val store = Files.createTempDirectory("rsbg").toString
+    VectorStore.Partitioned.init(st, store, nBuckets = 4)
+    val cache = graft.operators.MatrixStore.fromPartitionedLayout(spark, store)
+    val hs = cache.toLocal().toHnswSharded(nShards = 8, m = 4, efConstruction = 8)
+    cache.unpersist()
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    // hold the rebuild open at the pre-swap seam so the in-flight
+    // window is deterministic, not a timing race
+    val gateL = new java.util.concurrent.CountDownLatch(1)
+    val serving = new graft.operators.HnswShardsServing(hs, slack = 2.0,
+      preSwapHook = () => gateL.await())
+    // trips the gate (8 shards over 10 rows is far under the knee) and
+    // RETURNS while the rebuild is still running — the old behavior
+    // blocked here for the whole rebuild
+    serving.add(Seq("100" -> v(0, 0, 1, 0), "101" -> v(0, 0, 0, 1)))
+    assert(serving.reshardInFlight && serving.resharded == 0)
+    // ingest latency during the reshard is bounded by the batch, not
+    // the rebuild: both mutation kinds land and serve immediately
+    serving.add(Seq("200" -> v(0, 1, 0, 0)))
+    serving.markDeleted(Seq("100"))
+    assert(serving.reshardInFlight, "mutations must not wait out the rebuild")
+    assert(serving.query(v(0, 1, 0, 0), 1, ef = 16).head._1 == "200")
+    assert(serving.query(v(0, 0, 1, 0), 10, ef = 16).forall(_._1 != "100"))
+    gateL.countDown()
+    serving.awaitReshard()
+    assert(serving.resharded == 1 && serving.lastReshardError.isEmpty)
+    assert(serving.nShards == graft.operators.HnswShards.defaultShards(serving.nRows))
+    // the journal replayed into the fresh instance in arrival order:
+    // 8 base + {100, 101, 200} added − {100} deleted = 10 live rows
+    assert(serving.nRows == 10)
+    assert(serving.query(v(0, 1, 0, 0), 1, ef = 16).head._1 == "200")
+    assert(serving.query(v(0, 0, 0, 1), 1, ef = 16).head._1 == "101")
+    assert(serving.query(v(0, 0, 1, 0), 10, ef = 16).forall(_._1 != "100"))
   }
 
   test("local serving replica: bitwise-equal to the distributed matrix scan") {
