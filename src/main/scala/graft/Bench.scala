@@ -138,7 +138,7 @@ object Bench {
       // (an approximate index's latency is hollow without its recall);
       // the headline keys carry the ef=256 point (recall 0.96-0.97).
       val tH0 = System.nanoTime()
-      val hnsw = local.toHnswSharded() // 16 shards, m=32, efC=400
+      val hnsw = local.toHnswSharded() // 32 shards, m=24, efC=200
       val tHnswBuild = (System.nanoTime() - tH0) / 1e9
       val hnswQueryVecs = {
         val qids = (0 until 20).map(i => (i * 4999).toString)

@@ -4469,8 +4469,8 @@ object SparkEntry {
     "stream_hnsw_reshard" ->
       """WITH c AS (SELECT COUNT(*) AS n FROM embeddings)
         |SELECT n AS n_rows, CAST(8 AS BIGINT) AS shards_before,
-        |       GREATEST(1, LEAST(32, CAST(CEIL(n / 6250.0) AS BIGINT))) AS shards_after,
-        |       GREATEST(1, LEAST(32, CAST(CEIL(n / 6250.0) AS BIGINT))) AS ideal_shards,
+        |       GREATEST(1, LEAST(32, CAST(CEIL(n / 3125.0) AS BIGINT))) AS shards_after,
+        |       GREATEST(1, LEAST(32, CAST(CEIL(n / 3125.0) AS BIGINT))) AS ideal_shards,
         |       TRUE AS one_swap, TRUE AS rows_ok, TRUE AS self_hit
         |FROM c""".stripMargin,
 

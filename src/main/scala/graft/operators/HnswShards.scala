@@ -325,12 +325,18 @@ final class HnswShardsServing(initial: HnswShards, slack: Double = 2.0,
 
 object HnswShards {
 
-  /** Default shard sizing: ~6.25k rows per shard (the measured knee on
-    * the 1024-dim uniform microbench: 16x6.25k shards reach recall@10 =
-    * 0.965 at ef=256 in 10.8 ms where one 100k graph manages 0.835 at
-    * ef=1024 in 49 ms) capped at 32 shards (the pool width). */
+  /** Default shard sizing: ~3.1k rows per shard, capped at 32 shards
+    * (the pool width). Round-10 re-measurement on the 1024-dim uniform
+    * microbench moved the knee down from 6.25k: at 100k rows, 32x3.1k
+    * shards reach recall@10 = 1.000 at ef=256 in ~6 ms AND build 1.4x
+    * faster than 16x6.25k (40 s vs 54 s at equal m/efC — a 3.1k shard
+    * sits under [[HnswReplica]]'s serial-build threshold, so each
+    * shard builds contention-free on its own pool thread instead of
+    * nested-parallel with CAS retries, and the per-shard graph is
+    * DETERMINISTIC in (data, params, seed)). One 100k graph manages
+    * 0.835 at ef=1024 in 49 ms on the same data. */
   def defaultShards(n: Long): Int =
-    math.max(1, math.min(32, math.ceil(n / 6250.0).toInt))
+    math.max(1, math.min(32, math.ceil(n / 3125.0).toInt))
 
   /** Partition `(ids, rowMajor)` by id hash and build per-shard graphs
     * concurrently. Vectors must already be L2-normalized (same contract

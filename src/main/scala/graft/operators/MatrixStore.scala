@@ -252,8 +252,14 @@ final class LocalMatrixStore private[operators] (
     * recall at the wall latency of one small-graph search — the
     * operating points a single 100k+ graph can't reach (see
     * [[HnswShards]]'s scaladoc for the measured numbers). `nShards = 0`
-    * picks [[HnswShards.defaultShards]] (~12.5k rows per shard). */
-  def toHnswSharded(nShards: Int = 0, m: Int = 32, efConstruction: Int = 400,
+    * picks [[HnswShards.defaultShards]] (~3.1k rows per shard — small
+    * enough that each shard builds serially = deterministically on its
+    * own pool thread). Default m/efConstruction are the round-10
+    * measured sweet spot at that shard size on the hardest (uniform
+    * 1024-dim) microbench: m=24/efC=200 builds 100k in ~24 s at
+    * recall@10 = 1.000 (ef=256) / 0.975 (ef=128); m=32/efC=400 bought
+    * nothing but 1.7x the build there. */
+  def toHnswSharded(nShards: Int = 0, m: Int = 24, efConstruction: Int = 200,
       seed: Long = 42L): HnswShards = {
     val n = nRows.toInt
     val allIds = new Array[String](n)
