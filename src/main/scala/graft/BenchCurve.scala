@@ -100,8 +100,13 @@ object BenchCurve {
   }
 
   def main(args: Array[String]): Unit = {
+    // local-iteration convenience: `runMain graft.BenchCurve scale`
+    // times ONLY the large-N scale section and prints its JSON (no
+    // BENCH_CURVE.json write — the committed artifact always carries
+    // both sections from a full run)
+    val scaleOnly = args.sameElements(Array("scale"))
     val sfs =
-      if (args.nonEmpty) args.toSeq
+      if (args.nonEmpty && !scaleOnly) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -114,6 +119,11 @@ object BenchCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warmup
+    if (scaleOnly) {
+      println("{" + scalePoints(spark) + "}")
+      spark.stop()
+      return
+    }
     val results = sfs.map { dir =>
       // touch each table once per sf outside the timed sections
       try {

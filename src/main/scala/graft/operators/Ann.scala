@@ -349,22 +349,32 @@ object Ann {
     * top-nProbe per query by the same cosine/cluster-id ordering as
     * [[ivfTopK]]), and list selection is a plain equi join on `cluster`.
     * On a [[ivfSave]]d cluster-partitioned layout the partition pruning
-    * that [[ivfTopK]] gets from its static isin filter comes from
-    * dynamic partition pruning instead: when the probe side broadcasts
-    * (AQE decides by size), the scan's partition filter is fed from the
-    * broadcast at runtime and unprobed lists are never read — asserted
-    * in PlanShapeSpec. When Q is so large the probe side can't
-    * broadcast, most lists are probed by SOME query anyway, so the full
-    * scan the shuffle join performs is the honest cost, and it still
-    * never bottlenecks on the driver. */
+    * that [[ivfTopK]] gets from its static isin filter comes from the
+    * SAME static filter here: the distinct probed-cluster id list is
+    * collected and planted into the scan. That one collect does not
+    * break the no-driver-funnel contract — it is bounded by nLists
+    * (the index geometry), NEVER by Q: a million queries still produce
+    * at most nLists distinct ints. Everything query-sized (vectors,
+    * per-query routing, scoring, top-k) stays distributed. This is
+    * deliberate over dynamic partition pruning: the round-10 1M-row
+    * scale bench measured the DPP plan reading every cluster directory
+    * anyway (7× the exact scan's cost — the dynamicpruningexpression
+    * landed in the plan but listing was not pruned), while the static
+    * isin scans exactly the probed dirs (PlanShapeSpec pins the shape).
+    * `broadcastProbes` controls the routing-join strategy only: true
+    * (default) broadcasts the Q×nProbe probe frame; set false when Q
+    * is too large to broadcast — the scan stays pruned either way. */
   def ivfTopKBatch(index: IvfIndex, queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nProbe: Int, allowed: Option[DataFrame] = None): DataFrame = {
+      k: Int, nProbe: Int, allowed: Option[DataFrame] = None,
+      broadcastProbes: Boolean = true): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     val cdf = index.centroids.toDF("cluster", "cvec")
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cluster"))
+    // materialize the probe frame once (Q×nProbe rows): it feeds both
+    // the cluster-id pruning collect and the routing join
     val probes = q.crossJoin(broadcast(cdf))
       .withColumn("cdist", cosineD(col("qv"), col("cvec")))
       .withColumn("rnk", row_number().over(probeW))
@@ -372,19 +382,26 @@ object Ann {
       .select(col("qid"),
         graft.functions.VectorNormalize.normalize(col("qv"), outputFloat = false).as("qvn"),
         col("cluster"))
+      .localCheckpoint(true)
+    val probedClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = index.assigned.filter(col("cluster").isin(probedClusters: _*))
     // O4 gate, same contract as ivfTopK: the predicate lowered to a
     // one-column id frame, semi-joined BEFORE scoring
     val gated = allowed match {
-      case Some(a) => index.assigned.join(
+      case Some(a) => pruned.join(
         a.select(col(a.columns.head)
           .cast(index.assigned.schema("id").dataType).as("id")),
         Seq("id"), "left_semi")
-      case None => index.assigned
+      case None => pruned
     }
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
     gated
+      // normalize BEFORE the join (per scanned row, not per matched
+      // pair) — the scan is already pruned to the probed clusters
       .withColumn("__nv__",
         graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false))
-      .join(probes, Seq("cluster"))
+      .join(probeSide, Seq("cluster"))
       .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
       .transform(topKHits(_, "id", k))
   }
@@ -718,7 +735,8 @@ object Ann {
     * funnels through the driver. */
   def ivfPqResidualTopKBatch(index: IvfPqIndex, queries: DataFrame,
       qidCol: String, qvecCol: String, k: Int,
-      nProbe: Int, rerankFactor: Int = 8): DataFrame = {
+      nProbe: Int, rerankFactor: Int = 8,
+      broadcastProbes: Boolean = true): DataFrame = {
     val spark = index.codes.sparkSession
     import spark.implicits._
     val subDim = index.subDim
@@ -738,12 +756,21 @@ object Ann {
       .withColumn("table", transform(books, (book, j) =>
         transform(book, cent => dotSlice(col("qvn"), j * subDim + 1, cent))))
       .select(col("qid"), col("qvn"), col("cluster"), col("qcdot"), col("table"))
+      .localCheckpoint(true)
     val approxW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("__approx__").desc, col("id"))
+    // static partition pruning from the distinct probed-cluster ids
+    // (bounded by nLists, never Q — not a driver funnel; see
+    // ivfTopKBatch for why this beats relying on DPP), then the equi
+    // join routes per query; broadcastProbes picks the join strategy
+    val probedClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
     index.codes
       .select(col("id").cast(StringType).as("id"),
         col("cluster").cast(IntegerType).as("cluster"), col("v"), col("codes"))
-      .join(probes, Seq("cluster"))
+      .filter(col("cluster").isin(probedClusters: _*))
+      .join(probeSide, Seq("cluster"))
       .withColumn("__approx__",
         col("qcdot") + aggregate(zip_with(col("codes"), col("table"),
             (c, row) => element_at(row, c + 1)),
@@ -1005,19 +1032,21 @@ object Ann {
       .transform(topKHits(_, "id", k))
   }
 
-  /** Hybrid probe for DataFrame-sized query batches — NO driver collect
-    * anywhere: probe selection runs distributed (queries × broadcast
-    * centroids, top-nProbe per query), list selection is an equi join on
-    * `cluster` (DPP prunes a persisted layout's unprobed directories
-    * when the probe side broadcasts, same argument as [[ivfTopKBatch]]),
-    * nomination scans only (id, sig) of the joined lists with the
+  /** Hybrid probe for DataFrame-sized query batches: probe selection
+    * runs distributed (queries × broadcast centroids, top-nProbe per
+    * query), list selection is a STATIC partition filter from the
+    * distinct probed-cluster ids (the only driver-sized artifact —
+    * bounded by nLists, never by Q, same argument as [[ivfTopKBatch]]),
+    * nomination scans only (id, sig) of the pruned lists with the
     * XOR+POPCNT kernel, and the exact rerank joins the nominees back to
-    * the float rows. A query batch of millions of rows never funnels
-    * through the driver — the collect-free twin [[ivfBqTopK]]'s scaladoc
-    * promises, completing the batch-probe family (ivf/pq/opq/bq/hybrid). */
+    * the same pruned scan's float rows. Everything query-sized stays
+    * distributed — a query batch of millions of rows never funnels
+    * through the driver — completing the batch-probe family
+    * (ivf/pq/opq/bq/hybrid). */
   def ivfBqTopKBatch(index: IvfBqIndex, queries: DataFrame, qidCol: String,
       qvecCol: String, k: Int, nProbe: Int, oversample: Int = 16,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      broadcastProbes: Boolean = true): DataFrame = {
     require(oversample >= 1, "oversample must be >= 1")
     val spark = index.lists.sparkSession
     import spark.implicits._
@@ -1025,6 +1054,8 @@ object Ann {
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cluster"))
+    // materialize the probe frame once (Q×nProbe rows): it feeds the
+    // cluster-id pruning collect, the nomination join, and the rerank
     val probes = q.crossJoin(broadcast(cdf))
       .withColumn("cdist", cosineD(col("qv"), col("cvec")))
       .withColumn("rnk", row_number().over(probeW))
@@ -1033,16 +1064,28 @@ object Ann {
         graft.functions.VectorNormalize.normalize(col("qv"), outputFloat = false).as("qvn"),
         col("cluster"))
       .withColumn("qsig", graft.functions.BinarySig.signPack(col("qvn")))
+      .localCheckpoint(true)
+    // static partition pruning from the distinct probed-cluster ids —
+    // bounded by nLists (index geometry), never by Q, so this is NOT a
+    // driver funnel; the round-10 scale bench showed the DPP plan reads
+    // every directory (see ivfTopKBatch), the static isin reads only
+    // the probed ones. Both the sig-only nomination scan and the (id,v)
+    // rerank scan ride the same pruned frame.
+    val probedClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val prunedLists = index.lists.filter(col("cluster").isin(probedClusters: _*))
     // O4 gate before the signature scan, same contract as ivfBqTopK
     val lists = allowed match {
-      case Some(a) => index.lists.join(
+      case Some(a) => prunedLists.join(
         a.select(col(a.columns.head)
           .cast(index.lists.schema("id").dataType).as("id")),
         Seq("id"), "left_semi")
-      case None => index.lists
+      case None => prunedLists
     }
+    val bc: DataFrame => DataFrame =
+      if (broadcastProbes) broadcast(_) else identity
     val nominated = lists.select(col("cluster"), col("id"), col("sig"))
-      .join(probes.select(col("qid"), col("qsig"), col("cluster")), Seq("cluster"))
+      .join(bc(probes.select(col("qid"), col("qsig"), col("cluster"))), Seq("cluster"))
       .withColumn("__score__",
         -graft.functions.BinarySig.hammingDist(col("sig"), col("qsig"))
           .cast(DoubleType))
@@ -1050,19 +1093,11 @@ object Ann {
       .agg(TopKByScore.topk(col("__score__"), col("id").cast(StringType), k * oversample)
         .as("hits"))
       .select(col("qid"), explode(col("hits.id")).as("id"))
-    // rerank against the CLUSTER-RESTRICTED lists, not the full table:
-    // the broadcast semi-join on the partition column keeps DPP alive
-    // for a persisted layout, so the (id, v) rerank scan reads only the
-    // probed directories — the same sub-linear posture as the
-    // nomination scan (and as ivfBqTopK's collect-path rerank)
-    val rerankLists = lists
-      .join(broadcast(probes.select(col("cluster")).distinct()),
-        Seq("cluster"), "left_semi")
     nominated
-      .join(rerankLists.select(col("id").cast(StringType).as("id"),
+      .join(lists.select(col("id").cast(StringType).as("id"),
         graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false)
           .as("__nv__")), Seq("id"))
-      .join(probes.select(col("qid"), col("qvn")).dropDuplicates("qid"), Seq("qid"))
+      .join(bc(probes.select(col("qid"), col("qvn")).dropDuplicates("qid")), Seq("qid"))
       .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
       .transform(topKHits(_, "id", k))
   }

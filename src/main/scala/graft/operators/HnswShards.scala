@@ -275,6 +275,19 @@ final class HnswShardsServing(initial: HnswShards, slack: Double = 2.0,
       allowedIds: Option[Set[String]] = None): Array[(String, Double)] =
     ref.get().query(queryVec, topK, ef, betterThan, allowedIds)
 
+  /** Checkpoint the serving tier: barrier on any in-flight reshard
+    * ([[awaitReshard]]) so the persisted artifact reflects a completed
+    * swap, then delegate to the current instance's incremental
+    * [[HnswShards.saveDelta]] (only shards touched since the last save
+    * to `path` rewrite; a just-swapped instance has never saved, so its
+    * first checkpoint is a full save). Same single-writer contract as
+    * every save here: the caller keeps mutations off the handle while
+    * the checkpoint writes. */
+  def saveDelta(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Int] = {
+    awaitReshard()
+    current.saveDelta(spark, path)
+  }
+
   /** Block until no rebuild is in flight (including the journal replay
     * and swap). Call before [[HnswShards.save]]/[[HnswShards.saveDelta]]
     * on [[current]] when the persisted artifact must reflect a

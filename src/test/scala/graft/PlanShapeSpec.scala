@@ -257,4 +257,43 @@ class PlanShapeSpec extends AnyFunSuite {
     // and the plan stays correct end to end
     assert(df.count() > 0)
   }
+
+  test("ivfBq BATCH probe: rerank scan stays cluster-pruned (no full-table (id,v) read)") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfbqb_plan").toString
+    graft.operators.Ann.ivfBqSave(graft.operators.Ann.ivfBqBuild(
+      graft.operators.Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8)), path)
+    val idx = graft.operators.Ann.ivfBqLoad(spark, path)
+    val q = e.filter(col("vec_id") < 2)
+    val df = graft.operators.Ann.ivfBqTopKBatch(idx, q, "vec_id", "embedding",
+      k = 3, nProbe = 2, oversample = 4)
+    assert(df.count() > 0)
+    // after execution, the adaptive plan is final: every scan of the
+    // persisted lists that reads the FLOAT vectors (the rerank side)
+    // must carry a cluster partition filter — the round-9 advisor
+    // finding was exactly this scan reading every cluster directory
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val listScans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("lists")).toSeq
+    def readSchema(s: String): String = s.drop(s.indexOf("ReadSchema:"))
+    val rerankScans = listScans.filter(s => readSchema(s).contains("v:"))
+    assert(rerankScans.nonEmpty, s"batch probe must have a float rerank scan:\n$plan")
+    def partFilters(s: String): String = {
+      val tag = "PartitionFilters: ["
+      val i = s.indexOf(tag)
+      if (i < 0) "" else { val rest = s.drop(i + tag.length); rest.take(rest.indexOf("]")) }
+    }
+    // the static probed-cluster isin must land INSIDE PartitionFilters
+    // (file-listing-time pruning), not as a post-scan data filter
+    assert(rerankScans.forall(s => partFilters(s).contains("cluster#")),
+      "rerank scans must keep static cluster pruning:\n" +
+        rerankScans.mkString("\n"))
+    // and the nomination scan (sig, no v) is pruned the same way
+    val nomScans = listScans.filter(s =>
+      readSchema(s).contains("sig") && !readSchema(s).contains("v:"))
+    assert(nomScans.nonEmpty && nomScans.forall(s => partFilters(s).contains("cluster#")),
+      s"nomination scans must be cluster-pruned:\n${listScans.mkString("\n")}")
+  }
 }

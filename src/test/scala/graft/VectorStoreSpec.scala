@@ -1204,6 +1204,13 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(serving.query(v(0, 1, 0, 0), 1, ef = 16).head._1 == "200")
     assert(serving.query(v(0, 0, 0, 1), 1, ef = 16).head._1 == "101")
     assert(serving.query(v(0, 0, 1, 0), 10, ef = 16).forall(_._1 != "100"))
+    // checkpoint through the handle: barriers on the reshard, then the
+    // persisted artifact round-trips the post-swap post-journal state
+    val ckpt = Files.createTempDirectory("rsbgsave").toString
+    serving.saveDelta(spark, ckpt)
+    val reloaded = graft.operators.HnswShards.load(spark, ckpt)
+    assert(reloaded.nRows == 10 && reloaded.nShards == serving.nShards)
+    assert(reloaded.query(v(0, 1, 0, 0), 1, ef = 16).head._1 == "200")
   }
 
   test("local serving replica: bitwise-equal to the distributed matrix scan") {
