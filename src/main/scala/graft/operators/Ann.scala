@@ -1786,28 +1786,45 @@ object Ann {
         fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")) > maxFiles
       }
       .map(_.getPath)
+    if (offenders.isEmpty) return Seq.empty
+    // ONE data job for ALL offending dirs — not a per-dir driver loop.
+    // A layout with thousands of debt-carrying directories would
+    // otherwise pay thousands of sequential read-coalesce-write jobs
+    // (the wall-clock killer at real partition counts); instead the
+    // offenders are read together (basePath keeps the partition
+    // column), hash-repartitioned BY that column so each directory's
+    // rows land in one task = ONE output file, and written to a
+    // dot-staged sibling root invisible to every reader.
+    val partCol = offenders.head.getName.takeWhile(_ != '=')
+    val stage = new org.apache.hadoop.fs.Path(rootPath, ".compact.stage")
+    fs.delete(stage, true)
+    spark.read.option("basePath", root).parquet(offenders.map(_.toString): _*)
+      .repartition(offenders.size, col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(stage.toString)
+    // per-dir atomic swap from the stage — metadata ops only from here.
+    // Swap via two renames (rename-away, rename-in): each rename is
+    // atomic and the dir-missing window is two metadata ops, not a
+    // recursive delete. A reader that LISTS the root inside that
+    // window, or executes a plan whose file listing predates the
+    // swap, can still miss the partition / hit FileNotFound — the
+    // same re-plan-after-maintenance caveat as every rewrite in this
+    // file (delete/shrink/rebalance); serving reads should hold the
+    // in-process tiers or reload their index handle after a
+    // maintenance tick. A crash mid-loop leaves already-swapped dirs
+    // compacted and the rest recoverable ([[recoverStagedDirs]]: .old
+    // restores a renamed-away original, a stale .compact.stage drops).
     offenders.foreach { dir =>
-      val tmp = new org.apache.hadoop.fs.Path(
-        dir.getParent, s".${dir.getName}.compact.tmp")
+      val staged = new org.apache.hadoop.fs.Path(stage, dir.getName)
       val old = new org.apache.hadoop.fs.Path(
         dir.getParent, s".${dir.getName}.compact.old")
-      // one file per compacted dir: the whole point is shrinking the
-      // file count; per-dir volume is bounded by the bucketing design
-      val rows = spark.read.parquet(dir.toString).coalesce(1).localCheckpoint(true)
-      rows.write.mode("overwrite").parquet(tmp.toString)
-      // swap via two renames (rename-away, rename-in): each rename is
-      // atomic and the dir-missing window is two metadata ops, not a
-      // recursive delete. A reader that LISTS the root inside that
-      // window, or executes a plan whose file listing predates the
-      // swap, can still miss the partition / hit FileNotFound — the
-      // same re-plan-after-maintenance caveat as every rewrite in this
-      // file (delete/shrink/rebalance); serving reads should hold the
-      // in-process tiers or reload their index handle after a
-      // maintenance tick.
       require(fs.rename(dir, old), s"rename-away of $dir failed")
-      require(fs.rename(tmp, dir), s"rename of compacted $dir failed")
+      // an all-empty-files offender stages no rows -> no staged dir:
+      // the compacted form of an empty directory is no directory
+      if (fs.exists(staged))
+        require(fs.rename(staged, dir), s"rename of compacted $dir failed")
       fs.delete(old, true)
     }
+    fs.delete(stage, true)
     offenders.map(_.getName).sorted
   }
 
@@ -1853,7 +1870,7 @@ object Ann {
   private[operators] def recoverStagedDirs(fs: org.apache.hadoop.fs.FileSystem,
       rootPath: org.apache.hadoop.fs.Path): Unit = {
     if (!fs.exists(rootPath)) return
-    val tmpSuffixes = Seq(".compact.tmp", ".rewrite.tmp")
+    val tmpSuffixes = Seq(".compact.tmp", ".rewrite.tmp", ".compact.stage")
     val oldSuffixes = Seq(".compact.old", ".rewrite.old")
     fs.listStatus(rootPath).foreach { st =>
       val nm = st.getPath.getName
