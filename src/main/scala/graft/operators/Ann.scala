@@ -163,27 +163,56 @@ object Ann {
     * cluster so a probe touches only nProbe partitions. */
   final case class IvfIndex(centroids: Seq[(Int, Seq[Double])], assigned: DataFrame)
 
-  /** Build an IVF index: MLlib KMeans over the (cast-to-double) vectors,
-    * then assign every row to its nearest centroid. One fit + one
-    * distributed transform; centroids are tiny (nLists x dim) and ride
-    * along as a broadcast table. */
+  /** Build an IVF index: MLlib KMeans over a BOUNDED SAMPLE of the
+    * (cast-to-double) vectors, then assign every row to its nearest
+    * centroid in ONE expression pass. A coarse quantizer does not need
+    * the full corpus in the fit — the standard practice (FAISS trains
+    * on min(N, points_per_centroid·k) sampled rows) — so the fit cost
+    * is capped at `fitRowsPerList`·nLists rows regardless of corpus
+    * size, while the old fit iterated maxIter× over everything (the
+    * round-10 scale bench measured it 5.6× for a 10× row step; the
+    * assignment pass is the only remaining corpus-sized cost). The
+    * sample is portable-hash-selected on the id (deterministic under
+    * any partitioning, no rand()); corpora at or under the cap fit on
+    * every row, exactly as before. The full-corpus assignment stays on
+    * MLlib's native transform (BLAS distances, norm pruning, no
+    * per-centroid array allocation — at nLists ∝ √N the plan-literal
+    * expression [[ivfAppendSave]] uses for its SMALL batches would
+    * churn nLists×dim doubles of garbage per row here). Centroids are
+    * tiny (nLists x dim) and ride along as a broadcast table. */
   def ivfBuild(data: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, seed: Long = 42L, maxIter: Int = 5): IvfIndex = {
+      nLists: Int, seed: Long = 42L, maxIter: Int = 5,
+      fitRowsPerList: Int = 128): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // cache the featurized input: every KMeans iteration re-reads it (the
-    // evictable cache entry is cheap next to maxIter scan+vectorize passes)
-    val feat = data
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    require(fitRowsPerList >= 1, s"fitRowsPerList must be >= 1, got $fitRowsPerList")
+    val base = data.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cap = fitRowsPerList.toLong * nLists
+    val n = base.count()
+    val fitRows =
+      if (n <= cap) base
+      else {
+        // deterministic portable-hash thinning to ~cap rows: the seed
+        // rides in the hash input so different builds draw different
+        // (but each reproducible) samples
+        val mod = 1L << 20
+        val keep = math.max(1L, (cap * mod) / n)
+        base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(mod)) < lit(keep))
+      }
+    // cache the featurized sample: every KMeans iteration re-reads it
+    // (the evictable cache entry is bounded by the cap)
+    val feat = fitRows
       .withColumn("features", array_to_vector(col("v").cast(ArrayType(DoubleType))))
       .cache()
-    // random init: kmeans|| costs ~2x maxIter extra distributed passes and
-    // IVF only needs a coarse quantizer, not an optimal clustering
+    // random init: kmeans|| costs ~2x maxIter extra passes and IVF only
+    // needs a coarse quantizer, not an optimal clustering
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random").fit(feat)
-    // materialize the assignment eagerly (cuts lineage off feat) so the
-    // fit cache can be released instead of leaking one entry per build
-    val assigned = model.transform(feat)
+    // ONE assignment pass over the full corpus (no corpus-wide cache,
+    // no iterated scans); materialize eagerly to cut the lineage — the
+    // fit cache can then be released instead of leaking one per build
+    val assigned = model.transform(base
+        .withColumn("features", array_to_vector(col("v").cast(ArrayType(DoubleType)))))
       .withColumnRenamed("prediction", "cluster")
       .drop("features")
       .localCheckpoint(true)
@@ -928,6 +957,25 @@ object Ann {
       .write.mode("append").partitionBy("bucket").parquet(s"$path/sigs")
   }
 
+  /** The encode half of [[bqAppendSave]] with the touched buckets made
+    * explicit — see [[ivfStageAppend]] for why the split exists. The
+    * plain append skips the checkpoint + distinct pass; only the
+    * replay-idempotent streaming path needs the dirs up front. */
+  private[graft] def bqStageAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String): (DataFrame, Seq[Long]) = {
+    val nb = bqLoadIndex(spark, path).nBuckets
+    val staged = bqSigs(batch, idCol, vecCol)
+      .withColumn("bucket", bqBucketOf(nb))
+      .localCheckpoint(true)
+    val touched = staged.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    (staged, touched)
+  }
+
+  /** Append-mode write of a staged bucket-encoded signature frame. */
+  private[graft] def appendStagedSigs(staged: DataFrame, path: String): Unit =
+    staged.write.mode("append").partitionBy("bucket").parquet(s"$path/sigs")
+
   /** Delete ids from a persisted signature index at cost ∝ touched
     * buckets: the ids' bucket set is computed (driver-sized id list,
     * same argument as the reference's `delete(&[String])`), and ONLY
@@ -1147,6 +1195,15 @@ object Ann {
     * file stays byte-identical. Returns the touched cluster ids. */
   def ivfBqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Seq[Int] = {
+    val (staged, touched) = ivfBqStageAppend(spark, path, batch, idCol, vecCol)
+    appendStagedLists(staged, path)
+    touched
+  }
+
+  /** The assign+sign-encode half of [[ivfBqAppendSave]] — see
+    * [[ivfStageAppend]] for why the split exists. */
+  private[graft] def ivfBqStageAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String): (DataFrame, Seq[Int]) = {
     val centroids = spark.read.json(s"$path/centroids")
       .select(col("cluster").cast(IntegerType), col("cvec"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
@@ -1160,8 +1217,7 @@ object Ann {
       .localCheckpoint(true)
     val touched = assignedBatch.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    assignedBatch.write.mode("append").partitionBy("cluster").parquet(s"$path/lists")
-    touched
+    (assignedBatch, touched)
   }
 
   /** Delete ids from a PERSISTED hybrid layout at cost ∝ touched
@@ -1413,6 +1469,19 @@ object Ann {
     * touched-bucket collect). */
   def ivfAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Seq[Int] = {
+    val (staged, touched) = ivfStageAppend(spark, path, batch, idCol, vecCol)
+    appendStagedLists(staged, path)
+    touched
+  }
+
+  /** The assignment half of [[ivfAppendSave]], split out so a
+    * replay-idempotent caller ([[graft.streaming.StreamingOps]]'s
+    * checkpointed ingest streams) can learn the touched cluster
+    * directories BEFORE any file lands — the batch ledger snapshots
+    * exactly those dirs. The staged frame is materialized
+    * (localCheckpoint), so the later write re-reads nothing. */
+  private[graft] def ivfStageAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String): (DataFrame, Seq[Int]) = {
     val centroids = spark.read.json(s"$path/centroids")
       .select(col("cluster").cast(IntegerType), col("cvec"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
@@ -1424,9 +1493,13 @@ object Ann {
       .localCheckpoint(true)
     val touched = assignedBatch.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    assignedBatch.write.mode("append").partitionBy("cluster").parquet(s"$path/lists")
-    touched
+    (assignedBatch, touched)
   }
+
+  /** Append-mode write of a staged cluster-assigned frame: files land
+    * only under the clusters the frame routes to. */
+  private[graft] def appendStagedLists(staged: DataFrame, path: String): Unit =
+    staged.write.mode("append").partitionBy("cluster").parquet(s"$path/lists")
 
   /** Skew-triggered maintenance for a PERSISTED IVF layout — the
     * offline half of the ingest loop [[ivfAppendSave]] leaves open:
@@ -1815,14 +1888,25 @@ object Ann {
     // restores a renamed-away original, a stale .compact.stage drops).
     offenders.foreach { dir =>
       val staged = new org.apache.hadoop.fs.Path(stage, dir.getName)
-      val old = new org.apache.hadoop.fs.Path(
-        dir.getParent, s".${dir.getName}.compact.old")
-      require(fs.rename(dir, old), s"rename-away of $dir failed")
-      // an all-empty-files offender stages no rows -> no staged dir:
-      // the compacted form of an empty directory is no directory
-      if (fs.exists(staged))
+      if (!fs.exists(staged)) {
+        // an all-empty-files offender stages no rows -> no staged dir:
+        // the compacted form of an empty directory is no directory. But
+        // VERIFY the offender really is empty before destroying the
+        // only copy — a missing staged dir for a non-empty offender
+        // (partition-name round-trip or write anomaly) must fail loudly
+        // with the data intact, not silently drop it.
+        val n = spark.read.parquet(dir.toString).count()
+        require(n == 0L,
+          s"compaction staged no output for $dir, which holds $n rows; " +
+            "aborting before the swap so the data stays in place")
+        fs.delete(dir, true)
+      } else {
+        val old = new org.apache.hadoop.fs.Path(
+          dir.getParent, s".${dir.getName}.compact.old")
+        require(fs.rename(dir, old), s"rename-away of $dir failed")
         require(fs.rename(staged, dir), s"rename of compacted $dir failed")
-      fs.delete(old, true)
+        fs.delete(old, true)
+      }
     }
     fs.delete(stage, true)
     offenders.map(_.getName).sorted

@@ -103,6 +103,13 @@ object DedupIndex {
       .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
   }
 
+  /** The four projection subdirectories every index carries — the
+    * snapshot set for file-level replay idempotence
+    * ([[graft.streaming.StreamingOps.dedupIngestStream]]'s ledger):
+    * flat roots whose file counts the compaction cadence bounds. */
+  private[graft] val projectionRoots: Seq[String] =
+    Seq("hashes", "bands", "sigs", "simchunks")
+
   /** Build the index over the initial corpus. */
   def create(df: DataFrame, idCol: String, textCol: String, path: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,

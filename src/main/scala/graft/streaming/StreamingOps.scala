@@ -512,28 +512,51 @@ object StreamingOps {
     * the stream never rebuilds anything. Near-dup (band/simhash)
     * probes stay queries over the same index — gating on them is a
     * policy decision left to the caller. foreachBatch serializes, so
-    * accepted batches append in arrival order. */
+    * accepted batches append in arrival order.
+    *
+    * Idempotence has two levels here. CONTENT-level comes free: a
+    * re-delivered batch anti-joins the hashes its first delivery stored
+    * and contributes no rows. But the re-accepted remainder of a batch
+    * whose first delivery CRASHED mid-append (some projections written,
+    * others not) would leave the projections inconsistent, and a full
+    * re-delivery after a successful append still rewrites zero-row
+    * files. So when `checkpointDir` is set, the append also runs under
+    * the [[BatchLedger]] — FILE-level idempotence: replay rolls back a
+    * half-landed batch and re-applies, and a fully-landed batch is
+    * skipped without touching the layout. The snapshot covers the four
+    * projection roots, whose file counts the compaction cadence bounds
+    * — cost ∝ the cadence, not the corpus. */
   def dedupIngestStream(batches: DataFrame, indexPath: String,
       idCol: String, textCol: String,
-      compactEvery: Int = 0, compactFilesPerProjection: Int = 8): StreamingQuery = {
+      compactEvery: Int = 0, compactFilesPerProjection: Int = 8,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     // same cadence contract as the index ingest streams; DedupIndex owns
     // its own compactor (per-projection range-repartition + probe-key
     // co-sort), so the cadence both bounds the file count AND restores
-    // probe locality as the stream appends. No batch ledger needed: the
-    // append is content-idempotent (a re-delivered batch anti-joins the
-    // hashes its first delivery stored and contributes nothing).
-    batches.writeStream
-      .outputMode("append")
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
+    // probe locality as the stream appends.
+    val ws = batches.writeStream.outputMode("append")
+    checkpointDir.foreach(ws.option("checkpointLocation", _))
+    ws.foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
           import graft.operators.{Dedup, DedupIndex}
-          val fresh = Dedup.dropExactDups(b, idCol, Seq(textCol))
-          // materialize once: the append derives four projections from it
-          val accepted = DedupIndex
-            .filterExact(b.sparkSession, indexPath, fresh, textCol)
-            .localCheckpoint(true)
-          if (!accepted.isEmpty)
-            DedupIndex.append(accepted, idCol, textCol, indexPath)
+          val doAppend = () => {
+            val fresh = Dedup.dropExactDups(b, idCol, Seq(textCol))
+            // materialize once: the append derives four projections from it
+            val accepted = DedupIndex
+              .filterExact(b.sparkSession, indexPath, fresh, textCol)
+              .localCheckpoint(true)
+            if (!accepted.isEmpty)
+              DedupIndex.append(accepted, idCol, textCol, indexPath)
+          }
+          checkpointDir match {
+            case Some(cp) =>
+              BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
+                batchId, cp) {
+                (DedupIndex.projectionRoots.map(p => s"$indexPath/$p"), doAppend)
+              }
+            case None => doAppend()
+          }
+          ()
         }
         cadenceTick(compactEvery, batchId) {
           graft.operators.DedupIndex.compact(
@@ -553,11 +576,20 @@ object StreamingOps {
     * rows on their next index load; rebalancing on skew stays an
     * offline decision ([[graft.operators.Ann.ivfRebalance]]).
     *
-    * Raw appends are NOT naturally idempotent, so each batch runs
-    * through [[BatchLedger.runIdempotent]]: a batch the engine
-    * re-delivers after a checkpoint restart is skipped (or rolled back
-    * and re-applied if the first delivery crashed mid-append) — rows
-    * land exactly once. */
+    * Raw appends are NOT naturally idempotent, so when `checkpointDir`
+    * is set each batch runs through [[BatchLedger.runIdempotent]]: a
+    * batch the engine re-delivers after a checkpoint restart is skipped
+    * (or rolled back and re-applied if the first delivery crashed
+    * mid-append) — rows land exactly once. The ledger snapshots ONLY
+    * the cluster directories the batch routes to (assignment runs
+    * before any file lands), so its per-batch cost is ∝ the batch, not
+    * the corpus. One ledger serves one checkpoint lineage — enforced by
+    * a `_lineage` stamp; re-pointing a fresh checkpoint at this layout
+    * requires clearing `<indexPath>/_ledger` first. WITHOUT a
+    * checkpoint the engine cannot re-deliver (a restarted query
+    * re-reads the source from scratch instead), so the stream appends
+    * raw — engaging the ledger there would let a restarted run's batch
+    * ids collide with stale markers and silently drop fresh rows. */
   def ivfIngestStream(batches: DataFrame, indexPath: String,
       idCol: String, vecCol: String,
       compactEvery: Int = 0, compactMaxFiles: Int = 8,
@@ -566,10 +598,19 @@ object StreamingOps {
     checkpointDir.foreach(ws.option("checkpointLocation", _))
     ws.foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
-          BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
-            batchId, Seq(s"$indexPath/lists")) {
-            graft.operators.Ann.ivfAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
+          checkpointDir match {
+            case Some(cp) =>
+              BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
+                batchId, cp) {
+                val (staged, touched) = graft.operators.Ann.ivfStageAppend(
+                  b.sparkSession, indexPath, b, idCol, vecCol)
+                (touched.map(c => s"$indexPath/lists/cluster=$c"),
+                  () => graft.operators.Ann.appendStagedLists(staged, indexPath))
+              }
+            case None =>
+              graft.operators.Ann.ivfAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
           }
+          ()
         }
         cadenceTick(compactEvery, batchId) {
           graft.operators.Ann.ivfCompactSave(
@@ -586,7 +627,9 @@ object StreamingOps {
     * landing files only in the touched bucket directories. The coarse
     * artifact of the binary scan tier follows ingestion at cost ∝
     * batch, same posture as [[ivfIngestStream]] — including its
-    * [[BatchLedger]] wrap, so re-delivered batches land exactly once. */
+    * checkpoint-gated [[BatchLedger]] wrap (touched-bucket snapshots,
+    * `_lineage`-stamped, raw append when un-checkpointed), so
+    * re-delivered batches land exactly once. */
   def bqIngestStream(batches: DataFrame, indexPath: String,
       idCol: String, vecCol: String,
       compactEvery: Int = 0, compactMaxFiles: Int = 8,
@@ -595,10 +638,19 @@ object StreamingOps {
     checkpointDir.foreach(ws.option("checkpointLocation", _))
     ws.foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
-          BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
-            batchId, Seq(s"$indexPath/sigs")) {
-            graft.operators.Ann.bqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
+          checkpointDir match {
+            case Some(cp) =>
+              BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
+                batchId, cp) {
+                val (staged, touched) = graft.operators.Ann.bqStageAppend(
+                  b.sparkSession, indexPath, b, idCol, vecCol)
+                (touched.map(bk => s"$indexPath/sigs/bucket=$bk"),
+                  () => graft.operators.Ann.appendStagedSigs(staged, indexPath))
+              }
+            case None =>
+              graft.operators.Ann.bqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
           }
+          ()
         }
         cadenceTick(compactEvery, batchId) {
           graft.operators.Ann.bqCompactSave(
@@ -616,7 +668,9 @@ object StreamingOps {
     * ([[graft.operators.Ann.ivfBqAppendSave]]). The composed
     * coarse+compressed index follows ingestion at cost ∝ batch, same
     * posture as its two parents above — including their
-    * [[BatchLedger]] wrap, so re-delivered batches land exactly once. */
+    * checkpoint-gated [[BatchLedger]] wrap (touched-cluster snapshots,
+    * `_lineage`-stamped, raw append when un-checkpointed), so
+    * re-delivered batches land exactly once. */
   def ivfBqIngestStream(batches: DataFrame, indexPath: String,
       idCol: String, vecCol: String,
       compactEvery: Int = 0, compactMaxFiles: Int = 8,
@@ -625,10 +679,19 @@ object StreamingOps {
     checkpointDir.foreach(ws.option("checkpointLocation", _))
     ws.foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
-          BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
-            batchId, Seq(s"$indexPath/lists")) {
-            graft.operators.Ann.ivfBqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
+          checkpointDir match {
+            case Some(cp) =>
+              BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
+                batchId, cp) {
+                val (staged, touched) = graft.operators.Ann.ivfBqStageAppend(
+                  b.sparkSession, indexPath, b, idCol, vecCol)
+                (touched.map(c => s"$indexPath/lists/cluster=$c"),
+                  () => graft.operators.Ann.appendStagedLists(staged, indexPath))
+              }
+            case None =>
+              graft.operators.Ann.ivfBqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
           }
+          ()
         }
         cadenceTick(compactEvery, batchId) {
           graft.operators.Ann.ivfBqCompactSave(

@@ -941,6 +941,40 @@ class DedupAnnSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(DedupIndex.filterExact(spark, idxPath, reprobe, "text").isEmpty)
 
+    // --- checkpointed dedup ingest is FILE-level idempotent ---
+    // content-level idempotence (the anti-join) holds without a ledger,
+    // but a replayed batch would still rewrite accepted files; with a
+    // checkpoint the ledger must keep the exact file set stable
+    val idx2 = Files.createTempDirectory("dedupingest2").toString
+    DedupIndex.create(base, "doc_id", "text", idx2)
+    val cp = Files.createTempDirectory("dedupingest_cp").toString
+    def runLedgered(): Unit = {
+      val st = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(watch.toString)
+      val lq = graft.streaming.StreamingOps.dedupIngestStream(
+        st, idx2, "doc_id", "text", checkpointDir = Some(cp))
+      try lq.processAllAvailable() finally lq.stop()
+    }
+    runLedgered()
+    def projFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      graft.operators.DedupIndex.projectionRoots
+        .flatMap(p => walk(new java.io.File(s"$idx2/$p"))).map(_.getPath).toSet
+    }
+    val filesOnce = projFiles()
+    // crash injection: drop the last engine commit → restart re-delivers
+    val commits = new java.io.File(s"$cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val lastName = commits.last.getName
+    assert(commits.last.delete())
+    new java.io.File(s"$cp/commits/.$lastName.crc").delete()
+    runLedgered()
+    assert(projFiles() == filesOnce,
+      "replayed batch must not rewrite accepted files (no file-count drift)")
+    assert(spark.read.parquet(s"$idx2/sigs").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 11L, 21L))
+
     // --- persisted ivf ingest ---
     val e = Tables.embeddings(spark, TestSpark.sf)
     val baseIvf = Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 4)

@@ -1094,37 +1094,98 @@ class VectorStoreSpec extends AnyFunSuite {
     val data = s"$base/lists"
     val ledger = s"$base/_ledger"
     Seq(1L, 2L).toDF("id").coalesce(1).write.parquet(s"$data/cluster=0")
+    // an UNTOUCHED directory: the ledger must never list or snapshot it
+    Seq(9L).toDF("id").coalesce(1).write.parquet(s"$data/cluster=9")
     def fileSet(): Set[String] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
       walk(new java.io.File(data)).map(_.getPath).toSet
     }
     val before = fileSet()
+    val touched = Seq(s"$data/cluster=0", s"$data/cluster=1")
+    def append(partial: Boolean): (Seq[String], () => Unit) =
+      (touched, () => {
+        Seq(3L).toDF("id").coalesce(1).write.mode("append").parquet(s"$data/cluster=0")
+        Seq(4L).toDF("id").coalesce(1).write.parquet(s"$data/cluster=1")
+        if (partial) throw new RuntimeException("injected crash")
+      })
     // delivery 1 of batch 7 crashes AFTER appending but BEFORE the
     // ledger finalize — the worst window
     val boom = intercept[RuntimeException] {
-      BatchLedger.runIdempotent(spark, ledger, 7L, Seq(data)) {
-        Seq(3L).toDF("id").coalesce(1).write.mode("append").parquet(s"$data/cluster=0")
-        Seq(4L).toDF("id").coalesce(1).write.parquet(s"$data/cluster=1")
-        throw new RuntimeException("injected crash")
-      }
+      BatchLedger.runIdempotent(spark, ledger, 7L, "cp-A")(append(partial = true))
     }
     assert(boom.getMessage == "injected crash")
     assert(fileSet() != before, "partial append visible pre-recovery")
-    assert(new java.io.File(ledger).listFiles()
-      .exists(_.getName.endsWith(".inprogress")))
+    val marker = new java.io.File(ledger).listFiles()
+      .find(_.getName.endsWith(".inprogress")).get
+    // the snapshot is bounded by the TOUCHED dirs — corpus-sized
+    // layouts must not pay a full listing per batch
+    val markerBody = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    assert(!markerBody.contains("cluster=9"),
+      "marker must snapshot only the touched dirs")
+    assert(markerBody.contains("cluster=0") && markerBody.contains("cluster=1"))
     // delivery 2 (the engine replay): rollback restores the pre-batch
-    // state, then the append runs once
-    assert(BatchLedger.runIdempotent(spark, ledger, 7L, Seq(data)) {
-      Seq(3L).toDF("id").coalesce(1).write.mode("append").parquet(s"$data/cluster=0")
-    })
+    // state (including REMOVING the dir the partial append created),
+    // then the append runs once
+    assert(BatchLedger.runIdempotent(spark, ledger, 7L, "cp-A")(append(partial = false)))
     assert(spark.read.parquet(data).select(col("id")).collect()
-      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 9L),
       "rollback must drop the partial rows; re-apply lands once")
-    // delivery 3 (a second replay): fully applied → skipped
-    assert(!BatchLedger.runIdempotent(spark, ledger, 7L, Seq(data)) {
-      fail("apply must not run for an already-applied batch")
+    // delivery 3 (a second replay): fully applied → skipped, and the
+    // staging thunk is never evaluated
+    assert(!BatchLedger.runIdempotent(spark, ledger, 7L, "cp-A") {
+      fail("prepare must not run for an already-applied batch")
     })
+  }
+
+  test("batch ledger rollback removes directories the partial append created") {
+    import java.nio.file.Files
+    import graft.streaming.BatchLedger
+    val base = Files.createTempDirectory("bldgdir").toString
+    val data = s"$base/lists"
+    val ledger = s"$base/_ledger"
+    Seq(1L).toDF("id").coalesce(1).write.parquet(s"$data/cluster=0")
+    intercept[RuntimeException] {
+      BatchLedger.runIdempotent(spark, ledger, 0L, "cp-A")(
+        (Seq(s"$data/cluster=0", s"$data/cluster=5"), () => {
+          Seq(5L).toDF("id").coalesce(1).write.parquet(s"$data/cluster=5")
+          throw new RuntimeException("crash before cluster=0 lands")
+        }))
+    }
+    assert(new java.io.File(s"$data/cluster=5").exists)
+    // next delivery's rollback happens first; inject an apply that
+    // touches nothing so ONLY the rollback's effect is visible
+    assert(BatchLedger.runIdempotent(spark, ledger, 0L, "cp-A")(
+      (Seq(s"$data/cluster=0"), () => ())))
+    assert(!new java.io.File(s"$data/cluster=5").exists,
+      "a dir created by the rolled-back append must not survive, even empty")
+    assert(new java.io.File(s"$data/cluster=0").exists)
+  }
+
+  test("batch ledger fails fast when a different checkpoint lineage reuses it") {
+    import java.nio.file.Files
+    import graft.streaming.BatchLedger
+    val base = Files.createTempDirectory("bldglin").toString
+    val data = s"$base/lists"
+    val ledger = s"$base/_ledger"
+    assert(BatchLedger.runIdempotent(spark, ledger, 0L, "cp-A")(
+      (Seq(s"$data/cluster=0"), () =>
+        Seq(1L).toDF("id").coalesce(1).write.parquet(s"$data/cluster=0"))))
+    // same lineage resumes: batch 0 already applied → skip, batch 1 runs
+    assert(!BatchLedger.runIdempotent(spark, ledger, 0L, "cp-A") {
+      fail("applied batch must skip under the same lineage")
+    })
+    assert(BatchLedger.runIdempotent(spark, ledger, 1L, "cp-A")(
+      (Seq.empty, () => ())))
+    // a FRESH checkpoint restarts batch ids at 0; without the stamp its
+    // early batches would silently match the applied markers above
+    val e = intercept[IllegalStateException] {
+      BatchLedger.runIdempotent(spark, ledger, 0L, "cp-B") {
+        fail("mismatched lineage must never reach prepare")
+      }
+    }
+    assert(e.getMessage.contains("cp-A") && e.getMessage.contains("cp-B"))
   }
 
   test("streaming ingest trips the reshard gate through the serving handle") {
