@@ -35,32 +35,38 @@ object BenchCurve {
   /** Large-N synthetic scale points for the compressed index families
     * — the 100×-posture evidence the sf curve can't give (sf0.001→0.1
     * wall times are flat, fixed-overhead-dominated at these local
-    * sizes). Two corpora (100k and 1M rows × dim 256, the same
+    * sizes). Per section: corpora of `ns` rows × `dim` (the same
     * hash-expression generator as Bench's reference workload), with
     * nLists ∝ √N (standard IVF sizing, so rows-per-probed-list ∝ √N at
-    * fixed nProbe): across the 10× N step the exact brute-force probe
+    * fixed nProbe): across a 10× N step the exact brute-force probe
     * must grow ~linearly, the ivf/ivfbq probes ~√N (≈3.2×), and bq's
     * flat signature scan linearly at 1/32 the bytes. Build costs are
     * committed alongside so the amortization story is auditable.
     * Probes run the collect-free batch twins over the PERSISTED
-    * layouts (partition pruning is part of what's being measured). */
-  private def scalePoints(spark: SparkSession): String = {
+    * layouts (partition pruning is part of what's being measured).
+    *
+    * Each point also times a fixed-size (1k-row) append onto the
+    * persisted hybrid, raw and wrapped in the ingest streams' batch
+    * ledger: per-batch ingest cost (including the ledger's
+    * touched-dir snapshot) must stay FLAT as the corpus decades —
+    * the acceptance bench for the corpus-independent ledger. */
+  private def scaleSection(spark: SparkSession, tag: String, dim: Int,
+      ns: Seq[Long]): String = {
     import graft.operators.Ann
-    val dim = 256
     val k = 10
     val nProbe = 8
-    val points = Seq(100000L, 1000000L).map { n =>
+    val points = ns.map { n =>
       val nLists = math.max(64, math.sqrt(n.toDouble).round.toInt)
-      val gen = spark.range(n).select(
+      def genRange(lo: Long, hi: Long) = spark.range(lo, hi).select(
         col("id").cast("string").as("id"),
         transform(sequence(lit(0), lit(dim - 1)),
           i => (pmod(hash(col("id"), i), lit(1000)).cast("double") / 500.0 - 1.0)
             .cast("float")).as("v"))
-      val corpus = gen.cache()
+      val corpus = genRange(0L, n).cache()
       corpus.count()
       val queries = corpus.limit(16).cache()
       queries.count()
-      val base = java.nio.file.Files.createTempDirectory(s"scale$n").toString
+      val base = java.nio.file.Files.createTempDirectory(s"scale$tag$n").toString
       def timed(df: => org.apache.spark.sql.DataFrame): Double = {
         df.count() // warm (plan + page cache), then median-of-3
         Bench.median3(() => { df.count(); () })
@@ -86,18 +92,47 @@ object BenchCurve {
       val hy = Ann.ivfBqLoad(spark, s"$base/ivfbq")
       val probeHy = timed(Ann.ivfBqTopKBatch(
         hy, queries, "id", "v", k, nProbe, oversample = 8))
+      // fixed-size ingest batches onto the grown layout: raw append,
+      // then the ledgered path (stage → snapshot touched dirs →
+      // append → finalize), fresh ids each so nothing collides
+      val batchRaw = genRange(n, n + 1000L).cache(); batchRaw.count()
+      val tAp0 = System.nanoTime()
+      Ann.ivfBqAppendSave(spark, s"$base/ivfbq", batchRaw, "id", "v")
+      val appendRaw = (System.nanoTime() - tAp0) / 1e9
+      val batchLed = genRange(n + 1000L, n + 2000L).cache(); batchLed.count()
+      val tAp1 = System.nanoTime()
+      graft.streaming.BatchLedger.runIdempotent(
+        spark, s"$base/ivfbq/_ledger", 0L, "curve") {
+        val (staged, touched) = Ann.ivfBqStageAppend(
+          spark, s"$base/ivfbq", batchLed, "id", "v")
+        (touched.map(c => s"$base/ivfbq/lists/cluster=$c"),
+          () => Ann.appendStagedLists(staged, s"$base/ivfbq", touched.size))
+      }
+      val appendLedger = (System.nanoTime() - tAp1) / 1e9
       corpus.unpersist(blocking = true)
       queries.unpersist(blocking = true)
       sigs.unpersist(blocking = true)
+      batchRaw.unpersist(blocking = true)
+      batchLed.unpersist(blocking = true)
       System.gc()
       s"""{"n":$n,"n_lists":$nLists,"build_bq":$buildBq,""" +
         s""""build_ivf":$buildIvf,"build_ivfbq":$buildHy,""" +
         s""""probe_exact":$probeExact,"probe_bq":$probeBq,""" +
-        s""""probe_ivf":$probeIvf,"probe_ivfbq":$probeHy}"""
+        s""""probe_ivf":$probeIvf,"probe_ivfbq":$probeHy,""" +
+        s""""append_ivfbq":$appendRaw,"append_ivfbq_ledger":$appendLedger}"""
     }
-    s""""scale":{"dim":$dim,"k":$k,"n_probe":$nProbe,""" +
+    s""""$tag":{"dim":$dim,"k":$k,"n_probe":$nProbe,""" +
       s""""points":[${points.mkString(",")}]}"""
   }
+
+  /** The two committed sections: the original 100k→1M decade at dim
+    * 256, plus a SECOND decade (1M→4M at dim 64 — bounded cache
+    * footprint) so the sub-linear probe and flat per-batch ingest
+    * claims are demonstrated across two orders of magnitude, not one
+    * step. */
+  private def scalePoints(spark: SparkSession): String =
+    scaleSection(spark, "scale", 256, Seq(100000L, 1000000L)) + "," +
+      scaleSection(spark, "scale64", 64, Seq(1000000L, 4000000L))
 
   def main(args: Array[String]): Unit = {
     // local-iteration convenience: `runMain graft.BenchCurve scale`

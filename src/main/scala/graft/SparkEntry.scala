@@ -1946,7 +1946,11 @@ object SparkEntry {
       val probeSame = probeAfter.exceptAll(probeBefore).isEmpty &&
         probeBefore.exceptAll(probeAfter).isEmpty
       val ivfRowsOk = s.read.parquet(s"$path/lists").count() == e.count()
-      // bucketed store + 3 upsert batches
+      // bucketed store + 3 upsert batches; the pre-routed writes land
+      // one file per touched dir, so upserts alone no longer
+      // manufacture small-file debt — plant append-mode debt files
+      // directly (the form such debt takes now: external appenders /
+      // pre-fix layouts)
       val sp = java.nio.file.Files.createTempDirectory("graft_compact_store").toString
       VectorStore.Partitioned.init(
         VectorStore.fromDataFrame(base, "vec_id", "embedding", 64), sp, nBuckets = 4)
@@ -1956,6 +1960,17 @@ object SparkEntry {
             .select(col("vec_id").cast(StringType).as(VectorStore.IdCol),
               col("embedding").cast(ArrayType(FloatType)).as(VectorStore.VectorCol)))
       }
+      val debtIds = Seq(9000L, 9001L, 9002L, 9003L)
+      new java.io.File(s"$sp/data").listFiles()
+        .filter(_.getName.startsWith("__bucket__=")).sortBy(_.getName).take(2)
+        .zip(debtIds.grouped(2).toSeq).foreach { case (d, dids) =>
+          dids.foreach { did => // one file per id: the dir goes past maxFiles
+            Seq((did.toString, Seq.fill(64)(0f))).toDF("id", "vec")
+              .select(col("id").as(VectorStore.IdCol),
+                col("vec").cast(ArrayType(FloatType)).as(VectorStore.VectorCol))
+              .coalesce(1).write.mode("append").parquet(d.getPath)
+          }
+        }
       val stBefore = pq(s"$sp/data").size
       val compactedSt = VectorStore.Partitioned.compact(s, sp, maxFiles = 2)
       val stAfter = pq(s"$sp/data").size
@@ -1965,8 +1980,8 @@ object SparkEntry {
         .head()
       val expect = e.filter(!(col("vec_id") >= 30 && col("vec_id") < 40))
         .agg(count(lit(1)).cast(LongType), sum(col("vec_id")).cast(LongType)).head()
-      val storeRowsOk = chk.getLong(0) == expect.getLong(0) &&
-        chk.getLong(1) == expect.getLong(1)
+      val storeRowsOk = chk.getLong(0) == expect.getLong(0) + debtIds.size &&
+        chk.getLong(1) == expect.getLong(1) + debtIds.sum
       Seq((compacted.nonEmpty, ivfAfter.size < ivfBefore.size, untouchedSame,
         probeSame, ivfRowsOk,
         compactedSt.nonEmpty, stAfter < stBefore, storeRowsOk))

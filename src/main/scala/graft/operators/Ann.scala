@@ -288,12 +288,28 @@ object Ann {
     IvfIndex(centroids.toSeq.sortBy(_._1), assigned)
   }
 
+  /** Dynamic-partitioned parquet write with the rows PRE-ROUTED onto
+    * the partition column: a hash repartition makes each task hold
+    * whole directories, so the layout lands as ~one file per directory.
+    * Without it every writing task emits a file into every directory it
+    * sees — at nLists ∝ √N that is tasks × nLists tiny files (32k files
+    * for a 1M×1000-list build, where file creation, not bytes, was
+    * measured to dominate the save). The one batch-sized shuffle buys a
+    * probe-side layout that opens nProbe files instead of nProbe ×
+    * tasks, and appends start file-count debt at one file per touched
+    * dir per batch. `nParts` = the distinct partition values being
+    * written (directories), so write parallelism ∝ directories. */
+  private def writeByPartition(df: DataFrame, partCol: String, nParts: Int,
+      mode: String, path: String): Unit =
+    df.repartition(math.max(1, nParts), col(partCol))
+      .write.mode(mode).partitionBy(partCol).parquet(path)
+
   /** Persist an IVF index: assignment parquet PARTITIONED BY cluster (a
     * probe then touches only nProbe directories — partition pruning does
     * the list selection) + centroid sidecar. */
   def ivfSave(index: IvfIndex, path: String): Unit = {
-    index.assigned.write.mode("overwrite")
-      .partitionBy("cluster").parquet(s"$path/lists")
+    writeByPartition(index.assigned, "cluster", index.centroids.size,
+      "overwrite", s"$path/lists")
     val spark = index.assigned.sparkSession
     import spark.implicits._
     index.centroids.toDF("cluster", "cvec")
@@ -926,23 +942,29 @@ object Ann {
   def bqSaveIndex(data: DataFrame, idCol: String, vecCol: String,
       path: String, nBuckets: Int): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    bqSigs(data, idCol, vecCol)
-      .withColumn("bucket", bqBucketOf(nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/sigs")
+    writeByPartition(
+      bqSigs(data, idCol, vecCol).withColumn("bucket", bqBucketOf(nBuckets)),
+      "bucket", nBuckets, "overwrite", s"$path/sigs")
     VectorStore.writeSidecar(data.sparkSession, s"$path/_bq.json",
       s"""{"n_buckets": $nBuckets}""")
   }
 
-  /** Load a persisted signature index (cold-start: no re-encoding). */
-  def bqLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String): BqIndex = {
+  /** Bucket count from the sidecar alone — the append paths need ONLY
+    * this, and going through [[bqLoadIndex]] would list the whole sigs
+    * tree (O(buckets) RPCs) just to throw the frame away. */
+  private def bqNBuckets(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val pth = new org.apache.hadoop.fs.Path(s"$path/_bq.json")
     val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(pth)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val nb = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
       .get("n_buckets").asInt()
-    BqIndex(nb, spark.read.parquet(s"$path/sigs").select(col("id"), col("sig")))
   }
+
+  /** Load a persisted signature index (cold-start: no re-encoding). */
+  def bqLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String): BqIndex =
+    BqIndex(bqNBuckets(spark, path),
+      spark.read.parquet(s"$path/sigs").select(col("id"), col("sig")))
 
   /** Append a batch to a persisted signature index at cost ∝ batch:
     * encode with [[bqSigs]] (fit-free — sign bits need no trained
@@ -951,10 +973,10 @@ object Ann {
     * identical. Batch ids must be new (append, not upsert). */
   def bqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit = {
-    val nb = bqLoadIndex(spark, path).nBuckets
-    bqSigs(batch, idCol, vecCol)
-      .withColumn("bucket", bqBucketOf(nb))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/sigs")
+    val nb = bqNBuckets(spark, path)
+    writeByPartition(
+      bqSigs(batch, idCol, vecCol).withColumn("bucket", bqBucketOf(nb)),
+      "bucket", nb, "append", s"$path/sigs")
   }
 
   /** The encode half of [[bqAppendSave]] with the touched buckets made
@@ -963,7 +985,7 @@ object Ann {
     * replay-idempotent streaming path needs the dirs up front. */
   private[graft] def bqStageAppend(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String): (DataFrame, Seq[Long]) = {
-    val nb = bqLoadIndex(spark, path).nBuckets
+    val nb = bqNBuckets(spark, path)
     val staged = bqSigs(batch, idCol, vecCol)
       .withColumn("bucket", bqBucketOf(nb))
       .localCheckpoint(true)
@@ -972,9 +994,11 @@ object Ann {
     (staged, touched)
   }
 
-  /** Append-mode write of a staged bucket-encoded signature frame. */
-  private[graft] def appendStagedSigs(staged: DataFrame, path: String): Unit =
-    staged.write.mode("append").partitionBy("bucket").parquet(s"$path/sigs")
+  /** Append-mode write of a staged bucket-encoded signature frame —
+    * pre-routed, one file per touched bucket dir. */
+  private[graft] def appendStagedSigs(staged: DataFrame, path: String,
+      nDirs: Int): Unit =
+    writeByPartition(staged, "bucket", nDirs, "append", s"$path/sigs")
 
   /** Delete ids from a persisted signature index at cost ∝ touched
     * buckets: the ids' bucket set is computed (driver-sized id list,
@@ -988,7 +1012,7 @@ object Ann {
     recoverStagedDirs(
       org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(s"$path/sigs"))
-    val nb = bqLoadIndex(spark, path).nBuckets
+    val nb = bqNBuckets(spark, path)
     val touched = ids.toDF("id").select(bqBucketOf(nb).as("b"))
       .distinct().as[Long].collect().toSeq.sorted
     touched.foreach { b =>
@@ -1170,8 +1194,8 @@ object Ann {
     * the centroid sidecar — identical layout discipline to [[ivfSave]],
     * plus the signature column family riding in the same files. */
   def ivfBqSave(index: IvfBqIndex, path: String): Unit = {
-    index.lists.write.mode("overwrite")
-      .partitionBy("cluster").parquet(s"$path/lists")
+    writeByPartition(index.lists, "cluster", index.centroids.size,
+      "overwrite", s"$path/lists")
     val spark = index.lists.sparkSession
     import spark.implicits._
     index.centroids.toDF("cluster", "cvec")
@@ -1196,7 +1220,7 @@ object Ann {
   def ivfBqAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Seq[Int] = {
     val (staged, touched) = ivfBqStageAppend(spark, path, batch, idCol, vecCol)
-    appendStagedLists(staged, path)
+    appendStagedLists(staged, path, touched.size)
     touched
   }
 
@@ -1207,7 +1231,7 @@ object Ann {
     val centroids = spark.read.json(s"$path/centroids")
       .select(col("cluster").cast(IntegerType), col("cvec"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
-    val listsSchema = spark.read.parquet(s"$path/lists").schema
+    val listsSchema = layoutSchema(spark, s"$path/lists")
     val assignedBatch = batch
       .select(col(idCol).cast(listsSchema("id").dataType).as("id"),
         col(vecCol).cast(listsSchema("v").dataType).as("v"))
@@ -1268,8 +1292,8 @@ object Ann {
     val spark = index.codes.sparkSession
     import spark.implicits._
     ivfSave(index.ivf, s"$path/ivf")
-    index.codes.write.mode("overwrite")
-      .partitionBy("cluster").parquet(s"$path/codes")
+    writeByPartition(index.codes, "cluster", index.ivf.centroids.size,
+      "overwrite", s"$path/codes")
     index.centNorm.toDF("cluster", "cn")
       .coalesce(1).write.mode("overwrite").json(s"$path/centnorm")
     index.codebooks.zipWithIndex
@@ -1362,11 +1386,31 @@ object Ann {
     val ordered = centroids.sortBy(_._1)
     require(ordered.map(_._1) == (0 until ordered.size),
       s"cluster ids must be dense 0..${ordered.size - 1}, got ${ordered.map(_._1)}")
-    val cents = typedlit(ordered.map(_._2))
-    val dists = transform(cents, c =>
-      aggregate(zip_with(vecCol.cast(ArrayType(DoubleType)), c, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
-    (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+    // codegen argmin with the centroid matrix as a plan reference object
+    // (first-min tie-break identical to the former array_position(HOF)
+    // formulation, which allocated nLists×dim doubles per assigned row)
+    graft.functions.NearestCentroid.nearest(ordered.map(_._2), vecCol)
+  }
+
+  /** Schema of a partition-dir layout WITHOUT listing every directory:
+    * `spark.read.parquet(root)` walks the full tree (one RPC per
+    * partition dir — O(nLists) per APPEND at the standard geometry,
+    * measured as the growing term in the scale-curve append timings),
+    * while one root listing + one member dir's footer recovers the
+    * identical schema, partition column included via basePath. */
+  private def layoutSchema(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.types.StructType = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = fs.listStatus(rootPath).find { st =>
+      val nm = st.getPath.getName
+      st.isDirectory && nm.contains("=") && !nm.startsWith(".")
+    }
+    dir match {
+      case Some(d) => spark.read.option("basePath", root)
+        .parquet(d.getPath.toString).schema
+      case None => spark.read.parquet(root).schema
+    }
   }
 
   /** PQ-encode an (already unit-normalized, or residual) vector into m
@@ -1470,7 +1514,7 @@ object Ann {
   def ivfAppendSave(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Seq[Int] = {
     val (staged, touched) = ivfStageAppend(spark, path, batch, idCol, vecCol)
-    appendStagedLists(staged, path)
+    appendStagedLists(staged, path, touched.size)
     touched
   }
 
@@ -1485,7 +1529,7 @@ object Ann {
     val centroids = spark.read.json(s"$path/centroids")
       .select(col("cluster").cast(IntegerType), col("cvec"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
-    val listsSchema = spark.read.parquet(s"$path/lists").schema
+    val listsSchema = layoutSchema(spark, s"$path/lists")
     val assignedBatch = batch
       .select(col(idCol).cast(listsSchema("id").dataType).as("id"),
         col(vecCol).cast(listsSchema("v").dataType).as("v"))
@@ -1497,9 +1541,11 @@ object Ann {
   }
 
   /** Append-mode write of a staged cluster-assigned frame: files land
-    * only under the clusters the frame routes to. */
-  private[graft] def appendStagedLists(staged: DataFrame, path: String): Unit =
-    staged.write.mode("append").partitionBy("cluster").parquet(s"$path/lists")
+    * only under the clusters the frame routes to — pre-routed so each
+    * touched dir gains ONE file per batch (`nDirs` = touched count). */
+  private[graft] def appendStagedLists(staged: DataFrame, path: String,
+      nDirs: Int): Unit =
+    writeByPartition(staged, "cluster", nDirs, "append", s"$path/lists")
 
   /** Skew-triggered maintenance for a PERSISTED IVF layout — the
     * offline half of the ingest loop [[ivfAppendSave]] leaves open:
@@ -1525,7 +1571,8 @@ object Ann {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listsTmp = new org.apache.hadoop.fs.Path(s"$path/lists__rebalancing")
     val centsTmp = new org.apache.hadoop.fs.Path(s"$path/centroids__rebalancing")
-    reb.assigned.write.mode("overwrite").partitionBy("cluster").parquet(listsTmp.toString)
+    writeByPartition(reb.assigned, "cluster", reb.centroids.size,
+      "overwrite", listsTmp.toString)
     reb.centroids.toDF("cluster", "cvec")
       .coalesce(1).write.mode("overwrite").json(centsTmp.toString)
     val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
@@ -1604,8 +1651,8 @@ object Ann {
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
     val books = readCodebooks(spark, s"$path/codebooks")
     val subDim = books.head.head.size
-    val codesSchema = spark.read.parquet(s"$path/codes").schema
-    val listsSchema = spark.read.parquet(s"$path/ivf/lists").schema
+    val codesSchema = layoutSchema(spark, s"$path/codes")
+    val listsSchema = layoutSchema(spark, s"$path/ivf/lists")
     val cdf = broadcast(centNorm.toDF("cluster", "cn"))
     val encoded = batch
       .select(col(idCol).cast(codesSchema("id").dataType).as("id"),
@@ -1619,11 +1666,11 @@ object Ann {
       .localCheckpoint(true)
     val touched = encoded.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    encoded.write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
-    encoded
+    writeByPartition(encoded, "cluster", touched.size, "append", s"$path/codes")
+    writeByPartition(encoded
       .select(col("id").cast(listsSchema("id").dataType).as("id"),
-        col("v").cast(listsSchema("v").dataType).as("v"), col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/ivf/lists")
+        col("v").cast(listsSchema("v").dataType).as("v"), col("cluster")),
+      "cluster", touched.size, "append", s"$path/ivf/lists")
     touched
   }
 
@@ -1682,7 +1729,7 @@ object Ann {
     val centroids = spark.read.json(s"$path/centroids")
       .select(col("cluster").cast(IntegerType), col("cvec"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
-    val listsSchema = spark.read.parquet(s"$path/lists").schema
+    val listsSchema = layoutSchema(spark, s"$path/lists")
     val sizes = spark.read.parquet(s"$path/lists")
       .groupBy(col("cluster").cast(IntegerType).as("cluster"))
       .agg(count(lit(1)).as("n"))
@@ -1717,7 +1764,7 @@ object Ann {
         new org.apache.hadoop.fs.Path(s"$path/lists/cluster=$nw")),
         s"rename of cluster=$old -> cluster=$nw failed under $path")
     }
-    moved.foreach(_.write.mode("append").partitionBy("cluster").parquet(s"$path/lists"))
+    moved.foreach(writeByPartition(_, "cluster", receiving.size, "append", s"$path/lists"))
     val centsTmp = new org.apache.hadoop.fs.Path(s"$path/centroids__shrinking")
     keptDense.toDF("cluster", "cvec")
       .coalesce(1).write.mode("overwrite").json(centsTmp.toString)
@@ -1750,8 +1797,8 @@ object Ann {
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
     val books = readCodebooks(spark, s"$path/codebooks")
     val subDim = books.head.head.size
-    val codesSchema = spark.read.parquet(s"$path/codes").schema
-    val listsSchema = spark.read.parquet(s"$path/ivf/lists").schema
+    val codesSchema = layoutSchema(spark, s"$path/codes")
+    val listsSchema = layoutSchema(spark, s"$path/ivf/lists")
     val sizes = spark.read.parquet(s"$path/codes")
       .groupBy(col("cluster").cast(IntegerType).as("cluster"))
       .agg(count(lit(1)).as("n"))
@@ -1800,10 +1847,11 @@ object Ann {
       }
     }
     moved.foreach { m =>
-      m.write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
-      m.select(col("id").cast(listsSchema("id").dataType).as("id"),
-          col("v").cast(listsSchema("v").dataType).as("v"), col("cluster"))
-        .write.mode("append").partitionBy("cluster").parquet(s"$path/ivf/lists")
+      writeByPartition(m, "cluster", receiving.size, "append", s"$path/codes")
+      writeByPartition(m
+        .select(col("id").cast(listsSchema("id").dataType).as("id"),
+          col("v").cast(listsSchema("v").dataType).as("v"), col("cluster")),
+        "cluster", receiving.size, "append", s"$path/ivf/lists")
     }
     def swapJson(df: DataFrame, target: String): Unit = {
       val tmp = new org.apache.hadoop.fs.Path(s"${target}__shrinking")
@@ -1871,7 +1919,11 @@ object Ann {
     val partCol = offenders.head.getName.takeWhile(_ != '=')
     val stage = new org.apache.hadoop.fs.Path(rootPath, ".compact.stage")
     fs.delete(stage, true)
-    spark.read.option("basePath", root).parquet(offenders.map(_.toString): _*)
+    // mergeSchema: a dir whose files disagree on columns (evolved
+    // append-mode writers) must compact to the UNION — the default
+    // single-footer sample would silently drop the missing columns
+    spark.read.option("basePath", root).option("mergeSchema", "true")
+      .parquet(offenders.map(_.toString): _*)
       .repartition(offenders.size, col(partCol))
       .write.partitionBy(partCol).mode("overwrite").parquet(stage.toString)
     // per-dir atomic swap from the stage — metadata ops only from here.
@@ -2291,7 +2343,7 @@ object Ann {
       .sortBy(_._1).map(_._2).toSeq
     val books = readCodebooks(spark, s"$path/pq/codebooks")
     val subDim = books.head.head.size
-    val codesSchema = spark.read.parquet(s"$path/pq/codes").schema
+    val codesSchema = layoutSchema(spark, s"$path/pq/codes")
     val nv = graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false)
     val encoded = batch
       .select(col(idCol).cast(codesSchema("id").dataType).as("id"),

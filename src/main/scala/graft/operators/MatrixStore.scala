@@ -160,6 +160,7 @@ final class MatrixStore private (
         }
       }
       .toDF(VectorStore.IdCol, VectorStore.VectorCol, VectorStore.BucketCol)
+      .repartition(nb, org.apache.spark.sql.functions.col(VectorStore.BucketCol))
       .write.mode("overwrite")
       .partitionBy(VectorStore.BucketCol).parquet(s"$path/data")
     VectorStore.writeSidecar(spark, s"$path/_meta.json",

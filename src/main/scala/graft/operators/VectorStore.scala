@@ -246,11 +246,16 @@ object VectorStore {
     private[graft] def bucketOf(nBuckets: Int): Column =
       pmod(xxhash64(col(IdCol)), lit(nBuckets.toLong))
 
-    /** Materialize a store into the bucketed layout. */
+    /** Materialize a store into the bucketed layout. Rows are
+      * PRE-ROUTED onto the bucket column so each directory lands as
+      * ~one file (each writing task holds whole buckets) instead of
+      * one file per task per bucket — see [[Ann.compactDirs]]'s cost
+      * model for why file count, not bytes, dominates at scale. */
     def init(store: VectorStore, path: String, nBuckets: Int): Unit = {
       require(nBuckets > 0)
       store.df
         .withColumn(BucketCol, bucketOf(nBuckets))
+        .repartition(nBuckets, col(BucketCol))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$path/data")
       val meta = Meta(store.embeddingDim, store.metric,
         store.additionalData + ("nBuckets" ->
@@ -347,7 +352,11 @@ object VectorStore {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
-        df.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$path/data")
+        // route by bucket so each rewritten directory lands as one
+        // file per shuffle partition holding it (≈1) — touched-bucket
+        // rewrites then never accumulate per-task file fan-out
+        df.repartition(col(BucketCol))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$path/data")
       } finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -95,14 +95,12 @@ private[graft] object BatchLedger {
     val (touchedDirs, apply) = prepare
     val mapper = new ObjectMapper()
     val snap = mapper.createArrayNode()
-    touchedDirs.foreach { d =>
-      val p = new Path(d)
+    snapshotDirs(fs, touchedDirs).foreach { case (d, existing) =>
       val node = snap.addObject()
       node.put("path", d)
-      val existed = fs.exists(p)
-      node.put("existed", existed)
+      node.put("existed", existing.isDefined)
       val files = node.putArray("files")
-      if (existed) listAll(fs, p).toSeq.sorted.foreach(files.add)
+      existing.foreach(_.foreach(files.add))
     }
     writeAtomic(fs, ledger, inprog, mapper.writeValueAsString(snap),
       f".batch-$batchId%020d.tmp")
@@ -148,6 +146,29 @@ private[graft] object BatchLedger {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
       new String(buf.toByteArray, UTF_8)
     } finally in.close()
+  }
+
+  /** Pre-append snapshot of the touched dirs — Some(sorted files) for
+    * an existing dir, None for one the append will create. Listings run
+    * on a bounded thread pool: metadata RPCs are latency-bound, and a
+    * wide batch (touched dirs → nLists) pays max-latency instead of
+    * sum-of-latencies. Results keep the caller's dir order. */
+  private def snapshotDirs(fs: FileSystem,
+      dirs: Seq[String]): Seq[(String, Option[Seq[String]])] = {
+    if (dirs.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, dirs.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[(String, Option[Seq[String]])]] =
+        dirs.map { d =>
+          () => {
+            val p = new Path(d)
+            d -> (if (fs.exists(p)) Some(listAll(fs, p).toSeq.sorted) else None)
+          }
+        }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
   }
 
   /** Recursive file listing of one touched partition directory. Paths

@@ -605,7 +605,7 @@ object StreamingOps {
                 val (staged, touched) = graft.operators.Ann.ivfStageAppend(
                   b.sparkSession, indexPath, b, idCol, vecCol)
                 (touched.map(c => s"$indexPath/lists/cluster=$c"),
-                  () => graft.operators.Ann.appendStagedLists(staged, indexPath))
+                  () => graft.operators.Ann.appendStagedLists(staged, indexPath, touched.size))
               }
             case None =>
               graft.operators.Ann.ivfAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
@@ -645,7 +645,7 @@ object StreamingOps {
                 val (staged, touched) = graft.operators.Ann.bqStageAppend(
                   b.sparkSession, indexPath, b, idCol, vecCol)
                 (touched.map(bk => s"$indexPath/sigs/bucket=$bk"),
-                  () => graft.operators.Ann.appendStagedSigs(staged, indexPath))
+                  () => graft.operators.Ann.appendStagedSigs(staged, indexPath, touched.size))
               }
             case None =>
               graft.operators.Ann.bqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)
@@ -686,7 +686,7 @@ object StreamingOps {
                 val (staged, touched) = graft.operators.Ann.ivfBqStageAppend(
                   b.sparkSession, indexPath, b, idCol, vecCol)
                 (touched.map(c => s"$indexPath/lists/cluster=$c"),
-                  () => graft.operators.Ann.appendStagedLists(staged, indexPath))
+                  () => graft.operators.Ann.appendStagedLists(staged, indexPath, touched.size))
               }
             case None =>
               graft.operators.Ann.ivfBqAppendSave(b.sparkSession, indexPath, b, idCol, vecCol)

@@ -876,13 +876,27 @@ class VectorStoreSpec extends AnyFunSuite {
     val st = mkStore((0 until 16).map(i => (i.toString, Seq(i + 1f, 1f, 0f, 0f), s"c$i")))
     val store = Files.createTempDirectory("cmpstore").toString
     VectorStore.Partitioned.init(st, store, nBuckets = 4)
-    // three upserts of one row each: their bucket dirs accumulate files
+    // three upserts of one row each: touched dirs REWRITE (dynamic
+    // overwrite) and the pre-routed write lands one file per dir, so
+    // upserts alone no longer accumulate debt — manufacture it the way
+    // it actually arises now (append-mode writers / pre-fix layouts):
+    // land extra data files directly in two bucket dirs
     (100 until 103).foreach { i =>
       VectorStore.Partitioned.upsert(spark, store,
         Seq((i.toString, Seq(0f, 0f, 1f, 0f))).toDF("id", "vec")
           .select(col("id").as("__id__"),
             col("vec").cast(ArrayType(FloatType)).as("vector")))
     }
+    // the extra files must carry the layout's FULL data-file schema
+    // (append-mode writers do)
+    new java.io.File(s"$store/data").listFiles()
+      .filter(_.getName.startsWith("__bucket__=")).take(2).zipWithIndex
+      .foreach { case (d, i) =>
+        Seq((s"debt$i", s"cdebt$i", Seq(9f, 9f, 9f, 9f))).toDF("id", "color", "vec")
+          .select(col("id").as("__id__"), col("color"),
+            col("vec").cast(ArrayType(FloatType)).as("vector"))
+          .coalesce(1).write.mode("append").parquet(d.getPath)
+      }
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     def pq(root: String) = walk(new java.io.File(root))
