@@ -239,27 +239,46 @@ object Ann {
     * result keep the self-hit/recall guarantees.
     */
   def ivfRebalance(index: IvfIndex, maxFactor: Double = 2.0,
-      seed: Long = 42L, maxIter: Int = 5): IvfIndex = {
+      seed: Long = 42L, maxIter: Int = 5): IvfIndex =
+    ivfRebalancePlan(index, maxFactor, seed, maxIter) match {
+      case None => index
+      case Some(plan) =>
+        // untouched lists keep their rows AND ids verbatim — only the
+        // split parents' rows are replaced by their re-assigned twins
+        val assigned = index.assigned
+          .filter(!col("cluster").isin(plan.parents: _*))
+          .unionByName(plan.splitRows)
+          .localCheckpoint(true)
+        IvfIndex(plan.centroids, assigned)
+    }
+
+  /** The split decision + re-fit of [[ivfRebalance]], shared with the
+    * incremental persisted path ([[ivfMaintain]]). Numbering contract:
+    * every NON-split cluster keeps its id untouched; each split parent
+    * keeps its id for sub-centroid 0 and the remaining sub-centroids
+    * take fresh ids appended past the original count — the id space
+    * stays dense 0..newCount-1 with ZERO renumbering of kept rows, so
+    * a persisted layout rewrites only the parent dirs and creates only
+    * the tail dirs (cost ∝ split lists, never ∝ corpus). */
+  private final case class RebalancePlan(
+      parents: Seq[Int], tailIds: Seq[Int],
+      centroids: Seq[(Int, Seq[Double])], splitRows: DataFrame)
+
+  private def ivfRebalancePlan(index: IvfIndex, maxFactor: Double,
+      seed: Long, maxIter: Int): Option[RebalancePlan] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(maxFactor >= 1.0, s"maxFactor must be >= 1, got $maxFactor")
-    val spark = index.assigned.sparkSession
-    import spark.implicits._
     val sizes = index.assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = sizes.values.sum
-    if (total == 0L) return index
+    if (total == 0L) return None
     val mean = math.max(1.0, total.toDouble / index.centroids.size)
     val oversized = sizes.filter(_._2 > maxFactor * mean).keys.toSeq.sorted
-    if (oversized.isEmpty) return index
-    val kept = index.centroids.filterNot(c => oversized.contains(c._1))
-    val remap = kept.map(_._1).zipWithIndex.toMap // dense re-numbering
+    if (oversized.isEmpty) return None
     val centroids = scala.collection.mutable.ArrayBuffer[(Int, Seq[Double])]()
-    centroids ++= kept.map { case (old, v) => (remap(old), v) }
-    val remapDf = broadcast(remap.toSeq.toDF("cluster", "__new__"))
-    val keptRows = index.assigned.join(remapDf, Seq("cluster"))
-      .withColumn("cluster", col("__new__")).drop("__new__")
-    var nextId = kept.size
+    centroids ++= index.centroids.filterNot(c => oversized.contains(c._1))
+    var nextId = index.centroids.size
     val cachedLists = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val splitParts = oversized.map { c =>
       val rows = index.assigned.filter(col("cluster") === c)
@@ -269,23 +288,28 @@ object Ann {
       val k = math.max(2, math.ceil(sizes(c) / mean).toInt)
       val model = new KMeans().setK(k).setSeed(seed + c).setMaxIter(maxIter)
         .setInitMode("random").fit(rows)
+      val centers = model.clusterCenters
+      // sub-centroid 0 inherits the parent's id; the rest take fresh
+      // tail ids. KMeans can return FEWER than k centers
+      // (duplicate-heavy lists dedupe their init samples); advance by
+      // what it actually produced or the id space stops being dense.
       val base = nextId
-      centroids ++= model.clusterCenters.zipWithIndex
+      centroids += ((c, centers.head.toArray.toSeq))
+      centroids ++= centers.toSeq.drop(1).zipWithIndex
         .map { case (cv, i) => (base + i, cv.toArray.toSeq) }
-      // KMeans can return FEWER than k centers (duplicate-heavy lists
-      // dedupe their init samples); advance by what it actually produced
-      // or the centroid id space stops being dense
-      nextId += model.clusterCenters.length
+      nextId += centers.length - 1
       model.transform(rows)
-        .withColumn("cluster", (col("prediction") + base).cast(IntegerType))
+        .withColumn("cluster",
+          when(col("prediction") === 0, lit(c))
+            .otherwise(col("prediction") + lit(base - 1)).cast(IntegerType))
         .drop("prediction", "features")
     }
-    // materialize the re-assignment BEFORE releasing the per-list fit
-    // caches (transform is lazy and reads them)
-    val assigned = (keptRows +: splitParts).reduce(_.unionByName(_))
-      .localCheckpoint(true)
+    // materialize BEFORE releasing the per-list fit caches (transform
+    // is lazy and reads them)
+    val splitRows = splitParts.reduce(_.unionByName(_)).localCheckpoint(true)
     cachedLists.foreach(_.unpersist())
-    IvfIndex(centroids.toSeq.sortBy(_._1), assigned)
+    Some(RebalancePlan(oversized, (index.centroids.size until nextId).toSeq,
+      centroids.toSeq.sortBy(_._1), splitRows))
   }
 
   /** Dynamic-partitioned parquet write with the rows PRE-ROUTED onto
@@ -1250,6 +1274,7 @@ object Ann {
     * (atomic per-dir swap). Returns the touched cluster ids. */
   def ivfBqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Int] = {
+    recoverMaintain(spark, path)
     recoverStagedDirs(
       org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(s"$path/lists"))
@@ -1551,37 +1576,137 @@ object Ann {
     * offline half of the ingest loop [[ivfAppendSave]] leaves open:
     * append-only writes concentrate drifted batches into hot lists, and
     * a hot list makes every probe that selects it scan far more than
-    * its share (one partition directory dominates). Loads the layout,
-    * runs [[ivfRebalance]] (which itself decides skew from the list
-    * sizes — a partition-column-only count scan, no payload bytes), and
-    * iff anything was split, swaps the rewritten lists + centroid
-    * sidecar in via write-to-staging + rename — a reader never sees a
-    * half-written layout (rebalance materializes before the swap, so it
-    * also never reads what it is replacing). Returns true iff a
-    * rebalance ran; call it from the ingest scheduler after
-    * [[ivfAppendSave]] whenever the returned touched-cluster list grew
-    * a directory past the bound. */
+    * its share (one partition directory dominates). Loads the layout
+    * and runs the [[ivfRebalance]] split decision (skew from the list
+    * sizes — a partition-column-only count scan, no payload bytes).
+    *
+    * The rewrite is INCREMENTAL — cost ∝ the split lists, never ∝ the
+    * corpus (the previous full staged-layout swap rewrote every
+    * directory to rebalance two hot lists; at real layout sizes that
+    * is an O(corpus) tax on an O(hot) operation). The rebalance
+    * numbering makes this possible: non-split clusters keep their ids
+    * and rows verbatim, each split parent keeps its id for
+    * sub-centroid 0, and the remaining sub-centroids take fresh tail
+    * ids — so only the parent dirs rewrite (thinned to their sub-0
+    * rows) and only the tail dirs are created.
+    *
+    * Crash safety, per run: (1) a `_maintain.json` marker records the
+    * parents, tail ids, and the new centroid count BEFORE any
+    * mutation; (2) tail dirs are written (ids unknown to the old
+    * sidecar, so concurrent probes never select them); (3) each parent
+    * swaps via stage + two renames, KEEPING its `.maintain.old` copy;
+    * (4) the centroid sidecar swap is the COMMIT POINT; (5) old copies
+    * and the marker are dropped. [[recoverMaintain]] (run at the top
+    * of every IVF maintenance/delete/compact entry point) heals an
+    * interruption: sidecar already new → finish the cleanup; sidecar
+    * still old → restore every parent from `.old`, drop the tail dirs
+    * and marker — the exact pre-maintain layout. Readers keep the
+    * library-wide maintenance caveat (reload handles after a
+    * maintenance tick). Returns true iff a rebalance ran. */
   def ivfMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFactor: Double = 2.0, seed: Long = 42L, maxIter: Int = 5): Boolean = {
-    val idx = ivfLoad(spark, path)
-    val reb = ivfRebalance(idx, maxFactor, seed, maxIter)
-    if (reb eq idx) return false
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listsTmp = new org.apache.hadoop.fs.Path(s"$path/lists__rebalancing")
-    val centsTmp = new org.apache.hadoop.fs.Path(s"$path/centroids__rebalancing")
-    writeByPartition(reb.assigned, "cluster", reb.centroids.size,
-      "overwrite", listsTmp.toString)
-    reb.centroids.toDF("cluster", "cvec")
-      .coalesce(1).write.mode("overwrite").json(centsTmp.toString)
-    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    recoverMaintain(spark, path)
+    recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/lists"))
+    val idx = ivfLoad(spark, path)
+    ivfRebalancePlan(idx, maxFactor, seed, maxIter) match {
+      case None => false
+      case Some(plan) =>
+        val oldCount = idx.centroids.size
+        // (1) intent marker — the new centroid count doubles as the
+        // commit nonce (splits strictly grow the count)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val marker = mapper.createObjectNode()
+        marker.put("new_count", plan.centroids.size)
+        val pArr = marker.putArray("parents"); plan.parents.foreach(pArr.add)
+        val tArr = marker.putArray("tails"); plan.tailIds.foreach(tArr.add)
+        VectorStore.writeSidecar(spark, s"$path/_maintain.json",
+          mapper.writeValueAsString(marker))
+        // (2) tail dirs — new ids, invisible to probes on the old sidecar
+        if (plan.tailIds.nonEmpty)
+          writeByPartition(plan.splitRows.filter(col("cluster") >= oldCount),
+            "cluster", plan.tailIds.size, "append", s"$path/lists")
+        // (3) thin each parent to its sub-0 rows; keep .old until commit
+        plan.parents.foreach { c =>
+          val dir = new org.apache.hadoop.fs.Path(s"$path/lists/cluster=$c")
+          val tmp = new org.apache.hadoop.fs.Path(
+            dir.getParent, s".${dir.getName}.maintain.tmp")
+          val old = new org.apache.hadoop.fs.Path(
+            dir.getParent, s".${dir.getName}.maintain.old")
+          plan.splitRows.filter(col("cluster") === c).drop("cluster")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          require(fs.rename(dir, old), s"rename-away of $dir failed")
+          require(fs.rename(tmp, dir), s"rename of thinned $dir failed")
+        }
+        // (4) COMMIT: sidecar swap
+        val centsTmp = new org.apache.hadoop.fs.Path(s"$path/centroids__rebalancing")
+        plan.centroids.toDF("cluster", "cvec")
+          .coalesce(1).write.mode("overwrite").json(centsTmp.toString)
+        val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
+        fs.delete(cents, true)
+        require(fs.rename(centsTmp, cents),
+          s"rename of rebalanced centroids failed under $path")
+        // (5) cleanup
+        plan.parents.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$path/lists/.cluster=$c.maintain.old"), true)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_maintain.json"), false)
+        true
+    }
+  }
+
+  /** Heal an interrupted [[ivfMaintain]]. The `_maintain.json` marker
+    * plus the sidecar's centroid count tell which side of the commit
+    * point the crash hit: count == the marker's `new_count` → the
+    * maintain committed, finish dropping the `.maintain.old` copies;
+    * otherwise roll BACK — restore every parent dir from its `.old`
+    * (the thinned version renames away first), drop the tail dirs the
+    * interrupted run created and any `.maintain.tmp` staging, and drop
+    * the marker. Either way the layout is exactly a committed or a
+    * pre-maintain state, and every step here is re-entrant. */
+  private[operators] def recoverMaintain(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val markerPath = new org.apache.hadoop.fs.Path(s"$path/_maintain.json")
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(markerPath)) return
+    val in = fs.open(markerPath)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    val newCount = node.get("new_count").asInt()
+    val parents = {
+      val b = Seq.newBuilder[Int]; node.get("parents").forEach(p => b += p.asInt()); b.result()
+    }
+    val tails = {
+      val b = Seq.newBuilder[Int]; node.get("tails").forEach(t => b += t.asInt()); b.result()
+    }
+    // a crash INSIDE the sidecar swap (old deleted, new not yet renamed
+    // in) leaves the staged copy as the only sidecar — roll the swap
+    // forward; any other staged leftover is droppable (old intact)
     val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
-    fs.delete(lists, true)
-    require(fs.rename(listsTmp, lists), s"rename of rebalanced lists failed under $path")
-    fs.delete(cents, true)
-    require(fs.rename(centsTmp, cents), s"rename of rebalanced centroids failed under $path")
-    true
+    val stagedCents = new org.apache.hadoop.fs.Path(s"$path/centroids__rebalancing")
+    if (!fs.exists(cents) && fs.exists(stagedCents))
+      require(fs.rename(stagedCents, cents),
+        s"maintain roll-forward rename of $cents failed")
+    else fs.delete(stagedCents, true)
+    val committed = spark.read.json(s"$path/centroids").count() == newCount
+    parents.foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/lists/cluster=$c")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/lists/.cluster=$c.maintain.tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$path/lists/.cluster=$c.maintain.old")
+      fs.delete(tmp, true)
+      if (committed) fs.delete(old, true)
+      else if (fs.exists(old)) {
+        fs.delete(dir, true)
+        require(fs.rename(old, dir), s"maintain rollback rename of $dir failed")
+      }
+    }
+    if (!committed) tails.foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cluster=$t"), true)
+    }
+    fs.delete(markerPath, false)
   }
 
   /** Incremental PQ maintenance: encode a new batch with the EXISTING
@@ -1726,6 +1851,7 @@ object Ann {
       minFactor: Double = 4.0): (Seq[Int], Seq[Int]) = {
     import spark.implicits._
     require(minFactor > 1.0, s"minFactor must be > 1, got $minFactor")
+    recoverMaintain(spark, path)
     val centroids = spark.read.json(s"$path/centroids")
       .select(col("cluster").cast(IntegerType), col("cvec"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
@@ -1969,8 +2095,10 @@ object Ann {
     * rather than skew — run both on the ingest cadence behind
     * [[ivfAppendSave]]). */
   def ivfCompactSave(spark: org.apache.spark.sql.SparkSession, path: String,
-      maxFiles: Int = 8): Seq[String] =
+      maxFiles: Int = 8): Seq[String] = {
+    recoverMaintain(spark, path)
     compactDirs(spark, s"$path/lists", maxFiles)
+  }
 
   /** Compact a persisted signature index's bucket dirs ([[bqSaveIndex]]). */
   def bqCompactSave(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -1979,8 +2107,10 @@ object Ann {
 
   /** Compact a persisted hybrid layout's list dirs ([[ivfBqSave]]). */
   def ivfBqCompactSave(spark: org.apache.spark.sql.SparkSession, path: String,
-      maxFiles: Int = 8): Seq[String] =
+      maxFiles: Int = 8): Seq[String] = {
+    recoverMaintain(spark, path)
     compactDirs(spark, s"$path/lists", maxFiles)
+  }
 
   /** Compact a persisted residual IVF×PQ layout ([[ivfPqSave]]): both
     * cluster-partitioned halves (codes + coarse lists) repay their
@@ -2069,6 +2199,7 @@ object Ann {
   def ivfDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Int] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    recoverMaintain(spark, path)
     recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/lists"))
     val drop = col("id").cast(StringType).isin(ids: _*)
     val touched = spark.read.parquet(s"$path/lists")

@@ -1225,16 +1225,83 @@ class DedupAnnSpec extends AnyFunSuite {
     Ann.ivfAppendSave(spark, path, batch, "vec_id", "embedding")
     val sizesBefore = spark.read.parquet(s"$path/lists")
       .groupBy(col("cluster")).count().collect().map(_.getLong(1))
+    def fileMap(): Map[String, Set[(String, Long)]] =
+      new java.io.File(s"$path/lists").listFiles().filter(_.isDirectory)
+        .filterNot(_.getName.startsWith("."))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet).toMap
+    val dirsBefore = fileMap()
     assert(Ann.ivfMaintain(spark, path, maxFactor = 2.0), "skewed layout must rebalance")
     val after = spark.read.parquet(s"$path/lists")
     val sizesAfter = after.groupBy(col("cluster")).count().collect().map(_.getLong(1))
     assert(after.count() == listsBefore + 300, "rows must survive the swap")
     assert(sizesAfter.max < sizesBefore.max, "hot list must shrink")
     assert(sizesAfter.length > sizesBefore.length, "split must add lists")
+    // INCREMENTAL contract: the hot batch landed in ONE cluster, so
+    // exactly that parent dir rewrites — every other pre-existing dir
+    // keeps its files byte-identical (the old full-layout swap rewrote
+    // everything; cost must be ∝ split lists)
+    val dirsAfter = fileMap()
+    val changed = dirsBefore.keys.filter(d => dirsAfter.get(d) != dirsBefore.get(d)).toSeq
+    assert(changed.size == 1, s"only the split parent may rewrite, got $changed")
     // probes on the swapped layout: the hot vector still self-hits
     val hits = Ann.ivfTopK(Ann.ivfLoad(spark, path),
       e.filter(col("vec_id") === 42), "vec_id", "embedding", k = 3, nProbe = 4).collect()
     assert(hits.head.getAs[String]("id") == "42")
+  }
+
+  test("ivf maintain recovery: an interrupted run rolls back (or forward) exactly") {
+    import java.nio.file.Files
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val base = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 4)
+    val path = Files.createTempDirectory("ivfmaintrec").toString
+    Ann.ivfSave(base, path)
+    val rowsBefore = spark.read.parquet(s"$path/lists")
+      .select(col("id").cast("string")).collect().map(_.getString(0)).sorted.toSeq
+    // simulate a maintain interrupted AFTER tails + parent thinning but
+    // BEFORE the sidecar commit: marker present, sidecar still old
+    val fs = new java.io.File(s"$path/lists")
+    val parent = fs.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cluster=")).sorted.head
+    val c = parent.stripPrefix("cluster=").toInt
+    // "tail" dirs the interrupted run created (content arbitrary)
+    e.filter(col("vec_id") < 3).select(col("vec_id").cast("string").as("id"),
+        col("embedding").cast("array<float>").as("v"))
+      .coalesce(1).write.parquet(s"$path/lists/cluster=4")
+    // parent renamed away, thinned replacement in place
+    assert(new java.io.File(s"$path/lists/$parent")
+      .renameTo(new java.io.File(s"$path/lists/.$parent.maintain.old")))
+    e.filter(col("vec_id") === 0).select(col("vec_id").cast("string").as("id"),
+        col("embedding").cast("array<float>").as("v"))
+      .coalesce(1).write.parquet(s"$path/lists/$parent")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_maintain.json"),
+      s"""{"new_count": 6, "parents": [$c], "tails": [4, 5]}""".getBytes("UTF-8"))
+    // any maintenance entry point heals first: no-op maintain recovers
+    assert(!Ann.ivfMaintain(spark, path, maxFactor = 1000.0))
+    val rowsAfter = spark.read.parquet(s"$path/lists")
+      .select(col("id").cast("string")).collect().map(_.getString(0)).sorted.toSeq
+    assert(rowsAfter == rowsBefore, "rollback must restore the exact pre-maintain corpus")
+    assert(!new java.io.File(s"$path/lists/cluster=4").exists, "tail dir must drop")
+    assert(!new java.io.File(s"$path/lists/.$parent.maintain.old").exists)
+    assert(!new java.io.File(s"$path/_maintain.json").exists)
+    // committed side: marker matching the CURRENT sidecar count plus a
+    // leftover .old → cleanup only, layout untouched
+    assert(new java.io.File(s"$path/lists/$parent")
+      .renameTo(new java.io.File(s"$path/lists/.$parent.maintain.old")) &&
+      new java.io.File(s"$path/lists/.$parent.maintain.old")
+        .renameTo(new java.io.File(s"$path/lists/$parent")))
+    e.filter(col("vec_id") === 0).select(col("vec_id").cast("string").as("id"),
+        col("embedding").cast("array<float>").as("v"))
+      .coalesce(1).write.parquet(s"$path/lists/.$parent.maintain.old")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_maintain.json"),
+      s"""{"new_count": ${base.centroids.size}, "parents": [$c], "tails": []}""".getBytes("UTF-8"))
+    assert(!Ann.ivfMaintain(spark, path, maxFactor = 1000.0))
+    assert(!new java.io.File(s"$path/lists/.$parent.maintain.old").exists,
+      "committed leftovers must drop")
+    assert(!new java.io.File(s"$path/_maintain.json").exists)
+    assert(spark.read.parquet(s"$path/lists")
+      .select(col("id").cast("string")).collect().map(_.getString(0)).sorted.toSeq
+      == rowsBefore)
   }
 
   test("ivf append: no refit, rows land, recall parity with full rebuild") {
