@@ -1907,6 +1907,58 @@ object SparkEntry {
         .withColumn("sigs_intact", lit(sigsIntact))
     }),
 
+    // ANN: skew maintenance on the PERSISTED residual IVF×PQ — the
+    // composed layout's twin of ann_ivfbq_maintain. The coarse split
+    // plan comes from the embedded IVF half; split rows residual-
+    // RE-ENCODE against their new sub-centroids with the EXISTING
+    // codebooks (unlike signatures, residuals are centroid-relative,
+    // so a moved OR re-centered row's codes must change); only the
+    // split dirs rewrite in BOTH cluster-partitioned roots. The
+    // reloaded index keeps the quality contract over base ∪ batch and
+    // the two roots stay row-consistent.
+    "ann_ivfpq_maintain" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val base = Ann.ivfPqBuildResidual(
+        Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8), m = 8, nCodes = 16)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_maint").toString
+      Ann.ivfPqSave(base, path)
+      val hot = e.filter(col("vec_id") === 42)
+        .select(col("embedding").cast("array<double>").as("v"))
+      val batch = s.range(300).crossJoin(hot)
+        .select((col("id") + 1000000L).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + when(i === 0, (col("id").cast("double") + 1.0) * 1e-4).otherwise(lit(0.0)))
+            .as("embedding"))
+      Ann.ivfPqAppendSave(s, path, batch, "vec_id", "embedding")
+      val mxBefore = s.read.parquet(s"$path/ivf/lists")
+        .groupBy(col("cluster")).count().agg(max(col("count"))).head.getLong(0)
+      val ran = Ann.ivfPqMaintain(s, path, maxFactor = 2.0)
+      val after = s.read.parquet(s"$path/ivf/lists")
+      val mxAfter = after.groupBy(col("cluster")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      val codesAfter = s.read.parquet(s"$path/codes")
+      val rowConsistent = codesAfter
+        .select(col("id").cast(StringType).as("id"), col("cluster"))
+        .exceptAll(after.select(col("id").cast(StringType).as("id"), col("cluster")))
+        .isEmpty &&
+        after.select(col("id").cast(StringType).as("id"), col("cluster"))
+          .exceptAll(codesAfter
+            .select(col("id").cast(StringType).as("id"), col("cluster")))
+          .isEmpty
+      val corpus = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .unionByName(batch.select(col("vec_id"), col("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.ivfPqResidualTopK(Ann.ivfPqLoad(s, path), q,
+        "vec_id", "embedding", k = 3, nProbe = 6, rerankFactor = 16)
+      val exact = Ann.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      ivfContract(approx, exact)
+        .crossJoin(after.agg((count(lit(1)) === e.count() + 300L).as("rows_preserved")))
+        .withColumn("rebalanced", lit(ran))
+        .withColumn("hot_list_shrunk", lit(mxAfter < mxBefore))
+        .withColumn("row_consistent", lit(rowConsistent))
+    }),
+
     // Maintenance: small-file COMPACTION on the persisted layouts —
     // append-mode ingestion (ivfAppendSave / Partitioned.upsert /
     // every streaming twin) pays for its touched-dirs-only writes by
@@ -4356,6 +4408,11 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
         |       TRUE AS rows_preserved, TRUE AS rebalanced,
         |       TRUE AS hot_list_shrunk, TRUE AS sigs_intact""".stripMargin,
+
+    "ann_ivfpq_maintain" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit,
+        |       TRUE AS rows_preserved, TRUE AS rebalanced,
+        |       TRUE AS hot_list_shrunk, TRUE AS row_consistent""".stripMargin,
 
     "o3e_topk_bq" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS local_eq_dist,

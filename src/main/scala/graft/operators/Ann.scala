@@ -1617,42 +1617,168 @@ object Ann {
         val oldCount = idx.centroids.size
         // (1) intent marker — the new centroid count doubles as the
         // commit nonce (splits strictly grow the count)
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val marker = mapper.createObjectNode()
-        marker.put("new_count", plan.centroids.size)
-        val pArr = marker.putArray("parents"); plan.parents.foreach(pArr.add)
-        val tArr = marker.putArray("tails"); plan.tailIds.foreach(tArr.add)
-        VectorStore.writeSidecar(spark, s"$path/_maintain.json",
-          mapper.writeValueAsString(marker))
+        writeMaintainMarker(spark, path, plan, Seq("lists"), "centroids", Nil)
         // (2) tail dirs — new ids, invisible to probes on the old sidecar
         if (plan.tailIds.nonEmpty)
           writeByPartition(plan.splitRows.filter(col("cluster") >= oldCount),
             "cluster", plan.tailIds.size, "append", s"$path/lists")
         // (3) thin each parent to its sub-0 rows; keep .old until commit
         plan.parents.foreach { c =>
-          val dir = new org.apache.hadoop.fs.Path(s"$path/lists/cluster=$c")
-          val tmp = new org.apache.hadoop.fs.Path(
-            dir.getParent, s".${dir.getName}.maintain.tmp")
-          val old = new org.apache.hadoop.fs.Path(
-            dir.getParent, s".${dir.getName}.maintain.old")
-          plan.splitRows.filter(col("cluster") === c).drop("cluster")
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          require(fs.rename(dir, old), s"rename-away of $dir failed")
-          require(fs.rename(tmp, dir), s"rename of thinned $dir failed")
+          thinParentDir(fs, s"$path/lists", c,
+            plan.splitRows.filter(col("cluster") === c).drop("cluster"))
         }
         // (4) COMMIT: sidecar swap
-        val centsTmp = new org.apache.hadoop.fs.Path(s"$path/centroids__rebalancing")
-        plan.centroids.toDF("cluster", "cvec")
-          .coalesce(1).write.mode("overwrite").json(centsTmp.toString)
-        val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
-        fs.delete(cents, true)
-        require(fs.rename(centsTmp, cents),
-          s"rename of rebalanced centroids failed under $path")
+        commitCentroidSidecar(spark, fs, s"$path/centroids",
+          plan.centroids.toDF("cluster", "cvec"))
         // (5) cleanup
         plan.parents.foreach { c =>
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$path/lists/.cluster=$c.maintain.old"), true)
         }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_maintain.json"), false)
+        true
+    }
+  }
+
+  /** Intent marker shared by [[ivfMaintain]] and [[ivfPqMaintain]]:
+    * records the split plan plus the LAYOUT SHAPE — which cluster-dir
+    * roots rewrite, which centroid sidecar is the commit nonce, and
+    * any extra sidecars swapped alongside — so [[recoverMaintain]]
+    * needs no knowledge beyond the marker to heal either layout. */
+  private def writeMaintainMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, plan: RebalancePlan, roots: Seq[String], sidecar: String,
+      extraSidecars: Seq[String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val marker = mapper.createObjectNode()
+    marker.put("new_count", plan.centroids.size)
+    marker.put("sidecar", sidecar)
+    val pArr = marker.putArray("parents"); plan.parents.foreach(pArr.add)
+    val tArr = marker.putArray("tails"); plan.tailIds.foreach(tArr.add)
+    val rArr = marker.putArray("roots"); roots.foreach(rArr.add)
+    val eArr = marker.putArray("extra"); extraSidecars.foreach(eArr.add)
+    VectorStore.writeSidecar(spark, s"$path/_maintain.json",
+      mapper.writeValueAsString(marker))
+  }
+
+  /** Stage + two-rename thinning of one parent partition dir, keeping
+    * the `.maintain.old` copy until the maintain's commit point. */
+  private def thinParentDir(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, c: Int, rows: DataFrame): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/cluster=$c")
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir.getParent, s".${dir.getName}.maintain.tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      dir.getParent, s".${dir.getName}.maintain.old")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(dir, old), s"rename-away of $dir failed")
+    require(fs.rename(tmp, dir), s"rename of thinned $dir failed")
+  }
+
+  /** The maintain COMMIT: stage the new centroid table and swap it in
+    * (delete + rename; a crash inside the window rolls forward from
+    * the staged copy in [[recoverMaintain]]). */
+  private def commitCentroidSidecar(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, sidecarPath: String,
+      table: DataFrame): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"${sidecarPath}__rebalancing")
+    table.coalesce(1).write.mode("overwrite").json(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(sidecarPath)
+    fs.delete(dest, true)
+    require(fs.rename(tmp, dest), s"rename of rebalanced $sidecarPath failed")
+  }
+
+  /** Skew-triggered maintenance for a PERSISTED residual IVF×PQ layout
+    * ([[ivfPqSave]]) — [[ivfMaintain]]'s semantics on the composed
+    * index, same incremental cost model (∝ split lists, never ∝
+    * corpus). The coarse split plan comes from the embedded IVF half;
+    * every split row then residual-RE-ENCODES against its new
+    * sub-centroid with the EXISTING codebooks (codebooks quantize
+    * residual distributions, which a finer coarse fit only tightens —
+    * the same argument as [[ivfPqShrinkSave]]'s re-encode), and BOTH
+    * cluster-partitioned roots (codes + ivf/lists) rewrite only the
+    * parent dirs and gain only the tail dirs, row-consistent. The
+    * `centnorm` sidecar swaps alongside (old copy kept), and the
+    * `ivf/centroids` swap is the commit point — [[recoverMaintain]]
+    * heals an interruption on either side from the marker alone.
+    * Returns true iff a rebalance ran. */
+  def ivfPqMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFactor: Double = 2.0, seed: Long = 42L, maxIter: Int = 5): Boolean = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverMaintain(spark, path)
+    Seq(s"$path/codes", s"$path/ivf/lists").foreach(r =>
+      recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(r)))
+    val idx = ivfLoad(spark, s"$path/ivf")
+    ivfRebalancePlan(idx, maxFactor, seed, maxIter) match {
+      case None => false
+      case Some(plan) =>
+        val oldCount = idx.centroids.size
+        val books = readCodebooks(spark, s"$path/codebooks")
+        val subDim = books.head.head.size
+        // centnorm: kept ids keep their stored normalization verbatim;
+        // parents (sub-0 vector changed) and tails renormalize
+        val oldCn = spark.read.json(s"$path/centnorm")
+          .select(col("cluster").cast(IntegerType), col("cn"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toMap
+        val newCn = plan.centroids.map { case (cid, cvec) =>
+          if (cid < oldCount && !plan.parents.contains(cid)) (cid, oldCn(cid))
+          else {
+            val n = math.sqrt(cvec.map(x => x * x).sum)
+            (cid, if (n == 0.0) cvec else cvec.map(_ / n))
+          }
+        }
+        val codesSchema = layoutSchema(spark, s"$path/codes")
+        val listsSchema = layoutSchema(spark, s"$path/ivf/lists")
+        val cdf = broadcast(newCn.toDF("cluster", "cn"))
+        // re-encode ALL split rows: sub-0 keeps the parent id but its
+        // CENTROID VECTOR changed, so its residuals change too
+        val encoded = plan.splitRows
+          .select(col("id").cast(codesSchema("id").dataType).as("id"),
+            col("v").cast(codesSchema("v").dataType).as("v"), col("cluster"),
+            graft.functions.VectorNormalize.normalize(col("v"), outputFloat = false)
+              .as("__nv__"))
+          .join(cdf, Seq("cluster"))
+          .withColumn("__res__", zip_with(col("__nv__"), col("cn"), (a, b) => a - b))
+          .withColumn("codes", pqEncodeExpr(col("__res__"), books, subDim))
+          .select(col("id"), col("cluster"), col("v"), col("codes"))
+          .localCheckpoint(true)
+        val coarse = encoded
+          .select(col("id").cast(listsSchema("id").dataType).as("id"),
+            col("v").cast(listsSchema("v").dataType).as("v"), col("cluster"))
+        writeMaintainMarker(spark, path, plan,
+          Seq("codes", "ivf/lists"), "ivf/centroids", Seq("centnorm"))
+        if (plan.tailIds.nonEmpty) {
+          writeByPartition(encoded.filter(col("cluster") >= oldCount),
+            "cluster", plan.tailIds.size, "append", s"$path/codes")
+          writeByPartition(coarse.filter(col("cluster") >= oldCount),
+            "cluster", plan.tailIds.size, "append", s"$path/ivf/lists")
+        }
+        plan.parents.foreach { c =>
+          thinParentDir(fs, s"$path/codes", c,
+            encoded.filter(col("cluster") === c).drop("cluster"))
+          thinParentDir(fs, s"$path/ivf/lists", c,
+            coarse.filter(col("cluster") === c).drop("cluster"))
+        }
+        // centnorm swaps pre-commit, old copy kept for rollback
+        val cnTmp = new org.apache.hadoop.fs.Path(s"$path/centnorm__maintain.tmp")
+        newCn.toDF("cluster", "cn")
+          .coalesce(1).write.mode("overwrite").json(cnTmp.toString)
+        val cn = new org.apache.hadoop.fs.Path(s"$path/centnorm")
+        val cnOld = new org.apache.hadoop.fs.Path(s"$path/centnorm__maintain.old")
+        require(fs.rename(cn, cnOld), s"rename-away of $cn failed")
+        require(fs.rename(cnTmp, cn), s"rename of new $cn failed")
+        // COMMIT
+        commitCentroidSidecar(spark, fs, s"$path/ivf/centroids",
+          plan.centroids.toDF("cluster", "cvec"))
+        // cleanup
+        plan.parents.foreach { c =>
+          Seq("codes", "ivf/lists").foreach { r =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$path/$r/.cluster=$c.maintain.old"), true)
+          }
+        }
+        fs.delete(cnOld, true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/_maintain.json"), false)
         true
     }
@@ -1682,29 +1808,52 @@ object Ann {
     val tails = {
       val b = Seq.newBuilder[Int]; node.get("tails").forEach(t => b += t.asInt()); b.result()
     }
+    // layout shape from the marker (absent fields = the plain IVF shape)
+    val roots = Option(node.get("roots")).map { arr =>
+      val b = Seq.newBuilder[String]; arr.forEach(r => b += r.asText()); b.result()
+    }.filter(_.nonEmpty).getOrElse(Seq("lists"))
+    val sidecar = Option(node.get("sidecar")).map(_.asText()).getOrElse("centroids")
+    val extra = Option(node.get("extra")).map { arr =>
+      val b = Seq.newBuilder[String]; arr.forEach(e => b += e.asText()); b.result()
+    }.getOrElse(Nil)
     // a crash INSIDE the sidecar swap (old deleted, new not yet renamed
     // in) leaves the staged copy as the only sidecar — roll the swap
     // forward; any other staged leftover is droppable (old intact)
-    val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
-    val stagedCents = new org.apache.hadoop.fs.Path(s"$path/centroids__rebalancing")
+    val cents = new org.apache.hadoop.fs.Path(s"$path/$sidecar")
+    val stagedCents = new org.apache.hadoop.fs.Path(s"$path/${sidecar}__rebalancing")
     if (!fs.exists(cents) && fs.exists(stagedCents))
       require(fs.rename(stagedCents, cents),
         s"maintain roll-forward rename of $cents failed")
     else fs.delete(stagedCents, true)
-    val committed = spark.read.json(s"$path/centroids").count() == newCount
-    parents.foreach { c =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/lists/cluster=$c")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/lists/.cluster=$c.maintain.tmp")
-      val old = new org.apache.hadoop.fs.Path(s"$path/lists/.cluster=$c.maintain.old")
+    val committed = spark.read.json(s"$path/$sidecar").count() == newCount
+    roots.foreach { root =>
+      parents.foreach { c =>
+        val dir = new org.apache.hadoop.fs.Path(s"$path/$root/cluster=$c")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/$root/.cluster=$c.maintain.tmp")
+        val old = new org.apache.hadoop.fs.Path(s"$path/$root/.cluster=$c.maintain.old")
+        fs.delete(tmp, true)
+        if (committed) fs.delete(old, true)
+        else if (fs.exists(old)) {
+          fs.delete(dir, true)
+          require(fs.rename(old, dir), s"maintain rollback rename of $dir failed")
+        }
+      }
+      if (!committed) tails.foreach { t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$root/cluster=$t"), true)
+      }
+    }
+    // extra sidecars (e.g. centnorm) swap pre-commit with their old
+    // copies retained — restore on rollback, drop on commit
+    extra.foreach { name =>
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}__maintain.tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${name}__maintain.old")
       fs.delete(tmp, true)
       if (committed) fs.delete(old, true)
       else if (fs.exists(old)) {
-        fs.delete(dir, true)
-        require(fs.rename(old, dir), s"maintain rollback rename of $dir failed")
+        fs.delete(cur, true)
+        require(fs.rename(old, cur), s"maintain rollback rename of $cur failed")
       }
-    }
-    if (!committed) tails.foreach { t =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cluster=$t"), true)
     }
     fs.delete(markerPath, false)
   }
@@ -1915,6 +2064,7 @@ object Ann {
       minFactor: Double = 4.0): (Seq[Int], Seq[Int]) = {
     import spark.implicits._
     require(minFactor > 1.0, s"minFactor must be > 1, got $minFactor")
+    recoverMaintain(spark, path)
     val centroids = spark.read.json(s"$path/ivf/centroids")
       .select(col("cluster").cast(IntegerType), col("cvec"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
@@ -2116,9 +2266,11 @@ object Ann {
     * cluster-partitioned halves (codes + coarse lists) repay their
     * append debt together. */
   def ivfPqCompactSave(spark: org.apache.spark.sql.SparkSession, path: String,
-      maxFiles: Int = 8): Seq[String] =
+      maxFiles: Int = 8): Seq[String] = {
+    recoverMaintain(spark, path)
     (compactDirs(spark, s"$path/codes", maxFiles) ++
       compactDirs(spark, s"$path/ivf/lists", maxFiles)).distinct.sorted
+  }
 
   /** Sweep crash residue left by an interrupted [[compactDirs]] or
     * [[rewritePartitionDir]] swap under `root`. A `.…tmp` staging dir
@@ -2217,6 +2369,7 @@ object Ann {
   def ivfPqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Int] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    recoverMaintain(spark, path)
     recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/codes"))
     recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/ivf/lists"))
     val drop = col("id").cast(StringType).isin(ids: _*)

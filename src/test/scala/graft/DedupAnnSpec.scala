@@ -1250,6 +1250,63 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(hits.head.getAs[String]("id") == "42")
   }
 
+  test("ivfPq maintain: residual re-encode on split; only split dirs rewrite in BOTH roots") {
+    import java.nio.file.Files
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val base = Ann.ivfPqBuildResidual(
+      Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 8),
+      m = 8, nCodes = 16)
+    val path = Files.createTempDirectory("ivfpqmaint").toString
+    Ann.ivfPqSave(base, path)
+    // balanced layout: no-op
+    assert(!Ann.ivfPqMaintain(spark, path, maxFactor = 100.0))
+    // skew one list with jittered near-copies (distinct, splittable)
+    val hot = e.filter(col("vec_id") === 42)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val batch = spark.range(300).crossJoin(hot)
+      .select((col("id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + when(i === 0, (col("id").cast("double") + 1.0) * 1e-4).otherwise(lit(0.0)))
+          .as("embedding"))
+    Ann.ivfPqAppendSave(spark, path, batch, "vec_id", "embedding")
+    def fileMap(root: String): Map[String, Set[(String, Long)]] =
+      new java.io.File(root).listFiles().filter(_.isDirectory)
+        .filterNot(_.getName.startsWith("."))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet).toMap
+    val codesBefore = fileMap(s"$path/codes")
+    val listsBefore = fileMap(s"$path/ivf/lists")
+    assert(Ann.ivfPqMaintain(spark, path, maxFactor = 2.0), "skewed layout must rebalance")
+    // exactly the one hot parent rewrote, in EACH root
+    Seq((s"$path/codes", codesBefore), (s"$path/ivf/lists", listsBefore)).foreach {
+      case (root, before) =>
+        val afterM = fileMap(root)
+        val changed = before.keys.filter(d => afterM.get(d) != before.get(d)).toSeq
+        assert(changed.size == 1, s"only the split parent may rewrite in $root, got $changed")
+        assert(afterM.size > before.size, s"split must add tail dirs under $root")
+    }
+    // reloaded index: row-consistent roots, codes match a fresh re-encode
+    val reloaded = Ann.ivfPqLoad(spark, path)
+    val lists = spark.read.parquet(s"$path/ivf/lists")
+    assert(reloaded.codes.count() == lists.count())
+    assert(reloaded.codes.select(col("id").cast("string"), col("cluster"))
+      .exceptAll(lists.select(col("id").cast("string"), col("cluster"))).isEmpty)
+    // quality holds over base ∪ batch with exact rerank. Queries stay
+    // OUTSIDE the 300-near-copy hot pile: a query inside it can lose
+    // its rerank slot to copies whose ADC scores sit within the
+    // quantization noise of the 1e-4 jitter — approximate nomination,
+    // not a defect (the exact rerank contract applies to what's
+    // nominated).
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(batch)
+    val q = e.filter(col("vec_id") === 13 || col("vec_id") === 11)
+    val approx = Ann.ivfPqResidualTopK(reloaded, q, "vec_id", "embedding",
+      k = 3, nProbe = 6, rerankFactor = 16)
+    approx.filter(col("rank") === 1).collect()
+      .foreach(r => assert(r.getAs[String]("id") == r.getAs[Any]("qid").toString))
+  }
+
   test("ivf maintain recovery: an interrupted run rolls back (or forward) exactly") {
     import java.nio.file.Files
     val e = Tables.embeddings(spark, TestSpark.sf)
