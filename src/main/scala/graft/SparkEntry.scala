@@ -1429,6 +1429,38 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // Text: Okapi BM25 top-10 keyword retrieval — the lexical half of
+    // hybrid search. Corpus stats (N, avgdl, per-term df) fold to one
+    // collected row; scoring is in-row HOF term counts + a bounded
+    // top-k, so nothing data-sized shuffles.
+    "text_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "vector", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // ranking with the exact cosine ranking for the same information
+    // need (query vector = vec_id 0's embedding, doc_id = vec_id).
+    // Both input rankings are top-50-bounded, so the fusion is
+    // driver-small regardless of corpus size.
+    "ann_hybrid_rrf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("id"))
+      val lex = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "vector", "join"), k = 50)
+        .withColumn("rank", row_number().over(w))
+        .select(col("id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+      val vec = Ann.bruteForceTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("id").cast(LongType).as("id"), col("rank"))
+      Ann.rrfFuse(Seq(lex, vec), "id", "rank", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // Dedup: 3-gram shingle Jaccard over adjacent-id pairs.
     "dedup_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -2191,6 +2223,22 @@ object SparkEntry {
       val approx = Ann.pqTopK(cachedPq(s, dir), q, "vec_id", "embedding", k = 3)
       // pqTopK's qid is STRING (driver-table key); align the exact side
       // so the contract joins string=string, not via numeric coercion
+      val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+        .withColumn("qid", col("qid").cast(StringType))
+      ivfContract(approx, exact)
+    }),
+
+    // ANN: Matryoshka prefix-dimension two-phase — nominate on the first
+    // 16 of 64 coordinates (MRL embeddings front-load information), exact
+    // full-dim rerank. The prefix ranking is engine-specific geometry, so
+    // the check is the same engine-independent contract as PQ: self at
+    // rank 1 (exact rerank guarantees it once nominated), recall@k vs
+    // brute force >= floor.
+    "ann_matryoshka" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Ann.prefixRerankTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3, dPrefix = 16, oversample = 16)
       val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
         .withColumn("qid", col("qid").cast(StringType))
       ivfContract(approx, exact)
@@ -2989,6 +3037,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("seg_idx").cast(LongType),
           col("survivor_id"), col("survivor_seg_idx").cast(LongType))
         .orderBy(col("doc_id"), col("seg_idx"))
+    }),
+
+    // Dedup: Gopher-style per-document duplication profile — the
+    // fraction of each doc's segments that are cross-document
+    // boilerplate, the signal behind "drop docs >X% duplicated" filters.
+    "dedup_dupfrac" -> ((s, dir) => {
+      Dedup.segmentDupStats(Tables.documents(s, dir), "doc_id", "text",
+          segWords = 10, maxDf = 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }),
 
     // Text: self-trained corpus LM quality score (avg char-bigram
@@ -3996,6 +4054,72 @@ object SparkEntry {
         |SELECT id AS doc_id, CAST(rnk AS INTEGER) AS rnk, tok, round(score, 6) AS score
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
+    // Okapi BM25, Robertson idf — identical arithmetic order to the
+    // engine: ((idf*tf)/denom) per term, summed left-to-right in the
+    // literal term order, rounded to 6 dp BEFORE ordering/filtering
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(
+        |         ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |       + ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |       + ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // RRF fusion of the BM25 top-50 with the exact-cosine top-50
+    // (query vector = vec_id 0, doc_id = vec_id); 1/(60+rank) summed,
+    // rounded to 6 dp, top-10 by fused score with id tiebreak
+    "ann_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(
+        |         ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |       + ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |       + ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS bm25
+        |       FROM tf CROSS JOIN st),
+        |lex AS (SELECT doc_id AS id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        |        FROM (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |              ORDER BY bm25 DESC, doc_id LIMIT 50)),
+        |nq AS (SELECT list_transform(embedding::DOUBLE[],
+        |         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qv
+        |       FROM embeddings WHERE vec_id = 0),
+        |nv AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+        |       FROM embeddings),
+        |vtop AS (SELECT vec_id AS id, row_number() OVER (ORDER BY cs DESC, vec_id) AS rnk
+        |         FROM (SELECT vec_id, list_dot_product(v, (SELECT qv FROM nq)) AS cs
+        |               FROM nv ORDER BY cs DESC, vec_id LIMIT 50)),
+        |f AS (SELECT coalesce(l.id, v.id) AS doc_id,
+        |        round(coalesce(CAST(1.0 AS DOUBLE)/(60 + l.rnk), 0)
+        |            + coalesce(CAST(1.0 AS DOUBLE)/(60 + v.rnk), 0), 6) AS rrf,
+        |        CAST((CASE WHEN l.id IS NULL THEN 0 ELSE 1 END)
+        |           + (CASE WHEN v.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists
+        |      FROM lex l FULL OUTER JOIN vtop v ON l.id = v.id)
+        |SELECT doc_id, rrf, n_lists FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
     "dedup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -4496,6 +4620,10 @@ object SparkEntry {
 
     // PQ + exact rerank: same engine-independent contract booleans
     "ann_pq" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
+
+    // Matryoshka prefix nomination + exact rerank: same contract
+    "ann_matryoshka" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS self_hit""",
 
     // OPQ: rotation + codebooks are engine-specific; same contract
@@ -5053,6 +5181,21 @@ object SparkEntry {
         |FROM seg s JOIN f ON s.seg = f.seg JOIN surv ON s.seg = surv.seg
         |WHERE f.seg_df > 1
         |ORDER BY s.doc_id, s.seg_idx""".stripMargin,
+
+    // same segmentation CTEs as dedup_segments; per-doc boilerplate
+    // counts + fraction instead of text rewrite
+    "dedup_dupfrac" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s0 AS (SELECT doc_id,
+        |         unnest(generate_series(0, CAST(ceil(len(toks)/10.0) AS INT)-1)) AS seg_idx,
+        |         toks FROM t),
+        |seg AS (SELECT doc_id, seg_idx,
+        |          array_to_string(toks[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg FROM s0),
+        |f AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY seg)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN seg_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN seg_df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM seg JOIN f USING (seg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // exact-interpolated percentiles (Spark percentile == quantile_cont,
     // the q_quantile-proven equivalence); filter on the RAW cutoffs

@@ -323,7 +323,7 @@ object Ann {
     * tasks, and appends start file-count debt at one file per touched
     * dir per batch. `nParts` = the distinct partition values being
     * written (directories), so write parallelism ∝ directories. */
-  private def writeByPartition(df: DataFrame, partCol: String, nParts: Int,
+  private[operators] def writeByPartition(df: DataFrame, partCol: String, nParts: Int,
       mode: String, path: String): Unit =
     df.repartition(math.max(1, nParts), col(partCol))
       .write.mode(mode).partitionBy(partCol).parquet(path)
@@ -947,6 +947,77 @@ object Ann {
       .join(broadcast(q.select(col("qid"), col("qvn"))), Seq("qid"))
       .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
       .transform(topKHits(_, "id", k))
+  }
+
+  // ------------------------------------------- Matryoshka prefix rerank
+  /** Matryoshka (MRL-style) prefix-dimension two-phase top-k: nominate
+    * on the FIRST `dPrefix` coordinates of each unit-normalized vector,
+    * exact-rerank the nominees at full dimension. MRL-trained embeddings
+    * front-load information by coordinate, so the truncated dot is a
+    * cheap nomination score at dPrefix/d of the flops — and, when the
+    * prefix is materialized as its own column in a columnar layout,
+    * dPrefix/d of the bytes scanned.
+    *
+    * Nomination scores are prefix dots of the FULL-normalized vectors
+    * (not re-normalized prefixes): renormalizing would divide by a
+    * prefix norm that can be zero, while the un-renormalized dot only
+    * re-weights candidates by their prefix mass — a nomination-quality
+    * detail that the exact full-dimension rerank absorbs. Same emitted
+    * schema and exact-score contract as [[bruteForceTopK]]; what is
+    * approximate is nomination recall only (oversample widens it).
+    *
+    * Scale shape mirrors [[bqTopKBatch]]: queries broadcast, phase-1
+    * shuffle is the bounded heap's O(partitions × Q × k × oversample),
+    * phase 2 joins Q×k×oversample nominee ids (AQE-broadcast) back to
+    * the vector table and re-scores exactly. */
+  def prefixRerankTopK(data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, dPrefix: Int, oversample: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dPrefix >= 1, s"dPrefix must be >= 1, got $dPrefix")
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val d = data.select(col(idCol).cast(StringType).as("id"),
+      graft.functions.VectorNormalize.normalize(col(vecCol), outputFloat = false).as("__nv__"))
+    val q = queries.select(col(qidCol).cast(StringType).as("qid"),
+      graft.functions.VectorNormalize.normalize(col(qvecCol), outputFloat = false).as("qvn"))
+    val nominated = d
+      .select(col("id"), slice(col("__nv__"), 1, dPrefix).as("__pv__"))
+      .crossJoin(broadcast(q.select(col("qid"), slice(col("qvn"), 1, dPrefix).as("__pq__"))))
+      .withColumn("__score__", dotD(col("__pv__"), col("__pq__")))
+      .groupBy(col("qid"))
+      .agg(TopKByScore.topk(col("__score__"), col("id"), k * oversample).as("hits"))
+      .select(col("qid"), explode(col("hits.id")).as("id"))
+    nominated
+      .join(d, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("__score__", dotD(col("__nv__"), col("qvn")))
+      .transform(topKHits(_, "id", k))
+  }
+
+  // --------------------------------------------- reciprocal-rank fusion
+  /** Reciprocal-rank fusion (Cormack et al.): combine N independent
+    * rankings of the same id space — e.g. [[graft.operators.TextAnalysis.bm25TopK]]
+    * lexical ranks with a cosine top-k — into one hybrid top-k by
+    * `rrf(id) = Σ_lists 1/(kRrf + rank)`. Rank-based (score scales never
+    * mix), standard kRrf = 60. Emits (id, rrf rounded to 6 dp, n_lists =
+    * how many input rankings contained the id), ties broken by id.
+    *
+    * Each input ranking is already top-n-bounded, so every frame here is
+    * driver-small; the union + groupBy is O(Σ list lengths) rows no
+    * matter the corpus behind the rankings. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    val u = rankings.map(_.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast(DoubleType))).as("__c__")))
+      .reduce(_ unionByName _)
+    u.groupBy(col("id"))
+      .agg(round(sum(col("__c__")), 6).as("rrf"),
+        count(lit(1)).cast(LongType).as("n_lists"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
   }
 
   /** Persisted binary signature index: the [[bqSigs]] table bucketed by
@@ -2316,7 +2387,7 @@ object Ann {
     * `drop`, so a partially-completed recursive delete is itself
     * retriable). Backs every persisted delete (IVF / BQ / hybrid /
     * IVF×PQ). */
-  private def rewritePartitionDir(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def rewritePartitionDir(spark: org.apache.spark.sql.SparkSession,
       dir: String, drop: Column): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)

@@ -722,6 +722,44 @@ object Dedup {
       .select(col("id"), col("seg_idx"), col("survivor_id"), col("survivor_seg_idx"))
   }
 
+  /** Gopher-style per-document duplication profile: for every document,
+    * how many of its `segWords`-word segments also appear in more than
+    * `maxDf` distinct documents, and the fraction they make up — the
+    * quality signal behind "drop documents whose duplicated-content
+    * fraction exceeds X" repetition filters. The profiling twin of
+    * [[segmentDedup]] (which rewrites text): emits (id, n_segments,
+    * n_dup, dup_frac rounded to 6 dp) and leaves the filter policy to
+    * the caller.
+    *
+    * Same shuffle discipline as [[segmentDedup]]: occurrences are
+    * (id, seg_idx, seg_hash) scalars hashed in place, the frequency
+    * table is one map-side-combinable groupBy on the hash, and the
+    * boilerplate flags join back as a broadcast — no exchange carries
+    * text. */
+  def segmentDupStats(
+      df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10, maxDf: Int = 1): DataFrame = {
+    require(segWords > 0 && maxDf >= 1, s"need segWords>0, maxDf>=1")
+    def toksOf(c: Column) = split(c, " ")
+    val segMeta = df.select(col(idCol).as("id"), {
+      val toks = toksOf(col(textCol))
+      val nSegs = ceil(size(toks).cast(DoubleType) / segWords).cast(IntegerType)
+      posexplode(transform(sequence(lit(0), nSegs - 1),
+        i => xxhash64(array_join(slice(toks, i * segWords + 1, lit(segWords)), " "))))
+        .as(Seq("seg_idx", "seg_hash"))
+    })
+    val boiler = segMeta.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("id")).as("seg_df"))
+      .filter(col("seg_df") > maxDf)
+      .select(col("seg_hash"), lit(1L).as("__dup__"))
+    segMeta.join(boiler, Seq("seg_hash"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(coalesce(col("__dup__"), lit(0L))).as("n_dup"))
+      .select(col("id"), col("n_segments"), col("n_dup"),
+        round(col("n_dup").cast(DoubleType) / col("n_segments"), 6).as("dup_frac"))
+  }
+
   // ------------------------------------------- embedding near-duplicates
   /** Embedding-cosine near-dup pairs within id-distance blocks — a
     * bounded-candidate variant for corpora where near-dups ARE

@@ -223,6 +223,57 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  // --------------------------------------------------- BM25 retrieval
+  /** Okapi BM25 top-k keyword retrieval — the lexical half of hybrid
+    * (keyword + vector) search. Scores every document against a literal
+    * term list with the standard Robertson/Lucene formula
+    * `Σ_t idf(t) · tf / (tf + k1·(1 − b + b·dl/avgdl))`,
+    * `idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)`, and returns the
+    * k best (score > 0, ties by id).
+    *
+    * Scale shape: TWO corpus scans and no data-sized shuffle. Pass 1 is
+    * one aggregate emitting a single (|terms|+2)-scalar row — N, avgdl,
+    * and df per query term via `array_contains` folds (map-side
+    * combinable) — which is collected and re-planted as plan literals.
+    * Pass 2 computes each doc's score with in-row `filter()` HOF term
+    * counts (codegen, no explode — the token fan-out never leaves its
+    * source row) and reduces through TakeOrderedAndProject, so the
+    * shuffle carries O(partitions × k) rows regardless of corpus size.
+    * Scores are rounded to 6 dp BEFORE the ordering so the ranking is
+    * reproducible across engines (the DuckDB oracle orders the same
+    * rounded value with the same id tiebreak). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and 0 <= b <= 1")
+    val terms = queryTerms.distinct
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(idCol).as("id"), toks.as("__toks__"),
+      size(toks).cast(DoubleType).as("__dl__"))
+    // pass 1: corpus stats — one tiny row, collected, re-planted as literals
+    val statAggs =
+      Seq(count(lit(1)).cast(DoubleType).as("n"), avg(col("__dl__")).as("avgdl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("__toks__"), t), 1d).otherwise(0d)).as(s"df_$i")
+        }
+    val stats = base.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val n = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+    // pass 2: per-doc score from in-row term counts against the literals
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = stats.getDouble(2 + i)
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val tf = size(filter(col("__toks__"), x => x === lit(t))).cast(DoubleType)
+      lit(idf) * tf / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl__") / lit(avgdl)))
+    }.reduce(_ + _)
+    base.select(col("id"), round(score, 6).as("bm25"))
+      .filter(col("bm25") > 0d)
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(k)
+  }
+
   // --------------------------------------------------- sequence packing
   /** Concat-and-chunk sequence packing: documents are concatenated in
     * (`groupCol`, ascending `idCol`) order and cut into fixed

@@ -1906,6 +1906,57 @@ class DedupAnnSpec extends AnyFunSuite {
       "persisted-appended rows must self-hit at rank 1")
   }
 
+  test("segmentDupStats: per-doc duplication profile matches hand counts") {
+    val df = Seq(
+      (1L, "x y z a b c"),       // segs: "x y z"(dup), "a b c"
+      (2L, "x y z q w e"),       // segs: "x y z"(dup), "q w e"
+      (3L, "m n o")).toDF("doc_id", "text")
+    val r = Dedup.segmentDupStats(df, "doc_id", "text", segWords = 3, maxDf = 1)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(r.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("prefixRerankTopK: full-corpus oversample reproduces brute force exactly") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    // oversample covering the whole corpus -> the rerank IS brute force,
+    // whatever the prefix nomination ordered
+    val approx = Ann.prefixRerankTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 3, dPrefix = 8, oversample = n / 3 + 1)
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0).toString, r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(key(approx) == key(exact))
+  }
+
+  test("prefixRerankTopK: prefix = full dimension nominates in exact order") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val approx = Ann.prefixRerankTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 3, dPrefix = 64, oversample = 2)
+    val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0).toString, r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(key(approx) == key(exact))
+  }
+
+  test("rrfFuse: hand-computed fusion, membership counts, id tiebreak") {
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val vec = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("id", "rank")
+    val r = Ann.rrfFuse(Seq(lex, vec), "id", "rank", k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def rr(ranks: Int*): Double =  // Spark round() = HALF_UP
+      BigDecimal(ranks.map(x => 1.0 / (60.0 + x)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.toSeq == Seq(
+      (2L, rr(2, 1), 2L),   // in both lists
+      (3L, rr(3, 2), 2L),
+      (1L, rr(1), 1L),      // lex only
+      (4L, rr(3), 1L)))     // vec only
+  }
+
   test("opq: save/load round trip gives identical query results") {
     val e = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val idx = Ann.opqBuild(e, "vec_id", "embedding", m = 8, nCodes = 16)

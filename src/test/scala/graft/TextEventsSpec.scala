@@ -784,4 +784,37 @@ class TextEventsSpec extends AnyFunSuite {
     val perDoc = m.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     assert(dropped.forall { case (id, n) => perDoc.getOrElse(id, 0L) == n })
   }
+
+  test("bm25TopK: hand-computed Okapi scores, zero-score docs excluded") {
+    val docs = Seq(
+      (1L, "a b a"),     // tf_a=2, dl=3
+      (2L, "a c"),       // tf_a=1, dl=2
+      (3L, "d d d d"),   // tf_d=4, dl=4
+      (4L, "e f g")      // no query term -> excluded
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("a", "d"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    // independent scalar recompute of the same formula
+    val n = 4.0; val avgdl = (3 + 2 + 4 + 3) / 4.0
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(idfV: Double, tf: Double, dl: Double) =
+      idfV * tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r6(term(idf(2), 2, 3))              // doc 1: only 'a'
+    val s2 = r6(term(idf(2), 1, 2))              // doc 2: only 'a'
+    val s3 = r6(term(idf(2), 0, 4) + term(idf(1), 4, 4)) // doc 3: only 'd'
+    assert(r.toSeq == Seq((3L, s3), (1L, s1), (2L, s2)),
+      s"got ${r.toSeq}, want ${Seq((3L, s3), (1L, s1), (2L, s2))}")
+  }
+
+  test("bm25TopK: k bound and determinism on the synthetic corpus") {
+    val d = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val a = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("spark", "vector", "join"), k = 5)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val b = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("spark", "vector", "join"), k = 5)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(a.length == 5 && a.toSeq == b.toSeq)
+    assert(a.map(_._2).sliding(2).forall(p => p.head >= p.last), "descending scores")
+  }
 }
