@@ -793,7 +793,18 @@ object SparkEntry {
 
   // ===================================================== pipeline (north star)
 
-  import graft.operators.{Ann, Dedup, EventAnalytics, Multimodal, TextAnalysis}
+  import graft.operators.{Ann, Dedup, EventAnalytics, InvertedIndex, Multimodal, TextAnalysis}
+
+  /** Per-JVM inverted-index cache: build the persisted term-partitioned
+    * layout once per sf dir; probes prune to the query terms' buckets. */
+  private val invIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def cachedInvIdx(s: SparkSession, dir: String): String =
+    invIdxCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("invidx").toString
+      InvertedIndex.build(Tables.documents(s, dir), "doc_id", "text",
+        path, nBuckets = 16, nDocBuckets = 8)
+      path
+    })
 
   /** Order-independent exact sum in integer cents (bit-identical across
     * engines; DECIMAL casts of doubles are not — 1-ulp divergence). */
@@ -1459,6 +1470,76 @@ object SparkEntry {
       Ann.rrfFuse(Seq(lex, vec), "id", "rank", k = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    // Text: BM25 through the PERSISTED term-partitioned inverted index —
+    // the serving-scale twin of text_bm25: the probe lists only the
+    // buckets the query terms hash into (static isin on the partition
+    // column), per-term df comes from the pruned postings, and term
+    // scores are 1e-9-quantized before the per-doc sum so the grouped
+    // sum is exact integer arithmetic (order-independent).
+    "text_bm25_idx" -> ((s, dir) => {
+      InvertedIndex.bm25TopK(s, cachedInvIdx(s, dir),
+          Seq("spark", "vector", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Text: the inverted index's full mutate surface in one gate —
+    // build on a prefix, append the rest (touched term buckets only),
+    // tombstone-delete docs 0..19 (stats shrink exactly), compact
+    // (physical drop + tombstone clear), then probe. Oracle = the same
+    // quantized BM25 over the effective corpus (all docs minus 0..19).
+    "text_bm25_idx_maintain" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("invmaint").toString
+      val d = Tables.documents(s, dir)
+      InvertedIndex.build(d.filter(col("doc_id") < 400), "doc_id", "text",
+        path, nBuckets = 16, nDocBuckets = 8)
+      InvertedIndex.append(s, path, d.filter(col("doc_id") >= 400), "doc_id", "text")
+      InvertedIndex.delete(s, path, (0L until 20L).map(_.toString))
+      InvertedIndex.compact(s, path)
+      InvertedIndex.bm25TopK(s, path, Seq("spark", "vector", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Streaming: inverted-index ingestion with the checkpoint-gated
+    // ledger — two file-source microbatches append postings into their
+    // touched term buckets, each landing a NEW stats version (the
+    // append-only-stats design that makes ledger rollback exact); the
+    // post-stream probe must score the grown corpus like a fresh build.
+    "stream_ingest_invidx" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val d = Tables.documents(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ingest_inv").toString
+      InvertedIndex.build(d.filter(col("doc_id") < 300), "doc_id", "text",
+        idx, nBuckets = 16, nDocBuckets = 8)
+      val watch = java.nio.file.Files.createTempDirectory("graft_inv_watch")
+      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = watch.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val batch1 = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val t0 = System.currentTimeMillis() - 120000
+      stage("b1", batch1, t0)
+      stage("b2", d.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+        .select(col("doc_id"), col("text")), t0 + 5000)
+      val st = s.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      val cp = java.nio.file.Files.createTempDirectory("graft_inv_cp").toString
+      val q = graft.streaming.StreamingOps.invIngestStream(st, idx,
+        "doc_id", "text", checkpointDir = Some(cp))
+      try q.processAllAvailable() finally q.stop()
+      InvertedIndex.bm25TopK(s, idx, Seq("spark", "vector", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
     }),
 
     // Dedup: 3-gram shingle Jaccard over adjacent-id pairs.
@@ -4119,6 +4200,82 @@ object SparkEntry {
         |      FROM lex l FULL OUTER JOIN vtop v ON l.id = v.id)
         |SELECT doc_id, rrf, n_lists FROM f
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // indexed BM25: same formula as text_bm25 but per-term scores are
+    // quantized to 1e-9 BEFORE the per-doc sum (the index sums exact
+    // longs — order-independent), and doc ids are the index's STRING
+    // keys (VARCHAR here, with the matching lexicographic tiebreak)
+    "text_bm25_idx" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // streamed corpus = built prefix (<300) + the two staged batches
+    // (300..499): quantized BM25 over docs < 500, scale-independent
+    "stream_ingest_invidx" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |           FROM documents WHERE doc_id < 500),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // maintain gate: effective corpus after append + delete = all docs
+    // minus ids 0..19; stats (N, avgdl) and df recompute over it
+    "text_bm25_idx_maintain" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |           FROM documents WHERE doc_id >= 20),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
 
     "dedup_jaccard" ->
       """WITH t AS (

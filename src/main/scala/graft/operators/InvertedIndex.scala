@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted term-partitioned inverted index — the serving-scale path
+  * for lexical (BM25) retrieval. [[TextAnalysis.bm25TopK]] scans the
+  * corpus per query batch, which is the right shape for batch scoring;
+  * at 100 TB a keyword lookup must instead read only the query terms'
+  * posting lists. This index is the same discipline as the persisted
+  * ANN families ([[Ann.ivfSave]] etc.): a partitioned parquet layout
+  * whose partition column prunes at file-listing time, mutations
+  * bounded by the touched directories, and an explicit compaction op
+  * that repays deferred debt.
+  *
+  * Layout at `path`:
+  *   - `postings/bucket=N/` — (term, id, tf, dl): one row per distinct
+  *     (term, doc), partitioned by term-hash bucket so a probe lists
+  *     only the buckets its terms hash into. `dl` (doc length) is
+  *     denormalized onto each posting so scoring never joins a
+  *     corpus-sized doc table.
+  *   - `docstats/dbucket=N/` — (id, dl), partitioned by id-hash bucket:
+  *     the exact-stats ledger deletes read (and rewrite, touched
+  *     buckets only) so the sidecar's N and Σdl stay exact.
+  *   - `tombstones/` — (id) append-only: deletes are Lucene-style
+  *     logical tombstones (a doc's terms spread across ~all posting
+  *     buckets, so eager physical deletion would rewrite the whole
+  *     layout); probes anti-join the (bounded, broadcast) tombstone
+  *     set, [[compact]] drops the rows physically and clears it.
+  *   - `_stats/v<NNN>.json` — {n_buckets, n_doc_buckets, n_docs,
+  *     sum_dl}: corpus stats as exact longs (avgdl = sum_dl/n_docs
+  *     derives), updated arithmetically on append/delete — never
+  *     recomputed by scan. Each update writes a NEW complete version
+  *     (probes read the highest; [[compact]] prunes the history):
+  *     append-only stats are what makes a streamed, ledger-wrapped
+  *     ingest batch fully roll-backable — [[graft.streaming.BatchLedger]]
+  *     undoes a half-landed batch by deleting the files it added, which
+  *     an in-place sidecar rewrite would defeat.
+  *
+  * Determinism: per-posting BM25 term scores are quantized to 1e-9
+  * before the per-doc sum (round(x·1e9) as long), so the grouped sum is
+  * exact integer arithmetic — order-independent across partitionings
+  * and engines, the same trick as [[TextAnalysis.lmScore]].
+  */
+object InvertedIndex {
+
+  /** Corpus stats sidecar. */
+  final case class InvStats(nBuckets: Int, nDocBuckets: Int, nDocs: Long, sumDl: Long)
+
+  private def termBucket(nBuckets: Int) =
+    pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+  private def docBucket(nDocBuckets: Int) =
+    pmod(xxhash64(col("id")), lit(nDocBuckets.toLong))
+
+  /** (term, id, tf, dl, bucket) posting rows for a document frame. The
+    * explode → groupBy(term, id) is the one data-sized shuffle of an
+    * index build (map-side combinable; boilerplate terms stay one row
+    * per doc, so no key carries more than the corpus' doc count). */
+  private def postingsOf(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol).cast(StringType).as("id"),
+        size(toks).cast(LongType).as("dl"), explode(toks).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(nBuckets))
+  }
+
+  private def docStatsOf(df: DataFrame, idCol: String, textCol: String,
+      nDocBuckets: Int): DataFrame =
+    df.select(col(idCol).cast(StringType).as("id"),
+        size(split(col(textCol), " ")).cast(LongType).as("dl"))
+      .withColumn("dbucket", docBucket(nDocBuckets))
+
+  private def statsDir(path: String) = s"$path/_stats"
+
+  private def statsFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def statsVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val dir = new org.apache.hadoop.fs.Path(statsDir(path))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
+      .map(p => (p.getName.stripPrefix("v").stripSuffix(".json").toLong, p))
+      .sortBy(_._1)
+  }
+
+  private def writeStats(spark: SparkSession, path: String, s: InvStats,
+      version: Long): Unit =
+    VectorStore.writeSidecar(spark, f"${statsDir(path)}/v$version%012d.json",
+      s"""{"n_buckets": ${s.nBuckets}, "n_doc_buckets": ${s.nDocBuckets}, """ +
+        s""""n_docs": ${s.nDocs}, "sum_dl": ${s.sumDl}}""")
+
+  private def readStatsVersioned(spark: SparkSession, path: String): (InvStats, Long) = {
+    val fs = statsFs(spark, path)
+    val versions = statsVersions(fs, path)
+    require(versions.nonEmpty, s"no stats versions under ${statsDir(path)} — not an index?")
+    val (v, p) = versions.last
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    (InvStats(n.get("n_buckets").asInt(), n.get("n_doc_buckets").asInt(),
+      n.get("n_docs").asLong(), n.get("sum_dl").asLong()), v)
+  }
+
+  /** Read the current (highest-version) corpus stats. */
+  def readStats(spark: SparkSession, path: String): InvStats =
+    readStatsVersioned(spark, path)._1
+
+  /** Build the index from a document frame. One pass for the postings,
+    * one projection for the doc-stats ledger, one tiny agg for the
+    * sidecar. */
+  def build(df: DataFrame, idCol: String, textCol: String, path: String,
+      nBuckets: Int = 16, nDocBuckets: Int = 16): Unit = {
+    require(nBuckets > 0 && nDocBuckets > 0, "bucket counts must be positive")
+    val spark = df.sparkSession
+    Ann.writeByPartition(postingsOf(df, idCol, textCol, nBuckets),
+      "bucket", nBuckets, "overwrite", s"$path/postings")
+    Ann.writeByPartition(docStatsOf(df, idCol, textCol, nDocBuckets),
+      "dbucket", nDocBuckets, "overwrite", s"$path/docstats")
+    val fs = statsFs(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(statsDir(path)), true)
+    val r = df.agg(count(lit(1)).as("n"),
+      sum(size(split(col(textCol), " ")).cast(LongType)).as("s")).collect()(0)
+    writeStats(spark, path,
+      InvStats(nBuckets, nDocBuckets, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)),
+      version = 1L)
+  }
+
+  /** Append NEW documents (ids disjoint from the corpus — append
+    * maintenance, not upsert, same contract as [[Ann.ivfAppendSave]]).
+    * Cost ∝ batch: postings land only in the term buckets the batch's
+    * terms hash into, doc stats only in the batch ids' buckets, and the
+    * sidecar update is exact long arithmetic on the batch's one-row
+    * aggregate — nothing reads the existing corpus. */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (posts, ds, _) = stageAppend(spark, path, batch, idCol, textCol)
+    applyStagedAppend(spark, path, posts, ds)
+  }
+
+  /** Stage an append WITHOUT landing any file: derive the batch's
+    * posting and doc-stats frames (materialized — staging must be
+    * deterministic under replay) and the exact directories the apply
+    * will touch, including the stats dir. The stage/apply split is what
+    * a [[graft.streaming.BatchLedger]]-wrapped ingest batch needs:
+    * snapshot the touched dirs first, then run [[applyStagedAppend]]. */
+  private[graft] def stageAppend(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, Seq[String]) = {
+    val st = readStats(spark, path)
+    val posts = postingsOf(batch, idCol, textCol, st.nBuckets).localCheckpoint(true)
+    val ds = docStatsOf(batch, idCol, textCol, st.nDocBuckets).localCheckpoint(true)
+    val pb = posts.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val db = ds.select(col("dbucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val dirs = pb.map(b => s"$path/postings/bucket=$b") ++
+      db.map(b => s"$path/docstats/dbucket=$b") :+ statsDir(path)
+    (posts, ds, dirs)
+  }
+
+  /** Land a staged append: postings + doc stats into their touched
+    * directories, then a NEW stats version derived from the
+    * currently-highest one — pure file additions, so a ledger rollback
+    * of a half-landed batch restores the exact pre-batch index
+    * (including the stats the next reader sees). */
+  private[graft] def applyStagedAppend(spark: SparkSession, path: String,
+      posts: DataFrame, ds: DataFrame): Unit = {
+    val touched = posts.select("bucket").distinct().count().toInt
+    Ann.writeByPartition(posts, "bucket", math.max(1, touched),
+      "append", s"$path/postings")
+    val dTouched = ds.select("dbucket").distinct().count().toInt
+    Ann.writeByPartition(ds, "dbucket", math.max(1, dTouched),
+      "append", s"$path/docstats")
+    val r = ds.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+    val (st, v) = readStatsVersioned(spark, path)
+    writeStats(spark, path, st.copy(
+      nDocs = st.nDocs + r.getLong(0),
+      sumDl = st.sumDl + (if (r.isNullAt(1)) 0L else r.getLong(1))), v + 1)
+  }
+
+  /** Delete documents by id: tombstone-append (postings stay in place —
+    * a doc's terms spread across ~every term bucket, so physical
+    * deletion belongs to [[compact]]), doc-stats rewrite bounded to the
+    * ids' own buckets, sidecar decremented by the EXACTLY-FOUND rows
+    * (re-deleting an absent id is a no-op, not a double-subtract). The
+    * id list is driver-sized by the same argument as the reference's
+    * `delete(&[String])` (lib.rs:273-286). */
+  def delete(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
+    if (ids.isEmpty) return
+    val (st, v) = readStatsVersioned(spark, path)
+    import spark.implicits._
+    val idDf = ids.toDF("id")
+    val dbuckets = idDf.select(docBucket(st.nDocBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val fs = statsFs(spark, path)
+    Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/docstats"))
+    // exact stats of the rows that are REALLY there, from the pruned scan
+    val drop = col("id").isin(ids: _*)
+    val found = spark.read.parquet(s"$path/docstats")
+      .filter(col("dbucket").isin(dbuckets: _*)).filter(drop)
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+    val nFound = found.getLong(0)
+    if (nFound > 0) {
+      dbuckets.foreach(b =>
+        Ann.rewritePartitionDir(spark, s"$path/docstats/dbucket=$b", drop))
+      idDf.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+      writeStats(spark, path, st.copy(
+        nDocs = st.nDocs - nFound, sumDl = st.sumDl - found.getLong(1)), v + 1)
+    }
+  }
+
+  private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** BM25 top-k through the index: list and read ONLY the buckets the
+    * query terms hash into (static isin on the partition column — the
+    * same file-listing pruning discipline as the probed ANN layouts),
+    * push the term equality into the parquet scan, anti-join the
+    * bounded tombstone set, derive per-term df from the pruned postings
+    * themselves (no global df table to maintain), and sum 1e-9-quantized
+    * term scores per doc — exact integer arithmetic, so the result is
+    * independent of partitioning and engine. Shuffle: one groupBy over
+    * the probed postings (∝ matched docs, not corpus) + the bounded
+    * top-k. Same formula and rounding contract as
+    * [[TextAnalysis.bm25TopK]]. */
+  def bm25TopK(spark: SparkSession, path: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = readStats(spark, path)
+    val n = st.nDocs.toDouble
+    val avgdl = st.sumDl.toDouble / st.nDocs
+    val terms = queryTerms.distinct
+    import spark.implicits._
+    val buckets = terms.toDF("term").select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val pruned = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val live = tombstonesOf(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => pruned
+    }
+    // per-term df from the probed postings (≤ |terms| rows, broadcast back)
+    val dfs = live.groupBy(col("term"))
+      .agg(countDistinct(col("id")).cast(DoubleType).as("__df__"))
+    val idf = log((lit(n) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
+    val tf = col("tf").cast(DoubleType)
+    val termScore = idf * tf /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / lit(avgdl)))
+    live.join(broadcast(dfs), Seq("term"))
+      .withColumn("__qs__", round(termScore * 1e9).cast(LongType))
+      .groupBy(col("id"))
+      .agg(round(sum(col("__qs__")).cast(DoubleType) / 1e9, 6).as("bm25"))
+      .filter(col("bm25") > 0d)
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Physically drop tombstoned postings and clear the tombstone set —
+    * the Lucene-merge analogue, run on a maintenance cadence. One
+    * column-pruned (bucket, id) scan finds which buckets actually hold
+    * tombstoned postings; ONLY those directories rewrite (staged
+    * two-rename swap via [[Ann.rewritePartitionDir]] — crash residue
+    * heals through the shared [[Ann.recoverStagedDirs]] sweep run here
+    * and by every probe-independent entry point). Returns the rewritten
+    * bucket ids. */
+  def compact(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = statsFs(spark, path)
+    Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/postings"))
+    // prune the stats version history to the newest (each version is a
+    // complete snapshot, so dropping the rest can never lose state)
+    statsVersions(fs, path).dropRight(1).foreach(v => fs.delete(v._2, false))
+    val tombsOpt = tombstonesOf(spark, path).map(_.select(col("id")).distinct())
+    if (tombsOpt.isEmpty) return Seq.empty
+    val tombLocal = tombsOpt.get.localCheckpoint(true)
+    if (tombLocal.isEmpty) return Seq.empty
+    val touched = spark.read.parquet(s"$path/postings")
+      .select(col("bucket"), col("id"))
+      .join(broadcast(tombLocal), Seq("id"), "left_semi")
+      // partition columns read back with inferred (integer) type — cast
+      .select(col("bucket").cast(LongType))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val drop = col("id").isin(
+      tombLocal.collect().map(_.getString(0)).toSeq: _*)
+    touched.foreach(b =>
+      Ann.rewritePartitionDir(spark, s"$path/postings/bucket=$b", drop))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    touched
+  }
+}

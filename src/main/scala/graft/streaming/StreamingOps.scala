@@ -702,6 +702,49 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming ingestion of the persisted inverted index
+    * ([[graft.operators.InvertedIndex.build]] layout): each microbatch
+    * derives its posting and doc-stats rows (fit-free) and appends only
+    * the term buckets its vocabulary hashes into plus the batch ids'
+    * doc-stats buckets — lexical retrieval follows ingestion at cost ∝
+    * batch, the same posture as the ANN ingest streams. Corpus stats
+    * land as a NEW complete version file per batch (append-only by
+    * design), which is what makes the checkpoint-gated
+    * [[BatchLedger]] wrap sound here: rolling back a half-landed batch
+    * deletes its posting files AND its stats version, so a replayed
+    * batch re-derives both exactly once. Same `_lineage`/raw-append
+    * rules as [[ivfIngestStream]]. */
+  def invIngestStream(batches: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      compactEvery: Int = 0,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val ws = batches.writeStream.outputMode("append")
+    checkpointDir.foreach(ws.option("checkpointLocation", _))
+    ws.foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) {
+          checkpointDir match {
+            case Some(cp) =>
+              BatchLedger.runIdempotent(b.sparkSession, s"$indexPath/_ledger",
+                batchId, cp) {
+                val (posts, ds, touched) = graft.operators.InvertedIndex
+                  .stageAppend(b.sparkSession, indexPath, b, idCol, textCol)
+                (touched, () => graft.operators.InvertedIndex
+                  .applyStagedAppend(b.sparkSession, indexPath, posts, ds))
+              }
+            case None =>
+              graft.operators.InvertedIndex.append(
+                b.sparkSession, indexPath, b, idCol, textCol)
+          }
+          ()
+        }
+        cadenceTick(compactEvery, batchId) {
+          graft.operators.InvertedIndex.compact(b.sparkSession, indexPath)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Streaming tombstones — the DELETE twin of the ingestion streams:
     * each microbatch carries ids to forget, applied per batch to
     * whichever persisted artifacts are wired — the bucketed store

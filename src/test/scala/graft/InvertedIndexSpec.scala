@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{InvertedIndex, TextAnalysis}
+
+class InvertedIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val terms = Seq("spark", "vector", "join")
+
+  private def docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"inv$tag").toString
+
+  private def key(df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+    df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+  test("indexed BM25 matches the corpus-scan formulation") {
+    val path = tmp("base")
+    InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val idx = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10))
+    val scan = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0).toString, r.getDouble(1))).toSeq
+    assert(idx.map(_._1) == scan.map(_._1), s"ids: $idx vs $scan")
+    // scan sums raw doubles, index sums 1e-9-quantized terms: equal to 6dp
+    // within one quantization ulp
+    idx.zip(scan).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 2e-6, s"score drift: $a vs $b") }
+  }
+
+  test("append equals a fresh rebuild; stats stay exact") {
+    val grown = tmp("grow"); val rebuilt = tmp("rebuild")
+    InvertedIndex.build(docs.filter(col("doc_id") < 30), "doc_id", "text",
+      grown, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.append(spark, grown, docs.filter(col("doc_id") >= 30), "doc_id", "text")
+    InvertedIndex.build(docs, "doc_id", "text", rebuilt, nBuckets = 8, nDocBuckets = 4)
+    assert(key(InvertedIndex.bm25TopK(spark, grown, terms, k = 10)) ==
+      key(InvertedIndex.bm25TopK(spark, rebuilt, terms, k = 10)))
+    assert(InvertedIndex.readStats(spark, grown) ==
+      InvertedIndex.readStats(spark, rebuilt))
+  }
+
+  test("tombstone delete answers immediately; compact preserves it and clears") {
+    val path = tmp("del"); val oraclePath = tmp("delref")
+    InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val dropIds = (0L until 10L).map(_.toString)
+    InvertedIndex.delete(spark, path, dropIds)
+    InvertedIndex.build(docs.filter(col("doc_id") >= 10), "doc_id", "text",
+      oraclePath, nBuckets = 8, nDocBuckets = 4)
+    val want = key(InvertedIndex.bm25TopK(spark, oraclePath, terms, k = 10))
+    val preCompact = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10))
+    assert(preCompact == want, "tombstones must take effect before compaction")
+    assert(InvertedIndex.readStats(spark, path) ==
+      InvertedIndex.readStats(spark, oraclePath), "stats must shrink exactly")
+    // re-deleting the same ids must not double-subtract
+    InvertedIndex.delete(spark, path, dropIds.take(3))
+    assert(InvertedIndex.readStats(spark, path) ==
+      InvertedIndex.readStats(spark, oraclePath))
+    val touched = InvertedIndex.compact(spark, path)
+    assert(touched.nonEmpty)
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) == want)
+    // tombstones cleared: a second compact is a no-op
+    assert(InvertedIndex.compact(spark, path).isEmpty)
+    // and the postings physically lost the dropped ids
+    val gone = spark.read.parquet(s"$path/postings")
+      .filter(col("id").isin(dropIds: _*)).count()
+    assert(gone == 0L)
+  }
+
+  test("compact rewrites only buckets holding tombstoned postings") {
+    val path = tmp("touch")
+    // two docs with DISJOINT vocabularies so their postings land in
+    // knowably different buckets
+    val df = Seq((1L, "aaa bbb aaa"), (2L, "ccc ddd eee")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 32, nDocBuckets = 2)
+    val before = listFiles(s"$path/postings")
+    InvertedIndex.delete(spark, path, Seq("2"))
+    val touched = InvertedIndex.compact(spark, path)
+    val after = listFiles(s"$path/postings")
+    // doc 1's buckets keep their files byte-identical (same path, len, mtime)
+    val touchedDirs = touched.map(b => s"bucket=$b").toSet
+    val untouchedBefore = before.filterNot(f => touchedDirs.exists(f._1.contains))
+    val untouchedAfter = after.filterNot(f => touchedDirs.exists(f._1.contains))
+    assert(untouchedBefore == untouchedAfter,
+      "untouched bucket dirs must not be rewritten")
+    assert(spark.read.parquet(s"$path/postings").filter(col("id") === "2").count() == 0L)
+  }
+
+  test("ledgered ingest: crashed delivery rolls back whole (incl. stats version), replay lands exactly once") {
+    import graft.streaming.BatchLedger
+    val path = tmp("ledger"); val ref = tmp("ledgerref")
+    InvertedIndex.build(docs.filter(col("doc_id") < 30), "doc_id", "text",
+      path, nBuckets = 8, nDocBuckets = 4)
+    val batch = docs.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+    val ledger = s"$path/_ledger"
+    // delivery 1: everything lands, then the process dies BEFORE the
+    // marker finalizes — the worst replay window (rows present, batch
+    // not recorded as applied)
+    val boom = intercept[RuntimeException] {
+      BatchLedger.runIdempotent(spark, ledger, 0L, "cp-A") {
+        val (p, d, dirs) = InvertedIndex.stageAppend(spark, path, batch, "doc_id", "text")
+        (dirs, () => {
+          InvertedIndex.applyStagedAppend(spark, path, p, d)
+          throw new RuntimeException("crash before finalize")
+        })
+      }
+    }
+    assert(boom.getMessage == "crash before finalize")
+    // delivery 2 (engine replay): must roll the half-recorded batch
+    // back — including the stats version file it added — and re-apply
+    val ran = BatchLedger.runIdempotent(spark, ledger, 0L, "cp-A") {
+      val (p, d, dirs) = InvertedIndex.stageAppend(spark, path, batch, "doc_id", "text")
+      (dirs, () => InvertedIndex.applyStagedAppend(spark, path, p, d))
+    }
+    assert(ran)
+    // delivery 3: applied marker present, prepare never evaluated
+    val ran2 = BatchLedger.runIdempotent(spark, ledger, 0L, "cp-A") {
+      fail("prepare must not run for an applied batch"): (Seq[String], () => Unit)
+    }
+    assert(!ran2)
+    // exactly-once: equals a fresh build over the union, no duplicate postings
+    InvertedIndex.build(docs.filter(col("doc_id") < 40), "doc_id", "text",
+      ref, nBuckets = 8, nDocBuckets = 4)
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) ==
+      key(InvertedIndex.bm25TopK(spark, ref, terms, k = 10)))
+    assert(InvertedIndex.readStats(spark, path) == InvertedIndex.readStats(spark, ref))
+    val dups = spark.read.parquet(s"$path/postings")
+      .groupBy(col("term"), col("id")).count().filter(col("count") > 1).count()
+    assert(dups == 0L, "a replayed batch must not duplicate postings")
+  }
+
+  private def listFiles(root: String): Set[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = Set.newBuilder[(String, Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        b += ((st.getPath.toString, st.getLen, st.getModificationTime))
+    }
+    b.result()
+  }
+}

@@ -296,4 +296,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nomScans.nonEmpty && nomScans.forall(s => partFilters(s).contains("cluster#")),
       s"nomination scans must be cluster-pruned:\n${listScans.mkString("\n")}")
   }
+
+  test("inverted-index probe: bucket partition pruning + term pushdown") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft_inv_plan").toString
+    graft.operators.InvertedIndex.build(
+      Tables.documents(spark, TestSpark.sf), "doc_id", "text",
+      path, nBuckets = 16, nDocBuckets = 4)
+    val df = graft.operators.InvertedIndex.bm25TopK(
+      spark, path, Seq("spark", "vector", "join"), k = 10)
+    val postScans = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.filter(l => l.contains("FileScan parquet") && l.contains("postings"))
+      .toSeq
+    assert(postScans.nonEmpty, "probe must scan the postings table")
+    // the query terms' bucket ids prune at file-listing time (static
+    // isin on the partition column — the probed-ANN discipline), and
+    // the term equality pushes into the parquet scan so row groups of
+    // other terms sharing a bucket skip
+    assert(postScans.forall(s =>
+      s.contains("PartitionFilters") && s.contains("bucket#")),
+      s"postings scans must carry bucket partition filters:\n${postScans.mkString("\n")}")
+    assert(postScans.forall(s =>
+      s.drop(s.indexOf("PushedFilters")).contains("In(term")),
+      s"term predicate must push into the scan:\n${postScans.mkString("\n")}")
+    assert(df.count() > 0)
+  }
 }
