@@ -1486,16 +1486,19 @@ object SparkEntry {
     }),
 
     // Text: the inverted index's full mutate surface in one gate —
-    // build on a prefix, append the rest (touched term buckets only),
-    // tombstone-delete docs 0..19 (stats shrink exactly), compact
-    // (physical drop + tombstone clear), then probe. Oracle = the same
-    // quantized BM25 over the effective corpus (all docs minus 0..19).
+    // build on a prefix, append a BOUNDED batch (touched term buckets
+    // only; the batch is fixed-size so the gate times the operations,
+    // not an sf-proportional fixture), tombstone-delete docs 0..19
+    // (stats shrink exactly), compact (physical drop + tombstone
+    // clear), then probe. Oracle = the same quantized BM25 over the
+    // effective corpus (docs 20..499).
     "text_bm25_idx_maintain" -> ((s, dir) => {
       val path = java.nio.file.Files.createTempDirectory("invmaint").toString
       val d = Tables.documents(s, dir)
       InvertedIndex.build(d.filter(col("doc_id") < 400), "doc_id", "text",
         path, nBuckets = 16, nDocBuckets = 8)
-      InvertedIndex.append(s, path, d.filter(col("doc_id") >= 400), "doc_id", "text")
+      InvertedIndex.append(s, path,
+        d.filter(col("doc_id") >= 400 && col("doc_id") < 500), "doc_id", "text")
       InvertedIndex.delete(s, path, (0L until 20L).map(_.toString))
       InvertedIndex.compact(s, path)
       InvertedIndex.bm25TopK(s, path, Seq("spark", "vector", "join"), k = 10)
@@ -4252,12 +4255,12 @@ object SparkEntry {
         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
         |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
 
-    // maintain gate: effective corpus after append + delete = all docs
-    // minus ids 0..19; stats (N, avgdl) and df recompute over it
+    // maintain gate: effective corpus after the bounded append + delete
+    // = docs 20..499; stats (N, avgdl) and df recompute over it
     "text_bm25_idx_maintain" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
-        |           FROM documents WHERE doc_id >= 20),
+        |           FROM documents WHERE doc_id >= 20 AND doc_id < 500),
         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
         |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
         |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,

@@ -208,12 +208,55 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
     val nFound = found.getLong(0)
     if (nFound > 0) {
-      dbuckets.foreach(b =>
-        Ann.rewritePartitionDir(spark, s"$path/docstats/dbucket=$b", drop))
+      rewriteDirsBatched(spark, s"$path/docstats", "dbucket", dbuckets, drop)
       idDf.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
       writeStats(spark, path, st.copy(
         nDocs = st.nDocs - nFound, sumDl = st.sumDl - found.getLong(1)), v + 1)
     }
+  }
+
+  /** Batched anti-rewrite of partition directories under `root`: ONE
+    * read-filter-stage job for ALL touched dirs (basePath keeps the
+    * partition column; pre-routed so each dir lands as one file), then
+    * per-dir atomic two-rename swaps — metadata ops only. The same
+    * no-per-directory-job-loop rule as [[Ann.compactDirs]]: a delete or
+    * compaction touching dozens of buckets pays one Spark job, not
+    * dozens of sequential ones. Crash residue (.compact.stage /
+    * .compact.old) heals via [[Ann.recoverStagedDirs]], which every
+    * entry point here runs first. */
+  private def rewriteDirsBatched(spark: SparkSession, root: String,
+      partCol: String, dirs: Seq[Long], drop: org.apache.spark.sql.Column): Unit = {
+    if (dirs.isEmpty) return
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Ann.recoverStagedDirs(fs, rootPath)
+    val stage = new org.apache.hadoop.fs.Path(rootPath, ".compact.stage")
+    fs.delete(stage, true)
+    spark.read.option("basePath", root)
+      .parquet(dirs.map(b => s"$root/$partCol=$b"): _*)
+      .filter(!drop)
+      .repartition(dirs.size, col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(stage.toString)
+    dirs.foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(root, s"$partCol=$b")
+      val staged = new org.apache.hadoop.fs.Path(stage, s"$partCol=$b")
+      if (!fs.exists(staged)) {
+        // every row of this dir matched `drop` -> its rewritten form is
+        // no dir; verify before destroying the only copy (same guard as
+        // compactDirs)
+        val n = spark.read.parquet(dir.toString).filter(!drop).count()
+        require(n == 0L,
+          s"batched rewrite staged no output for $dir, which keeps $n rows; " +
+            "aborting before the swap so the data stays in place")
+        fs.delete(dir, true)
+      } else {
+        val old = new org.apache.hadoop.fs.Path(root, s".$partCol=$b.compact.old")
+        require(fs.rename(dir, old), s"rename-away of $dir failed")
+        require(fs.rename(staged, dir), s"rename of rewritten $dir failed")
+        fs.delete(old, true)
+      }
+    }
+    fs.delete(stage, true)
   }
 
   private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -293,8 +336,7 @@ object InvertedIndex {
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val drop = col("id").isin(
       tombLocal.collect().map(_.getString(0)).toSeq: _*)
-    touched.foreach(b =>
-      Ann.rewritePartitionDir(spark, s"$path/postings/bucket=$b", drop))
+    rewriteDirsBatched(spark, s"$path/postings", "bucket", touched, drop)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     touched
   }
