@@ -125,14 +125,75 @@ object BenchCurve {
       s""""points":[${points.mkString(",")}]}"""
   }
 
-  /** The two committed sections: the original 100k→1M decade at dim
-    * 256, plus a SECOND decade (1M→4M at dim 64 — bounded cache
-    * footprint) so the sub-linear probe and flat per-batch ingest
-    * claims are demonstrated across two orders of magnitude, not one
-    * step. */
+  /** Large-N scale evidence for the LEXICAL family: synthetic corpora
+    * of `ns` documents × 100 words from a 10k-word vocabulary (each
+    * query term matches ~1% of docs — a realistic mid-frequency
+    * keyword at a realistic doc length). Per point: inverted-index
+    * build cost, the pruned probe
+    * ([[graft.operators.InvertedIndex.bm25TopK]] — lists and reads ONLY
+    * |terms| term-hash buckets of ~100·N/nBuckets postings, nBuckets ∝
+    * √N so the probe grows ~√N) vs the corpus-scan formulation
+    * ([[graft.operators.TextAnalysis.bm25TopK]] — re-reads and
+    * re-tokenizes every document's full text, ~linear in corpus bytes),
+    * and a fixed-size 1k-doc append raw + wrapped in the ingest
+    * stream's batch ledger (per-batch cost must stay flat as the corpus
+    * decades — same acceptance shape as the hybrid append). */
+  private def lexSection(spark: SparkSession, ns: Seq[Long]): String = {
+    import graft.operators.{InvertedIndex, TextAnalysis}
+    val k = 10
+    val terms = Seq("w7", "w42", "w123")
+    val points = ns.map { n =>
+      val nBuckets = math.max(64, (math.sqrt(n.toDouble) / 4).round.toInt)
+      def gen(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        col("id").cast("string").as("id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(99)),
+          i => concat(lit("w"), pmod(hash(col("id"), i), lit(10000)).cast("string"))))
+          .as("text"))
+      val corpus = gen(0L, n).cache(); corpus.count()
+      val base = java.nio.file.Files.createTempDirectory(s"scalelex$n").toString
+      def timed(df: => org.apache.spark.sql.DataFrame): Double = {
+        df.count()
+        Bench.median3(() => { df.count(); () })
+      }
+      val probeScan = timed(TextAnalysis.bm25TopK(corpus, "id", "text", terms, k))
+      val tB0 = System.nanoTime()
+      InvertedIndex.build(corpus, "id", "text", s"$base/inv",
+        nBuckets = nBuckets, nDocBuckets = 64)
+      val buildInv = (System.nanoTime() - tB0) / 1e9
+      val probeInv = timed(InvertedIndex.bm25TopK(spark, s"$base/inv", terms, k))
+      val batchRaw = gen(n, n + 1000L).cache(); batchRaw.count()
+      val tA0 = System.nanoTime()
+      InvertedIndex.append(spark, s"$base/inv", batchRaw, "id", "text")
+      val appendRaw = (System.nanoTime() - tA0) / 1e9
+      val batchLed = gen(n + 1000L, n + 2000L).cache(); batchLed.count()
+      val tA1 = System.nanoTime()
+      graft.streaming.BatchLedger.runIdempotent(
+        spark, s"$base/inv/_ledger", 0L, "curve") {
+        val (p, d, dirs) = InvertedIndex.stageAppend(
+          spark, s"$base/inv", batchLed, "id", "text")
+        (dirs, () => InvertedIndex.applyStagedAppend(spark, s"$base/inv", p, d))
+      }
+      val appendLedger = (System.nanoTime() - tA1) / 1e9
+      corpus.unpersist(blocking = true)
+      batchRaw.unpersist(blocking = true)
+      batchLed.unpersist(blocking = true)
+      System.gc()
+      s"""{"n":$n,"n_buckets":$nBuckets,"build_inv":$buildInv,""" +
+        s""""probe_scan":$probeScan,"probe_inv":$probeInv,""" +
+        s""""append_inv":$appendRaw,"append_inv_ledger":$appendLedger}"""
+    }
+    s""""lex":{"k":$k,"points":[${points.mkString(",")}]}"""
+  }
+
+  /** The committed sections: the original 100k→1M decade at dim 256, a
+    * SECOND decade (1M→4M at dim 64 — bounded cache footprint) so the
+    * sub-linear probe and flat per-batch ingest claims are demonstrated
+    * across two orders of magnitude, and the lexical decade (1M→4M
+    * docs) for the inverted index. */
   private def scalePoints(spark: SparkSession): String =
     scaleSection(spark, "scale", 256, Seq(100000L, 1000000L)) + "," +
-      scaleSection(spark, "scale64", 64, Seq(1000000L, 4000000L))
+      scaleSection(spark, "scale64", 64, Seq(1000000L, 4000000L)) + "," +
+      lexSection(spark, Seq(500000L, 2000000L))
 
   def main(args: Array[String]): Unit = {
     // local-iteration convenience: `runMain graft.BenchCurve scale`
@@ -140,8 +201,9 @@ object BenchCurve {
     // BENCH_CURVE.json write — the committed artifact always carries
     // both sections from a full run)
     val scaleOnly = args.sameElements(Array("scale"))
+    val lexOnly = args.sameElements(Array("lex"))
     val sfs =
-      if (args.nonEmpty && !scaleOnly) args.toSeq
+      if (args.nonEmpty && !scaleOnly && !lexOnly) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -156,6 +218,11 @@ object BenchCurve {
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warmup
     if (scaleOnly) {
       println("{" + scalePoints(spark) + "}")
+      spark.stop()
+      return
+    }
+    if (lexOnly) {
+      println("{" + lexSection(spark, Seq(500000L, 2000000L)) + "}")
       spark.stop()
       return
     }

@@ -225,10 +225,15 @@ object InvertedIndex {
     * .compact.old) heals via [[Ann.recoverStagedDirs]], which every
     * entry point here runs first. */
   private def rewriteDirsBatched(spark: SparkSession, root: String,
-      partCol: String, dirs: Seq[Long], drop: org.apache.spark.sql.Column): Unit = {
-    if (dirs.isEmpty) return
+      partCol: String, dirsAll: Seq[Long], drop: org.apache.spark.sql.Column): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a candidate bucket may have no directory (e.g. a delete whose id
+    // hashes to a bucket nothing was ever routed to) — reading an
+    // explicit missing path would throw, and there is nothing to rewrite
+    val dirs = dirsAll.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"$partCol=$b")))
+    if (dirs.isEmpty) return
     Ann.recoverStagedDirs(fs, rootPath)
     val stage = new org.apache.hadoop.fs.Path(rootPath, ".compact.stage")
     fs.delete(stage, true)
@@ -287,8 +292,23 @@ object InvertedIndex {
     import spark.implicits._
     val buckets = terms.toDF("term").select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val pruned = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*))
+    // list ONLY the probed bucket directories (explicit paths with
+    // basePath, not a root read + filter): a root read's partition
+    // discovery lists every bucket directory — O(nBuckets) RPCs and, past
+    // Spark's parallel-discovery threshold, a whole listing job — before
+    // pruning ever applies, while a keyword lookup should cost O(|terms|)
+    // listings no matter how many buckets the index has. A term hashing
+    // to a bucket nothing was ever routed to simply contributes no dir.
+    val fs = statsFs(spark, path)
+    val bucketDirs = buckets.map(b => s"$path/postings/bucket=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (bucketDirs.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, Double)].toDF("id", "bm25")
+    }
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .filter(col("bucket").isin(buckets: _*)) // plan-visible prune witness
       .filter(col("term").isin(terms: _*))
     val live = tombstonesOf(spark, path) match {
       case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")

@@ -90,6 +90,24 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/postings").filter(col("id") === "2").count() == 0L)
   }
 
+  test("delete tolerates ids routing to buckets that never got a directory") {
+    val path = tmp("sparse")
+    val df = Seq((1L, "aaa bbb"), (2L, "ccc ddd")).toDF("doc_id", "text")
+    // 64 doc buckets over 2 docs: almost every dbucket has no directory
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 64)
+    val before = InvertedIndex.readStats(spark, path)
+    // all-absent ids (many hash to dirless buckets): exact no-op
+    InvertedIndex.delete(spark, path, (100L until 130L).map(_.toString))
+    assert(InvertedIndex.readStats(spark, path) == before)
+    // a real id mixed with an absent one still lands, exactly once
+    InvertedIndex.delete(spark, path, Seq("1", "999"))
+    val after = InvertedIndex.readStats(spark, path)
+    assert(after.nDocs == 1L && after.sumDl == 2L)
+    InvertedIndex.compact(spark, path)
+    assert(spark.read.parquet(s"$path/postings")
+      .filter(col("id") === "1").count() == 0L)
+  }
+
   test("ledgered ingest: crashed delivery rolls back whole (incl. stats version), replay lands exactly once") {
     import graft.streaming.BatchLedger
     val path = tmp("ledger"); val ref = tmp("ledgerref")
