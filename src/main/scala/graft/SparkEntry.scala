@@ -1506,6 +1506,22 @@ object SparkEntry {
         .orderBy(col("bm25").desc, col("doc_id"))
     }),
 
+    // Text: BM25 for a query BATCH through the persisted index — the
+    // collect-free twin (the one driver collect is the term-bucket id
+    // list, bounded by nBuckets, never Q): query terms equi-join the
+    // pruned postings, per-(query, doc) sums run over quantized longs,
+    // TopKByScore bounds the shuffle to k rows per query.
+    "text_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        ("q0", Seq("spark", "vector", "join")),
+        ("q1", Seq("table", "scan")),
+        ("q2", Seq("customer", "order", "window"))).toDF("qid", "terms")
+      InvertedIndex.bm25TopKBatch(s, cachedInvIdx(s, dir), q, "qid", "terms", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Streaming: inverted-index ingestion with the checkpoint-gated
     // ledger — two file-source microbatches append postings into their
     // touched term buckets, each landing a NEW stats version (the
@@ -4229,6 +4245,35 @@ object SparkEntry {
         |       FROM tf CROSS JOIN st)
         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
         |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // batch BM25: same quantized formula per (query, doc); rank by
+    // (bm25 DESC, doc_id VARCHAR) — TopKByScore's exact tie rule
+    "text_bm25_batch" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |q AS (SELECT * FROM (VALUES ('q0', ['spark','vector','join']),
+        |                            ('q1', ['table','scan']),
+        |                            ('q2', ['customer','order','window'])) AS t(qid, terms)),
+        |qt AS (SELECT qid, unnest(terms) AS term FROM q),
+        |dfreq AS (SELECT t.term, CAST(count(DISTINCT d.doc_id) AS DOUBLE) AS dfv
+        |          FROM (SELECT DISTINCT term FROM qt) t JOIN d
+        |            ON list_contains(d.toks, t.term) GROUP BY t.term),
+        |sc AS (SELECT qt.qid, d.doc_id,
+        |         CAST(round(ln((n0.n - coalesce(f.dfv, 0) + 0.5)/(coalesce(f.dfv, 0) + 0.5) + 1)
+        |           * CAST(len(list_filter(d.toks, x -> x = qt.term)) AS DOUBLE)
+        |           / (CAST(len(list_filter(d.toks, x -> x = qt.term)) AS DOUBLE)
+        |              + 1.2*(0.25 + 0.75*d.dl/n0.avgdl)) * 1000000000) AS BIGINT) AS qs
+        |       FROM qt CROSS JOIN d CROSS JOIN n0
+        |       LEFT JOIN dfreq f ON f.term = qt.term),
+        |agg AS (SELECT qid, doc_id, round(CAST(sum(qs) AS DOUBLE)/1000000000.0, 6) AS bm25
+        |        FROM sc GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, bm25,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR)) AS rnk
+        |      FROM agg WHERE bm25 > 0)
+        |SELECT qid, CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS doc_id, bm25
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
 
     // streamed corpus = built prefix (<300) + the two staged batches
     // (300..499): quantized BM25 over docs < 500, scale-independent

@@ -271,9 +271,10 @@ object InvertedIndex {
   }
 
   /** BM25 top-k through the index: list and read ONLY the buckets the
-    * query terms hash into (static isin on the partition column — the
-    * same file-listing pruning discipline as the probed ANN layouts),
-    * push the term equality into the parquet scan, anti-join the
+    * query terms hash into (explicit directory paths — O(|terms|)
+    * listing RPCs however many buckets the index has — with the bucket
+    * isin kept as the plan-visible witness of the prune), push the term
+    * equality into the parquet scan, anti-join the
     * bounded tombstone set, derive per-term df from the pruned postings
     * themselves (no global df table to maintain), and sum 1e-9-quantized
     * term scores per doc — exact integer arithmetic, so the result is
@@ -303,7 +304,6 @@ object InvertedIndex {
     val bucketDirs = buckets.map(b => s"$path/postings/bucket=$b")
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
     if (bucketDirs.isEmpty) {
-      import spark.implicits._
       return Seq.empty[(String, Double)].toDF("id", "bm25")
     }
     val pruned = spark.read.option("basePath", s"$path/postings")
@@ -330,14 +330,78 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Collect-free BM25 for DataFrame-sized query batches — the batch
+    * twin of [[bm25TopK]], same discipline as [[Ann.ivfTopKBatch]]:
+    * nothing query-sized ever funnels through the driver. The ONE
+    * driver-side collect is the distinct term-bucket id list, bounded
+    * by nBuckets (index geometry), never by Q; those buckets read as
+    * explicit directory paths, query terms join the postings on `term`
+    * (distributed equi join), per-term df derives from the probed
+    * postings, per-(query, doc) sums run over 1e-9-quantized longs, and
+    * the bounded-heap [[TopKByScore]] reduces to k rows per query
+    * (score DESC, id ASC ties — deterministic under the exact
+    * cross-engine-equal quantized scores). Emits (qid, rank, id, bm25).
+    *
+    * `termsCol` is an `array<string>` column; duplicate terms within a
+    * query deduplicate (BM25 query-side tf is binary here, matching
+    * [[bm25TopK]]'s distinct-terms contract). */
+  def bm25TopKBatch(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, termsCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = readStats(spark, path)
+    val n = st.nDocs.toDouble
+    val avgdl = st.sumDl.toDouble / st.nDocs
+    val q = queries.select(col(qidCol).cast(StringType).as("qid"),
+      array_distinct(col(termsCol)).as("__terms__"))
+    val qTerms = q.select(col("qid"), explode(col("__terms__")).as("term"))
+      .localCheckpoint(true)
+    val buckets = qTerms.select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val fs = statsFs(spark, path)
+    val bucketDirs = buckets.map(b => s"$path/postings/bucket=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    import spark.implicits._
+    if (bucketDirs.isEmpty) {
+      return Seq.empty[(String, Int, String, Double)].toDF("qid", "rank", "id", "bm25")
+    }
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .filter(col("bucket").isin(buckets: _*))
+    val live = tombstonesOf(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => pruned
+    }
+    // only postings some query asks for; df computed over that subset
+    val wanted = live.join(qTerms.select(col("term")).distinct(), Seq("term"), "left_semi")
+    val dfs = wanted.groupBy(col("term"))
+      .agg(countDistinct(col("id")).cast(DoubleType).as("__df__"))
+    val idf = log((lit(n) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
+    val tf = col("tf").cast(DoubleType)
+    val termScore = idf * tf /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / lit(avgdl)))
+    wanted
+      .join(qTerms, Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .withColumn("__qs__", round(termScore * 1e9).cast(LongType))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("__qs__")).cast(DoubleType) / 1e9, 6).as("__score__"))
+      .filter(col("__score__") > 0d)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topk(col("__score__"), col("id"), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(col("qid"), (col("rank0") + 1).cast(IntegerType).as("rank"),
+        col("hit.id").as("id"), col("hit.score").as("bm25"))
+  }
+
   /** Physically drop tombstoned postings and clear the tombstone set —
     * the Lucene-merge analogue, run on a maintenance cadence. One
     * column-pruned (bucket, id) scan finds which buckets actually hold
-    * tombstoned postings; ONLY those directories rewrite (staged
-    * two-rename swap via [[Ann.rewritePartitionDir]] — crash residue
-    * heals through the shared [[Ann.recoverStagedDirs]] sweep run here
-    * and by every probe-independent entry point). Returns the rewritten
-    * bucket ids. */
+    * tombstoned postings; ONLY those directories rewrite, all staged by
+    * ONE batched job with per-dir atomic swaps ([[rewriteDirsBatched]]
+    * — crash residue heals through the shared [[Ann.recoverStagedDirs]]
+    * sweep run here and by every probe-independent entry point).
+    * Returns the rewritten bucket ids. */
   def compact(spark: SparkSession, path: String): Seq[Long] = {
     val fs = statsFs(spark, path)
     Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/postings"))

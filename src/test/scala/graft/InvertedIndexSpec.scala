@@ -90,6 +90,21 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/postings").filter(col("id") === "2").count() == 0L)
   }
 
+  test("bm25TopKBatch equals per-query single probes, rank for rank") {
+    val path = tmp("batch")
+    InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val qs = Seq("a" -> Seq("spark", "vector", "join"), "b" -> Seq("table", "scan"))
+    val batch = InvertedIndex.bm25TopKBatch(spark, path,
+        qs.toDF("qid", "terms"), "qid", "terms", k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    val singles = qs.flatMap { case (qid, ts) =>
+      InvertedIndex.bm25TopK(spark, path, ts, k = 5).collect()
+        .zipWithIndex.map { case (r, i) => (qid, i + 1, r.getString(0), r.getDouble(1)) }
+    }.toSet
+    assert(batch == singles, s"batch $batch vs singles $singles")
+  }
+
   test("delete tolerates ids routing to buckets that never got a directory") {
     val path = tmp("sparse")
     val df = Seq((1L, "aaa bbb"), (2L, "ccc ddd")).toDF("doc_id", "text")
