@@ -1522,6 +1522,16 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Text: exact phrase search through the POSITIONAL postings —
+    // consecutive-word match via an in-row HOF fold over the per-term
+    // position arrays (probe reads only the phrase words' buckets,
+    // projecting (term, id, pos); no join fan-out, no explode).
+    "text_phrase" -> ((s, dir) => {
+      InvertedIndex.phraseTopK(s, cachedInvIdx(s, dir), Seq("spark", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("n_phrase").desc, col("doc_id"))
+    }),
+
     // Streaming: inverted-index ingestion with the checkpoint-gated
     // ledger — two file-source microbatches append postings into their
     // touched term buckets, each landing a NEW stats version (the
@@ -4274,6 +4284,16 @@ object SparkEntry {
         |      FROM agg WHERE bm25 > 0)
         |SELECT qid, CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS doc_id, bm25
         |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // phrase occurrences = sliding-window starts where both words match
+    // consecutively; rank by count desc, VARCHAR id tiebreak
+    "text_phrase" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, CAST(len(list_filter(generate_series(1, len(toks)-1),
+        |        i -> toks[i] = 'spark' AND toks[i+1] = 'join')) AS BIGINT) AS n_phrase
+        |      FROM t)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_phrase FROM p WHERE n_phrase > 0
+        |ORDER BY n_phrase DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
 
     // streamed corpus = built prefix (<300) + the two staged batches
     // (300..499): quantized BM25 over docs < 500, scale-independent

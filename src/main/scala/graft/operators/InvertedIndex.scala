@@ -53,17 +53,22 @@ object InvertedIndex {
   private def docBucket(nDocBuckets: Int) =
     pmod(xxhash64(col("id")), lit(nDocBuckets.toLong))
 
-  /** (term, id, tf, dl, bucket) posting rows for a document frame. The
-    * explode → groupBy(term, id) is the one data-sized shuffle of an
-    * index build (map-side combinable; boilerplate terms stay one row
-    * per doc, so no key carries more than the corpus' doc count). */
+  /** (term, id, tf, pos, dl, bucket) posting rows for a document frame
+    * — POSITIONAL postings (`pos` = sorted 0-based token offsets of the
+    * term in the doc, the Lucene shape that enables [[phraseTopK]]).
+    * The posexplode → groupBy(term, id) is the one data-sized shuffle
+    * of an index build (map-side combinable; boilerplate terms stay one
+    * row per doc, so no key carries more than the corpus' doc count).
+    * BM25 probes never select `pos`, so parquet column pruning keeps
+    * the positions free for scoring reads. */
   private def postingsOf(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     df.select(col(idCol).cast(StringType).as("id"),
-        size(toks).cast(LongType).as("dl"), explode(toks).as("term"))
+        size(toks).cast(LongType).as("dl"), posexplode(toks).as(Seq("pos", "term")))
       .groupBy(col("term"), col("id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("pos"))
       .withColumn("bucket", termBucket(nBuckets))
   }
 
@@ -392,6 +397,54 @@ object InvertedIndex {
       .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
       .select(col("qid"), (col("rank0") + 1).cast(IntegerType).as("rank"),
         col("hit.id").as("id"), col("hit.score").as("bm25"))
+  }
+
+  /** Exact phrase search through the positional postings: documents
+    * containing the words of `phrase` CONSECUTIVELY, ranked by
+    * occurrence count (ties by id). The probe reads only the phrase
+    * words' bucket directories projecting (term, id, pos); per doc, the
+    * phrase-start set is the positions p of the first word with every
+    * later word j found at p+j (an in-row HOF fold over the per-term
+    * sorted position arrays — no join fan-out, no explode). A document
+    * missing ANY phrase word drops before the fold (its collected
+    * term-entry count is short), so `element_at` never sees an absent
+    * key. Repeated words in the phrase resolve against the same
+    * position array, exactly as adjacency requires. Emits
+    * (id, n_phrase). */
+  def phraseTopK(spark: SparkSession, path: String, phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = readStats(spark, path)
+    val distinctTerms = phrase.distinct
+    import spark.implicits._
+    val buckets = distinctTerms.toDF("term").select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val fs = statsFs(spark, path)
+    val bucketDirs = buckets.map(b => s"$path/postings/bucket=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (bucketDirs.isEmpty) {
+      return Seq.empty[(String, Long)].toDF("id", "n_phrase")
+    }
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .filter(col("term").isin(distinctTerms: _*))
+      .select(col("id"), col("term"), col("pos"))
+    val live = tombstonesOf(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => pruned
+    }
+    val perDoc = live.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("pos")))).as("__m__"))
+      .filter(size(map_keys(col("__m__"))) === distinctTerms.size)
+    val starts = filter(element_at(col("__m__"), phrase.head), p =>
+      phrase.zipWithIndex.tail
+        .map { case (t, j) => array_contains(element_at(col("__m__"), lit(t)), p + j) }
+        .foldLeft(lit(true))(_ && _))
+    perDoc.select(col("id"), size(starts).cast(LongType).as("n_phrase"))
+      .filter(col("n_phrase") > 0L)
+      .orderBy(col("n_phrase").desc, col("id"))
+      .limit(k)
   }
 
   /** Physically drop tombstoned postings and clear the tombstone set —

@@ -90,6 +90,35 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/postings").filter(col("id") === "2").count() == 0L)
   }
 
+  test("phraseTopK: consecutive-word semantics, repeats, counts, absence") {
+    val path = tmp("phrase")
+    val df = Seq(
+      (1L, "fast scan fast scan slow"),  // "fast scan" x2
+      (2L, "fast slow scan fast"),       // words present, never adjacent
+      (3L, "scan fast scan"),            // "fast scan" x1 (at offset 1)
+      (4L, "fast fast fast"),            // repeated-word phrase fodder
+      (5L, "nothing here")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val r = InvertedIndex.phraseTopK(spark, path, Seq("fast", "scan"), k = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("1", 2L), ("3", 1L)), s"got ${r.toSeq}")
+    // repeated word resolves against the same position array
+    val rr = InvertedIndex.phraseTopK(spark, path, Seq("fast", "fast"), k = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(rr.toSeq == Seq(("4", 2L)), s"got ${rr.toSeq}")
+    // single-word phrase degenerates to tf
+    val one = InvertedIndex.phraseTopK(spark, path, Seq("fast"), k = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(one == Map("4" -> 3L, "1" -> 2L, "2" -> 2L, "3" -> 1L))
+    // a phrase whose words exist nowhere
+    assert(InvertedIndex.phraseTopK(spark, path, Seq("absent", "words"), k = 10).isEmpty)
+    // tombstoned docs drop from phrase results too
+    InvertedIndex.delete(spark, path, Seq("1"))
+    val afterDel = InvertedIndex.phraseTopK(spark, path, Seq("fast", "scan"), k = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(afterDel.toSeq == Seq(("3", 1L)))
+  }
+
   test("bm25TopKBatch equals per-query single probes, rank for rank") {
     val path = tmp("batch")
     InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)

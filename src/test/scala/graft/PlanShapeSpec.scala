@@ -321,5 +321,11 @@ class PlanShapeSpec extends AnyFunSuite {
       s.drop(s.indexOf("PushedFilters")).contains("In(term")),
       s"term predicate must push into the scan:\n${postScans.mkString("\n")}")
     assert(df.count() > 0)
+    // positional postings must be FREE for scoring probes: the BM25
+    // scans' ReadSchema must not include the pos array (parquet column
+    // pruning is what keeps positions from taxing every keyword lookup)
+    def readSchema(s: String): String = s.drop(s.indexOf("ReadSchema:"))
+    assert(postScans.forall(s => !readSchema(s).contains("pos:")),
+      s"BM25 probe must not read the positions column:\n${postScans.mkString("\n")}")
   }
 }
