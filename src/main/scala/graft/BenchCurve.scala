@@ -174,13 +174,31 @@ object BenchCurve {
         (dirs, () => InvertedIndex.applyStagedAppend(spark, s"$base/inv", p, d))
       }
       val appendLedger = (System.nanoTime() - tA1) / 1e9
+      // delete-heavy stream debt: 100k REAL ids tombstoned (written
+      // directly, the state a stream of delete batches accumulates
+      // between compactions) — measures what every probe pays for the
+      // broadcast anti-join while the debt is outstanding, what the
+      // batched rewrite costs to repay it once, and that the probe
+      // returns to its tombstone-free cost after. This is the curve
+      // behind needsCompact's threshold: probe cost should stay ~flat
+      // under six-figure debt (anti-join, never an isin literal), so
+      // the gate exists to bound the DEFERRED rewrite, not the probe.
+      spark.range(0L, 100000L).select(col("id").cast("string").as("id"))
+        .coalesce(4).write.mode("append").parquet(s"$base/inv/tombstones")
+      val probeTomb = timed(InvertedIndex.bm25TopK(spark, s"$base/inv", terms, k))
+      val tC0 = System.nanoTime()
+      InvertedIndex.compact(spark, s"$base/inv")
+      val compactTomb = (System.nanoTime() - tC0) / 1e9
+      val probePost = timed(InvertedIndex.bm25TopK(spark, s"$base/inv", terms, k))
       corpus.unpersist(blocking = true)
       batchRaw.unpersist(blocking = true)
       batchLed.unpersist(blocking = true)
       System.gc()
       s"""{"n":$n,"n_buckets":$nBuckets,"build_inv":$buildInv,""" +
         s""""probe_scan":$probeScan,"probe_inv":$probeInv,""" +
-        s""""append_inv":$appendRaw,"append_inv_ledger":$appendLedger}"""
+        s""""append_inv":$appendRaw,"append_inv_ledger":$appendLedger,""" +
+        s""""probe_inv_tomb100k":$probeTomb,"compact_tomb100k":$compactTomb,""" +
+        s""""probe_inv_compacted":$probePost}"""
     }
     s""""lex":{"k":$k,"points":[${points.mkString(",")}]}"""
   }
@@ -188,12 +206,14 @@ object BenchCurve {
   /** The committed sections: the original 100k→1M decade at dim 256, a
     * SECOND decade (1M→4M at dim 64 — bounded cache footprint) so the
     * sub-linear probe and flat per-batch ingest claims are demonstrated
-    * across two orders of magnitude, and the lexical decade (1M→4M
-    * docs) for the inverted index. */
+    * across two orders of magnitude, and the lexical CURVE (500k→2M→8M
+    * docs, two 4× steps) for the inverted index — probe flatness has to
+    * hold across decades, not one doubling, and the 8M point is where a
+    * corpus-proportional build or probe term would show. */
   private def scalePoints(spark: SparkSession): String =
     scaleSection(spark, "scale", 256, Seq(100000L, 1000000L)) + "," +
       scaleSection(spark, "scale64", 64, Seq(1000000L, 4000000L)) + "," +
-      lexSection(spark, Seq(500000L, 2000000L))
+      lexSection(spark, Seq(500000L, 2000000L, 8000000L))
 
   def main(args: Array[String]): Unit = {
     // local-iteration convenience: `runMain graft.BenchCurve scale`
@@ -222,7 +242,7 @@ object BenchCurve {
       return
     }
     if (lexOnly) {
-      println("{" + lexSection(spark, Seq(500000L, 2000000L)) + "}")
+      println("{" + lexSection(spark, Seq(500000L, 2000000L, 8000000L)) + "}")
       spark.stop()
       return
     }

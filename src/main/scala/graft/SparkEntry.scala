@@ -1485,6 +1485,22 @@ object SparkEntry {
         .orderBy(col("bm25").desc, col("doc_id"))
     }),
 
+    // Text: FILTERED BM25 — the O4 metadata predicate on the lexical
+    // probe, the retrieval analogue of ann_ivf_filter: the predicate
+    // (lang = 'en') lowers to a one-column id frame left-semi-gating
+    // candidates before scoring, while N/avgdl/df stay CORPUS-WIDE
+    // (Lucene filter-context semantics — a filter narrows what may be
+    // returned, not what the words mean), so each doc's score matches
+    // its unfiltered value exactly.
+    "text_bm25_filter" -> ((s, dir) => {
+      val allow = Tables.documents(s, dir)
+        .filter(col("lang") === "en").select(col("doc_id"))
+      InvertedIndex.bm25TopK(s, cachedInvIdx(s, dir),
+          Seq("spark", "vector", "join"), k = 10, allowed = Some(allow))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
     // Text: the inverted index's full mutate surface in one gate —
     // build on a prefix, append a BOUNDED batch (touched term buckets
     // only; the batch is fixed-size so the gate times the operations,
@@ -1530,6 +1546,25 @@ object SparkEntry {
       InvertedIndex.phraseTopK(s, cachedInvIdx(s, dir), Seq("spark", "join"), k = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("n_phrase").desc, col("doc_id"))
+    }),
+
+    // Text: exact phrase search for a query BATCH — the collect-free
+    // twin of text_phrase (the one driver collect is the term-bucket id
+    // list, bounded by nBuckets, never Q): each query's phrase is a
+    // DATA column, the consecutive-match count folds in-row via an
+    // indexed transform over the per-term position arrays, TopKByScore
+    // bounds the shuffle to k rows per query. q3's repeated word
+    // exercises same-array adjacency.
+    "text_phrase_batch" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        ("q0", Seq("spark", "join")),
+        ("q1", Seq("table", "scan")),
+        ("q2", Seq("customer", "order")),
+        ("q3", Seq("batch", "batch", "batch"))).toDF("qid", "phrase")
+      InvertedIndex.phraseTopKBatch(s, cachedInvIdx(s, dir), q, "qid", "phrase", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // Streaming: inverted-index ingestion with the checkpoint-gated
@@ -3621,6 +3656,50 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Streaming tombstones against the INVERTED INDEX — the one
+    // persisted artifact whose delete debt grows per tombstone, not per
+    // skew: doc_id<20 arrive as two mtime-ordered id microbatches; each
+    // batch appends tombstones + rewrites only its ids' doc-stats
+    // buckets, and the needsCompact DEBT gate (threshold 5 « the 10-id
+    // batches) forces an in-stream physical compaction both times, so
+    // the post-stream probe scores a layout whose tombstone set is
+    // EMPTY — stats, postings, and probe all agree on docs >= 20.
+    "stream_tombstone_inv" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val d = Tables.documents(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_tomb_inv").toString
+      InvertedIndex.build(d, "doc_id", "text", idx, nBuckets = 16, nDocBuckets = 8)
+      val watch = java.nio.file.Files.createTempDirectory("graft_tomb_inv_watch")
+      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_tistage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = watch.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val b1 = d.filter(col("doc_id") < 10).select(col("doc_id").as("id"))
+      val t0 = System.currentTimeMillis() - 120000
+      stage("t1", b1, t0)
+      stage("t2", d.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select(col("doc_id").as("id")), t0 + 5000)
+      val st = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      val q = graft.streaming.StreamingOps.tombstoneStream(st, "id",
+        invPath = Some(idx), invCompactTombstones = 5L)
+      try q.processAllAvailable() finally q.stop()
+      // the debt gate must have compacted: no tombstone set survives
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")),
+        "needsCompact gate did not trigger an in-stream compaction")
+      InvertedIndex.bm25TopK(s, idx, Seq("spark", "vector", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
     // Streaming ANN ingestion onto a PERSISTED IVF index
     // (StreamingOps.ivfIngestStream): vec_id<10 arrive as two appended
     // microbatches assigned to the base index's existing centroids — no
@@ -4256,6 +4335,31 @@ object SparkEntry {
         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
         |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
 
+    // filtered BM25, Lucene filter-context semantics: stats CTEs run
+    // over the WHOLE corpus (idf/avgdl unchanged by the filter), only
+    // the scored candidates restrict to lang = 'en'
+    "text_bm25_filter" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d WHERE lang = 'en'),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
     // batch BM25: same quantized formula per (query, doc); rank by
     // (bm25 DESC, doc_id VARCHAR) — TopKByScore's exact tie rule
     "text_bm25_batch" ->
@@ -4294,6 +4398,53 @@ object SparkEntry {
         |      FROM t)
         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_phrase FROM p WHERE n_phrase > 0
         |ORDER BY n_phrase DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // batch phrase search: per-query sliding-window counts, rank by
+    // count desc with the VARCHAR id tiebreak, top-5 per query
+    "text_phrase_batch" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |u AS (
+        |  SELECT 'q0' AS qid, doc_id, CAST(len(list_filter(generate_series(1, len(toks)-1),
+        |    i -> toks[i] = 'spark' AND toks[i+1] = 'join')) AS BIGINT) AS n_phrase FROM t
+        |  UNION ALL
+        |  SELECT 'q1', doc_id, CAST(len(list_filter(generate_series(1, len(toks)-1),
+        |    i -> toks[i] = 'table' AND toks[i+1] = 'scan')) AS BIGINT) FROM t
+        |  UNION ALL
+        |  SELECT 'q2', doc_id, CAST(len(list_filter(generate_series(1, len(toks)-1),
+        |    i -> toks[i] = 'customer' AND toks[i+1] = 'order')) AS BIGINT) FROM t
+        |  UNION ALL
+        |  SELECT 'q3', doc_id, CAST(len(list_filter(generate_series(1, len(toks)-2),
+        |    i -> toks[i] = 'batch' AND toks[i+1] = 'batch' AND toks[i+2] = 'batch')) AS BIGINT) FROM t),
+        |r AS (SELECT qid, doc_id, n_phrase, row_number() OVER (
+        |        PARTITION BY qid ORDER BY n_phrase DESC, CAST(doc_id AS VARCHAR)) AS rnk
+        |      FROM u WHERE n_phrase > 0)
+        |SELECT qid, CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS doc_id, n_phrase
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // streamed inverted-index tombstones: effective corpus = docs >= 20;
+    // quantized BM25 recomputes over it, scale-independent
+    "stream_tombstone_inv" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |           FROM documents WHERE doc_id >= 20),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
 
     // streamed corpus = built prefix (<300) + the two staged batches
     // (300..499): quantized BM25 over docs < 500, scale-independent

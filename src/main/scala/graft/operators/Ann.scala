@@ -1684,10 +1684,16 @@ object Ann {
     val idx = ivfLoad(spark, path)
     ivfRebalancePlan(idx, maxFactor, seed, maxIter) match {
       case None => false
+      // every split parent degenerated to one sub-centroid (KMeans may
+      // return fewer than k centers on duplicate-heavy lists) — nothing
+      // actually splits, AND running it would write a marker whose
+      // new_count equals the old count, making the count-based commit
+      // nonce ambiguous for [[recoverMaintain]]; skip outright
+      case Some(plan) if plan.tailIds.isEmpty => false
       case Some(plan) =>
         val oldCount = idx.centroids.size
         // (1) intent marker — the new centroid count doubles as the
-        // commit nonce (splits strictly grow the count)
+        // commit nonce (tailIds nonempty ⇒ the count strictly grows)
         writeMaintainMarker(spark, path, plan, Seq("lists"), "centroids", Nil)
         // (2) tail dirs — new ids, invisible to probes on the old sidecar
         if (plan.tailIds.nonEmpty)
@@ -1783,6 +1789,9 @@ object Ann {
     val idx = ivfLoad(spark, s"$path/ivf")
     ivfRebalancePlan(idx, maxFactor, seed, maxIter) match {
       case None => false
+      // same degenerate-split skip as [[ivfMaintain]]: keeps the
+      // marker's new_count a strictly-growing commit nonce
+      case Some(plan) if plan.tailIds.isEmpty => false
       case Some(plan) =>
         val oldCount = idx.centroids.size
         val books = readCodebooks(spark, s"$path/codebooks")
@@ -1896,7 +1905,19 @@ object Ann {
       require(fs.rename(stagedCents, cents),
         s"maintain roll-forward rename of $cents failed")
     else fs.delete(stagedCents, true)
-    val committed = spark.read.json(s"$path/$sidecar").count() == newCount
+    // the sidecar count is the primary commit nonce, but a parent dir
+    // that is MISSING while its .maintain.old copy is present can only
+    // arise inside thinParentDir's two-rename window — strictly
+    // PRE-commit — so it overrides the count: a degenerate marker (e.g.
+    // written by an older library version where new_count could equal
+    // the old count) must never be misread as committed, which would
+    // delete the .old copy while the live dir is gone
+    val midSwap = roots.exists(root => parents.exists { c =>
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/$root/cluster=$c")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$root/.cluster=$c.maintain.old"))
+    })
+    val committed = !midSwap &&
+      spark.read.json(s"$path/$sidecar").count() == newCount
     roots.foreach { root =>
       parents.foreach { c =>
         val dir = new org.apache.hadoop.fs.Path(s"$path/$root/cluster=$c")

@@ -60,10 +60,12 @@ object InvertedIndex {
     * of an index build (map-side combinable; boilerplate terms stay one
     * row per doc, so no key carries more than the corpus' doc count).
     * BM25 probes never select `pos`, so parquet column pruning keeps
-    * the positions free for scoring reads. */
+    * the positions free for scoring reads. Tokenization is
+    * [[TextAnalysis.tokens]] — the ONE analyzer shared with the
+    * corpus-scan BM25, so a term that matches there matches here. */
   private def postingsOf(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+    val toks = TextAnalysis.tokens(col(textCol))
     df.select(col(idCol).cast(StringType).as("id"),
         size(toks).cast(LongType).as("dl"), posexplode(toks).as(Seq("pos", "term")))
       .groupBy(col("term"), col("id"), col("dl"))
@@ -75,7 +77,7 @@ object InvertedIndex {
   private def docStatsOf(df: DataFrame, idCol: String, textCol: String,
       nDocBuckets: Int): DataFrame =
     df.select(col(idCol).cast(StringType).as("id"),
-        size(split(col(textCol), " ")).cast(LongType).as("dl"))
+        size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("dl"))
       .withColumn("dbucket", docBucket(nDocBuckets))
 
   private def statsDir(path: String) = s"$path/_stats"
@@ -116,9 +118,12 @@ object InvertedIndex {
   def readStats(spark: SparkSession, path: String): InvStats =
     readStatsVersioned(spark, path)._1
 
-  /** Build the index from a document frame. One pass for the postings,
-    * one projection for the doc-stats ledger, one tiny agg for the
-    * sidecar. */
+  /** Build the index from a document frame. Exactly TWO corpus
+    * tokenization passes — one for the postings, one projection for the
+    * doc-stats ledger; the sidecar (N, Σdl) then aggregates the
+    * just-written (id, dl) doc-stats table, which is doc-count-sized
+    * with no text column, so at 100 TB the third full-corpus scan a
+    * naive `df.agg` would pay never happens. */
   def build(df: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 16, nDocBuckets: Int = 16): Unit = {
     require(nBuckets > 0 && nDocBuckets > 0, "bucket counts must be positive")
@@ -130,11 +135,17 @@ object InvertedIndex {
     val fs = statsFs(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(statsDir(path)), true)
-    val r = df.agg(count(lit(1)).as("n"),
-      sum(size(split(col(textCol), " ")).cast(LongType)).as("s")).collect()(0)
-    writeStats(spark, path,
-      InvStats(nBuckets, nDocBuckets, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)),
-      version = 1L)
+    // an empty corpus writes no dbucket dirs at all (only _SUCCESS) —
+    // reading that back would fail schema inference, and the stats are
+    // trivially zero
+    val hasDocs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/docstats"))
+      .exists(_.isDirectory)
+    val (n, sdl) = if (!hasDocs) (0L, 0L) else {
+      val r = spark.read.parquet(s"$path/docstats")
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    writeStats(spark, path, InvStats(nBuckets, nDocBuckets, n, sdl), version = 1L)
   }
 
   /** Append NEW documents (ids disjoint from the corpus — append
@@ -142,7 +153,13 @@ object InvertedIndex {
     * Cost ∝ batch: postings land only in the term buckets the batch's
     * terms hash into, doc stats only in the batch ids' buckets, and the
     * sidecar update is exact long arithmetic on the batch's one-row
-    * aggregate — nothing reads the existing corpus. */
+    * aggregate — nothing reads the existing corpus.
+    *
+    * A TOMBSTONED id may not be re-appended until [[compact]] has run:
+    * the probe-side tombstone anti-join would hide the fresh doc and
+    * the next compact would physically drop its postings while the
+    * stats still count it — so the stage FAILS FAST on the clash
+    * instead of silently diverging (enforced in [[stageAppend]]). */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     val (posts, ds, _) = stageAppend(spark, path, batch, idCol, textCol)
@@ -161,6 +178,20 @@ object InvertedIndex {
     val st = readStats(spark, path)
     val posts = postingsOf(batch, idCol, textCol, st.nBuckets).localCheckpoint(true)
     val ds = docStatsOf(batch, idCol, textCol, st.nDocBuckets).localCheckpoint(true)
+    // re-appending a tombstoned id would be INVISIBLE (probes anti-join
+    // the tombstone set) and then physically dropped by the next
+    // compact while stats still count it — fail fast on the clash; the
+    // check costs one broadcast semi join and only when tombstones
+    // exist at all
+    tombstonesOf(spark, path).foreach { t =>
+      val clash = ds.join(broadcast(t.select(col("id"))), Seq("id"), "left_semi")
+        .limit(5).collect().map(_.getString(0))
+      require(clash.isEmpty,
+        s"append of tombstoned id(s) ${clash.mkString("[", ", ", "]")} to $path: " +
+          "a deleted id may not be re-appended until compact() has " +
+          "physically dropped its old postings and cleared the tombstone " +
+          "set — run compact() first")
+    }
     val pb = posts.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val db = ds.select(col("dbucket")).distinct()
@@ -213,24 +244,41 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
     val nFound = found.getLong(0)
     if (nFound > 0) {
-      rewriteDirsBatched(spark, s"$path/docstats", "dbucket", dbuckets, drop)
+      rewriteDirsBatched(spark, s"$path/docstats", "dbucket", dbuckets,
+        df => df.filter(!drop))
       idDf.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
       writeStats(spark, path, st.copy(
         nDocs = st.nDocs - nFound, sumDl = st.sumDl - found.getLong(1)), v + 1)
     }
   }
 
-  /** Batched anti-rewrite of partition directories under `root`: ONE
-    * read-filter-stage job for ALL touched dirs (basePath keeps the
-    * partition column; pre-routed so each dir lands as one file), then
-    * per-dir atomic two-rename swaps — metadata ops only. The same
-    * no-per-directory-job-loop rule as [[Ann.compactDirs]]: a delete or
-    * compaction touching dozens of buckets pays one Spark job, not
-    * dozens of sequential ones. Crash residue (.compact.stage /
+  /** True when the tombstone set has grown past `maxTombstones` — the
+    * DEBT trigger for [[compact]], the lexical analogue of
+    * [[HnswShards]]' reshard gate: a delete-heavy stream whose cadence
+    * never fires must still compact before every probe's tombstone
+    * anti-join (and the deferred physical drop) carries an unbounded
+    * set. Cost: one count over the id-only tombstone parquet —
+    * metadata-sized, no posting bucket is read. */
+  def needsCompact(spark: SparkSession, path: String,
+      maxTombstones: Long = 1000000L): Boolean =
+    tombstonesOf(spark, path).exists(_.count() >= maxTombstones)
+
+  /** Batched rewrite of partition directories under `root`, keeping
+    * only `keep(df)`'s rows: ONE read-filter-stage job for ALL touched
+    * dirs (basePath keeps the partition column; pre-routed so each dir
+    * lands as one file), then per-dir atomic two-rename swaps —
+    * metadata ops only. The same no-per-directory-job-loop rule as
+    * [[Ann.compactDirs]]: a delete or compaction touching dozens of
+    * buckets pays one Spark job, not dozens of sequential ones. `keep`
+    * is a FRAME transform, not a Column, precisely so a caller with a
+    * distributed survivor condition (the tombstone anti-join in
+    * [[compact]]) never has to collapse it into a driver-side literal
+    * list — a multi-million-id `isin` blows up the plan where an
+    * anti-join stays a broadcast. Crash residue (.compact.stage /
     * .compact.old) heals via [[Ann.recoverStagedDirs]], which every
     * entry point here runs first. */
   private def rewriteDirsBatched(spark: SparkSession, root: String,
-      partCol: String, dirsAll: Seq[Long], drop: org.apache.spark.sql.Column): Unit = {
+      partCol: String, dirsAll: Seq[Long], keep: DataFrame => DataFrame): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a candidate bucket may have no directory (e.g. a delete whose id
@@ -242,19 +290,18 @@ object InvertedIndex {
     Ann.recoverStagedDirs(fs, rootPath)
     val stage = new org.apache.hadoop.fs.Path(rootPath, ".compact.stage")
     fs.delete(stage, true)
-    spark.read.option("basePath", root)
-      .parquet(dirs.map(b => s"$root/$partCol=$b"): _*)
-      .filter(!drop)
+    keep(spark.read.option("basePath", root)
+        .parquet(dirs.map(b => s"$root/$partCol=$b"): _*))
       .repartition(dirs.size, col(partCol))
       .write.partitionBy(partCol).mode("overwrite").parquet(stage.toString)
     dirs.foreach { b =>
       val dir = new org.apache.hadoop.fs.Path(root, s"$partCol=$b")
       val staged = new org.apache.hadoop.fs.Path(stage, s"$partCol=$b")
       if (!fs.exists(staged)) {
-        // every row of this dir matched `drop` -> its rewritten form is
+        // every row of this dir was dropped -> its rewritten form is
         // no dir; verify before destroying the only copy (same guard as
         // compactDirs)
-        val n = spark.read.parquet(dir.toString).filter(!drop).count()
+        val n = keep(spark.read.parquet(dir.toString)).count()
         require(n == 0L,
           s"batched rewrite staged no output for $dir, which keeps $n rows; " +
             "aborting before the swap so the data stays in place")
@@ -275,6 +322,33 @@ object InvertedIndex {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
+  /** Resolve the probed buckets to their directory paths, CRASH-RESIDUE
+    * AWARE: a missing dir normally means "term never indexed"
+    * (contributes no path), but if a `.bucket=N.compact.old` /
+    * `.rewrite.old` sibling exists the bucket is mid-swap residue of an
+    * interrupted [[compact]] rename window — heal the root via
+    * [[Ann.recoverStagedDirs]] and re-resolve, so a probe never
+    * silently returns shrunken results. The sibling checks run only for
+    * buckets that are actually missing, and the O(nBuckets) healing
+    * listing only when residue is really present — the happy path stays
+    * O(|terms|) RPCs. */
+  private def probedBucketDirs(spark: SparkSession, path: String,
+      buckets: Seq[Long]): Seq[String] = {
+    val fs = statsFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(s"$path/postings")
+    def resolve(): Seq[String] = buckets.map(b => s"$path/postings/bucket=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val dirs = resolve()
+    if (dirs.size == buckets.size) return dirs
+    val residue = buckets.exists { b =>
+      !fs.exists(new org.apache.hadoop.fs.Path(root, s"bucket=$b")) &&
+        Seq(".compact.old", ".rewrite.old").exists(sfx =>
+          fs.exists(new org.apache.hadoop.fs.Path(root, s".bucket=$b$sfx")))
+    }
+    if (!residue) dirs
+    else { Ann.recoverStagedDirs(fs, root); resolve() }
+  }
+
   /** BM25 top-k through the index: list and read ONLY the buckets the
     * query terms hash into (explicit directory paths — O(|terms|)
     * listing RPCs however many buckets the index has — with the bucket
@@ -286,16 +360,29 @@ object InvertedIndex {
     * independent of partitioning and engine. Shuffle: one groupBy over
     * the probed postings (∝ matched docs, not corpus) + the bounded
     * top-k. Same formula and rounding contract as
-    * [[TextAnalysis.bm25TopK]]. */
+    * [[TextAnalysis.bm25TopK]].
+    *
+    * `allowed` is the O4 metadata predicate lowered to a one-column id
+    * frame, exactly as on the ANN probes ([[Ann.ivfTopK]]): a left-semi
+    * join gates CANDIDATE docs before scoring. Lucene filter-context
+    * semantics — N, avgdl, and per-term df stay CORPUS-WIDE (a filter
+    * narrows what may be returned, not what the words mean), so a doc's
+    * score is the same with or without the filter. The frame may be any
+    * size; Catalyst broadcasts it when small. */
   def bm25TopK(spark: SparkSession, path: String, queryTerms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
     val st = readStats(spark, path)
+    import spark.implicits._
+    // an empty index (never populated, or fully deleted) has no avgdl —
+    // dividing would NaN-poison every score into a silent empty result;
+    // return the explicit empty frame instead
+    if (st.nDocs == 0L) return Seq.empty[(String, Double)].toDF("id", "bm25")
     val n = st.nDocs.toDouble
     val avgdl = st.sumDl.toDouble / st.nDocs
     val terms = queryTerms.distinct
-    import spark.implicits._
     val buckets = terms.toDF("term").select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     // list ONLY the probed bucket directories (explicit paths with
@@ -305,9 +392,7 @@ object InvertedIndex {
     // pruning ever applies, while a keyword lookup should cost O(|terms|)
     // listings no matter how many buckets the index has. A term hashing
     // to a bucket nothing was ever routed to simply contributes no dir.
-    val fs = statsFs(spark, path)
-    val bucketDirs = buckets.map(b => s"$path/postings/bucket=$b")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
     if (bucketDirs.isEmpty) {
       return Seq.empty[(String, Double)].toDF("id", "bm25")
     }
@@ -319,14 +404,20 @@ object InvertedIndex {
       case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
       case None => pruned
     }
-    // per-term df from the probed postings (≤ |terms| rows, broadcast back)
+    // per-term df from the probed postings (≤ |terms| rows, broadcast
+    // back) — computed BEFORE the allow gate: idf is corpus-wide
     val dfs = live.groupBy(col("term"))
       .agg(countDistinct(col("id")).cast(DoubleType).as("__df__"))
+    val gated = allowed match {
+      case Some(a) => live.join(
+        a.select(col(a.columns.head).cast(StringType).as("id")), Seq("id"), "left_semi")
+      case None => live
+    }
     val idf = log((lit(n) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
     val tf = col("tf").cast(DoubleType)
     val termScore = idf * tf /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / lit(avgdl)))
-    live.join(broadcast(dfs), Seq("term"))
+    gated.join(broadcast(dfs), Seq("term"))
       .withColumn("__qs__", round(termScore * 1e9).cast(LongType))
       .groupBy(col("id"))
       .agg(round(sum(col("__qs__")).cast(DoubleType) / 1e9, 6).as("bm25"))
@@ -349,12 +440,20 @@ object InvertedIndex {
     *
     * `termsCol` is an `array<string>` column; duplicate terms within a
     * query deduplicate (BM25 query-side tf is binary here, matching
-    * [[bm25TopK]]'s distinct-terms contract). */
+    * [[bm25TopK]]'s distinct-terms contract). `allowed` gates candidate
+    * docs for EVERY query in the batch with [[bm25TopK]]'s
+    * filter-context semantics (corpus-wide stats). */
   def bm25TopKBatch(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, termsCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val st = readStats(spark, path)
+    import spark.implicits._
+    // same empty-index guard as bm25TopK: no avgdl to divide by
+    if (st.nDocs == 0L) {
+      return Seq.empty[(String, Int, String, Double)].toDF("qid", "rank", "id", "bm25")
+    }
     val n = st.nDocs.toDouble
     val avgdl = st.sumDl.toDouble / st.nDocs
     val q = queries.select(col(qidCol).cast(StringType).as("qid"),
@@ -363,10 +462,7 @@ object InvertedIndex {
       .localCheckpoint(true)
     val buckets = qTerms.select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val fs = statsFs(spark, path)
-    val bucketDirs = buckets.map(b => s"$path/postings/bucket=$b")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-    import spark.implicits._
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
     if (bucketDirs.isEmpty) {
       return Seq.empty[(String, Int, String, Double)].toDF("qid", "rank", "id", "bm25")
     }
@@ -377,15 +473,21 @@ object InvertedIndex {
       case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
       case None => pruned
     }
-    // only postings some query asks for; df computed over that subset
+    // only postings some query asks for; df computed over that subset —
+    // and BEFORE the allow gate, so idf stays corpus-wide
     val wanted = live.join(qTerms.select(col("term")).distinct(), Seq("term"), "left_semi")
     val dfs = wanted.groupBy(col("term"))
       .agg(countDistinct(col("id")).cast(DoubleType).as("__df__"))
+    val gated = allowed match {
+      case Some(a) => wanted.join(
+        a.select(col(a.columns.head).cast(StringType).as("id")), Seq("id"), "left_semi")
+      case None => wanted
+    }
     val idf = log((lit(n) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
     val tf = col("tf").cast(DoubleType)
     val termScore = idf * tf /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / lit(avgdl)))
-    wanted
+    gated
       .join(qTerms, Seq("term"))
       .join(broadcast(dfs), Seq("term"))
       .withColumn("__qs__", round(termScore * 1e9).cast(LongType))
@@ -420,9 +522,7 @@ object InvertedIndex {
     import spark.implicits._
     val buckets = distinctTerms.toDF("term").select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val fs = statsFs(spark, path)
-    val bucketDirs = buckets.map(b => s"$path/postings/bucket=$b")
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
     if (bucketDirs.isEmpty) {
       return Seq.empty[(String, Long)].toDF("id", "n_phrase")
     }
@@ -445,6 +545,78 @@ object InvertedIndex {
       .filter(col("n_phrase") > 0L)
       .orderBy(col("n_phrase").desc, col("id"))
       .limit(k)
+  }
+
+  /** Exact phrase search for a DataFrame-sized query batch — the
+    * collect-free twin of [[phraseTopK]], completing the retrieval
+    * batch surface alongside [[bm25TopKBatch]] with the same
+    * discipline: the ONE driver collect is the distinct term-bucket id
+    * list (bounded by nBuckets, never Q); phrase terms join the pruned
+    * postings on `term` (distributed equi join), the per-(query, doc)
+    * consecutive-match count folds in-row over the per-term position
+    * arrays — the phrase itself is a DATA column here, so the start
+    * test is an indexed `transform` over it rather than a literal
+    * unrolling — and the bounded-heap [[graft.functions.TopKByScore]]
+    * reduces to k rows per query (count DESC, id ASC ties; counts are
+    * exact in a double far beyond any real document length). Emits
+    * (qid, rank, id, n_phrase).
+    *
+    * `phraseCol` is an `array<string>` column holding each query's
+    * phrase IN ORDER (duplicated words allowed — they resolve against
+    * the same position array, exactly as adjacency requires). */
+  def phraseTopKBatch(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, phraseCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = readStats(spark, path)
+    import spark.implicits._
+    val q = queries.select(col(qidCol).cast(StringType).as("qid"),
+      col(phraseCol).cast(ArrayType(StringType)).as("__phr__"))
+      .filter(size(col("__phr__")) >= 1)
+    val qTerms = q.select(col("qid"), explode(array_distinct(col("__phr__"))).as("term"))
+      .localCheckpoint(true)
+    val buckets = qTerms.select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
+    if (bucketDirs.isEmpty) {
+      return Seq.empty[(String, Int, String, Long)].toDF("qid", "rank", "id", "n_phrase")
+    }
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .select(col("id"), col("term"), col("pos"))
+    val live = tombstonesOf(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => pruned
+    }
+    // (qid, id, term, pos) for exactly the terms each query asks about;
+    // a doc missing ANY of a query's distinct words drops at the
+    // map-size check below, so element_at never sees an absent key for
+    // the FIRST word — later words coalesce to an empty array
+    val matched = live.join(qTerms, Seq("term"))
+    val perDoc = matched.groupBy(col("qid"), col("id"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("pos")))).as("__m__"))
+      .join(q, Seq("qid"))
+      .filter(size(map_keys(col("__m__"))) === size(array_distinct(col("__phr__"))))
+    val emptyPos = array().cast("array<int>")
+    // starts = positions p of word 0 where every word i sits at p+i —
+    // word 0's own membership is true by construction, so the indexed
+    // transform covers the whole phrase uniformly (and a one-word
+    // phrase degenerates to its tf, matching phraseTopK)
+    val starts = filter(
+      element_at(col("__m__"), element_at(col("__phr__"), 1)),
+      p => !array_contains(
+        transform(col("__phr__"), (t, i) =>
+          array_contains(coalesce(element_at(col("__m__"), t), emptyPos), p + i)),
+        false))
+    perDoc
+      .select(col("qid"), col("id"),
+        size(starts).cast(LongType).as("__n__"))
+      .filter(col("__n__") > 0L)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topk(
+        col("__n__").cast(DoubleType), col("id"), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(col("qid"), (col("rank0") + 1).cast(IntegerType).as("rank"),
+        col("hit.id").as("id"), col("hit.score").cast(LongType).as("n_phrase"))
   }
 
   /** Physically drop tombstoned postings and clear the tombstone set —
@@ -471,9 +643,12 @@ object InvertedIndex {
       // partition columns read back with inferred (integer) type — cast
       .select(col("bucket").cast(LongType))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val drop = col("id").isin(
-      tombLocal.collect().map(_.getString(0)).toSeq: _*)
-    rewriteDirsBatched(spark, s"$path/postings", "bucket", touched, drop)
+    // survivors via broadcast ANTI-JOIN, never an isin literal list:
+    // the tombstone set is bounded only by the compaction cadence (or
+    // the needsCompact debt gate), and a multi-million-id isin would
+    // blow up the plan where the join broadcasts the same ids cheaply
+    rewriteDirsBatched(spark, s"$path/postings", "bucket", touched,
+      df => df.join(broadcast(tombLocal), Seq("id"), "left_anti"))
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     touched
   }

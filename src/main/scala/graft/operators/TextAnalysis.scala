@@ -11,8 +11,21 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
+  /** THE analyzer — the one tokenization contract every lexical
+    * operator in the library shares: split on a SINGLE literal space,
+    * empty tokens kept (so a run of spaces contributes empty-string
+    * tokens to the length, exactly like DuckDB's `string_split(text,
+    * ' ')`, which is what keeps the oracles engine-exact). Used by the
+    * corpus-scan [[bm25TopK]], [[tokenCountWs]], [[tfidfTopTerms]], and
+    * every [[InvertedIndex]] build/append/probe path — so a term that
+    * scores through the corpus scan scores identically through the
+    * index, and query-side terms must be exact tokens under THIS
+    * contract (pre-normalize case/punctuation upstream if the corpus
+    * was). */
+  def tokens(text: Column): Column = split(text, " ")
+
   /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column = size(split(text, " ")).cast(LongType)
+  def tokenCountWs(text: Column): Column = size(tokens(text)).cast(LongType)
 
   /** BPE-ish token count: runs of letters, runs of digits, and individual
     * other non-space characters each count as one token. */
@@ -208,7 +221,7 @@ object TextAnalysis {
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = df.select(countDistinct(col(idCol)).as("n"))
@@ -241,15 +254,23 @@ object TextAnalysis {
     * shuffle carries O(partitions × k) rows regardless of corpus size.
     * Scores are rounded to 6 dp BEFORE the ordering so the ranking is
     * reproducible across engines (the DuckDB oracle orders the same
-    * rounded value with the same id tiebreak). */
+    * rounded value with the same id tiebreak).
+    *
+    * `allowed` is the O4 metadata predicate lowered to a one-column id
+    * frame: a left-semi join gates candidate docs before pass 2's
+    * scoring, while pass 1's corpus stats (N, avgdl, df) stay
+    * CORPUS-WIDE — Lucene filter-context semantics, identical to
+    * [[InvertedIndex.bm25TopK]]'s `allowed`, so filtered scores match
+    * unfiltered ones doc for doc. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and 0 <= b <= 1")
     val terms = queryTerms.distinct
-    val toks = split(col(textCol), " ")
+    val toks = tokens(col(textCol))
     val base = df.select(col(idCol).as("id"), toks.as("__toks__"),
       size(toks).cast(DoubleType).as("__dl__"))
     // pass 1: corpus stats — one tiny row, collected, re-planted as literals
@@ -260,15 +281,28 @@ object TextAnalysis {
         }
     val stats = base.agg(statAggs.head, statAggs.tail: _*).collect()(0)
     val n = stats.getDouble(0)
+    // an empty corpus has no avgdl (null under the hood) — return the
+    // explicit empty frame instead of NaN-poisoned scores, the same
+    // guard as the indexed probe
+    if (n == 0d) {
+      return df.select(col(idCol).as("id"), lit(0d).as("bm25")).limit(0)
+    }
     val avgdl = stats.getDouble(1)
-    // pass 2: per-doc score from in-row term counts against the literals
+    // pass 2: per-doc score from in-row term counts against the
+    // literals, over the allow-gated candidates (stats stay corpus-wide)
+    val gated = allowed match {
+      case Some(a) => base.join(
+        a.select(col(a.columns.head).cast(base.schema("id").dataType).as("id")),
+        Seq("id"), "left_semi")
+      case None => base
+    }
     val score = terms.zipWithIndex.map { case (t, i) =>
       val dfT = stats.getDouble(2 + i)
       val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
       val tf = size(filter(col("__toks__"), x => x === lit(t))).cast(DoubleType)
       lit(idf) * tf / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl__") / lit(avgdl)))
     }.reduce(_ + _)
-    base.select(col("id"), round(score, 6).as("bm25"))
+    gated.select(col("id"), round(score, 6).as("bm25"))
       .filter(col("bm25") > 0d)
       .orderBy(col("bm25").desc, col("id"))
       .limit(k)

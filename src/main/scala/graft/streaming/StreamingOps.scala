@@ -751,19 +751,29 @@ object StreamingOps {
     * ([[graft.operators.VectorStore.Partitioned.delete]], touched
     * buckets only), the IVF layout
     * ([[graft.operators.Ann.ivfDeleteSave]], touched cluster dirs
-    * only), and the dedup index ([[graft.operators.DedupIndex.delete]],
-    * the documented index-sized forget pass). The id list driver-
-    * collects per microbatch — bounded by the batch, the same shape as
-    * the reference's `delete(&[String])` (lib.rs:273-286). Shrink/
-    * rebalance after heavy deletion stay offline decisions
+    * only), the dedup index ([[graft.operators.DedupIndex.delete]],
+    * the documented index-sized forget pass), and the inverted index
+    * ([[graft.operators.InvertedIndex.delete]], tombstone append +
+    * doc-stats rewrite bounded to the ids' own buckets). The id list
+    * driver-collects per microbatch — bounded by the batch, the same
+    * shape as the reference's `delete(&[String])` (lib.rs:273-286).
+    * Shrink/rebalance after heavy deletion stay offline decisions
     * ([[graft.operators.Ann.ivfShrinkSave]]/[[graft.operators.Ann.ivfMaintain]]),
-    * exactly like the append side. */
+    * exactly like the append side — EXCEPT the inverted index, whose
+    * logical tombstones grow per delete rather than per skew: a
+    * delete-heavy stream that never hits an offline cadence must still
+    * repay that debt, so each batch ends with a
+    * [[graft.operators.InvertedIndex.needsCompact]] check against
+    * `invCompactTombstones` and compacts (physical drop + tombstone
+    * clear) when the set has grown past it. */
   def tombstoneStream(ids: DataFrame, idCol: String,
       storePath: Option[String] = None,
       ivfPath: Option[String] = None,
       dedupIndexPath: Option[String] = None,
       bqIndexPath: Option[String] = None,
-      ivfBqPath: Option[String] = None): StreamingQuery =
+      ivfBqPath: Option[String] = None,
+      invPath: Option[String] = None,
+      invCompactTombstones: Long = 1000000L): StreamingQuery =
     ids.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -777,6 +787,11 @@ object StreamingOps {
           dedupIndexPath.foreach(p => graft.operators.DedupIndex.delete(spark, p, list))
           bqIndexPath.foreach(p => graft.operators.Ann.bqDeleteSave(spark, p, list))
           ivfBqPath.foreach(p => graft.operators.Ann.ivfBqDeleteSave(spark, p, list))
+          invPath.foreach { p =>
+            graft.operators.InvertedIndex.delete(spark, p, list)
+            if (graft.operators.InvertedIndex.needsCompact(spark, p, invCompactTombstones))
+              graft.operators.InvertedIndex.compact(spark, p)
+          }
         }
       }
       .start()

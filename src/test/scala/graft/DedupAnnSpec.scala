@@ -1361,6 +1361,41 @@ class DedupAnnSpec extends AnyFunSuite {
       == rowsBefore)
   }
 
+  test("ivf maintain recovery: ambiguous count nonce resolves to rollback when a parent is mid-swap") {
+    // the degenerate-split scenario: a marker whose new_count EQUALS the
+    // live sidecar count (every split parent collapsed to one
+    // sub-centroid — possible for markers from older versions; current
+    // maintains skip that plan outright) crashing inside thinParentDir's
+    // two-rename window (dir renamed to .old, replacement not yet in).
+    // Count alone says "committed", which would delete the .old copy
+    // while the live dir is MISSING — permanent loss of that cluster.
+    // The dir-missing-with-.old-present override must force rollback.
+    import java.nio.file.Files
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val base = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 4)
+    val path = Files.createTempDirectory("ivfmaintamb").toString
+    Ann.ivfSave(base, path)
+    val rowsBefore = spark.read.parquet(s"$path/lists")
+      .select(col("id").cast("string")).collect().map(_.getString(0)).sorted.toSeq
+    val parent = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster=")).sorted.head
+    val c = parent.stripPrefix("cluster=").toInt
+    // mid-swap: parent renamed away, NO replacement dir yet
+    assert(new java.io.File(s"$path/lists/$parent")
+      .renameTo(new java.io.File(s"$path/lists/.$parent.maintain.old")))
+    Files.write(java.nio.file.Paths.get(s"$path/_maintain.json"),
+      s"""{"new_count": ${base.centroids.size}, "parents": [$c], "tails": []}"""
+        .getBytes("UTF-8"))
+    assert(!Ann.ivfMaintain(spark, path, maxFactor = 1000.0))
+    assert(new java.io.File(s"$path/lists/$parent").exists,
+      "mid-swap parent must be restored from its .old copy, not deleted")
+    assert(!new java.io.File(s"$path/lists/.$parent.maintain.old").exists)
+    assert(!new java.io.File(s"$path/_maintain.json").exists)
+    assert(spark.read.parquet(s"$path/lists")
+      .select(col("id").cast("string")).collect().map(_.getString(0)).sorted.toSeq
+      == rowsBefore, "no row may be lost to the ambiguous nonce")
+  }
+
   test("ivf append: no refit, rows land, recall parity with full rebuild") {
     val e = Tables.embeddings(spark, TestSpark.sf)
     val base = Ann.ivfBuild(e.filter(col("vec_id") >= 10), "vec_id", "embedding", nLists = 8)

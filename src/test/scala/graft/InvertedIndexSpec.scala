@@ -195,6 +195,186 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(dups == 0L, "a replayed batch must not duplicate postings")
   }
 
+  test("empty index (never populated or fully deleted) probes to an explicit empty frame") {
+    val path = tmp("empty")
+    InvertedIndex.build(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    assert(InvertedIndex.readStats(spark, path).nDocs == 0L)
+    assert(InvertedIndex.bm25TopK(spark, path, terms, k = 10).isEmpty)
+    assert(InvertedIndex.bm25TopKBatch(spark, path,
+      Seq(("a", Seq("spark"))).toDF("qid", "terms"), "qid", "terms", k = 5).isEmpty)
+    // fully deleted: same guard, no NaN-poisoned scores
+    val path2 = tmp("drained")
+    val df = Seq((1L, "aaa bbb"), (2L, "ccc ddd")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path2, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, path2, Seq("1", "2"))
+    assert(InvertedIndex.readStats(spark, path2).nDocs == 0L)
+    assert(InvertedIndex.bm25TopK(spark, path2, Seq("aaa"), k = 5).isEmpty)
+    // the scan twin guards the same edge
+    assert(TextAnalysis.bm25TopK(df.limit(0), "doc_id", "text", Seq("aaa"), k = 5).isEmpty)
+  }
+
+  test("re-appending a tombstoned id fails fast until compact clears it") {
+    val path = tmp("reapp")
+    val df = Seq((1L, "aaa bbb"), (2L, "ccc ddd")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, path, Seq("1"))
+    // silent path would: hide the fresh doc behind the tombstone
+    // anti-join, then physically drop it at compact while stats count it
+    val boom = intercept[IllegalArgumentException] {
+      InvertedIndex.append(spark, path, Seq((1L, "aaa eee")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    assert(boom.getMessage.contains("compact"))
+    // untombstoned ids in the same batch are NOT collateral: the stage
+    // rejected the whole batch, nothing landed
+    val st = InvertedIndex.readStats(spark, path)
+    assert(st.nDocs == 1L)
+    // after compact the id is free again and the round-trip is exact
+    InvertedIndex.compact(spark, path)
+    InvertedIndex.append(spark, path, Seq((1L, "aaa eee")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val r = InvertedIndex.bm25TopK(spark, path, Seq("eee"), k = 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("1"), s"re-appended doc must be probeable, got $r")
+  }
+
+  test("probe heals compact crash residue instead of silently shrinking results") {
+    val path = tmp("heal")
+    InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val want = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10))
+    // simulate a crash inside rewriteDirsBatched's rename window: one
+    // probed bucket dir renamed away to .compact.old, replacement absent
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketOfSpark = Seq("spark").toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(8L))).collect()(0).getLong(0)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$bucketOfSpark")
+    val old = new org.apache.hadoop.fs.Path(
+      s"$path/postings/.bucket=$bucketOfSpark.compact.old")
+    assert(fs.exists(dir), "fixture needs the probed bucket to exist")
+    assert(fs.rename(dir, old))
+    // the probe must NOT treat the mid-swap bucket as 'term never
+    // indexed' — it heals the root and answers exactly
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) == want)
+    assert(fs.exists(dir) && !fs.exists(old), "residue must be healed, not read around")
+    // batch + phrase probes share the healing path
+    assert(fs.rename(dir, old))
+    assert(InvertedIndex.bm25TopKBatch(spark, path,
+      Seq(("a", terms)).toDF("qid", "terms"), "qid", "terms", k = 10)
+      .count() == want.size)
+    assert(fs.exists(dir))
+  }
+
+  test("compact survives a six-figure tombstone set with no driver-side literal plan") {
+    val path = tmp("bigtomb")
+    InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    // real deletions, so the rewrite has actual work to do...
+    InvertedIndex.delete(spark, path, (0L until 10L).map(_.toString))
+    val want = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10))
+    // ...plus a delete-heavy stream's debt: 150k synthetic tombstones
+    // (absent from the corpus — only the anti-join semantics matter).
+    // The old isin-literal form would build a 150k-element plan node.
+    spark.range(1000000, 1150000).select(col("id").cast("string").as("id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    assert(InvertedIndex.needsCompact(spark, path, maxTombstones = 100000L))
+    assert(!InvertedIndex.needsCompact(spark, path, maxTombstones = 1000000L))
+    assert(InvertedIndex.compact(spark, path).nonEmpty)
+    assert(!InvertedIndex.needsCompact(spark, path, maxTombstones = 1L),
+      "compact must clear the tombstone set")
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) == want)
+    assert(spark.read.parquet(s"$path/postings")
+      .filter(col("id").isin((0L until 10L).map(_.toString): _*)).count() == 0L,
+      "tombstoned postings must be physically gone")
+  }
+
+  test("mixed-whitespace corpus round-trips identically through scan-BM25 and index-BM25") {
+    // the shared TextAnalysis.tokens analyzer: single-space split,
+    // empties kept — build, append, probe, and the corpus scan must all
+    // agree or a query-time caller gets silent zero recall
+    val path = tmp("ws")
+    val df = Seq(
+      (1L, "alpha  beta alpha"),       // double space -> empty token
+      (2L, " beta gamma"),             // leading space
+      (3L, "alpha beta "),             // trailing space
+      (4L, "alpha\tbeta alpha beta")). // tab is NOT a separator
+      toDF("doc_id", "text")
+    InvertedIndex.build(df.filter(col("doc_id") < 4), "doc_id", "text",
+      path, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.append(spark, path, df.filter(col("doc_id") === 4), "doc_id", "text")
+    val qs = Seq("alpha", "beta")
+    val idx = key(InvertedIndex.bm25TopK(spark, path, qs, k = 10))
+    val scan = TextAnalysis.bm25TopK(df, "doc_id", "text", qs, k = 10)
+      .collect().map(r => (r.getLong(0).toString, r.getDouble(1))).toSeq
+    assert(idx.map(_._1) == scan.map(_._1), s"ids: $idx vs $scan")
+    idx.zip(scan).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 2e-6, s"score drift: $a vs $b") }
+    // "alpha\tbeta" is ONE token under the contract: doc 4 scores via
+    // its un-tabbed occurrences, and the tabbed compound is queryable
+    // as its own term in both engines
+    val compound = key(InvertedIndex.bm25TopK(spark, path, Seq("alpha\tbeta"), k = 10))
+    val compoundScan = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("alpha\tbeta"), k = 10)
+      .collect().map(r => (r.getLong(0).toString, r.getDouble(1))).toSeq
+    assert(compound.map(_._1) == Seq("4") && compoundScan.map(_._1) == Seq("4"))
+  }
+
+  test("filtered BM25: allow set gates candidates, scores stay corpus-wide, scan == index") {
+    val path = tmp("filter")
+    InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val allow = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val idx = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10,
+      allowed = Some(allow)))
+    // every hit satisfies the predicate
+    assert(idx.nonEmpty && idx.forall(_._1.toLong % 3 == 0))
+    // scan twin agrees rank for rank
+    val scan = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 10,
+        allowed = Some(allow))
+      .collect().map(r => (r.getLong(0).toString, r.getDouble(1))).toSeq
+    assert(idx.map(_._1) == scan.map(_._1), s"ids: $idx vs $scan")
+    // filter-context semantics: a doc's score equals its UNFILTERED
+    // score (the filter narrows candidates, never the stats)
+    val unfiltered = key(InvertedIndex.bm25TopK(spark, path, terms, k = 1000)).toMap
+    idx.foreach { case (id, s) =>
+      assert(math.abs(unfiltered(id) - s) < 1e-9, s"score of $id changed under filter") }
+    // batch twin gates every query identically
+    val batch = InvertedIndex.bm25TopKBatch(spark, path,
+        Seq(("a", terms)).toDF("qid", "terms"), "qid", "terms", k = 10,
+        allowed = Some(allow))
+      .collect().map(r => (r.getString(2), r.getDouble(3))).toSeq
+    assert(batch == idx, s"batch $batch vs single $idx")
+  }
+
+  test("phraseTopKBatch equals per-query phraseTopK, rank for rank") {
+    val path = tmp("phrbatch")
+    val df = Seq(
+      (1L, "fast scan fast scan slow"),
+      (2L, "fast slow scan fast"),
+      (3L, "scan fast scan"),
+      (4L, "fast fast fast"),
+      (5L, "nothing here")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val qs = Seq(
+      "a" -> Seq("fast", "scan"),
+      "b" -> Seq("fast", "fast"),      // repeated word, same position array
+      "c" -> Seq("fast"),              // one-word phrase degenerates to tf
+      "d" -> Seq("absent", "words"))   // no hits -> no rows for that qid
+    val batch = InvertedIndex.phraseTopKBatch(spark, path,
+        qs.toDF("qid", "phrase"), "qid", "phrase", k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val singles = qs.flatMap { case (qid, ph) =>
+      InvertedIndex.phraseTopK(spark, path, ph, k = 5).collect()
+        .zipWithIndex.map { case (r, i) => (qid, i + 1, r.getString(0), r.getLong(1)) }
+    }.toSet
+    assert(batch == singles, s"batch $batch vs singles $singles")
+    // tombstones apply to the batch path too
+    InvertedIndex.delete(spark, path, Seq("1"))
+    val afterDel = InvertedIndex.phraseTopKBatch(spark, path,
+        Seq("a" -> Seq("fast", "scan")).toDF("qid", "phrase"), "qid", "phrase", k = 5)
+      .collect().map(r => (r.getString(2), r.getLong(3))).toSeq
+    assert(afterDel == Seq(("3", 1L)))
+  }
+
   private def listFiles(root: String): Set[(String, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
