@@ -3663,10 +3663,12 @@ object SparkEntry {
     // buckets, and the needsCompact DEBT gate (threshold 5 « the 10-id
     // batches) forces an in-stream physical compaction both times, so
     // the post-stream probe scores a layout whose tombstone set is
-    // EMPTY — stats, postings, and probe all agree on docs >= 20.
+    // EMPTY — stats, postings, and probe all agree on docs 20..499.
+    // (Fixed 500-doc fixture, like text_bm25_idx_maintain: the gate
+    // times the operations, not an sf-proportional build.)
     "stream_tombstone_inv" -> ((s, dir) => {
       import scala.jdk.CollectionConverters._
-      val d = Tables.documents(s, dir)
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
       val idx = java.nio.file.Files.createTempDirectory("graft_tomb_inv").toString
       InvertedIndex.build(d, "doc_id", "text", idx, nBuckets = 16, nDocBuckets = 8)
       val watch = java.nio.file.Files.createTempDirectory("graft_tomb_inv_watch")
@@ -4421,12 +4423,12 @@ object SparkEntry {
         |SELECT qid, CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS doc_id, n_phrase
         |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
 
-    // streamed inverted-index tombstones: effective corpus = docs >= 20;
-    // quantized BM25 recomputes over it, scale-independent
+    // streamed inverted-index tombstones: effective corpus = docs
+    // 20..499; quantized BM25 recomputes over it, scale-independent
     "stream_tombstone_inv" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
-        |           FROM documents WHERE doc_id >= 20),
+        |           FROM documents WHERE doc_id >= 20 AND doc_id < 500),
         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
         |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
         |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,

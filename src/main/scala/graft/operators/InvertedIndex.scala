@@ -167,10 +167,13 @@ object InvertedIndex {
   }
 
   /** Stage an append WITHOUT landing any file: derive the batch's
-    * posting and doc-stats frames (materialized — staging must be
-    * deterministic under replay) and the exact directories the apply
-    * will touch, including the stats dir. The stage/apply split is what
-    * a [[graft.streaming.BatchLedger]]-wrapped ingest batch needs:
+    * posting and doc-stats frames (materialized via `localCheckpoint` —
+    * staging must be deterministic under replay, so the batch's posting
+    * rows must fit the executor cache tier, the same sizing contract as
+    * [[MatrixStore]]; a microbatch is bounded by the trigger, never the
+    * corpus) and the exact directories the apply will touch, including
+    * the stats dir. The stage/apply split is what a
+    * [[graft.streaming.BatchLedger]]-wrapped ingest batch needs:
     * snapshot the touched dirs first, then run [[applyStagedAppend]]. */
   private[graft] def stageAppend(spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String)
@@ -619,37 +622,52 @@ object InvertedIndex {
         col("hit.id").as("id"), col("hit.score").cast(LongType).as("n_phrase"))
   }
 
-  /** Physically drop tombstoned postings and clear the tombstone set —
-    * the Lucene-merge analogue, run on a maintenance cadence. One
+  /** Physically drop tombstoned postings, clear the tombstone set, and
+    * repay append-mode SMALL-FILE debt — the Lucene-merge analogue, run
+    * on a maintenance cadence or on [[needsCompact]]'s debt gate. One
     * column-pruned (bucket, id) scan finds which buckets actually hold
     * tombstoned postings; ONLY those directories rewrite, all staged by
     * ONE batched job with per-dir atomic swaps ([[rewriteDirsBatched]]
     * — crash residue heals through the shared [[Ann.recoverStagedDirs]]
-    * sweep run here and by every probe-independent entry point).
-    * Returns the rewritten bucket ids. */
-  def compact(spark: SparkSession, path: String): Seq[Long] = {
+    * sweep run here and by every probe-independent entry point). Then
+    * [[Ann.compactDirs]] coalesces any posting or doc-stats directory
+    * that accumulated more than `maxFiles` parquet files — a
+    * delete-free ingest stream ([[graft.streaming.StreamingOps.invIngestStream]])
+    * lands one file per touched dir per batch, debt nothing else
+    * repays. Returns the tombstone-rewritten bucket ids. */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Seq[Long] = {
     val fs = statsFs(spark, path)
     Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/postings"))
     // prune the stats version history to the newest (each version is a
     // complete snapshot, so dropping the rest can never lose state)
     statsVersions(fs, path).dropRight(1).foreach(v => fs.delete(v._2, false))
     val tombsOpt = tombstonesOf(spark, path).map(_.select(col("id")).distinct())
-    if (tombsOpt.isEmpty) return Seq.empty
-    val tombLocal = tombsOpt.get.localCheckpoint(true)
-    if (tombLocal.isEmpty) return Seq.empty
-    val touched = spark.read.parquet(s"$path/postings")
-      .select(col("bucket"), col("id"))
-      .join(broadcast(tombLocal), Seq("id"), "left_semi")
-      // partition columns read back with inferred (integer) type — cast
-      .select(col("bucket").cast(LongType))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    // survivors via broadcast ANTI-JOIN, never an isin literal list:
-    // the tombstone set is bounded only by the compaction cadence (or
-    // the needsCompact debt gate), and a multi-million-id isin would
-    // blow up the plan where the join broadcasts the same ids cheaply
-    rewriteDirsBatched(spark, s"$path/postings", "bucket", touched,
-      df => df.join(broadcast(tombLocal), Seq("id"), "left_anti"))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    val touched = tombsOpt match {
+      case None => Seq.empty[Long]
+      case Some(tombs) =>
+        val tombLocal = tombs.localCheckpoint(true)
+        if (tombLocal.isEmpty) Seq.empty[Long]
+        else {
+          val t = spark.read.parquet(s"$path/postings")
+            .select(col("bucket"), col("id"))
+            .join(broadcast(tombLocal), Seq("id"), "left_semi")
+            // partition columns read back with inferred (integer) type — cast
+            .select(col("bucket").cast(LongType))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          // survivors via broadcast ANTI-JOIN, never an isin literal list:
+          // the tombstone set is bounded only by the compaction cadence (or
+          // the needsCompact debt gate), and a multi-million-id isin would
+          // blow up the plan where the join broadcasts the same ids cheaply
+          rewriteDirsBatched(spark, s"$path/postings", "bucket", t,
+            df => df.join(broadcast(tombLocal), Seq("id"), "left_anti"))
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+          t
+        }
+    }
+    // small-file repayment AFTER the tombstone rewrite (which lands one
+    // file per touched dir, so freshly rewritten buckets never re-offend)
+    Ann.compactDirs(spark, s"$path/postings", maxFiles)
+    Ann.compactDirs(spark, s"$path/docstats", maxFiles)
     touched
   }
 }

@@ -716,7 +716,7 @@ object StreamingOps {
     * rules as [[ivfIngestStream]]. */
   def invIngestStream(batches: DataFrame, indexPath: String,
       idCol: String, textCol: String,
-      compactEvery: Int = 0,
+      compactEvery: Int = 0, compactMaxFiles: Int = 8,
       checkpointDir: Option[String] = None): StreamingQuery = {
     val ws = batches.writeStream.outputMode("append")
     checkpointDir.foreach(ws.option("checkpointLocation", _))
@@ -738,7 +738,8 @@ object StreamingOps {
           ()
         }
         cadenceTick(compactEvery, batchId) {
-          graft.operators.InvertedIndex.compact(b.sparkSession, indexPath)
+          graft.operators.InvertedIndex.compact(b.sparkSession, indexPath,
+            compactMaxFiles)
           ()
         }
       }

@@ -318,6 +318,34 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(compound.map(_._1) == Seq("4") && compoundScan.map(_._1) == Seq("4"))
   }
 
+  test("compact repays append small-file debt in postings AND docstats") {
+    val path = tmp("filedebt")
+    InvertedIndex.build(docs.filter(col("doc_id") < 30), "doc_id", "text",
+      path, nBuckets = 4, nDocBuckets = 2)
+    // a delete-free ingest stream's debt: each small append lands one
+    // file per touched dir, and the tombstone path never fires
+    (0 until 12).foreach { i =>
+      InvertedIndex.append(spark, path,
+        docs.filter(col("doc_id") >= 30 + 2 * i && col("doc_id") < 32 + 2 * i),
+        "doc_id", "text")
+    }
+    def maxFilesPerDir(root: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(d => fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")))
+        .max
+    }
+    assert(maxFilesPerDir(s"$path/postings") > 8, "fixture must carry debt")
+    val want = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10))
+    val stats = InvertedIndex.readStats(spark, path)
+    assert(InvertedIndex.compact(spark, path).isEmpty) // no tombstones
+    assert(maxFilesPerDir(s"$path/postings") == 1, "postings debt must be repaid")
+    assert(maxFilesPerDir(s"$path/docstats") == 1, "docstats debt must be repaid")
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) == want)
+    assert(InvertedIndex.readStats(spark, path) == stats)
+  }
+
   test("filtered BM25: allow set gates candidates, scores stay corpus-wide, scan == index") {
     val path = tmp("filter")
     InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
