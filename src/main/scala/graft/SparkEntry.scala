@@ -1472,6 +1472,28 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // Hybrid retrieval through the SERVING path: the lexical ranking
+    // comes from the persisted inverted index (term-bucket-pruned
+    // probe) instead of the corpus scan — the composition a deployed
+    // retrieval endpoint runs. The index's quantized scores and STRING
+    // id tiebreak govern the top-50 cut and the ranks (the oracle
+    // mirrors both), then ranks fuse exactly as in ann_hybrid_rrf.
+    "ann_hybrid_rrf_idx" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("id"))
+      val lex = InvertedIndex.bm25TopK(s, cachedInvIdx(s, dir),
+          Seq("spark", "vector", "join"), k = 50)
+        .withColumn("rank", row_number().over(w))
+        .select(col("id").cast(LongType).as("id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+      val vec = Ann.bruteForceTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("id").cast(LongType).as("id"), col("rank"))
+      Ann.rrfFuse(Seq(lex, vec), "id", "rank", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // Text: BM25 through the PERSISTED term-partitioned inverted index —
     // the serving-scale twin of text_bm25: the probe lists only the
     // buckets the query terms hash into (static isin on the partition
@@ -4293,6 +4315,50 @@ object SparkEntry {
         |lex AS (SELECT doc_id AS id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
         |        FROM (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
         |              ORDER BY bm25 DESC, doc_id LIMIT 50)),
+        |nq AS (SELECT list_transform(embedding::DOUBLE[],
+        |         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qv
+        |       FROM embeddings WHERE vec_id = 0),
+        |nv AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+        |       FROM embeddings),
+        |vtop AS (SELECT vec_id AS id, row_number() OVER (ORDER BY cs DESC, vec_id) AS rnk
+        |         FROM (SELECT vec_id, list_dot_product(v, (SELECT qv FROM nq)) AS cs
+        |               FROM nv ORDER BY cs DESC, vec_id LIMIT 50)),
+        |f AS (SELECT coalesce(l.id, v.id) AS doc_id,
+        |        round(coalesce(CAST(1.0 AS DOUBLE)/(60 + l.rnk), 0)
+        |            + coalesce(CAST(1.0 AS DOUBLE)/(60 + v.rnk), 0), 6) AS rrf,
+        |        CAST((CASE WHEN l.id IS NULL THEN 0 ELSE 1 END)
+        |           + (CASE WHEN v.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists
+        |      FROM lex l FULL OUTER JOIN vtop v ON l.id = v.id)
+        |SELECT doc_id, rrf, n_lists FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // serving-path hybrid: identical fusion, but the lexical ranking
+    // uses the INDEX's 1e-9-quantized BM25 and its VARCHAR id tiebreak
+    // for both the top-50 cut and the ranks
+    "ann_hybrid_rrf_idx" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st),
+        |lex AS (SELECT doc_id AS id, row_number() OVER (
+        |          ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR)) AS rnk
+        |        FROM (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |              ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 50)),
         |nq AS (SELECT list_transform(embedding::DOUBLE[],
         |         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qv
         |       FROM embeddings WHERE vec_id = 0),

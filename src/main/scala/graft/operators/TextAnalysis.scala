@@ -24,6 +24,15 @@ object TextAnalysis {
     * was). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** [[tokens]] for a driver-side query string — the analyzer a caller
+    * MUST use to turn raw query text into the term lists the BM25 /
+    * phrase probes take, or index-time and query-time tokenization
+    * silently disagree (zero recall, no error). `split(" ", -1)`
+    * matches the Column form exactly: single literal space, empty
+    * tokens kept (Scala's 1-arg `split` drops trailing empties, which
+    * would NOT match). */
+  def tokensOf(text: String): Seq[String] = text.split(" ", -1).toSeq
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text)).cast(LongType)
 

@@ -316,6 +316,15 @@ class InvertedIndexSpec extends AnyFunSuite {
     val compoundScan = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("alpha\tbeta"), k = 10)
       .collect().map(r => (r.getLong(0).toString, r.getDouble(1))).toSeq
     assert(compound.map(_._1) == Seq("4") && compoundScan.map(_._1) == Seq("4"))
+    // the driver-side query analyzer matches the Column analyzer
+    // token for token — INCLUDING trailing empties (Scala's 1-arg
+    // split would drop them)
+    Seq("alpha  beta alpha", " beta gamma", "alpha beta ", "alpha\tbeta x")
+      .foreach { s =>
+        val viaCol = Seq(s).toDF("t").select(TextAnalysis.tokens(col("t")))
+          .collect()(0).getSeq[String](0).toSeq
+        assert(TextAnalysis.tokensOf(s) == viaCol, s"analyzer drift on '$s'")
+      }
   }
 
   test("compact repays append small-file debt in postings AND docstats") {
