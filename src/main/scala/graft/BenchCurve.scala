@@ -222,8 +222,9 @@ object BenchCurve {
     // both sections from a full run)
     val scaleOnly = args.sameElements(Array("scale"))
     val lexOnly = args.sameElements(Array("lex"))
+    val scale64Only = args.sameElements(Array("scale64"))
     val sfs =
-      if (args.nonEmpty && !scaleOnly && !lexOnly) args.toSeq
+      if (args.nonEmpty && !scaleOnly && !lexOnly && !scale64Only) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -243,6 +244,11 @@ object BenchCurve {
     }
     if (lexOnly) {
       println("{" + lexSection(spark, Seq(500000L, 2000000L, 8000000L)) + "}")
+      spark.stop()
+      return
+    }
+    if (scale64Only) {
+      println("{" + scaleSection(spark, "scale64", 64, Seq(1000000L, 4000000L)) + "}")
       spark.stop()
       return
     }
