@@ -1570,6 +1570,31 @@ object SparkEntry {
         .orderBy(col("n_phrase").desc, col("doc_id"))
     }),
 
+    // Text: MORE-LIKE-THIS — the classic Lucene decomposition, fully
+    // composed from library ops with no driver funnel: doc 0's top-5
+    // TF-IDF terms become a one-row (qid, terms) query frame
+    // (mltQueries), batch-BM25 probes the persisted index with them,
+    // and the allowed set (corpus minus the seed) keeps the seed doc
+    // from outranking its own neighbors.
+    "text_mlt" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val q = TextAnalysis.mltQueries(d, "doc_id", "text",
+        Seq("0").toDF("id"), nTerms = 5)
+      val allow = d.filter(col("doc_id") =!= 0).select(col("doc_id"))
+      InvertedIndex.bm25TopKBatch(s, cachedInvIdx(s, dir), q, "qid", "terms",
+          k = 10, allowed = Some(allow))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rank"))
+    }),
+
+    // Text: index observability — geometry, exact sidecar stats, the
+    // avgdl probes score with, and the tombstone-debt count the
+    // needsCompact gate reads. Metadata-sized; no posting scan.
+    "text_idx_stats" -> ((s, dir) => {
+      InvertedIndex.describe(s, cachedInvIdx(s, dir))
+    }),
+
     // Text: exact phrase search for a query BATCH — the collect-free
     // twin of text_phrase (the one driver collect is the term-bucket id
     // list, bounded by nBuckets, never Q): each query's phrase is a
@@ -4466,6 +4491,44 @@ object SparkEntry {
         |      FROM t)
         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_phrase FROM p WHERE n_phrase > 0
         |ORDER BY n_phrase DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // more-like-this: seed terms = doc 0's top-5 TF-IDF terms (score
+    // desc, token tiebreak — the text_tfidf window), then quantized
+    // BM25 over docs <> 0 with corpus-wide stats
+    "text_mlt" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |tf0 AS (SELECT tok, CAST(count(*) AS DOUBLE) AS tf FROM toks WHERE doc_id = 0 GROUP BY tok),
+        |dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY tok),
+        |seed AS (SELECT tok FROM (
+        |    SELECT t.tok, row_number() OVER (
+        |      ORDER BY t.tf * ln((SELECT n FROM n0) / d.df) DESC, t.tok) AS rnk
+        |    FROM tf0 t JOIN dfr d USING (tok)) WHERE rnk <= 5),
+        |d2 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d2),
+        |tfs AS (SELECT t.doc_id, t.tok, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM toks t JOIN seed s USING (tok) WHERE t.doc_id <> 0 GROUP BY 1, 2),
+        |q AS (SELECT f.doc_id,
+        |        sum(CAST(round(ln((st.n - d.df + 0.5)/(d.df + 0.5) + 1) * f.tf /
+        |          (f.tf + 1.2*(0.25 + 0.75*dd.dl/st.avgdl)) * 1000000000) AS BIGINT)) AS qs
+        |      FROM tfs f JOIN dfr d USING (tok) JOIN d2 dd USING (doc_id) CROSS JOIN st
+        |      GROUP BY 1),
+        |r AS (SELECT doc_id, round(CAST(qs AS DOUBLE) / 1000000000.0, 6) AS bm25,
+        |        row_number() OVER (ORDER BY round(CAST(qs AS DOUBLE)/1000000000.0, 6) DESC,
+        |          CAST(doc_id AS VARCHAR)) AS rnk
+        |      FROM q WHERE round(CAST(qs AS DOUBLE)/1000000000.0, 6) > 0)
+        |SELECT '0' AS qid, CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS doc_id, bm25
+        |FROM r WHERE rnk <= 10 ORDER BY rank""".stripMargin,
+
+    // index describe: geometry is the build's fixed config, stats
+    // recompute exactly from the corpus, debt is zero (no deletes)
+    "text_idx_stats" ->
+      """SELECT CAST(16 AS INTEGER) AS n_buckets, CAST(8 AS INTEGER) AS n_doc_buckets,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl,
+        |       round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avgdl,
+        |       CAST(0 AS BIGINT) AS n_tombstones
+        |FROM documents""".stripMargin,
 
     // batch phrase search: per-query sliding-window counts, rank by
     // count desc with the VARCHAR id tiebreak, top-5 per query

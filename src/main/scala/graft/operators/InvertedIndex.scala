@@ -255,6 +255,24 @@ object InvertedIndex {
     }
   }
 
+  /** One-row operational description of a persisted index — the
+    * observability hook an operator checks before deciding maintenance:
+    * layout geometry (bucket counts), exact corpus stats (from the
+    * sidecar — no data read), the avgdl probes will score with, and the
+    * outstanding tombstone-debt count that [[needsCompact]] gates on.
+    * Everything here is metadata-sized; nothing scans a posting. */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    val st = readStats(spark, path)
+    val nTombs = tombstonesOf(spark, path).map(_.count()).getOrElse(0L)
+    import spark.implicits._
+    Seq((st.nBuckets, st.nDocBuckets, st.nDocs, st.sumDl,
+      if (st.nDocs == 0L) 0d else
+        BigDecimal(st.sumDl.toDouble / st.nDocs)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      nTombs))
+      .toDF("n_buckets", "n_doc_buckets", "n_docs", "sum_dl", "avgdl", "n_tombstones")
+  }
+
   /** True when the tombstone set has grown past `maxTombstones` — the
     * DEBT trigger for [[compact]], the lexical analogue of
     * [[HnswShards]]' reshard gate: a delete-heavy stream whose cadence

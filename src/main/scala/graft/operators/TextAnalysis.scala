@@ -245,6 +245,26 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  /** More-like-this SEED extraction: one (qid, terms) query row per
+    * requested document — its top-`nTerms` TF-IDF terms in rank order —
+    * ready to feed [[InvertedIndex.bm25TopKBatch]] (typically with
+    * `allowed` = corpus minus the seed docs, so the seed can't outrank
+    * its own neighbors). The classic Lucene MoreLikeThis decomposition:
+    * term selection by TF-IDF, retrieval by BM25 — and all of it stays
+    * a DataFrame (the seed terms never funnel through the driver, any
+    * number of seed docs batch in one pass). */
+  def mltQueries(df: DataFrame, idCol: String, textCol: String,
+      seedIds: DataFrame, nTerms: Int): DataFrame = {
+    require(nTerms >= 1, s"nTerms must be >= 1, got $nTerms")
+    val seeds = seedIds.select(col(seedIds.columns.head).cast(StringType).as("qid"))
+    tfidfTopTerms(df, idCol, textCol, nTerms)
+      .withColumn("qid", col("id").cast(StringType))
+      .join(seeds, Seq("qid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(transform(sort_array(collect_list(struct(col("rnk"), col("tok")))),
+        e => e("tok")).as("terms"))
+  }
+
   // --------------------------------------------------- BM25 retrieval
   /** Okapi BM25 top-k keyword retrieval — the lexical half of hybrid
     * (keyword + vector) search. Scores every document against a literal

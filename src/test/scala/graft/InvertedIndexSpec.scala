@@ -381,6 +381,42 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(batch == idx, s"batch $batch vs single $idx")
   }
 
+  test("mltQueries extracts rank-ordered TF-IDF seed terms; describe reports exact state") {
+    val path = tmp("mlt")
+    val df = Seq(
+      (1L, "rare gem rare gem common"),
+      (2L, "common common filler words here"),
+      (3L, "rare gem common filler stuff")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    // seed doc 1: "rare"/"gem" (tf=2, df=2) outrank "common" (tf=1, df=3)
+    val q = TextAnalysis.mltQueries(df, "doc_id", "text", Seq("1").toDF("id"), nTerms = 2)
+      .collect()
+    assert(q.length == 1 && q(0).getString(0) == "1")
+    assert(q(0).getSeq[String](1).toSeq == Seq("gem", "rare"),
+      "terms must come back in rank order (score desc, token tiebreak)")
+    // several seeds batch in one frame
+    val q2 = TextAnalysis.mltQueries(df, "doc_id", "text",
+      Seq("1", "3").toDF("id"), nTerms = 2)
+    assert(q2.count() == 2)
+    // the composition: doc 3 (shares rare+gem) must beat doc 2, and the
+    // allowed gate keeps the seed itself out
+    val hits = InvertedIndex.bm25TopKBatch(spark, path, TextAnalysis.mltQueries(
+        df, "doc_id", "text", Seq("1").toDF("id"), nTerms = 2),
+        "qid", "terms", k = 5,
+        allowed = Some(df.filter(col("doc_id") =!= 1).select(col("doc_id"))))
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(hits.toSeq == Seq((1, "3")), s"got ${hits.toSeq}")
+    // describe: exact geometry/stats/debt, metadata-only
+    val d0 = InvertedIndex.describe(spark, path).collect()(0)
+    assert(d0.getInt(0) == 8 && d0.getInt(1) == 4)
+    assert(d0.getLong(2) == 3L && d0.getLong(3) == 15L)
+    assert(d0.getDouble(4) == 5.0 && d0.getLong(5) == 0L)
+    InvertedIndex.delete(spark, path, Seq("2"))
+    val d1 = InvertedIndex.describe(spark, path).collect()(0)
+    assert(d1.getLong(2) == 2L && d1.getLong(5) == 1L,
+      "describe must reflect the delete: stats shrink, debt counts")
+  }
+
   test("phraseTopKBatch equals per-query phraseTopK, rank for rank") {
     val path = tmp("phrbatch")
     val df = Seq(
