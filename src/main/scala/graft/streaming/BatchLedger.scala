@@ -173,11 +173,19 @@ private[graft] object BatchLedger {
 
   /** Recursive file listing of one touched partition directory. Paths
     * are stored exactly as the filesystem reports them, so the
-    * rollback diff is exact. */
+    * rollback diff is exact. Walks with `listStatus` (one call per
+    * DIRECTORY returning all children) rather than `listFiles(_, true)`,
+    * whose LocatedFileStatus iterator computes block locations PER FILE
+    * — measured at ~1 ms/file on the local fs, which turned the
+    * pre-append snapshot of a wide layout (707 touched dirs × a few
+    * files each) into seconds of pure listing; the per-dir form is one
+    * metadata call per directory on every filesystem. */
   private def listAll(fs: FileSystem, dir: Path): Set[String] = {
-    val it = fs.listFiles(dir, true)
     val b = Set.newBuilder[String]
-    while (it.hasNext) b += it.next().getPath.toString
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath) else b += st.getPath.toString
+    }
+    walk(dir)
     b.result()
   }
 
