@@ -3129,6 +3129,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Text: decontamination through the INDEX — the serving-scale twin
+    // of text_contam: every distinct eval 3-gram probes the positional
+    // postings as a phrase (consecutive-match, same contract as the
+    // shingle intersection), so the cost is ∝ the eval set's gram
+    // vocabulary — bounded by construction — never a training-corpus
+    // scan per eval set. Eval docs live in the shared index, so the
+    // train-side gate (doc_id % 97 != 0) applies on the way out.
+    "text_contam_idx" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      InvertedIndex.contaminationHits(s, cachedInvIdx(s, dir),
+          d.filter(col("doc_id") % 97 === 0), "text", n = 3)
+        .select(col("id").cast(LongType).as("doc_id"), col("n_hits"))
+        .filter(col("doc_id") % 97 =!= 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Pipeline: ONE-PASS approximate length filter — approx_percentile
     // (KLL-style sketch, mergeable: one corpus pass at any scale) vs
     // pipe_lengthfilter's exact sort-based percentile. Sketch outputs
@@ -5501,6 +5517,19 @@ object SparkEntry {
         |       round(n_hits::DOUBLE / n_grams, 6) AS contam_frac,
         |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated
         |FROM tr ORDER BY doc_id""".stripMargin,
+
+    // indexed decontamination: same distinct-shingle semantics as
+    // text_contam, hit side only (docs with >= 1 eval gram)
+    "text_contam_idx" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(generate_series(0, len(toks)-3)) AS i, toks
+        |       FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS gram FROM g0),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM g
+        |      WHERE doc_id % 97 != 0 AND gram IN (SELECT gram FROM ev)
+        |      GROUP BY doc_id)
+        |SELECT doc_id, n_hits FROM h ORDER BY doc_id""".stripMargin,
 
     // the streaming gate = text_contam semantics, train side bounded to
     // the streamed subset; eval grams still come from the FULL corpus

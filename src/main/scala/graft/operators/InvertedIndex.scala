@@ -588,8 +588,38 @@ object InvertedIndex {
   def phraseTopKBatch(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, phraseCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val st = readStats(spark, path)
     import spark.implicits._
+    phraseMatches(spark, path, queries, qidCol, phraseCol) match {
+      case None =>
+        Seq.empty[(String, Int, String, Long)].toDF("qid", "rank", "id", "n_phrase")
+      case Some(m) => m
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKByScore.topk(
+          col("n_phrase").cast(DoubleType), col("id"), k).as("hits"))
+        .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+        .select(col("qid"), (col("rank0") + 1).cast(IntegerType).as("rank"),
+          col("hit.id").as("id"), col("hit.score").cast(LongType).as("n_phrase"))
+    }
+  }
+
+  /** ALL (qid, id, n_phrase) consecutive-match pairs for a phrase
+    * batch — [[phraseTopKBatch]] without the per-query top-k bound, for
+    * callers that need the complete match set (decontamination, exact
+    * recall audits). Output size ∝ matches; everything upstream of the
+    * final filter is the shared bucket-pruned probe. */
+  def containsPhrases(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, phraseCol: String): DataFrame = {
+    import spark.implicits._
+    phraseMatches(spark, path, queries, qidCol, phraseCol)
+      .getOrElse(Seq.empty[(String, String, Long)].toDF("qid", "id", "n_phrase"))
+  }
+
+  /** Shared kernel of the batch phrase probes: (qid, id, n_phrase > 0)
+    * for every query whose phrase occurs consecutively in the doc.
+    * None when no probed bucket directory exists at all. */
+  private def phraseMatches(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, phraseCol: String): Option[DataFrame] = {
+    val st = readStats(spark, path)
     val q = queries.select(col(qidCol).cast(StringType).as("qid"),
       col(phraseCol).cast(ArrayType(StringType)).as("__phr__"))
       .filter(size(col("__phr__")) >= 1)
@@ -598,9 +628,7 @@ object InvertedIndex {
     val buckets = qTerms.select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val bucketDirs = probedBucketDirs(spark, path, buckets)
-    if (bucketDirs.isEmpty) {
-      return Seq.empty[(String, Int, String, Long)].toDF("qid", "rank", "id", "n_phrase")
-    }
+    if (bucketDirs.isEmpty) return None
     val pruned = spark.read.option("basePath", s"$path/postings")
       .parquet(bucketDirs: _*)
       .select(col("id"), col("term"), col("pos"))
@@ -628,16 +656,32 @@ object InvertedIndex {
         transform(col("__phr__"), (t, i) =>
           array_contains(coalesce(element_at(col("__m__"), t), emptyPos), p + i)),
         false))
-    perDoc
-      .select(col("qid"), col("id"),
-        size(starts).cast(LongType).as("__n__"))
-      .filter(col("__n__") > 0L)
-      .groupBy(col("qid"))
-      .agg(graft.functions.TopKByScore.topk(
-        col("__n__").cast(DoubleType), col("id"), k).as("hits"))
-      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
-      .select(col("qid"), (col("rank0") + 1).cast(IntegerType).as("rank"),
-        col("hit.id").as("id"), col("hit.score").cast(LongType).as("n_phrase"))
+    Some(perDoc
+      .select(col("qid"), col("id"), size(starts).cast(LongType).as("n_phrase"))
+      .filter(col("n_phrase") > 0L))
+  }
+
+  /** Benchmark-decontamination through the index: for every distinct
+    * word n-gram of the eval split, find the indexed docs containing it
+    * CONSECUTIVELY (positional phrase match — the same contract as
+    * [[TextAnalysis.contaminationStats]]'s shingle intersection) and
+    * return (id, n_hits) = how many distinct eval grams each doc
+    * carries. The 100 TB shape this buys: cost ∝ the EVAL set's gram
+    * vocabulary (bounded — eval sets are small by construction), never
+    * a training-corpus scan per eval set, because the probe reads only
+    * the gram terms' posting buckets. Docs with zero hits are simply
+    * absent (their enumeration is the caller's doc table, not the
+    * index's job). */
+  def contaminationHits(spark: SparkSession, path: String,
+      evalDocs: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = evalDocs
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .select(col("gram"), split(col("gram"), " ").as("phrase"))
+    containsPhrases(spark, path, grams, "gram", "phrase")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   /** Physically drop tombstoned postings, clear the tombstone set, and

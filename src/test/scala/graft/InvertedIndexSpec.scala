@@ -381,6 +381,35 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(batch == idx, s"batch $batch vs single $idx")
   }
 
+  test("contaminationHits through the index equals the corpus-scan shingle intersection") {
+    val path = tmp("contam")
+    val corpus = docs.filter(col("doc_id") < 200)
+    InvertedIndex.build(corpus, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val eval_ = corpus.filter(col("doc_id") % 7 === 0)
+    val train = corpus.filter(col("doc_id") % 7 =!= 0)
+    // scan side: distinct-shingle intersection counts
+    val scan = TextAnalysis.contaminationStats(train, eval_, "doc_id", "text", n = 3)
+      .filter(col("n_hits") > 0)
+      .select(col("id").cast("string"), col("n_hits"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // index side: eval grams phrase-probe the positional postings;
+    // eval docs are IN the index, so gate them out like the query does
+    val idx = InvertedIndex.contaminationHits(spark, path, eval_, "text", n = 3)
+      .filter(col("id").cast("long") % 7 =!= 0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(idx == scan, s"index ${idx.size} docs vs scan ${scan.size}")
+    assert(scan.nonEmpty, "fixture must actually contaminate")
+    // containsPhrases is the complete match set: per-query row counts
+    // equal the top-k probe at unbounded k
+    val q = Seq(("p0", Seq("spark", "join"))).toDF("qid", "phrase")
+    val full = InvertedIndex.containsPhrases(spark, path, q, "qid", "phrase")
+    val topped = InvertedIndex.phraseTopKBatch(spark, path, q, "qid", "phrase",
+      k = 1000000)
+    assert(full.count() == topped.count())
+    assert(full.select(col("id"), col("n_phrase"))
+      .exceptAll(topped.select(col("id"), col("n_phrase"))).isEmpty)
+  }
+
   test("mltQueries extracts rank-ordered TF-IDF seed terms; describe reports exact state") {
     val path = tmp("mlt")
     val df = Seq(
