@@ -3129,6 +3129,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Text: phrase match OFFSETS — the highlighting/snippet hook the
+    // positional postings exist for: containsPhrases emits each match's
+    // ascending 0-based token start offsets (joined to a string here —
+    // the driver compare sorts rows by column values, which arrays
+    // break).
+    "text_phrase_offsets" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(("p", Seq("spark", "join"))).toDF("qid", "phrase")
+      InvertedIndex.containsPhrases(s, cachedInvIdx(s, dir), q, "qid", "phrase")
+        .select(col("id").cast(LongType).as("doc_id"), col("n_phrase"),
+          array_join(col("offsets"), ",").as("offsets"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Text: decontamination through the INDEX — the serving-scale twin
     // of text_contam: every distinct eval 3-gram probes the positional
     // postings as a phrase (consecutive-match, same contract as the
@@ -5517,6 +5531,18 @@ object SparkEntry {
         |       round(n_hits::DOUBLE / n_grams, 6) AS contam_frac,
         |       n_hits::DOUBLE / n_grams >= 0.05 AS contaminated
         |FROM tr ORDER BY doc_id""".stripMargin,
+
+    // phrase-match offsets: 0-based token starts of each consecutive
+    // occurrence, ascending, comma-joined
+    "text_phrase_offsets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(generate_series(1, len(toks)-1),
+        |          i -> toks[i] = 'spark' AND toks[i+1] = 'join') AS starts
+        |      FROM t)
+        |SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_phrase,
+        |       array_to_string(list_transform(starts, i -> i - 1), ',') AS offsets
+        |FROM p WHERE len(starts) > 0 ORDER BY doc_id""".stripMargin,
 
     // indexed decontamination: same distinct-shingle semantics as
     // text_contam, hit side only (docs with >= 1 eval gram)

@@ -602,21 +602,25 @@ object InvertedIndex {
     }
   }
 
-  /** ALL (qid, id, n_phrase) consecutive-match pairs for a phrase
-    * batch — [[phraseTopKBatch]] without the per-query top-k bound, for
-    * callers that need the complete match set (decontamination, exact
-    * recall audits). Output size ∝ matches; everything upstream of the
+  /** ALL (qid, id, n_phrase, offsets) consecutive-match pairs for a
+    * phrase batch — [[phraseTopKBatch]] without the per-query top-k
+    * bound, for callers that need the complete match set
+    * (decontamination, exact recall audits) or the match POSITIONS
+    * (`offsets` = the ascending 0-based token offsets where the phrase
+    * starts — the highlighting/snippet hook the positional postings
+    * exist for). Output size ∝ matches; everything upstream of the
     * final filter is the shared bucket-pruned probe. */
   def containsPhrases(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, phraseCol: String): DataFrame = {
     import spark.implicits._
     phraseMatches(spark, path, queries, qidCol, phraseCol)
-      .getOrElse(Seq.empty[(String, String, Long)].toDF("qid", "id", "n_phrase"))
+      .getOrElse(Seq.empty[(String, String, Long, Seq[Int])]
+        .toDF("qid", "id", "n_phrase", "offsets"))
   }
 
-  /** Shared kernel of the batch phrase probes: (qid, id, n_phrase > 0)
-    * for every query whose phrase occurs consecutively in the doc.
-    * None when no probed bucket directory exists at all. */
+  /** Shared kernel of the batch phrase probes: (qid, id, n_phrase > 0,
+    * offsets) for every query whose phrase occurs consecutively in the
+    * doc. None when no probed bucket directory exists at all. */
   private def phraseMatches(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, phraseCol: String): Option[DataFrame] = {
     val st = readStats(spark, path)
@@ -657,7 +661,8 @@ object InvertedIndex {
           array_contains(coalesce(element_at(col("__m__"), t), emptyPos), p + i)),
         false))
     Some(perDoc
-      .select(col("qid"), col("id"), size(starts).cast(LongType).as("n_phrase"))
+      .select(col("qid"), col("id"), size(starts).cast(LongType).as("n_phrase"),
+        starts.as("offsets"))
       .filter(col("n_phrase") > 0L))
   }
 
