@@ -3733,6 +3733,45 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Streaming MORE-LIKE-THIS — the retrieval CONSUMER of the
+    // persisted index: seed doc ids arrive as two mtime-ordered
+    // microbatches, each batch derives its seeds' TF-IDF terms in one
+    // corpus pass and probes the index with collect-free batch BM25
+    // (self dropped exactly: probe k+1, drop, renumber). The appended
+    // parquet output must equal per-seed MLT rankings computed from
+    // scratch — the SQL oracle re-derives seed terms AND scores.
+    "stream_mlt" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val d = Tables.documents(s, dir)
+      val idx = cachedInvIdx(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_mlt_out").toString
+      val watch = java.nio.file.Files.createTempDirectory("graft_mlt_watch")
+      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_mstage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = watch.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val b1 = d.filter(col("doc_id") === 0 || col("doc_id") === 5)
+        .select(col("doc_id").as("id"))
+      val t0 = System.currentTimeMillis() - 120000
+      stage("m1", b1, t0)
+      stage("m2", d.filter(col("doc_id") === 10).select(col("doc_id").as("id")),
+        t0 + 5000)
+      val st = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      val q = graft.streaming.StreamingOps.mltStream(st, d, "doc_id", "text",
+        idx, out, nTerms = 5, k = 10)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .select(col("qid"), col("rank"), col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Streaming tombstones against the INVERTED INDEX — the one
     // persisted artifact whose delete debt grows per tombstone, not per
     // skew: doc_id<20 arrive as two mtime-ordered id microbatches; each
@@ -4581,6 +4620,36 @@ object SparkEntry {
         |      FROM u WHERE n_phrase > 0)
         |SELECT qid, CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS doc_id, n_phrase
         |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // streaming MLT: per-seed top-5 TF-IDF terms, quantized BM25 over
+    // the corpus minus the seed (self excluded BEFORE ranking), top-10
+    "stream_mlt" ->
+      """WITH seeds AS (SELECT * FROM (VALUES (0), (5), (10)) AS s(sid)),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |tfq AS (SELECT t.doc_id AS sid, t.tok, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM toks t JOIN seeds s ON t.doc_id = s.sid GROUP BY 1, 2),
+        |dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY tok),
+        |seedterms AS (SELECT sid, tok FROM (
+        |    SELECT q.sid, q.tok, row_number() OVER (PARTITION BY q.sid
+        |      ORDER BY q.tf * ln((SELECT n FROM n0) / d.df) DESC, q.tok) AS rnk
+        |    FROM tfq q JOIN dfr d USING (tok)) WHERE rnk <= 5),
+        |d2 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d2),
+        |tfs AS (SELECT s.sid, t.doc_id, t.tok, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM toks t JOIN seedterms s USING (tok) GROUP BY 1, 2, 3),
+        |q AS (SELECT f.sid, f.doc_id,
+        |        sum(CAST(round(ln((st.n - d.df + 0.5)/(d.df + 0.5) + 1) * f.tf /
+        |          (f.tf + 1.2*(0.25 + 0.75*dd.dl/st.avgdl)) * 1000000000) AS BIGINT)) AS qs
+        |      FROM tfs f JOIN dfr d USING (tok) JOIN d2 dd USING (doc_id) CROSS JOIN st
+        |      GROUP BY 1, 2),
+        |r AS (SELECT sid, doc_id, round(CAST(qs AS DOUBLE)/1000000000.0, 6) AS bm25,
+        |        row_number() OVER (PARTITION BY sid ORDER BY
+        |          round(CAST(qs AS DOUBLE)/1000000000.0, 6) DESC, CAST(doc_id AS VARCHAR)) AS rnk
+        |      FROM q WHERE round(CAST(qs AS DOUBLE)/1000000000.0, 6) > 0 AND doc_id <> sid)
+        |SELECT CAST(sid AS VARCHAR) AS qid, CAST(rnk AS INTEGER) AS rank,
+        |       CAST(doc_id AS VARCHAR) AS doc_id, bm25
+        |FROM r WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
 
     // streamed inverted-index tombstones: effective corpus = docs
     // 20..499; quantized BM25 recomputes over it, scale-independent

@@ -746,6 +746,43 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming more-like-this — the RETRIEVAL consumer of the persisted
+    * inverted index: each microbatch carries seed document ids, their
+    * top-`nTerms` TF-IDF terms derive from the corpus in one batched
+    * pass ([[graft.operators.TextAnalysis.mltQueries]] — any number of
+    * seeds, no driver funnel), the persisted index answers with
+    * collect-free batch BM25, and each seed's own document drops from
+    * its ranking exactly (probe k+1, drop self, renumber — identical to
+    * ranking the corpus without the seed). Results append to `outPath`
+    * as (qid, rank, id, bm25) parquet — append-only output, so the sink
+    * is naturally replay-tolerant at-least-once; wrap with a dedup on
+    * (qid, rank) downstream if the engine may re-deliver.
+    *
+    * Per-batch cost: one corpus pass for the seed term statistics
+    * (precompute/cache the tokenized projection upstream for
+    * high-frequency streams) + the bucket-pruned index probe. */
+  def mltStream(seedIds: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, indexPath: String, outPath: String,
+      nTerms: Int = 5, k: Int = 10): StreamingQuery =
+    seedIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val spark = b.sparkSession
+          val q = graft.operators.TextAnalysis.mltQueries(
+            corpus, idCol, textCol, b, nTerms)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("rank"))
+          graft.operators.InvertedIndex.bm25TopKBatch(
+              spark, indexPath, q, "qid", "terms", k = k + 1)
+            .filter(col("id") =!= col("qid"))
+            .withColumn("rank", row_number().over(w).cast(IntegerType))
+            .filter(col("rank") <= k)
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+
   /** Streaming tombstones — the DELETE twin of the ingestion streams:
     * each microbatch carries ids to forget, applied per batch to
     * whichever persisted artifacts are wired — the bucketed store
