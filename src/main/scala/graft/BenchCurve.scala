@@ -174,22 +174,46 @@ object BenchCurve {
         (dirs, () => InvertedIndex.applyStagedAppend(spark, s"$base/inv", p, d))
       }
       val appendLedger = (System.nanoTime() - tA1) / 1e9
-      // delete-heavy stream debt: 100k REAL ids tombstoned (written
-      // directly, the state a stream of delete batches accumulates
-      // between compactions) — measures what every probe pays for the
-      // broadcast anti-join while the debt is outstanding, what the
-      // batched rewrite costs to repay it once, and that the probe
-      // returns to its tombstone-free cost after. This is the curve
-      // behind needsCompact's threshold: probe cost should stay ~flat
-      // under six-figure debt (anti-join, never an isin literal), so
-      // the gate exists to bound the DEFERRED rewrite, not the probe.
-      spark.range(0L, 100000L).select(col("id").cast("string").as("id"))
-        .coalesce(4).write.mode("append").parquet(s"$base/inv/tombstones")
+      // delete-heavy stream debt: 100k REAL ids tombstoned THROUGH
+      // delete() (the state a stream of delete batches accumulates
+      // between compactions — and routed through the real operator, so
+      // sidecar stats, doc stats, and postings agree before AND after
+      // the compaction: probe_inv_compacted scores the same effective
+      // corpus the tombstoned probe hid). Measures what every probe
+      // pays for the broadcast anti-join while the debt is outstanding,
+      // what the batched rewrite costs to repay it once, and that the
+      // probe returns to its tombstone-free cost after. This is the
+      // curve behind needsCompact's threshold: probe cost should stay
+      // ~flat under six-figure debt (anti-join, never an isin literal),
+      // so the gate exists to bound the DEFERRED rewrite, not the probe.
+      val tD0 = System.nanoTime()
+      InvertedIndex.delete(spark, s"$base/inv", (0L until 100000L).map(_.toString))
+      val delete100k = (System.nanoTime() - tD0) / 1e9
       val probeTomb = timed(InvertedIndex.bm25TopK(spark, s"$base/inv", terms, k))
       val tC0 = System.nanoTime()
       InvertedIndex.compact(spark, s"$base/inv")
       val compactTomb = (System.nanoTime() - tC0) / 1e9
       val probePost = timed(InvertedIndex.bm25TopK(spark, s"$base/inv", terms, k))
+      // LOCALIZED tombstone cohort: 1000 docs drawn from a 50-term
+      // vocabulary, so their postings concentrate in <= 50 term buckets.
+      // Discovery comes from the tombstones' recorded bucket sets (cost
+      // ∝ tombstones — no postings scan) and the rewrite is bounded by
+      // the touched buckets, so this point must grow with the COHORT'S
+      // bucket footprint, not the corpus — the incremental-repayment
+      // claim compact_tomb100k (whose random vocabulary touches every
+      // bucket) cannot show.
+      def genLocal(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        concat(lit("loc"), col("id").cast("string")).as("id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(99)),
+          i => concat(lit("v"), pmod(hash(col("id"), i), lit(50)).cast("string"))))
+          .as("text"))
+      val localBatch = genLocal(0L, 1000L).cache(); localBatch.count()
+      InvertedIndex.append(spark, s"$base/inv", localBatch, "id", "text")
+      InvertedIndex.delete(spark, s"$base/inv", (0L until 1000L).map(i => s"loc$i"))
+      val tL0 = System.nanoTime()
+      val localTouched = InvertedIndex.compact(spark, s"$base/inv")
+      val compactLocal = (System.nanoTime() - tL0) / 1e9
+      localBatch.unpersist(blocking = true)
       corpus.unpersist(blocking = true)
       batchRaw.unpersist(blocking = true)
       batchLed.unpersist(blocking = true)
@@ -197,8 +221,10 @@ object BenchCurve {
       s"""{"n":$n,"n_buckets":$nBuckets,"build_inv":$buildInv,""" +
         s""""probe_scan":$probeScan,"probe_inv":$probeInv,""" +
         s""""append_inv":$appendRaw,"append_inv_ledger":$appendLedger,""" +
+        s""""delete_100k":$delete100k,""" +
         s""""probe_inv_tomb100k":$probeTomb,"compact_tomb100k":$compactTomb,""" +
-        s""""probe_inv_compacted":$probePost}"""
+        s""""probe_inv_compacted":$probePost,""" +
+        s""""compact_tomb_local":$compactLocal,"local_buckets":${localTouched.size}}"""
     }
     s""""lex":{"k":$k,"points":[${points.mkString(",")}]}"""
   }

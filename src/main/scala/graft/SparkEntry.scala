@@ -1451,6 +1451,36 @@ object SparkEntry {
         .orderBy(col("bm25").desc, col("doc_id"))
     }),
 
+    // Text: BM25 under the opt-in FOLD analyzer (lowercase + non-
+    // alphanumeric runs collapsed to one space) — the mixed-case query
+    // terms prove case-insensitive recall, the trap the bare analyzer's
+    // exact-token contract leaves open (querying `Spark` against a
+    // lowercase corpus is silent zero recall without folding). Oracle
+    // mirrors the fold with lower() + regexp_replace before the split.
+    "text_bm25_fold" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("Spark", "VECTOR", "Join"), k = 10, analyzer = "fold")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Text: the fold analyzer through the PERSISTED index — build
+    // records `analyzer` in the stats sidecar, and every probe folds
+    // its query terms through that recorded analyzer, so index-time
+    // and query-time tokenization can never silently disagree. Fixed
+    // 500-doc fixture (the gate times the wiring, not an
+    // sf-proportional build); quantized index scoring + VARCHAR
+    // tiebreak, like text_bm25_idx_maintain.
+    "text_bm25_fold_idx" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("invfold").toString
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      InvertedIndex.build(d, "doc_id", "text", path,
+        nBuckets = 16, nDocBuckets = 8, analyzer = "fold")
+      InvertedIndex.bm25TopK(s, path, Seq("Spark", "VECTOR", "Join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     // ranking with the exact cosine ranking for the same information
     // need (query vector = vec_id 0's embedding, doc_id = vec_id).
@@ -1477,13 +1507,16 @@ object SparkEntry {
     // probe) instead of the corpus scan — the composition a deployed
     // retrieval endpoint runs. The index's quantized scores and STRING
     // id tiebreak govern the top-50 cut and the ranks (the oracle
-    // mirrors both), then ranks fuse exactly as in ann_hybrid_rrf.
+    // mirrors both); the lexical ranks come from the batch probe's
+    // bounded-heap TopKByScore (score desc, id asc) — no global
+    // Window.orderBy anywhere on the path, so raising k can never
+    // funnel a ranking through one partition. Ranks fuse exactly as in
+    // ann_hybrid_rrf.
     "ann_hybrid_rrf_idx" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("bm25").desc, col("id"))
-      val lex = InvertedIndex.bm25TopK(s, cachedInvIdx(s, dir),
-          Seq("spark", "vector", "join"), k = 50)
-        .withColumn("rank", row_number().over(w))
+      import s.implicits._
+      val q = Seq(("q", Seq("spark", "vector", "join"))).toDF("qid", "terms")
+      val lex = InvertedIndex.bm25TopKBatch(s, cachedInvIdx(s, dir),
+          q, "qid", "terms", k = 50)
         .select(col("id").cast(LongType).as("id"), col("rank"))
       val e = Tables.embeddings(s, dir)
       val vec = Ann.bruteForceTopK(e, "vec_id", "embedding",
@@ -1492,6 +1525,44 @@ object SparkEntry {
       Ann.rrfFuse(Seq(lex, vec), "id", "rank", k = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    // Hybrid retrieval with the DEPLOYED-ENDPOINT legs: the lexical
+    // ranking from the persisted inverted index (batch probe, bounded-
+    // heap ranks) fused with a SHARDED-HNSW vector leg — the serving
+    // composition at both ends. HNSW is approximate, so the contract is
+    // recall-shaped like ann_hnsw_shard's: the HNSW-leg fusion must
+    // recover >= 9 of the exact-scan fusion's top-10 (ef=256, the
+    // recall-0.995 operating point), agree on the top-1, and put the
+    // query's own vector at vector-rank 1.
+    "ann_hybrid_rrf_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(("q", Seq("spark", "vector", "join"))).toDF("qid", "terms")
+      val lex = InvertedIndex.bm25TopKBatch(s, cachedInvIdx(s, dir),
+          q, "qid", "terms", k = 50)
+        .select(col("id").cast(LongType).as("id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+      val st = VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+      val mx = graft.operators.MatrixStore.fromStore(st)
+      val local = mx.toLocal()
+      val hnsw = local.toHnswSharded(nShards = 4, m = 16, efConstruction = 100)
+      mx.unpersist()
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      def rankDf(hits: Seq[(String, Double)]) =
+        hits.zipWithIndex.map { case ((id, _), i) => (id.toLong, i + 1) }
+          .toDF("id", "rank")
+      val vecApprox = rankDf(hnsw.query(qv, 50, ef = 256).toSeq)
+      val vecExact = rankDf(local.query(qv, 50).toSeq)
+      val fusedApprox = Ann.rrfFuse(Seq(lex, vecApprox), "id", "rank", k = 10)
+        .select(col("id")).collect().map(_.getLong(0))
+      val fusedExact = Ann.rrfFuse(Seq(lex, vecExact), "id", "rank", k = 10)
+        .select(col("id")).collect().map(_.getLong(0))
+      val recallOk = fusedApprox.count(fusedExact.toSet) >= 9
+      val top1Match = fusedApprox.head == fusedExact.head
+      val selfHit = hnsw.query(qv, 1, ef = 256).head._1 == "0"
+      Seq((hnsw.nShards.toLong, recallOk, top1Match, selfHit))
+        .toDF("n_shards", "recall_ok", "top1_match", "self_hit")
     }),
 
     // Text: BM25 through the PERSISTED term-partitioned inverted index —
@@ -1581,6 +1652,24 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val q = TextAnalysis.mltQueries(d, "doc_id", "text",
         Seq("0").toDF("id"), nTerms = 5)
+      val allow = d.filter(col("doc_id") =!= 0).select(col("doc_id"))
+      InvertedIndex.bm25TopKBatch(s, cachedInvIdx(s, dir), q, "qid", "terms",
+          k = 10, allowed = Some(allow))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("rank"))
+    }),
+
+    // Text: MORE-LIKE-THIS with INDEX-BACKED term selection — the
+    // serving twin of text_mlt: per call the corpus pays only the seed
+    // semi-join scan (tokenization of seed rows alone), term rarity
+    // comes from the index's bucket-pruned postings (termDfs) and N
+    // from its stats sidecar — no corpus-wide token aggregate. Index
+    // corpus == documents, so terms and scores match text_mlt exactly.
+    "text_mlt_idx" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val q = TextAnalysis.mltQueriesIdx(s, cachedInvIdx(s, dir), d,
+        "doc_id", "text", Seq("0").toDF("id"), nTerms = 5)
       val allow = d.filter(col("doc_id") =!= 0).select(col("doc_id"))
       InvertedIndex.bm25TopKBatch(s, cachedInvIdx(s, dir), q, "qid", "terms",
           k = 10, allowed = Some(allow))
@@ -4385,6 +4474,58 @@ object SparkEntry {
         |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
+    // fold-analyzer BM25: both sides tokenize through lower() +
+    // non-alphanumeric-run collapse before the single-space split; the
+    // key's mixed-case query terms fold to these lowercase literals
+    "text_bm25_fold" ->
+      """WITH d AS (SELECT doc_id,
+        |             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks,
+        |             CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS DOUBLE) AS dl
+        |           FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(
+        |         ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |       + ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |       + ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // fold analyzer through the persisted index: 500-doc fixture,
+    // quantized scoring, VARCHAR id tiebreak (the index's contract)
+    "text_bm25_fold_idx" ->
+      """WITH d AS (SELECT doc_id,
+        |             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks,
+        |             CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS DOUBLE) AS dl
+        |           FROM documents WHERE doc_id < 500),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
     // RRF fusion of the BM25 top-50 with the exact-cosine top-50
     // (query vector = vec_id 0, doc_id = vec_id); 1/(60+rank) summed,
     // rounded to 6 dp, top-10 by fused score with id tiebreak
@@ -4470,6 +4611,14 @@ object SparkEntry {
         |      FROM lex l FULL OUTER JOIN vtop v ON l.id = v.id)
         |SELECT doc_id, rrf, n_lists FROM f
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // deployed-endpoint hybrid (index BM25 leg + sharded-HNSW vector
+    // leg): HNSW is approximate, so the contract is recall-shaped —
+    // the key itself computes the exact-leg fusion and asserts the
+    // floors; the oracle pins the contract booleans
+    "ann_hybrid_rrf_hnsw" ->
+      """SELECT CAST(4 AS BIGINT) AS n_shards, true AS recall_ok,
+        |       true AS top1_match, true AS self_hit""".stripMargin,
 
     // indexed BM25: same formula as text_bm25 but per-term scores are
     // quantized to 1e-9 BEFORE the per-doc sum (the index sums exact
@@ -4565,6 +4714,33 @@ object SparkEntry {
     // desc, token tiebreak — the text_tfidf window), then quantized
     // BM25 over docs <> 0 with corpus-wide stats
     "text_mlt" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |tf0 AS (SELECT tok, CAST(count(*) AS DOUBLE) AS tf FROM toks WHERE doc_id = 0 GROUP BY tok),
+        |dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY tok),
+        |seed AS (SELECT tok FROM (
+        |    SELECT t.tok, row_number() OVER (
+        |      ORDER BY t.tf * ln((SELECT n FROM n0) / d.df) DESC, t.tok) AS rnk
+        |    FROM tf0 t JOIN dfr d USING (tok)) WHERE rnk <= 5),
+        |d2 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d2),
+        |tfs AS (SELECT t.doc_id, t.tok, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM toks t JOIN seed s USING (tok) WHERE t.doc_id <> 0 GROUP BY 1, 2),
+        |q AS (SELECT f.doc_id,
+        |        sum(CAST(round(ln((st.n - d.df + 0.5)/(d.df + 0.5) + 1) * f.tf /
+        |          (f.tf + 1.2*(0.25 + 0.75*dd.dl/st.avgdl)) * 1000000000) AS BIGINT)) AS qs
+        |      FROM tfs f JOIN dfr d USING (tok) JOIN d2 dd USING (doc_id) CROSS JOIN st
+        |      GROUP BY 1),
+        |r AS (SELECT doc_id, round(CAST(qs AS DOUBLE) / 1000000000.0, 6) AS bm25,
+        |        row_number() OVER (ORDER BY round(CAST(qs AS DOUBLE)/1000000000.0, 6) DESC,
+        |          CAST(doc_id AS VARCHAR)) AS rnk
+        |      FROM q WHERE round(CAST(qs AS DOUBLE)/1000000000.0, 6) > 0)
+        |SELECT '0' AS qid, CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS doc_id, bm25
+        |FROM r WHERE rnk <= 10 ORDER BY rank""".stripMargin,
+
+    // index-backed MLT: df from the index == corpus df (index corpus =
+    // documents, no tombstones), so the oracle is text_mlt's verbatim
+    "text_mlt_idx" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
         |tf0 AS (SELECT tok, CAST(count(*) AS DOUBLE) AS tf FROM toks WHERE doc_id = 0 GROUP BY tok),

@@ -45,8 +45,13 @@ import org.apache.spark.sql.types._
   */
 object InvertedIndex {
 
-  /** Corpus stats sidecar. */
-  final case class InvStats(nBuckets: Int, nDocBuckets: Int, nDocs: Long, sumDl: Long)
+  /** Corpus stats sidecar. `analyzer` pins the tokenization the index
+    * was built with (`ws` | `fold`, see [[TextAnalysis.tokens]]) so
+    * append batches and query terms pass through the SAME analyzer —
+    * index-time/query-time disagreement is silent zero recall, the one
+    * failure mode an index must make impossible. */
+  final case class InvStats(nBuckets: Int, nDocBuckets: Int, nDocs: Long, sumDl: Long,
+      analyzer: String = "ws")
 
   private def termBucket(nBuckets: Int) =
     pmod(xxhash64(col("term")), lit(nBuckets.toLong))
@@ -64,8 +69,8 @@ object InvertedIndex {
     * [[TextAnalysis.tokens]] — the ONE analyzer shared with the
     * corpus-scan BM25, so a term that matches there matches here. */
   private def postingsOf(df: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+      nBuckets: Int, analyzer: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol), analyzer)
     df.select(col(idCol).cast(StringType).as("id"),
         size(toks).cast(LongType).as("dl"), posexplode(toks).as(Seq("pos", "term")))
       .groupBy(col("term"), col("id"), col("dl"))
@@ -74,11 +79,22 @@ object InvertedIndex {
       .withColumn("bucket", termBucket(nBuckets))
   }
 
+  /** Doc-stats rows: (id, dl, tbuckets, dbucket). `tbuckets` — the
+    * sorted distinct TERM buckets the doc's tokens hash into, computed
+    * in-row at index time — is what bounds a later [[compact]]'s
+    * discovery to tombstone-touched buckets: [[delete]] copies it onto
+    * the tombstone row, so compaction never scans the postings to
+    * learn where a dead doc's terms live. */
   private def docStatsOf(df: DataFrame, idCol: String, textCol: String,
-      nDocBuckets: Int): DataFrame =
+      nDocBuckets: Int, nBuckets: Int, analyzer: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol), analyzer)
     df.select(col(idCol).cast(StringType).as("id"),
-        size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("dl"))
+        size(toks).cast(LongType).as("dl"),
+        array_sort(array_distinct(transform(toks,
+          t => pmod(xxhash64(t), lit(nBuckets.toLong)).cast(IntegerType))))
+          .as("tbuckets"))
       .withColumn("dbucket", docBucket(nDocBuckets))
+  }
 
   private def statsDir(path: String) = s"$path/_stats"
 
@@ -100,7 +116,7 @@ object InvertedIndex {
       version: Long): Unit =
     VectorStore.writeSidecar(spark, f"${statsDir(path)}/v$version%012d.json",
       s"""{"n_buckets": ${s.nBuckets}, "n_doc_buckets": ${s.nDocBuckets}, """ +
-        s""""n_docs": ${s.nDocs}, "sum_dl": ${s.sumDl}}""")
+        s""""n_docs": ${s.nDocs}, "sum_dl": ${s.sumDl}, "analyzer": "${s.analyzer}"}""")
 
   private def readStatsVersioned(spark: SparkSession, path: String): (InvStats, Long) = {
     val fs = statsFs(spark, path)
@@ -111,7 +127,8 @@ object InvertedIndex {
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
     (InvStats(n.get("n_buckets").asInt(), n.get("n_doc_buckets").asInt(),
-      n.get("n_docs").asLong(), n.get("sum_dl").asLong()), v)
+      n.get("n_docs").asLong(), n.get("sum_dl").asLong(),
+      if (n.has("analyzer")) n.get("analyzer").asText() else "ws"), v)
   }
 
   /** Read the current (highest-version) corpus stats. */
@@ -125,12 +142,13 @@ object InvertedIndex {
     * with no text column, so at 100 TB the third full-corpus scan a
     * naive `df.agg` would pay never happens. */
   def build(df: DataFrame, idCol: String, textCol: String, path: String,
-      nBuckets: Int = 16, nDocBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, nDocBuckets: Int = 16,
+      analyzer: String = "ws"): Unit = {
     require(nBuckets > 0 && nDocBuckets > 0, "bucket counts must be positive")
     val spark = df.sparkSession
-    Ann.writeByPartition(postingsOf(df, idCol, textCol, nBuckets),
+    Ann.writeByPartition(postingsOf(df, idCol, textCol, nBuckets, analyzer),
       "bucket", nBuckets, "overwrite", s"$path/postings")
-    Ann.writeByPartition(docStatsOf(df, idCol, textCol, nDocBuckets),
+    Ann.writeByPartition(docStatsOf(df, idCol, textCol, nDocBuckets, nBuckets, analyzer),
       "dbucket", nDocBuckets, "overwrite", s"$path/docstats")
     val fs = statsFs(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
@@ -145,7 +163,8 @@ object InvertedIndex {
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    writeStats(spark, path, InvStats(nBuckets, nDocBuckets, n, sdl), version = 1L)
+    writeStats(spark, path, InvStats(nBuckets, nDocBuckets, n, sdl, analyzer),
+      version = 1L)
   }
 
   /** Append NEW documents (ids disjoint from the corpus — append
@@ -179,8 +198,10 @@ object InvertedIndex {
       batch: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, Seq[String]) = {
     val st = readStats(spark, path)
-    val posts = postingsOf(batch, idCol, textCol, st.nBuckets).localCheckpoint(true)
-    val ds = docStatsOf(batch, idCol, textCol, st.nDocBuckets).localCheckpoint(true)
+    val posts = postingsOf(batch, idCol, textCol, st.nBuckets, st.analyzer)
+      .localCheckpoint(true)
+    val ds = docStatsOf(batch, idCol, textCol, st.nDocBuckets, st.nBuckets, st.analyzer)
+      .localCheckpoint(true)
     // re-appending a tombstoned id would be INVISIBLE (probes anti-join
     // the tombstone set) and then physically dropped by the next
     // compact while stats still count it — fail fast on the clash; the
@@ -227,31 +248,44 @@ object InvertedIndex {
   /** Delete documents by id: tombstone-append (postings stay in place —
     * a doc's terms spread across ~every term bucket, so physical
     * deletion belongs to [[compact]]), doc-stats rewrite bounded to the
-    * ids' own buckets, sidecar decremented by the EXACTLY-FOUND rows
-    * (re-deleting an absent id is a no-op, not a double-subtract). The
+    * ids' own buckets, sidecar decremented by the EXACTLY-FOUND rows.
+    * Tombstones record ONLY the ids actually present in the index —
+    * deleting an absent id (or re-deleting a tombstoned one, whose
+    * doc-stats row is already gone) is a complete no-op, so spurious
+    * ids never inflate [[needsCompact]]'s debt count or permanently
+    * block a later legitimate append of a brand-new doc under the
+    * re-append fail-fast. Each tombstone row carries the doc's
+    * `tbuckets` (recorded at index time) — the map [[compact]] uses to
+    * discover touched posting buckets without any postings scan. The
     * id list is driver-sized by the same argument as the reference's
-    * `delete(&[String])` (lib.rs:273-286). */
+    * `delete(&[String])` (lib.rs:273-286), but it reaches every plan as
+    * a broadcast JOIN, never an isin literal — a six-figure delete
+    * batch must not blow up the plan. */
   def delete(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
     if (ids.isEmpty) return
     val (st, v) = readStatsVersioned(spark, path)
     import spark.implicits._
-    val idDf = ids.toDF("id")
+    val idDf = ids.distinct.toDF("id")
     val dbuckets = idDf.select(docBucket(st.nDocBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val fs = statsFs(spark, path)
     Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/docstats"))
-    // exact stats of the rows that are REALLY there, from the pruned scan
-    val drop = col("id").isin(ids: _*)
+    // the rows REALLY present, from the pruned scan — materialized
+    // (with their term-bucket sets) BEFORE the rewrite drops them
     val found = spark.read.parquet(s"$path/docstats")
-      .filter(col("dbucket").isin(dbuckets: _*)).filter(drop)
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
-    val nFound = found.getLong(0)
+      .filter(col("dbucket").isin(dbuckets: _*))
+      .join(broadcast(idDf), Seq("id"), "left_semi")
+      .select(col("id"), col("dl"), col("tbuckets"))
+      .localCheckpoint(true)
+    val agg = found.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+    val nFound = agg.getLong(0)
     if (nFound > 0) {
       rewriteDirsBatched(spark, s"$path/docstats", "dbucket", dbuckets,
-        df => df.filter(!drop))
-      idDf.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+        df => df.join(broadcast(idDf), Seq("id"), "left_anti"))
+      found.select(col("id"), col("tbuckets"))
+        .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
       writeStats(spark, path, st.copy(
-        nDocs = st.nDocs - nFound, sumDl = st.sumDl - found.getLong(1)), v + 1)
+        nDocs = st.nDocs - nFound, sumDl = st.sumDl - agg.getLong(1)), v + 1)
     }
   }
 
@@ -340,7 +374,31 @@ object InvertedIndex {
   private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash residue of a partial-compaction tombstone swap: the set
+    // renamed away but its replacement never renamed in — heal by
+    // renaming the old set back, or a probe would silently resurrect
+    // every still-tombstoned doc. (When `tombstones` exists, a stale
+    // `.tombstones.old` is ignored here and swept by compact's entry.)
+    val old = new org.apache.hadoop.fs.Path(s"$path/.tombstones.old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      require(fs.rename(old, p), s"heal of interrupted tombstone swap at $path failed")
+    }
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Sweep tombstone-swap residue at a mutation entry point: a stale
+    * stage is always discardable; a stale `.tombstones.old` alongside a
+    * live set is a committed swap's leftover. */
+  private def recoverTombstoneSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val old = new org.apache.hadoop.fs.Path(s"$path/.tombstones.old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      require(fs.rename(old, p), s"heal of interrupted tombstone swap at $path failed")
+    } else if (fs.exists(old)) {
+      fs.delete(old, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/.tombstones.stage"), true)
   }
 
   /** Resolve the probed buckets to their directory paths, CRASH-RESIDUE
@@ -403,7 +461,10 @@ object InvertedIndex {
     if (st.nDocs == 0L) return Seq.empty[(String, Double)].toDF("id", "bm25")
     val n = st.nDocs.toDouble
     val avgdl = st.sumDl.toDouble / st.nDocs
-    val terms = queryTerms.distinct
+    // query terms pass through the analyzer the SIDECAR pins — the
+    // index's own tokenization, so index-time and query-time can never
+    // silently disagree (under `fold` a raw term may split)
+    val terms = queryTerms.flatMap(TextAnalysis.tokensOf(_, st.analyzer)).distinct
     val buckets = terms.toDF("term").select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     // list ONLY the probed bucket directories (explicit paths with
@@ -477,8 +538,11 @@ object InvertedIndex {
     }
     val n = st.nDocs.toDouble
     val avgdl = st.sumDl.toDouble / st.nDocs
+    // batch queries fold through the sidecar's analyzer in-plan
+    val analyzed = if (st.analyzer == "ws") col(termsCol)
+      else TextAnalysis.foldTermsArray(col(termsCol))
     val q = queries.select(col(qidCol).cast(StringType).as("qid"),
-      array_distinct(col(termsCol)).as("__terms__"))
+      array_distinct(analyzed).as("__terms__"))
     val qTerms = q.select(col("qid"), explode(col("__terms__")).as("term"))
       .localCheckpoint(true)
     val buckets = qTerms.select(termBucket(st.nBuckets).as("b"))
@@ -522,6 +586,35 @@ object InvertedIndex {
         col("hit.id").as("id"), col("hit.score").as("bm25"))
   }
 
+  /** Per-term document frequency through the index: (term, df) for the
+    * terms of `terms(termCol)`, from the pruned LIVE postings (term
+    * buckets listed explicitly, tombstones anti-joined) — the rarity
+    * probe MLT term selection ([[TextAnalysis.mltQueriesIdx]]) and
+    * rarest-term nomination need, with no corpus pass and no global df
+    * table to maintain. Terms absent from the index are absent from
+    * the output. The one driver collect is the distinct term-bucket id
+    * list — bounded by nBuckets, never by the term count. */
+  def termDfs(spark: SparkSession, path: String, terms: DataFrame,
+      termCol: String): DataFrame = {
+    val st = readStats(spark, path)
+    val t = terms.select(col(termCol).cast(StringType).as("term")).distinct()
+      .localCheckpoint(true)
+    val buckets = t.select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
+    if (bucketDirs.isEmpty) return t.select(col("term"), lit(0L).as("df")).limit(0)
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .select(col("id"), col("term"))
+    val live = tombstonesOf(spark, path) match {
+      case Some(tb) => pruned.join(broadcast(tb.select(col("id"))), Seq("id"), "left_anti")
+      case None => pruned
+    }
+    live.join(t, Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(countDistinct(col("id")).as("df"))
+  }
+
   /** Exact phrase search through the positional postings: documents
     * containing the words of `phrase` CONSECUTIVELY, ranked by
     * occurrence count (ties by id). The probe reads only the phrase
@@ -539,7 +632,10 @@ object InvertedIndex {
     require(phrase.nonEmpty, "phrase must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
     val st = readStats(spark, path)
-    val distinctTerms = phrase.distinct
+    // the phrase folds through the sidecar's analyzer IN ORDER (a raw
+    // word may split into several adjacent tokens)
+    val phraseToks = phrase.flatMap(TextAnalysis.tokensOf(_, st.analyzer))
+    val distinctTerms = phraseToks.distinct
     import spark.implicits._
     val buckets = distinctTerms.toDF("term").select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
@@ -558,8 +654,8 @@ object InvertedIndex {
     val perDoc = live.groupBy(col("id"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("pos")))).as("__m__"))
       .filter(size(map_keys(col("__m__"))) === distinctTerms.size)
-    val starts = filter(element_at(col("__m__"), phrase.head), p =>
-      phrase.zipWithIndex.tail
+    val starts = filter(element_at(col("__m__"), phraseToks.head), p =>
+      phraseToks.zipWithIndex.tail
         .map { case (t, j) => array_contains(element_at(col("__m__"), lit(t)), p + j) }
         .foldLeft(lit(true))(_ && _))
     perDoc.select(col("id"), size(starts).cast(LongType).as("n_phrase"))
@@ -625,7 +721,9 @@ object InvertedIndex {
       qidCol: String, phraseCol: String): Option[DataFrame] = {
     val st = readStats(spark, path)
     val q = queries.select(col(qidCol).cast(StringType).as("qid"),
-      col(phraseCol).cast(ArrayType(StringType)).as("__phr__"))
+      (if (st.analyzer == "ws") col(phraseCol).cast(ArrayType(StringType))
+       else TextAnalysis.foldTermsArray(col(phraseCol).cast(ArrayType(StringType))))
+        .as("__phr__"))
       .filter(size(col("__phr__")) >= 1)
     val qTerms = q.select(col("qid"), explode(array_distinct(col("__phr__"))).as("term"))
       .localCheckpoint(true)
@@ -640,11 +738,35 @@ object InvertedIndex {
       case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
       case None => pruned
     }
-    // (qid, id, term, pos) for exactly the terms each query asks about;
-    // a doc missing ANY of a query's distinct words drops at the
+    // RAREST-TERM NOMINATION — the classic positional-index plan. A
+    // plain (postings ⋈ qTerms on term) fans out every posting row of a
+    // Zipf-common term by every query containing it before anything
+    // reduces; instead, (1) df per queried term from the probed
+    // postings (count aggregate, map-side combinable, no fan-out),
+    // (2) each query nominates candidate docs from its RAREST term only
+    // — the fan-out is bounded by the rarest df, tiny by construction —
+    // (3) the remaining terms' positions are fetched for nominated
+    // (qid, id) pairs alone via the selective (term, id) equi join.
+    // A query with ANY term absent from the live postings can match
+    // nothing and drops before nominating.
+    // NOT checkpointed: each consumer column-prunes its own re-scan of
+    // the pruned buckets (df never reads `pos`), where materializing
+    // the postings of every queried term would blow the cache tier
+    val wanted = live.join(qTerms.select(col("term")).distinct(), Seq("term"), "left_semi")
+    val dfs = wanted.groupBy(col("term")).agg(count(lit(1)).as("__df__"))
+    val qTermDf = qTerms.join(broadcast(dfs), Seq("term"), "left")
+    val dead = qTermDf.filter(col("__df__").isNull).select(col("qid")).distinct()
+    val rarest = qTermDf.join(dead, Seq("qid"), "left_anti")
+      .groupBy(col("qid"))
+      .agg(min_by(col("term"), struct(col("__df__"), col("term"))).as("term"))
+    val candidates = wanted.join(broadcast(rarest), Seq("term"))
+      .select(col("qid"), col("id"))
+    // (qid, id, term, pos) for exactly the terms each nominated pair
+    // needs; a doc missing ANY of a query's distinct words drops at the
     // map-size check below, so element_at never sees an absent key for
     // the FIRST word — later words coalesce to an empty array
-    val matched = live.join(qTerms, Seq("term"))
+    val matched = candidates.join(qTerms, Seq("qid"))
+      .join(wanted, Seq("term", "id"))
     val perDoc = matched.groupBy(col("qid"), col("id"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("pos")))).as("__m__"))
       .join(q, Seq("qid"))
@@ -689,47 +811,119 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_hits"))
   }
 
-  /** Physically drop tombstoned postings, clear the tombstone set, and
+  /** Physically drop tombstoned postings, retire repaid tombstones, and
     * repay append-mode SMALL-FILE debt — the Lucene-merge analogue, run
-    * on a maintenance cadence or on [[needsCompact]]'s debt gate. One
-    * column-pruned (bucket, id) scan finds which buckets actually hold
-    * tombstoned postings; ONLY those directories rewrite, all staged by
-    * ONE batched job with per-dir atomic swaps ([[rewriteDirsBatched]]
-    * — crash residue heals through the shared [[Ann.recoverStagedDirs]]
-    * sweep run here and by every probe-independent entry point). Then
+    * on a maintenance cadence or on [[needsCompact]]'s debt gate.
+    *
+    * Discovery costs ∝ TOMBSTONES, never ∝ corpus: each tombstone row
+    * carries the dead doc's term-bucket set (recorded at index time,
+    * copied by [[delete]]), so the touched buckets are one explode +
+    * distinct over the tombstone parquet — no postings scan. (A legacy
+    * id-only tombstone set falls back to the column-pruned (bucket, id)
+    * postings scan.)
+    *
+    * Repayment is INCREMENTAL, the way Lucene merges segment-locally:
+    * with `minTombFrac` > 0, a candidate bucket rewrites only when its
+    * tombstoned-posting fraction reaches the threshold (measured by a
+    * (bucket, id) pre-pass over the CANDIDATE dirs alone — cost ∝
+    * touched buckets); colder buckets keep their debt. A tombstone
+    * retires only when every existing bucket its terms hash into has
+    * been rewritten — retained ids stay anti-joined by probes and
+    * still block re-appends, so partial compaction never changes what
+    * a probe returns. `minTombFrac = 0` (default) rewrites every
+    * touched bucket and clears the set — full repayment. The rewrites
+    * all stage in ONE batched job with per-dir atomic swaps
+    * ([[rewriteDirsBatched]]; crash residue heals through
+    * [[Ann.recoverStagedDirs]] and the tombstone-swap recovery at this
+    * entry and in every probe's tombstone read). Then
     * [[Ann.compactDirs]] coalesces any posting or doc-stats directory
-    * that accumulated more than `maxFiles` parquet files — a
-    * delete-free ingest stream ([[graft.streaming.StreamingOps.invIngestStream]])
-    * lands one file per touched dir per batch, debt nothing else
-    * repays. Returns the tombstone-rewritten bucket ids. */
-  def compact(spark: SparkSession, path: String, maxFiles: Int = 8): Seq[Long] = {
+    * past `maxFiles` parquet files — a delete-free ingest stream
+    * ([[graft.streaming.StreamingOps.invIngestStream]]) lands one file
+    * per touched dir per batch, debt nothing else repays. Returns the
+    * tombstone-rewritten bucket ids. */
+  def compact(spark: SparkSession, path: String, maxFiles: Int = 8,
+      minTombFrac: Double = 0.0): Seq[Long] = {
+    require(minTombFrac >= 0 && minTombFrac <= 1,
+      s"minTombFrac must be in [0,1], got $minTombFrac")
     val fs = statsFs(spark, path)
-    Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/postings"))
+    val postRoot = new org.apache.hadoop.fs.Path(s"$path/postings")
+    Ann.recoverStagedDirs(fs, postRoot)
+    recoverTombstoneSwap(fs, path)
     // prune the stats version history to the newest (each version is a
     // complete snapshot, so dropping the rest can never lose state)
     statsVersions(fs, path).dropRight(1).foreach(v => fs.delete(v._2, false))
-    val tombsOpt = tombstonesOf(spark, path).map(_.select(col("id")).distinct())
+    val tombsOpt = tombstonesOf(spark, path).map(_.localCheckpoint(true))
     val touched = tombsOpt match {
       case None => Seq.empty[Long]
+      case Some(tombs) if tombs.isEmpty => Seq.empty[Long]
       case Some(tombs) =>
-        val tombLocal = tombs.localCheckpoint(true)
-        if (tombLocal.isEmpty) Seq.empty[Long]
-        else {
-          val t = spark.read.parquet(s"$path/postings")
-            .select(col("bucket"), col("id"))
-            .join(broadcast(tombLocal), Seq("id"), "left_semi")
-            // partition columns read back with inferred (integer) type — cast
-            .select(col("bucket").cast(LongType))
-            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+        val hasTb = tombs.columns.contains("tbuckets")
+        val tombIds = tombs.select(col("id")).distinct()
+        val candidates: Seq[Long] =
+          if (hasTb)
+            tombs.select(explode(col("tbuckets")).as("b0"))
+              .select(col("b0").cast(LongType).as("b"))
+              .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          else
+            spark.read.parquet(s"$path/postings")
+              .select(col("bucket"), col("id"))
+              .join(broadcast(tombIds), Seq("id"), "left_semi")
+              // partition columns read back with inferred (integer) type — cast
+              .select(col("bucket").cast(LongType))
+              .distinct().collect().map(_.getLong(0)).toSeq.sorted
+        // a recorded bucket may hold no directory (terms hashed there
+        // were never routed, or it already compacted to nothing)
+        val existing = candidates.filter(b =>
+          fs.exists(new org.apache.hadoop.fs.Path(postRoot, s"bucket=$b")))
+        val toRewrite: Seq[Long] =
+          if (minTombFrac <= 0d || existing.isEmpty) existing
+          else spark.read.option("basePath", s"$path/postings")
+            .parquet(existing.map(b => s"$path/postings/bucket=$b"): _*)
+            .select(col("bucket").cast(LongType).as("b"), col("id"))
+            .join(broadcast(tombIds.withColumn("__t__", lit(1L))), Seq("id"), "left")
+            .groupBy(col("b"))
+            .agg(count(lit(1)).as("n"), sum(coalesce(col("__t__"), lit(0L))).as("t"))
+            .filter(col("t").cast(DoubleType) / col("n").cast(DoubleType) >= minTombFrac)
+            .select(col("b")).collect().map(_.getLong(0)).toSeq.sorted
+        if (toRewrite.nonEmpty) {
           // survivors via broadcast ANTI-JOIN, never an isin literal list:
           // the tombstone set is bounded only by the compaction cadence (or
           // the needsCompact debt gate), and a multi-million-id isin would
           // blow up the plan where the join broadcasts the same ids cheaply
-          rewriteDirsBatched(spark, s"$path/postings", "bucket", t,
-            df => df.join(broadcast(tombLocal), Seq("id"), "left_anti"))
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-          t
+          rewriteDirsBatched(spark, s"$path/postings", "bucket", toRewrite,
+            df => df.join(broadcast(tombIds), Seq("id"), "left_anti"))
         }
+        val skipped = existing.toSet -- toRewrite.toSet
+        if (skipped.isEmpty && hasTb || (!hasTb && minTombFrac <= 0d)) {
+          // every bucket holding a tombstoned posting was rewritten —
+          // the whole set is repaid
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+        } else if (hasTb) {
+          // retire only ids whose entire (existing) bucket set was
+          // rewritten; the rest still have live postings to hide.
+          // The skipped-bucket list is bounded by index geometry, so
+          // the isin is a plan literal by contract, like the probes'.
+          val skippedInts = skipped.toSeq.sorted.map(_.toInt)
+          val survivors = tombs.filter(
+            exists(col("tbuckets"), b => b.isin(skippedInts: _*)))
+            .localCheckpoint(true)
+          val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+          if (survivors.isEmpty) fs.delete(tPath, true)
+          else {
+            val stage = new org.apache.hadoop.fs.Path(s"$path/.tombstones.stage")
+            fs.delete(stage, true)
+            survivors.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+            val old = new org.apache.hadoop.fs.Path(s"$path/.tombstones.old")
+            fs.delete(old, true)
+            require(fs.rename(tPath, old), s"rename-away of $tPath failed")
+            require(fs.rename(stage, tPath), s"rename of rewritten $tPath failed")
+            fs.delete(old, true)
+          }
+        }
+        // legacy id-only set with a fraction gate: per-id retirement is
+        // impossible without tbuckets — keep the whole set (next full
+        // compact clears it)
+        toRewrite
     }
     // small-file repayment AFTER the tombstone rewrite (which lands one
     // file per touched dir, so freshly rewritten buckets never re-offend)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,6 +32,52 @@ object TextAnalysis {
     * tokens kept (Scala's 1-arg `split` drops trailing empties, which
     * would NOT match). */
   def tokensOf(text: String): Seq[String] = text.split(" ", -1).toSeq
+
+  /** Case/punctuation-folding normalizer — the opt-in `fold` analyzer's
+    * text pass: lowercase, every non-alphanumeric RUN collapsed to one
+    * space, trimmed. Composes UPSTREAM of the single-space split, so
+    * the one tokenization contract ([[tokens]]) is unchanged — and the
+    * whole pipeline stays engine-exact because the DuckDB twin is
+    * `trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))`
+    * (the pattern is in the Java∩RE2 common subset, like [[EmailRe]]).
+    * This is what closes the bare analyzer's silent-zero-recall trap:
+    * a user querying `spark` misses every doc that says `Spark` unless
+    * both sides fold. */
+  def foldText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Driver-side [[foldText]] twin (Locale.ROOT — engine-stable). */
+  def foldOf(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ").trim
+
+  /** [[tokens]] under a NAMED analyzer: `ws` (the bare split — the
+    * default, pinned contract) or `fold` ([[foldText]] first). The
+    * analyzer is recorded in a persisted index's sidecar
+    * ([[InvertedIndex.build]]) so index-time and query-time
+    * tokenization can never silently disagree. */
+  def tokens(text: Column, analyzer: String): Column = analyzer match {
+    case "ws" => tokens(text)
+    case "fold" => split(foldText(text), " ")
+    case other =>
+      throw new IllegalArgumentException(s"unknown analyzer '$other' (ws|fold)")
+  }
+
+  /** [[tokensOf]] under a named analyzer — the query-side twin of
+    * `tokens(text, analyzer)`. NOTE: under `fold`, one raw query term
+    * may fold into SEVERAL tokens ("Data-Base" -> data, base), so
+    * query-side folding flatMaps through this. */
+  def tokensOf(text: String, analyzer: String): Seq[String] = analyzer match {
+    case "ws" => tokensOf(text)
+    case "fold" => foldOf(text).split(" ", -1).toSeq
+    case other =>
+      throw new IllegalArgumentException(s"unknown analyzer '$other' (ws|fold)")
+  }
+
+  /** Fold an array-of-terms COLUMN under the `fold` analyzer — the
+    * batch twin of the flatMap in [[tokensOf]], for data-sized query
+    * frames (each element folds and may split; order preserved). */
+  def foldTermsArray(arr: Column): Column =
+    flatten(transform(arr, t => split(foldText(t), " ")))
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text)).cast(LongType)
@@ -222,11 +268,14 @@ object TextAnalysis {
 
   /** Top-k tokens per document by tf-idf.
     *
-    * explode -> tf groupBy -> df groupBy -> broadcast joins -> windowed
-    * top-k. The document-frequency table and corpus size are small and
-    * broadcast; the only data-sized shuffles are the two token groupBys.
-    * Deterministic: score rounded post-ordering with (score desc, token)
-    * tiebreak.
+    * explode -> tf groupBy -> df groupBy -> joins -> windowed top-k.
+    * The corpus-size scalar is broadcast; the document-frequency table
+    * is NOT hinted — it is vocabulary-sized (hundreds of millions of
+    * terms on a web corpus), so the tf↔df join must stay a plain
+    * shuffle join and let Catalyst/AQE pick broadcast only when the
+    * measured size allows. The data-sized shuffles are the two token
+    * groupBys and that join. Deterministic: score rounded post-ordering
+    * with (score desc, token) tiebreak.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -235,7 +284,7 @@ object TextAnalysis {
     val dfreq = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = df.select(countDistinct(col(idCol)).as("n"))
     val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("tok"))
-    tf.join(broadcast(dfreq), "tok")
+    tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast(DoubleType) * log(col("n").cast(DoubleType) / col("df").cast(DoubleType)))
@@ -252,14 +301,90 @@ object TextAnalysis {
     * its own neighbors). The classic Lucene MoreLikeThis decomposition:
     * term selection by TF-IDF, retrieval by BM25 — and all of it stays
     * a DataFrame (the seed terms never funnel through the driver, any
-    * number of seed docs batch in one pass). */
+    * number of seed docs batch in one pass).
+    *
+    * Scale shape: the seed semi-join gates the corpus BEFORE any
+    * explode, aggregate, or window — the tf groupBy and the per-seed
+    * rank window run over seed-sized frames only. (The earlier shape
+    * computed corpus-wide per-doc TF-IDF and semi-joined LAST; verified
+    * against the optimizer: the semi-join does NOT push below the
+    * window, so one seed paid the whole corpus's window rank.) Document
+    * frequency stays CORPUS-WIDE — term rarity means nothing measured
+    * seed-locally — but only the seed VOCABULARY's postings shuffle:
+    * the corpus token stream semi-joins the seed vocab before the
+    * distinct, and the df side carries no broadcast hint (a web
+    * corpus's vocabulary is far beyond broadcast size; gated, AQE may
+    * still choose one). The one corpus-wide cost left is that token
+    * scan itself — [[mltQueriesIdx]] removes it by taking df from the
+    * persisted index. */
   def mltQueries(df: DataFrame, idCol: String, textCol: String,
       seedIds: DataFrame, nTerms: Int): DataFrame = {
     require(nTerms >= 1, s"nTerms must be >= 1, got $nTerms")
+    val tf = seedTermFreqs(df, idCol, textCol, seedIds, "ws")
+    val corpusToks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val dfreq = corpusToks
+      .join(tf.select(col("tok")).distinct(), Seq("tok"), "left_semi")
+      .distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast(DoubleType) * log(col("n").cast(DoubleType) / col("df").cast(DoubleType)))
+    rankedTerms(scored, nTerms)
+  }
+
+  /** [[mltQueries]] with document frequency taken from a persisted
+    * [[InvertedIndex]] instead of a corpus token scan — the serving
+    * shape: per call, the corpus pays only the seed semi-join scan
+    * (tokenization and aggregation run over seed rows alone), term
+    * rarity comes from the index's bucket-pruned postings
+    * ([[InvertedIndex.termDfs]] — reads only the seed vocabulary's
+    * term buckets), and N from the index's exact stats sidecar. This is
+    * what makes a per-microbatch MLT stream
+    * ([[graft.streaming.StreamingOps.mltStream]]) cost ∝ batch. Over an
+    * index whose corpus equals `docs` (no tombstones), the selected
+    * terms are value-identical to [[mltQueries]]'s; a term absent from
+    * the index never ranks (it could not be retrieved anyway). */
+  def mltQueriesIdx(spark: SparkSession, indexPath: String, docs: DataFrame,
+      idCol: String, textCol: String, seedIds: DataFrame, nTerms: Int): DataFrame = {
+    require(nTerms >= 1, s"nTerms must be >= 1, got $nTerms")
+    val st = InvertedIndex.readStats(spark, indexPath)
+    // ONE seed-gated corpus pass per call, materialized (seed-sized by
+    // construction) so the df probe and the scoring plan both reuse it;
+    // seeds tokenize through the INDEX's recorded analyzer, so term
+    // selection and retrieval can never disagree on token space
+    val tf = seedTermFreqs(docs, idCol, textCol, seedIds, st.analyzer)
+      .localCheckpoint(true)
+    val dfreq = InvertedIndex.termDfs(spark, indexPath,
+      tf.select(col("tok")).distinct(), "tok")
+      .withColumnRenamed("term", "tok")
+    val scored = tf.join(dfreq, Seq("tok"))
+      .withColumn("score",
+        col("tf").cast(DoubleType) * log(lit(st.nDocs.toDouble) / col("df").cast(DoubleType)))
+    rankedTerms(scored, nTerms)
+  }
+
+  /** Seed-gated (qid, tok, tf): semi-join the corpus to the seed ids
+    * FIRST, then tokenize — nothing corpus-sized explodes or shuffles. */
+  private def seedTermFreqs(df: DataFrame, idCol: String, textCol: String,
+      seedIds: DataFrame, analyzer: String): DataFrame = {
     val seeds = seedIds.select(col(seedIds.columns.head).cast(StringType).as("qid"))
-    tfidfTopTerms(df, idCol, textCol, nTerms)
-      .withColumn("qid", col("id").cast(StringType))
+    df.select(col(idCol).cast(StringType).as("qid"), col(textCol).as("__text__"))
       .join(seeds, Seq("qid"), "left_semi")
+      .select(col("qid"), explode(tokens(col("__text__"), analyzer)).as("tok"))
+      .groupBy(col("qid"), col("tok")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** Top-`nTerms` per qid by (score desc, tok) — the same rank contract
+    * as [[tfidfTopTerms]] (score compared UNROUNDED) — collapsed to one
+    * (qid, terms) row in rank order. */
+  private def rankedTerms(scored: DataFrame, nTerms: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("tok"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= nTerms)
       .groupBy(col("qid"))
       .agg(transform(sort_array(collect_list(struct(col("rnk"), col("tok")))),
         e => e("tok")).as("terms"))
@@ -294,12 +419,15 @@ object TextAnalysis {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      analyzer: String = "ws"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and 0 <= b <= 1")
-    val terms = queryTerms.distinct
-    val toks = tokens(col(textCol))
+    // query terms pass through the SAME analyzer as the corpus (under
+    // `fold` a raw term may split into several tokens)
+    val terms = queryTerms.flatMap(tokensOf(_, analyzer)).distinct
+    val toks = tokens(col(textCol), analyzer)
     val base = df.select(col(idCol).as("id"), toks.as("__toks__"),
       size(toks).cast(DoubleType).as("__dl__"))
     // pass 1: corpus stats — one tiny row, collected, re-planted as literals

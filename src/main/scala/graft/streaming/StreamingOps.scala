@@ -748,29 +748,36 @@ object StreamingOps {
 
   /** Streaming more-like-this — the RETRIEVAL consumer of the persisted
     * inverted index: each microbatch carries seed document ids, their
-    * top-`nTerms` TF-IDF terms derive from the corpus in one batched
-    * pass ([[graft.operators.TextAnalysis.mltQueries]] — any number of
-    * seeds, no driver funnel), the persisted index answers with
-    * collect-free batch BM25, and each seed's own document drops from
-    * its ranking exactly (probe k+1, drop self, renumber — identical to
-    * ranking the corpus without the seed). Results append to `outPath`
-    * as (qid, rank, id, bm25) parquet — append-only output, so the sink
-    * is naturally replay-tolerant at-least-once; wrap with a dedup on
-    * (qid, rank) downstream if the engine may re-deliver.
+    * top-`nTerms` TF-IDF terms derive index-backed
+    * ([[graft.operators.TextAnalysis.mltQueriesIdx]] — the corpus pays
+    * only the seed semi-join scan per batch; term rarity comes from the
+    * index's bucket-pruned postings and N from its stats sidecar, so
+    * nothing corpus-sized explodes or aggregates per microbatch), the
+    * persisted index answers with collect-free batch BM25, and each
+    * seed's own document drops from its ranking exactly (probe k+1,
+    * drop self, renumber — identical to ranking the corpus without the
+    * seed). Results land at `outPath` as (qid, rank, id, bm25) parquet
+    * partitioned by `batch` = the microbatch id, written with DYNAMIC
+    * partition overwrite — a foreachBatch replay after a crash between
+    * the write and the checkpoint commit re-lands exactly its own
+    * partition instead of appending duplicates, so the sink is
+    * effectively-once without a ledger (the per-batch twin of
+    * [[BatchLedger]]'s discipline for index mutations). Read the
+    * results with a plain `spark.read.parquet(outPath)`; the `batch`
+    * column is provenance.
     *
-    * Per-batch cost: one corpus pass for the seed term statistics
-    * (precompute/cache the tokenized projection upstream for
-    * high-frequency streams) + the bucket-pruned index probe. */
+    * Per-batch cost ∝ batch: the seed semi-join corpus scan (no
+    * tokenization of non-seed rows) + the bucket-pruned index probes. */
   def mltStream(seedIds: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, indexPath: String, outPath: String,
       nTerms: Int = 5, k: Int = 10): StreamingQuery =
     seedIds.writeStream
       .outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
           val spark = b.sparkSession
-          val q = graft.operators.TextAnalysis.mltQueries(
-            corpus, idCol, textCol, b, nTerms)
+          val q = graft.operators.TextAnalysis.mltQueriesIdx(
+            spark, indexPath, corpus, idCol, textCol, b, nTerms)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("qid")).orderBy(col("rank"))
           graft.operators.InvertedIndex.bm25TopKBatch(
@@ -778,7 +785,11 @@ object StreamingOps {
             .filter(col("id") =!= col("qid"))
             .withColumn("rank", row_number().over(w).cast(IntegerType))
             .filter(col("rank") <= k)
-            .write.mode("append").parquet(outPath)
+            .withColumn("batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(outPath)
         }
       }
       .start()

@@ -477,6 +477,166 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(afterDel == Seq(("3", 1L)))
   }
 
+  test("mltQueriesIdx equals mltQueries term for term over the index's corpus") {
+    val path = tmp("mltidx")
+    val df = Seq(
+      (1L, "rare gem rare gem common"),
+      (2L, "common common filler words here"),
+      (3L, "rare gem common filler stuff")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val seeds = Seq("1", "3").toDF("id")
+    val scan = TextAnalysis.mltQueries(df, "doc_id", "text", seeds, nTerms = 3)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toSeq)).toMap
+    val idx = TextAnalysis.mltQueriesIdx(spark, path, df, "doc_id", "text",
+        seeds, nTerms = 3)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toSeq)).toMap
+    assert(idx == scan, s"index-backed terms $idx vs corpus terms $scan")
+  }
+
+  test("fold analyzer: sidecar pins it, both sides fold, recall survives case/punct") {
+    val path = tmp("fold")
+    val df = Seq(
+      (1L, "Spark, JOIN! spark join."),
+      (2L, "vector;Join data"),
+      (3L, "unrelated words entirely")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path,
+      nBuckets = 8, nDocBuckets = 4, analyzer = "fold")
+    assert(InvertedIndex.readStats(spark, path).analyzer == "fold")
+    // mixed-case, punctuated query terms fold on the probe side; the
+    // scan twin folds BOTH sides the same way, so ids and scores match
+    val q = Seq("SPARK", "Join")
+    val idx = key(InvertedIndex.bm25TopK(spark, path, q, k = 5))
+    val scan = TextAnalysis.bm25TopK(df, "doc_id", "text", q, k = 5,
+        analyzer = "fold")
+      .collect().map(r => (r.getLong(0).toString, r.getDouble(1))).toSeq
+    assert(idx.map(_._1) == scan.map(_._1) && idx.nonEmpty,
+      s"fold recall: $idx vs $scan")
+    assert(idx.map(_._1).take(2).toSet == Set("1", "2"),
+      "folded probe must hit the case/punct variants")
+    // a multi-word raw term splits under fold and still probes
+    val multi = key(InvertedIndex.bm25TopK(spark, path, Seq("Spark-Join"), k = 5))
+    assert(multi.map(_._1).contains("1"))
+    // driver-side twin and Column twin agree, empty-token contract kept
+    val samples = Seq("A, b!", "Data-Base x9", "", "!!!", "two  spaces")
+    val colToks = samples.toDF("t")
+      .select(TextAnalysis.tokens(col("t"), "fold")).collect()
+      .map(_.getSeq[String](0).toSeq)
+    samples.zip(colToks).foreach { case (s, ct) =>
+      assert(TextAnalysis.tokensOf(s, "fold") == ct, s"parity for '$s': $ct") }
+    // appends inherit the sidecar's analyzer — no way to diverge
+    InvertedIndex.append(spark, path, Seq((4L, "SPARK!!! spark")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(key(InvertedIndex.bm25TopK(spark, path, Seq("spark"), k = 5))
+      .map(_._1).contains("4"))
+  }
+
+  test("delete records only ids actually present; absent ids never block appends") {
+    val path = tmp("delabsent")
+    val df = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    // deleting ids that never existed is a COMPLETE no-op: no tombstone,
+    // no stats change, no debt
+    InvertedIndex.delete(spark, path, Seq("zz", "99"))
+    val d = InvertedIndex.describe(spark, path).collect()(0)
+    assert(d.getLong(2) == 2L && d.getLong(5) == 0L,
+      "absent-id delete must leave stats and debt untouched")
+    // and a brand-new doc with that id appends fine (no spurious
+    // tombstone to trip the re-append fail-fast)
+    InvertedIndex.append(spark, path, Seq((99L, "alpha fresh")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(key(InvertedIndex.bm25TopK(spark, path, Seq("fresh"), k = 5))
+      .map(_._1) == Seq("99"))
+    // duplicate delete calls append the tombstone once (second finds nothing)
+    InvertedIndex.delete(spark, path, Seq("1"))
+    InvertedIndex.delete(spark, path, Seq("1"))
+    assert(InvertedIndex.describe(spark, path).collect()(0).getLong(5) == 1L)
+  }
+
+  test("partial compaction: fraction gate retains tombstones, probes stay exact throughout") {
+    val path = tmp("partial"); val oraclePath = tmp("partialref")
+    InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val dropIds = (0L until 10L).map(_.toString)
+    InvertedIndex.delete(spark, path, dropIds)
+    InvertedIndex.build(docs.filter(col("doc_id") >= 10), "doc_id", "text",
+      oraclePath, nBuckets = 8, nDocBuckets = 4)
+    val want = key(InvertedIndex.bm25TopK(spark, oraclePath, terms, k = 10))
+    // a fraction bar this high gates every bucket out (10 docs of 500):
+    // nothing rewrites, the whole set is retained — and the probe is
+    // EXACTLY as correct as before, because retained ids stay anti-joined
+    val touchedGated = InvertedIndex.compact(spark, path, minTombFrac = 0.9)
+    assert(touchedGated.isEmpty, s"gate at 0.9 should rewrite nothing, got $touchedGated")
+    val debtAfterGate = InvertedIndex.describe(spark, path).collect()(0).getLong(5)
+    assert(debtAfterGate == 10L, "gated-out tombstones must be retained")
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) == want)
+    // full compaction (default gate) repays everything: postings drop,
+    // set clears, probe unchanged, re-append unblocked
+    val touchedFull = InvertedIndex.compact(spark, path)
+    assert(touchedFull.nonEmpty)
+    assert(InvertedIndex.describe(spark, path).collect()(0).getLong(5) == 0L)
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) == want)
+    // re-append of the retired ids is legal again and restores the
+    // full corpus exactly
+    InvertedIndex.append(spark, path,
+      docs.filter(col("doc_id") < 10), "doc_id", "text")
+    val fullPath = tmp("partialfull")
+    InvertedIndex.build(docs, "doc_id", "text", fullPath, nBuckets = 8, nDocBuckets = 4)
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) ==
+      key(InvertedIndex.bm25TopK(spark, fullPath, terms, k = 10)))
+    assert(InvertedIndex.readStats(spark, path).nDocs ==
+      InvertedIndex.readStats(spark, fullPath).nDocs)
+  }
+
+  test("partial compaction rewrites hot buckets only and retires exactly the repaid ids") {
+    val path = tmp("partialsubset")
+    // two vocabularies routed to DISJOINT term buckets (probed against
+    // the real hash at nBuckets = 2), so the per-bucket debt is under
+    // the test's control: vocab-A docs live entirely in bucket 0,
+    // vocab-B docs entirely in bucket 1
+    val words = (0 until 400).map(i => s"w$i")
+    val bucketOf = words.toDF("term")
+      .select(col("term"), pmod(xxhash64(col("term")), lit(2L)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabA = words.filter(bucketOf(_) == 0L).take(6)
+    val vocabB = words.filter(bucketOf(_) == 1L).take(6)
+    val docsAB = ((0 until 10).map(i => (s"a$i", vocabA.mkString(" "))) ++
+      (0 until 10).map(i => (s"b$i", vocabB.mkString(" ")))).toDF("doc_id", "text")
+    InvertedIndex.build(docsAB, "doc_id", "text", path, nBuckets = 2, nDocBuckets = 2)
+    // bucket 0 debt: 8/10 of its postings tombstoned; bucket 1: 1/10
+    InvertedIndex.delete(spark, path,
+      (0 until 8).map(i => s"a$i") :+ "b0")
+    val touched = InvertedIndex.compact(spark, path, minTombFrac = 0.5)
+    assert(touched == Seq(0L), s"only the hot bucket passes the 0.5 gate: $touched")
+    // the a-tombstones' whole bucket set was rewritten -> retired; b0's
+    // bucket was skipped -> retained (its postings still need hiding)
+    assert(InvertedIndex.describe(spark, path).collect()(0).getLong(5) == 1L)
+    val probeA = key(InvertedIndex.bm25TopK(spark, path, vocabA.take(1), k = 20))
+    assert(probeA.map(_._1).sorted == Seq("a8", "a9"), s"got $probeA")
+    val probeB = key(InvertedIndex.bm25TopK(spark, path, vocabB.take(1), k = 20))
+    assert(probeB.map(_._1).sorted == (1 until 10).map(i => s"b$i"), s"got $probeB")
+    // full compaction repays the cold bucket and clears the set
+    assert(InvertedIndex.compact(spark, path) == Seq(1L))
+    assert(InvertedIndex.describe(spark, path).collect()(0).getLong(5) == 0L)
+    assert(key(InvertedIndex.bm25TopK(spark, path, vocabB.take(1), k = 20))
+      .map(_._1).sorted == (1 until 10).map(i => s"b$i"))
+  }
+
+  test("probe heals an interrupted tombstone swap instead of resurrecting deletes") {
+    val path = tmp("tombswap")
+    InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, path, (0L until 10L).map(_.toString))
+    val want = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10))
+    // simulate the crash window of a partial compaction's tombstone
+    // swap: the live set renamed away, the replacement never renamed in
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/tombstones"),
+      new org.apache.hadoop.fs.Path(s"$path/.tombstones.old")))
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) == want,
+      "probe must heal the swap residue, not resurrect the deleted docs")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      "healing renames the old set back")
+  }
+
   private def listFiles(root: String): Set[(String, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -297,6 +297,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"nomination scans must be cluster-pruned:\n${listScans.mkString("\n")}")
   }
 
+  test("mltQueries: the seed semi-join gates the corpus BELOW the rank window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val q = graft.operators.TextAnalysis.mltQueries(docs, "doc_id", "text",
+      Seq("0").toDF("id"), nTerms = 5)
+    val windows = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "rank window must exist")
+    assert(windows.forall(w =>
+      w.collectFirst { case j: Join if j.joinType == LeftSemi => j }.isDefined),
+      "every rank window must sit ABOVE a seed left-semi gate — one seed " +
+        "must never pay a corpus-wide per-doc window rank:\n" +
+        q.queryExecution.optimizedPlan.toString)
+  }
+
+  test("mltQueriesIdx: term selection never re-scans the corpus in its final plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val path = java.nio.file.Files.createTempDirectory("graft_mlt_plan").toString
+    graft.operators.InvertedIndex.build(docs, "doc_id", "text", path,
+      nBuckets = 8, nDocBuckets = 4)
+    val q = graft.operators.TextAnalysis.mltQueriesIdx(spark, path, docs,
+      "doc_id", "text", Seq("0").toDF("id"), nTerms = 5)
+    // the one seed-gated corpus pass materialized at call time; the
+    // returned plan may touch ONLY the index's postings (df probe) and
+    // the checkpointed seed-sized tf — this is what makes a per-batch
+    // MLT stream cost ∝ batch
+    val scans = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.forall(_.contains("postings")),
+      s"final MLT plan must not re-scan the corpus:\n${scans.mkString("\n")}")
+    assert(q.count() == 1)
+  }
+
   test("inverted-index probe: bucket partition pruning + term pushdown") {
     import org.apache.spark.sql.functions.col
     val path = java.nio.file.Files.createTempDirectory("graft_inv_plan").toString
