@@ -161,6 +161,39 @@ object BenchCurve {
         nBuckets = nBuckets, nDocBuckets = 64)
       val buildInv = (System.nanoTime() - tB0) / 1e9
       val probeInv = timed(InvertedIndex.bm25TopK(spark, s"$base/inv", terms, k))
+      // MLT term selection at scale (one seed, top-5 terms, then the
+      // k=10 index probe): the corpus variant pays a full token explode
+      // + seed-vocab df shuffle per call — grows with the corpus; the
+      // index-backed variant pays a seed-gated scan (no tokenization of
+      // non-seed rows) + bucket-pruned df probes — the measured form of
+      // the claim that mltStream's per-batch cost is ∝ batch.
+      import spark.implicits._
+      val seed = Seq("0").toDF("id")
+      def mltRun(q: org.apache.spark.sql.DataFrame): Unit = {
+        InvertedIndex.bm25TopKBatch(spark, s"$base/inv", q, "qid", "terms",
+          k = 10).count(); ()
+      }
+      val tM0 = System.nanoTime()
+      mltRun(TextAnalysis.mltQueries(corpus, "id", "text", seed, nTerms = 5))
+      val mltScan = (System.nanoTime() - tM0) / 1e9
+      val tM1 = System.nanoTime()
+      mltRun(TextAnalysis.mltQueriesIdx(spark, s"$base/inv", corpus,
+        "id", "text", seed, nTerms = 5))
+      val mltIdx = (System.nanoTime() - tM1) / 1e9
+      // decontamination at scale: the eval set's vocabulary is 5% of
+      // the corpus's (w0..w499 of w0..w9999 — the realistic shape: eval
+      // sets are tiny next to a web corpus), so the position-chain
+      // reconstruction reads only those terms' postings
+      def genEval(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        col("id").cast("string").as("id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(99)),
+          i => concat(lit("w"), pmod(hash(col("id"), i, lit(7)), lit(500)).cast("string"))))
+          .as("text"))
+      val evalDocs = genEval(0L, 100L).cache(); evalDocs.count()
+      val tCt0 = System.nanoTime()
+      InvertedIndex.contaminationHits(spark, s"$base/inv", evalDocs, "text", n = 3).count()
+      val contamIdx = (System.nanoTime() - tCt0) / 1e9
+      evalDocs.unpersist(blocking = true)
       val batchRaw = gen(n, n + 1000L).cache(); batchRaw.count()
       val tA0 = System.nanoTime()
       InvertedIndex.append(spark, s"$base/inv", batchRaw, "id", "text")
@@ -220,6 +253,7 @@ object BenchCurve {
       System.gc()
       s"""{"n":$n,"n_buckets":$nBuckets,"build_inv":$buildInv,""" +
         s""""probe_scan":$probeScan,"probe_inv":$probeInv,""" +
+        s""""mlt_scan":$mltScan,"mlt_idx":$mltIdx,"contam_idx":$contamIdx,""" +
         s""""append_inv":$appendRaw,"append_inv_ledger":$appendLedger,""" +
         s""""delete_100k":$delete100k,""" +
         s""""probe_inv_tomb100k":$probeTomb,"compact_tomb100k":$compactTomb,""" +

@@ -1659,6 +1659,32 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Text: PROXIMITY-boosted BM25 through the index — the ranking
+    // refinement the positional postings exist for beyond exact
+    // phrases: score = bm25 + 0.5 · (adjacent "spark join" bigram
+    // count), both parts from ONE bucket-pruned probe (tf for the
+    // lexical term, pos for the proximity term). Docs where the query
+    // words sit adjacent outrank bag-of-words-equal ones.
+    "text_bm25_prox" -> ((s, dir) => {
+      InvertedIndex.bm25ProxTopK(s, cachedInvIdx(s, dir),
+          Seq("spark", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // Text: match SNIPPETS — the consumer of the phrase offsets: each
+    // (query, doc) match cuts a ±3-token context around the FIRST
+    // occurrence from the doc text; matches and positions come from the
+    // index probe, text joins in only for matched ids.
+    "text_snippet" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(("q0", Seq("spark", "join"))).toDF("qid", "phrase")
+      InvertedIndex.snippets(s, cachedInvIdx(s, dir), Tables.documents(s, dir),
+          "doc_id", "text", q, "qid", "phrase", window = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Text: MORE-LIKE-THIS with INDEX-BACKED term selection — the
     // serving twin of text_mlt: per call the corpus pays only the seed
     // semi-join scan (tokenization of seed rows alone), term rarity
@@ -4737,6 +4763,47 @@ object SparkEntry {
         |      FROM q WHERE round(CAST(qs AS DOUBLE)/1000000000.0, 6) > 0)
         |SELECT '0' AS qid, CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS doc_id, bm25
         |FROM r WHERE rnk <= 10 ORDER BY rank""".stripMargin,
+
+    // proximity-boosted BM25: quantized two-term BM25 (spark, join) +
+    // 0.5 per adjacent "spark join" bigram; score rounds the UNROUNDED
+    // bm25 double plus the boost, exactly as the index computes it
+    "text_bm25_prox" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl, toks,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1
+        |       FROM d),
+        |sc AS (SELECT doc_id,
+        |         CAST(CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |            + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |           AS DOUBLE) / 1000000000.0 AS bm25raw,
+        |         CAST(len(list_filter(generate_series(1, len(toks)-1),
+        |           i -> toks[i] = 'spark' AND toks[i+1] = 'join')) AS BIGINT) AS pairs
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |       round(bm25raw + 0.5 * pairs, 6) AS score,
+        |       round(bm25raw, 6) AS bm25, pairs
+        |FROM sc WHERE round(bm25raw, 6) > 0
+        |ORDER BY round(bm25raw + 0.5 * pairs, 6) DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // snippets: ±3-token context around the first "spark join" match;
+    // offsets are 0-based, DuckDB slices are 1-based inclusive
+    "text_snippet" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks,
+        |        list_filter(generate_series(1, len(toks)-1),
+        |          i -> toks[i] = 'spark' AND toks[i+1] = 'join') AS starts
+        |      FROM t)
+        |SELECT 'q0' AS qid, CAST(doc_id AS VARCHAR) AS doc_id,
+        |       CAST(len(starts) AS BIGINT) AS n_phrase,
+        |       CAST(starts[1] - 1 AS BIGINT) AS first_off,
+        |       array_to_string(toks[greatest(starts[1] - 1 - 3, 0) + 1 : (starts[1] - 1) + 2 + 3], ' ') AS snippet
+        |FROM p WHERE len(starts) > 0 ORDER BY CAST(doc_id AS VARCHAR)""".stripMargin,
 
     // index-backed MLT: df from the index == corpus df (index corpus =
     // documents, no tombstones), so the oracle is text_mlt's verbatim

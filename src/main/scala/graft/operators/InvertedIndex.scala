@@ -586,6 +586,130 @@ object InvertedIndex {
         col("hit.id").as("id"), col("hit.score").as("bm25"))
   }
 
+  /** Proximity-boosted BM25 through the index — the ranking refinement
+    * the POSITIONAL postings exist for beyond exact phrases: documents
+    * where consecutive query terms appear ADJACENT (an exact bigram of
+    * the query) rank above bag-of-words-equal ones. Score =
+    * `round(bm25 + proxWeight · pairs, 6)` where `bm25` is exactly
+    * [[bm25TopK]]'s quantized sum and `pairs` counts, over every
+    * consecutive ordered query-term pair (tᵢ, tᵢ₊₁), the positions p of
+    * tᵢ with p+1 holding tᵢ₊₁ — an in-row fold over the per-term sorted
+    * position arrays (the [[phraseTopK]] machinery applied pairwise),
+    * no extra read: the same bucket-pruned probe supplies tf for the
+    * lexical part and pos for the proximity part. Candidates are docs
+    * with bm25 > 0 (any term matches); a doc missing a pair's terms
+    * contributes 0 for that pair. Emits (id, score, bm25, pairs).
+    *
+    * The classic Lucene shape for this is a phrase/sloppy-phrase boost
+    * query; term-pair adjacency is its order-1 form, chosen because the
+    * whole pipeline stays engine-exact for the oracle (min-span
+    * proximity would need a per-doc multi-array sweep the SQL twin
+    * can't mirror exactly). */
+  def bm25ProxTopK(spark: SparkSession, path: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      proxWeight: Double = 0.5): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(proxWeight >= 0, s"proxWeight must be >= 0, got $proxWeight")
+    val st = readStats(spark, path)
+    import spark.implicits._
+    if (st.nDocs == 0L) {
+      return Seq.empty[(String, Double, Double, Long)]
+        .toDF("id", "score", "bm25", "pairs")
+    }
+    val n = st.nDocs.toDouble
+    val avgdl = st.sumDl.toDouble / st.nDocs
+    // the ORDERED analyzed token sequence drives adjacency; the distinct
+    // set drives the probe (same analyzer contract as every probe)
+    val ordered = queryTerms.flatMap(TextAnalysis.tokensOf(_, st.analyzer))
+    val terms = ordered.distinct
+    val buckets = terms.toDF("term").select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
+    if (bucketDirs.isEmpty) {
+      return Seq.empty[(String, Double, Double, Long)]
+        .toDF("id", "score", "bm25", "pairs")
+    }
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val live = tombstonesOf(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => pruned
+    }
+    val dfs = live.groupBy(col("term"))
+      .agg(countDistinct(col("id")).cast(DoubleType).as("__df__"))
+    val idf = log((lit(n) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
+    val tf = col("tf").cast(DoubleType)
+    val termScore = idf * tf /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / lit(avgdl)))
+    val perDoc = live.join(broadcast(dfs), Seq("term"))
+      .withColumn("__qs__", round(termScore * 1e9).cast(LongType))
+      .groupBy(col("id"))
+      .agg(sum(col("__qs__")).as("__sumqs__"),
+        map_from_entries(collect_list(struct(col("term"), col("pos")))).as("__m__"))
+    // adjacency fold per consecutive ordered pair, unrolled as literals
+    // (bounded by the query length, like phraseTopK's start test); a doc
+    // missing either term of a pair coalesces to an empty array
+    val emptyPos = array().cast("array<int>")
+    val pairCols = ordered.zip(ordered.tail).map { case (a, b2) =>
+      size(filter(coalesce(element_at(col("__m__"), a), emptyPos),
+        p => array_contains(coalesce(element_at(col("__m__"), b2), emptyPos), p + 1)))
+        .cast(LongType)
+    }
+    val pairs =
+      if (pairCols.isEmpty) lit(0L) else pairCols.reduce(_ + _)
+    perDoc
+      .withColumn("bm25", round(col("__sumqs__").cast(DoubleType) / 1e9, 6))
+      .filter(col("bm25") > 0d)
+      .withColumn("pairs", pairs)
+      .withColumn("score",
+        round(col("__sumqs__").cast(DoubleType) / 1e9 +
+          lit(proxWeight) * col("pairs").cast(DoubleType), 6))
+      .select(col("id"), col("score"), col("bm25"), col("pairs"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Match snippets through the index — the consumer the positional
+    * offsets ([[containsPhrases]]) exist for: for every (query, doc)
+    * phrase match, cut a ±`window`-token context around the FIRST
+    * occurrence from the doc text and report it with the match count
+    * and offset. The index supplies matches and positions (bucket-
+    * pruned probe); the doc TEXT comes from the caller's corpus frame,
+    * joined only for matched ids (an equi join the optimizer gates with
+    * the match set — output ∝ matches, and no text ever shuffles except
+    * the matched docs'). Tokenization of the text follows the index's
+    * recorded analyzer, so offsets align with the stored positions.
+    * Emits (qid, id, n_phrase, first_off, snippet). */
+  def snippets(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String, queries: DataFrame,
+      qidCol: String, phraseCol: String, window: Int = 3): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
+    val st = readStats(spark, path)
+    val m = containsPhrases(spark, path, queries, qidCol, phraseCol)
+    // the phrase LENGTH in analyzed-token space bounds the snippet's
+    // right edge; recompute it under the index's analyzer exactly as
+    // the probe did
+    val analyzedPhrase =
+      if (st.analyzer == "ws") col(phraseCol).cast(ArrayType(StringType))
+      else TextAnalysis.foldTermsArray(col(phraseCol).cast(ArrayType(StringType)))
+    val qLen = queries.select(col(qidCol).cast(StringType).as("qid"),
+      size(analyzedPhrase).as("__qlen__"))
+    val toks = TextAnalysis.tokens(col(textCol), st.analyzer)
+    val d = docs.select(col(idCol).cast(StringType).as("id"), toks.as("__toks__"))
+    m.join(qLen, Seq("qid"))
+      .join(d, Seq("id"))
+      .withColumn("first_off", element_at(col("offsets"), 1))
+      .withColumn("__start__", greatest(col("first_off") - window, lit(0)))
+      .withColumn("snippet", array_join(
+        slice(col("__toks__"), col("__start__") + 1,
+          col("first_off") + col("__qlen__") + window - col("__start__")), " "))
+      .select(col("qid"), col("id"), col("n_phrase"),
+        col("first_off").cast(LongType).as("first_off"), col("snippet"))
+  }
+
   /** Per-term document frequency through the index: (term, df) for the
     * terms of `terms(termCol)`, from the pruned LIVE postings (term
     * buckets listed explicitly, tombstones anti-joined) — the rarity
@@ -790,23 +914,81 @@ object InvertedIndex {
 
   /** Benchmark-decontamination through the index: for every distinct
     * word n-gram of the eval split, find the indexed docs containing it
-    * CONSECUTIVELY (positional phrase match — the same contract as
+    * CONSECUTIVELY (the same contract as
     * [[TextAnalysis.contaminationStats]]'s shingle intersection) and
     * return (id, n_hits) = how many distinct eval grams each doc
-    * carries. The 100 TB shape this buys: cost ∝ the EVAL set's gram
-    * vocabulary (bounded — eval sets are small by construction), never
-    * a training-corpus scan per eval set, because the probe reads only
-    * the gram terms' posting buckets. Docs with zero hits are simply
-    * absent (their enumeration is the caller's doc table, not the
-    * index's job). */
+    * carries. Docs with zero hits are simply absent (their enumeration
+    * is the caller's doc table, not the index's job).
+    *
+    * Plan: decontamination is the DENSE-match regime — an eval set
+    * shares thousands of grams with millions of docs — so instead of
+    * phrase-probing gram by gram (the [[containsPhrases]] shape, whose
+    * candidate set is Σ per-gram df and degenerates when every term is
+    * common), the corpus's own n-grams are RECONSTRUCTED from the
+    * positional postings restricted to the eval VOCABULARY: explode the
+    * probed terms' position arrays to (id, term, p) and chain n−1
+    * self-equi-joins on (id, p+i) — a corpus trigram materializes only
+    * when all its words are eval-vocabulary words — then semi-join the
+    * gram strings and count distinct grams per doc. Cost ∝ postings of
+    * eval-vocab terms (bucket-pruned — a small eval set touches a
+    * sliver of a web corpus's vocabulary) + matches, with NO gram × df
+    * candidate blow-up; every join is an equi join on (id, position).
+    * Short eval docs shingle to fewer-than-n-word grams
+    * ([[Dedup.wordShingles]] contract) — each distinct gram LENGTH gets
+    * its own chain (lengths are bounded by n). */
   def contaminationHits(spark: SparkSession, path: String,
       evalDocs: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    val st = readStats(spark, path)
+    import spark.implicits._
+    // eval text shingles in the INDEX's token space (fold first when
+    // the sidecar says so), or gram words could never match a posting
+    val evalText =
+      if (st.analyzer == "ws") col(textCol)
+      else TextAnalysis.foldText(col(textCol))
     val grams = evalDocs
-      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .select(explode(Dedup.wordShingles(evalText, n)).as("gram"))
       .distinct()
-      .select(col("gram"), split(col("gram"), " ").as("phrase"))
-    containsPhrases(spark, path, grams, "gram", "phrase")
+      .select(col("gram"), split(col("gram"), " ").as("__w__"))
+      .localCheckpoint(true)
+    // the probe vocabulary: every word of every gram
+    val terms = grams.select(explode(col("__w__")).as("term")).distinct()
+      .localCheckpoint(true)
+    val buckets = terms.select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
+    if (bucketDirs.isEmpty) {
+      return Seq.empty[(String, Long)].toDF("id", "n_hits")
+    }
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .select(col("id"), col("term"), col("pos"))
+    val live = tombstonesOf(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => pruned
+    }
+    // (id, term, p) for eval-vocabulary terms only
+    val positions = live.join(terms, Seq("term"), "left_semi")
+      .select(col("id"), col("term"), explode(col("pos")).as("p"))
+    // one reconstruction chain per distinct gram length (≤ n lengths;
+    // almost always just {n} — short eval docs contribute the others)
+    val lengths = grams.select(size(col("__w__")).as("l")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val hitsByLen = lengths.map { l =>
+      val g = grams.filter(size(col("__w__")) === l).select(col("gram"))
+      val chain = (1 until l).foldLeft(
+        positions.select(col("id"), col("p").as("p0"), col("term").as("t0"))) {
+        (acc, i) =>
+          acc.join(positions.select(col("id"), (col("p") - i).as("p0"),
+            col("term").as(s"t$i")), Seq("id", "p0"))
+      }
+      chain
+        .select(col("id"),
+          concat_ws(" ", (0 until l).map(i => col(s"t$i")): _*).as("gram"))
+        .join(g, Seq("gram"), "left_semi")
+    }
+    hitsByLen.reduce(_ unionByName _)
+      .select(col("id"), col("gram")).distinct()
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -822,7 +822,8 @@ object StreamingOps {
       bqIndexPath: Option[String] = None,
       ivfBqPath: Option[String] = None,
       invPath: Option[String] = None,
-      invCompactTombstones: Long = 1000000L): StreamingQuery =
+      invCompactTombstones: Long = 1000000L,
+      invCompactMinTombFrac: Double = 0.0): StreamingQuery =
     ids.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -838,8 +839,12 @@ object StreamingOps {
           ivfBqPath.foreach(p => graft.operators.Ann.ivfBqDeleteSave(spark, p, list))
           invPath.foreach { p =>
             graft.operators.InvertedIndex.delete(spark, p, list)
+            // debt-gated repayment; invCompactMinTombFrac > 0 makes it
+            // INCREMENTAL (only buckets past the per-bucket tombstoned
+            // fraction rewrite; repaid ids retire, the rest stay hidden)
             if (graft.operators.InvertedIndex.needsCompact(spark, p, invCompactTombstones))
-              graft.operators.InvertedIndex.compact(spark, p)
+              graft.operators.InvertedIndex.compact(spark, p,
+                minTombFrac = invCompactMinTombFrac)
           }
         }
       }

@@ -620,6 +620,47 @@ class InvertedIndexSpec extends AnyFunSuite {
       .map(_._1).sorted == (1 until 10).map(i => s"b$i"))
   }
 
+  test("proximity BM25: adjacency boost breaks bag-of-words ties; bm25 part == plain probe") {
+    val path = tmp("prox")
+    val df = Seq(
+      (1L, "spark join now"),   // adjacent pair
+      (2L, "join spark now"),   // same bag of words, wrong order -> no pair
+      (3L, "spark alone here"),
+      (4L, "nothing relevant")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val r = InvertedIndex.bm25ProxTopK(spark, path, Seq("spark", "join"), k = 10)
+      .collect().map(x => (x.getString(0), x.getDouble(1), x.getDouble(2), x.getLong(3)))
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId("1")._3 == byId("2")._3,
+      "permuted docs must have identical bag-of-words bm25")
+    assert(byId("1")._4 == 1L && byId("2")._4 == 0L && byId("3")._4 == 0L)
+    assert(math.abs(byId("1")._2 - (byId("1")._3 + 0.5)) < 2e-6,
+      "score = bm25 + 0.5 per adjacent pair")
+    assert(r.head._1 == "1", "the adjacent-pair doc must rank first")
+    assert(!byId.contains("4"), "zero-bm25 docs stay out")
+    // the lexical part is EXACTLY the plain probe's quantized score
+    val plain = InvertedIndex.bm25TopK(spark, path, Seq("spark", "join"), k = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r.foreach { case (id, _, bm, _) => assert(bm == plain(id), s"bm25 drift for $id") }
+  }
+
+  test("snippets: ±window context around the first match, clamped at both edges") {
+    val path = tmp("snip")
+    val df = Seq(
+      (1L, "a b spark join c d e"),  // match at 2: full window both sides
+      (2L, "spark join x"),          // match at 0: left clamp
+      (3L, "p q r s spark join")     // match at 4: right clamp
+    ).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val q = Seq(("q0", Seq("spark", "join"))).toDF("qid", "phrase")
+    val out = InvertedIndex.snippets(spark, path, df, "doc_id", "text",
+        q, "qid", "phrase", window = 2)
+      .collect().map(x => x.getString(1) -> ((x.getLong(3), x.getString(4)))).toMap
+    assert(out("1") == ((2L, "a b spark join c d")))
+    assert(out("2") == ((0L, "spark join x")))
+    assert(out("3") == ((4L, "r s spark join")))
+  }
+
   test("probe heals an interrupted tombstone swap instead of resurrecting deletes") {
     val path = tmp("tombswap")
     InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
