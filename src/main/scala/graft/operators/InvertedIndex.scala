@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -697,10 +697,13 @@ object InvertedIndex {
       else TextAnalysis.foldTermsArray(col(phraseCol).cast(ArrayType(StringType)))
     val qLen = queries.select(col(qidCol).cast(StringType).as("qid"),
       size(analyzedPhrase).as("__qlen__"))
-    val toks = TextAnalysis.tokens(col(textCol), st.analyzer)
-    val d = docs.select(col(idCol).cast(StringType).as("id"), toks.as("__toks__"))
+    // raw text rides through the join; tokenization applies AFTER it,
+    // so only the matched docs pay the split
+    val d = docs.select(col(idCol).cast(StringType).as("id"),
+      col(textCol).as("__text__"))
     m.join(qLen, Seq("qid"))
       .join(d, Seq("id"))
+      .withColumn("__toks__", TextAnalysis.tokens(col("__text__"), st.analyzer))
       .withColumn("first_off", element_at(col("offsets"), 1))
       .withColumn("__start__", greatest(col("first_off") - window, lit(0)))
       .withColumn("snippet", array_join(
@@ -717,12 +720,15 @@ object InvertedIndex {
     * rarest-term nomination need, with no corpus pass and no global df
     * table to maintain. Terms absent from the index are absent from
     * the output. The one driver collect is the distinct term-bucket id
-    * list — bounded by nBuckets, never by the term count. */
+    * list — bounded by nBuckets, never by the term count. The terms
+    * frame is evaluated twice (bucket derivation + the postings
+    * semi-join) — pass a materialized frame if it is expensive to
+    * recompute, the way [[TextAnalysis.mltQueriesIdx]] does; not
+    * checkpointing here keeps a streaming microbatch one job leaner. */
   def termDfs(spark: SparkSession, path: String, terms: DataFrame,
       termCol: String): DataFrame = {
     val st = readStats(spark, path)
     val t = terms.select(col(termCol).cast(StringType).as("term")).distinct()
-      .localCheckpoint(true)
     val buckets = t.select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val bucketDirs = probedBucketDirs(spark, path, buckets)
@@ -925,14 +931,16 @@ object InvertedIndex {
     * phrase-probing gram by gram (the [[containsPhrases]] shape, whose
     * candidate set is Σ per-gram df and degenerates when every term is
     * common), the corpus's own n-grams are RECONSTRUCTED from the
-    * positional postings restricted to the eval VOCABULARY: explode the
-    * probed terms' position arrays to (id, term, p) and chain n−1
-    * self-equi-joins on (id, p+i) — a corpus trigram materializes only
-    * when all its words are eval-vocabulary words — then semi-join the
-    * gram strings and count distinct grams per doc. Cost ∝ postings of
-    * eval-vocab terms (bucket-pruned — a small eval set touches a
-    * sliver of a web corpus's vocabulary) + matches, with NO gram × df
-    * candidate blow-up; every join is an equi join on (id, position).
+    * positional postings restricted to the eval VOCABULARY: each doc's
+    * eval-vocab (position, term) entries assemble in ONE groupBy
+    * (packed arrays — no per-position row explode), sort in-row, and
+    * an n-gram materializes exactly where n entries sit at consecutive
+    * positions (a position belongs to one term, so sorted adjacency IS
+    * textual adjacency); the gram strings then semi-join the eval set
+    * and distinct grams count per doc. Cost ∝ postings of eval-vocab
+    * terms (bucket-pruned — a small eval set touches a sliver of a web
+    * corpus's vocabulary) + matches, ONE data-sized shuffle, one
+    * postings read, and NO gram × df candidate blow-up.
     * Short eval docs shingle to fewer-than-n-word grams
     * ([[Dedup.wordShingles]] contract) — each distinct gram LENGTH gets
     * its own chain (lengths are bounded by n). */
@@ -967,24 +975,39 @@ object InvertedIndex {
       case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
       case None => pruned
     }
-    // (id, term, p) for eval-vocabulary terms only
-    val positions = live.join(terms, Seq("term"), "left_semi")
-      .select(col("id"), col("term"), explode(col("pos")).as("p"))
-    // one reconstruction chain per distinct gram length (≤ n lengths;
-    // almost always just {n} — short eval docs contribute the others)
+    // per doc, the SORTED (position, term) entries of its eval-vocab
+    // tokens — packed arrays ride the one shuffle (no per-position row
+    // explode), and a position belongs to exactly one term, so sorted
+    // adjacency IS textual adjacency. Group size is bounded by doc
+    // length (row-local, the repetitionColumns discipline).
+    val perDoc = live.join(terms, Seq("term"), "left_semi")
+      .select(col("id"),
+        transform(col("pos"), p => struct(p.as("p"), col("term").as("t"))).as("__pt__"))
+      .groupBy(col("id"))
+      .agg(array_sort(flatten(collect_list(col("__pt__")))).as("__e__"))
+    // reconstruct the doc's l-grams IN-ROW: entry i starts an l-gram
+    // iff the next l−1 entries sit at consecutive positions; one
+    // reconstruction per distinct gram length (≤ n lengths; almost
+    // always just {n} — short eval docs contribute the others)
+    def gramArr(l: Int): Column = {
+      val e = col("__e__")
+      if (l == 1) transform(e, x => x("t"))
+      else when(size(e) >= l,
+        filter(
+          transform(sequence(lit(1), size(e) - (l - 1)),
+            i => when(
+              (1 until l).map(j =>
+                element_at(e, i + j)("p") === element_at(e, i)("p") + j)
+                .reduce(_ && _),
+              concat_ws(" ", (0 until l).map(j => element_at(e, i + j)("t")): _*))),
+          x => x.isNotNull))
+        .otherwise(array().cast("array<string>"))
+    }
     val lengths = grams.select(size(col("__w__")).as("l")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val hitsByLen = lengths.map { l =>
       val g = grams.filter(size(col("__w__")) === l).select(col("gram"))
-      val chain = (1 until l).foldLeft(
-        positions.select(col("id"), col("p").as("p0"), col("term").as("t0"))) {
-        (acc, i) =>
-          acc.join(positions.select(col("id"), (col("p") - i).as("p0"),
-            col("term").as(s"t$i")), Seq("id", "p0"))
-      }
-      chain
-        .select(col("id"),
-          concat_ws(" ", (0 until l).map(i => col(s"t$i")): _*).as("gram"))
+      perDoc.select(col("id"), explode(gramArr(l)).as("gram"))
         .join(g, Seq("gram"), "left_semi")
     }
     hitsByLen.reduce(_ unionByName _)
