@@ -152,6 +152,11 @@ object InvertedIndex {
       "dbucket", nDocBuckets, "overwrite", s"$path/docstats")
     val fs = statsFs(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    // a rebuild over a mid-swap crash must not leave `.tombstones.old`
+    // behind — the first probe's heal would resurrect the OLD index's
+    // tombstone set against the brand-new corpus
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/.tombstones.old"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/.tombstones.stage"), true)
     fs.delete(new org.apache.hadoop.fs.Path(statsDir(path)), true)
     // an empty corpus writes no dbucket dirs at all (only _SUCCESS) —
     // reading that back would fail schema inference, and the stats are
@@ -270,19 +275,33 @@ object InvertedIndex {
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val fs = statsFs(spark, path)
     Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/docstats"))
+    // a delete is a mutation entry point: heal swap residue BEFORE
+    // appending, or a fresh tombstones dir would shadow a mid-swap
+    // `.tombstones.old` and permanently resurrect its ids
+    recoverTombstoneSwap(fs, path)
     // the rows REALLY present, from the pruned scan — materialized
-    // (with their term-bucket sets) BEFORE the rewrite drops them
-    val found = spark.read.parquet(s"$path/docstats")
+    // (with their term-bucket sets) BEFORE the rewrite drops them.
+    // A pre-tbuckets layout deletes fine (id-only tombstones — compact
+    // falls back to its postings-scan discovery for those).
+    val dsScan = spark.read.parquet(s"$path/docstats")
       .filter(col("dbucket").isin(dbuckets: _*))
+    val hasTbCol = dsScan.columns.contains("tbuckets")
+    val found = dsScan
       .join(broadcast(idDf), Seq("id"), "left_semi")
-      .select(col("id"), col("dl"), col("tbuckets"))
+      .select(Seq(col("id"), col("dl"), col("dbucket").cast(LongType).as("dbucket")) ++
+        (if (hasTbCol) Seq(col("tbuckets")) else Nil): _*)
       .localCheckpoint(true)
     val agg = found.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
     val nFound = agg.getLong(0)
     if (nFound > 0) {
-      rewriteDirsBatched(spark, s"$path/docstats", "dbucket", dbuckets,
+      // rewrite only the buckets that actually HOLD a found row — an
+      // idempotent replay or over-broad id feed must not pay full-dir
+      // swaps for buckets nothing was deleted from
+      val foundBuckets = found.select(col("dbucket"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      rewriteDirsBatched(spark, s"$path/docstats", "dbucket", foundBuckets,
         df => df.join(broadcast(idDf), Seq("id"), "left_anti"))
-      found.select(col("id"), col("tbuckets"))
+      found.select(col("id") +: (if (hasTbCol) Seq(col("tbuckets")) else Nil): _*)
         .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
       writeStats(spark, path, st.copy(
         nDocs = st.nDocs - nFound, sumDl = st.sumDl - agg.getLong(1)), v + 1)
@@ -307,16 +326,23 @@ object InvertedIndex {
       .toDF("n_buckets", "n_doc_buckets", "n_docs", "sum_dl", "avgdl", "n_tombstones")
   }
 
+  /** Outstanding tombstone count — the debt measure [[needsCompact]]
+    * compares, and what an incremental caller (a stream compacting with
+    * a `minTombFrac` gate) tracks across partial compactions to ratchet
+    * its next trigger past the RETAINED debt. Cost: one count over the
+    * tombstone parquet — metadata-sized, no posting bucket is read. */
+  def tombstoneCount(spark: SparkSession, path: String): Long =
+    tombstonesOf(spark, path).map(_.count()).getOrElse(0L)
+
   /** True when the tombstone set has grown past `maxTombstones` — the
     * DEBT trigger for [[compact]], the lexical analogue of
     * [[HnswShards]]' reshard gate: a delete-heavy stream whose cadence
     * never fires must still compact before every probe's tombstone
     * anti-join (and the deferred physical drop) carries an unbounded
-    * set. Cost: one count over the id-only tombstone parquet —
-    * metadata-sized, no posting bucket is read. */
+    * set. */
   def needsCompact(spark: SparkSession, path: String,
       maxTombstones: Long = 1000000L): Boolean =
-    tombstonesOf(spark, path).exists(_.count() >= maxTombstones)
+    tombstoneCount(spark, path) >= maxTombstones
 
   /** Batched rewrite of partition directories under `root`, keeping
     * only `keep(df)`'s rows: ONE read-filter-stage job for ALL touched
@@ -371,33 +397,42 @@ object InvertedIndex {
     fs.delete(stage, true)
   }
 
-  private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash residue of a partial-compaction tombstone swap: the set
-    // renamed away but its replacement never renamed in — heal by
-    // renaming the old set back, or a probe would silently resurrect
-    // every still-tombstoned doc. (When `tombstones` exists, a stale
-    // `.tombstones.old` is ignored here and swept by compact's entry.)
-    val old = new org.apache.hadoop.fs.Path(s"$path/.tombstones.old")
-    if (!fs.exists(p) && fs.exists(old)) {
-      require(fs.rename(old, p), s"heal of interrupted tombstone swap at $path failed")
-    }
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
-
-  /** Sweep tombstone-swap residue at a mutation entry point: a stale
-    * stage is always discardable; a stale `.tombstones.old` alongside a
-    * live set is a committed swap's leftover. */
-  private def recoverTombstoneSwap(fs: org.apache.hadoop.fs.FileSystem,
+  /** Heal the crash window of a tombstone-set swap: the live set
+    * renamed away, its replacement never renamed in — rename the old
+    * set back, or a probe would silently resurrect every
+    * still-tombstoned doc. Concurrent readers may race here:
+    * fs.rename is first-wins, so a loser re-checks that the set is
+    * back before treating the index as broken. (When `tombstones`
+    * exists, a stale `.tombstones.old` is ignored — mutation entry
+    * points sweep it via [[recoverTombstoneSwap]].) */
+  private def healTombstoneSwap(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val old = new org.apache.hadoop.fs.Path(s"$path/.tombstones.old")
     if (!fs.exists(p) && fs.exists(old)) {
-      require(fs.rename(old, p), s"heal of interrupted tombstone swap at $path failed")
-    } else if (fs.exists(old)) {
-      fs.delete(old, true)
+      val renamed = fs.rename(old, p)
+      require(renamed || fs.exists(p),
+        s"heal of interrupted tombstone swap at $path failed")
     }
+  }
+
+  private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healTombstoneSwap(fs, path)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Sweep tombstone-swap residue at a MUTATION entry point ([[delete]],
+    * [[compact]]): heal first, then discard a stale stage (always
+    * discardable) and a stale `.tombstones.old` alongside a live set (a
+    * committed swap's leftover). */
+  private def recoverTombstoneSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    healTombstoneSwap(fs, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val old = new org.apache.hadoop.fs.Path(s"$path/.tombstones.old")
+    if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/.tombstones.stage"), true)
   }
 
@@ -1062,7 +1097,13 @@ object InvertedIndex {
       case None => Seq.empty[Long]
       case Some(tombs) if tombs.isEmpty => Seq.empty[Long]
       case Some(tombs) =>
-        val hasTb = tombs.columns.contains("tbuckets")
+        // the bucket-set fast path needs EVERY row to carry tbuckets:
+        // a mixed-schema set (legacy id-only files read back as null
+        // alongside new rows) must take the legacy path whole, or a
+        // null-tbuckets id would be retired with its postings still
+        // live (exists(null) filters as false)
+        val hasTb = tombs.columns.contains("tbuckets") &&
+          tombs.filter(col("tbuckets").isNull).isEmpty
         val tombIds = tombs.select(col("id")).distinct()
         val candidates: Seq[Long] =
           if (hasTb)

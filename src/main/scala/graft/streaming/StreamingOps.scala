@@ -823,7 +823,16 @@ object StreamingOps {
       ivfBqPath: Option[String] = None,
       invPath: Option[String] = None,
       invCompactTombstones: Long = 1000000L,
-      invCompactMinTombFrac: Double = 0.0): StreamingQuery =
+      invCompactMinTombFrac: Double = 0.0): StreamingQuery = {
+    // the compaction trigger RATCHETS past retained debt: a fraction
+    // gate (invCompactMinTombFrac > 0) deliberately keeps cold buckets'
+    // tombstones, and a fixed total-count trigger would then re-run the
+    // candidate pre-pass on EVERY batch while repaying nothing — so
+    // after each compaction the bar moves to retained + threshold, and
+    // a pre-pass is paid once per threshold's worth of NEW debt.
+    // (foreachBatch runs on the driver, so the var is plain stream
+    // state, like tombstoneStreamServing's retirement queue.)
+    var invNextTrigger = invCompactTombstones
     ids.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -842,13 +851,17 @@ object StreamingOps {
             // debt-gated repayment; invCompactMinTombFrac > 0 makes it
             // INCREMENTAL (only buckets past the per-bucket tombstoned
             // fraction rewrite; repaid ids retire, the rest stay hidden)
-            if (graft.operators.InvertedIndex.needsCompact(spark, p, invCompactTombstones))
+            if (graft.operators.InvertedIndex.tombstoneCount(spark, p) >= invNextTrigger) {
               graft.operators.InvertedIndex.compact(spark, p,
                 minTombFrac = invCompactMinTombFrac)
+              invNextTrigger = graft.operators.InvertedIndex.tombstoneCount(spark, p) +
+                invCompactTombstones
+            }
           }
         }
       }
       .start()
+  }
 
   /** [[tombstoneStream]] extended to the SERVING tiers — the delete
     * analog of [[upsertStreamWithReplica]]: after each microbatch's

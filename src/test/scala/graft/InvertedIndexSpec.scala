@@ -678,6 +678,38 @@ class InvertedIndexSpec extends AnyFunSuite {
       "healing renames the old set back")
   }
 
+  test("delete and rebuild handle tombstone-swap residue (heal first, never resurrect)") {
+    val path = tmp("swapmut")
+    InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, path, (0L until 10L).map(_.toString))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def simulateMidSwap(): Unit =
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/tombstones"),
+        new org.apache.hadoop.fs.Path(s"$path/.tombstones.old")))
+    // a delete landing in the crash window must heal BEFORE appending —
+    // a fresh tombstones dir would shadow the old set and resurrect it
+    simulateMidSwap()
+    InvertedIndex.delete(spark, path, Seq("10"))
+    assert(InvertedIndex.tombstoneCount(spark, path) == 11L,
+      "healed set (10) + the new id (1)")
+    val top = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)).map(_._1)
+    assert((0L to 10L).map(_.toString).forall(id => !top.contains(id)))
+    // a REBUILD over swap residue starts clean: the old index's
+    // tombstones must not hide the new corpus's docs
+    simulateMidSwap()
+    InvertedIndex.build(docs, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    assert(InvertedIndex.tombstoneCount(spark, path) == 0L)
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) ==
+      key(InvertedIndex.bm25TopK(spark, cachedFullIdx, terms, k = 10)))
+  }
+
+  private lazy val cachedFullIdx: String = {
+    val p = tmp("fullref")
+    InvertedIndex.build(docs, "doc_id", "text", p, nBuckets = 8, nDocBuckets = 4)
+    p
+  }
+
   private def listFiles(root: String): Set[(String, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
