@@ -1659,6 +1659,19 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Text: BOOLEAN BM25 through the index — the Lucene-shaped
+    // `+spark vector join -slow` query: candidates must contain
+    // "spark" and not "slow"; vector/join contribute score when
+    // present. One bucket-pruned probe covers all three clauses;
+    // df/idf stay corpus-wide, so scores equal the plain probe's.
+    "text_bm25_bool" -> ((s, dir) => {
+      InvertedIndex.bm25BooleanTopK(s, cachedInvIdx(s, dir),
+          must = Seq("spark"), should = Seq("vector", "join"),
+          mustNot = Seq("slow"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
     // Text: PROXIMITY-boosted BM25 through the index — the ranking
     // refinement the positional postings exist for beyond exact
     // phrases: score = bm25 + 0.5 · (adjacent "spark join" bigram
@@ -4763,6 +4776,31 @@ object SparkEntry {
         |      FROM q WHERE round(CAST(qs AS DOUBLE)/1000000000.0, 6) > 0)
         |SELECT '0' AS qid, CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS doc_id, bm25
         |FROM r WHERE rnk <= 10 ORDER BY rank""".stripMargin,
+
+    // boolean BM25: same quantized three-term scoring as text_bm25_idx,
+    // gated by the must/mustNot clauses (contains spark, not slow)
+    "text_bm25_bool" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl, toks,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, toks, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc
+        |WHERE list_contains(toks, 'spark') AND NOT list_contains(toks, 'slow') AND bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
 
     // proximity-boosted BM25: quantized two-term BM25 (spark, join) +
     // 0.5 per adjacent "spark join" bigram; score rounds the UNROUNDED

@@ -621,6 +621,73 @@ object InvertedIndex {
         col("hit.id").as("id"), col("hit.score").as("bm25"))
   }
 
+  /** Boolean BM25 through the index — the Lucene-shaped query surface
+    * (`+must should -mustNot`): candidates must contain EVERY `must`
+    * term and NO `mustNot` term; the score is exactly [[bm25TopK]]'s
+    * quantized sum over the `must` ++ `should` matches (a should term
+    * contributes score when present, nothing when absent — it never
+    * gates). One bucket-pruned probe covers all three clauses: the
+    * must-coverage check is a per-doc count of distinct matched must
+    * terms (postings are unique per (term, doc), so a plain conditional
+    * count is exact), the mustNot clause is an anti-join of the
+    * excluded terms' posting ids, and df/idf stay corpus-wide from the
+    * probed postings, so a doc's score equals its [[bm25TopK]] score
+    * for the same scoring terms. Emits (id, bm25). */
+  def bm25BooleanTopK(spark: SparkSession, path: String,
+      must: Seq[String], should: Seq[String] = Seq.empty,
+      mustNot: Seq[String] = Seq.empty, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(must.nonEmpty || should.nonEmpty,
+      "need at least one must or should term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = readStats(spark, path)
+    import spark.implicits._
+    if (st.nDocs == 0L) return Seq.empty[(String, Double)].toDF("id", "bm25")
+    val n = st.nDocs.toDouble
+    val avgdl = st.sumDl.toDouble / st.nDocs
+    def analyzed(ts: Seq[String]): Seq[String] =
+      ts.flatMap(TextAnalysis.tokensOf(_, st.analyzer)).distinct
+    val mustT = analyzed(must)
+    val shouldT = analyzed(should).filterNot(mustT.contains)
+    val notT = analyzed(mustNot)
+    val scoringT = mustT ++ shouldT
+    val allT = (scoringT ++ notT).distinct
+    val buckets = allT.toDF("term").select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
+    if (bucketDirs.isEmpty) return Seq.empty[(String, Double)].toDF("id", "bm25")
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(allT: _*))
+    val live = tombstonesOf(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => pruned
+    }
+    val scoring = live.filter(col("term").isin(scoringT: _*))
+    val dfs = scoring.groupBy(col("term"))
+      .agg(countDistinct(col("id")).cast(DoubleType).as("__df__"))
+    val idf = log((lit(n) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
+    val tf = col("tf").cast(DoubleType)
+    val termScore = idf * tf /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / lit(avgdl)))
+    val perDoc = scoring.join(broadcast(dfs), Seq("term"))
+      .withColumn("__qs__", round(termScore * 1e9).cast(LongType))
+      .groupBy(col("id"))
+      .agg(round(sum(col("__qs__")).cast(DoubleType) / 1e9, 6).as("bm25"),
+        sum(when(col("term").isin(mustT: _*), 1L).otherwise(0L)).as("__nmust__"))
+      .filter(col("__nmust__") === mustT.size)
+    val allowed = if (notT.isEmpty) perDoc
+      else perDoc.join(
+        live.filter(col("term").isin(notT: _*)).select(col("id")).distinct(),
+        Seq("id"), "left_anti")
+    allowed
+      .select(col("id"), col("bm25"))
+      .filter(col("bm25") > 0d)
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(k)
+  }
+
   /** Proximity-boosted BM25 through the index — the ranking refinement
     * the POSITIONAL postings exist for beyond exact phrases: documents
     * where consecutive query terms appear ADJACENT (an exact bigram of

@@ -644,6 +644,38 @@ class InvertedIndexSpec extends AnyFunSuite {
     r.foreach { case (id, _, bm, _) => assert(bm == plain(id), s"bm25 drift for $id") }
   }
 
+  test("boolean BM25: must gates all, mustNot excludes, should only scores") {
+    val path = tmp("bool")
+    val df = Seq(
+      (1L, "spark join fast"),    // must + should, no mustNot
+      (2L, "spark slow join"),    // must but excluded by mustNot
+      (3L, "join vector fast"),   // should only -> fails must
+      (4L, "spark alone"),        // must only, zero should
+      (5L, "irrelevant words")).toDF("doc_id", "text")
+    InvertedIndex.build(df, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    val r = InvertedIndex.bm25BooleanTopK(spark, path,
+        must = Seq("spark"), should = Seq("join", "vector"),
+        mustNot = Seq("slow"), k = 10)
+      .collect().map(x => (x.getString(0), x.getDouble(1)))
+    assert(r.map(_._1).toSet == Set("1", "4"), s"got ${r.toSeq}")
+    // a should-matching doc outscores a must-only one (extra term score)
+    assert(r.head._1 == "1")
+    // scores equal the plain probe's for the same scoring terms
+    val plain = InvertedIndex.bm25TopK(spark, path,
+        Seq("spark", "join", "vector"), k = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r.foreach { case (id, s) => assert(s == plain(id), s"score drift for $id") }
+    // multi-must requires EVERY term; empty must means any should match
+    val both = InvertedIndex.bm25BooleanTopK(spark, path,
+        must = Seq("spark", "join"), k = 10)
+      .collect().map(_.getString(0))
+    assert(both.toSeq.sorted == Seq("1", "2"))
+    val anyOf = InvertedIndex.bm25BooleanTopK(spark, path,
+        must = Seq.empty, should = Seq("vector"), k = 10)
+      .collect().map(_.getString(0))
+    assert(anyOf.toSeq == Seq("3"))
+  }
+
   test("snippets: ±window context around the first match, clamped at both edges") {
     val path = tmp("snip")
     val df = Seq(
