@@ -318,6 +318,7 @@ object Bench {
       SparkEntry.cachedOpqBase(spark, sfDir)
       SparkEntry.cachedIvfPqResBase(spark, sfDir)
       SparkEntry.cachedInvIdx(spark, sfDir)
+      SparkEntry.cachedInvIdxTitle(spark, sfDir)
     } catch { case _: Throwable => }
     // Per-query median-of-3 (see median3). A failing query reports the
     // sentinel -1 and is excluded from the total — timing the

@@ -796,13 +796,35 @@ object SparkEntry {
   import graft.operators.{Ann, Dedup, EventAnalytics, InvertedIndex, Multimodal, TextAnalysis}
 
   /** Per-JVM inverted-index cache: build the persisted term-partitioned
-    * layout once per sf dir; probes prune to the query terms' buckets. */
+    * layout once per sf dir; probes prune to the query terms' buckets.
+    * Built with `storeText = true` — the dbucket doc store that keeps
+    * MLT seed extraction and snippet rendering off the corpus (probes
+    * never read the column; parquet pruning keeps it free for them). */
   private val invIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def cachedInvIdx(s: SparkSession, dir: String): String =
     invIdxCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
       val path = java.nio.file.Files.createTempDirectory("invidx").toString
       InvertedIndex.build(Tables.documents(s, dir), "doc_id", "text",
-        path, nBuckets = 16, nDocBuckets = 8)
+        path, nBuckets = 16, nDocBuckets = 8, storeText = true)
+      path
+    })
+
+  /** The TITLE derived for the BM25F keys: the document's first 8
+    * whitespace tokens — the fixture has one text field, so the second
+    * field derives deterministically (the oracle derives the same). */
+  private def titleCol: Column =
+    array_join(slice(split(col("text"), " "), 1, 8), " ")
+
+  /** Per-JVM TITLE-field index cache for the BM25F keys — one
+    * [[InvertedIndex]] per field is the per-field-terms-dictionary
+    * decomposition [[InvertedIndex.bm25fTopK]] scores across. */
+  private val invIdxTitleCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def cachedInvIdxTitle(s: SparkSession, dir: String): String =
+    invIdxTitleCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("invidxt").toString
+      InvertedIndex.build(
+        Tables.documents(s, dir).withColumn("title", titleCol),
+        "doc_id", "title", path, nBuckets = 16, nDocBuckets = 8)
       path
     })
 
@@ -1487,8 +1509,12 @@ object SparkEntry {
     // Both input rankings are top-50-bounded, so the fusion is
     // driver-small regardless of corpus size.
     "ann_hybrid_rrf" -> ((s, dir) => {
+      // constant-keyed window: the input is k-bounded (<= 50 rows from
+      // bm25TopK's limit), so one partition IS the right plan — the
+      // explicit key states that instead of leaving an unpartitioned
+      // Window.orderBy foot-gun that degrades silently if k grows
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("bm25").desc, col("id"))
+        .partitionBy(lit(0)).orderBy(col("bm25").desc, col("id"))
       val lex = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
           Seq("spark", "vector", "join"), k = 50)
         .withColumn("rank", row_number().over(w))
@@ -1687,33 +1713,118 @@ object SparkEntry {
 
     // Text: match SNIPPETS — the consumer of the phrase offsets: each
     // (query, doc) match cuts a ±3-token context around the FIRST
-    // occurrence from the doc text; matches and positions come from the
-    // index probe, text joins in only for matched ids.
+    // occurrence. Matches and positions come from the index probe and
+    // the TEXT from the index's own doc store (dbucket point lookup) —
+    // the whole render reads term buckets + matched ids' dbuckets,
+    // never the corpus.
     "text_snippet" -> ((s, dir) => {
       import s.implicits._
       val q = Seq(("q0", Seq("spark", "join"))).toDF("qid", "phrase")
-      InvertedIndex.snippets(s, cachedInvIdx(s, dir), Tables.documents(s, dir),
-          "doc_id", "text", q, "qid", "phrase", window = 3)
+      InvertedIndex.snippets(s, cachedInvIdx(s, dir), q, "qid", "phrase", 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
 
-    // Text: MORE-LIKE-THIS with INDEX-BACKED term selection — the
-    // serving twin of text_mlt: per call the corpus pays only the seed
-    // semi-join scan (tokenization of seed rows alone), term rarity
-    // comes from the index's bucket-pruned postings (termDfs) and N
-    // from its stats sidecar — no corpus-wide token aggregate. Index
-    // corpus == documents, so terms and scores match text_mlt exactly.
+    // Text: MULTI-occurrence snippets — beyond the first match: every
+    // phrase hit opens a ±3-token window, overlapping/touching windows
+    // MERGE (gap-and-island over the ascending offsets, windowed per
+    // (query, doc) — never global), the first 2 windows per doc render.
+    // Text from the doc store, like text_snippet.
+    "text_snippet_multi" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(("q0", Seq("spark", "join"))).toDF("qid", "phrase")
+      InvertedIndex.snippetsMulti(s, cachedInvIdx(s, dir), q, "qid", "phrase",
+          window = 3, maxPerDoc = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("snip_no"))
+    }),
+
+    // Text: DOC-STORE point lookup — the id-keyed text fetch that
+    // serves MLT seeds and snippet rendering: reads ONLY the requested
+    // ids' dbucket directories of the doc-stats layout (plus the
+    // bounded tombstone set), never the corpus.
+    "text_docstore_get" -> ((s, dir) => {
+      import s.implicits._
+      InvertedIndex.fetchDocs(s, cachedInvIdx(s, dir),
+          Seq("3", "7", "11").toDF("id"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: MORE-LIKE-THIS with INDEX-BACKED term selection AND the
+    // seed text from the index's own DOC STORE — the fully
+    // corpus-scan-free serving shape: the seed fetch reads only the
+    // seed's dbucket directory, term rarity comes from the
+    // bucket-pruned postings (termDfs), N from the stats sidecar.
+    // (The allow frame is the O4 predicate — an id-column read, not a
+    // text scan.) Index corpus == documents, so terms and scores match
+    // text_mlt exactly.
     "text_mlt_idx" -> ((s, dir) => {
       import s.implicits._
       val d = Tables.documents(s, dir)
-      val q = TextAnalysis.mltQueriesIdx(s, cachedInvIdx(s, dir), d,
-        "doc_id", "text", Seq("0").toDF("id"), nTerms = 5)
+      val q = TextAnalysis.mltQueriesIdx(s, cachedInvIdx(s, dir),
+        Seq("0").toDF("id"), nTerms = 5)
       val allow = d.filter(col("doc_id") =!= 0).select(col("doc_id"))
       InvertedIndex.bm25TopKBatch(s, cachedInvIdx(s, dir), q, "qid", "terms",
           k = 10, allowed = Some(allow))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("rank"))
+    }),
+
+    // Text: BM25F multi-field scoring over the corpus scan — title
+    // (the doc's first 8 tokens, derived: the fixture has one text
+    // field) boosted 2× with b=0.6, body 1× with b=0.75; doc-level
+    // idf; per-field contributions quantized to 1e-9 longs before the
+    // cross-field sum, per-term scores before the per-doc sum — the
+    // Robertson/Zaragoza simple-BM25F formula, engine-exact.
+    "text_bm25f" -> ((s, dir) => {
+      TextAnalysis.bm25fTopK(
+          Tables.documents(s, dir).withColumn("title", titleCol), "doc_id",
+          Seq(("title", 2.0, 0.6), ("text", 1.0, 0.75)),
+          Seq("spark", "vector", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25f").desc, col("doc_id"))
+    }),
+
+    // Text: BM25F through PER-FIELD persisted indexes — one
+    // term-partitioned index per field (Lucene's per-field terms
+    // dictionary), each probe bucket-pruned to its own layout;
+    // doc-level df from the union of the fields' postings; per-field
+    // avgdl from each sidecar's exact longs. Same quantized formula as
+    // the scan twin, so scores agree doc-for-doc.
+    "text_bm25f_idx" -> ((s, dir) => {
+      InvertedIndex.bm25fTopK(s,
+          Seq((cachedInvIdxTitle(s, dir), 2.0, 0.6),
+            (cachedInvIdx(s, dir), 1.0, 0.75)),
+          Seq("spark", "vector", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25f").desc, col("doc_id"))
+    }),
+
+    // Text: SLOPPY proximity — bm25ProxTopK generalized past
+    // adjacency: a (spark, join) pair counts when join follows spark
+    // within slop=2 intervening tokens (ordered, slop=0 degenerates to
+    // the exact-bigram text_bm25_prox). Same one bucket-pruned probe
+    // for both score parts.
+    "text_bm25_prox_slop" -> ((s, dir) => {
+      InvertedIndex.bm25ProxTopK(s, cachedInvIdx(s, dir),
+          Seq("spark", "join"), k = 10, slop = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // Text: boolean BM25 with an exact-PHRASE must clause — the
+    // `+spark +"spark join" vector join -slow` Lucene query: the
+    // phrase gates candidates through the positional postings
+    // (consecutive match required) while scoring stays the must/should
+    // terms', so surviving docs score exactly as in text_bm25_bool.
+    "text_bm25_bool_phr" -> ((s, dir) => {
+      InvertedIndex.bm25BooleanTopK(s, cachedInvIdx(s, dir),
+          must = Seq("spark"), should = Seq("vector", "join"),
+          mustNot = Seq("slow"), k = 10,
+          mustPhrases = Seq(Seq("spark", "join")))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
     }),
 
     // Text: index observability — geometry, exact sidecar stats, the
@@ -4802,6 +4913,35 @@ object SparkEntry {
         |WHERE list_contains(toks, 'spark') AND NOT list_contains(toks, 'slow') AND bm25 > 0
         |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
 
+    // boolean BM25 with an exact-phrase must clause: text_bm25_bool's
+    // scoring and term gates plus a consecutive "spark join" match
+    // requirement (the phrase GATES, it does not score)
+    "text_bm25_bool_phr" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl, toks,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, toks, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc
+        |WHERE list_contains(toks, 'spark') AND NOT list_contains(toks, 'slow')
+        |  AND len(list_filter(generate_series(1, len(toks)-1),
+        |        i -> toks[i] = 'spark' AND toks[i+1] = 'join')) > 0
+        |  AND bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
     // proximity-boosted BM25: quantized two-term BM25 (spark, join) +
     // 0.5 per adjacent "spark join" bigram; score rounds the UNROUNDED
     // bm25 double plus the boost, exactly as the index computes it
@@ -4829,6 +4969,34 @@ object SparkEntry {
         |FROM sc WHERE round(bm25raw, 6) > 0
         |ORDER BY round(bm25raw + 0.5 * pairs, 6) DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
 
+    // sloppy proximity: a (spark, join) pair counts when some 'join'
+    // follows 'spark' within slop=2 intervening tokens (ordered);
+    // bm25 part identical to text_bm25_prox's
+    "text_bm25_prox_slop" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl, toks,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1
+        |       FROM d),
+        |sc AS (SELECT doc_id,
+        |         CAST(CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |            + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |           AS DOUBLE) / 1000000000.0 AS bm25raw,
+        |         CAST(len(list_filter(generate_series(1, len(toks)),
+        |           i -> toks[i] = 'spark' AND len(list_filter(generate_series(1, len(toks)),
+        |                j -> toks[j] = 'join' AND j > i AND j - i - 1 <= 2)) > 0)) AS BIGINT) AS pairs
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |       round(bm25raw + 0.5 * pairs, 6) AS score,
+        |       round(bm25raw, 6) AS bm25, pairs
+        |FROM sc WHERE round(bm25raw, 6) > 0
+        |ORDER BY round(bm25raw + 0.5 * pairs, 6) DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
     // snippets: ±3-token context around the first "spark join" match;
     // offsets are 0-based, DuckDB slices are 1-based inclusive
     "text_snippet" ->
@@ -4842,6 +5010,128 @@ object SparkEntry {
         |       CAST(starts[1] - 1 AS BIGINT) AS first_off,
         |       array_to_string(toks[greatest(starts[1] - 1 - 3, 0) + 1 : (starts[1] - 1) + 2 + 3], ' ') AS snippet
         |FROM p WHERE len(starts) > 0 ORDER BY CAST(doc_id AS VARCHAR)""".stripMargin,
+
+    // multi-occurrence snippets: every "spark join" hit opens the
+    // token interval [off-3, off+1+3]; overlapping-or-touching
+    // intervals merge via the classic gap-and-island windows; first 2
+    // merged windows per doc render
+    "text_snippet_multi" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, list_filter(generate_series(1, len(toks)-1),
+        |        i -> toks[i] = 'spark' AND toks[i+1] = 'join') AS starts FROM t),
+        |o AS (SELECT doc_id, unnest(starts) - 1 AS off FROM p WHERE len(starts) > 0),
+        |w AS (SELECT doc_id, off, greatest(off - 3, 0) AS s, off + 4 AS e FROM o),
+        |i AS (SELECT doc_id, off, s, e,
+        |        CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY off) IS NULL
+        |               OR s > lag(e) OVER (PARTITION BY doc_id ORDER BY off) + 1
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM w),
+        |g AS (SELECT doc_id, s, e,
+        |        sum(nw) OVER (PARTITION BY doc_id ORDER BY off) AS isl FROM i),
+        |m AS (SELECT doc_id, isl, count(*) AS n_hits,
+        |        min(s) AS win_start, max(e) AS win_end FROM g GROUP BY doc_id, isl),
+        |r AS (SELECT doc_id, n_hits, win_start, win_end,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY win_start) AS snip_no
+        |      FROM m)
+        |SELECT 'q0' AS qid, CAST(r.doc_id AS VARCHAR) AS doc_id,
+        |       CAST(snip_no AS INTEGER) AS snip_no, CAST(n_hits AS BIGINT) AS n_hits,
+        |       CAST(win_start AS BIGINT) AS win_start, CAST(win_end AS BIGINT) AS win_end,
+        |       array_to_string(list_slice(t.toks, win_start + 1, win_end + 1), ' ') AS snippet
+        |FROM r JOIN t ON r.doc_id = t.doc_id
+        |WHERE snip_no <= 2 ORDER BY CAST(r.doc_id AS VARCHAR), snip_no""".stripMargin,
+
+    // doc-store point lookup: (id, dl, text) for the requested ids;
+    // dl is the ws token count the index recorded at build time
+    "text_docstore_get" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
+        |FROM documents WHERE doc_id IN (3, 7, 11)
+        |ORDER BY CAST(doc_id AS VARCHAR)""".stripMargin,
+
+    // BM25F over the scan: title = first 8 ws tokens (derived — the
+    // fixture has one text field), boost 2.0 / b 0.6; body boost 1.0 /
+    // b 0.75; doc-level df (any field); per-field contributions
+    // quantized to 1e-9 longs before the cross-field sum, per-term
+    // scores before the per-doc sum — exactly the engine's arithmetic
+    "text_bm25f" ->
+      """WITH d AS (SELECT doc_id,
+        |         list_slice(string_split(text, ' '), 1, 8) AS ttoks,
+        |         string_split(text, ' ') AS btoks,
+        |         CAST(len(list_slice(string_split(text, ' '), 1, 8)) AS DOUBLE) AS dlt,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dlb
+        |       FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlt) AS avgdlt, avg(dlb) AS avgdlb,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'spark') OR list_contains(ttoks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'vector') OR list_contains(ttoks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'join') OR list_contains(ttoks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dlt, dlb,
+        |         CAST(len(list_filter(ttoks, x -> x = 'spark')) AS DOUBLE) AS tft0,
+        |         CAST(len(list_filter(btoks, x -> x = 'spark')) AS DOUBLE) AS tfb0,
+        |         CAST(len(list_filter(ttoks, x -> x = 'vector')) AS DOUBLE) AS tft1,
+        |         CAST(len(list_filter(btoks, x -> x = 'vector')) AS DOUBLE) AS tfb1,
+        |         CAST(len(list_filter(ttoks, x -> x = 'join')) AS DOUBLE) AS tft2,
+        |         CAST(len(list_filter(btoks, x -> x = 'join')) AS DOUBLE) AS tfb2
+        |       FROM d),
+        |w AS (SELECT doc_id,
+        |        CAST(CAST(round(2.0*tft0/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb0/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf0,
+        |        CAST(CAST(round(2.0*tft1/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb1/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf1,
+        |        CAST(CAST(round(2.0*tft2/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb2/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf2
+        |      FROM tf CROSS JOIN st),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * wtf0/(1.2 + wtf0) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * wtf1/(1.2 + wtf1) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * wtf2/(1.2 + wtf2) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25f
+        |       FROM w CROSS JOIN st)
+        |SELECT doc_id, bm25f FROM sc WHERE bm25f > 0
+        |ORDER BY bm25f DESC, doc_id LIMIT 10""".stripMargin,
+
+    // BM25F through per-field indexes: identical formula, but avgdl
+    // per field derives from the sidecars' exact longs
+    // (sum_dl/n_docs) and ids are the index's STRING keys (VARCHAR
+    // tiebreak), like every indexed probe
+    "text_bm25f_idx" ->
+      """WITH d AS (SELECT doc_id,
+        |         list_slice(string_split(text, ' '), 1, 8) AS ttoks,
+        |         string_split(text, ' ') AS btoks,
+        |         CAST(len(list_slice(string_split(text, ' '), 1, 8)) AS DOUBLE) AS dlt,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dlb
+        |       FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(dlt AS BIGINT)) AS DOUBLE) / count(*) AS avgdlt,
+        |         CAST(sum(CAST(dlb AS BIGINT)) AS DOUBLE) / count(*) AS avgdlb,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'spark') OR list_contains(ttoks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'vector') OR list_contains(ttoks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'join') OR list_contains(ttoks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dlt, dlb,
+        |         CAST(len(list_filter(ttoks, x -> x = 'spark')) AS DOUBLE) AS tft0,
+        |         CAST(len(list_filter(btoks, x -> x = 'spark')) AS DOUBLE) AS tfb0,
+        |         CAST(len(list_filter(ttoks, x -> x = 'vector')) AS DOUBLE) AS tft1,
+        |         CAST(len(list_filter(btoks, x -> x = 'vector')) AS DOUBLE) AS tfb1,
+        |         CAST(len(list_filter(ttoks, x -> x = 'join')) AS DOUBLE) AS tft2,
+        |         CAST(len(list_filter(btoks, x -> x = 'join')) AS DOUBLE) AS tfb2
+        |       FROM d),
+        |w AS (SELECT doc_id,
+        |        CAST(CAST(round(2.0*tft0/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb0/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf0,
+        |        CAST(CAST(round(2.0*tft1/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb1/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf1,
+        |        CAST(CAST(round(2.0*tft2/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb2/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf2
+        |      FROM tf CROSS JOIN st),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * wtf0/(1.2 + wtf0) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * wtf1/(1.2 + wtf1) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * wtf2/(1.2 + wtf2) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25f
+        |       FROM w CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25f FROM sc WHERE bm25f > 0
+        |ORDER BY bm25f DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
 
     // index-backed MLT: df from the index == corpus df (index corpus =
     // documents, no tombstones), so the oracle is text_mlt's verbatim

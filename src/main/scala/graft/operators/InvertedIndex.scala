@@ -49,9 +49,12 @@ object InvertedIndex {
     * was built with (`ws` | `fold`, see [[TextAnalysis.tokens]]) so
     * append batches and query terms pass through the SAME analyzer —
     * index-time/query-time disagreement is silent zero recall, the one
-    * failure mode an index must make impossible. */
+    * failure mode an index must make impossible. `storesText` records
+    * whether the doc-stats layout carries each document's raw text —
+    * the id-bucketed DOC STORE that makes seed/snippet text fetch a
+    * point lookup ([[fetchDocs]]) instead of a corpus scan. */
   final case class InvStats(nBuckets: Int, nDocBuckets: Int, nDocs: Long, sumDl: Long,
-      analyzer: String = "ws")
+      analyzer: String = "ws", storesText: Boolean = false)
 
   private def termBucket(nBuckets: Int) =
     pmod(xxhash64(col("term")), lit(nBuckets.toLong))
@@ -79,20 +82,26 @@ object InvertedIndex {
       .withColumn("bucket", termBucket(nBuckets))
   }
 
-  /** Doc-stats rows: (id, dl, tbuckets, dbucket). `tbuckets` — the
-    * sorted distinct TERM buckets the doc's tokens hash into, computed
-    * in-row at index time — is what bounds a later [[compact]]'s
-    * discovery to tombstone-touched buckets: [[delete]] copies it onto
-    * the tombstone row, so compaction never scans the postings to
-    * learn where a dead doc's terms live. */
+  /** Doc-stats rows: (id, dl, tbuckets[, text], dbucket). `tbuckets` —
+    * the sorted distinct TERM buckets the doc's tokens hash into,
+    * computed in-row at index time — is what bounds a later
+    * [[compact]]'s discovery to tombstone-touched buckets: [[delete]]
+    * copies it onto the tombstone row, so compaction never scans the
+    * postings to learn where a dead doc's terms live. With `storeText`
+    * the RAW text rides along as one more column — parquet column
+    * pruning keeps it free for every reader that doesn't select it
+    * (delete, stats aggregates), while [[fetchDocs]] turns an id-keyed
+    * text fetch into a dbucket-pruned point lookup. */
   private def docStatsOf(df: DataFrame, idCol: String, textCol: String,
-      nDocBuckets: Int, nBuckets: Int, analyzer: String): DataFrame = {
+      nDocBuckets: Int, nBuckets: Int, analyzer: String,
+      storeText: Boolean): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol), analyzer)
-    df.select(col(idCol).cast(StringType).as("id"),
+    df.select(Seq(col(idCol).cast(StringType).as("id"),
         size(toks).cast(LongType).as("dl"),
         array_sort(array_distinct(transform(toks,
           t => pmod(xxhash64(t), lit(nBuckets.toLong)).cast(IntegerType))))
-          .as("tbuckets"))
+          .as("tbuckets")) ++
+        (if (storeText) Seq(col(textCol).cast(StringType).as("text")) else Nil): _*)
       .withColumn("dbucket", docBucket(nDocBuckets))
   }
 
@@ -116,7 +125,8 @@ object InvertedIndex {
       version: Long): Unit =
     VectorStore.writeSidecar(spark, f"${statsDir(path)}/v$version%012d.json",
       s"""{"n_buckets": ${s.nBuckets}, "n_doc_buckets": ${s.nDocBuckets}, """ +
-        s""""n_docs": ${s.nDocs}, "sum_dl": ${s.sumDl}, "analyzer": "${s.analyzer}"}""")
+        s""""n_docs": ${s.nDocs}, "sum_dl": ${s.sumDl}, "analyzer": "${s.analyzer}", """ +
+        s""""stores_text": ${s.storesText}}""")
 
   private def readStatsVersioned(spark: SparkSession, path: String): (InvStats, Long) = {
     val fs = statsFs(spark, path)
@@ -128,7 +138,8 @@ object InvertedIndex {
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
     (InvStats(n.get("n_buckets").asInt(), n.get("n_doc_buckets").asInt(),
       n.get("n_docs").asLong(), n.get("sum_dl").asLong(),
-      if (n.has("analyzer")) n.get("analyzer").asText() else "ws"), v)
+      if (n.has("analyzer")) n.get("analyzer").asText() else "ws",
+      n.has("stores_text") && n.get("stores_text").asBoolean()), v)
   }
 
   /** Read the current (highest-version) corpus stats. */
@@ -143,12 +154,13 @@ object InvertedIndex {
     * naive `df.agg` would pay never happens. */
   def build(df: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 16, nDocBuckets: Int = 16,
-      analyzer: String = "ws"): Unit = {
+      analyzer: String = "ws", storeText: Boolean = false): Unit = {
     require(nBuckets > 0 && nDocBuckets > 0, "bucket counts must be positive")
     val spark = df.sparkSession
     Ann.writeByPartition(postingsOf(df, idCol, textCol, nBuckets, analyzer),
       "bucket", nBuckets, "overwrite", s"$path/postings")
-    Ann.writeByPartition(docStatsOf(df, idCol, textCol, nDocBuckets, nBuckets, analyzer),
+    Ann.writeByPartition(
+      docStatsOf(df, idCol, textCol, nDocBuckets, nBuckets, analyzer, storeText),
       "dbucket", nDocBuckets, "overwrite", s"$path/docstats")
     val fs = statsFs(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
@@ -168,8 +180,8 @@ object InvertedIndex {
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    writeStats(spark, path, InvStats(nBuckets, nDocBuckets, n, sdl, analyzer),
-      version = 1L)
+    writeStats(spark, path,
+      InvStats(nBuckets, nDocBuckets, n, sdl, analyzer, storeText), version = 1L)
   }
 
   /** Append NEW documents (ids disjoint from the corpus — append
@@ -205,7 +217,8 @@ object InvertedIndex {
     val st = readStats(spark, path)
     val posts = postingsOf(batch, idCol, textCol, st.nBuckets, st.analyzer)
       .localCheckpoint(true)
-    val ds = docStatsOf(batch, idCol, textCol, st.nDocBuckets, st.nBuckets, st.analyzer)
+    val ds = docStatsOf(batch, idCol, textCol, st.nDocBuckets, st.nBuckets,
+        st.analyzer, st.storesText)
       .localCheckpoint(true)
     // re-appending a tombstoned id would be INVISIBLE (probes anti-join
     // the tombstone set) and then physically dropped by the next
@@ -265,7 +278,19 @@ object InvertedIndex {
     * id list is driver-sized by the same argument as the reference's
     * `delete(&[String])` (lib.rs:273-286), but it reaches every plan as
     * a broadcast JOIN, never an isin literal — a six-figure delete
-    * batch must not blow up the plan. */
+    * batch must not blow up the plan.
+    *
+    * CRASH ORDERING: tombstones land FIRST, then the decremented stats,
+    * then the doc-stats rewrite — so a delete interrupted anywhere
+    * replays to convergence: the found-set excludes already-tombstoned
+    * ids (stats can never double-decrement), every probe hides the doc
+    * from the moment its tombstone row exists, and a doc-stats row a
+    * crash left behind is swept by the rewrite's tombstone anti-join on
+    * the next delete touching its bucket or by [[compact]]'s residue
+    * sweep. (The previous order — rewrite first — had a window where a
+    * crash left the doc's postings live and permanently undeletable:
+    * the replay found no doc-stats row and no-opped while the sidecar
+    * still counted the doc.) */
   def delete(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
     if (ids.isEmpty) return
     val (st, v) = readStatsVersioned(spark, path)
@@ -280,31 +305,46 @@ object InvertedIndex {
     // `.tombstones.old` and permanently resurrect its ids
     recoverTombstoneSwap(fs, path)
     // the rows REALLY present, from the pruned scan — materialized
-    // (with their term-bucket sets) BEFORE the rewrite drops them.
-    // A pre-tbuckets layout deletes fine (id-only tombstones — compact
-    // falls back to its postings-scan discovery for those).
+    // (with their term-bucket sets) BEFORE any mutation. Already-
+    // tombstoned ids are EXCLUDED: their stats were decremented when
+    // they were first tombstoned (re-deleting one — or replaying a
+    // delete that crashed before its doc-stats rewrite — must be a
+    // no-op for the sidecar). A pre-tbuckets layout deletes fine
+    // (id-only tombstones — compact falls back to its postings-scan
+    // discovery for those).
     val dsScan = spark.read.parquet(s"$path/docstats")
       .filter(col("dbucket").isin(dbuckets: _*))
     val hasTbCol = dsScan.columns.contains("tbuckets")
-    val found = dsScan
-      .join(broadcast(idDf), Seq("id"), "left_semi")
+    val found0 = dsScan.join(broadcast(idDf), Seq("id"), "left_semi")
+    val found = (tombstonesOf(spark, path) match {
+        case Some(t) =>
+          found0.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+        case None => found0
+      })
       .select(Seq(col("id"), col("dl"), col("dbucket").cast(LongType).as("dbucket")) ++
         (if (hasTbCol) Seq(col("tbuckets")) else Nil): _*)
       .localCheckpoint(true)
     val agg = found.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
     val nFound = agg.getLong(0)
     if (nFound > 0) {
-      // rewrite only the buckets that actually HOLD a found row — an
-      // idempotent replay or over-broad id feed must not pay full-dir
-      // swaps for buckets nothing was deleted from
-      val foundBuckets = found.select(col("dbucket"))
-        .distinct().collect().map(_.getLong(0)).toSeq.sorted
-      rewriteDirsBatched(spark, s"$path/docstats", "dbucket", foundBuckets,
-        df => df.join(broadcast(idDf), Seq("id"), "left_anti"))
+      // 1. tombstones: from this row's existence on, every probe hides
+      //    the doc and every replay's found-set excludes it
       found.select(col("id") +: (if (hasTbCol) Seq(col("tbuckets")) else Nil): _*)
         .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+      // 2. stats: exact decrement for the rows THIS call tombstoned
       writeStats(spark, path, st.copy(
         nDocs = st.nDocs - nFound, sumDl = st.sumDl - agg.getLong(1)), v + 1)
+      // 3. doc-stats rewrite, only the buckets that actually HOLD a
+      //    found row; survivors anti-join the FULL tombstone set (not
+      //    just this call's ids), so a crashed earlier delete's row in
+      //    these buckets sweeps away for free
+      val foundBuckets = found.select(col("dbucket"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      val tombIds = tombstonesOf(spark, path)
+        .map(_.select(col("id")).distinct().localCheckpoint(true))
+        .getOrElse(idDf)
+      rewriteDirsBatched(spark, s"$path/docstats", "dbucket", foundBuckets,
+        df => df.join(broadcast(tombIds), Seq("id"), "left_anti"))
     }
   }
 
@@ -436,31 +476,68 @@ object InvertedIndex {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/.tombstones.stage"), true)
   }
 
-  /** Resolve the probed buckets to their directory paths, CRASH-RESIDUE
-    * AWARE: a missing dir normally means "term never indexed"
-    * (contributes no path), but if a `.bucket=N.compact.old` /
-    * `.rewrite.old` sibling exists the bucket is mid-swap residue of an
-    * interrupted [[compact]] rename window — heal the root via
-    * [[Ann.recoverStagedDirs]] and re-resolve, so a probe never
-    * silently returns shrunken results. The sibling checks run only for
-    * buckets that are actually missing, and the O(nBuckets) healing
-    * listing only when residue is really present — the happy path stays
-    * O(|terms|) RPCs. */
-  private def probedBucketDirs(spark: SparkSession, path: String,
+  /** Resolve the probed buckets to their directory paths under a
+    * partitioned root, CRASH-RESIDUE AWARE: a missing dir normally
+    * means "never routed there" (contributes no path), but if a
+    * `.<partCol>=N.compact.old` / `.rewrite.old` sibling exists the
+    * bucket is mid-swap residue of an interrupted rewrite's rename
+    * window — heal the root via [[Ann.recoverStagedDirs]] and
+    * re-resolve, so a probe never silently returns shrunken results.
+    * The sibling checks run only for buckets that are actually missing,
+    * and the O(nBuckets) healing listing only when residue is really
+    * present — the happy path stays O(|buckets|) RPCs. */
+  private def probedDirs(spark: SparkSession, rootDir: String, partCol: String,
       buckets: Seq[Long]): Seq[String] = {
-    val fs = statsFs(spark, path)
-    val root = new org.apache.hadoop.fs.Path(s"$path/postings")
-    def resolve(): Seq[String] = buckets.map(b => s"$path/postings/bucket=$b")
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def resolve(): Seq[String] = buckets.map(b => s"$rootDir/$partCol=$b")
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
     val dirs = resolve()
     if (dirs.size == buckets.size) return dirs
     val residue = buckets.exists { b =>
-      !fs.exists(new org.apache.hadoop.fs.Path(root, s"bucket=$b")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(root, s"$partCol=$b")) &&
         Seq(".compact.old", ".rewrite.old").exists(sfx =>
-          fs.exists(new org.apache.hadoop.fs.Path(root, s".bucket=$b$sfx")))
+          fs.exists(new org.apache.hadoop.fs.Path(root, s".$partCol=$b$sfx")))
     }
     if (!residue) dirs
     else { Ann.recoverStagedDirs(fs, root); resolve() }
+  }
+
+  private def probedBucketDirs(spark: SparkSession, path: String,
+      buckets: Seq[Long]): Seq[String] =
+    probedDirs(spark, s"$path/postings", "bucket", buckets)
+
+  /** Point lookup of stored documents by id — the DOC STORE read that
+    * keeps seed-term extraction ([[TextAnalysis.mltQueriesIdx]]) and
+    * snippet rendering ([[snippets]]) off the corpus: reads ONLY the
+    * requested ids' dbucket directories of the doc-stats layout (the
+    * one driver collect is the distinct dbucket list — bounded by
+    * nDocBuckets, never by the id count), semi-joins the id frame
+    * (Catalyst broadcasts it when small), anti-joins the bounded
+    * tombstone set, and returns (id, dl, text). Requires an index built
+    * with `storeText = true`; at 100 TB this is what makes a 5-seed MLT
+    * call or a 10-doc snippet render cost ∝ seeds instead of one corpus
+    * pass per call. */
+  def fetchDocs(spark: SparkSession, path: String, ids: DataFrame): DataFrame = {
+    val st = readStats(spark, path)
+    require(st.storesText,
+      s"index at $path does not store document text — build/rebuild it with " +
+        "storeText = true to enable doc-store point lookups")
+    val idDf = ids.select(col(ids.columns.head).cast(StringType).as("id"))
+    val dbuckets = idDf.select(docBucket(st.nDocBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val dirs = probedDirs(spark, s"$path/docstats", "dbucket", dbuckets)
+    import spark.implicits._
+    if (dirs.isEmpty) return Seq.empty[(String, Long, String)].toDF("id", "dl", "text")
+    val pruned = spark.read.option("basePath", s"$path/docstats")
+      .parquet(dirs: _*)
+      .filter(col("dbucket").isin(dbuckets: _*)) // plan-visible prune witness
+      .join(idDf, Seq("id"), "left_semi")
+    val live = tombstonesOf(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => pruned
+    }
+    live.select(col("id"), col("dl"), col("text"))
   }
 
   /** BM25 top-k through the index: list and read ONLY the buckets the
@@ -524,7 +601,7 @@ object InvertedIndex {
     // per-term df from the probed postings (≤ |terms| rows, broadcast
     // back) — computed BEFORE the allow gate: idf is corpus-wide
     val dfs = live.groupBy(col("term"))
-      .agg(countDistinct(col("id")).cast(DoubleType).as("__df__"))
+      .agg(count(lit(1)).cast(DoubleType).as("__df__")) // (term, id) unique per layout
     val gated = allowed match {
       case Some(a) => live.join(
         a.select(col(a.columns.head).cast(StringType).as("id")), Seq("id"), "left_semi")
@@ -597,7 +674,7 @@ object InvertedIndex {
     // and BEFORE the allow gate, so idf stays corpus-wide
     val wanted = live.join(qTerms.select(col("term")).distinct(), Seq("term"), "left_semi")
     val dfs = wanted.groupBy(col("term"))
-      .agg(countDistinct(col("id")).cast(DoubleType).as("__df__"))
+      .agg(count(lit(1)).cast(DoubleType).as("__df__")) // (term, id) unique per layout
     val gated = allowed match {
       case Some(a) => wanted.join(
         a.select(col(a.columns.head).cast(StringType).as("id")), Seq("id"), "left_semi")
@@ -632,13 +709,24 @@ object InvertedIndex {
     * count is exact), the mustNot clause is an anti-join of the
     * excluded terms' posting ids, and df/idf stay corpus-wide from the
     * probed postings, so a doc's score equals its [[bm25TopK]] score
-    * for the same scoring terms. Emits (id, bm25). */
+    * for the same scoring terms. Emits (id, bm25).
+    *
+    * `mustPhrases` are EXACT-PHRASE must clauses (`+"spark sql"`): a
+    * candidate must contain every phrase CONSECUTIVELY, verified
+    * through the positional postings ([[containsPhrases]] — the same
+    * bucket-pruned in-row fold as [[phraseTopK]]). Phrases GATE, they
+    * do not score (pass their words in `must`/`should` to score them)
+    * — so the returned bm25 still equals the plain probe's for the
+    * same scoring terms, and the clause composes as a pure semi-join
+    * on the candidate set. */
   def bm25BooleanTopK(spark: SparkSession, path: String,
       must: Seq[String], should: Seq[String] = Seq.empty,
       mustNot: Seq[String] = Seq.empty, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      mustPhrases: Seq[Seq[String]] = Seq.empty): DataFrame = {
     require(must.nonEmpty || should.nonEmpty,
       "need at least one must or should term")
+    require(mustPhrases.forall(_.nonEmpty), "a must-phrase may not be empty")
     require(k >= 1, s"k must be >= 1, got $k")
     val st = readStats(spark, path)
     import spark.implicits._
@@ -666,7 +754,7 @@ object InvertedIndex {
     }
     val scoring = live.filter(col("term").isin(scoringT: _*))
     val dfs = scoring.groupBy(col("term"))
-      .agg(countDistinct(col("id")).cast(DoubleType).as("__df__"))
+      .agg(count(lit(1)).cast(DoubleType).as("__df__")) // (term, id) unique per layout
     val idf = log((lit(n) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
     val tf = col("tf").cast(DoubleType)
     val termScore = idf * tf /
@@ -681,7 +769,22 @@ object InvertedIndex {
       else perDoc.join(
         live.filter(col("term").isin(notT: _*)).select(col("id")).distinct(),
         Seq("id"), "left_anti")
-    allowed
+    // phrase must-clauses: a doc survives only when it matches EVERY
+    // phrase (per-id distinct-phrase count == |mustPhrases|); the
+    // phrase probe runs its own bucket-pruned read, and the gate is a
+    // semi-join — candidates shrink, scores don't change
+    val phrased = if (mustPhrases.isEmpty) allowed else {
+      import spark.implicits._
+      val q = mustPhrases.zipWithIndex
+        .map { case (p, i) => (s"p$i", p) }.toDF("qid", "phrase")
+      val hits = containsPhrases(spark, path, q, "qid", "phrase")
+        .groupBy(col("id"))
+        .agg(countDistinct(col("qid")).as("__np__"))
+        .filter(col("__np__") === mustPhrases.size.toLong)
+        .select(col("id"))
+      allowed.join(hits, Seq("id"), "left_semi")
+    }
+    phrased
       .select(col("id"), col("bm25"))
       .filter(col("bm25") > 0d)
       .orderBy(col("bm25").desc, col("id"))
@@ -690,29 +793,32 @@ object InvertedIndex {
 
   /** Proximity-boosted BM25 through the index — the ranking refinement
     * the POSITIONAL postings exist for beyond exact phrases: documents
-    * where consecutive query terms appear ADJACENT (an exact bigram of
-    * the query) rank above bag-of-words-equal ones. Score =
+    * where consecutive query terms appear NEAR each other rank above
+    * bag-of-words-equal ones. Score =
     * `round(bm25 + proxWeight · pairs, 6)` where `bm25` is exactly
     * [[bm25TopK]]'s quantized sum and `pairs` counts, over every
     * consecutive ordered query-term pair (tᵢ, tᵢ₊₁), the positions p of
-    * tᵢ with p+1 holding tᵢ₊₁ — an in-row fold over the per-term sorted
-    * position arrays (the [[phraseTopK]] machinery applied pairwise),
-    * no extra read: the same bucket-pruned probe supplies tf for the
-    * lexical part and pos for the proximity part. Candidates are docs
-    * with bm25 > 0 (any term matches); a doc missing a pair's terms
+    * tᵢ followed by tᵢ₊₁ within `slop` intervening tokens (some q > p
+    * with q − p − 1 ≤ slop; `slop = 0` is exact adjacency — the
+    * bigram form) — an in-row fold over the per-term sorted position
+    * arrays (the [[phraseTopK]] machinery applied pairwise), no extra
+    * read: the same bucket-pruned probe supplies tf for the lexical
+    * part and pos for the proximity part. Candidates are docs with
+    * bm25 > 0 (any term matches); a doc missing a pair's terms
     * contributes 0 for that pair. Emits (id, score, bm25, pairs).
     *
-    * The classic Lucene shape for this is a phrase/sloppy-phrase boost
-    * query; term-pair adjacency is its order-1 form, chosen because the
-    * whole pipeline stays engine-exact for the oracle (min-span
-    * proximity would need a per-doc multi-array sweep the SQL twin
-    * can't mirror exactly). */
+    * This is the sloppy-phrase boost shape of Lucene's
+    * `PhraseQuery(slop)` restricted to ORDERED pair matches, chosen
+    * because the whole pipeline stays engine-exact for the oracle
+    * (Lucene's full min-span edit-distance slop would need a per-doc
+    * multi-array sweep the SQL twin can't mirror exactly). */
   def bm25ProxTopK(spark: SparkSession, path: String, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      proxWeight: Double = 0.5): DataFrame = {
+      proxWeight: Double = 0.5, slop: Int = 0): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
     require(proxWeight >= 0, s"proxWeight must be >= 0, got $proxWeight")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
     val st = readStats(spark, path)
     import spark.implicits._
     if (st.nDocs == 0L) {
@@ -741,7 +847,7 @@ object InvertedIndex {
       case None => pruned
     }
     val dfs = live.groupBy(col("term"))
-      .agg(countDistinct(col("id")).cast(DoubleType).as("__df__"))
+      .agg(count(lit(1)).cast(DoubleType).as("__df__")) // (term, id) unique per layout
     val idf = log((lit(n) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
     val tf = col("tf").cast(DoubleType)
     val termScore = idf * tf /
@@ -751,13 +857,16 @@ object InvertedIndex {
       .groupBy(col("id"))
       .agg(sum(col("__qs__")).as("__sumqs__"),
         map_from_entries(collect_list(struct(col("term"), col("pos")))).as("__m__"))
-    // adjacency fold per consecutive ordered pair, unrolled as literals
+    // proximity fold per consecutive ordered pair, unrolled as literals
     // (bounded by the query length, like phraseTopK's start test); a doc
-    // missing either term of a pair coalesces to an empty array
+    // missing either term of a pair coalesces to an empty array. At
+    // slop = 0 `∃q: q > p ∧ q − p − 1 ≤ 0` is exactly `q = p + 1` —
+    // the adjacency form this generalizes.
     val emptyPos = array().cast("array<int>")
     val pairCols = ordered.zip(ordered.tail).map { case (a, b2) =>
       size(filter(coalesce(element_at(col("__m__"), a), emptyPos),
-        p => array_contains(coalesce(element_at(col("__m__"), b2), emptyPos), p + 1)))
+        p => exists(coalesce(element_at(col("__m__"), b2), emptyPos),
+          q => q > p && q - p - lit(1) <= lit(slop))))
         .cast(LongType)
     }
     val pairs =
@@ -771,6 +880,82 @@ object InvertedIndex {
           lit(proxWeight) * col("pairs").cast(DoubleType), 6))
       .select(col("id"), col("score"), col("bm25"), col("pairs"))
       .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** BM25F multi-FIELD scoring through per-field indexes — the Lucene
+    * multi-field shape (title boosted over body) with one [[build]]
+    * layout per field, the same "separate terms dictionary per field"
+    * decomposition Lucene itself uses. Simple BM25F
+    * (Robertson/Zaragoza):
+    * `score(d) = Σ_t idf(t) · tf̃ / (k1 + tf̃)` with the weighted
+    * field-normalized frequency
+    * `tf̃(t,d) = Σ_f boost_f · tf(t,f,d) / (1 − b_f + b_f·dl_f/avgdl_f)`
+    * and DOC-level idf (`df(t)` counts a doc once however many fields
+    * hold the term). Each field's probe is its own bucket-pruned read
+    * (cost ∝ that field's matched postings); per-field avgdl comes
+    * from each sidecar's exact longs. Determinism: the per-field
+    * contribution quantizes to 1e-9 longs BEFORE the cross-field sum
+    * and the per-term score quantizes again before the per-doc sum —
+    * both grouped sums are exact integer arithmetic, engine-exact for
+    * the oracle. Fields are (indexPath, boost, b); all field indexes
+    * must share one analyzer and cover the same documents. Emits
+    * (id, bm25f). */
+  def bm25fTopK(spark: SparkSession, fields: Seq[(String, Double, Double)],
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "need at least one (indexPath, boost, b) field")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stats = fields.map { case (p, _, _) => readStats(spark, p) }
+    val analyzer0 = stats.head.analyzer
+    require(stats.forall(_.analyzer == analyzer0),
+      "field indexes must share one analyzer")
+    val n = stats.head.nDocs
+    require(stats.forall(_.nDocs == n),
+      "field indexes must cover the same document set (equal n_docs)")
+    import spark.implicits._
+    if (n == 0L) return Seq.empty[(String, Double)].toDF("id", "bm25f")
+    val terms = queryTerms.flatMap(TextAnalysis.tokensOf(_, analyzer0)).distinct
+    val perField = fields.zip(stats).flatMap { case ((p, boost, bf), st) =>
+      require(bf >= 0 && bf <= 1, s"need 0 <= b <= 1 per field, got $bf")
+      val buckets = terms.toDF("term").select(termBucket(st.nBuckets).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      val dirs = probedBucketDirs(spark, p, buckets)
+      if (dirs.isEmpty) None else {
+        val avgdl = st.sumDl.toDouble / st.nDocs
+        val pruned = spark.read.option("basePath", s"$p/postings")
+          .parquet(dirs: _*)
+          .filter(col("bucket").isin(buckets: _*))
+          .filter(col("term").isin(terms: _*))
+        val live = tombstonesOf(spark, p) match {
+          case Some(t) =>
+            pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+          case None => pruned
+        }
+        Some(live.select(col("term"), col("id"),
+          round(lit(boost) * col("tf").cast(DoubleType) /
+            (lit(1.0 - bf) + lit(bf) * col("dl").cast(DoubleType) / lit(avgdl)) * 1e9)
+            .cast(LongType).as("__wtfq__")))
+      }
+    }
+    if (perField.isEmpty) return Seq.empty[(String, Double)].toDF("id", "bm25f")
+    val unioned = perField.reduce(_ unionByName _)
+    // DOC-level df: a doc counts once per term however many fields
+    // hold it — the one aggregate here that genuinely needs distinct
+    val dfs = unioned.select(col("term"), col("id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).cast(DoubleType).as("__df__"))
+    val idf = log((lit(n.toDouble) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
+    unioned
+      .groupBy(col("term"), col("id"))
+      .agg(sum(col("__wtfq__")).as("__wtfq__"))
+      .join(broadcast(dfs), Seq("term"))
+      .withColumn("__wtf__", col("__wtfq__").cast(DoubleType) / 1e9)
+      .withColumn("__qs__",
+        round(idf * col("__wtf__") / (lit(k1) + col("__wtf__")) * 1e9).cast(LongType))
+      .groupBy(col("id"))
+      .agg(round(sum(col("__qs__")).cast(DoubleType) / 1e9, 6).as("bm25f"))
+      .filter(col("bm25f") > 0d)
+      .orderBy(col("bm25f").desc, col("id"))
       .limit(k)
   }
 
@@ -815,6 +1000,99 @@ object InvertedIndex {
         col("first_off").cast(LongType).as("first_off"), col("snippet"))
   }
 
+  /** [[snippets]] with the doc text from the index's OWN doc store
+    * ([[fetchDocs]] — requires `storeText = true`) instead of a
+    * caller-supplied corpus frame: the whole render — match positions,
+    * ranking inputs, and the text itself — reads only term-bucket and
+    * dbucket directories proportional to the query and its matches,
+    * never the corpus. The match set is materialized first (it is
+    * output-sized by construction) because the doc fetch derives its
+    * pruned dbucket list from the matched ids. */
+  def snippets(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, phraseCol: String, window: Int): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
+    val st = readStats(spark, path)
+    val m = containsPhrases(spark, path, queries, qidCol, phraseCol)
+      .localCheckpoint(true)
+    val analyzedPhrase =
+      if (st.analyzer == "ws") col(phraseCol).cast(ArrayType(StringType))
+      else TextAnalysis.foldTermsArray(col(phraseCol).cast(ArrayType(StringType)))
+    val qLen = queries.select(col(qidCol).cast(StringType).as("qid"),
+      size(analyzedPhrase).as("__qlen__"))
+    val d = fetchDocs(spark, path, m.select(col("id")).distinct())
+      .select(col("id"), col("text").as("__text__"))
+    m.join(qLen, Seq("qid"))
+      .join(d, Seq("id"))
+      .withColumn("__toks__", TextAnalysis.tokens(col("__text__"), st.analyzer))
+      .withColumn("first_off", element_at(col("offsets"), 1))
+      .withColumn("__start__", greatest(col("first_off") - window, lit(0)))
+      .withColumn("snippet", array_join(
+        slice(col("__toks__"), col("__start__") + 1,
+          col("first_off") + col("__qlen__") + window - col("__start__")), " "))
+      .select(col("qid"), col("id"), col("n_phrase"),
+        col("first_off").cast(LongType).as("first_off"), col("snippet"))
+  }
+
+  /** MULTI-occurrence snippets — [[snippets]] beyond the first match: a
+    * doc with many phrase hits renders up to `maxPerDoc` context
+    * windows. Overlapping or touching windows MERGE (a run of nearby
+    * hits reads as one passage, not repeated half-identical slices):
+    * per (query, doc), each match offset opens the token interval
+    * [off − window, off + qlen − 1 + window]; ascending offsets make
+    * interval ends monotone, so the classic gap-and-island pass — a
+    * new island exactly where a start clears the previous end by more
+    * than one token — runs as one lag + running-sum window PARTITIONED
+    * by (qid, id) (bounded by a doc's match count; never global).
+    * Islands rank by start; the first `maxPerDoc` render. Text comes
+    * from the index's doc store ([[fetchDocs]]), so the whole render
+    * stays corpus-scan-free. Emits
+    * (qid, id, snip_no, n_hits, win_start, win_end, snippet) — n_hits
+    * = matches merged into the window, win_* = 0-based token bounds. */
+  def snippetsMulti(spark: SparkSession, path: String, queries: DataFrame,
+      qidCol: String, phraseCol: String, window: Int = 3,
+      maxPerDoc: Int = 3): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
+    require(maxPerDoc >= 1, s"maxPerDoc must be >= 1, got $maxPerDoc")
+    import org.apache.spark.sql.expressions.Window
+    val st = readStats(spark, path)
+    val m = containsPhrases(spark, path, queries, qidCol, phraseCol)
+      .localCheckpoint(true)
+    val analyzedPhrase =
+      if (st.analyzer == "ws") col(phraseCol).cast(ArrayType(StringType))
+      else TextAnalysis.foldTermsArray(col(phraseCol).cast(ArrayType(StringType)))
+    val qLen = queries.select(col(qidCol).cast(StringType).as("qid"),
+      size(analyzedPhrase).as("__qlen__"))
+    val occ = m.join(qLen, Seq("qid"))
+      .select(col("qid"), col("id"), col("__qlen__"),
+        explode(col("offsets")).as("off"))
+      .withColumn("s", greatest(col("off") - window, lit(0)).cast(LongType))
+      .withColumn("e", (col("off") + col("__qlen__") - 1 + window).cast(LongType))
+    val byOff = Window.partitionBy(col("qid"), col("id")).orderBy(col("off"))
+    val isl = occ
+      .withColumn("__new__",
+        when(col("s") > lag(col("e"), 1).over(byOff) + 1L, 1L)
+          .otherwise(when(lag(col("e"), 1).over(byOff).isNull, 1L).otherwise(0L)))
+      .withColumn("__isl__", sum(col("__new__"))
+        .over(byOff.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("qid"), col("id"), col("__isl__"))
+      .agg(count(lit(1)).as("n_hits"), min(col("s")).as("win_start"),
+        max(col("e")).as("win_end"))
+    val ranked = isl
+      .withColumn("snip_no", row_number()
+        .over(Window.partitionBy(col("qid"), col("id")).orderBy(col("win_start")))
+        .cast(IntegerType))
+      .filter(col("snip_no") <= maxPerDoc)
+    val d = fetchDocs(spark, path, m.select(col("id")).distinct())
+      .select(col("id"), col("text").as("__text__"))
+    ranked.join(d, Seq("id"))
+      .withColumn("__toks__", TextAnalysis.tokens(col("__text__"), st.analyzer))
+      .withColumn("snippet", array_join(
+        slice(col("__toks__"), (col("win_start") + 1).cast(IntegerType),
+          (col("win_end") - col("win_start") + 1).cast(IntegerType)), " "))
+      .select(col("qid"), col("id"), col("snip_no"), col("n_hits"),
+        col("win_start"), col("win_end"), col("snippet"))
+  }
+
   /** Per-term document frequency through the index: (term, df) for the
     * terms of `terms(termCol)`, from the pruned LIVE postings (term
     * buckets listed explicitly, tombstones anti-joined) — the rarity
@@ -844,7 +1122,7 @@ object InvertedIndex {
     }
     live.join(t, Seq("term"), "left_semi")
       .groupBy(col("term"))
-      .agg(countDistinct(col("id")).as("df"))
+      .agg(count(lit(1)).as("df")) // (term, id) unique per layout
   }
 
   /** Exact phrase search through the positional postings: documents
@@ -1206,6 +1484,29 @@ object InvertedIndex {
           rewriteDirsBatched(spark, s"$path/postings", "bucket", toRewrite,
             df => df.join(broadcast(tombIds), Seq("id"), "left_anti"))
         }
+        // doc-stats residue sweep: a delete that crashed between its
+        // tombstone append and its doc-stats rewrite leaves the dead
+        // doc's stats row behind (stats already decremented, probes
+        // already hiding it). Check only the tombstoned ids' OWN
+        // dbuckets (cost ∝ tombstones, id column alone) and rewrite
+        // the buckets that really hold residue — normally none.
+        val st = readStats(spark, path)
+        val resBuckets = tombs
+          .select(docBucket(st.nDocBuckets).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          .filter(b => fs.exists(new org.apache.hadoop.fs.Path(
+            s"$path/docstats/dbucket=$b")))
+        if (resBuckets.nonEmpty) {
+          val withRes = spark.read.option("basePath", s"$path/docstats")
+            .parquet(resBuckets.map(b => s"$path/docstats/dbucket=$b"): _*)
+            .join(broadcast(tombIds), Seq("id"), "left_semi")
+            .select(col("dbucket").cast(LongType))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          if (withRes.nonEmpty) {
+            rewriteDirsBatched(spark, s"$path/docstats", "dbucket", withRes,
+              df => df.join(broadcast(tombIds), Seq("id"), "left_anti"))
+          }
+        }
         val skipped = existing.toSet -- toRewrite.toSet
         if (skipped.isEmpty && hasTb || (!hasTb && minTombFrac <= 0d)) {
           // every bucket holding a tombstoned posting was rewritten —
@@ -1229,8 +1530,21 @@ object InvertedIndex {
             val old = new org.apache.hadoop.fs.Path(s"$path/.tombstones.old")
             fs.delete(old, true)
             require(fs.rename(tPath, old), s"rename-away of $tPath failed")
-            require(fs.rename(stage, tPath), s"rename of rewritten $tPath failed")
-            fs.delete(old, true)
+            if (fs.rename(stage, tPath)) fs.delete(old, true)
+            else {
+              // a concurrent probe's healTombstoneSwap can rename
+              // `.tombstones.old` back into place exactly in this
+              // window (rename is first-wins) — then the FULL
+              // pre-compact set is live again, which is safe:
+              // retirement is an optimization, probes just anti-join
+              // a superset and the next compact repays it. Tolerate by
+              // dropping the stage instead of crashing the maintenance
+              // job; anything else is a real failure.
+              healTombstoneSwap(fs, path)
+              require(fs.exists(tPath),
+                s"tombstone swap at $path failed with no set to heal back")
+              fs.delete(stage, true)
+            }
           }
         }
         // legacy id-only set with a fraction gate: per-id retirement is

@@ -30,7 +30,15 @@ object TextAnalysis {
     * silently disagree (zero recall, no error). `split(" ", -1)`
     * matches the Column form exactly: single literal space, empty
     * tokens kept (Scala's 1-arg `split` drops trailing empties, which
-    * would NOT match). */
+    * would NOT match).
+    *
+    * CONSEQUENCE for probe callers: every probe path flatMaps its
+    * query terms through this (under `ws` as well as `fold`), so a
+    * space-containing "term" SPLITS into its words and each word
+    * matches independently — it does not silently match nothing, and
+    * it is NOT a phrase (use [[InvertedIndex.phraseTopK]] /
+    * `mustPhrases` for consecutive-match semantics). An indexed token
+    * can never contain a space, so no recall is lost by splitting. */
   def tokensOf(text: String): Seq[String] = text.split(" ", -1).toSeq
 
   /** Case/punctuation-folding normalizer — the opt-in `fold` analyzer's
@@ -356,12 +364,40 @@ object TextAnalysis {
     // selection and retrieval can never disagree on token space
     val tf = seedTermFreqs(docs, idCol, textCol, seedIds, st.analyzer)
       .localCheckpoint(true)
+    mltFromSeedTf(spark, indexPath, st.nDocs, tf, nTerms)
+  }
+
+  /** [[mltQueriesIdx]] with the seed TEXT from the index's own doc
+    * store ([[InvertedIndex.fetchDocs]] — requires an index built with
+    * `storeText = true`) — the fully corpus-scan-free serving shape:
+    * the seed fetch reads only the seeds' dbucket directories, term
+    * rarity comes from the bucket-pruned postings, N from the stats
+    * sidecar. Nothing in the call touches the corpus at all, so a
+    * 5-seed MLT call costs the same against 500k docs or 100 TB. Seed
+    * ids absent from the index (or tombstoned) contribute no query
+    * row, exactly as a semi-join against the corpus would drop them. */
+  def mltQueriesIdx(spark: SparkSession, indexPath: String,
+      seedIds: DataFrame, nTerms: Int): DataFrame = {
+    require(nTerms >= 1, s"nTerms must be >= 1, got $nTerms")
+    val st = InvertedIndex.readStats(spark, indexPath)
+    val tf = InvertedIndex.fetchDocs(spark, indexPath, seedIds)
+      .select(col("id").as("qid"),
+        explode(tokens(col("text"), st.analyzer)).as("tok"))
+      .groupBy(col("qid"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    mltFromSeedTf(spark, indexPath, st.nDocs, tf, nTerms)
+  }
+
+  /** Shared tail of the index-backed MLT variants: score the seed
+    * (qid, tok, tf) frame with index df + sidecar N, rank to terms. */
+  private def mltFromSeedTf(spark: SparkSession, indexPath: String,
+      nDocs: Long, tf: DataFrame, nTerms: Int): DataFrame = {
     val dfreq = InvertedIndex.termDfs(spark, indexPath,
       tf.select(col("tok")).distinct(), "tok")
       .withColumnRenamed("term", "tok")
     val scored = tf.join(dfreq, Seq("tok"))
       .withColumn("score",
-        col("tf").cast(DoubleType) * log(lit(st.nDocs.toDouble) / col("df").cast(DoubleType)))
+        col("tf").cast(DoubleType) * log(lit(nDocs.toDouble) / col("df").cast(DoubleType)))
     rankedTerms(scored, nTerms)
   }
 
@@ -462,6 +498,71 @@ object TextAnalysis {
     gated.select(col("id"), round(score, 6).as("bm25"))
       .filter(col("bm25") > 0d)
       .orderBy(col("bm25").desc, col("id"))
+      .limit(k)
+  }
+
+  /** BM25F multi-FIELD top-k over the corpus scan — the Lucene
+    * title-boosted-over-body shape, simple BM25F (Robertson/Zaragoza):
+    * `score(d) = Σ_t idf(t) · tf̃ / (k1 + tf̃)` with
+    * `tf̃(t,d) = Σ_f boost_f · tf(t,f,d) / (1 − b_f + b_f·dl_f/avgdl_f)`
+    * and DOC-level idf (df counts a doc once if the term appears in
+    * ANY field). Same two-pass scale shape as [[bm25TopK]]: pass 1 is
+    * one aggregate row (N, per-field avgdl, per-term any-field df)
+    * re-planted as literals; pass 2 is in-row HOF term counts per
+    * field reduced through TakeOrderedAndProject — no data-sized
+    * shuffle. Determinism matches the index twin
+    * ([[InvertedIndex.bm25fTopK]]): per-field contributions quantize
+    * to 1e-9 longs before the cross-field sum, per-term scores before
+    * the per-doc sum — both sums exact integer arithmetic, so the two
+    * forms agree score-for-score over the same corpus. `fields` =
+    * (textCol, boost, b) in a FIXED caller-chosen order. Emits
+    * (id, bm25f). */
+  def bm25fTopK(df: DataFrame, idCol: String,
+      fields: Seq[(String, Double, Double)], queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, analyzer: String = "ws"): DataFrame = {
+    require(fields.nonEmpty, "need at least one (textCol, boost, b) field")
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0, s"k1 must be >= 0, got $k1")
+    fields.foreach { case (_, _, bf) =>
+      require(bf >= 0 && bf <= 1, s"need 0 <= b <= 1 per field, got $bf") }
+    val terms = queryTerms.flatMap(tokensOf(_, analyzer)).distinct
+    val base = df.select(col(idCol).as("id") +:
+      fields.zipWithIndex.flatMap { case ((c, _, _), i) =>
+        val t = tokens(col(c), analyzer)
+        Seq(t.as(s"__toks${i}__"), size(t).cast(DoubleType).as(s"__dl${i}__"))
+      }: _*)
+    // pass 1: one tiny stats row — N, per-field avgdl, any-field df
+    val statAggs =
+      Seq(count(lit(1)).cast(DoubleType).as("n")) ++
+        fields.indices.map(i => avg(col(s"__dl${i}__")).as(s"avgdl$i")) ++
+        terms.zipWithIndex.map { case (t, j) =>
+          sum(when(fields.indices
+              .map(i => array_contains(col(s"__toks${i}__"), t)).reduce(_ || _),
+            1d).otherwise(0d)).as(s"df_$j")
+        }
+    val stats = base.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val n = stats.getDouble(0)
+    if (n == 0d) {
+      return df.select(col(idCol).as("id"), lit(0d).as("bm25f")).limit(0)
+    }
+    val avgdls = fields.indices.map(i => stats.getDouble(1 + i))
+    // pass 2: in-row per-field tf against the literals, quantized sums
+    val score = terms.zipWithIndex.map { case (t, j) =>
+      val dfT = stats.getDouble(1 + fields.size + j)
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val wtfQ = fields.zipWithIndex.map { case ((_, boost, bf), i) =>
+        val tf = size(filter(col(s"__toks${i}__"), x => x === lit(t))).cast(DoubleType)
+        round(lit(boost) * tf /
+          (lit(1.0 - bf) + lit(bf) * col(s"__dl${i}__") / lit(avgdls(i))) * 1e9)
+          .cast(LongType)
+      }.reduce(_ + _)
+      val wtf = wtfQ.cast(DoubleType) / 1e9
+      round(lit(idf) * wtf / (lit(k1) + wtf) * 1e9).cast(LongType)
+    }.reduce(_ + _)
+    base.select(col("id"), round(score.cast(DoubleType) / 1e9, 6).as("bm25f"))
+      .filter(col("bm25f") > 0d)
+      .orderBy(col("bm25f").desc, col("id"))
       .limit(k)
   }
 

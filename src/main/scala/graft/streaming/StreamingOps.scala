@@ -776,8 +776,17 @@ object StreamingOps {
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) {
           val spark = b.sparkSession
-          val q = graft.operators.TextAnalysis.mltQueriesIdx(
-            spark, indexPath, corpus, idCol, textCol, b, nTerms)
+          // when the index stores document text, the seed pass is a
+          // doc-store point lookup (dbucket-pruned — nothing reads the
+          // corpus at all); otherwise fall back to the seed-gated
+          // corpus scan
+          val storesText =
+            graft.operators.InvertedIndex.readStats(spark, indexPath).storesText
+          val q =
+            if (storesText) graft.operators.TextAnalysis.mltQueriesIdx(
+              spark, indexPath, b, nTerms)
+            else graft.operators.TextAnalysis.mltQueriesIdx(
+              spark, indexPath, corpus, idCol, textCol, b, nTerms)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("qid")).orderBy(col("rank"))
           graft.operators.InvertedIndex.bm25TopKBatch(
@@ -823,7 +832,8 @@ object StreamingOps {
       ivfBqPath: Option[String] = None,
       invPath: Option[String] = None,
       invCompactTombstones: Long = 1000000L,
-      invCompactMinTombFrac: Double = 0.0): StreamingQuery = {
+      invCompactMinTombFrac: Double = 0.0,
+      invCompactHardCap: Long = 0L): StreamingQuery = {
     // the compaction trigger RATCHETS past retained debt: a fraction
     // gate (invCompactMinTombFrac > 0) deliberately keeps cold buckets'
     // tombstones, and a fixed total-count trigger would then re-run the
@@ -832,6 +842,20 @@ object StreamingOps {
     // a pre-pass is paid once per threshold's worth of NEW debt.
     // (foreachBatch runs on the driver, so the var is plain stream
     // state, like tombstoneStreamServing's retirement queue.)
+    //
+    // The ratchet alone is UNBOUNDED when deletes spread so thinly
+    // that no bucket ever reaches the per-bucket fraction — retained
+    // debt then grows forever and every probe broadcasts an
+    // ever-growing anti-join set, defeating the bound the trigger
+    // exists to enforce. So a HARD CEILING backs it: past
+    // `invCompactHardCap` total tombstones (default 8× the threshold)
+    // the compaction runs FULL (minTombFrac = 0), repaying every
+    // bucket and clearing the set regardless of how cold each bucket
+    // is. Incrementality is a cost optimization; the cap is the
+    // correctness-of-scale bound.
+    val invHardCap =
+      if (invCompactHardCap > 0L) invCompactHardCap
+      else 8L * invCompactTombstones
     var invNextTrigger = invCompactTombstones
     ids.writeStream
       .outputMode("append")
@@ -850,10 +874,14 @@ object StreamingOps {
             graft.operators.InvertedIndex.delete(spark, p, list)
             // debt-gated repayment; invCompactMinTombFrac > 0 makes it
             // INCREMENTAL (only buckets past the per-bucket tombstoned
-            // fraction rewrite; repaid ids retire, the rest stay hidden)
-            if (graft.operators.InvertedIndex.tombstoneCount(spark, p) >= invNextTrigger) {
+            // fraction rewrite; repaid ids retire, the rest stay
+            // hidden) — until the hard cap, where the compact runs
+            // FULL so retained debt can never grow without bound
+            val outstanding = graft.operators.InvertedIndex.tombstoneCount(spark, p)
+            if (outstanding >= invNextTrigger || outstanding >= invHardCap) {
               graft.operators.InvertedIndex.compact(spark, p,
-                minTombFrac = invCompactMinTombFrac)
+                minTombFrac =
+                  if (outstanding >= invHardCap) 0.0 else invCompactMinTombFrac)
               invNextTrigger = graft.operators.InvertedIndex.tombstoneCount(spark, p) +
                 invCompactTombstones
             }

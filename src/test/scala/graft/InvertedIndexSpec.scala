@@ -736,6 +736,224 @@ class InvertedIndexSpec extends AnyFunSuite {
       key(InvertedIndex.bm25TopK(spark, cachedFullIdx, terms, k = 10)))
   }
 
+  test("doc store: fetchDocs is a point lookup — present, absent, tombstoned, and the storeText gate") {
+    val path = tmp("docstore")
+    val d = docs.filter(col("doc_id") < 200)
+    InvertedIndex.build(d, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4,
+      storeText = true)
+    // present ids come back with exact dl + raw text
+    val got = InvertedIndex.fetchDocs(spark, path,
+        Seq("3", "7", "11", "9999").toDF("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val want = d.filter(col("doc_id").isin(3, 7, 11))
+      .select(col("doc_id").cast("string"), size(split(col("text"), " ")).cast("long"),
+        col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq) // absent id 9999 contributes nothing
+    // a tombstoned doc disappears from the fetch immediately
+    InvertedIndex.delete(spark, path, Seq("7"))
+    assert(InvertedIndex.fetchDocs(spark, path, Seq("7", "3").toDF("id"))
+      .collect().map(_.getString(0)).toSeq == Seq("3"))
+    // appended docs are fetchable (stage inherits the sidecar flag)
+    InvertedIndex.append(spark, path,
+      Seq(("n1", "fresh appended text")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(InvertedIndex.fetchDocs(spark, path, Seq("n1").toDF("id"))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("n1", "fresh appended text")))
+    // an index that does not store text fails fast instead of
+    // returning an empty frame that looks like "no such ids"
+    val bare = tmp("docstorebare")
+    InvertedIndex.build(d, "doc_id", "text", bare, nBuckets = 8, nDocBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.fetchDocs(spark, bare, Seq("3").toDF("id")) }
+    assert(e.getMessage.contains("storeText"))
+  }
+
+  test("delete replay converges: re-delete of tombstoned ids is a full no-op") {
+    val path = tmp("delreplay")
+    InvertedIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text", path,
+      nBuckets = 8, nDocBuckets = 4, storeText = true)
+    InvertedIndex.delete(spark, path, Seq("1", "2", "3"))
+    val st1 = InvertedIndex.readStats(spark, path)
+    val tomb1 = InvertedIndex.tombstoneCount(spark, path)
+    // replaying the SAME delete (a crashed caller's retry) must not
+    // double-decrement stats or duplicate tombstone rows
+    InvertedIndex.delete(spark, path, Seq("1", "2", "3"))
+    assert(InvertedIndex.readStats(spark, path) == st1)
+    assert(InvertedIndex.tombstoneCount(spark, path) == tomb1)
+  }
+
+  test("compact sweeps doc-stats residue of a delete that crashed before its rewrite") {
+    val path = tmp("delresidue")
+    val d = docs.filter(col("doc_id") < 300)
+    InvertedIndex.build(d, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4,
+      storeText = true)
+    // snapshot doc 5's doc-stats row, delete it, then put the row BACK
+    // into its dbucket dir — exactly the state a crash between the
+    // tombstone append and the doc-stats rewrite leaves behind
+    val row5 = spark.read.parquet(s"$path/docstats")
+      .filter(col("id") === "5").drop("dbucket").localCheckpoint(true)
+    val bucket5 = spark.read.parquet(s"$path/docstats")
+      .filter(col("id") === "5")
+      .select(col("dbucket")).collect()(0).getInt(0)
+    InvertedIndex.delete(spark, path, Seq("5"))
+    val stAfterDelete = InvertedIndex.readStats(spark, path)
+    row5.coalesce(1).write.mode("append").parquet(s"$path/docstats/dbucket=$bucket5")
+    // residue visible nowhere user-facing: the fetch anti-joins tombstones
+    assert(InvertedIndex.fetchDocs(spark, path, Seq("5").toDF("id")).isEmpty)
+    // compact physically sweeps it and never touches the stats
+    InvertedIndex.compact(spark, path)
+    assert(spark.read.parquet(s"$path/docstats").filter(col("id") === "5").isEmpty)
+    assert(InvertedIndex.readStats(spark, path) == stAfterDelete)
+    assert(InvertedIndex.tombstoneCount(spark, path) == 0L)
+    // and the id is re-appendable after the full compact, as always
+    InvertedIndex.append(spark, path,
+      Seq(("5", "replacement text")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(InvertedIndex.fetchDocs(spark, path, Seq("5").toDF("id"))
+      .collect()(0).getString(2) == "replacement text")
+  }
+
+  test("snippetsMulti: overlapping windows merge, top-M by start, offsets exact") {
+    val path = tmp("snipmulti")
+    val corpus = Seq(
+      ("d0", "a spark join b spark join c d e f g spark join x"),
+      ("d1", "nothing to see here"))
+      .toDF("doc_id", "text")
+    InvertedIndex.build(corpus, "doc_id", "text", path, nBuckets = 4,
+      nDocBuckets = 2, storeText = true)
+    val q = Seq(("q0", Seq("spark", "join"))).toDF("qid", "phrase")
+    // offsets 1, 4, 11; window=1, qlen=2 → intervals [0,3] [3,6] [10,13]:
+    // the first two OVERLAP → one merged [0,6] window of 2 hits; the
+    // third stands alone
+    val got = InvertedIndex.snippetsMulti(spark, path, q, "qid", "phrase",
+        window = 1, maxPerDoc = 3)
+      .orderBy(col("id"), col("snip_no"))
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(got.toSeq == Seq(
+      ("d0", 1, 2L, 0L, 6L, "a spark join b spark join c"),
+      ("d0", 2, 1L, 10L, 13L, "g spark join x")))
+    // maxPerDoc truncates by start order
+    assert(InvertedIndex.snippetsMulti(spark, path, q, "qid", "phrase",
+      window = 1, maxPerDoc = 1).count() == 1L)
+    // the doc-store snippets overload matches the corpus-frame one
+    val viaStore = InvertedIndex.snippets(spark, path, q, "qid", "phrase", 3)
+      .orderBy(col("id")).collect().toSeq
+    val viaCorpus = InvertedIndex.snippets(spark, path, corpus, "doc_id", "text",
+        q, "qid", "phrase", window = 3)
+      .orderBy(col("id")).collect().toSeq
+    assert(viaStore == viaCorpus)
+  }
+
+  test("sloppy proximity: slop=0 is adjacency; slop widens ordered matches only") {
+    val path = tmp("slop")
+    val corpus = Seq(
+      ("adj", "spark join x x x x"),   // adjacent pair
+      ("gap1", "spark x join x x x"),  // one intervening token
+      ("gap2", "spark x x join x x"),  // two intervening tokens
+      ("rev", "join x spark x x x"))   // wrong order — never a pair
+      .toDF("doc_id", "text")
+    InvertedIndex.build(corpus, "doc_id", "text", path, nBuckets = 4, nDocBuckets = 2)
+    def pairs(slop: Int): Map[String, Long] =
+      InvertedIndex.bm25ProxTopK(spark, path, Seq("spark", "join"), k = 10,
+          slop = slop)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(pairs(0) == Map("adj" -> 1L, "gap1" -> 0L, "gap2" -> 0L, "rev" -> 0L))
+    assert(pairs(1) == Map("adj" -> 1L, "gap1" -> 1L, "gap2" -> 0L, "rev" -> 0L))
+    assert(pairs(2) == Map("adj" -> 1L, "gap1" -> 1L, "gap2" -> 1L, "rev" -> 0L))
+    // the bm25 part is identical across slops (only the boost moves)
+    def bm25s(slop: Int): Map[String, Double] =
+      InvertedIndex.bm25ProxTopK(spark, path, Seq("spark", "join"), k = 10,
+          slop = slop)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(bm25s(0) == bm25s(2))
+  }
+
+  test("boolean BM25 phrase clause gates candidates without changing scores") {
+    val path = cachedFullIdx
+    val base = InvertedIndex.bm25BooleanTopK(spark, path,
+        must = Seq("spark"), should = Seq("vector", "join"),
+        mustNot = Seq("slow"), k = 500)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val phrased = InvertedIndex.bm25BooleanTopK(spark, path,
+        must = Seq("spark"), should = Seq("vector", "join"),
+        mustNot = Seq("slow"), k = 500,
+        mustPhrases = Seq(Seq("spark", "join")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(phrased.nonEmpty && phrased.size < base.size)
+    // survivors: subset of the termwise result, scores unchanged
+    phrased.foreach { case (id, s) => assert(base(id) == s) }
+    // exactly the docs with a consecutive match survive
+    val withPhrase = InvertedIndex.phraseTopK(spark, path,
+        Seq("spark", "join"), k = 100000)
+      .collect().map(_.getString(0)).toSet
+    assert(phrased.keySet == base.keySet.intersect(withPhrase))
+  }
+
+  test("BM25F: per-field indexes agree with the corpus scan score for score") {
+    val d = docs.filter(col("doc_id") < 400)
+      .withColumn("title", array_join(slice(split(col("text"), " "), 1, 8), " "))
+    val bodyIdx = tmp("f_body"); val titleIdx = tmp("f_title")
+    InvertedIndex.build(d, "doc_id", "text", bodyIdx, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.build(d, "doc_id", "title", titleIdx, nBuckets = 8, nDocBuckets = 4)
+    val viaIdx = InvertedIndex.bm25fTopK(spark,
+        Seq((titleIdx, 2.0, 0.6), (bodyIdx, 1.0, 0.75)), terms, k = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaScan = TextAnalysis.bm25fTopK(d, "doc_id",
+        Seq(("title", 2.0, 0.6), ("text", 1.0, 0.75)), terms, k = 10)
+      .collect().map(r => (r.getLong(0).toString, r.getDouble(1))).toSeq
+    assert(viaIdx.map(_._1) == viaScan.map(_._1))
+    // both quantize identically — scores agree exactly, not within ulp
+    viaIdx.zip(viaScan).foreach { case ((_, a), (_, b)) => assert(a == b) }
+    // the boost matters: title-heavy scoring differs from plain BM25
+    val plain = key(InvertedIndex.bm25TopK(spark, bodyIdx, terms, k = 10))
+    assert(viaIdx.map(_._2) != plain.map(_._2))
+  }
+
+  test("ws analyzer: a space-containing query term splits into its words (pinned contract)") {
+    val path = cachedFullIdx
+    assert(key(InvertedIndex.bm25TopK(spark, path, Seq("spark join"), k = 10)) ==
+      key(InvertedIndex.bm25TopK(spark, path, Seq("spark", "join"), k = 10)))
+  }
+
+  test("tombstone hard cap forces a full compact when thin deletes defeat the fraction gate") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("hardcap")
+    InvertedIndex.build(docs.filter(col("doc_id") < 500), "doc_id", "text", path,
+      nBuckets = 8, nDocBuckets = 4)
+    val watch = java.nio.file.Files.createTempDirectory("hardcap_watch")
+    def stage(name: String, ids: Seq[Long], mtime: Long): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory(s"hardcap_$name")
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = watch.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stage("b1", (0L until 10L).toSeq, t0)
+    stage("b2", (10L until 20L).toSeq, t0 + 5000)
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+    // fraction gate so strict nothing ever rewrites incrementally, and
+    // a ratchet threshold the 20 deletes never reach — only the hard
+    // cap (15) can fire, and it must fire as a FULL compact
+    val q = graft.streaming.StreamingOps.tombstoneStream(stream, "id",
+      invPath = Some(path), invCompactTombstones = 1000L,
+      invCompactMinTombFrac = 0.99, invCompactHardCap = 15L)
+    try q.processAllAvailable() finally q.stop()
+    assert(InvertedIndex.tombstoneCount(spark, path) == 0L)
+    val st = InvertedIndex.readStats(spark, path)
+    assert(st.nDocs == 480L)
+    val top = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)).map(_._1)
+    assert((0L until 20L).map(_.toString).forall(id => !top.contains(id)))
+  }
+
   private lazy val cachedFullIdx: String = {
     val p = tmp("fullref")
     InvertedIndex.build(docs, "doc_id", "text", p, nBuckets = 8, nDocBuckets = 4)
