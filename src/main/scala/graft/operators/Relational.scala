@@ -92,14 +92,19 @@ object Relational {
       targetRows: Long): DataFrame = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-    val denomW = org.apache.spark.sql.expressions.Window
-      .partitionBy()
+    // the denominator is ONE scalar (Σ√n over the groups-sized counts
+    // frame) — a broadcast cross join, not an unpartitioned window:
+    // Window.partitionBy() funnels every row through one task and
+    // WARNs on every run, noise that would mask a real missing
+    // partitionBy elsewhere
     counts
       .withColumn("__sq__", sqrt(col("n").cast(DoubleType)))
-      .withColumn("share", col("__sq__") / sum(col("__sq__")).over(denomW))
+      .crossJoin(broadcast(
+        counts.agg(sum(sqrt(col("n").cast(DoubleType))).as("__den__"))))
+      .withColumn("share", col("__sq__") / col("__den__"))
       .withColumn("rate",
         least(lit(1.0), lit(targetRows.toDouble) * col("share") / col("n").cast(DoubleType)))
-      .drop("__sq__")
+      .drop("__sq__", "__den__")
   }
 
   /** Apply [[temperatureMixRates]] as a deterministic filter: keep a row
@@ -133,13 +138,16 @@ object Relational {
       targetRows: Long): DataFrame = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-    val denomW = org.apache.spark.sql.expressions.Window.partitionBy()
+    // scalar denominator via broadcast cross join — same reasoning as
+    // temperatureMixRates
     counts
       .withColumn("__sq__", sqrt(col("n").cast(DoubleType)))
-      .withColumn("share", col("__sq__") / sum(col("__sq__")).over(denomW))
+      .crossJoin(broadcast(
+        counts.agg(sum(sqrt(col("n").cast(DoubleType))).as("__den__"))))
+      .withColumn("share", col("__sq__") / col("__den__"))
       .withColumn("weight",
         lit(targetRows.toDouble) * col("share") / col("n").cast(DoubleType))
-      .drop("__sq__")
+      .drop("__sq__", "__den__")
   }
 
   /** [[upsampleRepeat]] with weights from a DATAFRAME instead of a
