@@ -771,6 +771,30 @@ object StreamingOps {
   def mltStream(seedIds: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, indexPath: String, outPath: String,
       nTerms: Int = 5, k: Int = 10): StreamingQuery =
+    mltStreamImpl(seedIds, Some((corpus, idCol, textCol)), indexPath, outPath,
+      nTerms, k)
+
+  /** [[mltStream]] serving entirely from the index's own DOC STORE —
+    * the corpus-free signature a doc-store-backed deployment should
+    * use: no caller ever supplies (or pays to construct) a corpus
+    * frame the serving path never reads. Fails fast at stream SETUP
+    * when the index does not store text (`storesText` in the sidecar
+    * — build with `storeText = true` or retrofit via
+    * [[graft.operators.InvertedIndex.addDocStore]]), rather than on
+    * the first microbatch. */
+  def mltStream(seedIds: DataFrame, indexPath: String, outPath: String,
+      nTerms: Int, k: Int): StreamingQuery = {
+    require(graft.operators.InvertedIndex
+        .readStats(seedIds.sparkSession, indexPath).storesText,
+      s"mltStream without a corpus frame needs the index at $indexPath to " +
+        "store document text — build it with storeText = true or retrofit " +
+        "via InvertedIndex.addDocStore, or use the corpus-fallback overload")
+    mltStreamImpl(seedIds, None, indexPath, outPath, nTerms, k)
+  }
+
+  private def mltStreamImpl(seedIds: DataFrame,
+      corpusFallback: Option[(DataFrame, String, String)], indexPath: String,
+      outPath: String, nTerms: Int, k: Int): StreamingQuery =
     seedIds.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -785,8 +809,14 @@ object StreamingOps {
           val q =
             if (storesText) graft.operators.TextAnalysis.mltQueriesIdx(
               spark, indexPath, b, nTerms)
-            else graft.operators.TextAnalysis.mltQueriesIdx(
-              spark, indexPath, corpus, idCol, textCol, b, nTerms)
+            else corpusFallback match {
+              case Some((corpus, idCol, textCol)) =>
+                graft.operators.TextAnalysis.mltQueriesIdx(
+                  spark, indexPath, corpus, idCol, textCol, b, nTerms)
+              case None => throw new IllegalStateException(
+                s"index at $indexPath lost its doc store mid-stream and no " +
+                  "corpus fallback was wired")
+            }
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("qid")).orderBy(col("rank"))
           graft.operators.InvertedIndex.bm25TopKBatch(
@@ -833,7 +863,15 @@ object StreamingOps {
       invPath: Option[String] = None,
       invCompactTombstones: Long = 1000000L,
       invCompactMinTombFrac: Double = 0.0,
-      invCompactHardCap: Long = 0L): StreamingQuery = {
+      invCompactHardCap: Long = 0L,
+      invPaths: Seq[String] = Seq.empty): StreamingQuery = {
+    // `invPaths` is the BM25F-group form: EVERY listed index gets the
+    // same per-batch delete (InvertedIndex.deleteFields semantics — a
+    // group stays coherent only when deletes apply to all its field
+    // indexes), each with its own independent compaction ratchet; a
+    // batch that crashes mid-group heals on replay because re-deleting
+    // a tombstoned id is a per-index no-op.
+    val allInv = (invPath.toSeq ++ invPaths).distinct
     // the compaction trigger RATCHETS past retained debt: a fraction
     // gate (invCompactMinTombFrac > 0) deliberately keeps cold buckets'
     // tombstones, and a fixed total-count trigger would then re-run the
@@ -856,7 +894,8 @@ object StreamingOps {
     val invHardCap =
       if (invCompactHardCap > 0L) invCompactHardCap
       else 8L * invCompactTombstones
-    var invNextTrigger = invCompactTombstones
+    val invNextTrigger = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(invCompactTombstones)
     ids.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -870,7 +909,7 @@ object StreamingOps {
           dedupIndexPath.foreach(p => graft.operators.DedupIndex.delete(spark, p, list))
           bqIndexPath.foreach(p => graft.operators.Ann.bqDeleteSave(spark, p, list))
           ivfBqPath.foreach(p => graft.operators.Ann.ivfBqDeleteSave(spark, p, list))
-          invPath.foreach { p =>
+          allInv.foreach { p =>
             graft.operators.InvertedIndex.delete(spark, p, list)
             // debt-gated repayment; invCompactMinTombFrac > 0 makes it
             // INCREMENTAL (only buckets past the per-bucket tombstoned
@@ -878,11 +917,11 @@ object StreamingOps {
             // hidden) — until the hard cap, where the compact runs
             // FULL so retained debt can never grow without bound
             val outstanding = graft.operators.InvertedIndex.tombstoneCount(spark, p)
-            if (outstanding >= invNextTrigger || outstanding >= invHardCap) {
+            if (outstanding >= invNextTrigger(p) || outstanding >= invHardCap) {
               graft.operators.InvertedIndex.compact(spark, p,
                 minTombFrac =
                   if (outstanding >= invHardCap) 0.0 else invCompactMinTombFrac)
-              invNextTrigger = graft.operators.InvertedIndex.tombstoneCount(spark, p) +
+              invNextTrigger(p) = graft.operators.InvertedIndex.tombstoneCount(spark, p) +
                 invCompactTombstones
             }
           }
