@@ -828,6 +828,45 @@ object SparkEntry {
       path
     })
 
+  /** Per-JVM (title, body) field-index PAIR for the multi-field DELETE
+    * lifecycle key: a fresh BM25F group with doc_id < 10 removed
+    * through [[InvertedIndex.deleteFields]] — the one coherent way to
+    * delete from a group (a delete applied to a single field index
+    * desyncs the sidecars' live-id fingerprints and every BM25F call
+    * fails fast). Fresh builds, not the shared caches: deleteFields
+    * MUTATES its indexes. */
+  private val invIdxFieldsDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def cachedInvIdxFieldsDel(s: SparkSession,
+      dir: String): (String, String) =
+    invIdxFieldsDelCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val d = Tables.documents(s, dir)
+      val title = java.nio.file.Files.createTempDirectory("invidxtd").toString
+      val body = java.nio.file.Files.createTempDirectory("invidxbd").toString
+      InvertedIndex.build(d.withColumn("title", titleCol), "doc_id", "title",
+        title, nBuckets = 16, nDocBuckets = 8)
+      InvertedIndex.build(d, "doc_id", "text", body,
+        nBuckets = 16, nDocBuckets = 8)
+      InvertedIndex.deleteFields(s, Seq(title, body), (0 until 10).map(_.toString))
+      (title, body)
+    })
+
+  /** Per-JVM RETROFITTED doc-store index: built WITHOUT storeText, then
+    * [[InvertedIndex.addDocStore]] rewrites only the doc-stats layout
+    * with the text column joined in (postings byte-untouched) and flips
+    * the sidecar at the commit point — the incremental path an existing
+    * deployment takes instead of a full rebuild. */
+  private val invIdxBackfillCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def cachedInvIdxBackfill(s: SparkSession, dir: String): String =
+    invIdxBackfillCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("invidxbf").toString
+      val d = Tables.documents(s, dir)
+      InvertedIndex.build(d, "doc_id", "text", path, nBuckets = 16, nDocBuckets = 8)
+      InvertedIndex.addDocStore(s, path, d, "doc_id", "text")
+      path
+    })
+
   /** Order-independent exact sum in integer cents (bit-identical across
     * engines; DECIMAL casts of doubles are not — 1-ulp divergence). */
   private def decSum(c: Column): Column =
@@ -1751,6 +1790,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Text: doc-store BACKFILL — the retrofit path for an index built
+    // WITHOUT storeText: addDocStore rewrites only the doc-stats
+    // layout with the text joined in (postings byte-untouched, spec-
+    // pinned) and flips the sidecar at the commit point; fetchDocs
+    // then serves point lookups exactly as on a text-built index.
+    "text_docstore_backfill" -> ((s, dir) => {
+      import s.implicits._
+      InvertedIndex.fetchDocs(s, cachedInvIdxBackfill(s, dir),
+          Seq("2", "5", "9").toDF("id"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: TERM highlighting for NON-phrase results — the render path
+    // a plain BM25 top-k was missing (snippets need phrase offsets):
+    // every query-term occurrence in the top-10 docs comes from the
+    // POSITIONAL postings (docs never re-scanned for matches), each
+    // opens a ±2-token window, overlapping/touching windows merge
+    // across ALL three terms (gap-and-island per doc), the first 2
+    // windows render through the doc store.
+    "text_highlight" -> ((s, dir) => {
+      val idx = cachedInvIdx(s, dir)
+      val top = InvertedIndex.bm25TopK(s, idx,
+        Seq("spark", "vector", "join"), k = 10).select(col("id"))
+      InvertedIndex.highlightTerms(s, idx, top,
+          Seq("spark", "vector", "join"), window = 2, maxPerDoc = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("snip_no"))
+    }),
+
     // Text: MORE-LIKE-THIS with INDEX-BACKED term selection AND the
     // seed text from the index's own DOC STORE — the fully
     // corpus-scan-free serving shape: the seed fetch reads only the
@@ -1801,6 +1870,41 @@ object SparkEntry {
         .orderBy(col("bm25f").desc, col("doc_id"))
     }),
 
+    // Text: BM25F for a query BATCH — the collect-free twin of
+    // text_bm25f_idx (per-field driver collects bounded by each
+    // field's nBuckets, never Q): the cross-field tf̃ groups per
+    // (term, id) ONCE for the whole batch, queries fan out only after
+    // the per-term scores are final, TopKByScore bounds the shuffle to
+    // k rows per query. Batch == single, rank for rank.
+    "text_bm25f_batch" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        ("q0", Seq("spark", "vector", "join")),
+        ("q1", Seq("table", "scan"))).toDF("qid", "terms")
+      InvertedIndex.bm25fTopKBatch(s,
+          Seq((cachedInvIdxTitle(s, dir), 2.0, 0.6),
+            (cachedInvIdx(s, dir), 1.0, 0.75)),
+          q, "qid", "terms", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Text: BM25F after a MULTI-FIELD DELETE — the lifecycle hook that
+    // keeps a field group coherent: deleteFields applies one delete to
+    // EVERY field index (each at its touched-buckets cost), so n_docs,
+    // the live-id fingerprints, per-field avgdl, and doc-level df all
+    // agree on the survivors; a delete to one field alone would fail
+    // fast at the fingerprint check with no way back. Scores equal a
+    // fresh build over the surviving corpus.
+    "text_bm25f_del" -> ((s, dir) => {
+      val (title, body) = cachedInvIdxFieldsDel(s, dir)
+      InvertedIndex.bm25fTopK(s,
+          Seq((title, 2.0, 0.6), (body, 1.0, 0.75)),
+          Seq("spark", "vector", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25f").desc, col("doc_id"))
+    }),
+
     // Text: SLOPPY proximity — bm25ProxTopK generalized past
     // adjacency: a (spark, join) pair counts when join follows spark
     // within slop=2 intervening tokens (ordered, slop=0 degenerates to
@@ -1823,6 +1927,20 @@ object SparkEntry {
           must = Seq("spark"), should = Seq("vector", "join"),
           mustNot = Seq("slow"), k = 10,
           mustPhrases = Seq(Seq("spark", "join")))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Text: boolean BM25 with MINIMUM_SHOULD_MATCH — Lucene's "at
+    // least N of the should terms" knob: candidates must contain
+    // "spark", at least 1 of {vector, join}, and not "slow"; the gate
+    // reads the per-doc matched-should count the must clause's
+    // aggregate already computes, so surviving docs score exactly as
+    // in text_bm25_bool.
+    "text_bm25_bool_msm" -> ((s, dir) => {
+      InvertedIndex.bm25BooleanTopK(s, cachedInvIdx(s, dir),
+          must = Seq("spark"), should = Seq("vector", "join"),
+          mustNot = Seq("slow"), k = 10, minShouldMatch = 1)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("bm25").desc, col("doc_id"))
     }),
@@ -4003,8 +4121,11 @@ object SparkEntry {
         t0 + 5000)
       val st = s.readStream.schema(b1.schema)
         .option("maxFilesPerTrigger", "1").parquet(watch.toString)
-      val q = graft.streaming.StreamingOps.mltStream(st, d, "doc_id", "text",
-        idx, out, nTerms = 5, k = 10)
+      // the corpus-free overload: cachedInvIdx stores text, so the
+      // serving path reads seed text from the index's own doc store —
+      // no caller-side corpus frame to construct or scan
+      val q = graft.streaming.StreamingOps.mltStream(st, idx, out,
+        nTerms = 5, k = 10)
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(out)
         .select(col("qid"), col("rank"), col("id").as("doc_id"), col("bm25"))
@@ -4942,6 +5063,34 @@ object SparkEntry {
         |  AND bm25 > 0
         |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
 
+    // boolean BM25 with minimum_should_match = 1: text_bm25_bool's
+    // scoring and gates plus "at least 1 of {vector, join} present"
+    "text_bm25_bool_msm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl, toks,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, toks, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc
+        |WHERE list_contains(toks, 'spark') AND NOT list_contains(toks, 'slow')
+        |  AND ((CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)) >= 1
+        |  AND bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
     // proximity-boosted BM25: quantized two-term BM25 (spark, join) +
     // 0.5 per adjacent "spark join" bigram; score rounds the UNROUNDED
     // bm25 double plus the boost, exactly as the index computes it
@@ -5048,6 +5197,71 @@ object SparkEntry {
         |FROM documents WHERE doc_id IN (3, 7, 11)
         |ORDER BY CAST(doc_id AS VARCHAR)""".stripMargin,
 
+    // retrofitted doc store: same point-lookup contract — the backfill
+    // must serve exactly what a storeText build would
+    "text_docstore_backfill" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, text
+        |FROM documents WHERE doc_id IN (2, 5, 9)
+        |ORDER BY CAST(doc_id AS VARCHAR)""".stripMargin,
+
+    // term highlighting: the text_bm25_idx top-10 (same quantized
+    // arithmetic + VARCHAR tiebreak), then every occurrence of the
+    // three query terms opens [off-2, off+2], overlapping-or-touching
+    // intervals merge per doc (gap-and-island), first 2 windows render;
+    // terms_hit = sorted distinct matched terms of the window
+    "text_highlight" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st),
+        |top AS (SELECT doc_id FROM sc WHERE bm25 > 0
+        |        ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10),
+        |t AS (SELECT d.doc_id, d.toks FROM d JOIN top ON d.doc_id = top.doc_id),
+        |p AS (SELECT doc_id, toks,
+        |        list_filter(generate_series(1, len(toks)),
+        |          i -> list_contains(['spark', 'vector', 'join'], toks[i])) AS idxs
+        |      FROM t),
+        |o AS (SELECT doc_id, unnest(idxs) - 1 AS off,
+        |        unnest(list_transform(idxs, i -> toks[i])) AS term
+        |      FROM p WHERE len(idxs) > 0),
+        |w AS (SELECT doc_id, off, term, greatest(off - 2, 0) AS s, off + 2 AS e FROM o),
+        |i AS (SELECT doc_id, off, term, s, e,
+        |        CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY off) IS NULL
+        |               OR s > lag(e) OVER (PARTITION BY doc_id ORDER BY off) + 1
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM w),
+        |g AS (SELECT doc_id, off, term, s, e,
+        |        sum(nw) OVER (PARTITION BY doc_id ORDER BY off) AS isl FROM i),
+        |m AS (SELECT doc_id, isl, count(*) AS n_hits,
+        |        array_to_string(list_sort(list_distinct(list(term))), ',') AS terms_hit,
+        |        min(s) AS win_start, max(e) AS win_end
+        |      FROM g GROUP BY doc_id, isl),
+        |r AS (SELECT doc_id, n_hits, terms_hit, win_start, win_end,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY win_start) AS snip_no
+        |      FROM m)
+        |SELECT CAST(r.doc_id AS VARCHAR) AS doc_id,
+        |       CAST(snip_no AS INTEGER) AS snip_no, CAST(n_hits AS BIGINT) AS n_hits,
+        |       terms_hit,
+        |       CAST(win_start AS BIGINT) AS win_start, CAST(win_end AS BIGINT) AS win_end,
+        |       array_to_string(list_slice(t.toks, win_start + 1, win_end + 1), ' ') AS snippet
+        |FROM r JOIN t ON r.doc_id = t.doc_id
+        |WHERE snip_no <= 2 ORDER BY CAST(r.doc_id AS VARCHAR), snip_no""".stripMargin,
+
     // BM25F over the scan: title = first 8 ws tokens (derived — the
     // fixture has one text field), boost 2.0 / b 0.6; body boost 1.0 /
     // b 0.75; doc-level df (any field); per-field contributions
@@ -5101,6 +5315,94 @@ object SparkEntry {
         |         CAST(len(list_slice(string_split(text, ' '), 1, 8)) AS DOUBLE) AS dlt,
         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dlb
         |       FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(dlt AS BIGINT)) AS DOUBLE) / count(*) AS avgdlt,
+        |         CAST(sum(CAST(dlb AS BIGINT)) AS DOUBLE) / count(*) AS avgdlb,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'spark') OR list_contains(ttoks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'vector') OR list_contains(ttoks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'join') OR list_contains(ttoks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dlt, dlb,
+        |         CAST(len(list_filter(ttoks, x -> x = 'spark')) AS DOUBLE) AS tft0,
+        |         CAST(len(list_filter(btoks, x -> x = 'spark')) AS DOUBLE) AS tfb0,
+        |         CAST(len(list_filter(ttoks, x -> x = 'vector')) AS DOUBLE) AS tft1,
+        |         CAST(len(list_filter(btoks, x -> x = 'vector')) AS DOUBLE) AS tfb1,
+        |         CAST(len(list_filter(ttoks, x -> x = 'join')) AS DOUBLE) AS tft2,
+        |         CAST(len(list_filter(btoks, x -> x = 'join')) AS DOUBLE) AS tfb2
+        |       FROM d),
+        |w AS (SELECT doc_id,
+        |        CAST(CAST(round(2.0*tft0/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb0/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf0,
+        |        CAST(CAST(round(2.0*tft1/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb1/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf1,
+        |        CAST(CAST(round(2.0*tft2/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb2/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf2
+        |      FROM tf CROSS JOIN st),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * wtf0/(1.2 + wtf0) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * wtf1/(1.2 + wtf1) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * wtf2/(1.2 + wtf2) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25f
+        |       FROM w CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25f FROM sc WHERE bm25f > 0
+        |ORDER BY bm25f DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // batch BM25F: the same per-field quantized arithmetic as
+    // text_bm25f_idx generalized over a (qid, term) values table —
+    // tf̃ and the per-term score are query-independent (computed once
+    // per (doc, term)), the qid fan-out joins them in at the end,
+    // row_number ranks per query (VARCHAR tiebreak like every indexed
+    // probe)
+    "text_bm25f_batch" ->
+      """WITH qt(qid, tok) AS (VALUES ('q0','spark'),('q0','vector'),('q0','join'),
+        |                             ('q1','table'),('q1','scan')),
+        |d AS (SELECT doc_id,
+        |         list_slice(string_split(text, ' '), 1, 8) AS ttoks,
+        |         string_split(text, ' ') AS btoks,
+        |         CAST(len(list_slice(string_split(text, ' '), 1, 8)) AS DOUBLE) AS dlt,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dlb
+        |       FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(dlt AS BIGINT)) AS DOUBLE) / count(*) AS avgdlt,
+        |         CAST(sum(CAST(dlb AS BIGINT)) AS DOUBLE) / count(*) AS avgdlb
+        |       FROM d),
+        |toks AS (SELECT DISTINCT tok FROM qt),
+        |tf AS (SELECT dd.doc_id, t.tok, dd.dlt, dd.dlb,
+        |         CAST(len(list_filter(dd.ttoks, x -> x = t.tok)) AS DOUBLE) AS tft,
+        |         CAST(len(list_filter(dd.btoks, x -> x = t.tok)) AS DOUBLE) AS tfb
+        |       FROM d dd CROSS JOIN toks t),
+        |w AS (SELECT doc_id, tok,
+        |        CAST(CAST(round(2.0*tft/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf
+        |      FROM tf CROSS JOIN st
+        |      WHERE tft > 0 OR tfb > 0),
+        |dfr AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM w GROUP BY tok),
+        |sc AS (SELECT w.doc_id, w.tok,
+        |         CAST(round(ln(((SELECT n FROM st) - dfr.df + 0.5)/(dfr.df + 0.5) + 1)
+        |           * w.wtf/(1.2 + w.wtf) * 1000000000) AS BIGINT) AS qs
+        |       FROM w JOIN dfr USING (tok)),
+        |q AS (SELECT qt.qid, sc.doc_id,
+        |        round(CAST(sum(sc.qs) AS DOUBLE)/1000000000.0, 6) AS bm25f
+        |      FROM sc JOIN qt USING (tok) GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, bm25f,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY bm25f DESC, CAST(doc_id AS VARCHAR)) AS rnk
+        |      FROM q WHERE bm25f > 0)
+        |SELECT qid, CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS doc_id, bm25f
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // BM25F after the multi-field delete: every input recomputes over
+    // the SURVIVORS (doc_id >= 10) — n and per-field avgdl from the
+    // decremented sidecars' exact longs, doc-level df from the live
+    // postings — exactly text_bm25f_idx's formula on the shrunken
+    // corpus
+    "text_bm25f_del" ->
+      """WITH d AS (SELECT doc_id,
+        |         list_slice(string_split(text, ' '), 1, 8) AS ttoks,
+        |         string_split(text, ' ') AS btoks,
+        |         CAST(len(list_slice(string_split(text, ' '), 1, 8)) AS DOUBLE) AS dlt,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dlb
+        |       FROM documents WHERE doc_id >= 10),
         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
         |         CAST(sum(CAST(dlt AS BIGINT)) AS DOUBLE) / count(*) AS avgdlt,
         |         CAST(sum(CAST(dlb AS BIGINT)) AS DOUBLE) / count(*) AS avgdlb,

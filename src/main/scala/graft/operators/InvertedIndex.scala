@@ -52,9 +52,17 @@ object InvertedIndex {
     * failure mode an index must make impossible. `storesText` records
     * whether the doc-stats layout carries each document's raw text —
     * the id-bucketed DOC STORE that makes seed/snippet text fetch a
-    * point lookup ([[fetchDocs]]) instead of a corpus scan. */
+    * point lookup ([[fetchDocs]]) instead of a corpus scan.
+    * `corpusFp` is an order-independent fingerprint of the LIVE id set
+    * (bit-XOR of xxhash64(id) over live docs — updatable arithmetically
+    * on append/delete, invariant under compaction), so [[bm25fTopK]]
+    * can verify that per-field indexes really cover the same documents
+    * instead of trusting coincidentally-equal counts; None on indexes
+    * built before the field existed (the check then degrades to the
+    * documented equal-n_docs form). */
   final case class InvStats(nBuckets: Int, nDocBuckets: Int, nDocs: Long, sumDl: Long,
-      analyzer: String = "ws", storesText: Boolean = false)
+      analyzer: String = "ws", storesText: Boolean = false,
+      corpusFp: Option[Long] = None)
 
   private def termBucket(nBuckets: Int) =
     pmod(xxhash64(col("term")), lit(nBuckets.toLong))
@@ -126,7 +134,8 @@ object InvertedIndex {
     VectorStore.writeSidecar(spark, f"${statsDir(path)}/v$version%012d.json",
       s"""{"n_buckets": ${s.nBuckets}, "n_doc_buckets": ${s.nDocBuckets}, """ +
         s""""n_docs": ${s.nDocs}, "sum_dl": ${s.sumDl}, "analyzer": "${s.analyzer}", """ +
-        s""""stores_text": ${s.storesText}}""")
+        s""""stores_text": ${s.storesText}""" +
+        s.corpusFp.map(fp => s""", "corpus_fp": $fp""").getOrElse("") + "}")
 
   private def readStatsVersioned(spark: SparkSession, path: String): (InvStats, Long) = {
     val fs = statsFs(spark, path)
@@ -139,7 +148,8 @@ object InvertedIndex {
     (InvStats(n.get("n_buckets").asInt(), n.get("n_doc_buckets").asInt(),
       n.get("n_docs").asLong(), n.get("sum_dl").asLong(),
       if (n.has("analyzer")) n.get("analyzer").asText() else "ws",
-      n.has("stores_text") && n.get("stores_text").asBoolean()), v)
+      n.has("stores_text") && n.get("stores_text").asBoolean(),
+      if (n.has("corpus_fp")) Some(n.get("corpus_fp").asLong()) else None), v)
   }
 
   /** Read the current (highest-version) corpus stats. */
@@ -175,14 +185,24 @@ object InvertedIndex {
     // trivially zero
     val hasDocs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/docstats"))
       .exists(_.isDirectory)
-    val (n, sdl) = if (!hasDocs) (0L, 0L) else {
+    val (n, sdl, fp) = if (!hasDocs) (0L, 0L, 0L) else {
       val r = spark.read.parquet(s"$path/docstats")
-        .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"), idXorAgg.as("x"))
+        .collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
     }
     writeStats(spark, path,
-      InvStats(nBuckets, nDocBuckets, n, sdl, analyzer, storeText), version = 1L)
+      InvStats(nBuckets, nDocBuckets, n, sdl, analyzer, storeText, Some(fp)),
+      version = 1L)
   }
+
+  /** Order-independent live-id fingerprint aggregate over an `id`
+    * column: bit-XOR of xxhash64(id). XOR is self-inverse, so appends
+    * XOR a batch's fingerprint IN and deletes XOR the found ids' OUT —
+    * exact long arithmetic, no recount ever needed. Coalesced so the
+    * empty set fingerprints to 0. */
+  private def idXorAgg: Column =
+    coalesce(expr("bit_xor(xxhash64(id))"), lit(0L))
 
   /** Append NEW documents (ids disjoint from the corpus — append
     * maintenance, not upsert, same contract as [[Ann.ivfAppendSave]]).
@@ -214,6 +234,11 @@ object InvertedIndex {
   private[graft] def stageAppend(spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, Seq[String]) = {
+    // append is a MUTATION entry point: a crashed delete's pending
+    // stats decrement must land BEFORE this append derives its own
+    // stats version, or the new version would bury the tombstones'
+    // sv watermark and lose the decrement forever
+    reconcileTombstoneStats(spark, path)
     val st = readStats(spark, path)
     val posts = postingsOf(batch, idCol, textCol, st.nBuckets, st.analyzer)
       .localCheckpoint(true)
@@ -226,7 +251,8 @@ object InvertedIndex {
     // check costs one broadcast semi join and only when tombstones
     // exist at all
     tombstonesOf(spark, path).foreach { t =>
-      val clash = ds.join(broadcast(t.select(col("id"))), Seq("id"), "left_semi")
+      val clash = ds.join(maybeBroadcastTombs(spark, path, t.select(col("id"))),
+          Seq("id"), "left_semi")
         .limit(5).collect().map(_.getString(0))
       require(clash.isEmpty,
         s"append of tombstoned id(s) ${clash.mkString("[", ", ", "]")} to $path: " +
@@ -256,11 +282,13 @@ object InvertedIndex {
     val dTouched = ds.select("dbucket").distinct().count().toInt
     Ann.writeByPartition(ds, "dbucket", math.max(1, dTouched),
       "append", s"$path/docstats")
-    val r = ds.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+    val r = ds.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"), idXorAgg.as("x"))
+      .collect()(0)
     val (st, v) = readStatsVersioned(spark, path)
     writeStats(spark, path, st.copy(
       nDocs = st.nDocs + r.getLong(0),
-      sumDl = st.sumDl + (if (r.isNullAt(1)) 0L else r.getLong(1))), v + 1)
+      sumDl = st.sumDl + (if (r.isNullAt(1)) 0L else r.getLong(1)),
+      corpusFp = st.corpusFp.map(_ ^ r.getLong(2))), v + 1)
   }
 
   /** Delete documents by id: tombstone-append (postings stay in place —
@@ -290,20 +318,34 @@ object InvertedIndex {
     * sweep. (The previous order — rewrite first — had a window where a
     * crash left the doc's postings live and permanently undeletable:
     * the replay found no doc-stats row and no-opped while the sidecar
-    * still counted the doc.) */
+    * still counted the doc.)
+    *
+    * The one gap that ordering leaves — a crash BETWEEN the tombstone
+    * append and the stats write, where the found-set exclusion means no
+    * replay ever re-attempts the decrement — closes through the
+    * tombstone rows themselves: each carries its doc's `dl` and `sv`,
+    * the stats version whose write was due next. Any tombstone whose
+    * `sv` is AHEAD of the current sidecar version is a decrement that
+    * never landed; [[reconcileTombstoneStats]] (run at every mutation
+    * entry point) replays exactly those rows' (count, Σdl, id-XOR) into
+    * a catch-up stats version — idempotent, because the write itself
+    * moves the version past every pending `sv`. */
   def delete(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
     if (ids.isEmpty) return
+    val fs = statsFs(spark, path)
+    Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/docstats"))
+    // a delete is a mutation entry point: heal swap residue BEFORE
+    // appending, or a fresh tombstones dir would shadow a mid-swap
+    // `.tombstones.old` and permanently resurrect its ids — and land
+    // any crashed delete's pending stats decrement before reading the
+    // version this delete will increment
+    recoverTombstoneSwap(fs, path)
+    reconcileTombstoneStats(spark, path)
     val (st, v) = readStatsVersioned(spark, path)
     import spark.implicits._
     val idDf = ids.distinct.toDF("id")
     val dbuckets = idDf.select(docBucket(st.nDocBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val fs = statsFs(spark, path)
-    Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/docstats"))
-    // a delete is a mutation entry point: heal swap residue BEFORE
-    // appending, or a fresh tombstones dir would shadow a mid-swap
-    // `.tombstones.old` and permanently resurrect its ids
-    recoverTombstoneSwap(fs, path)
     // the rows REALLY present, from the pruned scan — materialized
     // (with their term-bucket sets) BEFORE any mutation. Already-
     // tombstoned ids are EXCLUDED: their stats were decremented when
@@ -318,22 +360,30 @@ object InvertedIndex {
     val found0 = dsScan.join(broadcast(idDf), Seq("id"), "left_semi")
     val found = (tombstonesOf(spark, path) match {
         case Some(t) =>
-          found0.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+          found0.join(maybeBroadcastTombs(spark, path, t.select(col("id"))),
+            Seq("id"), "left_anti")
         case None => found0
       })
       .select(Seq(col("id"), col("dl"), col("dbucket").cast(LongType).as("dbucket")) ++
         (if (hasTbCol) Seq(col("tbuckets")) else Nil): _*)
       .localCheckpoint(true)
-    val agg = found.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect()(0)
+    val agg = found
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"), idXorAgg.as("x"))
+      .collect()(0)
     val nFound = agg.getLong(0)
     if (nFound > 0) {
       // 1. tombstones: from this row's existence on, every probe hides
-      //    the doc and every replay's found-set excludes it
-      found.select(col("id") +: (if (hasTbCol) Seq(col("tbuckets")) else Nil): _*)
+      //    the doc and every replay's found-set excludes it. Each row
+      //    carries dl + sv (the stats version due next), so a crash
+      //    before step 2 reconciles idempotently at the next entry.
+      found.select(Seq(col("id")) ++
+          (if (hasTbCol) Seq(col("tbuckets")) else Nil) ++
+          Seq(col("dl"), lit(v + 1).as("sv")): _*)
         .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
       // 2. stats: exact decrement for the rows THIS call tombstoned
       writeStats(spark, path, st.copy(
-        nDocs = st.nDocs - nFound, sumDl = st.sumDl - agg.getLong(1)), v + 1)
+        nDocs = st.nDocs - nFound, sumDl = st.sumDl - agg.getLong(1),
+        corpusFp = st.corpusFp.map(_ ^ agg.getLong(2))), v + 1)
       // 3. doc-stats rewrite, only the buckets that actually HOLD a
       //    found row; survivors anti-join the FULL tombstone set (not
       //    just this call's ids), so a crashed earlier delete's row in
@@ -344,8 +394,113 @@ object InvertedIndex {
         .map(_.select(col("id")).distinct().localCheckpoint(true))
         .getOrElse(idDf)
       rewriteDirsBatched(spark, s"$path/docstats", "dbucket", foundBuckets,
-        df => df.join(broadcast(tombIds), Seq("id"), "left_anti"))
+        df => df.join(maybeBroadcastTombs(spark, path, tombIds), Seq("id"), "left_anti"))
     }
+  }
+
+  /** Apply one delete to EVERY field index of a BM25F group — the
+    * multi-field lifecycle hook [[bm25fTopK]]'s same-document-set
+    * contract needs: deleting from one field index alone desyncs the
+    * group (n_docs/fingerprints diverge and every BM25F call fails
+    * fast) with nothing to restore coherence. Each index pays its own
+    * documented touched-buckets [[delete]] cost; because a re-delete of
+    * an already-tombstoned id is a per-index no-op, a HALF-APPLIED call
+    * (crash between field indexes) heals by simply re-running with the
+    * same ids — the already-deleted fields no-op, the missed ones catch
+    * up, and the group converges. */
+  def deleteFields(spark: SparkSession, paths: Seq[String],
+      ids: Seq[String]): Unit = {
+    require(paths.nonEmpty, "need at least one field index path")
+    paths.foreach(p => delete(spark, p, ids))
+  }
+
+  /** Land any pending stats decrement recorded by tombstone rows whose
+    * `sv` (the stats version their delete was about to write) is ahead
+    * of the current sidecar version — the replay arm of [[delete]]'s
+    * crash ordering: a crash between the tombstone append and the
+    * stats write leaves rows probes already hide but stats still
+    * count, and the found-set exclusion means no re-delete ever
+    * re-attempts the decrement. Aggregates exactly the pending rows'
+    * (count, Σdl, id-XOR) and writes ONE catch-up version at max(sv),
+    * after which no row is pending — idempotent under any interleaving
+    * of crashes. Runs at every mutation entry point ([[delete]],
+    * [[stageAppend]], [[compact]], [[addDocStore]]); a probe between
+    * the crash and the next mutation scores with the slightly-stale
+    * avgdl but already hides the docs, the same read-side contract as
+    * every other deferred repair here. Legacy tombstone rows (no
+    * `sv`/`dl` columns) predate the scheme and are never pending. */
+  private def reconcileTombstoneStats(spark: SparkSession, path: String): Unit = {
+    tombstonesOf(spark, path).foreach { t =>
+      if (t.columns.contains("sv") && t.columns.contains("dl")) {
+        val (st, v) = readStatsVersioned(spark, path)
+        val r = t.filter(col("sv") > v)
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"),
+            idXorAgg.as("x"), max(col("sv")).as("v"))
+          .collect()(0)
+        if (r.getLong(0) > 0L) {
+          writeStats(spark, path, st.copy(
+            nDocs = st.nDocs - r.getLong(0),
+            sumDl = st.sumDl - r.getLong(1),
+            corpusFp = st.corpusFp.map(_ ^ r.getLong(2))), r.getLong(3))
+        }
+      }
+    }
+  }
+
+  /** Retrofit the id-bucketed DOC STORE onto an EXISTING index —
+    * [[build]]'s `storeText = true` for layouts built without it,
+    * with the postings left byte-untouched: ONLY the doc-stats layout
+    * rewrites (each dbucket dir re-lands with the corpus text joined
+    * in on id), and the sidecar's `stores_text` flips in a new stats
+    * version at the COMMIT point, after every directory has swapped.
+    * [[fetchDocs]]/[[snippets]]/MLT serving then work exactly as on a
+    * text-built index.
+    *
+    * Cost: one corpus pass (inherent — the text has to come from
+    * somewhere) + the doc-stats rewrite; nothing reads or rewrites a
+    * posting bucket. Crash anywhere mid-rewrite leaves `stores_text`
+    * false — [[fetchDocs]] keeps failing fast, partially-retrofitted
+    * dirs are valid doc-stats (readers that don't select text never
+    * see it), and re-running converges (the rewrite re-joins text over
+    * whatever each dir holds). The corpus frame must supply text for
+    * EVERY live doc-stats row — a missing id fails fast before any
+    * swap, because silently dropping it would lose the doc from the
+    * index. Tombstoned residue rows sweep away for free (the rewrite
+    * anti-joins the tombstone set, like [[delete]]'s). Idempotent:
+    * re-running on a `storesText` index refreshes the stored text. */
+  def addDocStore(spark: SparkSession, path: String, corpus: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val fs = statsFs(spark, path)
+    Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/docstats"))
+    recoverTombstoneSwap(fs, path)
+    reconcileTombstoneStats(spark, path)
+    val (st, v) = readStatsVersioned(spark, path)
+    val text = corpus.select(col(idCol).cast(StringType).as("id"),
+      col(textCol).cast(StringType).as("__newtext__"))
+    val dsRoot = new org.apache.hadoop.fs.Path(s"$path/docstats")
+    val dbuckets =
+      if (!fs.exists(dsRoot)) Seq.empty[Long]
+      else fs.listStatus(dsRoot).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("dbucket=")).map(_.stripPrefix("dbucket=").toLong)
+        .sorted
+    if (dbuckets.nonEmpty) {
+      // fail fast BEFORE any swap if a live row has no text to join —
+      // an inner join would silently drop the doc from the index
+      val liveRows = dropTombstoned(spark, path,
+        spark.read.option("basePath", s"$path/docstats").option("mergeSchema", "true")
+          .parquet(dbuckets.map(b => s"$path/docstats/dbucket=$b"): _*))
+      val uncovered = liveRows.join(text.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id")).limit(5).collect().map(_.getString(0))
+      require(uncovered.isEmpty,
+        s"addDocStore corpus is missing text for live indexed id(s) " +
+          s"${uncovered.mkString("[", ", ", "]")} at $path — every live " +
+          "doc-stats row needs its document; aborting before any rewrite")
+      rewriteDirsBatched(spark, s"$path/docstats", "dbucket", dbuckets,
+        df => dropTombstoned(spark, path, df.drop("text"))
+          .join(text, Seq("id"))
+          .withColumnRenamed("__newtext__", "text"))
+    }
+    writeStats(spark, path, st.copy(storesText = true), v + 1)
   }
 
   /** One-row operational description of a persisted index — the
@@ -460,8 +615,50 @@ object InvertedIndex {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     healTombstoneSwap(fs, path)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    // mergeSchema: the set may mix schema generations (id-only files
+    // beside rows carrying tbuckets/dl/sv) — sampling one file's
+    // schema would silently drop the newer columns; the footer reads
+    // are bounded by the compaction cadence like everything else here
+    if (fs.exists(p))
+      Some(spark.read.option("mergeSchema", "true").parquet(p.toString))
+    else None
   }
+
+  /** On-disk byte size of the live tombstone set — one directory
+    * listing, no data read; the size signal [[maybeBroadcastTombs]]
+    * gates the broadcast hint on. */
+  private[graft] def tombstoneBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+  }
+
+  /** Hint the tombstone id frame for broadcast ONLY while the set's
+    * on-disk size is under `spark.graft.inv.tombBroadcastMaxBytes`
+    * (default 64 MiB): the set is bounded only by the compaction knobs,
+    * and those compose into counts (the tombstone-stream hard cap
+    * defaults to 8M ids) whose forced broadcast would be a
+    * hundreds-of-MB driver build. Past the bound the hint DROPS and AQE
+    * picks the join strategy from runtime sizes — correctness is the
+    * anti/semi join either way. */
+  private[graft] def maybeBroadcastTombs(spark: SparkSession, path: String,
+      ids: DataFrame): DataFrame = {
+    val cap = spark.conf.get("spark.graft.inv.tombBroadcastMaxBytes",
+      (64L << 20).toString).toLong
+    if (tombstoneBytes(spark, path) <= cap) broadcast(ids) else ids
+  }
+
+  /** Anti-join `df` (carrying `id`) against the live tombstone set —
+    * the shared probe-side gate, size-aware via
+    * [[maybeBroadcastTombs]]. No tombstones → `df` unchanged. */
+  private def dropTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    tombstonesOf(spark, path) match {
+      case Some(t) => df.join(
+        maybeBroadcastTombs(spark, path, t.select(col("id"))), Seq("id"), "left_anti")
+      case None => df
+    }
 
   /** Sweep tombstone-swap residue at a MUTATION entry point ([[delete]],
     * [[compact]]): heal first, then discard a stale stage (always
@@ -521,8 +718,9 @@ object InvertedIndex {
   def fetchDocs(spark: SparkSession, path: String, ids: DataFrame): DataFrame = {
     val st = readStats(spark, path)
     require(st.storesText,
-      s"index at $path does not store document text — build/rebuild it with " +
-        "storeText = true to enable doc-store point lookups")
+      s"index at $path does not store document text — build it with " +
+        "storeText = true or retrofit via addDocStore to enable " +
+        "doc-store point lookups")
     val idDf = ids.select(col(ids.columns.head).cast(StringType).as("id"))
     val dbuckets = idDf.select(docBucket(st.nDocBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
@@ -533,10 +731,7 @@ object InvertedIndex {
       .parquet(dirs: _*)
       .filter(col("dbucket").isin(dbuckets: _*)) // plan-visible prune witness
       .join(idDf, Seq("id"), "left_semi")
-    val live = tombstonesOf(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-      case None => pruned
-    }
+    val live = dropTombstoned(spark, path, pruned)
     live.select(col("id"), col("dl"), col("text"))
   }
 
@@ -594,10 +789,7 @@ object InvertedIndex {
       .parquet(bucketDirs: _*)
       .filter(col("bucket").isin(buckets: _*)) // plan-visible prune witness
       .filter(col("term").isin(terms: _*))
-    val live = tombstonesOf(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-      case None => pruned
-    }
+    val live = dropTombstoned(spark, path, pruned)
     // per-term df from the probed postings (≤ |terms| rows, broadcast
     // back) — computed BEFORE the allow gate: idf is corpus-wide
     val dfs = live.groupBy(col("term"))
@@ -666,10 +858,7 @@ object InvertedIndex {
     val pruned = spark.read.option("basePath", s"$path/postings")
       .parquet(bucketDirs: _*)
       .filter(col("bucket").isin(buckets: _*))
-    val live = tombstonesOf(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-      case None => pruned
-    }
+    val live = dropTombstoned(spark, path, pruned)
     // only postings some query asks for; df computed over that subset —
     // and BEFORE the allow gate, so idf stays corpus-wide
     val wanted = live.join(qTerms.select(col("term")).distinct(), Seq("term"), "left_semi")
@@ -713,21 +902,35 @@ object InvertedIndex {
     *
     * `mustPhrases` are EXACT-PHRASE must clauses (`+"spark sql"`): a
     * candidate must contain every phrase CONSECUTIVELY, verified
-    * through the positional postings ([[containsPhrases]] — the same
-    * bucket-pruned in-row fold as [[phraseTopK]]). Phrases GATE, they
-    * do not score (pass their words in `must`/`should` to score them)
-    * — so the returned bm25 still equals the plain probe's for the
-    * same scoring terms, and the clause composes as a pure semi-join
-    * on the candidate set. */
+    * through the positional postings ([[phraseMatchesFrom]] — the same
+    * in-row fold as [[phraseTopK]], fed from THIS probe's one read:
+    * with phrases present the pruned live postings checkpoint once,
+    * positions masked to the phrase terms, and the scoring, mustNot,
+    * and phrase clauses all consume that materialization — no second
+    * postings scan). Phrases GATE, they do not score (pass their words
+    * in `must`/`should` to score them) — so the returned bm25 still
+    * equals the plain probe's for the same scoring terms, and the
+    * clause composes as a pure semi-join on the candidate set.
+    *
+    * `minShouldMatch` is Lucene's "at least N of the should terms"
+    * knob: candidates must match ≥ that many DISTINCT should terms
+    * (after analysis and must-dedup — a term listed in both clauses
+    * counts as must only). It gates on the same per-doc matched-term
+    * counts the must clause already aggregates, so the gate costs one
+    * more conditional sum in the existing groupBy — scores are still
+    * the plain probe's for the same scoring terms. */
   def bm25BooleanTopK(spark: SparkSession, path: String,
       must: Seq[String], should: Seq[String] = Seq.empty,
       mustNot: Seq[String] = Seq.empty, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
-      mustPhrases: Seq[Seq[String]] = Seq.empty): DataFrame = {
+      mustPhrases: Seq[Seq[String]] = Seq.empty,
+      minShouldMatch: Int = 0): DataFrame = {
     require(must.nonEmpty || should.nonEmpty,
       "need at least one must or should term")
     require(mustPhrases.forall(_.nonEmpty), "a must-phrase may not be empty")
     require(k >= 1, s"k must be >= 1, got $k")
+    require(minShouldMatch >= 0,
+      s"minShouldMatch must be >= 0, got $minShouldMatch")
     val st = readStats(spark, path)
     import spark.implicits._
     if (st.nDocs == 0L) return Seq.empty[(String, Double)].toDF("id", "bm25")
@@ -737,21 +940,45 @@ object InvertedIndex {
       ts.flatMap(TextAnalysis.tokensOf(_, st.analyzer)).distinct
     val mustT = analyzed(must)
     val shouldT = analyzed(should).filterNot(mustT.contains)
+    require(minShouldMatch <= shouldT.size,
+      s"minShouldMatch = $minShouldMatch exceeds the ${shouldT.size} distinct " +
+        "analyzed should terms (terms duplicated in must count as must only) " +
+        "— no document could ever satisfy it")
     val notT = analyzed(mustNot)
     val scoringT = mustT ++ shouldT
     val allT = (scoringT ++ notT).distinct
-    val buckets = allT.toDF("term").select(termBucket(st.nBuckets).as("b"))
+    // phrase terms under the PHRASE analysis contract (per-element
+    // fold, no space-split — [[phraseQueryFrames]]' exact driver-side
+    // twin), so the shared read below covers every posting both the
+    // scoring and the phrase clause need
+    val phraseT =
+      if (mustPhrases.isEmpty) Seq.empty[String]
+      else if (st.analyzer == "ws") mustPhrases.flatten.distinct
+      else mustPhrases.flatten
+        .flatMap(w => TextAnalysis.foldOf(w).split(" ", -1).toSeq).distinct
+    val readT = (allT ++ phraseT).distinct
+    val buckets = readT.toDF("term").select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val bucketDirs = probedBucketDirs(spark, path, buckets)
     if (bucketDirs.isEmpty) return Seq.empty[(String, Double)].toDF("id", "bm25")
     val pruned = spark.read.option("basePath", s"$path/postings")
       .parquet(bucketDirs: _*)
       .filter(col("bucket").isin(buckets: _*))
-      .filter(col("term").isin(allT: _*))
-    val live = tombstonesOf(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-      case None => pruned
-    }
+      .filter(col("term").isin(readT: _*))
+    // ONE pruned read serves BOTH clauses: with phrases present, the
+    // live frame MATERIALIZES once (positions masked to the phrase
+    // terms, so scoring-only postings carry no position bytes) and the
+    // scoring, mustNot, and phrase branches all read the checkpoint —
+    // the final plan holds no second postings scan. Without phrases
+    // the frame stays lazy and each branch column-prunes its own scan,
+    // exactly the plain probe's plan (a checkpoint there would
+    // force-materialize rows nothing else shares).
+    val liveAll = dropTombstoned(spark, path, pruned)
+    val live =
+      if (mustPhrases.isEmpty) liveAll
+      else liveAll.select(col("term"), col("id"), col("tf"), col("dl"),
+          when(col("term").isin(phraseT: _*), col("pos")).as("pos"))
+        .localCheckpoint(true)
     val scoring = live.filter(col("term").isin(scoringT: _*))
     val dfs = scoring.groupBy(col("term"))
       .agg(count(lit(1)).cast(DoubleType).as("__df__")) // (term, id) unique per layout
@@ -763,21 +990,28 @@ object InvertedIndex {
       .withColumn("__qs__", round(termScore * 1e9).cast(LongType))
       .groupBy(col("id"))
       .agg(round(sum(col("__qs__")).cast(DoubleType) / 1e9, 6).as("bm25"),
-        sum(when(col("term").isin(mustT: _*), 1L).otherwise(0L)).as("__nmust__"))
+        sum(when(col("term").isin(mustT: _*), 1L).otherwise(0L)).as("__nmust__"),
+        sum(when(col("term").isin(shouldT: _*), 1L).otherwise(0L)).as("__nshould__"))
       .filter(col("__nmust__") === mustT.size)
+      .filter(col("__nshould__") >= minShouldMatch.toLong)
     val allowed = if (notT.isEmpty) perDoc
       else perDoc.join(
         live.filter(col("term").isin(notT: _*)).select(col("id")).distinct(),
         Seq("id"), "left_anti")
     // phrase must-clauses: a doc survives only when it matches EVERY
     // phrase (per-id distinct-phrase count == |mustPhrases|); the
-    // phrase probe runs its own bucket-pruned read, and the gate is a
-    // semi-join — candidates shrink, scores don't change
+    // phrase kernel reads the SHARED checkpointed probe — no second
+    // postings scan — and the gate is a semi-join: candidates shrink,
+    // scores don't change
     val phrased = if (mustPhrases.isEmpty) allowed else {
       import spark.implicits._
-      val q = mustPhrases.zipWithIndex
+      val qPhr = mustPhrases.zipWithIndex
         .map { case (p, i) => (s"p$i", p) }.toDF("qid", "phrase")
-      val hits = containsPhrases(spark, path, q, "qid", "phrase")
+      val (q, qTerms) = phraseQueryFrames(st, qPhr, "qid", "phrase")
+      val hits = phraseMatchesFrom(
+          live.filter(col("term").isin(phraseT: _*))
+            .select(col("id"), col("term"), col("pos")),
+          q, qTerms)
         .groupBy(col("id"))
         .agg(countDistinct(col("qid")).as("__np__"))
         .filter(col("__np__") === mustPhrases.size.toLong)
@@ -842,10 +1076,7 @@ object InvertedIndex {
       .parquet(bucketDirs: _*)
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
-    val live = tombstonesOf(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-      case None => pruned
-    }
+    val live = dropTombstoned(spark, path, pruned)
     val dfs = live.groupBy(col("term"))
       .agg(count(lit(1)).cast(DoubleType).as("__df__")) // (term, id) unique per layout
     val idf = log((lit(n) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
@@ -913,6 +1144,7 @@ object InvertedIndex {
     val n = stats.head.nDocs
     require(stats.forall(_.nDocs == n),
       "field indexes must cover the same document set (equal n_docs)")
+    requireSameCorpus(fields.map(_._1), stats)
     import spark.implicits._
     if (n == 0L) return Seq.empty[(String, Double)].toDF("id", "bm25f")
     val terms = queryTerms.flatMap(TextAnalysis.tokensOf(_, analyzer0)).distinct
@@ -927,11 +1159,7 @@ object InvertedIndex {
           .parquet(dirs: _*)
           .filter(col("bucket").isin(buckets: _*))
           .filter(col("term").isin(terms: _*))
-        val live = tombstonesOf(spark, p) match {
-          case Some(t) =>
-            pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-          case None => pruned
-        }
+        val live = dropTombstoned(spark, p, pruned)
         Some(live.select(col("term"), col("id"),
           round(lit(boost) * col("tf").cast(DoubleType) /
             (lit(1.0 - bf) + lit(bf) * col("dl").cast(DoubleType) / lit(avgdl)) * 1e9)
@@ -957,6 +1185,105 @@ object InvertedIndex {
       .filter(col("bm25f") > 0d)
       .orderBy(col("bm25f").desc, col("id"))
       .limit(k)
+  }
+
+  /** Fail fast when per-field indexes demonstrably cover different
+    * documents: compare the sidecars' live-id fingerprints
+    * ([[InvStats.corpusFp]]) when every field records one. Equal counts
+    * alone (already required by the callers) are accepted for legacy
+    * indexes without a fingerprint — coincidentally-equal counts over
+    * different documents then pass, the documented weaker check. */
+  private def requireSameCorpus(paths: Seq[String], stats: Seq[InvStats]): Unit = {
+    val fps = stats.map(_.corpusFp)
+    if (fps.forall(_.isDefined)) {
+      require(fps.distinct.size == 1,
+        s"field indexes must cover the same document set — live-id " +
+          s"fingerprints differ across ${paths.mkString("[", ", ", "]")} " +
+          "(a delete/append applied to one field index only? use " +
+          "deleteFields to keep a BM25F group coherent)")
+    }
+  }
+
+  /** Collect-free BM25F for DataFrame-sized query batches — the batch
+    * twin of [[bm25fTopK]] under [[bm25TopKBatch]]'s discipline: the
+    * per-field driver collects are the distinct term-bucket id lists
+    * (bounded by each field's nBuckets, never Q); each field's pruned
+    * postings semi-join the batch's distinct terms, per-field
+    * contributions quantize to 1e-9 longs, the cross-field sum groups
+    * per (term, id) ONCE for the whole batch (tf̃ is query-independent
+    * — queries fan out only after the per-term scores are final),
+    * doc-level df counts the grouped (term, id) rows, and the
+    * bounded-heap [[graft.functions.TopKByScore]] reduces to k rows per
+    * query. Emits (qid, rank, id, bm25f) with [[bm25fTopK]]'s exact
+    * quantized arithmetic — batch equals single, rank for rank. */
+  def bm25fTopKBatch(spark: SparkSession, fields: Seq[(String, Double, Double)],
+      queries: DataFrame, qidCol: String, termsCol: String, k: Int,
+      k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "need at least one (indexPath, boost, b) field")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stats = fields.map { case (p, _, _) => readStats(spark, p) }
+    val analyzer0 = stats.head.analyzer
+    require(stats.forall(_.analyzer == analyzer0),
+      "field indexes must share one analyzer")
+    val n = stats.head.nDocs
+    require(stats.forall(_.nDocs == n),
+      "field indexes must cover the same document set (equal n_docs)")
+    requireSameCorpus(fields.map(_._1), stats)
+    import spark.implicits._
+    def empty = Seq.empty[(String, Int, String, Double)]
+      .toDF("qid", "rank", "id", "bm25f")
+    if (n == 0L) return empty
+    val analyzed = if (analyzer0 == "ws") col(termsCol)
+      else TextAnalysis.foldTermsArray(col(termsCol))
+    val q = queries.select(col(qidCol).cast(StringType).as("qid"),
+      array_distinct(analyzed).as("__terms__"))
+    val qTerms = q.select(col("qid"), explode(col("__terms__")).as("term"))
+      .localCheckpoint(true)
+    val distinctTerms = qTerms.select(col("term")).distinct()
+    val perField = fields.zip(stats).flatMap { case ((p, boost, bf), st) =>
+      require(bf >= 0 && bf <= 1, s"need 0 <= b <= 1 per field, got $bf")
+      val buckets = qTerms.select(termBucket(st.nBuckets).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      val dirs = probedBucketDirs(spark, p, buckets)
+      if (dirs.isEmpty) None else {
+        val avgdl = st.sumDl.toDouble / st.nDocs
+        val pruned = spark.read.option("basePath", s"$p/postings")
+          .parquet(dirs: _*)
+          .filter(col("bucket").isin(buckets: _*))
+          .join(distinctTerms, Seq("term"), "left_semi")
+        val live = dropTombstoned(spark, p, pruned)
+        Some(live.select(col("term"), col("id"),
+          round(lit(boost) * col("tf").cast(DoubleType) /
+            (lit(1.0 - bf) + lit(bf) * col("dl").cast(DoubleType) / lit(avgdl)) * 1e9)
+            .cast(LongType).as("__wtfq__")))
+      }
+    }
+    if (perField.isEmpty) return empty
+    // (term, id) grouped ONCE for the whole batch: tf̃ and the per-term
+    // score are query-independent, so the qid fan-out happens after
+    // they are final — no per-query recompute, no per-query shuffle of
+    // the postings
+    val byTermDoc = perField.reduce(_ unionByName _)
+      .groupBy(col("term"), col("id"))
+      .agg(sum(col("__wtfq__")).as("__wtfq__"))
+    // doc-level df: the grouped rows ARE the distinct (term, id) pairs
+    val dfs = byTermDoc.groupBy(col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("__df__"))
+    val idf = log((lit(n.toDouble) - col("__df__") + 0.5) / (col("__df__") + 0.5) + 1.0)
+    byTermDoc
+      .join(broadcast(dfs), Seq("term"))
+      .withColumn("__wtf__", col("__wtfq__").cast(DoubleType) / 1e9)
+      .withColumn("__qs__",
+        round(idf * col("__wtf__") / (lit(k1) + col("__wtf__")) * 1e9).cast(LongType))
+      .join(qTerms, Seq("term"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("__qs__")).cast(DoubleType) / 1e9, 6).as("__score__"))
+      .filter(col("__score__") > 0d)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topk(col("__score__"), col("id"), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("rank0", "hit")))
+      .select(col("qid"), (col("rank0") + 1).cast(IntegerType).as("rank"),
+        col("hit.id").as("id"), col("hit.score").as("bm25f"))
   }
 
   /** Match snippets through the index — the consumer the positional
@@ -1093,6 +1420,92 @@ object InvertedIndex {
         col("win_start"), col("win_end"), col("snippet"))
   }
 
+  /** TERM highlights — the render path for NON-phrase results: a plain
+    * [[bm25TopK]] / [[bm25BooleanTopK]] top-k has no phrase offsets for
+    * [[snippets]] to cut around, but every query term's occurrence
+    * positions are already in the POSITIONAL postings, so the docs are
+    * never re-scanned to find matches. For each doc of `docs` (an
+    * id frame — typically a probe's top-k, so broadcast-sized by
+    * contract) and each analyzed query term, every occurrence opens the
+    * token interval [off − window, off + window]; overlapping-or-
+    * touching intervals MERGE across ALL the query's terms (the
+    * [[snippetsMulti]] gap-and-island pass, partitioned per doc — a
+    * passage where several query words cluster renders once, not once
+    * per word), and the first `maxPerDoc` windows by start render
+    * through the doc store ([[fetchDocs]] — requires `storeText`).
+    *
+    * Cost: term-bucket-pruned postings of the query terms, gated by a
+    * broadcast semi-join on the docs frame BEFORE the position explode
+    * (rows ∝ the requested docs' own occurrences, never a term's corpus
+    * df), plus the matched ids' dbucket point lookups — no corpus scan
+    * anywhere. Emits (id, snip_no, n_hits, terms_hit, win_start,
+    * win_end, snippet): n_hits = occurrences merged into the window,
+    * terms_hit = sorted distinct matched terms of the window
+    * (comma-joined), win_* = 0-based token bounds (win_end unclamped,
+    * like [[snippetsMulti]] — the slice clamps at the doc's edge). */
+  def highlightTerms(spark: SparkSession, path: String, docs: DataFrame,
+      queryTerms: Seq[String], window: Int = 3, maxPerDoc: Int = 3): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(window >= 0, s"window must be >= 0, got $window")
+    require(maxPerDoc >= 1, s"maxPerDoc must be >= 1, got $maxPerDoc")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val st = readStats(spark, path)
+    val terms = queryTerms.flatMap(TextAnalysis.tokensOf(_, st.analyzer)).distinct
+    def empty = Seq.empty[(String, Int, Long, String, Long, Long, String)]
+      .toDF("id", "snip_no", "n_hits", "terms_hit", "win_start", "win_end", "snippet")
+    val ids = docs.select(col(docs.columns.head).cast(StringType).as("id"))
+      .distinct().localCheckpoint(true)
+    val buckets = terms.toDF("term").select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
+    if (bucketDirs.isEmpty) return empty
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("id"), col("term"), col("pos"))
+    // docs gate FIRST — the explode below fans out per occurrence, so
+    // only the requested docs' postings ever widen; the tombstone
+    // anti-join keeps the uniform live-read contract even though a
+    // caller's probe output is live by construction
+    val gated = dropTombstoned(spark, path,
+      pruned.join(broadcast(ids), Seq("id"), "left_semi"))
+    val occ = gated
+      .select(col("id"), col("term"), explode(col("pos")).as("off"))
+      .withColumn("s", greatest(col("off") - window, lit(0)).cast(LongType))
+      .withColumn("e", (col("off") + window).cast(LongType))
+    // ascending offsets make interval ends monotone (one token = one
+    // term, so offsets are unique per doc): the gap-and-island pass is
+    // one lag + running sum, partitioned per doc — never global
+    val byOff = Window.partitionBy(col("id")).orderBy(col("off"))
+    val isl = occ
+      .withColumn("__new__",
+        when(col("s") > lag(col("e"), 1).over(byOff) + 1L, 1L)
+          .otherwise(when(lag(col("e"), 1).over(byOff).isNull, 1L).otherwise(0L)))
+      .withColumn("__isl__", sum(col("__new__"))
+        .over(byOff.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("__isl__"))
+      .agg(count(lit(1)).as("n_hits"),
+        array_join(array_sort(collect_set(col("term"))), ",").as("terms_hit"),
+        min(col("s")).as("win_start"), max(col("e")).as("win_end"))
+    val ranked = isl
+      .withColumn("snip_no", row_number()
+        .over(Window.partitionBy(col("id")).orderBy(col("win_start")))
+        .cast(IntegerType))
+      .filter(col("snip_no") <= maxPerDoc)
+      .localCheckpoint(true) // output-sized; the doc fetch derives its dbuckets from it
+    val d = fetchDocs(spark, path, ranked.select(col("id")).distinct())
+      .select(col("id"), col("text").as("__text__"))
+    ranked.join(d, Seq("id"))
+      .withColumn("__toks__", TextAnalysis.tokens(col("__text__"), st.analyzer))
+      .withColumn("snippet", array_join(
+        slice(col("__toks__"), (col("win_start") + 1).cast(IntegerType),
+          (col("win_end") - col("win_start") + 1).cast(IntegerType)), " "))
+      .select(col("id"), col("snip_no"), col("n_hits"), col("terms_hit"),
+        col("win_start"), col("win_end"), col("snippet"))
+  }
+
   /** Per-term document frequency through the index: (term, df) for the
     * terms of `terms(termCol)`, from the pruned LIVE postings (term
     * buckets listed explicitly, tombstones anti-joined) — the rarity
@@ -1116,10 +1529,7 @@ object InvertedIndex {
     val pruned = spark.read.option("basePath", s"$path/postings")
       .parquet(bucketDirs: _*)
       .select(col("id"), col("term"))
-    val live = tombstonesOf(spark, path) match {
-      case Some(tb) => pruned.join(broadcast(tb.select(col("id"))), Seq("id"), "left_anti")
-      case None => pruned
-    }
+    val live = dropTombstoned(spark, path, pruned)
     live.join(t, Seq("term"), "left_semi")
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // (term, id) unique per layout
@@ -1157,10 +1567,7 @@ object InvertedIndex {
       .parquet(bucketDirs: _*)
       .filter(col("term").isin(distinctTerms: _*))
       .select(col("id"), col("term"), col("pos"))
-    val live = tombstonesOf(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-      case None => pruned
-    }
+    val live = dropTombstoned(spark, path, pruned)
     val perDoc = live.groupBy(col("id"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("pos")))).as("__m__"))
       .filter(size(map_keys(col("__m__"))) === distinctTerms.size)
@@ -1230,13 +1637,7 @@ object InvertedIndex {
   private def phraseMatches(spark: SparkSession, path: String, queries: DataFrame,
       qidCol: String, phraseCol: String): Option[DataFrame] = {
     val st = readStats(spark, path)
-    val q = queries.select(col(qidCol).cast(StringType).as("qid"),
-      (if (st.analyzer == "ws") col(phraseCol).cast(ArrayType(StringType))
-       else TextAnalysis.foldTermsArray(col(phraseCol).cast(ArrayType(StringType))))
-        .as("__phr__"))
-      .filter(size(col("__phr__")) >= 1)
-    val qTerms = q.select(col("qid"), explode(array_distinct(col("__phr__"))).as("term"))
-      .localCheckpoint(true)
+    val (q, qTerms) = phraseQueryFrames(st, queries, qidCol, phraseCol)
     val buckets = qTerms.select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val bucketDirs = probedBucketDirs(spark, path, buckets)
@@ -1244,10 +1645,36 @@ object InvertedIndex {
     val pruned = spark.read.option("basePath", s"$path/postings")
       .parquet(bucketDirs: _*)
       .select(col("id"), col("term"), col("pos"))
-    val live = tombstonesOf(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-      case None => pruned
-    }
+    val live = dropTombstoned(spark, path, pruned)
+    Some(phraseMatchesFrom(live, q, qTerms))
+  }
+
+  /** The analyzed (qid, __phr__) and exploded (qid, term) frames of a
+    * phrase-query batch — the query side of [[phraseMatchesFrom]],
+    * shared so [[bm25BooleanTopK]]'s phrase clause analyzes its
+    * phrases EXACTLY as the standalone probes do (per-element fold
+    * under `fold`, elements untouched under `ws` — a phrase element is
+    * one token by contract, never space-split). */
+  private def phraseQueryFrames(st: InvStats, queries: DataFrame,
+      qidCol: String, phraseCol: String): (DataFrame, DataFrame) = {
+    val q = queries.select(col(qidCol).cast(StringType).as("qid"),
+      (if (st.analyzer == "ws") col(phraseCol).cast(ArrayType(StringType))
+       else TextAnalysis.foldTermsArray(col(phraseCol).cast(ArrayType(StringType))))
+        .as("__phr__"))
+      .filter(size(col("__phr__")) >= 1)
+    val qTerms = q.select(col("qid"), explode(array_distinct(col("__phr__"))).as("term"))
+      .localCheckpoint(true)
+    (q, qTerms)
+  }
+
+  /** [[phraseMatches]] downstream of the postings read: the match
+    * kernel over an ALREADY-pruned live (id, term, pos) frame, so a
+    * caller that has the needed postings in hand ([[bm25BooleanTopK]]'s
+    * shared probe) never re-reads them. `live` must cover every term of
+    * `qTerms` that exists in the index (extra terms are harmless —
+    * the semi-join below drops them). */
+  private def phraseMatchesFrom(live: DataFrame, q: DataFrame,
+      qTerms: DataFrame): DataFrame = {
     // RAREST-TERM NOMINATION — the classic positional-index plan. A
     // plain (postings ⋈ qTerms on term) fans out every posting row of a
     // Zipf-common term by every query containing it before anything
@@ -1292,10 +1719,10 @@ object InvertedIndex {
         transform(col("__phr__"), (t, i) =>
           array_contains(coalesce(element_at(col("__m__"), t), emptyPos), p + i)),
         false))
-    Some(perDoc
+    perDoc
       .select(col("qid"), col("id"), size(starts).cast(LongType).as("n_phrase"),
         starts.as("offsets"))
-      .filter(col("n_phrase") > 0L))
+      .filter(col("n_phrase") > 0L)
   }
 
   /** Benchmark-decontamination through the index: for every distinct
@@ -1351,10 +1778,7 @@ object InvertedIndex {
     val pruned = spark.read.option("basePath", s"$path/postings")
       .parquet(bucketDirs: _*)
       .select(col("id"), col("term"), col("pos"))
-    val live = tombstonesOf(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
-      case None => pruned
-    }
+    val live = dropTombstoned(spark, path, pruned)
     // per doc, the SORTED (position, term) entries of its eval-vocab
     // tokens — packed arrays ride the one shuffle (no per-position row
     // explode), and a position belongs to exactly one term, so sorted
@@ -1434,6 +1858,9 @@ object InvertedIndex {
     val postRoot = new org.apache.hadoop.fs.Path(s"$path/postings")
     Ann.recoverStagedDirs(fs, postRoot)
     recoverTombstoneSwap(fs, path)
+    // land any crashed delete's pending stats decrement BEFORE this
+    // compact retires the tombstone rows that record it
+    reconcileTombstoneStats(spark, path)
     // prune the stats version history to the newest (each version is a
     // complete snapshot, so dropping the rest can never lose state)
     statsVersions(fs, path).dropRight(1).foreach(v => fs.delete(v._2, false))
@@ -1458,7 +1885,7 @@ object InvertedIndex {
           else
             spark.read.parquet(s"$path/postings")
               .select(col("bucket"), col("id"))
-              .join(broadcast(tombIds), Seq("id"), "left_semi")
+              .join(maybeBroadcastTombs(spark, path, tombIds), Seq("id"), "left_semi")
               // partition columns read back with inferred (integer) type — cast
               .select(col("bucket").cast(LongType))
               .distinct().collect().map(_.getLong(0)).toSeq.sorted
@@ -1471,7 +1898,8 @@ object InvertedIndex {
           else spark.read.option("basePath", s"$path/postings")
             .parquet(existing.map(b => s"$path/postings/bucket=$b"): _*)
             .select(col("bucket").cast(LongType).as("b"), col("id"))
-            .join(broadcast(tombIds.withColumn("__t__", lit(1L))), Seq("id"), "left")
+            .join(maybeBroadcastTombs(spark, path,
+              tombIds.withColumn("__t__", lit(1L))), Seq("id"), "left")
             .groupBy(col("b"))
             .agg(count(lit(1)).as("n"), sum(coalesce(col("__t__"), lit(0L))).as("t"))
             .filter(col("t").cast(DoubleType) / col("n").cast(DoubleType) >= minTombFrac)
@@ -1482,7 +1910,8 @@ object InvertedIndex {
           // the needsCompact debt gate), and a multi-million-id isin would
           // blow up the plan where the join broadcasts the same ids cheaply
           rewriteDirsBatched(spark, s"$path/postings", "bucket", toRewrite,
-            df => df.join(broadcast(tombIds), Seq("id"), "left_anti"))
+            df => df.join(maybeBroadcastTombs(spark, path, tombIds),
+              Seq("id"), "left_anti"))
         }
         // doc-stats residue sweep: a delete that crashed between its
         // tombstone append and its doc-stats rewrite leaves the dead
@@ -1499,12 +1928,13 @@ object InvertedIndex {
         if (resBuckets.nonEmpty) {
           val withRes = spark.read.option("basePath", s"$path/docstats")
             .parquet(resBuckets.map(b => s"$path/docstats/dbucket=$b"): _*)
-            .join(broadcast(tombIds), Seq("id"), "left_semi")
+            .join(maybeBroadcastTombs(spark, path, tombIds), Seq("id"), "left_semi")
             .select(col("dbucket").cast(LongType))
             .distinct().collect().map(_.getLong(0)).toSeq.sorted
           if (withRes.nonEmpty) {
             rewriteDirsBatched(spark, s"$path/docstats", "dbucket", withRes,
-              df => df.join(broadcast(tombIds), Seq("id"), "left_anti"))
+              df => df.join(maybeBroadcastTombs(spark, path, tombIds),
+                Seq("id"), "left_anti"))
           }
         }
         val skipped = existing.toSet -- toRewrite.toSet

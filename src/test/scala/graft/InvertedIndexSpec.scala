@@ -954,6 +954,246 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert((0L until 20L).map(_.toString).forall(id => !top.contains(id)))
   }
 
+  test("delete crash between tombstone append and stats write reconciles from the tombstone rows") {
+    val path = tmp("statscrash"); val oracle = tmp("statscrashref")
+    val d = docs.filter(col("doc_id") < 300)
+    InvertedIndex.build(d, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, path, Seq("1", "2", "3"))
+    // simulate the crash: the tombstones landed (step 1) but the
+    // decremented stats version never did (step 2) — remove the newest
+    // version, leaving tombstone rows whose sv is AHEAD of the sidecar
+    val statsDir = java.nio.file.Paths.get(s"$path/_stats")
+    val newest = java.nio.file.Files.list(statsDir).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(newest)
+      .asScala.toSeq.sortBy(_.getFileName.toString)
+    java.nio.file.Files.delete(names.last)
+    // the stale sidecar still counts the deleted docs...
+    assert(InvertedIndex.readStats(spark, path).nDocs == 300L)
+    // ...until the next mutation entry point replays the pending
+    // decrement idempotently from the tombstones' (dl, sv) columns
+    InvertedIndex.delete(spark, path, Seq("4"))
+    InvertedIndex.build(d.filter(!col("doc_id").isin(1, 2, 3, 4)), "doc_id",
+      "text", oracle, nBuckets = 8, nDocBuckets = 4)
+    assert(InvertedIndex.readStats(spark, path).nDocs == 296L)
+    assert(InvertedIndex.readStats(spark, path).sumDl ==
+      InvertedIndex.readStats(spark, oracle).sumDl)
+    assert(InvertedIndex.readStats(spark, path).corpusFp ==
+      InvertedIndex.readStats(spark, oracle).corpusFp)
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) ==
+      key(InvertedIndex.bm25TopK(spark, oracle, terms, k = 10)))
+    // a crash healed by COMPACT instead converges the same way
+    val path2 = tmp("statscrash2")
+    InvertedIndex.build(d, "doc_id", "text", path2, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, path2, Seq("1", "2", "3", "4"))
+    val names2 = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$path2/_stats"))
+          .iterator())
+      .asScala.toSeq.sortBy(_.getFileName.toString)
+    java.nio.file.Files.delete(names2.last)
+    InvertedIndex.compact(spark, path2)
+    assert(InvertedIndex.readStats(spark, path2).nDocs == 296L)
+    assert(InvertedIndex.readStats(spark, path2).corpusFp ==
+      InvertedIndex.readStats(spark, oracle).corpusFp)
+  }
+
+  test("deleteFields keeps a BM25F group coherent; a one-field delete fails fast and heals") {
+    val title = tmp("bmfdelT"); val body = tmp("bmfdelB")
+    val d = docs.filter(col("doc_id") < 200)
+    val withTitle = d.withColumn("title",
+      array_join(slice(split(col("text"), " "), 1, 8), " "))
+    InvertedIndex.build(withTitle, "doc_id", "title", title, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.build(d, "doc_id", "text", body, nBuckets = 8, nDocBuckets = 4)
+    val fields = Seq((title, 2.0, 0.6), (body, 1.0, 0.75))
+    // a delete applied to ONE field index (a crashed deleteFields, or a
+    // caller bypassing the lifecycle) desyncs the group. Unequal-count
+    // desync trips the n_docs check:
+    InvertedIndex.delete(spark, body, Seq("0", "1", "2"))
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.bm25fTopK(spark, fields, terms, k = 5)
+    }.getMessage.contains("equal n_docs"))
+    // ...and COINCIDENTALLY-EQUAL counts over different documents —
+    // the case counts alone can never catch — trip the live-id
+    // fingerprint check
+    InvertedIndex.delete(spark, title, Seq("3", "4", "5"))
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.bm25fTopK(spark, fields, terms, k = 5)
+    }.getMessage.contains("fingerprints differ"))
+    // re-running the FULL group delete (both id sets, every field)
+    // heals: already-applied deletes no-op, the missed ones catch up
+    InvertedIndex.deleteFields(spark, Seq(title, body),
+      Seq("0", "1", "2", "3", "4", "5"))
+    val got = key(InvertedIndex.bm25fTopK(spark, fields, terms, k = 5))
+    val titleRef = tmp("bmfdelTref"); val bodyRef = tmp("bmfdelBref")
+    val surv = d.filter(col("doc_id") >= 6)
+    InvertedIndex.build(surv.withColumn("title",
+        array_join(slice(split(col("text"), " "), 1, 8), " ")),
+      "doc_id", "title", titleRef, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.build(surv, "doc_id", "text", bodyRef, nBuckets = 8, nDocBuckets = 4)
+    assert(got == key(InvertedIndex.bm25fTopK(spark,
+      Seq((titleRef, 2.0, 0.6), (bodyRef, 1.0, 0.75)), terms, k = 5)))
+  }
+
+  test("bm25fTopKBatch equals per-query bm25fTopK, rank for rank") {
+    val title = tmp("bmfbT"); val body = tmp("bmfbB")
+    val d = docs.filter(col("doc_id") < 300)
+    InvertedIndex.build(d.withColumn("title",
+        array_join(slice(split(col("text"), " "), 1, 8), " ")),
+      "doc_id", "title", title, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.build(d, "doc_id", "text", body, nBuckets = 8, nDocBuckets = 4)
+    val fields = Seq((title, 2.0, 0.6), (body, 1.0, 0.75))
+    val qs = Seq("q0" -> Seq("spark", "vector", "join"), "q1" -> Seq("table", "scan"),
+      "q2" -> Seq("zzz_absent_term"))
+    val batch = InvertedIndex.bm25fTopKBatch(spark, fields,
+        qs.toDF("qid", "terms"), "qid", "terms", k = 5)
+      .orderBy(col("qid"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val single = qs.flatMap { case (qid, ts) =>
+      InvertedIndex.bm25fTopK(spark, fields, ts, k = 5).collect()
+        .zipWithIndex.map { case (r, i) => (qid, i + 1, r.getString(0), r.getDouble(1)) }
+    }
+    assert(batch.toSeq == single)
+  }
+
+  test("addDocStore retrofits the doc store: postings byte-identical, fetchDocs serves") {
+    val path = tmp("backfill")
+    val d = docs.filter(col("doc_id") < 200)
+    InvertedIndex.build(d, "doc_id", "text", path, nBuckets = 8, nDocBuckets = 4)
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.fetchDocs(spark, path, Seq("5").toDF("id"))
+    }.getMessage.contains("does not store document text"))
+    val postingsBefore = listFiles(s"$path/postings")
+    val probeBefore = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10))
+    InvertedIndex.addDocStore(spark, path, d, "doc_id", "text")
+    // postings untouched to the byte (path, length, mtime all equal)
+    assert(listFiles(s"$path/postings") == postingsBefore)
+    assert(InvertedIndex.readStats(spark, path).storesText)
+    val got = InvertedIndex.fetchDocs(spark, path, Seq("5", "7").toDF("id"))
+      .orderBy(col("id")).collect().map(r => (r.getString(0), r.getString(2)))
+    val want = d.filter(col("doc_id").isin(5, 7))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.get(0).toString, r.getString(r.fieldIndex("text"))))
+    assert(got.toSeq == want.toSeq)
+    assert(key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)) == probeBefore)
+    // a corpus missing a live doc fails fast BEFORE any rewrite
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.addDocStore(spark, path, d.filter(col("doc_id") =!= 5),
+        "doc_id", "text")
+    }.getMessage.contains("missing text"))
+  }
+
+  test("tombstone broadcast hint drops past the size bound; the anti-join stays exact") {
+    val path = tmp("tombsize")
+    InvertedIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text", path,
+      nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, path, (0L until 20L).map(_.toString))
+    assert(InvertedIndex.tombstoneBytes(spark, path) > 0L)
+    val idsDf = Seq("x").toDF("id")
+    // under the bound (default 64 MiB): hinted
+    assert(InvertedIndex.maybeBroadcastTombs(spark, path, idsDf)
+      .queryExecution.logical.toString.contains("UnresolvedHint"))
+    spark.conf.set("spark.graft.inv.tombBroadcastMaxBytes", "0")
+    try {
+      // past the bound: NO broadcast hint — AQE owns the strategy
+      assert(!InvertedIndex.maybeBroadcastTombs(spark, path, idsDf)
+        .queryExecution.logical.toString.contains("UnresolvedHint"))
+      // and the probe is exact either way
+      val top = key(InvertedIndex.bm25TopK(spark, path, terms, k = 10)).map(_._1)
+      assert((0L until 20L).map(_.toString).forall(id => !top.contains(id)))
+    } finally spark.conf.unset("spark.graft.inv.tombBroadcastMaxBytes")
+  }
+
+  test("minimum_should_match gates on distinct matched should terms; scores unchanged") {
+    val path = tmp("msm")
+    val corpus = Seq(
+      ("d0", "spark vector join extra words"),
+      ("d1", "spark vector only here"),
+      ("d2", "spark alone in this doc"),
+      ("d3", "vector join but no must term")).toDF("doc_id", "text")
+    InvertedIndex.build(corpus, "doc_id", "text", path, nBuckets = 4, nDocBuckets = 2)
+    def ids(msm: Int) = InvertedIndex.bm25BooleanTopK(spark, path,
+        must = Seq("spark"), should = Seq("vector", "join"), k = 10,
+        minShouldMatch = msm)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val m0 = ids(0); val m1 = ids(1); val m2 = ids(2)
+    assert(m0.keySet == Set("d0", "d1", "d2"))
+    assert(m1.keySet == Set("d0", "d1"))
+    assert(m2.keySet == Set("d0"))
+    // the gate only narrows candidates — surviving scores are the
+    // msm=0 probe's exactly
+    assert(m1.forall { case (id, s) => m0(id) == s })
+    assert(m2.forall { case (id, s) => m0(id) == s })
+    // msm past the distinct analyzed should set can never match: fail fast
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.bm25BooleanTopK(spark, path, must = Seq("spark"),
+        should = Seq("vector", "join"), k = 10, minShouldMatch = 3)
+    }.getMessage.contains("minShouldMatch"))
+  }
+
+  test("highlightTerms: occurrence windows from postings merge across terms, render from the doc store") {
+    val path = tmp("hl")
+    val corpus = Seq(
+      // spark@1 vector@2 -> merged window [0,4] (w=2, touching);
+      // join@9 alone -> second window [7,11]
+      ("d0", "w0 spark vector w3 w4 w5 w6 w7 w8 join w10 w11"),
+      // edge clamp: spark@0 -> window [0,2]; maxPerDoc bound: three
+      // far-apart islands, only the first 2 render
+      ("d1", "spark a b c d e f vector g h i j k l join m n"),
+      ("d2", "no query words here at all")).toDF("doc_id", "text")
+    InvertedIndex.build(corpus, "doc_id", "text", path,
+      nBuckets = 4, nDocBuckets = 2, storeText = true)
+    val got = InvertedIndex.highlightTerms(spark, path,
+        Seq("d0", "d1", "d2", "dAbsent").toDF("id"),
+        Seq("spark", "vector", "join"), window = 2, maxPerDoc = 2)
+      .orderBy(col("id"), col("snip_no"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(got.toSeq == Seq(
+      ("d0", 1, 2L, "spark,vector", 0L, 4L, "w0 spark vector w3 w4"),
+      ("d0", 2, 1L, "join", 7L, 11L, "w7 w8 join w10 w11"),
+      ("d1", 1, 1L, "spark", 0L, 2L, "spark a b"),
+      ("d1", 2, 1L, "vector", 5L, 9L, "e f vector g h")))
+    // no-match docs and unknown ids are simply absent; maxPerDoc
+    // dropped d1's third island (join@14)
+    assert(!got.exists(_._1 == "d2"))
+    // window unclamped on the right like snippetsMulti: a hit at the
+    // last token emits win_end past the doc edge, slice clamps
+    val tail = InvertedIndex.highlightTerms(spark, path,
+        Seq("d1").toDF("id"), Seq("m", "n"), window = 2, maxPerDoc = 3)
+      .collect().map(r => (r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(tail.toSeq == Seq((13L, 18L, "l join m n")))
+  }
+
+  test("boolean phrase clause shares the scoring probe's read: same results, no second postings scan") {
+    val path = tmp("boolshare")
+    InvertedIndex.build(docs.filter(col("doc_id") < 400), "doc_id", "text", path,
+      nBuckets = 8, nDocBuckets = 4)
+    val res = InvertedIndex.bm25BooleanTopK(spark, path,
+      must = Seq("spark"), should = Seq("vector"), mustNot = Seq("slow"),
+      k = 10, mustPhrases = Seq(Seq("spark", "join"), Seq("table", "scan")))
+    // the phrase gate is a pure semi-join on the plain boolean probe:
+    // results equal composing the no-phrase probe with an external
+    // containsPhrases both-phrases gate (the r14 formulation)
+    val plain = InvertedIndex.bm25BooleanTopK(spark, path,
+      must = Seq("spark"), should = Seq("vector"), mustNot = Seq("slow"), k = 1000)
+    val q = Seq(("p0", Seq("spark", "join")), ("p1", Seq("table", "scan")))
+      .toDF("qid", "phrase")
+    val gate = InvertedIndex.containsPhrases(spark, path, q, "qid", "phrase")
+      .groupBy(col("id")).agg(countDistinct(col("qid")).as("np"))
+      .filter(col("np") === 2L).select(col("id"))
+    val want = plain.join(gate, Seq("id"), "left_semi")
+      .orderBy(col("bm25").desc, col("id")).limit(10)
+    assert(key(res) == key(want))
+    assert(key(res).nonEmpty, "fixture must actually exercise the phrase gate")
+    // ONE shared pruned read: the phrase clause consumes the scoring
+    // probe's checkpoint, so the final plan scans NO postings parquet
+    // at all (the one real scan happened materializing the checkpoint)
+    val planScans = "file:[^\\s,\\]]*postings".r
+      .findAllIn(res.queryExecution.executedPlan.toString).size
+    assert(planScans == 0,
+      s"expected the shared checkpoint to remove postings scans, found $planScans")
+  }
+
   private lazy val cachedFullIdx: String = {
     val p = tmp("fullref")
     InvertedIndex.build(docs, "doc_id", "text", p, nBuckets = 8, nDocBuckets = 4)
