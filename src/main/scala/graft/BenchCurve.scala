@@ -157,29 +157,60 @@ object BenchCurve {
       }
       val probeScan = timed(TextAnalysis.bm25TopK(corpus, "id", "text", terms, k))
       val tB0 = System.nanoTime()
+      // storeText: the SERVING posture — the doc store is what keeps
+      // MLT seeds and snippet text off the corpus, so the curve builds
+      // (and prices) the layout a deployment would actually run
       InvertedIndex.build(corpus, "id", "text", s"$base/inv",
-        nBuckets = nBuckets, nDocBuckets = 64)
+        nBuckets = nBuckets, nDocBuckets = 64, storeText = true)
       val buildInv = (System.nanoTime() - tB0) / 1e9
       val probeInv = timed(InvertedIndex.bm25TopK(spark, s"$base/inv", terms, k))
-      // MLT term selection at scale (one seed, top-5 terms, then the
-      // k=10 index probe): the corpus variant pays a full token explode
-      // + seed-vocab df shuffle per call — grows with the corpus; the
-      // index-backed variant pays a seed-gated scan (no tokenization of
-      // non-seed rows) + bucket-pruned df probes — the measured form of
-      // the claim that mltStream's per-batch cost is ∝ batch.
       import spark.implicits._
+      // appends measured BEFORE the giant MLT-scan job: a preceding
+      // 8M-doc token-explode leaves enough JVM/page-cache churn to
+      // inflate the NEXT metric ~6× on identical code (the r13 curve's
+      // contaminated 35 s readings) — ordering the small jobs first is
+      // the isolation the numbers need
+      val batchRaw = gen(n, n + 1000L).cache(); batchRaw.count()
+      val tA0 = System.nanoTime()
+      InvertedIndex.append(spark, s"$base/inv", batchRaw, "id", "text")
+      val appendRaw = (System.nanoTime() - tA0) / 1e9
+      val batchLed = gen(n + 1000L, n + 2000L).cache(); batchLed.count()
+      val tA1 = System.nanoTime()
+      graft.streaming.BatchLedger.runIdempotent(
+        spark, s"$base/inv/_ledger", 0L, "curve") {
+        val (p, d, dirs) = InvertedIndex.stageAppend(
+          spark, s"$base/inv", batchLed, "id", "text")
+        (dirs, () => InvertedIndex.applyStagedAppend(spark, s"$base/inv", p, d))
+      }
+      val appendLedger = (System.nanoTime() - tA1) / 1e9
+      // DOC-STORE point lookup: fetch the top-k probe hits' text — the
+      // snippet/seed-render primitive; reads only the ids' dbucket dirs,
+      // so the point must stay ~flat across 16× docs
+      val topIds = InvertedIndex.bm25TopK(spark, s"$base/inv", terms, k)
+        .select(col("id")).localCheckpoint(true)
+      val fetchDocsT = timed(InvertedIndex.fetchDocs(spark, s"$base/inv", topIds))
+      // MLT term selection at scale (one seed, top-5 terms, then the
+      // k=10 index probe). Three forms, the claim the doc store exists
+      // for: the corpus variant pays a full token explode + seed-vocab
+      // df shuffle per call and the fallback a seed-gated corpus scan —
+      // both grow with the corpus — while the doc-store variant reads
+      // the seed's own dbucket + bucket-pruned df probes, the measured
+      // form of "mltStream's per-batch cost is ∝ batch".
       val seed = Seq("0").toDF("id")
       def mltRun(q: org.apache.spark.sql.DataFrame): Unit = {
         InvertedIndex.bm25TopKBatch(spark, s"$base/inv", q, "qid", "terms",
           k = 10).count(); ()
       }
+      val tM2 = System.nanoTime()
+      mltRun(TextAnalysis.mltQueriesIdx(spark, s"$base/inv", seed, nTerms = 5))
+      val mltIdx = (System.nanoTime() - tM2) / 1e9
       val tM0 = System.nanoTime()
       mltRun(TextAnalysis.mltQueries(corpus, "id", "text", seed, nTerms = 5))
       val mltScan = (System.nanoTime() - tM0) / 1e9
       val tM1 = System.nanoTime()
       mltRun(TextAnalysis.mltQueriesIdx(spark, s"$base/inv", corpus,
         "id", "text", seed, nTerms = 5))
-      val mltIdx = (System.nanoTime() - tM1) / 1e9
+      val mltIdxFallback = (System.nanoTime() - tM1) / 1e9
       // decontamination at scale: the eval set's vocabulary is 5% of
       // the corpus's (w0..w499 of w0..w9999 — the realistic shape: eval
       // sets are tiny next to a web corpus), so the position-chain
@@ -194,19 +225,6 @@ object BenchCurve {
       InvertedIndex.contaminationHits(spark, s"$base/inv", evalDocs, "text", n = 3).count()
       val contamIdx = (System.nanoTime() - tCt0) / 1e9
       evalDocs.unpersist(blocking = true)
-      val batchRaw = gen(n, n + 1000L).cache(); batchRaw.count()
-      val tA0 = System.nanoTime()
-      InvertedIndex.append(spark, s"$base/inv", batchRaw, "id", "text")
-      val appendRaw = (System.nanoTime() - tA0) / 1e9
-      val batchLed = gen(n + 1000L, n + 2000L).cache(); batchLed.count()
-      val tA1 = System.nanoTime()
-      graft.streaming.BatchLedger.runIdempotent(
-        spark, s"$base/inv/_ledger", 0L, "curve") {
-        val (p, d, dirs) = InvertedIndex.stageAppend(
-          spark, s"$base/inv", batchLed, "id", "text")
-        (dirs, () => InvertedIndex.applyStagedAppend(spark, s"$base/inv", p, d))
-      }
-      val appendLedger = (System.nanoTime() - tA1) / 1e9
       // delete-heavy stream debt: 100k REAL ids tombstoned THROUGH
       // delete() (the state a stream of delete batches accumulates
       // between compactions — and routed through the real operator, so
@@ -253,7 +271,9 @@ object BenchCurve {
       System.gc()
       s"""{"n":$n,"n_buckets":$nBuckets,"build_inv":$buildInv,""" +
         s""""probe_scan":$probeScan,"probe_inv":$probeInv,""" +
-        s""""mlt_scan":$mltScan,"mlt_idx":$mltIdx,"contam_idx":$contamIdx,""" +
+        s""""fetch_docs":$fetchDocsT,""" +
+        s""""mlt_scan":$mltScan,"mlt_idx":$mltIdx,""" +
+        s""""mlt_idx_fallback":$mltIdxFallback,"contam_idx":$contamIdx,""" +
         s""""append_inv":$appendRaw,"append_inv_ledger":$appendLedger,""" +
         s""""delete_100k":$delete100k,""" +
         s""""probe_inv_tomb100k":$probeTomb,"compact_tomb100k":$compactTomb,""" +
