@@ -268,6 +268,10 @@ object BenchCurve {
       corpus.unpersist(blocking = true)
       batchRaw.unpersist(blocking = true)
       batchLed.unpersist(blocking = true)
+      // the 8M doc-store layout is several GB — delete each point's
+      // scratch index before the next point builds, or back-to-back
+      // runs exhaust /tmp (the measured numbers are all taken by now)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       System.gc()
       s"""{"n":$n,"n_buckets":$nBuckets,"build_inv":$buildInv,""" +
         s""""probe_scan":$probeScan,"probe_inv":$probeInv,""" +

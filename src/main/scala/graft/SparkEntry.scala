@@ -851,6 +851,34 @@ object SparkEntry {
       (title, body)
     })
 
+  /** Per-JVM (title, body) field-index pair GROWN through
+    * [[InvertedIndex.appendFields]]: built over doc_id < 450, then the
+    * rest appended as one LEDGERED group batch — the coherent way to
+    * grow a BM25F group (a one-field append desyncs the fingerprints
+    * exactly like a one-field delete, and a raw re-run would
+    * double-insert). Scores must equal a fresh build over the full
+    * corpus. Fresh builds, not the shared caches: appendFields MUTATES
+    * its indexes. */
+  private val invIdxFieldsAppCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def cachedInvIdxFieldsApp(s: SparkSession,
+      dir: String): (String, String) =
+    invIdxFieldsAppCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val d = Tables.documents(s, dir)
+      val base = d.filter(col("doc_id") < 450)
+      val rest = d.filter(col("doc_id") >= 450)
+      val title = java.nio.file.Files.createTempDirectory("invidxta").toString
+      val body = java.nio.file.Files.createTempDirectory("invidxba").toString
+      InvertedIndex.build(base.withColumn("title", titleCol), "doc_id", "title",
+        title, nBuckets = 16, nDocBuckets = 8)
+      InvertedIndex.build(base, "doc_id", "text", body,
+        nBuckets = 16, nDocBuckets = 8)
+      InvertedIndex.appendFields(s,
+        Seq((title, "title"), (body, "text")),
+        rest.withColumn("title", titleCol), "doc_id", batchId = 0L)
+      (title, body)
+    })
+
   /** Per-JVM RETROFITTED doc-store index: built WITHOUT storeText, then
     * [[InvertedIndex.addDocStore]] rewrites only the doc-stats layout
     * with the text column joined in (postings byte-untouched) and flips
@@ -1898,6 +1926,22 @@ object SparkEntry {
     // fresh build over the surviving corpus.
     "text_bm25f_del" -> ((s, dir) => {
       val (title, body) = cachedInvIdxFieldsDel(s, dir)
+      InvertedIndex.bm25fTopK(s,
+          Seq((title, 2.0, 0.6), (body, 1.0, 0.75)),
+          Seq("spark", "vector", "join"), k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25f").desc, col("doc_id"))
+    }),
+
+    // Text: BM25F after a MULTI-FIELD APPEND — the grow arm of the
+    // field-group lifecycle: appendFields lands one LEDGERED batch in
+    // every field index (touched-buckets cost each; a crash mid-group
+    // heals by re-running the same batchId — landed fields no-op on
+    // their applied markers), so fingerprints, n_docs, per-field
+    // avgdl, and doc-level df all agree on the grown corpus. Scores
+    // equal a fresh build over the full documents table.
+    "text_bm25f_app" -> ((s, dir) => {
+      val (title, body) = cachedInvIdxFieldsApp(s, dir)
       InvertedIndex.bm25fTopK(s,
           Seq((title, 2.0, 0.6), (body, 1.0, 0.75)),
           Seq("spark", "vector", "join"), k = 10)
@@ -5309,6 +5353,49 @@ object SparkEntry {
     // (sum_dl/n_docs) and ids are the index's STRING keys (VARCHAR
     // tiebreak), like every indexed probe
     "text_bm25f_idx" ->
+      """WITH d AS (SELECT doc_id,
+        |         list_slice(string_split(text, ' '), 1, 8) AS ttoks,
+        |         string_split(text, ' ') AS btoks,
+        |         CAST(len(list_slice(string_split(text, ' '), 1, 8)) AS DOUBLE) AS dlt,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dlb
+        |       FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(dlt AS BIGINT)) AS DOUBLE) / count(*) AS avgdlt,
+        |         CAST(sum(CAST(dlb AS BIGINT)) AS DOUBLE) / count(*) AS avgdlb,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'spark') OR list_contains(ttoks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'vector') OR list_contains(ttoks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'join') OR list_contains(ttoks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dlt, dlb,
+        |         CAST(len(list_filter(ttoks, x -> x = 'spark')) AS DOUBLE) AS tft0,
+        |         CAST(len(list_filter(btoks, x -> x = 'spark')) AS DOUBLE) AS tfb0,
+        |         CAST(len(list_filter(ttoks, x -> x = 'vector')) AS DOUBLE) AS tft1,
+        |         CAST(len(list_filter(btoks, x -> x = 'vector')) AS DOUBLE) AS tfb1,
+        |         CAST(len(list_filter(ttoks, x -> x = 'join')) AS DOUBLE) AS tft2,
+        |         CAST(len(list_filter(btoks, x -> x = 'join')) AS DOUBLE) AS tfb2
+        |       FROM d),
+        |w AS (SELECT doc_id,
+        |        CAST(CAST(round(2.0*tft0/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb0/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf0,
+        |        CAST(CAST(round(2.0*tft1/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb1/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf1,
+        |        CAST(CAST(round(2.0*tft2/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb2/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf2
+        |      FROM tf CROSS JOIN st),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * wtf0/(1.2 + wtf0) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * wtf1/(1.2 + wtf1) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * wtf2/(1.2 + wtf2) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25f
+        |       FROM w CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25f FROM sc WHERE bm25f > 0
+        |ORDER BY bm25f DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // BM25F after the multi-field append: the grown group must score
+    // exactly as a fresh build over the FULL corpus — text_bm25f_idx's
+    // oracle verbatim (appendFields lands exact postings and exact
+    // long stats in every field index)
+    "text_bm25f_app" ->
       """WITH d AS (SELECT doc_id,
         |         list_slice(string_split(text, ' '), 1, 8) AS ttoks,
         |         string_split(text, ' ') AS btoks,

@@ -185,6 +185,25 @@ object InvertedIndex {
     // trivially zero
     val hasDocs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/docstats"))
       .exists(_.isDirectory)
+    // TERM STATS — the vocab-sized (bucket, term, df) layout that makes
+    // term-rarity lookups ([[termDfs]]' fast path) corpus-independent:
+    // df on demand counts posting rows, which for a Zipf-common term
+    // grows with the corpus, so MLT term selection over an 8M-doc index
+    // was paying a postings-proportional count per call. Derived from
+    // the just-written postings in a two-column pruned read ((term, id)
+    // unique per layout, so df = row count; map-side combined to vocab
+    // size) — never a third tokenization pass. Appends add DELTA rows
+    // (readers sum), [[compact]] recomputes rewritten buckets, and the
+    // fast path engages only while the tombstone set is empty — exactly
+    // when physical postings = live postings.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/termstats"), true)
+    if (hasDocs) {
+      Ann.writeByPartition(
+        spark.read.parquet(s"$path/postings")
+          .groupBy(col("bucket").cast(LongType).as("bucket"), col("term"))
+          .agg(count(lit(1)).as("df")),
+        "bucket", nBuckets, "overwrite", s"$path/termstats")
+    }
     val (n, sdl, fp) = if (!hasDocs) (0L, 0L, 0L) else {
       val r = spark.read.parquet(s"$path/docstats")
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"), idXorAgg.as("x"))
@@ -264,8 +283,15 @@ object InvertedIndex {
       .collect().map(_.getLong(0)).toSeq.sorted
     val db = ds.select(col("dbucket")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
+    // term-stats deltas land in the batch terms' own buckets (same pb
+    // set as the postings) — snapshot them for the ledger iff the
+    // layout exists (legacy indexes without one stay legacy)
+    val tsDirs =
+      if (!statsFs(spark, path).exists(
+        new org.apache.hadoop.fs.Path(s"$path/termstats"))) Seq.empty[String]
+      else pb.map(b => s"$path/termstats/bucket=$b")
     val dirs = pb.map(b => s"$path/postings/bucket=$b") ++
-      db.map(b => s"$path/docstats/dbucket=$b") :+ statsDir(path)
+      db.map(b => s"$path/docstats/dbucket=$b") ++ tsDirs :+ statsDir(path)
     (posts, ds, dirs)
   }
 
@@ -282,6 +308,16 @@ object InvertedIndex {
     val dTouched = ds.select("dbucket").distinct().count().toInt
     Ann.writeByPartition(ds, "dbucket", math.max(1, dTouched),
       "append", s"$path/docstats")
+    // term-stats DELTA rows (append is ids-disjoint, so the batch's
+    // per-term counts add exactly): pure file additions — the only
+    // mutation shape the batch ledger can roll back — summed by every
+    // reader and consolidated by [[compact]]
+    if (statsFs(spark, path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/termstats"))) {
+      Ann.writeByPartition(
+        posts.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("df")),
+        "bucket", math.max(1, touched), "append", s"$path/termstats")
+    }
     val r = ds.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"), idXorAgg.as("x"))
       .collect()(0)
     val (st, v) = readStatsVersioned(spark, path)
@@ -412,6 +448,36 @@ object InvertedIndex {
       ids: Seq[String]): Unit = {
     require(paths.nonEmpty, "need at least one field index path")
     paths.foreach(p => delete(spark, p, ids))
+  }
+
+  /** Append one document batch to EVERY field index of a BM25F group —
+    * the append arm of the [[deleteFields]] lifecycle: appending to one
+    * field alone desyncs the group exactly like a one-field delete
+    * (fingerprints diverge, every BM25F call fails fast), and unlike a
+    * delete a raw re-run canNOT heal it — re-appending ids that
+    * already landed in a field would double-insert their postings. So
+    * each field's append runs LEDGERED (staged additions + the batch
+    * ledger's applied marker, the ingest streams' exact discipline,
+    * in a dedicated `_fields_ledger` so a stream checkpoint's lineage
+    * stamp never clashes): a call that crashes mid-group heals by
+    * re-running with the SAME `batchId` — already-landed fields replay
+    * as marker-gated no-ops, a half-landed field rolls back its
+    * residue first, the missed fields land, and the group converges.
+    * `fields` = (indexPath, textCol): one batch frame supplies every
+    * field's text by column, each index paying its own documented
+    * touched-buckets append cost. */
+  def appendFields(spark: SparkSession, fields: Seq[(String, String)],
+      batch: DataFrame, idCol: String, batchId: Long): Unit = {
+    require(fields.nonEmpty, "need at least one (indexPath, textCol) field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "field index paths must be distinct")
+    fields.foreach { case (p, textCol) =>
+      graft.streaming.BatchLedger.runIdempotent(spark, s"$p/_fields_ledger",
+        batchId, "append_fields") {
+        val (posts, ds, dirs) = stageAppend(spark, p, batch, idCol, textCol)
+        (dirs, () => applyStagedAppend(spark, p, posts, ds))
+      }
+    }
   }
 
   /** Land any pending stats decrement recorded by tombstone rows whose
@@ -586,6 +652,39 @@ object InvertedIndex {
         val old = new org.apache.hadoop.fs.Path(root, s".$partCol=$b.compact.old")
         require(fs.rename(dir, old), s"rename-away of $dir failed")
         require(fs.rename(staged, dir), s"rename of rewritten $dir failed")
+        fs.delete(old, true)
+      }
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Replace the listed `partCol=b` dirs of `root` with the rows of
+    * `fresh` — [[rewriteDirsBatched]]'s staged two-rename discipline,
+    * but with replacement content computed OUTSIDE the dirs being
+    * replaced (the term-stats recompute reads the postings, not the
+    * stale stats). `fresh` must carry `partCol` and cover only the
+    * listed dirs; a dir `fresh` has no rows for is deleted (its bucket
+    * emptied). Crash residue heals through the same
+    * [[Ann.recoverStagedDirs]] names every entry point already sweeps. */
+  private def replaceDirsStaged(spark: SparkSession, root: String,
+      partCol: String, dirsAll: Seq[Long], fresh: DataFrame): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(rootPath)
+    Ann.recoverStagedDirs(fs, rootPath)
+    val stage = new org.apache.hadoop.fs.Path(rootPath, ".compact.stage")
+    fs.delete(stage, true)
+    fresh.repartition(math.max(1, dirsAll.size), col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(stage.toString)
+    dirsAll.foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(rootPath, s"$partCol=$b")
+      val staged = new org.apache.hadoop.fs.Path(stage, s"$partCol=$b")
+      if (!fs.exists(staged)) fs.delete(dir, true)
+      else {
+        val old = new org.apache.hadoop.fs.Path(rootPath, s".$partCol=$b.compact.old")
+        fs.delete(old, true)
+        if (fs.exists(dir)) require(fs.rename(dir, old), s"rename-away of $dir failed")
+        require(fs.rename(staged, dir), s"rename of replacement $dir failed")
         fs.delete(old, true)
       }
     }
@@ -1524,6 +1623,30 @@ object InvertedIndex {
     val t = terms.select(col(termCol).cast(StringType).as("term")).distinct()
     val buckets = t.select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // FAST PATH — the term-stats layout: vocab-sized (bucket, term, df)
+    // rows instead of a postings count (which for Zipf-common terms
+    // grows with the corpus — the one corpus-proportional cost MLT
+    // serving had left). Exact precisely while the tombstone set is
+    // empty (term stats mirror the PHYSICAL postings: build exact,
+    // append deltas exact because appends are ids-disjoint, compact
+    // recomputes every bucket it rewrites — and physical = live iff no
+    // tombstones), so the gate is one directory-existence check; any
+    // retained tombstone debt falls back to the exact postings count
+    // below, and the next full compact restores the fast path.
+    val fs = statsFs(spark, path)
+    val tsRoot = new org.apache.hadoop.fs.Path(s"$path/termstats")
+    healTombstoneSwap(fs, path)
+    if (fs.exists(tsRoot) && tombstoneBytes(spark, path) == 0L) {
+      // swap residue of a crashed compact heals inside probedDirs
+      val dirs = probedDirs(spark, s"$path/termstats", "bucket", buckets)
+      if (dirs.isEmpty) return t.select(col("term"), lit(0L).as("df")).limit(0)
+      return spark.read.option("basePath", s"$path/termstats")
+        .parquet(dirs: _*)
+        .filter(col("bucket").isin(buckets: _*)) // plan-visible prune witness
+        .join(t, Seq("term"), "left_semi")
+        .groupBy(col("term"))
+        .agg(sum(col("df")).as("df")) // sums build row + append deltas
+    }
     val bucketDirs = probedBucketDirs(spark, path, buckets)
     if (bucketDirs.isEmpty) return t.select(col("term"), lit(0L).as("df")).limit(0)
     val pruned = spark.read.option("basePath", s"$path/postings")
@@ -1861,6 +1984,21 @@ object InvertedIndex {
     // land any crashed delete's pending stats decrement BEFORE this
     // compact retires the tombstone rows that record it
     reconcileTombstoneStats(spark, path)
+    // term-stats orphan sweep: a termstats dir whose postings bucket is
+    // gone (the rewrite deleted a fully-tombstoned bucket, then crashed
+    // before the stats replace) would serve phantom terms once the
+    // tombstones clear — drop it at every entry; one root listing,
+    // bounded by nBuckets
+    val tsRootEntry = new org.apache.hadoop.fs.Path(s"$path/termstats")
+    if (fs.exists(tsRootEntry)) {
+      Ann.recoverStagedDirs(fs, tsRootEntry)
+      fs.listStatus(tsRootEntry).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .foreach { d =>
+          if (!fs.exists(new org.apache.hadoop.fs.Path(postRoot, d.getName)))
+            fs.delete(d, true)
+        }
+    }
     // prune the stats version history to the newest (each version is a
     // complete snapshot, so dropping the rest can never lose state)
     statsVersions(fs, path).dropRight(1).foreach(v => fs.delete(v._2, false))
@@ -1912,6 +2050,27 @@ object InvertedIndex {
           rewriteDirsBatched(spark, s"$path/postings", "bucket", toRewrite,
             df => df.join(maybeBroadcastTombs(spark, path, tombIds),
               Seq("id"), "left_anti"))
+          // term stats mirror the PHYSICAL postings: recompute exactly
+          // the rewritten buckets from their post-rewrite content (a
+          // two-column pruned read) BEFORE the tombstone set can
+          // retire. A crash in between replays: the surviving
+          // tombstones re-nominate the same buckets, the anti-join
+          // re-rewrite no-ops, and the recompute re-runs; a bucket
+          // whose postings dir the rewrite DELETED outright is covered
+          // by the entry-point orphan sweep below.
+          val tsRoot = new org.apache.hadoop.fs.Path(s"$path/termstats")
+          if (fs.exists(tsRoot)) {
+            val still = toRewrite.filter(b => fs.exists(
+              new org.apache.hadoop.fs.Path(postRoot, s"bucket=$b")))
+            if (still.isEmpty)
+              toRewrite.foreach(b => fs.delete(
+                new org.apache.hadoop.fs.Path(tsRoot, s"bucket=$b"), true))
+            else replaceDirsStaged(spark, s"$path/termstats", "bucket", toRewrite,
+              spark.read.option("basePath", s"$path/postings")
+                .parquet(still.map(b => s"$path/postings/bucket=$b"): _*)
+                .groupBy(col("bucket").cast(LongType).as("bucket"), col("term"))
+                .agg(count(lit(1)).as("df")))
+          }
         }
         // doc-stats residue sweep: a delete that crashed between its
         // tombstone append and its doc-stats rewrite leaves the dead
@@ -1986,6 +2145,19 @@ object InvertedIndex {
     // file per touched dir, so freshly rewritten buckets never re-offend)
     Ann.compactDirs(spark, s"$path/postings", maxFiles)
     Ann.compactDirs(spark, s"$path/docstats", maxFiles)
+    // term-stats delta consolidation: each append added one delta file
+    // per touched bucket (readers sum) — fold every bucket to one row
+    // per term. Vocab-sized work under the same staged swap as every
+    // rewrite, and it leaves one file per dir, so no compactDirs pass.
+    if (fs.exists(tsRootEntry)) {
+      val tsDirs = fs.listStatus(tsRootEntry).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toLong).toSeq.sorted
+      if (tsDirs.nonEmpty)
+        rewriteDirsBatched(spark, s"$path/termstats", "bucket", tsDirs,
+          df => df.groupBy(col("bucket"), col("term"))
+            .agg(sum(col("df")).as("df")))
+    }
     touched
   }
 }

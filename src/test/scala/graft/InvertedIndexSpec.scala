@@ -1033,6 +1033,42 @@ class InvertedIndexSpec extends AnyFunSuite {
       Seq((titleRef, 2.0, 0.6), (bodyRef, 1.0, 0.75)), terms, k = 5)))
   }
 
+  test("appendFields grows a BM25F group coherently; a half-applied batch heals by replay") {
+    val title = tmp("bmfappT"); val body = tmp("bmfappB")
+    val d = docs.filter(col("doc_id") < 300)
+    def withTitle(df: org.apache.spark.sql.DataFrame) = df.withColumn("title",
+      array_join(slice(split(col("text"), " "), 1, 8), " "))
+    val base = d.filter(col("doc_id") < 250)
+    val rest = withTitle(d.filter(col("doc_id") >= 250))
+    InvertedIndex.build(withTitle(base), "doc_id", "title", title,
+      nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.build(base, "doc_id", "text", body, nBuckets = 8, nDocBuckets = 4)
+    val fields = Seq((title, 2.0, 0.6), (body, 1.0, 0.75))
+    // simulate the crash: the group batch lands in the TITLE index only
+    InvertedIndex.appendFields(spark, Seq((title, "title")), rest, "doc_id",
+      batchId = 7L)
+    // the desynced group fails fast at the fingerprint check (counts
+    // differ here too, but the fingerprint is what catches equal-count
+    // desyncs — either way no incoherent score can escape)
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.bm25fTopK(spark, fields, terms, k = 5)
+    }.getMessage.contains("document set"))
+    // replaying the FULL group with the SAME batchId converges: the
+    // title index no-ops on its applied marker (no double-insert), the
+    // body index catches up
+    InvertedIndex.appendFields(spark,
+      Seq((title, "title"), (body, "text")), rest, "doc_id", batchId = 7L)
+    val got = key(InvertedIndex.bm25fTopK(spark, fields, terms, k = 5))
+    val titleRef = tmp("bmfappTref"); val bodyRef = tmp("bmfappBref")
+    InvertedIndex.build(withTitle(d), "doc_id", "title", titleRef,
+      nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.build(d, "doc_id", "text", bodyRef, nBuckets = 8, nDocBuckets = 4)
+    assert(got == key(InvertedIndex.bm25fTopK(spark,
+      Seq((titleRef, 2.0, 0.6), (bodyRef, 1.0, 0.75)), terms, k = 5)))
+    assert(InvertedIndex.readStats(spark, title).corpusFp ==
+      InvertedIndex.readStats(spark, titleRef).corpusFp)
+  }
+
   test("bm25fTopKBatch equals per-query bm25fTopK, rank for rank") {
     val title = tmp("bmfbT"); val body = tmp("bmfbB")
     val d = docs.filter(col("doc_id") < 300)
@@ -1127,6 +1163,49 @@ class InvertedIndexSpec extends AnyFunSuite {
       InvertedIndex.bm25BooleanTopK(spark, path, must = Seq("spark"),
         should = Seq("vector", "join"), k = 10, minShouldMatch = 3)
     }.getMessage.contains("minShouldMatch"))
+  }
+
+  test("termDfs fast path: term stats replace the postings count, tombstones gate it, compact restores it") {
+    val path = tmp("tstats")
+    val d = docs.filter(col("doc_id") < 300)
+    InvertedIndex.build(d.filter(col("doc_id") < 250), "doc_id", "text", path,
+      nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.append(spark, path, d.filter(col("doc_id") >= 250),
+      "doc_id", "text")
+    val tq = Seq("spark", "vector", "join", "zzz_absent").toDF("tok")
+    def want(corpus: org.apache.spark.sql.DataFrame) =
+      Seq("spark", "vector", "join").map { t =>
+        (t, corpus.filter(array_contains(split(col("text"), " "), t)).count())
+      }.filter(_._2 > 0L).sortBy(_._1)
+    def got() = InvertedIndex.termDfs(spark, path, tq, "tok")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // fast path: no tombstones -> the plan reads ONLY the vocab-sized
+    // term stats (build row + append delta summed), never the postings
+    val fast = got()
+    assert(!fast.queryExecution.executedPlan.toString.contains("postings"))
+    assert(rows(fast) == want(d))
+    // tombstones present -> exact live counts via the postings fallback
+    InvertedIndex.delete(spark, path, (0L until 25L).map(_.toString))
+    val surv = d.filter(col("doc_id") >= 25)
+    val fb = got()
+    assert(fb.queryExecution.executedPlan.toString.contains("postings"))
+    assert(rows(fb) == want(surv))
+    // full compact clears the debt AND recomputes the rewritten
+    // buckets' stats -> fast path again, exact over the survivors
+    InvertedIndex.compact(spark, path)
+    val fast2 = got()
+    assert(!fast2.queryExecution.executedPlan.toString.contains("postings"))
+    assert(rows(fast2) == want(surv))
+    // and the MLT consumer serves identical terms through either path
+    val seed = Seq("30").toDF("id")
+    InvertedIndex.build(surv, "doc_id", "text", tmp("tstatsref"),
+      nBuckets = 8, nDocBuckets = 4)
+    val mltFast = TextAnalysis.mltQueriesIdx(spark, path, surv, "doc_id",
+        "text", seed, nTerms = 5)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    assert(mltFast == TextAnalysis.mltQueries(surv, "doc_id", "text", seed, 5)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq)
   }
 
   test("highlightTerms: occurrence windows from postings merge across terms, render from the doc store") {
