@@ -1576,16 +1576,24 @@ object SparkEntry {
     // Both input rankings are top-50-bounded, so the fusion is
     // driver-small regardless of corpus size.
     "ann_hybrid_rrf" -> ((s, dir) => {
-      // constant-keyed window: the input is k-bounded (<= 50 rows from
-      // bm25TopK's limit), so one partition IS the right plan — the
-      // explicit key states that instead of leaving an unpartitioned
-      // Window.orderBy foot-gun that degrades silently if k grows
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(0)).orderBy(col("bm25").desc, col("id"))
-      val lex = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      // rank WITHOUT a window: the r14 constant-keyed form
+      // (partitionBy(lit(0))) looked explicit but Catalyst's
+      // FoldablePropagation folds the constant away, leaving exactly
+      // the unpartitioned WindowExec (and its WARN) the key meant to
+      // avoid. The frame is k-bounded (<= 50 rows from bm25TopK's
+      // limit), so rank = 1 + count of strictly-better (bm25 desc, id
+      // asc) rows via a broadcast self-join — same ordering semantics,
+      // numeric id tiebreak preserved, no window anywhere.
+      val lt = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
           Seq("spark", "vector", "join"), k = 50)
-        .withColumn("rank", row_number().over(w))
-        .select(col("id"), col("rank"))
+        .select(col("id"), col("bm25")).localCheckpoint(true)
+      val lex = lt.alias("a")
+        .join(broadcast(lt.alias("b")),
+          col("b.bm25") > col("a.bm25") ||
+            (col("b.bm25") === col("a.bm25") && col("b.id") < col("a.id")),
+          "left")
+        .groupBy(col("a.id").as("id"))
+        .agg((count(col("b.id")) + 1L).cast(IntegerType).as("rank"))
       val e = Tables.embeddings(s, dir)
       val vec = Ann.bruteForceTopK(e, "vec_id", "embedding",
           e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)

@@ -2146,13 +2146,17 @@ object InvertedIndex {
     Ann.compactDirs(spark, s"$path/postings", maxFiles)
     Ann.compactDirs(spark, s"$path/docstats", maxFiles)
     // term-stats delta consolidation: each append added one delta file
-    // per touched bucket (readers sum) — fold every bucket to one row
-    // per term. Vocab-sized work under the same staged swap as every
-    // rewrite, and it leaves one file per dir, so no compactDirs pass.
+    // per touched bucket (readers sum) — fold those buckets to one row
+    // per term. Gated on dirs that actually ACCUMULATED files (>1), so
+    // a localized compact never sweeps the whole layout: freshly
+    // recomputed buckets hold one file and skip, and the cost stays ∝
+    // append debt, the same discipline as compactDirs. Vocab-sized
+    // work under the same staged swap as every rewrite.
     if (fs.exists(tsRootEntry)) {
       val tsDirs = fs.listStatus(tsRootEntry).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("bucket="))
-        .map(_.stripPrefix("bucket=").toLong).toSeq.sorted
+        .map(_.getPath).filter(_.getName.startsWith("bucket="))
+        .filter(d => fs.listStatus(d).count(_.isFile) > 1)
+        .map(_.getName.stripPrefix("bucket=").toLong).toSeq.sorted
       if (tsDirs.nonEmpty)
         rewriteDirsBatched(spark, s"$path/termstats", "bucket", tsDirs,
           df => df.groupBy(col("bucket"), col("term"))

@@ -324,13 +324,19 @@ class PlanShapeSpec extends AnyFunSuite {
     val q = graft.operators.TextAnalysis.mltQueriesIdx(spark, path, docs,
       "doc_id", "text", Seq("0").toDF("id"), nTerms = 5)
     // the one seed-gated corpus pass materialized at call time; the
-    // returned plan may touch ONLY the index's postings (df probe) and
-    // the checkpointed seed-sized tf — this is what makes a per-batch
-    // MLT stream cost ∝ batch
+    // returned plan may touch ONLY the index's own layouts — the
+    // vocab-sized term stats (the df fast path) or the postings (the
+    // tombstone-debt fallback) — plus the checkpointed seed-sized tf.
+    // This is what makes a per-batch MLT stream cost ∝ batch.
     val scans = q.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("FileScan parquet")).toSeq
-    assert(scans.forall(_.contains("postings")),
+    assert(scans.forall(s => s.contains("postings") || s.contains("termstats")),
       s"final MLT plan must not re-scan the corpus:\n${scans.mkString("\n")}")
+    // and with no tombstone debt the df probe is the TERM STATS read,
+    // never a postings count
+    assert(scans.exists(_.contains("termstats")) &&
+      !scans.exists(_.contains("postings")),
+      s"fresh index must serve df from term stats:\n${scans.mkString("\n")}")
     assert(q.count() == 1)
   }
 
