@@ -1941,6 +1941,25 @@ object SparkEntry {
         .orderBy(col("bm25f").desc, col("doc_id"))
     }),
 
+    // Text: TERM highlighting for a query BATCH — the collect-free
+    // twin of text_highlight and the natural consumer of
+    // bm25TopKBatch output: one bucket-pruned read covers both
+    // queries' terms, the (qid, id) pair gate applies before the
+    // occurrence explode AND the qid fan-out, windows merge per
+    // (query, doc) over that query's own terms, text from the doc
+    // store.
+    "text_highlight_batch" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(("q0", Seq("spark", "vector", "join")),
+        ("q1", Seq("table", "scan"))).toDF("qid", "terms")
+      val pairs = Seq(("q0", "3"), ("q0", "7"), ("q0", "11"),
+        ("q1", "3"), ("q1", "5")).toDF("qid", "id")
+      InvertedIndex.highlightTermsBatch(s, cachedInvIdx(s, dir),
+          q, "qid", "terms", pairs, "qid", "id", window = 2, maxPerDoc = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("qid"), col("doc_id"), col("snip_no"))
+    }),
+
     // Text: BM25F after a MULTI-FIELD APPEND — the grow arm of the
     // field-group lifecycle: appendFields lands one LEDGERED batch in
     // every field index (touched-buckets cost each; a crash mid-group
@@ -5313,6 +5332,45 @@ object SparkEntry {
         |       array_to_string(list_slice(t.toks, win_start + 1, win_end + 1), ' ') AS snippet
         |FROM r JOIN t ON r.doc_id = t.doc_id
         |WHERE snip_no <= 2 ORDER BY CAST(r.doc_id AS VARCHAR), snip_no""".stripMargin,
+
+    // batch term highlighting: per (query, doc) pair, occurrences of
+    // THAT query's terms open [off-2, off+2], merge per pair
+    // (gap-and-island), first 2 windows render — text_highlight's
+    // mechanics generalized over a (qid, term) values table
+    "text_highlight_batch" ->
+      """WITH qt(qid, tok) AS (VALUES ('q0','spark'),('q0','vector'),('q0','join'),
+        |                             ('q1','table'),('q1','scan')),
+        |pr(qid, pid) AS (VALUES ('q0',3),('q0',7),('q0',11),('q1',3),('q1',5)),
+        |t AS (SELECT pr.qid, d.doc_id, string_split(d.text, ' ') AS toks
+        |      FROM documents d JOIN pr ON d.doc_id = pr.pid),
+        |o0 AS (SELECT qid, doc_id, toks,
+        |         unnest(generate_series(1, len(toks))) AS i FROM t),
+        |o AS (SELECT o0.qid, o0.doc_id, o0.i - 1 AS off, o0.toks[o0.i] AS term
+        |      FROM o0 JOIN qt ON qt.qid = o0.qid AND qt.tok = o0.toks[o0.i]),
+        |w AS (SELECT qid, doc_id, off, term,
+        |        greatest(off - 2, 0) AS s, off + 2 AS e FROM o),
+        |i AS (SELECT qid, doc_id, off, term, s, e,
+        |        CASE WHEN lag(e) OVER (PARTITION BY qid, doc_id ORDER BY off) IS NULL
+        |               OR s > lag(e) OVER (PARTITION BY qid, doc_id ORDER BY off) + 1
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM w),
+        |g AS (SELECT qid, doc_id, off, term, s, e,
+        |        sum(nw) OVER (PARTITION BY qid, doc_id ORDER BY off) AS isl FROM i),
+        |m AS (SELECT qid, doc_id, isl, count(*) AS n_hits,
+        |        array_to_string(list_sort(list_distinct(list(term))), ',') AS terms_hit,
+        |        min(s) AS win_start, max(e) AS win_end
+        |      FROM g GROUP BY qid, doc_id, isl),
+        |r AS (SELECT qid, doc_id, n_hits, terms_hit, win_start, win_end,
+        |        row_number() OVER (PARTITION BY qid, doc_id ORDER BY win_start) AS snip_no
+        |      FROM m)
+        |SELECT r.qid, CAST(r.doc_id AS VARCHAR) AS doc_id,
+        |       CAST(snip_no AS INTEGER) AS snip_no, CAST(n_hits AS BIGINT) AS n_hits,
+        |       terms_hit,
+        |       CAST(win_start AS BIGINT) AS win_start, CAST(win_end AS BIGINT) AS win_end,
+        |       array_to_string(list_slice(t.toks, win_start + 1, win_end + 1), ' ') AS snippet
+        |FROM r JOIN t ON r.qid = t.qid AND r.doc_id = t.doc_id
+        |WHERE snip_no <= 2
+        |ORDER BY r.qid, CAST(r.doc_id AS VARCHAR), snip_no""".stripMargin,
 
     // BM25F over the scan: title = first 8 ws tokens (derived — the
     // fixture has one text field), boost 2.0 / b 0.6; body boost 1.0 /

@@ -1605,6 +1605,89 @@ object InvertedIndex {
         col("win_start"), col("win_end"), col("snippet"))
   }
 
+  /** [[highlightTerms]] for a query BATCH — the collect-free twin under
+    * the same discipline as every other probe family's batch form: the
+    * natural consumer of [[bm25TopKBatch]] output. `queries` carries
+    * (qid, terms) and `docs` the (qid, id) pairs to render (each
+    * query's own top-k — output-sized by contract). Occurrence windows
+    * merge per (qid, doc) over exactly THAT query's terms; everything
+    * else — gap-and-island, maxPerDoc rank, doc-store render — matches
+    * the single-query form row for row.
+    *
+    * Plan: ONE bucket-pruned postings read covers the batch's distinct
+    * terms; the (qid, id) docs gate applies BEFORE the per-occurrence
+    * explode AND before the qid fan-out (a Zipf-common term's postings
+    * never widen by the queries containing it — the broadcast docs
+    * semi-join bounds rows by the requested pairs' own occurrences).
+    * The driver collect is the distinct term-bucket list, bounded by
+    * nBuckets. Emits (qid, id, snip_no, n_hits, terms_hit, win_start,
+    * win_end, snippet). */
+  def highlightTermsBatch(spark: SparkSession, path: String,
+      queries: DataFrame, qidCol: String, termsCol: String,
+      docs: DataFrame, docQidCol: String, docIdCol: String,
+      window: Int = 3, maxPerDoc: Int = 3): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
+    require(maxPerDoc >= 1, s"maxPerDoc must be >= 1, got $maxPerDoc")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val st = readStats(spark, path)
+    val analyzed = if (st.analyzer == "ws") col(termsCol)
+      else TextAnalysis.foldTermsArray(col(termsCol))
+    val q = queries.select(col(qidCol).cast(StringType).as("qid"),
+      array_distinct(analyzed).as("__terms__"))
+    val qTerms = q.select(col("qid"), explode(col("__terms__")).as("term"))
+      .localCheckpoint(true)
+    val pairs = docs.select(col(docQidCol).cast(StringType).as("qid"),
+      col(docIdCol).cast(StringType).as("id")).distinct().localCheckpoint(true)
+    def empty = Seq.empty[(String, String, Int, Long, String, Long, Long, String)]
+      .toDF("qid", "id", "snip_no", "n_hits", "terms_hit",
+        "win_start", "win_end", "snippet")
+    val buckets = qTerms.select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
+    if (bucketDirs.isEmpty) return empty
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(qTerms.select(col("term")).distinct(), Seq("term"), "left_semi")
+      .select(col("id"), col("term"), col("pos"))
+    // docs-id gate BEFORE the qid fan-out and the occurrence explode
+    val gated = dropTombstoned(spark, path,
+      pruned.join(broadcast(pairs.select(col("id")).distinct()), Seq("id"), "left_semi"))
+    val occ = gated
+      .join(qTerms, Seq("term")) // qid fan-out of docs-gated rows only
+      .join(broadcast(pairs), Seq("qid", "id"), "left_semi")
+      .select(col("qid"), col("id"), col("term"), explode(col("pos")).as("off"))
+      .withColumn("s", greatest(col("off") - window, lit(0)).cast(LongType))
+      .withColumn("e", (col("off") + window).cast(LongType))
+    val byOff = Window.partitionBy(col("qid"), col("id")).orderBy(col("off"))
+    val isl = occ
+      .withColumn("__new__",
+        when(col("s") > lag(col("e"), 1).over(byOff) + 1L, 1L)
+          .otherwise(when(lag(col("e"), 1).over(byOff).isNull, 1L).otherwise(0L)))
+      .withColumn("__isl__", sum(col("__new__"))
+        .over(byOff.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("qid"), col("id"), col("__isl__"))
+      .agg(count(lit(1)).as("n_hits"),
+        array_join(array_sort(collect_set(col("term"))), ",").as("terms_hit"),
+        min(col("s")).as("win_start"), max(col("e")).as("win_end"))
+    val ranked = isl
+      .withColumn("snip_no", row_number()
+        .over(Window.partitionBy(col("qid"), col("id")).orderBy(col("win_start")))
+        .cast(IntegerType))
+      .filter(col("snip_no") <= maxPerDoc)
+      .localCheckpoint(true) // output-sized; the doc fetch derives its dbuckets from it
+    val d = fetchDocs(spark, path, ranked.select(col("id")).distinct())
+      .select(col("id"), col("text").as("__text__"))
+    ranked.join(d, Seq("id"))
+      .withColumn("__toks__", TextAnalysis.tokens(col("__text__"), st.analyzer))
+      .withColumn("snippet", array_join(
+        slice(col("__toks__"), (col("win_start") + 1).cast(IntegerType),
+          (col("win_end") - col("win_start") + 1).cast(IntegerType)), " "))
+      .select(col("qid"), col("id"), col("snip_no"), col("n_hits"),
+        col("terms_hit"), col("win_start"), col("win_end"), col("snippet"))
+  }
+
   /** Per-term document frequency through the index: (term, df) for the
     * terms of `terms(termCol)`, from the pruned LIVE postings (term
     * buckets listed explicitly, tombstones anti-joined) — the rarity

@@ -1243,6 +1243,38 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(tail.toSeq == Seq((13L, 18L, "l join m n")))
   }
 
+  test("highlightTermsBatch equals per-query highlightTerms, pair for pair") {
+    val path = tmp("hlb")
+    val d = docs.filter(col("doc_id") < 200)
+    InvertedIndex.build(d, "doc_id", "text", path,
+      nBuckets = 8, nDocBuckets = 4, storeText = true)
+    val qs = Seq("q0" -> Seq("spark", "vector", "join"), "q1" -> Seq("table", "scan"))
+    val perQidDocs = Map(
+      "q0" -> Seq("3", "7", "11", "999999"), // absent id drops silently
+      "q1" -> Seq("3", "5"))
+    val pairs = perQidDocs.toSeq.flatMap { case (q, ids) => ids.map(q -> _) }
+      .toDF("qid", "id")
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getString(1), r.getInt(2), r.getLong(3), r.getString(4),
+        r.getLong(5), r.getLong(6), r.getString(7))
+    val batch = InvertedIndex.highlightTermsBatch(spark, path,
+        qs.toDF("qid", "terms"), "qid", "terms", pairs, "qid", "id",
+        window = 2, maxPerDoc = 2)
+      .orderBy(col("qid"), col("id"), col("snip_no"))
+      .collect().map(r => (r.getString(0), row(r))).toSeq
+    val single = qs.flatMap { case (qid, terms) =>
+      InvertedIndex.highlightTerms(spark, path,
+          perQidDocs(qid).toDF("id"), terms, window = 2, maxPerDoc = 2)
+        .orderBy(col("id"), col("snip_no"))
+        .collect().map { r =>
+          (qid, (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3),
+            r.getLong(4), r.getLong(5), r.getString(6)))
+        }
+    }.sortBy(p => (p._1, p._2._1, p._2._2))
+    assert(batch == single)
+    assert(batch.nonEmpty, "fixture must actually produce highlights")
+  }
+
   test("boolean phrase clause shares the scoring probe's read: same results, no second postings scan") {
     val path = tmp("boolshare")
     InvertedIndex.build(docs.filter(col("doc_id") < 400), "doc_id", "text", path,
