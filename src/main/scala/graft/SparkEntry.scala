@@ -5622,7 +5622,8 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl,
         |       round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avgdl,
-        |       CAST(0 AS BIGINT) AS n_tombstones
+        |       CAST(0 AS BIGINT) AS n_tombstones,
+        |       true AS stores_text, true AS has_term_stats
         |FROM documents""".stripMargin,
 
     // batch phrase search: per-query sliding-window counts, rank by

@@ -578,13 +578,20 @@ object InvertedIndex {
   def describe(spark: SparkSession, path: String): DataFrame = {
     val st = readStats(spark, path)
     val nTombs = tombstonesOf(spark, path).map(_.count()).getOrElse(0L)
+    // capability flags an operator gates serving decisions on: whether
+    // fetchDocs/snippets/corpus-free MLT can run here (stores_text),
+    // and whether term-rarity lookups have their vocab-sized fast path
+    // (has_term_stats — exact while n_tombstones is 0)
+    val hasTs = statsFs(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/termstats"))
     import spark.implicits._
     Seq((st.nBuckets, st.nDocBuckets, st.nDocs, st.sumDl,
       if (st.nDocs == 0L) 0d else
         BigDecimal(st.sumDl.toDouble / st.nDocs)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      nTombs))
-      .toDF("n_buckets", "n_doc_buckets", "n_docs", "sum_dl", "avgdl", "n_tombstones")
+      nTombs, st.storesText, hasTs))
+      .toDF("n_buckets", "n_doc_buckets", "n_docs", "sum_dl", "avgdl",
+        "n_tombstones", "stores_text", "has_term_stats")
   }
 
   /** Outstanding tombstone count — the debt measure [[needsCompact]]

@@ -440,6 +440,9 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(d0.getInt(0) == 8 && d0.getInt(1) == 4)
     assert(d0.getLong(2) == 3L && d0.getLong(3) == 15L)
     assert(d0.getDouble(4) == 5.0 && d0.getLong(5) == 0L)
+    // capability flags: no doc store on a plain build, term stats
+    // present (the serving fast path an operator gates on)
+    assert(!d0.getBoolean(6) && d0.getBoolean(7))
     InvertedIndex.delete(spark, path, Seq("2"))
     val d1 = InvertedIndex.describe(spark, path).collect()(0)
     assert(d1.getLong(2) == 2L && d1.getLong(5) == 1L,
