@@ -148,7 +148,10 @@ object BenchCurve {
         col("id").cast("string").as("id"),
         concat_ws(" ", transform(sequence(lit(0), lit(99)),
           i => concat(lit("w"), pmod(hash(col("id"), i), lit(10000)).cast("string"))))
-          .as("text"))
+          .as("text"),
+        // a low-cardinality metadata column for the stored-facet point
+        concat(lit("l"), pmod(hash(col("id"), lit(3)), lit(5)).cast("string"))
+          .as("lang"))
       val corpus = gen(0L, n).cache(); corpus.count()
       val base = java.nio.file.Files.createTempDirectory(s"scalelex$n").toString
       def timed(df: => org.apache.spark.sql.DataFrame): Double = {
@@ -157,13 +160,30 @@ object BenchCurve {
       }
       val probeScan = timed(TextAnalysis.bm25TopK(corpus, "id", "text", terms, k))
       val tB0 = System.nanoTime()
-      // storeText: the SERVING posture — the doc store is what keeps
-      // MLT seeds and snippet text off the corpus, so the curve builds
-      // (and prices) the layout a deployment would actually run
+      // storeText + storeCols: the SERVING posture — the doc store is
+      // what keeps MLT seeds and snippet text off the corpus, the
+      // stored facet column what keeps the facet sidebar off it; the
+      // curve builds (and prices) the layout a deployment would run
       InvertedIndex.build(corpus, "id", "text", s"$base/inv",
-        nBuckets = nBuckets, nDocBuckets = 64, storeText = true)
+        nBuckets = nBuckets, nDocBuckets = 64, storeText = true,
+        storeCols = Seq("lang"))
       val buildInv = (System.nanoTime() - tB0) / 1e9
       val probeInv = timed(InvertedIndex.bm25TopK(spark, s"$base/inv", terms, k))
+      // DICTIONARY ops: a prefix cannot hash-prune, so both read the
+      // vocab-sized termstats layout — vocabulary here is fixed at 10k
+      // terms however many docs, so these points must stay FLAT across
+      // 16× docs (Heaps' law keeps real vocab growth sublinear). The
+      // fuzzy probe adds the expansion's own pruned postings read.
+      val suggestDict = timed(
+        InvertedIndex.suggestTerms(spark, s"$base/inv", "w1", k = 10))
+      val fuzzyDict = timed(InvertedIndex.bm25FuzzyTopK(spark, s"$base/inv",
+        Seq("w42"), k = 10, maxEdits = 1, maxExpansions = 128))
+      // STORED FACETS: match set ∝ the query terms' postings (~3% of
+      // docs here), values from the index's own (id, lang) columns —
+      // this point prices the honest O(match set) cost of a facet
+      // sidebar with NO corpus table access (text never read)
+      val facetStore = timed(InvertedIndex.facetCountsStored(spark,
+        s"$base/inv", Seq("lang"), terms, matchAll = false))
       import spark.implicits._
       // appends measured BEFORE the giant MLT-scan job: a preceding
       // 8M-doc token-explode leaves enough JVM/page-cache churn to
@@ -257,7 +277,9 @@ object BenchCurve {
         concat(lit("loc"), col("id").cast("string")).as("id"),
         concat_ws(" ", transform(sequence(lit(0), lit(99)),
           i => concat(lit("v"), pmod(hash(col("id"), i), lit(50)).cast("string"))))
-          .as("text"))
+          .as("text"),
+        concat(lit("l"), pmod(hash(col("id"), lit(3)), lit(5)).cast("string"))
+          .as("lang"))
       val localBatch = genLocal(0L, 1000L).cache(); localBatch.count()
       InvertedIndex.append(spark, s"$base/inv", localBatch, "id", "text")
       InvertedIndex.delete(spark, s"$base/inv", (0L until 1000L).map(i => s"loc$i"))
@@ -275,6 +297,8 @@ object BenchCurve {
       System.gc()
       s"""{"n":$n,"n_buckets":$nBuckets,"build_inv":$buildInv,""" +
         s""""probe_scan":$probeScan,"probe_inv":$probeInv,""" +
+        s""""suggest_dict":$suggestDict,"fuzzy_dict":$fuzzyDict,""" +
+        s""""facet_store":$facetStore,""" +
         s""""fetch_docs":$fetchDocsT,""" +
         s""""mlt_scan":$mltScan,"mlt_idx":$mltIdx,""" +
         s""""mlt_idx_fallback":$mltIdxFallback,"contam_idx":$contamIdx,""" +

@@ -338,6 +338,23 @@ object SparkEntry {
         .withColumn("__metrics__", round(col("__metrics__"), 6))
     }),
 
+    // O3: SEARCH-AFTER pagination — page 2 (ranks 6-10) via the
+    // (rounded score, id) cursor of page 1's last row, not
+    // LIMIT/OFFSET: the cursor filter rides the same single scan, and
+    // the (round(score, 6) DESC, id ASC) total order makes pages
+    // gap-free and overlap-free at any depth. Page 1's collect is k
+    // rows (serving-sized by contract).
+    "o3_topk_after" -> ((s, dir) => {
+      val st = storeD(s, dir)
+      val q = qvec(s, dir)
+      val last = st.query(q, 5)
+        .select(col(VectorStore.IdCol),
+          round(col(VectorStore.MetricsCol), 6).as("m"))
+        .collect().last
+      st.queryAfter(q, 5, (last.getDouble(1), last.getString(0)))
+        .withColumn("__metrics__", round(col("__metrics__"), 6))
+    }),
+
     // O3b: the batch-first query API (SURVEY §7.4.4) — many query
     // vectors at once through the bounded-heap aggregate, with threshold
     // and metadata predicate applied like the single-query path.
@@ -677,6 +694,21 @@ object SparkEntry {
          |SELECT CAST(vec_id AS VARCHAR) AS __id__, label, round(sc, 6) AS __metrics__
          |FROM s ORDER BY sc DESC, vec_id LIMIT 10""".stripMargin,
 
+    // search-after page 2: the cursor is page 1's last row as the
+    // client saw it — (round(sc, 6), id-as-string); strictly-after in
+    // the (rounded score DESC, id ASC) total order
+    "o3_topk_after" ->
+      s"""WITH $qCte,
+         |s AS (SELECT e.vec_id, e.label, $cosExpr AS sc FROM embeddings e CROSS JOIN q),
+         |p1 AS (SELECT vec_id, sc FROM s
+         |       ORDER BY sc DESC, CAST(vec_id AS VARCHAR) LIMIT 5),
+         |cur AS (SELECT round(sc, 6) AS cs, CAST(vec_id AS VARCHAR) AS cid FROM p1
+         |        ORDER BY sc ASC, CAST(vec_id AS VARCHAR) DESC LIMIT 1)
+         |SELECT CAST(vec_id AS VARCHAR) AS __id__, label, round(sc, 6) AS __metrics__
+         |FROM s CROSS JOIN cur
+         |WHERE round(sc, 6) < cs OR (round(sc, 6) = cs AND CAST(vec_id AS VARCHAR) > cid)
+         |ORDER BY round(sc, 6) DESC, CAST(vec_id AS VARCHAR) LIMIT 5""".stripMargin,
+
     "o3c_topk_local" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS rank_equal""",
 
@@ -804,8 +836,12 @@ object SparkEntry {
   private[graft] def cachedInvIdx(s: SparkSession, dir: String): String =
     invIdxCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
       val path = java.nio.file.Files.createTempDirectory("invidx").toString
+      // storeCols = the facet columns (Lucene doc values): probes never
+      // select them, so every scoring key runs on the identical pruned
+      // reads — and text_facets_store serves facets with no corpus
       InvertedIndex.build(Tables.documents(s, dir), "doc_id", "text",
-        path, nBuckets = 16, nDocBuckets = 8, storeText = true)
+        path, nBuckets = 16, nDocBuckets = 8, storeText = true,
+        storeCols = Seq("lang", "source"))
       path
     })
 
@@ -817,14 +853,18 @@ object SparkEntry {
 
   /** Per-JVM TITLE-field index cache for the BM25F keys — one
     * [[InvertedIndex]] per field is the per-field-terms-dictionary
-    * decomposition [[InvertedIndex.bm25fTopK]] scores across. */
+    * decomposition [[InvertedIndex.bm25fTopK]] scores across. Carries
+    * its doc store (the TITLE text) so the multi-field highlight key
+    * renders title hits from the title index; probes never read the
+    * column, so the BM25F scoring keys are unaffected. */
   private val invIdxTitleCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def cachedInvIdxTitle(s: SparkSession, dir: String): String =
     invIdxTitleCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
       val path = java.nio.file.Files.createTempDirectory("invidxt").toString
       InvertedIndex.build(
         Tables.documents(s, dir).withColumn("title", titleCol),
-        "doc_id", "title", path, nBuckets = 16, nDocBuckets = 8)
+        "doc_id", "title", path, nBuckets = 16, nDocBuckets = 8,
+        storeText = true)
       path
     })
 
@@ -1603,6 +1643,30 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // MMR diversity re-rank: the exact-cosine top-20 re-ranked by
+    // maximal marginal relevance (lambda = 0.7) — relevance traded
+    // against redundancy to the already-picked set, the standard
+    // diversity pass before serving a similarity page. Candidates are
+    // a top-N result (serving-sized by contract), so the greedy
+    // sequential pass runs driver-local like the local-replica tier;
+    // scores quantize to 1e-6 before every pick, ties by id — the
+    // oracle replays the same greedy selection step by step in SQL.
+    "ann_mmr" -> ((s, dir) => {
+      val st = storeD(s, dir)
+      val top = st.query(qvec(s, dir), 20)
+        .select(col(VectorStore.IdCol).as("id"),
+          col(VectorStore.MetricsCol).as("rel"))
+      val cand = top.join(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").cast(StringType).as("id"), col("embedding")),
+        Seq("id"))
+      Ann.mmrRerank(cand, "id", "embedding", "rel", k = 10, lambda = 0.7)
+        .withColumn("mmr", round(col("mmr"), 6))
+        .withColumn("rel", round(col("rel"), 6))
+        .withColumnRenamed("id", "__id__")
+        .orderBy(col("rank"))
+    }),
+
     // Hybrid retrieval through the SERVING path: the lexical ranking
     // comes from the persisted inverted index (term-bucket-pruned
     // probe) instead of the corpus scan — the composition a deployed
@@ -2014,6 +2078,106 @@ object SparkEntry {
           mustNot = Seq("slow"), k = 10, minShouldMatch = 1)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Text: SEARCH-AFTER pagination — page 2 of the BM25 ranking via
+    // the (bm25, id) cursor of page 1's last row (the client-visible
+    // rounded score), not LIMIT/OFFSET: the cursor filter rides the
+    // same single probe, and the (bm25 DESC, id ASC) total order makes
+    // pages gap-free and overlap-free at any depth. The page-1 collect
+    // is k rows (serving-sized by contract).
+    "text_bm25_after" -> ((s, dir) => {
+      val idx = cachedInvIdx(s, dir)
+      val terms = Seq("spark", "vector", "join")
+      val last = InvertedIndex.bm25TopK(s, idx, terms, k = 5).collect().last
+      InvertedIndex.bm25TopK(s, idx, terms, k = 5,
+          after = Some((last.getDouble(1), last.getString(0))))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Text: PREFIX SUGGESTION (autocomplete) — the 5 most frequent
+    // terms starting with "s", ranked by exact document frequency from
+    // the vocab-sized term-stats dictionary (a prefix cannot
+    // hash-prune, so the honest plan reads the dictionary layout — and
+    // ONLY it: postings never open on the fast path).
+    "text_suggest" -> ((s, dir) => {
+      InvertedIndex.suggestTerms(s, cachedInvIdx(s, dir), "s", k = 5)
+        .orderBy(col("df").desc, col("term"))
+    }),
+
+    // Text: FUZZY BM25 — the query "sow" expands through the term
+    // dictionary to every vocab term within 1 Levenshtein edit
+    // ({row, slow} in this corpus) and the expansion scores as a plain
+    // disjunction, each variant with its own df and tf. The oracle
+    // derives the same expansion with DuckDB's levenshtein() over the
+    // corpus vocabulary — expansion AND scoring both cross-checked.
+    "text_bm25_fuzzy" -> ((s, dir) => {
+      InvertedIndex.bm25FuzzyTopK(s, cachedInvIdx(s, dir),
+          Seq("sow"), k = 10, maxEdits = 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Text: FACET COUNTS over the full match set (docs containing BOTH
+    // "spark" and "join") — the search-page sidebar: per facet column
+    // (lang, source), how many matching docs carry each value. Match
+    // set from the bucket-pruned live probe; corpus side reads only
+    // (doc_id, lang, source) — column pruning keeps the text out; the
+    // facet columns melt in-row so one pass serves every facet.
+    "text_facets" -> ((s, dir) => {
+      InvertedIndex.facetCounts(s, cachedInvIdx(s, dir),
+          Tables.documents(s, dir), "doc_id", Seq("lang", "source"),
+          Seq("spark", "join"), matchAll = true)
+        .orderBy(col("facet"), col("n_docs").desc, col("value"))
+    }),
+
+    // Text: facet counts served ENTIRELY from the index — the facet
+    // columns were STORED on the doc-stats layout at build time
+    // (storeCols, the doc-values analog), so a deployed index answers
+    // the same sidebar with zero access to the source table: the match
+    // set from the pruned probe, the values from the index's own
+    // doc-count-sized store reading only (id, lang, source).
+    "text_facets_store" -> ((s, dir) => {
+      InvertedIndex.facetCountsStored(s, cachedInvIdx(s, dir),
+          Seq("lang", "source"), Seq("spark", "join"), matchAll = true)
+        .orderBy(col("facet"), col("n_docs").desc, col("value"))
+    }),
+
+    // Text: SORT BY a stored field instead of relevance — the "sort by
+    // source" result page: match set from the pruned probe, sort key
+    // from the index's own stored column (doc values), k-bounded
+    // TakeOrdered; no corpus table at query time. Ties by id.
+    "text_sort_field" -> ((s, dir) => {
+      InvertedIndex.sortByStored(s, cachedInvIdx(s, dir),
+          Seq("spark", "join"), "source", k = 10, asc = true)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Text: total-hit count (the `numFound` beside a result page) —
+    // live docs containing BOTH terms, counted from the same pruned
+    // probe the scoring paths read; one output row, no corpus scan.
+    "text_count" -> ((s, dir) => {
+      InvertedIndex.matchCount(s, cachedInvIdx(s, dir),
+        Seq("spark", "join"), matchAll = true)
+    }),
+
+    // Text: MULTI-FIELD highlighting — the BM25F top-5 render their
+    // matches per FIELD, each field from its own positional postings
+    // and doc store (a title hit highlights at a title offset, a body
+    // hit at a body offset); fields never join each other.
+    "text_bm25f_hl" -> ((s, dir) => {
+      val title = cachedInvIdxTitle(s, dir)
+      val body = cachedInvIdx(s, dir)
+      val top = InvertedIndex.bm25fTopK(s,
+        Seq((title, 2.0, 0.6), (body, 1.0, 0.75)),
+        Seq("spark", "vector", "join"), k = 5).select(col("id"))
+      InvertedIndex.highlightFields(s,
+          Seq(("title", title), ("body", body)), top,
+          Seq("spark", "vector", "join"), window = 2, maxPerDoc = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("field"), col("doc_id"), col("snip_no"))
     }),
 
     // Text: index observability — geometry, exact sidecar stats, the
@@ -4640,6 +4804,49 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The ann_mmr oracle: MMR's greedy selection unrolled into k chained
+    * CTEs (the algorithm is sequential by definition — each pick
+    * depends on everything picked before it, so SQL expresses it as k
+    * argmax steps, not one aggregate). Every comparison quantizes to
+    * 1e-6 longs exactly as [[graft.operators.Ann.mmrRerank]] does; the
+    * interpolated `1 - lambda` prints the same IEEE double the engine
+    * computes, so the two sides subtract identical penalties. Every
+    * chained CTE is MATERIALIZED: each step references all earlier
+    * steps, so inlining would expand the chain exponentially (DuckDB
+    * runs out of file handles re-opening the parquet before it runs
+    * out of CPU). */
+  private def mmrOracleSql(k: Int, lambda: Double): String = {
+    val lam = lambda
+    val oneMinus = 1.0 - lambda // interpolates as the exact double
+    val steps = (2 to k).map { i =>
+      val sel = (1 until i).map(j => s"SELECT id FROM p$j").mkString(" UNION ALL ")
+      s"""p$i AS MATERIALIZED (SELECT $i AS rank, c.id,
+         |  CAST(round(($lam * c.rel - $oneMinus * (
+         |    SELECT max(list_dot_product(nc.v, ns.v)) FROM nv nc, nv ns
+         |    WHERE nc.id = c.id AND ns.id IN ($sel))) * 1000000) AS BIGINT) AS q
+         |  FROM cand c WHERE c.id NOT IN ($sel)
+         |  ORDER BY q DESC, c.id LIMIT 1)""".stripMargin
+    }
+    val unionAll = (1 to k).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")
+    s"""WITH $qCte,
+       |s AS (SELECT e.vec_id, $cosExpr AS sc FROM embeddings e CROSS JOIN q),
+       |cand AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, sc AS rel FROM s
+       |         ORDER BY sc DESC, CAST(vec_id AS VARCHAR) LIMIT 20),
+       |nv AS MATERIALIZED (SELECT CAST(e.vec_id AS VARCHAR) AS id,
+       |         list_transform(e.embedding::DOUBLE[],
+       |           x -> x / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS v
+       |       FROM embeddings e JOIN cand ON CAST(e.vec_id AS VARCHAR) = cand.id),
+       |p1 AS MATERIALIZED (SELECT 1 AS rank, c.id,
+       |  CAST(round($lam * c.rel * 1000000) AS BIGINT) AS q
+       |  FROM cand c ORDER BY q DESC, c.id LIMIT 1),
+       |${steps.mkString(",\n")}
+       |SELECT CAST(u.rank AS INTEGER) AS rank, u.id AS __id__,
+       |       round(CAST(u.q AS DOUBLE) / 1000000.0, 6) AS mmr,
+       |       round(c.rel, 6) AS rel
+       |FROM ($unionAll) u JOIN cand c ON u.id = c.id
+       |ORDER BY u.rank""".stripMargin
+  }
+
   private def pipelineOracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4910,6 +5117,12 @@ object SparkEntry {
         |SELECT doc_id, rrf, n_lists FROM f
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
+    // MMR diversity re-rank: the greedy selection REPLAYED step by step
+    // in SQL (k unrolled picks — MMR is sequential by definition), each
+    // pick the argmax of the 1e-6-quantized lambda*rel − (1−lambda)*
+    // max-cosine-to-picked, ties by id, exactly the engine's comparisons
+    "ann_mmr" -> mmrOracleSql(k = 10, lambda = 0.7),
+
     // serving-path hybrid: identical fusion, but the lexical ranking
     // uses the INDEX's 1e-9-quantized BM25 and its VARCHAR id tiebreak
     // for both the top-50 cut and the ranks
@@ -5161,6 +5374,98 @@ object SparkEntry {
         |     + (CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)) >= 1
         |  AND bm25 > 0
         |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // search-after page 2 of the quantized index BM25: the engine pages
+    // by the (bm25, id) cursor of page 1's last row; over an immutable
+    // corpus and the total (bm25 DESC, id ASC) order that is EXACTLY
+    // rows 6-10 of the full ranking — OFFSET expresses it in one line
+    "text_bm25_after" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dl,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf CROSS JOIN st)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 5 OFFSET 5""".stripMargin,
+
+    // prefix suggestion: exact per-term document frequency over the
+    // corpus vocabulary, prefix-filtered, df-desc ranked
+    "text_suggest" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT DISTINCT doc_id, term FROM tok)
+        |SELECT term, count(*) AS df FROM t WHERE term LIKE 's%'
+        |GROUP BY term ORDER BY df DESC, term LIMIT 5""".stripMargin,
+
+    // fuzzy BM25: the expansion of 'sow' (vocab terms within 1
+    // Levenshtein edit) scored as a plain disjunction, each variant
+    // with its own df and tf — quantized exactly as the index sums
+    "text_bm25_fuzzy" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |vocab AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents),
+        |exp AS (SELECT term FROM vocab WHERE levenshtein(term, 'sow') <= 1),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM tok JOIN exp USING (term) GROUP BY doc_id, dl, term),
+        |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT doc_id, round(CAST(sum(
+        |         CAST(round(ln((n - df + 0.5)/(df + 0.5) + 1) * tf / (tf + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+        |         ) AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |       FROM tf JOIN dfs USING (term) CROSS JOIN st GROUP BY doc_id)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // facet counts over the conjunctive match set: per facet column,
+    // docs per value — the lang and source columns melt into one
+    // (facet, value) keyspace exactly as the engine stacks them
+    "text_facets" ->
+      """WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, lang, source FROM d
+        |      WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')),
+        |f AS (SELECT 'lang' AS facet, lang AS value, count(*) AS n_docs FROM m GROUP BY lang
+        |      UNION ALL
+        |      SELECT 'source' AS facet, source AS value, count(*) AS n_docs FROM m GROUP BY source)
+        |SELECT facet, value, n_docs FROM f ORDER BY facet, n_docs DESC, value""".stripMargin,
+
+    // index-local facets: same sidebar, same truth — the engine serves
+    // it from the stored columns instead of the corpus table
+    "text_facets_store" ->
+      """WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, lang, source FROM d
+        |      WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')),
+        |f AS (SELECT 'lang' AS facet, lang AS value, count(*) AS n_docs FROM m GROUP BY lang
+        |      UNION ALL
+        |      SELECT 'source' AS facet, source AS value, count(*) AS n_docs FROM m GROUP BY source)
+        |SELECT facet, value, n_docs FROM f ORDER BY facet, n_docs DESC, value""".stripMargin,
+
+    // sort-by-stored-field result page: conjunctive match, source asc,
+    // id-string tiebreak, k = 10
+    "text_sort_field" ->
+      """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+        |             string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, source FROM d
+        |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+        |ORDER BY source, doc_id LIMIT 10""".stripMargin,
+
+    // total-hit count over the conjunctive match set
+    "text_count" ->
+      """SELECT count(*) AS n_docs FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'spark')
+        |  AND list_contains(string_split(text, ' '), 'join')""".stripMargin,
 
     // proximity-boosted BM25: quantized two-term BM25 (spark, join) +
     // 0.5 per adjacent "spark join" bigram; score rounds the UNROUNDED
@@ -5418,6 +5723,82 @@ object SparkEntry {
     // per field derives from the sidecars' exact longs
     // (sum_dl/n_docs) and ids are the index's STRING keys (VARCHAR
     // tiebreak), like every indexed probe
+    // multi-field highlighting: the BM25F top-5 (same quantized scoring
+    // CTEs as text_bm25f_idx) render per FIELD — title occurrences at
+    // title offsets, body occurrences at body offsets; per-(field, doc)
+    // gap-and-island window merge, first 2 windows each
+    "text_bm25f_hl" ->
+      """WITH d AS (SELECT doc_id,
+        |         list_slice(string_split(text, ' '), 1, 8) AS ttoks,
+        |         string_split(text, ' ') AS btoks,
+        |         CAST(len(list_slice(string_split(text, ' '), 1, 8)) AS DOUBLE) AS dlt,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dlb
+        |       FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(dlt AS BIGINT)) AS DOUBLE) / count(*) AS avgdlt,
+        |         CAST(sum(CAST(dlb AS BIGINT)) AS DOUBLE) / count(*) AS avgdlb,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'spark') OR list_contains(ttoks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'vector') OR list_contains(ttoks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(sum(CASE WHEN list_contains(btoks, 'join') OR list_contains(ttoks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |       FROM d),
+        |tf AS (SELECT doc_id, dlt, dlb,
+        |         CAST(len(list_filter(ttoks, x -> x = 'spark')) AS DOUBLE) AS tft0,
+        |         CAST(len(list_filter(btoks, x -> x = 'spark')) AS DOUBLE) AS tfb0,
+        |         CAST(len(list_filter(ttoks, x -> x = 'vector')) AS DOUBLE) AS tft1,
+        |         CAST(len(list_filter(btoks, x -> x = 'vector')) AS DOUBLE) AS tfb1,
+        |         CAST(len(list_filter(ttoks, x -> x = 'join')) AS DOUBLE) AS tft2,
+        |         CAST(len(list_filter(btoks, x -> x = 'join')) AS DOUBLE) AS tfb2
+        |       FROM d),
+        |w AS (SELECT doc_id,
+        |        CAST(CAST(round(2.0*tft0/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb0/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf0,
+        |        CAST(CAST(round(2.0*tft1/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb1/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf1,
+        |        CAST(CAST(round(2.0*tft2/(0.4 + 0.6*dlt/avgdlt)*1000000000) AS BIGINT)
+        |           + CAST(round(1.0*tfb2/(0.25 + 0.75*dlb/avgdlb)*1000000000) AS BIGINT) AS DOUBLE)/1000000000.0 AS wtf2
+        |      FROM tf CROSS JOIN st),
+        |sc AS (SELECT doc_id, round(CAST(
+        |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * wtf0/(1.2 + wtf0) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * wtf1/(1.2 + wtf1) * 1000000000) AS BIGINT)
+        |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * wtf2/(1.2 + wtf2) * 1000000000) AS BIGINT)
+        |         AS DOUBLE) / 1000000000.0, 6) AS bm25f
+        |       FROM w CROSS JOIN st),
+        |top AS (SELECT doc_id FROM sc WHERE bm25f > 0
+        |        ORDER BY bm25f DESC, CAST(doc_id AS VARCHAR) LIMIT 5),
+        |u AS (SELECT 'title' AS field, d.doc_id, d.ttoks AS toks FROM d JOIN top ON d.doc_id = top.doc_id
+        |      UNION ALL
+        |      SELECT 'body' AS field, d.doc_id, d.btoks AS toks FROM d JOIN top ON d.doc_id = top.doc_id),
+        |p AS (SELECT field, doc_id, toks,
+        |        list_filter(generate_series(1, len(toks)),
+        |          i -> list_contains(['spark', 'vector', 'join'], toks[i])) AS idxs
+        |      FROM u),
+        |o AS (SELECT field, doc_id, unnest(idxs) - 1 AS off,
+        |        unnest(list_transform(idxs, i -> toks[i])) AS term
+        |      FROM p WHERE len(idxs) > 0),
+        |w2 AS (SELECT field, doc_id, off, term, greatest(off - 2, 0) AS s, off + 2 AS e FROM o),
+        |i2 AS (SELECT field, doc_id, off, term, s, e,
+        |        CASE WHEN lag(e) OVER (PARTITION BY field, doc_id ORDER BY off) IS NULL
+        |               OR s > lag(e) OVER (PARTITION BY field, doc_id ORDER BY off) + 1
+        |             THEN 1 ELSE 0 END AS nw
+        |      FROM w2),
+        |g AS (SELECT field, doc_id, off, term, s, e,
+        |        sum(nw) OVER (PARTITION BY field, doc_id ORDER BY off) AS isl FROM i2),
+        |m AS (SELECT field, doc_id, isl, count(*) AS n_hits,
+        |        array_to_string(list_sort(list_distinct(list(term))), ',') AS terms_hit,
+        |        min(s) AS win_start, max(e) AS win_end
+        |      FROM g GROUP BY field, doc_id, isl),
+        |r AS (SELECT field, doc_id, n_hits, terms_hit, win_start, win_end,
+        |        row_number() OVER (PARTITION BY field, doc_id ORDER BY win_start) AS snip_no
+        |      FROM m)
+        |SELECT r.field, CAST(r.doc_id AS VARCHAR) AS doc_id,
+        |       CAST(snip_no AS INTEGER) AS snip_no, CAST(n_hits AS BIGINT) AS n_hits,
+        |       terms_hit,
+        |       CAST(win_start AS BIGINT) AS win_start, CAST(win_end AS BIGINT) AS win_end,
+        |       array_to_string(list_slice(u.toks, win_start + 1, win_end + 1), ' ') AS snippet
+        |FROM r JOIN u ON r.field = u.field AND r.doc_id = u.doc_id
+        |WHERE snip_no <= 2
+        |ORDER BY r.field, CAST(r.doc_id AS VARCHAR), snip_no""".stripMargin,
+
     "text_bm25f_idx" ->
       """WITH d AS (SELECT doc_id,
         |         list_slice(string_split(text, ' '), 1, 8) AS ttoks,

@@ -1020,6 +1020,96 @@ object Ann {
       .limit(k)
   }
 
+  // ------------------------------------------------------- MMR re-ranking
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) of
+    * a top-N candidate list: greedily pick k items maximizing
+    * `lambda * rel(i) - (1 - lambda) * max_{j picked} cos(i, j)` —
+    * relevance traded against redundancy to the already-picked set, the
+    * standard diversity pass over a similarity top-k before serving.
+    * The first pick carries no redundancy term (nothing is picked yet);
+    * afterwards the penalty is the TRUE maximum (it may be negative).
+    *
+    * The candidate list is a top-N RESULT by contract (serving-sized,
+    * the local-replica tier's altitude), and MMR is inherently
+    * sequential in k with every step reading all pairwise maxima — so
+    * the rerank runs driver-local over the collected candidates
+    * (hard-bounded by `maxCandidates`, fails fast past it; nothing
+    * corpus-sized ever reaches the driver) with O(k·N) incremental
+    * best-similarity updates, O(N) state. Vectors L2-normalize in
+    * double here (raw embeddings in, cosine out); MMR scores quantize
+    * to 1e-6 before every comparison so selection is engine-portable,
+    * ties break by id ascending. Emits (rank, id, mmr, rel) in pick
+    * order. */
+  def mmrRerank(candidates: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double = 0.7,
+      maxCandidates: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    require(maxCandidates >= 1, s"maxCandidates must be >= 1, got $maxCandidates")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast(StringType).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v"),
+        col(relCol).cast(DoubleType).as("rel"))
+      .limit(maxCandidates + 1) // bounds the collect BEFORE it happens
+      .collect()
+    require(rows.length <= maxCandidates,
+      s"candidate list exceeds maxCandidates = $maxCandidates — MMR is a " +
+        "top-N rerank; bound the candidates or raise maxCandidates")
+    if (rows.isEmpty) return Seq.empty[(Int, String, Double, Double)]
+      .toDF("rank", "id", "mmr", "rel")
+    val n = rows.length
+    val ids = rows.map(_.getString(0))
+    val rel = rows.map(_.getDouble(2))
+    val vs = rows.map { r =>
+      val a = r.getSeq[Double](1).toArray
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      val nrm = math.sqrt(s)
+      if (nrm == 0.0) a
+      else {
+        val o = new Array[Double](a.length); var j = 0
+        while (j < a.length) { o(j) = a(j) / nrm; j += 1 }; o
+      }
+    }
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+    }
+    val picked = new Array[Boolean](n)
+    val bestSim = Array.fill(n)(Double.NegativeInfinity)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double, Double)]
+    val kk = math.min(k, n)
+    var r = 1
+    while (r <= kk) {
+      var best = -1; var bestQ = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val pen = if (r == 1) 0.0 else (1.0 - lambda) * bestSim(i)
+          val q = math.round((lambda * rel(i) - pen) * 1e6)
+          if (q > bestQ || (q == bestQ && (best < 0 || ids(i) < ids(best)))) {
+            best = i; bestQ = q
+          }
+        }
+        i += 1
+      }
+      picked(best) = true
+      out += ((r, ids(best), bestQ / 1e6, rel(best)))
+      var j = 0
+      while (j < n) {
+        if (!picked(j)) {
+          val s = dot(vs(j), vs(best))
+          if (s > bestSim(j)) bestSim(j) = s
+        }
+        j += 1
+      }
+      r += 1
+    }
+    out.toSeq.toDF("rank", "id", "mmr", "rel")
+  }
+
   /** Persisted binary signature index: the [[bqSigs]] table bucketed by
     * id hash with a sidecar pinning the bucket count. */
   final case class BqIndex(nBuckets: Int, sigs: DataFrame)

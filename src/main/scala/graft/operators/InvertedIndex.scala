@@ -20,9 +20,14 @@ import org.apache.spark.sql.types._
   *     only the buckets its terms hash into. `dl` (doc length) is
   *     denormalized onto each posting so scoring never joins a
   *     corpus-sized doc table.
-  *   - `docstats/dbucket=N/` — (id, dl), partitioned by id-hash bucket:
-  *     the exact-stats ledger deletes read (and rewrite, touched
-  *     buckets only) so the sidecar's N and Σdl stay exact.
+  *   - `docstats/dbucket=N/` — (id, dl[, text][, stored cols...]),
+  *     partitioned by id-hash bucket: the exact-stats ledger deletes
+  *     read (and rewrite, touched buckets only) so the sidecar's N and
+  *     Σdl stay exact. With `storeText` the raw text rides along (the
+  *     doc store behind [[fetchDocs]]/snippets/MLT); with `storeCols`
+  *     metadata columns do too (the Lucene doc-values analog behind
+  *     [[facetCountsStored]]) — parquet column pruning keeps both free
+  *     for every reader that doesn't select them.
   *   - `tombstones/` — (id) append-only: deletes are Lucene-style
   *     logical tombstones (a doc's terms spread across ~all posting
   *     buckets, so eager physical deletion would rewrite the whole
@@ -62,7 +67,12 @@ object InvertedIndex {
     * documented equal-n_docs form). */
   final case class InvStats(nBuckets: Int, nDocBuckets: Int, nDocs: Long, sumDl: Long,
       analyzer: String = "ws", storesText: Boolean = false,
-      corpusFp: Option[Long] = None)
+      corpusFp: Option[Long] = None, storeCols: Seq[String] = Nil)
+
+  /** Column names the doc-stats layout owns; stored metadata columns
+    * may not collide with them. */
+  private val ReservedDocStatsCols =
+    Set("id", "dl", "tbuckets", "text", "dbucket", "sv")
 
   private def termBucket(nBuckets: Int) =
     pmod(xxhash64(col("term")), lit(nBuckets.toLong))
@@ -102,14 +112,17 @@ object InvertedIndex {
     * text fetch into a dbucket-pruned point lookup. */
   private def docStatsOf(df: DataFrame, idCol: String, textCol: String,
       nDocBuckets: Int, nBuckets: Int, analyzer: String,
-      storeText: Boolean): DataFrame = {
+      storeText: Boolean, storeCols: Seq[String] = Nil): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol), analyzer)
     df.select(Seq(col(idCol).cast(StringType).as("id"),
         size(toks).cast(LongType).as("dl"),
         array_sort(array_distinct(transform(toks,
           t => pmod(xxhash64(t), lit(nBuckets.toLong)).cast(IntegerType))))
           .as("tbuckets")) ++
-        (if (storeText) Seq(col(textCol).cast(StringType).as("text")) else Nil): _*)
+        (if (storeText) Seq(col(textCol).cast(StringType).as("text")) else Nil) ++
+        // stored metadata columns (Lucene doc values): STRING-typed,
+        // parquet-pruned free for every reader that doesn't select them
+        storeCols.map(c => col(c).cast(StringType).as(c)): _*)
       .withColumn("dbucket", docBucket(nDocBuckets))
   }
 
@@ -135,7 +148,10 @@ object InvertedIndex {
       s"""{"n_buckets": ${s.nBuckets}, "n_doc_buckets": ${s.nDocBuckets}, """ +
         s""""n_docs": ${s.nDocs}, "sum_dl": ${s.sumDl}, "analyzer": "${s.analyzer}", """ +
         s""""stores_text": ${s.storesText}""" +
-        s.corpusFp.map(fp => s""", "corpus_fp": $fp""").getOrElse("") + "}")
+        s.corpusFp.map(fp => s""", "corpus_fp": $fp""").getOrElse("") +
+        (if (s.storeCols.isEmpty) ""
+         else s.storeCols.map(c => "\"" + c + "\"")
+           .mkString(""", "store_cols": [""", ", ", "]")) + "}")
 
   private def readStatsVersioned(spark: SparkSession, path: String): (InvStats, Long) = {
     val fs = statsFs(spark, path)
@@ -149,7 +165,14 @@ object InvertedIndex {
       n.get("n_docs").asLong(), n.get("sum_dl").asLong(),
       if (n.has("analyzer")) n.get("analyzer").asText() else "ws",
       n.has("stores_text") && n.get("stores_text").asBoolean(),
-      if (n.has("corpus_fp")) Some(n.get("corpus_fp").asLong()) else None), v)
+      if (n.has("corpus_fp")) Some(n.get("corpus_fp").asLong()) else None,
+      if (!n.has("store_cols")) Nil
+      else {
+        val it = n.get("store_cols").elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      }), v)
   }
 
   /** Read the current (highest-version) corpus stats. */
@@ -164,13 +187,19 @@ object InvertedIndex {
     * naive `df.agg` would pay never happens. */
   def build(df: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 16, nDocBuckets: Int = 16,
-      analyzer: String = "ws", storeText: Boolean = false): Unit = {
+      analyzer: String = "ws", storeText: Boolean = false,
+      storeCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0 && nDocBuckets > 0, "bucket counts must be positive")
+    val clash = storeCols.filter(ReservedDocStatsCols.contains)
+    require(clash.isEmpty,
+      s"storeCols ${clash.mkString("[", ", ", "]")} collide with the " +
+        s"doc-stats layout's own columns ($ReservedDocStatsCols)")
     val spark = df.sparkSession
     Ann.writeByPartition(postingsOf(df, idCol, textCol, nBuckets, analyzer),
       "bucket", nBuckets, "overwrite", s"$path/postings")
     Ann.writeByPartition(
-      docStatsOf(df, idCol, textCol, nDocBuckets, nBuckets, analyzer, storeText),
+      docStatsOf(df, idCol, textCol, nDocBuckets, nBuckets, analyzer,
+        storeText, storeCols),
       "dbucket", nDocBuckets, "overwrite", s"$path/docstats")
     val fs = statsFs(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
@@ -211,7 +240,8 @@ object InvertedIndex {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
     }
     writeStats(spark, path,
-      InvStats(nBuckets, nDocBuckets, n, sdl, analyzer, storeText, Some(fp)),
+      InvStats(nBuckets, nDocBuckets, n, sdl, analyzer, storeText, Some(fp),
+        storeCols),
       version = 1L)
   }
 
@@ -262,7 +292,7 @@ object InvertedIndex {
     val posts = postingsOf(batch, idCol, textCol, st.nBuckets, st.analyzer)
       .localCheckpoint(true)
     val ds = docStatsOf(batch, idCol, textCol, st.nDocBuckets, st.nBuckets,
-        st.analyzer, st.storesText)
+        st.analyzer, st.storesText, st.storeCols)
       .localCheckpoint(true)
     // re-appending a tombstoned id would be INVISIBLE (probes anti-join
     // the tombstone set) and then physically dropped by the next
@@ -821,24 +851,63 @@ object InvertedIndex {
     * with `storeText = true`; at 100 TB this is what makes a 5-seed MLT
     * call or a 10-doc snippet render cost ∝ seeds instead of one corpus
     * pass per call. */
-  def fetchDocs(spark: SparkSession, path: String, ids: DataFrame): DataFrame = {
+  def fetchDocs(spark: SparkSession, path: String, ids: DataFrame,
+      withCols: Seq[String] = Nil): DataFrame = {
     val st = readStats(spark, path)
     require(st.storesText,
       s"index at $path does not store document text — build it with " +
         "storeText = true or retrofit via addDocStore to enable " +
         "doc-store point lookups")
+    val missing = withCols.filterNot(st.storeCols.contains)
+    require(missing.isEmpty,
+      s"column(s) ${missing.mkString("[", ", ", "]")} are not stored on " +
+        s"$path (stored: ${st.storeCols.mkString("[", ", ", "]")})")
     val idDf = ids.select(col(ids.columns.head).cast(StringType).as("id"))
     val dbuckets = idDf.select(docBucket(st.nDocBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val dirs = probedDirs(spark, s"$path/docstats", "dbucket", dbuckets)
     import spark.implicits._
-    if (dirs.isEmpty) return Seq.empty[(String, Long, String)].toDF("id", "dl", "text")
+    if (dirs.isEmpty) return Seq.empty[(String, Long, String)]
+      .toDF("id", "dl", "text")
+      .select(col("id") +: col("dl") +: col("text") +:
+        withCols.map(c => lit(null).cast(StringType).as(c)): _*)
     val pruned = spark.read.option("basePath", s"$path/docstats")
       .parquet(dirs: _*)
       .filter(col("dbucket").isin(dbuckets: _*)) // plan-visible prune witness
       .join(idDf, Seq("id"), "left_semi")
     val live = dropTombstoned(spark, path, pruned)
-    live.select(col("id"), col("dl"), col("text"))
+    live.select(col("id") +: col("dl") +: col("text") +: withCols.map(col): _*)
+  }
+
+  /** Result-page SORT BY a stored field instead of relevance — "sort by
+    * date/source/price" over a boolean match: the match set comes from
+    * the same bucket-pruned live probe as every retrieval shape, the
+    * sort key from the index's OWN stored column (doc values — no
+    * corpus table at query time), the shuffle from the k-bounded
+    * TakeOrdered. Stored columns are STRING-typed, so the order is
+    * lexicographic (zero-pad numerics at build time, the standard doc-
+    * values discipline). Ties break by id. Emits (id, <sortCol>). */
+  def sortByStored(spark: SparkSession, path: String, terms: Seq[String],
+      sortCol: String, k: Int, asc: Boolean = true,
+      matchAll: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = readStats(spark, path)
+    require(st.storeCols.contains(sortCol),
+      s"sort column '$sortCol' is not stored on $path " +
+        s"(stored: ${st.storeCols.mkString("[", ", ", "]")})")
+    import spark.implicits._
+    def empty = Seq.empty[(String, String)].toDF("id", sortCol)
+    if (st.nDocs == 0L) return empty
+    matchedIds(spark, path, st, terms, matchAll) match {
+      case None => empty
+      case Some(matched) =>
+        storedColumns(spark, path, Seq(sortCol))
+          .join(matched, Seq("id"), "left_semi")
+          .orderBy((if (asc) col(sortCol).asc else col(sortCol).desc),
+            col("id").asc)
+          .limit(k)
+    }
   }
 
   /** BM25 top-k through the index: list and read ONLY the buckets the
@@ -860,10 +929,22 @@ object InvertedIndex {
     * semantics — N, avgdl, and per-term df stay CORPUS-WIDE (a filter
     * narrows what may be returned, not what the words mean), so a doc's
     * score is the same with or without the filter. The frame may be any
-    * size; Catalyst broadcasts it when small. */
+    * size; Catalyst broadcasts it when small.
+    *
+    * `after` is the SEARCH-AFTER pagination cursor — the last row of the
+    * previous page as its client-visible (bm25, id) pair: only documents
+    * STRICTLY after it in the (bm25 DESC, id ASC) total order qualify.
+    * The cursor compares the ROUNDED score (the value the caller was
+    * handed), so a page boundary can never split a rounding tie
+    * inconsistently, and because the order is total the pages are
+    * gap-free and overlap-free however the corpus mutates scores above
+    * the cursor — the property LIMIT/OFFSET pagination lacks. Cost is
+    * the same single probe: the cursor is one more filter above the
+    * per-doc aggregate, never a second pass. */
   def bm25TopK(spark: SparkSession, path: String, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      after: Option[(Double, String)] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
     val st = readStats(spark, path)
@@ -909,11 +990,17 @@ object InvertedIndex {
     val tf = col("tf").cast(DoubleType)
     val termScore = idf * tf /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / lit(avgdl)))
-    gated.join(broadcast(dfs), Seq("term"))
+    val scored = gated.join(broadcast(dfs), Seq("term"))
       .withColumn("__qs__", round(termScore * 1e9).cast(LongType))
       .groupBy(col("id"))
       .agg(round(sum(col("__qs__")).cast(DoubleType) / 1e9, 6).as("bm25"))
       .filter(col("bm25") > 0d)
+    val paged = after match {
+      case Some((s0, id0)) => scored.filter(
+        col("bm25") < s0 || (col("bm25") === s0 && col("id") > id0))
+      case None => scored
+    }
+    paged
       .orderBy(col("bm25").desc, col("id"))
       .limit(k)
   }
@@ -1746,6 +1833,261 @@ object InvertedIndex {
     live.join(t, Seq("term"), "left_semi")
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // (term, id) unique per layout
+  }
+
+  /** The term DICTIONARY as a frame — every distinct live term with its
+    * exact document frequency, the substrate for dictionary-shaped
+    * queries (prefix suggestion, fuzzy expansion) whose predicates
+    * cannot hash-prune (a prefix says nothing about xxhash64(term), so
+    * the probe legitimately reads every bucket — of the VOCAB-sized
+    * layout, never the postings). Source preference:
+    *
+    *   - `termstats/` when present and tombstone-free: (bucket, term,
+    *     df) rows, build row + append deltas summed per term — exact by
+    *     the same argument as [[termDfs]]' fast path, and
+    *     corpus-independent (Heaps'-law vocab growth only).
+    *   - termstats present but tombstone debt retained: candidate TERMS
+    *     still come from the dictionary (a tombstone never invents a
+    *     term), but df recomputes live through [[termDfs]] — which
+    *     itself bucket-prunes to the candidates, so the fallback pays
+    *     vocab scan + candidate-bucket postings, not a corpus scan.
+    *   - no termstats (an index predating the layout): the documented
+    *     slow path, one full postings scan projecting (term, id).
+    *
+    * Dead terms (every posting tombstoned) emit df = 0 and are dropped.
+    * Emits (term, df). */
+  def termDictionary(spark: SparkSession, path: String): DataFrame = {
+    val st = readStats(spark, path)
+    import spark.implicits._
+    if (st.nDocs == 0L) return Seq.empty[(String, Long)].toDF("term", "df")
+    val fs = statsFs(spark, path)
+    healTombstoneSwap(fs, path)
+    val tsRoot = new org.apache.hadoop.fs.Path(s"$path/termstats")
+    if (fs.exists(tsRoot)) {
+      val dict = spark.read.parquet(s"$path/termstats")
+      if (tombstoneBytes(spark, path) == 0L) {
+        return dict.groupBy(col("term"))
+          .agg(sum(col("df")).as("df")) // build row + append deltas
+          .filter(col("df") > 0L)
+      }
+      return termDfs(spark, path, dict.select(col("term")).distinct(), "term")
+        .filter(col("df") > 0L)
+    }
+    val live = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/postings").select(col("id"), col("term")))
+    live.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // (term, id) unique per layout
+  }
+
+  /** Prefix term suggestion (autocomplete): the k most frequent live
+    * terms starting with `prefix`, ranked by exact document frequency
+    * (ties by term). The prefix folds through the sidecar's analyzer
+    * first — querying `Spa` against a fold index suggests `spark`, and
+    * index-time/query-time tokenization can never silently disagree.
+    * Cost: one [[termDictionary]] read (vocab-sized) + a k-bounded
+    * top-k; the postings never open on the fast path. Emits (term, df). */
+  def suggestTerms(spark: SparkSession, path: String, prefix: String,
+      k: Int): DataFrame = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = readStats(spark, path)
+    val ps = TextAnalysis.tokensOf(prefix, st.analyzer)
+    require(ps.size == 1,
+      s"prefix must analyze to exactly one token under the index's " +
+        s"'${st.analyzer}' analyzer, got ${ps.size}: $ps")
+    termDictionary(spark, path)
+      .filter(col("term").startsWith(ps.head))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
+
+  /** FUZZY BM25: each query term expands to every dictionary term
+    * within `maxEdits` Levenshtein edits (Lucene's fuzzy query), and
+    * the expansion scores as a plain disjunction through [[bm25TopK]] —
+    * each variant with its OWN live df and tf, so a rare misspelling
+    * contributes its full idf instead of inheriting the common form's.
+    * Expansion terms come from [[termDictionary]] (vocab-sized scan —
+    * edit distance cannot hash-prune); the ONE driver collect is the
+    * expansion itself, hard-bounded by `maxExpansions` (exceeding it
+    * fails fast with the actionable knobs rather than silently
+    * truncating recall — no silent caps). Emits (id, bm25). */
+  def bm25FuzzyTopK(spark: SparkSession, path: String,
+      queryTerms: Seq[String], k: Int, maxEdits: Int = 1,
+      maxExpansions: Int = 64, k1: Double = 1.2, b: Double = 0.75,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxEdits >= 0 && maxEdits <= 2,
+      s"maxEdits must be in [0, 2] (Lucene's bound), got $maxEdits")
+    require(maxExpansions >= 1, s"maxExpansions must be >= 1, got $maxExpansions")
+    val st = readStats(spark, path)
+    import spark.implicits._
+    if (st.nDocs == 0L) return Seq.empty[(String, Double)].toDF("id", "bm25")
+    val qs = queryTerms.flatMap(TextAnalysis.tokensOf(_, st.analyzer)).distinct
+    val withinEdits = qs
+      .map(q => levenshtein(col("term"), lit(q)) <= maxEdits)
+      .reduce(_ || _)
+    val expansion = termDictionary(spark, path)
+      .filter(withinEdits)
+      .select(col("term")).orderBy(col("term"))
+      .limit(maxExpansions + 1) // bounds the collect BEFORE it happens
+      .collect().map(_.getString(0)).toSeq
+    require(expansion.size <= maxExpansions,
+      s"fuzzy expansion exceeds maxExpansions = $maxExpansions terms — " +
+        "raise maxExpansions or lower maxEdits")
+    if (expansion.isEmpty) return Seq.empty[(String, Double)].toDF("id", "bm25")
+    bm25TopK(spark, path, expansion, k, k1, b, allowed)
+  }
+
+  /** FACET COUNTS over a probe's full match set — the search-page
+    * sidebar: for documents containing the query terms (`matchAll` =
+    * conjunction, else any), how many carry each value of each facet
+    * column. The match set comes from the same bucket-pruned live
+    * probe every scoring path uses (cost ∝ the query terms' postings,
+    * never the corpus); the corpus side reads ONLY (id, facet columns) —
+    * parquet column pruning keeps the text out — and the facet columns
+    * melt in-row into (facet, value) pairs so ONE semi-gated pass and
+    * ONE aggregate serve every facet. No broadcast hint on the match
+    * set: it is query-dependent and unbounded, so AQE owns the join
+    * strategy. Emits (facet, value, n_docs). */
+  /** The one-column id frame of live documents matching `terms`
+    * (`matchAll` = conjunction, else any) from the bucket-pruned live
+    * probe — the shared MATCH SET every non-scoring retrieval shape
+    * (facets, counts) gates on. None when no probed bucket exists (no
+    * document can match). Cost ∝ the query terms' postings. */
+  private def matchedIds(spark: SparkSession, path: String, st: InvStats,
+      terms: Seq[String], matchAll: Boolean): Option[DataFrame] = {
+    import spark.implicits._
+    val ts = terms.flatMap(TextAnalysis.tokensOf(_, st.analyzer)).distinct
+    val buckets = ts.toDF("term").select(termBucket(st.nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val bucketDirs = probedBucketDirs(spark, path, buckets)
+    if (bucketDirs.isEmpty) return None
+    val pruned = spark.read.option("basePath", s"$path/postings")
+      .parquet(bucketDirs: _*)
+      .filter(col("bucket").isin(buckets: _*)) // plan-visible prune witness
+      .filter(col("term").isin(ts: _*))
+      .select(col("id"), col("term"))
+    val live = dropTombstoned(spark, path, pruned)
+    Some(
+      if (matchAll) live.groupBy(col("id"))
+        .agg(count(lit(1)).as("__nt__")) // (term, id) unique per layout
+        .filter(col("__nt__") === ts.size.toLong)
+        .select(col("id"))
+      else live.select(col("id")).distinct())
+  }
+
+  /** Melt (id, facet columns) rows into (facet, value, n_docs) counts —
+    * ONE pass and one aggregate however many facets are requested. */
+  private def meltFacets(rows: DataFrame, facetCols: Seq[String]): DataFrame =
+    rows
+      .select(explode(map(
+        facetCols.flatMap(c => Seq(lit(c), col(c).cast(StringType))): _*))
+        .as(Seq("facet", "value")))
+      .groupBy(col("facet"), col("value"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  def facetCounts(spark: SparkSession, path: String, corpus: DataFrame,
+      idCol: String, facetCols: Seq[String], terms: Seq[String],
+      matchAll: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(facetCols.nonEmpty, "facetCols must be non-empty")
+    val st = readStats(spark, path)
+    import spark.implicits._
+    def empty = Seq.empty[(String, String, Long)].toDF("facet", "value", "n_docs")
+    if (st.nDocs == 0L) return empty
+    matchedIds(spark, path, st, terms, matchAll) match {
+      case None => empty
+      case Some(matched) => meltFacets(
+        corpus
+          .select(col(idCol).cast(StringType).as("id") +:
+            facetCols.map(c => col(c).cast(StringType).as(c)): _*)
+          .join(matched, Seq("id"), "left_semi"),
+        facetCols)
+    }
+  }
+
+  /** [[facetCounts]] served ENTIRELY from the index — no corpus frame
+    * at query time: the facet columns were stored on the doc-stats
+    * layout at build time (`storeCols`, the Lucene doc-values analog),
+    * so the corpus side of the facet join is the index's OWN
+    * doc-count-sized table reading only (id, facet columns) — parquet
+    * column pruning keeps text and tbuckets out, the tombstone
+    * anti-join keeps the counts live, and a deployed index answers
+    * facets with zero access to the source-of-truth table. Emits
+    * (facet, value, n_docs). */
+  def facetCountsStored(spark: SparkSession, path: String,
+      facetCols: Seq[String], terms: Seq[String],
+      matchAll: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(facetCols.nonEmpty, "facetCols must be non-empty")
+    val st = readStats(spark, path)
+    val missing = facetCols.filterNot(st.storeCols.contains)
+    require(missing.isEmpty,
+      s"facet column(s) ${missing.mkString("[", ", ", "]")} are not stored " +
+        s"on $path (stored: ${st.storeCols.mkString("[", ", ", "]")}) — " +
+        "build the index with storeCols to serve facets index-locally, " +
+        "or use facetCounts(corpus) against the source table")
+    import spark.implicits._
+    def empty = Seq.empty[(String, String, Long)].toDF("facet", "value", "n_docs")
+    if (st.nDocs == 0L) return empty
+    matchedIds(spark, path, st, terms, matchAll) match {
+      case None => empty
+      case Some(matched) =>
+        meltFacets(storedColumns(spark, path, facetCols)
+          .join(matched, Seq("id"), "left_semi"), facetCols)
+    }
+  }
+
+  /** The live (id, stored columns...) frame — a root docstats read
+    * (every dbucket: doc-values consumers are match-set-shaped, not
+    * id-keyed) with crashed-rewrite residue healed first so a
+    * `dbucket=N.rewrite.tmp` directory can never surface as a phantom
+    * partition, and only the requested columns in the scan. */
+  private def storedColumns(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    Ann.recoverStagedDirs(statsFs(spark, path),
+      new org.apache.hadoop.fs.Path(s"$path/docstats"))
+    dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/docstats")
+        .select(col("id") +: cols.map(col): _*))
+  }
+
+  /** Total-hit COUNT for a boolean term query — the `numFound` a search
+    * page shows next to its first page of hits: live documents
+    * containing the terms (`matchAll` = conjunction, else any), counted
+    * from the same bucket-pruned probe the scoring paths read, never a
+    * corpus scan. Emits one row (n_docs). */
+  def matchCount(spark: SparkSession, path: String, terms: Seq[String],
+      matchAll: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val st = readStats(spark, path)
+    import spark.implicits._
+    if (st.nDocs == 0L) return Seq(0L).toDF("n_docs")
+    matchedIds(spark, path, st, terms, matchAll) match {
+      case Some(m) => m.agg(count(lit(1)).as("n_docs"))
+      case None => Seq(0L).toDF("n_docs")
+    }
+  }
+
+  /** Multi-field term highlighting — [[highlightTerms]] across a BM25F
+    * field group: each field renders its own occurrences from its own
+    * positional postings and doc store (a title hit highlights in the
+    * title, not at a body offset), stacked under a `field` column.
+    * Per-field cost is exactly [[highlightTerms]]'; fields never join
+    * each other. Every field index must carry its doc store. Emits
+    * (field, id, snip_no, n_hits, terms_hit, win_start, win_end,
+    * snippet). */
+  def highlightFields(spark: SparkSession, fields: Seq[(String, String)],
+      docs: DataFrame, queryTerms: Seq[String], window: Int = 3,
+      maxPerDoc: Int = 3): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    fields.map { case (field, path) =>
+      highlightTerms(spark, path, docs, queryTerms, window, maxPerDoc)
+        .select(lit(field).as("field"), col("id"), col("snip_no"),
+          col("n_hits"), col("terms_hit"), col("win_start"),
+          col("win_end"), col("snippet"))
+    }.reduce(_.unionAll(_))
   }
 
   /** Exact phrase search through the positional postings: documents

@@ -67,6 +67,39 @@ final case class VectorStore(
       .drop(VectorCol) // projection parity: vector never returned (lib.rs:247-259)
   }
 
+  /** SEARCH-AFTER pagination for [[query]]: the page strictly after the
+    * cursor `after` = (score, id) — the last row of the previous page as
+    * the CLIENT saw it, i.e. with the score rounded to 6 decimals (the
+    * serialization contract every oracle-checked key rounds to). The
+    * page order is the total order (round(score, 6) DESC, id ASC), so
+    * pages are gap-free and overlap-free however deep the client walks —
+    * the property LIMIT/OFFSET lacks — and cost stays ONE scan + top-k
+    * per page: the cursor is a filter above the scoring projection,
+    * never an offset-sized over-fetch. Comparing the rounded score
+    * keeps the cursor stable across engines and replays: a raw-double
+    * cursor could split a rounding tie differently than the page that
+    * produced it. */
+  def queryAfter(
+      queryVec: Array[Float],
+      topK: Int,
+      after: (Double, String),
+      betterThan: Option[Double] = None,
+      filter: Option[Column] = None): DataFrame = {
+    val qn = normalizeLocal(queryVec)
+    val q = array(qn.map(lit): _*)
+    val base = filter.map(df.filter).getOrElse(df)
+    val scored = base.withColumn(MetricsCol, dotD(col(VectorCol), q))
+    val thr = betterThan.getOrElse(Double.MinValue)
+    val (s0, id0) = after
+    val r = round(col(MetricsCol), 6)
+    scored
+      .filter(!isnan(col(MetricsCol)) && col(MetricsCol) >= lit(thr))
+      .filter(r < s0 || (r === s0 && col(IdCol) > id0))
+      .orderBy(r.desc, col(IdCol).asc)
+      .limit(topK)
+      .drop(VectorCol)
+  }
+
   /** Batch-first top-k (SURVEY §7.4.4): many query vectors at once.
     * Queries are broadcast; the data side streams through per-partition
     * bounded heaps ([[graft.functions.TopKByScore]]), so the shuffle is
