@@ -1643,6 +1643,24 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // Hybrid retrieval by WEIGHTED LINEAR fusion — the other standard
+    // hybrid besides RRF: each leg's top-50 scores min-max normalize
+    // over their own list (BM25 is unbounded, cosine is [-1,1] — raw
+    // scores never compare), then fuse as 0.4*lex + 0.6*vec. Scores
+    // round to 6 dp before normalizing on BOTH sides, so the fusion
+    // arithmetic is engine-portable end to end.
+    "ann_hybrid_linear" -> ((s, dir) => {
+      val lex = InvertedIndex.bm25TopK(s, cachedInvIdx(s, dir),
+          Seq("spark", "vector", "join"), k = 50)
+        .withColumnRenamed("bm25", "score")
+      val vec = storeD(s, dir).query(qvec(s, dir), 50)
+        .select(col(VectorStore.IdCol).as("id"),
+          round(col(VectorStore.MetricsCol), 6).as("score"))
+      Ann.linearFuse(Seq((lex, 0.4), (vec, 0.6)), "id", "score", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("fused").desc, col("doc_id"))
+    }),
+
     // MMR diversity re-rank: the exact-cosine top-20 re-ranked by
     // maximal marginal relevance (lambda = 0.7) — relevance traded
     // against redundancy to the already-picked set, the standard
@@ -2117,6 +2135,16 @@ object SparkEntry {
           Seq("sow"), k = 10, maxEdits = 1)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // Text: "DID YOU MEAN" spell correction — the best dictionary
+    // corrections for the misspelling "sprak", ranked the Lucene way
+    // (edit distance, then document frequency, then term): a vocab-
+    // sized dictionary scan, never a postings read.
+    "text_didyoumean" -> ((s, dir) => {
+      InvertedIndex.didYouMean(s, cachedInvIdx(s, dir), "sprak",
+          k = 5, maxEdits = 2)
+        .orderBy(col("dist"), col("df").desc, col("term"))
     }),
 
     // Text: FACET COUNTS over the full match set (docs containing BOTH
@@ -5123,6 +5151,43 @@ object SparkEntry {
     // max-cosine-to-picked, ties by id, exactly the engine's comparisons
     "ann_mmr" -> mmrOracleSql(k = 10, lambda = 0.7),
 
+    // weighted linear hybrid: per-leg min-max normalization over each
+    // top-50 (scores rounded to 6 dp first, both sides), 0.4*lex +
+    // 0.6*vec, missing entries contribute 0
+    "ann_hybrid_linear" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |         CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |         CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |         CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |       FROM d),
+         |tf AS (SELECT doc_id, dl,
+         |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+         |         CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+         |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+         |       FROM d),
+         |sc AS (SELECT doc_id, round(CAST(
+         |         CAST(round(ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+         |       + CAST(round(ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+         |       + CAST(round(ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) * 1000000000) AS BIGINT)
+         |         AS DOUBLE) / 1000000000.0, 6) AS bm25
+         |       FROM tf CROSS JOIN st),
+         |lex AS (SELECT CAST(doc_id AS VARCHAR) AS id, bm25 AS s FROM sc WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 50),
+         |$qCte,
+         |sv AS (SELECT e.vec_id, $cosExpr AS cs FROM embeddings e CROSS JOIN q),
+         |vec AS (SELECT CAST(vec_id AS VARCHAR) AS id, round(cs, 6) AS s FROM sv
+         |        ORDER BY cs DESC, CAST(vec_id AS VARCHAR) LIMIT 50),
+         |ln_ AS (SELECT id, 0.4 * (CASE WHEN mx = mn THEN 1.0 ELSE (s - mn)/(mx - mn) END) AS c
+         |        FROM lex CROSS JOIN (SELECT min(s) AS mn, max(s) AS mx FROM lex)),
+         |vn AS (SELECT id, 0.6 * (CASE WHEN mx = mn THEN 1.0 ELSE (s - mn)/(mx - mn) END) AS c
+         |       FROM vec CROSS JOIN (SELECT min(s) AS mn, max(s) AS mx FROM vec)),
+         |f AS (SELECT id, round(sum(c), 6) AS fused, CAST(count(*) AS BIGINT) AS n_lists
+         |      FROM (SELECT * FROM ln_ UNION ALL SELECT * FROM vn) GROUP BY id)
+         |SELECT id AS doc_id, fused, n_lists FROM f
+         |ORDER BY fused DESC, doc_id LIMIT 10""".stripMargin,
+
     // serving-path hybrid: identical fusion, but the lexical ranking
     // uses the INDEX's 1e-9-quantized BM25 and its VARCHAR id tiebreak
     // for both the top-50 cut and the ranks
@@ -5428,6 +5493,16 @@ object SparkEntry {
         |       FROM tf JOIN dfs USING (term) CROSS JOIN st GROUP BY doc_id)
         |SELECT CAST(doc_id AS VARCHAR) AS doc_id, bm25 FROM sc WHERE bm25 > 0
         |ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    // "did you mean": dictionary corrections for 'sprak', distance
+    // then df then term — Lucene's suggestion order
+    "text_didyoumean" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT DISTINCT doc_id, term FROM tok),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY term)
+        |SELECT term, df, CAST(levenshtein(term, 'sprak') AS INTEGER) AS dist FROM d
+        |WHERE levenshtein(term, 'sprak') <= 2
+        |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin,
 
     // facet counts over the conjunctive match set: per facet column,
     // docs per value — the lang and source columns melt into one

@@ -1020,6 +1020,41 @@ object Ann {
       .limit(k)
   }
 
+  /** WEIGHTED LINEAR score fusion — the other standard hybrid besides
+    * [[rrfFuse]]: each input ranking's scores min-max normalize to
+    * [0, 1] over ITS OWN top-n (scores of different retrievers never
+    * compare raw — BM25 is unbounded, cosine is [-1, 1]), then fuse as
+    * `Σ w_i · norm_i(id)`, missing entries contributing 0. A
+    * constant-score list normalizes to 1.0 (present beats absent, and
+    * 0/0 never divides). Scores round to 6 dp BEFORE normalizing — the
+    * serialization contract every probe's output already carries — so
+    * the arithmetic is engine-portable end to end.
+    *
+    * Each input is top-n-bounded by contract, so every frame here is
+    * driver-small; the per-list min/max is a one-row aggregate
+    * broadcast back (no window, no shuffle wider than the lists).
+    * Emits (id, fused rounded to 6 dp, n_lists), ties by id. */
+  def linearFuse(rankings: Seq[(DataFrame, Double)], idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = rankings.map { case (df, w) =>
+      val s = df.select(col(idCol).cast(StringType).as("id"),
+        round(col(scoreCol).cast(DoubleType), 6).as("__s__"))
+      val mm = s.agg(min(col("__s__")).as("__min__"),
+        max(col("__s__")).as("__max__"))
+      s.crossJoin(broadcast(mm))
+        .select(col("id"), (lit(w) * when(col("__max__") === col("__min__"), 1.0)
+          .otherwise((col("__s__") - col("__min__")) /
+            (col("__max__") - col("__min__")))).as("__c__"))
+    }.reduce(_ unionByName _)
+    u.groupBy(col("id"))
+      .agg(round(sum(col("__c__")), 6).as("fused"),
+        count(lit(1)).cast(LongType).as("n_lists"))
+      .orderBy(col("fused").desc, col("id"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------- MMR re-ranking
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) of
     * a top-N candidate list: greedily pick k items maximizing

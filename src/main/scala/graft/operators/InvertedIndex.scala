@@ -1901,6 +1901,31 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** "DID YOU MEAN" spell correction: the k best dictionary corrections
+    * for a (possibly misspelled) query term, ranked the Lucene way —
+    * smallest edit distance first, then highest document frequency,
+    * then the term — so an exact vocabulary hit always ranks first and
+    * a common word beats a rare typo at the same distance. One
+    * [[termDictionary]] scan (vocab-sized; edit distance cannot
+    * hash-prune) + a k-bounded top-k. Emits (term, df, dist). */
+  def didYouMean(spark: SparkSession, path: String, term: String,
+      k: Int = 5, maxEdits: Int = 2): DataFrame = {
+    require(term.nonEmpty, "term must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"maxEdits must be in [1, 2] (Lucene's bound), got $maxEdits")
+    val st = readStats(spark, path)
+    val ts = TextAnalysis.tokensOf(term, st.analyzer)
+    require(ts.size == 1,
+      s"term must analyze to exactly one token under the index's " +
+        s"'${st.analyzer}' analyzer, got ${ts.size}: $ts")
+    termDictionary(spark, path)
+      .withColumn("dist", levenshtein(col("term"), lit(ts.head)))
+      .filter(col("dist") <= maxEdits)
+      .orderBy(col("dist").asc, col("df").desc, col("term"))
+      .limit(k)
+  }
+
   /** FUZZY BM25: each query term expands to every dictionary term
     * within `maxEdits` Levenshtein edits (Lucene's fuzzy query), and
     * the expansion scores as a plain disjunction through [[bm25TopK]] —

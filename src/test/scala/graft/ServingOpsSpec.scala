@@ -109,6 +109,48 @@ class ServingOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxExpansions"))
   }
 
+  test("didYouMean ranks corrections by (distance, df desc, term); exact hit first") {
+    val got = InvertedIndex.didYouMean(spark, idxPath, "sprak", k = 5,
+        maxEdits = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    // replay against the corpus dictionary
+    val dict = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = dict.map { case (t, df) => (t, df, lev(t, "sprak")) }
+      .filter(_._3 <= 2)
+      .sortBy { case (t, df, dist) => (dist, -df, t) }.take(5)
+    assert(got == want)
+    // an exact vocabulary hit always ranks first
+    val exact = InvertedIndex.didYouMean(spark, idxPath, "spark", k = 3)
+      .collect()
+    assert(exact(0).getString(0) == "spark" && exact(0).getInt(2) == 0)
+  }
+
+  test("linearFuse: per-list min-max normalization, weights, constant-list guard") {
+    val a = Seq(("d1", 10.0), ("d2", 5.0), ("d3", 0.0)).toDF("id", "s")
+    val b = Seq(("d2", 0.5), ("d4", 0.5)).toDF("id", "s") // constant list
+    val got = Ann.linearFuse(Seq((a, 0.4), (b, 0.6)), "id", "s", k = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    // a normalizes to d1=1, d2=0.5, d3=0; b is constant → both present = 1
+    val want = Seq(("d2", 0.4 * 0.5 + 0.6, 2L), ("d4", 0.6, 1L),
+      ("d1", 0.4, 1L), ("d3", 0.0, 1L))
+      .map { case (i, f, n) =>
+        (i, BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, n) }
+      .sortBy { case (i, f, _) => (-f, i) }
+    assert(got == want)
+  }
+
   // -------------------------------------------------------------- facets
 
   test("facetCounts equals the corpus-side aggregation; any vs all match modes") {
