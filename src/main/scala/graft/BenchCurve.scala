@@ -148,10 +148,15 @@ object BenchCurve {
         col("id").cast("string").as("id"),
         concat_ws(" ", transform(sequence(lit(0), lit(99)),
           i => concat(lit("w"), pmod(hash(col("id"), i), lit(10000)).cast("string"))))
-          .as("text"),
-        // a low-cardinality metadata column for the stored-facet point
-        concat(lit("l"), pmod(hash(col("id"), lit(3)), lit(5)).cast("string"))
-          .as("lang"))
+          .as("text"))
+      // a low-cardinality metadata column for the stored-facet point —
+      // derived as a PROJECTION wherever an ingest needs it, never
+      // cached: the 8M cached corpus sits at the 8 GiB methodology
+      // heap's edge, and one more cached column tips the giant
+      // mlt_scan job into OOM (measured — two runs died in the same
+      // stage before this was hoisted out of gen())
+      def withLang(df: org.apache.spark.sql.DataFrame) = df.withColumn("lang",
+        concat(lit("l"), pmod(hash(col("id"), lit(3)), lit(5)).cast("string")))
       val corpus = gen(0L, n).cache(); corpus.count()
       val base = java.nio.file.Files.createTempDirectory(s"scalelex$n").toString
       def timed(df: => org.apache.spark.sql.DataFrame): Double = {
@@ -164,7 +169,7 @@ object BenchCurve {
       // what keeps MLT seeds and snippet text off the corpus, the
       // stored facet column what keeps the facet sidebar off it; the
       // curve builds (and prices) the layout a deployment would run
-      InvertedIndex.build(corpus, "id", "text", s"$base/inv",
+      InvertedIndex.build(withLang(corpus), "id", "text", s"$base/inv",
         nBuckets = nBuckets, nDocBuckets = 64, storeText = true,
         storeCols = Seq("lang"))
       val buildInv = (System.nanoTime() - tB0) / 1e9
@@ -190,11 +195,11 @@ object BenchCurve {
       // inflate the NEXT metric ~6× on identical code (the r13 curve's
       // contaminated 35 s readings) — ordering the small jobs first is
       // the isolation the numbers need
-      val batchRaw = gen(n, n + 1000L).cache(); batchRaw.count()
+      val batchRaw = withLang(gen(n, n + 1000L)).cache(); batchRaw.count()
       val tA0 = System.nanoTime()
       InvertedIndex.append(spark, s"$base/inv", batchRaw, "id", "text")
       val appendRaw = (System.nanoTime() - tA0) / 1e9
-      val batchLed = gen(n + 1000L, n + 2000L).cache(); batchLed.count()
+      val batchLed = withLang(gen(n + 1000L, n + 2000L)).cache(); batchLed.count()
       val tA1 = System.nanoTime()
       graft.streaming.BatchLedger.runIdempotent(
         spark, s"$base/inv/_ledger", 0L, "curve") {
@@ -277,10 +282,8 @@ object BenchCurve {
         concat(lit("loc"), col("id").cast("string")).as("id"),
         concat_ws(" ", transform(sequence(lit(0), lit(99)),
           i => concat(lit("v"), pmod(hash(col("id"), i), lit(50)).cast("string"))))
-          .as("text"),
-        concat(lit("l"), pmod(hash(col("id"), lit(3)), lit(5)).cast("string"))
-          .as("lang"))
-      val localBatch = genLocal(0L, 1000L).cache(); localBatch.count()
+          .as("text"))
+      val localBatch = withLang(genLocal(0L, 1000L)).cache(); localBatch.count()
       InvertedIndex.append(spark, s"$base/inv", localBatch, "id", "text")
       InvertedIndex.delete(spark, s"$base/inv", (0L until 1000L).map(i => s"loc$i"))
       val tL0 = System.nanoTime()
