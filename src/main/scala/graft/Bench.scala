@@ -391,7 +391,12 @@ object Bench {
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val footerFor = (om: Int) => s"""},"omitted":$om,"sf":"$sfDir"}"""
-    val byCost = results.toSeq.sortBy { case (n, v) => (-v, n) }
+    // recall fractions ride FIRST (tiny values would sort last and fall
+    // out of the budget — but an approximate tier's latency is hollow
+    // without the recall it buys, so the driver artifact must carry the
+    // latency+recall PAIRS even when the cost-ranked tail is cut)
+    val byCost = results.toSeq
+      .sortBy { case (n, v) => (!n.contains("recall10"), -v, n) }
     val budget = 1850
     var used = header.length + footerFor(0).length + 4
     val kept = byCost.takeWhile { case (k, v) =>

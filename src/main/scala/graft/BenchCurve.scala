@@ -266,6 +266,12 @@ object BenchCurve {
       InvertedIndex.delete(spark, s"$base/inv", (0L until 100000L).map(_.toString))
       val delete100k = (System.nanoTime() - tD0) / 1e9
       val probeTomb = timed(InvertedIndex.bm25TopK(spark, s"$base/inv", terms, k))
+      // dictionary under debt: the delete landed its generation's
+      // negative termstats deltas, so suggest stays on the vocab-sized
+      // fast path — this point must track suggest_dict (clean), never
+      // degrade to a postings count while tombstones are outstanding
+      val suggestTomb = timed(
+        InvertedIndex.suggestTerms(spark, s"$base/inv", "w1", k = 10))
       val tC0 = System.nanoTime()
       InvertedIndex.compact(spark, s"$base/inv")
       val compactTomb = (System.nanoTime() - tC0) / 1e9
@@ -306,7 +312,7 @@ object BenchCurve {
         s""""mlt_scan":$mltScan,"mlt_idx":$mltIdx,""" +
         s""""mlt_idx_fallback":$mltIdxFallback,"contam_idx":$contamIdx,""" +
         s""""append_inv":$appendRaw,"append_inv_ledger":$appendLedger,""" +
-        s""""delete_100k":$delete100k,""" +
+        s""""delete_100k":$delete100k,"suggest_dict_tomb":$suggestTomb,""" +
         s""""probe_inv_tomb100k":$probeTomb,"compact_tomb100k":$compactTomb,""" +
         s""""probe_inv_compacted":$probePost,""" +
         s""""compact_tomb_local":$compactLocal,"local_buckets":${localTouched.size}}"""

@@ -339,17 +339,17 @@ object SparkEntry {
     }),
 
     // O3: SEARCH-AFTER pagination — page 2 (ranks 6-10) via the
-    // (rounded score, id) cursor of page 1's last row, not
-    // LIMIT/OFFSET: the cursor filter rides the same single scan, and
-    // the (round(score, 6) DESC, id ASC) total order makes pages
-    // gap-free and overlap-free at any depth. Page 1's collect is k
-    // rows (serving-sized by contract).
+    // (raw score, id) cursor of page 1's last row, not LIMIT/OFFSET:
+    // the cursor filter rides the same single scan, and BOTH pages use
+    // query()'s own (raw score DESC, id ASC) total order, so pages are
+    // gap-free and overlap-free at any depth — a rounded cursor against
+    // a raw page-1 order could split a rounding tie across the
+    // boundary. Page 1's collect is k rows (serving-sized by contract).
     "o3_topk_after" -> ((s, dir) => {
       val st = storeD(s, dir)
       val q = qvec(s, dir)
       val last = st.query(q, 5)
-        .select(col(VectorStore.IdCol),
-          round(col(VectorStore.MetricsCol), 6).as("m"))
+        .select(col(VectorStore.IdCol), col(VectorStore.MetricsCol))
         .collect().last
       st.queryAfter(q, 5, (last.getDouble(1), last.getString(0)))
         .withColumn("__metrics__", round(col("__metrics__"), 6))
@@ -694,20 +694,21 @@ object SparkEntry {
          |SELECT CAST(vec_id AS VARCHAR) AS __id__, label, round(sc, 6) AS __metrics__
          |FROM s ORDER BY sc DESC, vec_id LIMIT 10""".stripMargin,
 
-    // search-after page 2: the cursor is page 1's last row as the
-    // client saw it — (round(sc, 6), id-as-string); strictly-after in
-    // the (rounded score DESC, id ASC) total order
+    // search-after page 2: the cursor is page 1's last row with the RAW
+    // score; strictly-after in query()'s own (raw sc DESC, id ASC)
+    // total order — one order on both sides, so pages cannot gap or
+    // overlap even when raw-distinct scores round equal at 6 dp
     "o3_topk_after" ->
       s"""WITH $qCte,
          |s AS (SELECT e.vec_id, e.label, $cosExpr AS sc FROM embeddings e CROSS JOIN q),
          |p1 AS (SELECT vec_id, sc FROM s
          |       ORDER BY sc DESC, CAST(vec_id AS VARCHAR) LIMIT 5),
-         |cur AS (SELECT round(sc, 6) AS cs, CAST(vec_id AS VARCHAR) AS cid FROM p1
+         |cur AS (SELECT sc AS cs, CAST(vec_id AS VARCHAR) AS cid FROM p1
          |        ORDER BY sc ASC, CAST(vec_id AS VARCHAR) DESC LIMIT 1)
          |SELECT CAST(vec_id AS VARCHAR) AS __id__, label, round(sc, 6) AS __metrics__
          |FROM s CROSS JOIN cur
-         |WHERE round(sc, 6) < cs OR (round(sc, 6) = cs AND CAST(vec_id AS VARCHAR) > cid)
-         |ORDER BY round(sc, 6) DESC, CAST(vec_id AS VARCHAR) LIMIT 5""".stripMargin,
+         |WHERE sc < cs OR (sc = cs AND CAST(vec_id AS VARCHAR) > cid)
+         |ORDER BY sc DESC, CAST(vec_id AS VARCHAR) LIMIT 5""".stripMargin,
 
     "o3c_topk_local" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS rank_equal""",
@@ -841,7 +842,7 @@ object SparkEntry {
       // reads — and text_facets_store serves facets with no corpus
       InvertedIndex.build(Tables.documents(s, dir), "doc_id", "text",
         path, nBuckets = 16, nDocBuckets = 8, storeText = true,
-        storeCols = Seq("lang", "source"))
+        storeCols = Seq("lang", "source", "n_chars"))
       path
     })
 
@@ -2172,6 +2173,18 @@ object SparkEntry {
         .orderBy(col("facet"), col("n_docs").desc, col("value"))
     }),
 
+    // Text: RANGE facet over a NUMERIC stored column — the histogram
+    // half of the facet sidebar ("length 0-100 / 100-200 / …"), served
+    // entirely from the index: match set from the pruned probe, values
+    // from the doc store's stored n_chars (doc values), bin arithmetic
+    // identical to the SQL twin so both engines agree bit-for-bit.
+    "text_facets_range" -> ((s, dir) => {
+      InvertedIndex.rangeFacetStored(s, cachedInvIdx(s, dir), "n_chars",
+          Seq("spark", "join"), lo = 0.0, hi = 500.0, nBins = 5,
+          matchAll = true)
+        .orderBy(col("bin"))
+    }),
+
     // Text: SORT BY a stored field instead of relevance — the "sort by
     // source" result page: match set from the pruned probe, sort key
     // from the index's own stored column (doc values), k-bounded
@@ -3403,6 +3416,26 @@ object SparkEntry {
         }
         .select(col("doc_id"), col("n_urls"), col("n_emails"), col("n_longnums"),
           md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: HTML MAIN-TEXT extraction — web-crawl corpora arrive as
+    // HTML; the corpus here is plain text, so the query wraps each doc
+    // in deterministic boilerplate (script/style/comments/tags/
+    // entities, mirrored exactly in the oracle) and checks the
+    // extracted prose verbatim: markup gone, word boundaries kept,
+    // entities single-decoded, whitespace folded.
+    "text_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style type=\"text/css\">body{color:red}" +
+          "</style><script>var a = 1 && 2 < 3;</script></head><body>" +
+          "<!-- nav boilerplate --><h1>Doc "),
+        col("doc_id").cast(StringType),
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p>\t<div>A &amp; B &lt;ok&gt;&nbsp;&#39;q&#39;</div></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.extractHtmlText(html).as("main_text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4734,6 +4767,51 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("format"),
           col("width"), col("height"), col("avg_r"), col("avg_g"), col("avg_b"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal: IMAGE NEAR-DUP via perceptual hash — dHash64 over
+    // REAL decoded pixels of deterministic 9×8 grayscale PNG fixtures
+    // (groups of 3 per base pattern: v0 = base, v1 = base with ONE cell
+    // changed → Hamming ≤ 1 of v0, v2 = a scrambled pattern), paired
+    // through the banded Hamming join (pigeonhole-complete, never
+    // all-pairs — the same machinery as text SimHash dedup). The
+    // oracle recomputes the hash in closed form from the fixtures'
+    // integer pixel function and pairs by brute force: expansion AND
+    // pairing both value-checked.
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long].collect().sorted
+      val fixtures = ids.map { id =>
+        val g = id / 3
+        val v = id % 3
+        def gray(r: Int, c: Int): Int = {
+          val base = g * 31 + c * 23 + r * 7
+          val px =
+            if (v == 1 && r == 0 && c == 0) 255L
+            else if (v == 2) (base * 3 + 91) % 199
+            else base % 200
+          px.toInt
+        }
+        val img = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val p = gray(r, c)
+            img.setRGB(c, r, (p << 16) | (p << 8) | p)
+            c += 1
+          }
+          r += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.MediaRow(id, bos.toByteArray, "png")
+      }.toSeq
+      val ph = Multimodal.imagePHashes(s.createDataset(fixtures))
+      graft.operators.Dedup.fingerprintPairs(ph, "id", "phash", maxHamming = 1)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -5526,6 +5604,20 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT 'source' AS facet, source AS value, count(*) AS n_docs FROM m GROUP BY source)
         |SELECT facet, value, n_docs FROM f ORDER BY facet, n_docs DESC, value""".stripMargin,
+
+    // numeric range facet: [0, 500) in 5 equal bins over n_chars of the
+    // conjunctive match set; the bin formula is the IDENTICAL double
+    // arithmetic (floor((x-lo)/w), least-pinned at the top edge)
+    "text_facets_range" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+        |             string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT x FROM d
+        |      WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')),
+        |b AS (SELECT CASE WHEN x < 0.0 THEN -1
+        |             WHEN x >= 500.0 THEN 5
+        |             ELSE CAST(least(floor((x - 0.0) / 100.0), 4.0) AS BIGINT) END AS bin
+        |      FROM m WHERE x IS NOT NULL)
+        |SELECT bin, count(*) AS n_docs FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // sort-by-stored-field result page: conjunctive match, source asc,
     // id-string tiebreak, k = 10
@@ -7429,6 +7521,25 @@ object SparkEntry {
         |        '[0-9]{6,}', '[ID]', 'g')) AS redacted_md5
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // HTML extraction: the same regexp chain (Java∩RE2 patterns run
+    // verbatim in RE2) + the same entity replace order (&amp; last)
+    "text_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>t</title><style type="text/css">body{color:red}</style><script>var a = 1 && 2 < 3;</script></head><body><!-- nav boilerplate --><h1>Doc '
+        |  || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>' || text ||
+        |  '</p>' || chr(9) || '<div>A &amp; B &lt;ok&gt;&nbsp;&#39;q&#39;</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+        |e AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t FROM s4)
+        |SELECT doc_id, trim(regexp_replace(t, '[ \t\r\n]+', ' ', 'g')) AS main_text
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     "text_lm_score" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         |bg AS (SELECT doc_id,
@@ -7719,6 +7830,33 @@ object SparkEntry {
         |  CAST(doc_id % 256 AS BIGINT) AS avg_r,
         |  CAST((doc_id * 7) % 256 AS BIGINT) AS avg_g,
         |  CAST((doc_id * 13) % 256 AS BIGINT) AS avg_b
-        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // image near-dup: recompute dHash64 in closed form from the 9x8
+    // fixtures' integer pixel function (identity pooling, luma of a
+    // gray pixel = the gray value), then brute-force Hamming <= 1
+    // pairs — the engine's banded join must emit exactly these
+    "mm_phash_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+        |px AS (
+        |  SELECT doc_id, r, c,
+        |    CASE WHEN doc_id % 3 = 1 AND r = 0 AND c = 0 THEN 255
+        |         WHEN doc_id % 3 = 2 THEN (((doc_id // 3) * 31 + c * 23 + r * 7) * 3 + 91) % 199
+        |         ELSE ((doc_id // 3) * 31 + c * 23 + r * 7) % 200 END AS g
+        |  FROM ids, generate_series(0, 7) t1(r), generate_series(0, 8) t2(c)),
+        |fp AS (
+        |  SELECT l.doc_id,
+        |    CAST(SUM(CASE WHEN l.g <= rr.g THEN 0
+        |             WHEN l.r * 8 + l.c = 63 THEN -9223372036854775808
+        |             ELSE (CAST(1 AS BIGINT) << (l.r * 8 + l.c)) END) AS BIGINT) AS fp
+        |  FROM px l JOIN px rr
+        |    ON l.doc_id = rr.doc_id AND l.r = rr.r AND rr.c = l.c + 1
+        |  WHERE l.c < 8
+        |  GROUP BY l.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 1
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

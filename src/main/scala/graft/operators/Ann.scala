@@ -1087,6 +1087,14 @@ object Ann {
       .select(col(idCol).cast(StringType).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v"),
         col(relCol).cast(DoubleType).as("rel"))
+      // NaN demotion, mirroring VectorStore.query: a NaN rel or a
+      // non-finite embedding element would poison the greedy loop (a
+      // NaN similarity never updates bestSim, leaving it -Inf, whose
+      // -(-Inf) penalty quantizes to Long.MaxValue — an unconditional
+      // pick at step 2 regardless of relevance) — drop such rows here
+      .filter(!isnan(col("rel")) && col("rel").isNotNull &&
+        !exists(col("v"), e => isnan(e) || e === Double.PositiveInfinity ||
+          e === Double.NegativeInfinity))
       .limit(maxCandidates + 1) // bounds the collect BEFORE it happens
       .collect()
     require(rows.length <= maxCandidates,

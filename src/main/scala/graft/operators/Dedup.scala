@@ -300,12 +300,31 @@ object Dedup {
       maxHamming: Int = 3,
       portableHash: Boolean = false): DataFrame = {
     val fpBits = if (portableHash) 48 else 64
-    val nChunks = maxHamming + 1
-    require(maxHamming >= 0 && nChunks <= fpBits,
-      s"maxHamming must be in [0, ${fpBits - 1}], got $maxHamming")
     val fp = if (portableHash) simhash48Portable(tokens(col(textCol)))
       else simhash64(tokens(col(textCol)))
-    val withFp = df.select(col(idCol).as("id"), fp.as("fp"))
+    fingerprintPairs(df.select(col(idCol).as("id"), fp.as("fp")),
+      "id", "fp", maxHamming, fpBits)
+  }
+
+  /** Hamming-radius near-dup pairs over a PRECOMPUTED fingerprint
+    * column — the band-join core of [[simhashPairs]] factored out for
+    * any 64-bit-or-narrower fingerprint a pipeline computes upstream:
+    * an image perceptual hash ([[Multimodal.imagePHashes]]), an audio
+    * chromaprint-style digest, a rolled document fingerprint. Same
+    * pigeonhole completeness (any pair within `maxHamming` agrees on a
+    * whole chunk → the equi self-join finds EVERY qualifying pair) and
+    * same shuffle discipline: scalar band rows, fan-out bounded by
+    * chunk-value collisions, never all-pairs. Null fingerprints
+    * (e.g. undecodable payloads) drop — a null is not equal to
+    * anything, matching SQL join semantics. */
+  def fingerprintPairs(df: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3, fpBits: Int = 64): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(fpBits >= 1 && fpBits <= 64, s"fpBits must be in [1, 64], got $fpBits")
+    require(maxHamming >= 0 && nChunks <= fpBits,
+      s"maxHamming must be in [0, ${fpBits - 1}], got $maxHamming")
+    val withFp = df.select(col(idCol).as("id"), col(fpCol).cast(LongType).as("fp"))
+      .filter(col("fp").isNotNull)
     val banded = withFp
       .select(col("id"), col("fp"), explode(fpChunks(col("fp"), fpBits, nChunks)).as("c"))
       .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))

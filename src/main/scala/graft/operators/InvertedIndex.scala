@@ -20,14 +20,20 @@ import org.apache.spark.sql.types._
   *     only the buckets its terms hash into. `dl` (doc length) is
   *     denormalized onto each posting so scoring never joins a
   *     corpus-sized doc table.
-  *   - `docstats/dbucket=N/` — (id, dl[, text][, stored cols...]),
-  *     partitioned by id-hash bucket: the exact-stats ledger deletes
-  *     read (and rewrite, touched buckets only) so the sidecar's N and
-  *     Σdl stay exact. With `storeText` the raw text rides along (the
-  *     doc store behind [[fetchDocs]]/snippets/MLT); with `storeCols`
-  *     metadata columns do too (the Lucene doc-values analog behind
-  *     [[facetCountsStored]]) — parquet column pruning keeps both free
-  *     for every reader that doesn't select them.
+  *   - `docstats/dbucket=N/` — (id, dl, tbuckets), partitioned by
+  *     id-hash bucket: the THIN exact-stats ledger deletes read (and
+  *     rewrite, touched buckets only) so the sidecar's N and Σdl stay
+  *     exact. Deliberately stores nothing bulky — the ledger rewrite
+  *     on every delete must cost doc-count rows, not document bytes.
+  *   - `docstore/dbucket=N/` — (id, dl[, text][, stored cols...]),
+  *     same id-hash bucketing, present iff `storeText`/`storeCols`:
+  *     the DOC STORE behind [[fetchDocs]]/snippets/MLT and the Lucene
+  *     doc-values analog behind [[facetCountsStored]]/[[sortByStored]].
+  *     Deletes never rewrite it (tombstones hide rows, like the
+  *     postings); [[compact]] sweeps dead rows from the touched
+  *     dbuckets before retiring the tombstone set. Splitting it from
+  *     the ledger is what keeps delete cost independent of the stored
+  *     payload.
   *   - `tombstones/` — (id) append-only: deletes are Lucene-style
   *     logical tombstones (a doc's terms spread across ~all posting
   *     buckets, so eager physical deletion would rewrite the whole
@@ -100,16 +106,18 @@ object InvertedIndex {
       .withColumn("bucket", termBucket(nBuckets))
   }
 
-  /** Doc-stats rows: (id, dl, tbuckets[, text], dbucket). `tbuckets` —
-    * the sorted distinct TERM buckets the doc's tokens hash into,
-    * computed in-row at index time — is what bounds a later
+  /** Per-document rows: (id, dl, tbuckets[, text][, stored cols...],
+    * dbucket) — the SOURCE frame both id-bucketed layouts project from.
+    * `tbuckets` — the sorted distinct TERM buckets the doc's tokens
+    * hash into, computed in-row at index time — is what bounds a later
     * [[compact]]'s discovery to tombstone-touched buckets: [[delete]]
     * copies it onto the tombstone row, so compaction never scans the
     * postings to learn where a dead doc's terms live. With `storeText`
-    * the RAW text rides along as one more column — parquet column
-    * pruning keeps it free for every reader that doesn't select it
-    * (delete, stats aggregates), while [[fetchDocs]] turns an id-keyed
-    * text fetch into a dbucket-pruned point lookup. */
+    * the RAW text rides along as one more column, with `storeCols`
+    * the stored metadata (Lucene doc values, STRING-typed) — both land
+    * ONLY in the `docstore/` layout ([[storeProjection]]); the thin
+    * `docstats/` ledger ([[ledgerProjection]]) never carries them, so
+    * a delete's ledger rewrite costs doc-count rows, not bytes. */
   private def docStatsOf(df: DataFrame, idCol: String, textCol: String,
       nDocBuckets: Int, nBuckets: Int, analyzer: String,
       storeText: Boolean, storeCols: Seq[String] = Nil): DataFrame = {
@@ -120,11 +128,21 @@ object InvertedIndex {
           t => pmod(xxhash64(t), lit(nBuckets.toLong)).cast(IntegerType))))
           .as("tbuckets")) ++
         (if (storeText) Seq(col(textCol).cast(StringType).as("text")) else Nil) ++
-        // stored metadata columns (Lucene doc values): STRING-typed,
-        // parquet-pruned free for every reader that doesn't select them
         storeCols.map(c => col(c).cast(StringType).as(c)): _*)
       .withColumn("dbucket", docBucket(nDocBuckets))
   }
+
+  private def hasStore(st: InvStats): Boolean =
+    st.storesText || st.storeCols.nonEmpty
+
+  /** The thin ledger projection of [[docStatsOf]] rows. The doc store
+    * persists the FULL row (repeating dl/tbuckets — parquet-pruned free
+    * for every reader) so [[build]] can derive the ledger from the
+    * just-written store with a column-pruned read instead of a second
+    * corpus tokenization pass, and [[fetchDocs]] serves (id, dl, text)
+    * from ONE layout. */
+  private def ledgerProjection(rows: DataFrame): DataFrame =
+    rows.select(col("id"), col("dl"), col("tbuckets"), col("dbucket"))
 
   private def statsDir(path: String) = s"$path/_stats"
 
@@ -142,15 +160,26 @@ object InvertedIndex {
       .sortBy(_._1)
   }
 
+  /** Escape a string for embedding in the hand-built stats JSON — a
+    * quote or backslash in a stored-column name must not produce an
+    * unparseable sidecar (which would brick every later readStats). */
+  private def jsonStr(v: String): String =
+    "\"" + v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def writeStats(spark: SparkSession, path: String, s: InvStats,
       version: Long): Unit =
     VectorStore.writeSidecar(spark, f"${statsDir(path)}/v$version%012d.json",
       s"""{"n_buckets": ${s.nBuckets}, "n_doc_buckets": ${s.nDocBuckets}, """ +
-        s""""n_docs": ${s.nDocs}, "sum_dl": ${s.sumDl}, "analyzer": "${s.analyzer}", """ +
+        s""""n_docs": ${s.nDocs}, "sum_dl": ${s.sumDl}, "analyzer": ${jsonStr(s.analyzer)}, """ +
         s""""stores_text": ${s.storesText}""" +
         s.corpusFp.map(fp => s""", "corpus_fp": $fp""").getOrElse("") +
         (if (s.storeCols.isEmpty) ""
-         else s.storeCols.map(c => "\"" + c + "\"")
+         else s.storeCols.map(jsonStr)
            .mkString(""", "store_cols": [""", ", ", "]")) + "}")
 
   private def readStatsVersioned(spark: SparkSession, path: String): (InvStats, Long) = {
@@ -197,10 +226,27 @@ object InvertedIndex {
     val spark = df.sparkSession
     Ann.writeByPartition(postingsOf(df, idCol, textCol, nBuckets, analyzer),
       "bucket", nBuckets, "overwrite", s"$path/postings")
-    Ann.writeByPartition(
-      docStatsOf(df, idCol, textCol, nDocBuckets, nBuckets, analyzer,
-        storeText, storeCols),
-      "dbucket", nDocBuckets, "overwrite", s"$path/docstats")
+    val docRows = docStatsOf(df, idCol, textCol, nDocBuckets, nBuckets,
+      analyzer, storeText, storeCols)
+    val fs0 = statsFs(spark, path)
+    if (storeText || storeCols.nonEmpty) {
+      // ONE corpus pass lands the full rows in the doc store; the thin
+      // ledger then derives from the just-written store with a
+      // column-pruned read — never a second tokenization pass
+      Ann.writeByPartition(docRows, "dbucket", nDocBuckets,
+        "overwrite", s"$path/docstore")
+      val storeHasDirs = fs0.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/docstore")).exists(_.isDirectory)
+      Ann.writeByPartition(
+        if (storeHasDirs)
+          ledgerProjection(spark.read.parquet(s"$path/docstore"))
+        else ledgerProjection(docRows),
+        "dbucket", nDocBuckets, "overwrite", s"$path/docstats")
+    } else {
+      fs0.delete(new org.apache.hadoop.fs.Path(s"$path/docstore"), true)
+      Ann.writeByPartition(docRows, "dbucket", nDocBuckets,
+        "overwrite", s"$path/docstats")
+    }
     val fs = statsFs(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     // a rebuild over a mid-swap crash must not leave `.tombstones.old`
@@ -320,8 +366,12 @@ object InvertedIndex {
       if (!statsFs(spark, path).exists(
         new org.apache.hadoop.fs.Path(s"$path/termstats"))) Seq.empty[String]
       else pb.map(b => s"$path/termstats/bucket=$b")
+    val storeDirs =
+      if (!hasStore(st)) Seq.empty[String]
+      else db.map(b => s"$path/docstore/dbucket=$b")
     val dirs = pb.map(b => s"$path/postings/bucket=$b") ++
-      db.map(b => s"$path/docstats/dbucket=$b") ++ tsDirs :+ statsDir(path)
+      db.map(b => s"$path/docstats/dbucket=$b") ++ tsDirs ++ storeDirs :+
+      statsDir(path)
     (posts, ds, dirs)
   }
 
@@ -336,8 +386,16 @@ object InvertedIndex {
     Ann.writeByPartition(posts, "bucket", math.max(1, touched),
       "append", s"$path/postings")
     val dTouched = ds.select("dbucket").distinct().count().toInt
-    Ann.writeByPartition(ds, "dbucket", math.max(1, dTouched),
+    Ann.writeByPartition(ledgerProjection(ds), "dbucket", math.max(1, dTouched),
       "append", s"$path/docstats")
+    // the doc store gets the FULL rows (text + stored cols) — pure
+    // file additions into the batch ids' own dbuckets, ledger-rollback
+    // compatible like every other append write here
+    if (statsFs(spark, path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/docstore"))) {
+      Ann.writeByPartition(ds, "dbucket", math.max(1, dTouched),
+        "append", s"$path/docstore")
+    }
     // term-stats DELTA rows (append is ids-disjoint, so the batch's
     // per-term counts add exactly): pure file additions — the only
     // mutation shape the batch ledger can roll back — summed by every
@@ -407,6 +465,9 @@ object InvertedIndex {
     // version this delete will increment
     recoverTombstoneSwap(fs, path)
     reconcileTombstoneStats(spark, path)
+    // land any earlier crashed delete's pending term-stats deltas while
+    // its generation's postings are still guaranteed intact
+    reconcileTermDeltas(spark, path)
     val (st, v) = readStatsVersioned(spark, path)
     import spark.implicits._
     val idDf = ids.distinct.toDF("id")
@@ -450,6 +511,17 @@ object InvertedIndex {
       writeStats(spark, path, st.copy(
         nDocs = st.nDocs - nFound, sumDl = st.sumDl - agg.getLong(1),
         corpusFp = st.corpusFp.map(_ ^ agg.getLong(2))), v + 1)
+      // 2b. term-stats deltas for this generation: negative df rows
+      //     keep the vocab-sized dictionary fast path LIVE-exact under
+      //     the debt this delete just created (cost ∝ deleted docs'
+      //     buckets). Idempotent + marker-committed; a crash here
+      //     replays at the next entry point or dictionary read.
+      if (hasTbCol) {
+        val tb = found.select(explode(col("tbuckets")).as("b0"))
+          .select(col("b0").cast(LongType).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+        landTermDeltas(spark, path, v + 1, found.select(col("id")), tb)
+      }
       // 3. doc-stats rewrite, only the buckets that actually HOLD a
       //    found row; survivors anti-join the FULL tombstone set (not
       //    just this call's ids), so a crashed earlier delete's row in
@@ -543,27 +615,162 @@ object InvertedIndex {
     }
   }
 
+  // ------------------------------------------------- term-stats deltas
+  //
+  // The term-stats layout mirrors the LIVE postings at any tombstone
+  // debt level, not just debt zero: each delete appends NEGATIVE df
+  // rows for its docs' terms into the touched termstats bucket dirs
+  // (readers already sum build row + append deltas, so negative rows
+  // fold in for free), which keeps every dictionary-shaped op
+  // (suggestTerms / didYouMean / bm25FuzzyTopK / mltQueriesIdx's df
+  // probe) on the vocab-sized fast path while deletes trickle in —
+  // previously any retained tombstone forced a postings-count fallback
+  // until a FULL compact, making the fast path cold-start-only.
+  //
+  // CRASH SAFETY. A delete's delta landing is one generation keyed by
+  // the tombstones' own stats version `sv`:
+  //   1. deltas compute from the postings pruned to the generation's
+  //      `tbuckets` union, semi-joined to its ids (postings for
+  //      tombstoned ids are immutable until compact, and compact
+  //      reconciles pending generations first — so a replay recomputes
+  //      bit-identical rows);
+  //   2. rows stage under a dot-prefixed dir (invisible to every
+  //      parquet read), then rename one file at a time into the bucket
+  //      dirs under the DETERMINISTIC name `tsdelta-sv<sv>-<k>.parquet`;
+  //   3. an empty marker file `termstats/_deltas/sv-<sv>` commits the
+  //      generation (atomic create; the `_` prefix hides the dir from
+  //      partition discovery).
+  // A crash anywhere replays idempotently: [[reconcileTermDeltas]]
+  // (run at every mutation entry point AND by the dictionary fast
+  // paths themselves, the way probes run [[healTombstoneSwap]]) lands
+  // exactly the tombstone generations without a marker, first sweeping
+  // any `tsdelta-sv<sv>-*` residue a half-committed attempt left. Once
+  // marked, a generation's FILES are free to consolidate (compact's
+  // trailing fold sums them into one row per term) because replay
+  // triggers on the marker, never the files.
+  //
+  // COMPACT keeps the invariant per bucket ATOMICALLY: the rewritten
+  // posting buckets' termstats dirs are REPLACED (staged swap) by a
+  // live recompute, which drops base rows and delta rows together in
+  // one rename — no window where a recomputed base still coexists with
+  // the deltas it already folded in. Skipped buckets keep base+deltas,
+  // which still equals live because their postings are untouched.
+
+  private def termDeltaMarkerDir(path: String) = s"$path/termstats/_deltas"
+
+  private def landedDeltaSvs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Set[Long] = {
+    val d = new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path))
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("sv-")).map(_.stripPrefix("sv-").toLong).toSet
+  }
+
+  /** Land one delete generation's negative term-df deltas — idempotent
+    * (marker-gated, residue-sweeping) per the protocol above. `ids`
+    * must be exactly the generation's tombstoned ids; `tbuckets` the
+    * union of their recorded term buckets (bounded by nBuckets). */
+  private def landTermDeltas(spark: SparkSession, path: String, sv: Long,
+      ids: DataFrame, tbuckets: Seq[Long]): Unit = {
+    val fs = statsFs(spark, path)
+    val tsRoot = new org.apache.hadoop.fs.Path(s"$path/termstats")
+    if (!fs.exists(tsRoot)) return
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${termDeltaMarkerDir(path)}/sv-$sv")
+    if (fs.exists(marker)) return
+    // sweep residue of a half-committed earlier attempt at THIS
+    // generation — deterministic names make the attempt identifiable
+    tbuckets.foreach { b =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/termstats/bucket=$b")
+      if (fs.exists(d)) fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.startsWith(s"tsdelta-sv$sv-"))
+        .foreach(fs.delete(_, false))
+    }
+    val bucketDirs = probedBucketDirs(spark, path, tbuckets)
+    if (bucketDirs.nonEmpty) {
+      val deltas = spark.read.option("basePath", s"$path/postings")
+        .parquet(bucketDirs: _*)
+        .filter(col("bucket").isin(tbuckets: _*))
+        .join(broadcast(ids.select(col("id"))), Seq("id"), "left_semi")
+        .groupBy(col("bucket").cast(LongType).as("bucket"), col("term"))
+        .agg((lit(0L) - count(lit(1))).as("df"))
+      val stage = new org.apache.hadoop.fs.Path(s"$path/termstats/.tsdelta-sv$sv.stage")
+      fs.delete(stage, true)
+      deltas.repartition(math.max(1, tbuckets.size), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+      fs.listStatus(stage).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("bucket=")).foreach { bd =>
+          val target = new org.apache.hadoop.fs.Path(tsRoot, bd.getName)
+          fs.mkdirs(target)
+          fs.listStatus(bd).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, k) =>
+              require(fs.rename(f,
+                new org.apache.hadoop.fs.Path(target, s"tsdelta-sv$sv-$k.parquet")),
+                s"term-delta file move into $target failed")
+            }
+        }
+      fs.delete(stage, true)
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path)))
+    fs.create(marker, true).close()
+  }
+
+  /** Ensure the term-stats layout is LIVE-exact under the current
+    * tombstone debt, landing any pending delete generations' deltas
+    * (normally a no-op: one marker-dir listing). Returns whether the
+    * vocab-sized fast path may serve df: true when there is no debt or
+    * every generation is landed; false when the layout is absent or
+    * the tombstone set predates sv/tbuckets rows (legacy sets cannot
+    * key generations — the postings-count fallback stays exact). */
+  private def reconcileTermDeltas(spark: SparkSession, path: String): Boolean = {
+    val fs = statsFs(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/termstats"))) return false
+    if (tombstoneBytes(spark, path) == 0L) return true
+    tombstonesOf(spark, path) match {
+      case None => true
+      case Some(t) =>
+        if (!t.columns.contains("sv") || !t.columns.contains("tbuckets")) return false
+        // no checkpoint: the set is debt-sized and single-writer-stable,
+        // and this runs on serving paths where cached-block growth hurts
+        val tt = t.select(col("sv"), col("tbuckets"), col("id"))
+        if (tt.filter(col("sv").isNull || col("tbuckets").isNull)
+          .limit(1).count() > 0) return false
+        val svs = tt.select(col("sv")).distinct().collect().map(_.getLong(0))
+        val pending = svs.filterNot(landedDeltaSvs(fs, path)).sorted
+        pending.foreach { n =>
+          val gen = tt.filter(col("sv") === n)
+          val tb = gen.select(explode(col("tbuckets")).as("b0"))
+            .select(col("b0").cast(LongType).as("b"))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          landTermDeltas(spark, path, n, gen.select(col("id")), tb)
+        }
+        true
+    }
+  }
+
   /** Retrofit the id-bucketed DOC STORE onto an EXISTING index —
-    * [[build]]'s `storeText = true` for layouts built without it,
-    * with the postings left byte-untouched: ONLY the doc-stats layout
-    * rewrites (each dbucket dir re-lands with the corpus text joined
-    * in on id), and the sidecar's `stores_text` flips in a new stats
-    * version at the COMMIT point, after every directory has swapped.
+    * [[build]]'s `storeText = true` for layouts built without it, with
+    * the postings AND the thin doc-stats ledger left byte-untouched:
+    * the store is its own `docstore/` root, so backfilling text never
+    * rewrites the ledger deletes depend on. A fresh store stages under
+    * a dot-prefixed dir and renames in whole (one atomic commit); an
+    * index that already has a store (built with `storeCols`) rewrites
+    * each store dir in place (staged per-dir swap) to add the text
+    * column. The sidecar's `stores_text` flips in a new stats version
+    * at the COMMIT point, after the store is fully landed.
     * [[fetchDocs]]/[[snippets]]/MLT serving then work exactly as on a
     * text-built index.
     *
     * Cost: one corpus pass (inherent — the text has to come from
-    * somewhere) + the doc-stats rewrite; nothing reads or rewrites a
-    * posting bucket. Crash anywhere mid-rewrite leaves `stores_text`
-    * false — [[fetchDocs]] keeps failing fast, partially-retrofitted
-    * dirs are valid doc-stats (readers that don't select text never
-    * see it), and re-running converges (the rewrite re-joins text over
-    * whatever each dir holds). The corpus frame must supply text for
-    * EVERY live doc-stats row — a missing id fails fast before any
-    * swap, because silently dropping it would lose the doc from the
-    * index. Tombstoned residue rows sweep away for free (the rewrite
-    * anti-joins the tombstone set, like [[delete]]'s). Idempotent:
-    * re-running on a `storesText` index refreshes the stored text. */
+    * somewhere) + one ledger read for dl; nothing reads or rewrites a
+    * posting bucket or a ledger row. Crash anywhere mid-landing leaves
+    * `stores_text` false — [[fetchDocs]] keeps failing fast, and
+    * re-running converges (the stage re-writes; the per-dir rewrite
+    * re-joins). The corpus frame must supply text for EVERY live
+    * doc-stats row — a missing id fails fast before any landing,
+    * because silently dropping it would lose the doc from the index.
+    * Idempotent: re-running on a `storesText` index refreshes the
+    * stored text. */
   def addDocStore(spark: SparkSession, path: String, corpus: DataFrame,
       idCol: String, textCol: String): Unit = {
     val fs = statsFs(spark, path)
@@ -580,10 +787,10 @@ object InvertedIndex {
         .filter(_.startsWith("dbucket=")).map(_.stripPrefix("dbucket=").toLong)
         .sorted
     if (dbuckets.nonEmpty) {
-      // fail fast BEFORE any swap if a live row has no text to join —
-      // an inner join would silently drop the doc from the index
+      // fail fast BEFORE any landing if a live row has no text to join
+      // — an inner join would silently drop the doc from the index
       val liveRows = dropTombstoned(spark, path,
-        spark.read.option("basePath", s"$path/docstats").option("mergeSchema", "true")
+        spark.read.option("basePath", s"$path/docstats")
           .parquet(dbuckets.map(b => s"$path/docstats/dbucket=$b"): _*))
       val uncovered = liveRows.join(text.select(col("id")), Seq("id"), "left_anti")
         .select(col("id")).limit(5).collect().map(_.getString(0))
@@ -591,10 +798,31 @@ object InvertedIndex {
         s"addDocStore corpus is missing text for live indexed id(s) " +
           s"${uncovered.mkString("[", ", ", "]")} at $path — every live " +
           "doc-stats row needs its document; aborting before any rewrite")
-      rewriteDirsBatched(spark, s"$path/docstats", "dbucket", dbuckets,
-        df => dropTombstoned(spark, path, df.drop("text"))
-          .join(text, Seq("id"))
-          .withColumnRenamed("__newtext__", "text"))
+      val storeRoot = new org.apache.hadoop.fs.Path(s"$path/docstore")
+      Ann.recoverStagedDirs(fs, storeRoot)
+      if (!fs.exists(storeRoot)) {
+        // fresh store: ledger rows (dl/tbuckets) + corpus text, staged
+        // whole and renamed in as ONE commit
+        val stage = new org.apache.hadoop.fs.Path(s"$path/.docstore.stage")
+        fs.delete(stage, true)
+        Ann.writeByPartition(
+          liveRows.join(text, Seq("id")).withColumnRenamed("__newtext__", "text")
+            .select(col("id"), col("dl"), col("tbuckets"), col("text"),
+              col("dbucket")),
+          "dbucket", st.nDocBuckets, "overwrite", stage.toString)
+        require(fs.rename(stage, storeRoot),
+          s"doc-store commit rename to $storeRoot failed")
+      } else {
+        // a store built with storeCols: add/refresh the text column via
+        // the staged per-dir swap; stored metadata columns ride along
+        val storeDbuckets = fs.listStatus(storeRoot).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("dbucket="))
+          .map(_.stripPrefix("dbucket=").toLong).sorted
+        rewriteDirsBatched(spark, s"$path/docstore", "dbucket", storeDbuckets,
+          df => dropTombstoned(spark, path, df.drop("text"))
+            .join(text, Seq("id"))
+            .withColumnRenamed("__newtext__", "text"))
+      }
     }
     writeStats(spark, path, st.copy(storesText = true), v + 1)
   }
@@ -865,13 +1093,13 @@ object InvertedIndex {
     val idDf = ids.select(col(ids.columns.head).cast(StringType).as("id"))
     val dbuckets = idDf.select(docBucket(st.nDocBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val dirs = probedDirs(spark, s"$path/docstats", "dbucket", dbuckets)
+    val dirs = probedDirs(spark, s"$path/docstore", "dbucket", dbuckets)
     import spark.implicits._
     if (dirs.isEmpty) return Seq.empty[(String, Long, String)]
       .toDF("id", "dl", "text")
       .select(col("id") +: col("dl") +: col("text") +:
         withCols.map(c => lit(null).cast(StringType).as(c)): _*)
-    val pruned = spark.read.option("basePath", s"$path/docstats")
+    val pruned = spark.read.option("basePath", s"$path/docstore")
       .parquet(dirs: _*)
       .filter(col("dbucket").isin(dbuckets: _*)) // plan-visible prune witness
       .join(idDf, Seq("id"), "left_semi")
@@ -1803,17 +2031,18 @@ object InvertedIndex {
     // FAST PATH — the term-stats layout: vocab-sized (bucket, term, df)
     // rows instead of a postings count (which for Zipf-common terms
     // grows with the corpus — the one corpus-proportional cost MLT
-    // serving had left). Exact precisely while the tombstone set is
-    // empty (term stats mirror the PHYSICAL postings: build exact,
-    // append deltas exact because appends are ids-disjoint, compact
-    // recomputes every bucket it rewrites — and physical = live iff no
-    // tombstones), so the gate is one directory-existence check; any
-    // retained tombstone debt falls back to the exact postings count
-    // below, and the next full compact restores the fast path.
+    // serving had left). LIVE-exact at ANY tombstone debt level: build
+    // exact, append deltas exact because appends are ids-disjoint,
+    // every delete appends its generation's NEGATIVE df rows (see the
+    // term-stats-deltas protocol at [[reconcileTermDeltas]], which this
+    // gate runs — a no-op marker listing when nothing is pending), and
+    // compact atomically replaces rewritten buckets with a live
+    // recompute. Only a legacy tombstone set (rows predating
+    // sv/tbuckets) or a pre-termstats index falls back to the exact
+    // postings count below.
     val fs = statsFs(spark, path)
-    val tsRoot = new org.apache.hadoop.fs.Path(s"$path/termstats")
     healTombstoneSwap(fs, path)
-    if (fs.exists(tsRoot) && tombstoneBytes(spark, path) == 0L) {
+    if (reconcileTermDeltas(spark, path)) {
       // swap residue of a crashed compact heals inside probedDirs
       val dirs = probedDirs(spark, s"$path/termstats", "bucket", buckets)
       if (dirs.isEmpty) return t.select(col("term"), lit(0L).as("df")).limit(0)
@@ -1822,7 +2051,8 @@ object InvertedIndex {
         .filter(col("bucket").isin(buckets: _*)) // plan-visible prune witness
         .join(t, Seq("term"), "left_semi")
         .groupBy(col("term"))
-        .agg(sum(col("df")).as("df")) // sums build row + append deltas
+        .agg(sum(col("df")).as("df")) // sums build row + append/delete deltas
+        .filter(col("df") > 0L) // fully-tombstoned terms: absent, like the live count
     }
     val bucketDirs = probedBucketDirs(spark, path, buckets)
     if (bucketDirs.isEmpty) return t.select(col("term"), lit(0L).as("df")).limit(0)
@@ -1842,15 +2072,19 @@ object InvertedIndex {
     * the probe legitimately reads every bucket — of the VOCAB-sized
     * layout, never the postings). Source preference:
     *
-    *   - `termstats/` when present and tombstone-free: (bucket, term,
-    *     df) rows, build row + append deltas summed per term — exact by
-    *     the same argument as [[termDfs]]' fast path, and
-    *     corpus-independent (Heaps'-law vocab growth only).
-    *   - termstats present but tombstone debt retained: candidate TERMS
-    *     still come from the dictionary (a tombstone never invents a
-    *     term), but df recomputes live through [[termDfs]] — which
-    *     itself bucket-prunes to the candidates, so the fallback pays
-    *     vocab scan + candidate-bucket postings, not a corpus scan.
+    *   - `termstats/` when present and LIVE-exact (no debt, or every
+    *     delete generation's negative deltas landed — the
+    *     [[reconcileTermDeltas]] protocol): (bucket, term, df) rows,
+    *     build row + append/delete deltas summed per term, and
+    *     corpus-independent (Heaps'-law vocab growth only). This is the
+    *     steady-state path even under a tombstone trickle.
+    *   - termstats present but the tombstone set is LEGACY (rows
+    *     predating sv/tbuckets, so generations cannot be keyed):
+    *     candidate TERMS still come from the dictionary (a tombstone
+    *     never invents a term), but df recomputes live through
+    *     [[termDfs]] — which itself bucket-prunes to the candidates, so
+    *     the fallback pays vocab scan + candidate-bucket postings,
+    *     not a corpus scan.
     *   - no termstats (an index predating the layout): the documented
     *     slow path, one full postings scan projecting (term, id).
     *
@@ -1864,10 +2098,19 @@ object InvertedIndex {
     healTombstoneSwap(fs, path)
     val tsRoot = new org.apache.hadoop.fs.Path(s"$path/termstats")
     if (fs.exists(tsRoot)) {
+      // heal staged-compaction residue (bucket renamed to .compact.old,
+      // replacement not yet renamed in) BEFORE the full-vocab read —
+      // termDfs' fast path heals inside probedDirs, but this read lists
+      // the root directly, so it must sweep the same recovery itself
+      Ann.recoverStagedDirs(fs, tsRoot)
+      // reconcile BEFORE the read: a pending delete generation lands
+      // its delta files here, and a frame created earlier would have
+      // snapshotted the file listing without them
+      val exact = reconcileTermDeltas(spark, path)
       val dict = spark.read.parquet(s"$path/termstats")
-      if (tombstoneBytes(spark, path) == 0L) {
+      if (exact) {
         return dict.groupBy(col("term"))
-          .agg(sum(col("df")).as("df")) // build row + append deltas
+          .agg(sum(col("df")).as("df")) // build row + append/delete deltas
           .filter(col("df") > 0L)
       }
       return termDfs(spark, path, dict.select(col("term")).distinct(), "term")
@@ -2021,6 +2264,11 @@ object InvertedIndex {
       terms: Seq[String], matchAll: Boolean): Option[DataFrame] = {
     import spark.implicits._
     val ts = terms.flatMap(TextAnalysis.tokensOf(_, st.analyzer)).distinct
+    // fail fast like suggestTerms/didYouMean: a query whose every term
+    // analyzes to zero tokens (whitespace/punctuation-only input) must
+    // error, not silently report 0 matches / empty facets
+    require(ts.nonEmpty,
+      s"query terms $terms analyze to zero tokens under analyzer '${st.analyzer}'")
     val buckets = ts.toDF("term").select(termBucket(st.nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val bucketDirs = probedBucketDirs(spark, path, buckets)
@@ -2101,7 +2349,54 @@ object InvertedIndex {
     }
   }
 
-  /** The live (id, stored columns...) frame — a root docstats read
+  /** RANGE (histogram) facet over a NUMERIC stored column — the other
+    * half of a search page's facet sidebar ("price 0–10 / 10–20 / …"),
+    * served entirely index-locally like [[facetCountsStored]]: the
+    * match set from the same bucket-pruned live probe, the values from
+    * the doc store reading only (id, <facetCol>). `[lo, hi)` splits
+    * into `nBins` equal-width bins; a matching doc lands in bin
+    * `least(floor((x-lo)/((hi-lo)/nBins)), nBins-1)` (the `least` pins
+    * the one float-rounding edge case where x just under `hi` divides
+    * to exactly nBins — the SAME expression a SQL twin runs, so both
+    * engines agree bit-for-bit), underflow in bin -1, overflow in bin
+    * `nBins`. Stored columns are STRING-typed (doc-values discipline);
+    * values that don't parse as a number drop (TRY_CAST semantics —
+    * ANSI mode must not fail a whole facet sidebar on one bad row);
+    * count them beforehand if that matters. Emits (bin, n_docs), only
+    * bins with at least one doc. */
+  def rangeFacetStored(spark: SparkSession, path: String, facetCol: String,
+      terms: Seq[String], lo: Double, hi: Double, nBins: Int,
+      matchAll: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val st = readStats(spark, path)
+    require(st.storeCols.contains(facetCol),
+      s"facet column '$facetCol' is not stored on $path " +
+        s"(stored: ${st.storeCols.mkString("[", ", ", "]")})")
+    import spark.implicits._
+    def empty = Seq.empty[(Long, Long)].toDF("bin", "n_docs")
+    if (st.nDocs == 0L) return empty
+    matchedIds(spark, path, st, terms, matchAll) match {
+      case None => empty
+      case Some(matched) =>
+        val x = col(facetCol).try_cast(DoubleType)
+        val w = (hi - lo) / nBins
+        storedColumns(spark, path, Seq(facetCol))
+          .join(matched, Seq("id"), "left_semi")
+          .filter(x.isNotNull)
+          .select(
+            when(x < lo, lit(-1L))
+              .when(x >= hi, lit(nBins.toLong))
+              .otherwise(least(floor((x - lit(lo)) / lit(w)),
+                lit(nBins - 1L)).cast(LongType))
+              .as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"))
+    }
+  }
+
+  /** The live (id, stored columns...) frame — a root DOC-STORE read
     * (every dbucket: doc-values consumers are match-set-shaped, not
     * id-keyed) with crashed-rewrite residue healed first so a
     * `dbucket=N.rewrite.tmp` directory can never surface as a phantom
@@ -2109,9 +2404,9 @@ object InvertedIndex {
   private def storedColumns(spark: SparkSession, path: String,
       cols: Seq[String]): DataFrame = {
     Ann.recoverStagedDirs(statsFs(spark, path),
-      new org.apache.hadoop.fs.Path(s"$path/docstats"))
+      new org.apache.hadoop.fs.Path(s"$path/docstore"))
     dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/docstats")
+      spark.read.parquet(s"$path/docstore")
         .select(col("id") +: cols.map(col): _*))
   }
 
@@ -2478,6 +2773,9 @@ object InvertedIndex {
     // land any crashed delete's pending stats decrement BEFORE this
     // compact retires the tombstone rows that record it
     reconcileTombstoneStats(spark, path)
+    // ... and its pending term-stats deltas while the generation's
+    // postings are still intact (the rewrite below removes them)
+    reconcileTermDeltas(spark, path)
     // term-stats orphan sweep: a termstats dir whose postings bucket is
     // gone (the rewrite deleted a fully-tombstoned bucket, then crashed
     // before the stats replace) would serve phantom terms once the
@@ -2573,11 +2871,11 @@ object InvertedIndex {
         // dbuckets (cost ∝ tombstones, id column alone) and rewrite
         // the buckets that really hold residue — normally none.
         val st = readStats(spark, path)
-        val resBuckets = tombs
+        val tombDb = tombs
           .select(docBucket(st.nDocBuckets).as("b"))
           .distinct().collect().map(_.getLong(0)).toSeq.sorted
-          .filter(b => fs.exists(new org.apache.hadoop.fs.Path(
-            s"$path/docstats/dbucket=$b")))
+        val resBuckets = tombDb.filter(b => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/docstats/dbucket=$b")))
         if (resBuckets.nonEmpty) {
           val withRes = spark.read.option("basePath", s"$path/docstats")
             .parquet(resBuckets.map(b => s"$path/docstats/dbucket=$b"): _*)
@@ -2590,11 +2888,38 @@ object InvertedIndex {
                 Seq("id"), "left_anti"))
           }
         }
+        // DOC-STORE sweep: deletes never rewrite the store (the
+        // tombstone anti-join hides its dead rows — that's what keeps
+        // delete cost independent of the stored payload), so the dead
+        // rows are still physically here. Drop them BEFORE any of
+        // these tombstones can retire, or a later [[fetchDocs]] would
+        // resurrect them once the anti-join set clears. Cost ∝ the
+        // tombstoned ids' own dbuckets, the store's one deferred bill.
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/docstore"))) {
+          val deadBuckets = tombDb.filter(b => fs.exists(
+            new org.apache.hadoop.fs.Path(s"$path/docstore/dbucket=$b")))
+          if (deadBuckets.nonEmpty) {
+            val withDead = spark.read.option("basePath", s"$path/docstore")
+              .parquet(deadBuckets.map(b => s"$path/docstore/dbucket=$b"): _*)
+              .select(col("id"), col("dbucket"))
+              .join(maybeBroadcastTombs(spark, path, tombIds), Seq("id"), "left_semi")
+              .select(col("dbucket").cast(LongType))
+              .distinct().collect().map(_.getLong(0)).toSeq.sorted
+            if (withDead.nonEmpty) {
+              rewriteDirsBatched(spark, s"$path/docstore", "dbucket", withDead,
+                df => df.join(maybeBroadcastTombs(spark, path, tombIds),
+                  Seq("id"), "left_anti"))
+            }
+          }
+        }
         val skipped = existing.toSet -- toRewrite.toSet
         if (skipped.isEmpty && hasTb || (!hasTb && minTombFrac <= 0d)) {
           // every bucket holding a tombstoned posting was rewritten —
-          // the whole set is repaid
+          // the whole set is repaid; the delta markers keyed to it can
+          // go too (AFTER the set: a crash between leaves stale markers,
+          // which are harmless — replay triggers on tombstones)
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path)), true)
         } else if (hasTb) {
           // retire only ids whose entire (existing) bucket set was
           // rewritten; the rest still have live postings to hide.
@@ -2605,8 +2930,10 @@ object InvertedIndex {
             exists(col("tbuckets"), b => b.isin(skippedInts: _*)))
             .localCheckpoint(true)
           val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-          if (survivors.isEmpty) fs.delete(tPath, true)
-          else {
+          if (survivors.isEmpty) {
+            fs.delete(tPath, true)
+            fs.delete(new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path)), true)
+          } else {
             val stage = new org.apache.hadoop.fs.Path(s"$path/.tombstones.stage")
             fs.delete(stage, true)
             survivors.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -2639,6 +2966,8 @@ object InvertedIndex {
     // file per touched dir, so freshly rewritten buckets never re-offend)
     Ann.compactDirs(spark, s"$path/postings", maxFiles)
     Ann.compactDirs(spark, s"$path/docstats", maxFiles)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/docstore")))
+      Ann.compactDirs(spark, s"$path/docstore", maxFiles)
     // term-stats delta consolidation: each append added one delta file
     // per touched bucket (readers sum) — fold those buckets to one row
     // per term. Gated on dirs that actually ACCUMULATED files (>1), so

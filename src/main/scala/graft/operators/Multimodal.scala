@@ -127,6 +127,86 @@ object Multimodal {
     }
   }
 
+  /** 64-bit dHash (difference hash) — the classic image perceptual
+    * fingerprint: the picture downsamples to a 9×8 grayscale grid by
+    * EXACT integer area-averaging (cell (r,c) floor-averages the integer
+    * lumas of pixel block [⌊r·h/8⌋, ⌊(r+1)·h/8⌋) × [⌊c·w/9⌋,
+    * ⌊(c+1)·w/9⌋); luma = ⌊(299·R + 587·G + 114·B) / 1000⌋ — all-integer
+    * so an oracle can reproduce the hash in closed form from a fixture's
+    * pixel function), and bit r·8+c of the hash is set iff cell (r,c) is
+    * strictly brighter than its right neighbor (r,c+1). Gradient
+    * comparisons survive global brightness/contrast shifts and
+    * re-encoding — the property that makes Hamming distance on dHashes a
+    * near-duplicate signal where a byte hash sees nothing. A 9×8 input
+    * hashes its pixels directly (the identity pooling the value oracle
+    * pins); an n×-upscaled copy pools back to the same grid, so
+    * resized copies collide (spec-pinned). None when no ImageIO reader
+    * accepts the payload or the image is smaller than the grid. */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val cell = Array.ofDim[Long](8, 9)
+        var r = 0
+        while (r < 8) {
+          val y0 = r * h / 8
+          val y1 = (r + 1) * h / 8
+          var c = 0
+          while (c < 9) {
+            val x0 = c * w / 9
+            val x1 = (c + 1) * w / 9
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                  114L * (rgb & 0xff)) / 1000L
+                x += 1
+              }
+              y += 1
+            }
+            cell(r)(c) = sum / ((y1 - y0).toLong * (x1 - x0))
+            c += 1
+          }
+          r += 1
+        }
+        var fp = 0L
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (cell(r)(c) > cell(r)(c + 1)) fp |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(fp)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed perceptual-hash extraction — (id, n_bytes, format,
+    * phash) over the typed media Dataset, one ImageIO context per
+    * partition like [[decodeFeatures]]. `phash` is NULL for payloads no
+    * reader decodes (or that are smaller than the hash grid) — exactly
+    * the rows [[Dedup.fingerprintPairs]] then drops, so the pair join
+    * never manufactures a match from two failures. Feed the result to
+    * `Dedup.fingerprintPairs(_, "id", "phash", maxHamming)` for banded
+    * (never all-pairs) image near-dup candidates. */
+  def imagePHashes(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        (r.id, r.media.length.toLong, dHash64(r.media))
+      }
+    }.toDF("id", "n_bytes", "phash")
+  }
+
   /** Frame/chunk sampling over a binary payload: fixed-size chunk offsets
     * as a generator (explode) — the shape of video frame-sampling with the
     * frame decode stubbed to a chunk checksum. */

@@ -128,6 +128,50 @@ object TextAnalysis {
     "n_longnums" -> size(regexp_extract_all(text, lit(LongNumRe), lit(0))).cast(LongType),
     "redacted" -> redact(text))
 
+  // ------------------------------------------- HTML main-text extraction
+  /** HTML extraction patterns — like the redaction set, deliberately in
+    * the Java∩RE2 common subset (inline `(?is)` flags, lazy `.*?`, no
+    * backrefs/lookaround) so the EXACT same strings run in Spark
+    * (java.util.regex) and the DuckDB oracle (RE2). */
+  val HtmlScriptRe = "(?is)<script[^>]*>.*?</script>"
+  val HtmlStyleRe = "(?is)<style[^>]*>.*?</style>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlTagRe = "(?s)<[^>]*>"
+  val WsRunRe = "[ \\t\\r\\n]+"
+
+  /** Boilerplate-stripping MAIN-TEXT extraction for web-crawl corpora —
+    * the step between "HTML arrived" and every text-quality gate:
+    * script/style blocks drop WITH their content (their text is never
+    * prose), comments drop, every remaining tag becomes a space (so
+    * `<p>a</p><p>b</p>` keeps a word boundary), the common named
+    * entities decode (`&amp;` LAST, so `&amp;lt;` yields the literal
+    * `&lt;` — single-decode, never double), and whitespace runs fold to
+    * one space. Pure codegen'd `regexp_replace`/`replace` chain:
+    * partition-parallel, no UDF, no allocation beyond the result.
+    *
+    * Deliberate bounds (documented, not bugs): an UNCLOSED script/style
+    * block keeps its text (the lazy match needs the closing tag; the
+    * tag strip still removes the markup), and numeric character
+    * references beyond the named set pass through untouched — a
+    * full HTML5 entity table is a dictionary lookup, not a filter
+    * pipeline's job. */
+  def extractHtmlText(html: Column): Column = {
+    val noMarkup =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(html, HtmlScriptRe, " "),
+            HtmlStyleRe, " "),
+          HtmlCommentRe, " "),
+        HtmlTagRe, " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&" // last: single-decode
+    ).foldLeft(noMarkup) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, WsRunRe, " "))
+  }
+
   // ------------------------------------------------------------ chunking
   /** Split a document into fixed-size token chunks with overlap — the
     * context-window packing prep step of a training pipeline. Chunk i

@@ -68,17 +68,16 @@ final case class VectorStore(
   }
 
   /** SEARCH-AFTER pagination for [[query]]: the page strictly after the
-    * cursor `after` = (score, id) — the last row of the previous page as
-    * the CLIENT saw it, i.e. with the score rounded to 6 decimals (the
-    * serialization contract every oracle-checked key rounds to). The
-    * page order is the total order (round(score, 6) DESC, id ASC), so
-    * pages are gap-free and overlap-free however deep the client walks —
-    * the property LIMIT/OFFSET lacks — and cost stays ONE scan + top-k
+    * cursor `after` = (score, id) — the last row of the previous page
+    * with the RAW score exactly as [[query]] returned it (its
+    * `__metrics__` column, before any display rounding). Both pages use
+    * the SAME total order as [[query]] — (raw score DESC, id ASC) — so
+    * pages are gap-free and overlap-free however deep the client walks,
+    * which a mixed raw/rounded order cannot guarantee: two raw-distinct
+    * scores that round equal at a page boundary would let the orders
+    * disagree and a row slip between pages. Cost stays ONE scan + top-k
     * per page: the cursor is a filter above the scoring projection,
-    * never an offset-sized over-fetch. Comparing the rounded score
-    * keeps the cursor stable across engines and replays: a raw-double
-    * cursor could split a rounding tie differently than the page that
-    * produced it. */
+    * never an offset-sized over-fetch. */
   def queryAfter(
       queryVec: Array[Float],
       topK: Int,
@@ -91,11 +90,11 @@ final case class VectorStore(
     val scored = base.withColumn(MetricsCol, dotD(col(VectorCol), q))
     val thr = betterThan.getOrElse(Double.MinValue)
     val (s0, id0) = after
-    val r = round(col(MetricsCol), 6)
+    val m = col(MetricsCol)
     scored
-      .filter(!isnan(col(MetricsCol)) && col(MetricsCol) >= lit(thr))
-      .filter(r < s0 || (r === s0 && col(IdCol) > id0))
-      .orderBy(r.desc, col(IdCol).asc)
+      .filter(!isnan(m) && m >= lit(thr))
+      .filter(m < s0 || (m === s0 && col(IdCol) > id0))
+      .orderBy(m.desc, col(IdCol).asc)
       .limit(topK)
       .drop(VectorCol)
   }

@@ -1168,7 +1168,7 @@ class InvertedIndexSpec extends AnyFunSuite {
     }.getMessage.contains("minShouldMatch"))
   }
 
-  test("termDfs fast path: term stats replace the postings count, tombstones gate it, compact restores it") {
+  test("termDfs fast path: term stats replace the postings count, exact under tombstone debt and across compact") {
     val path = tmp("tstats")
     val d = docs.filter(col("doc_id") < 300)
     InvertedIndex.build(d.filter(col("doc_id") < 250), "doc_id", "text", path,
@@ -1188,11 +1188,12 @@ class InvertedIndexSpec extends AnyFunSuite {
     val fast = got()
     assert(!fast.queryExecution.executedPlan.toString.contains("postings"))
     assert(rows(fast) == want(d))
-    // tombstones present -> exact live counts via the postings fallback
+    // tombstones present -> STILL the vocab-sized fast path (the
+    // delete appended its generation's negative deltas), exact live
     InvertedIndex.delete(spark, path, (0L until 25L).map(_.toString))
     val surv = d.filter(col("doc_id") >= 25)
     val fb = got()
-    assert(fb.queryExecution.executedPlan.toString.contains("postings"))
+    assert(!fb.queryExecution.executedPlan.toString.contains("postings"))
     assert(rows(fb) == want(surv))
     // full compact clears the debt AND recomputes the rewritten
     // buckets' stats -> fast path again, exact over the survivors

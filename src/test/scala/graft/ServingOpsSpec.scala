@@ -50,10 +50,11 @@ class ServingOpsSpec extends AnyFunSuite {
       elemType = DoubleType)
     val q = emb.filter(col("vec_id") === 1)
       .select("embedding").head().getSeq[Float](0).toArray
+    // cursor carries the RAW score exactly as query() returned it —
+    // one (raw score DESC, id ASC) total order on both pages
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
-      df.select(col(VectorStore.IdCol),
-          round(col(VectorStore.MetricsCol), 6)).collect()
-        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      df.select(col(VectorStore.IdCol), col(VectorStore.MetricsCol))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     val full = rows(st.query(q, 10))
     val p1 = rows(st.query(q, 5))
     val cur = p1.last
@@ -63,7 +64,7 @@ class ServingOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------- dictionary queries
 
-  test("suggestTerms ranks prefix terms by exact df; tombstones fall back to live counts") {
+  test("suggestTerms ranks prefix terms by exact df; exact under tombstone debt") {
     val expected = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .distinct()
@@ -75,8 +76,8 @@ class ServingOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == expected)
 
-    // with retained tombstone debt the dictionary still nominates, but
-    // df recomputes LIVE — equal to a fresh index over the survivors
+    // with retained tombstone debt the dictionary stays LIVE-exact via
+    // the delta rows — equal to a fresh index over the survivors
     val p = tmp("sugdel")
     InvertedIndex.build(docs, "doc_id", "text", p, nBuckets = 8, nDocBuckets = 4)
     InvertedIndex.delete(spark, p, (0L until 20L).map(_.toString))
@@ -246,6 +247,33 @@ class ServingOpsSpec extends AnyFunSuite {
       InvertedIndex.sortByStored(spark, plain, Seq("spark"), "lang", k = 5)
     }
     assert(e3.getMessage.contains("not stored"))
+  }
+
+  test("rangeFacetStored: equal-width histogram over a numeric stored column") {
+    val spark2 = spark
+    import spark2.implicits._
+    val p = tmp("rng")
+    val rows = Seq(
+      ("a", "hit term", "-5"), ("b", "hit term", "0"), ("c", "hit term", "99.9"),
+      ("d", "hit term", "100"), ("e", "hit term", "250"), ("f", "hit term", "499.99"),
+      ("g", "hit term", "500"), ("h", "hit term", "oops"), // non-numeric drops
+      ("i", "miss only", "50") // not in the match set
+    ).toDF("doc_id", "text", "price")
+    InvertedIndex.build(rows, "doc_id", "text", p, nBuckets = 4,
+      nDocBuckets = 2, storeCols = Seq("price"))
+    val got = InvertedIndex.rangeFacetStored(spark, p, "price", Seq("hit"),
+        lo = 0.0, hi = 500.0, nBins = 5)
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // -5 underflows (-1); 0, 99.9 in bin 0; 100 in bin 1; 250 in bin 2;
+    // 499.99 in bin 4; 500 overflows (5); 'oops' drops; 'i' no match
+    assert(got == Seq((-1L, 1L), (0L, 2L), (1L, 1L), (2L, 1L), (4L, 1L), (5L, 1L)))
+    // deletes respect liveness
+    InvertedIndex.delete(spark, p, Seq("e"))
+    val after = InvertedIndex.rangeFacetStored(spark, p, "price", Seq("hit"),
+        lo = 0.0, hi = 500.0, nBins = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!after.contains(2L))
   }
 
   test("matchCount equals the corpus-side count in both match modes") {

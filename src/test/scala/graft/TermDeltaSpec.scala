@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.InvertedIndex
+
+/** The term-stats DELTA protocol: deletes append negative df rows so
+  * every dictionary-shaped op (suggest / fuzzy / did-you-mean / MLT's
+  * df probe) stays on the vocab-sized fast path — LIVE-exact — under
+  * retained tombstone debt, instead of degrading to postings counts
+  * until a full compact. */
+class TermDeltaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"tsd$tag").toString
+
+  private def dict(p: String): Seq[(String, Long)] =
+    InvertedIndex.termDictionary(spark, p)
+      .orderBy(col("term"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  private def fs(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** An index over `docs`, a debt of the first `nDel` ids tombstoned
+    * (NOT compacted), and a reference index built fresh over the
+    * survivors. */
+  private def debtFixture(nDel: Int): (String, String) = {
+    val p = tmp("debt")
+    InvertedIndex.build(docs, "doc_id", "text", p, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, p, (0 until nDel).map(_.toString))
+    val ref = tmp("ref")
+    InvertedIndex.build(docs.filter(col("doc_id") >= nDel), "doc_id", "text",
+      ref, nBuckets = 8, nDocBuckets = 4)
+    (p, ref)
+  }
+
+  test("termDictionary under tombstone debt equals a fresh index over the survivors") {
+    val (p, ref) = debtFixture(25)
+    assert(InvertedIndex.tombstoneCount(spark, p) == 25L, "debt must be retained")
+    assert(dict(p) == dict(ref))
+  }
+
+  test("dictionary ops under debt serve df from termstats, never a postings count") {
+    val (p, _) = debtFixture(10)
+    val q = InvertedIndex.suggestTerms(spark, p, "s", k = 5)
+    val scans = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(_.contains("termstats")),
+      s"df must come from the vocab-sized layout:\n${scans.mkString("\n")}")
+    assert(!scans.exists(_.contains("postings")),
+      s"a live tombstone debt must NOT force a postings count:\n${scans.mkString("\n")}")
+    // and the numbers those termstats rows produce are live-exact
+    val ref = tmp("sref")
+    InvertedIndex.build(docs.filter(col("doc_id") >= 10), "doc_id", "text",
+      ref, nBuckets = 8, nDocBuckets = 4)
+    assert(q.collect().toSeq.map(r => (r.getString(0), r.getLong(1))) ==
+      InvertedIndex.suggestTerms(spark, ref, "s", k = 5)
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+  }
+
+  test("fuzzy expansion and did-you-mean stay exact under debt") {
+    val (p, ref) = debtFixture(30)
+    def fuzzy(path: String) = InvertedIndex.bm25FuzzyTopK(spark, path,
+      Seq("sow"), k = 10, maxEdits = 1)
+      .orderBy(col("bm25").desc, col("id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(fuzzy(p) == fuzzy(ref))
+    def dym(path: String) = InvertedIndex.didYouMean(spark, path, "spork")
+      .collect().map(_.getString(0)).toSeq
+    assert(dym(p) == dym(ref))
+  }
+
+  test("a crash between tombstone append and delta landing replays from the tombstones") {
+    val (p, ref) = debtFixture(20)
+    // simulate the crash state: the tombstones of the delete exist but
+    // its delta generation never landed — strip the marker AND the
+    // landed delta files, leaving exactly what a crash right after the
+    // stats write leaves behind
+    val f = fs(p)
+    val markers = new org.apache.hadoop.fs.Path(s"$p/termstats/_deltas")
+    assert(f.exists(markers), "a clean delete must have committed its marker")
+    f.delete(markers, true)
+    val tsRoot = new org.apache.hadoop.fs.Path(s"$p/termstats")
+    f.listStatus(tsRoot).filter(_.isDirectory).foreach { d =>
+      f.listStatus(d.getPath).map(_.getPath)
+        .filter(_.getName.startsWith("tsdelta-sv"))
+        .foreach(f.delete(_, false))
+    }
+    // the next dictionary read reconciles the pending generation itself
+    assert(dict(p) == dict(ref))
+    assert(f.exists(markers), "the replay must re-commit the generation marker")
+  }
+
+  test("a half-committed delta attempt (files, no marker) sweeps and relands exactly") {
+    val (p, ref) = debtFixture(20)
+    // strip ONLY the marker: the landed tsdelta files now look like a
+    // partially-committed attempt; replay must not double-subtract
+    fs(p).delete(new org.apache.hadoop.fs.Path(s"$p/termstats/_deltas"), true)
+    assert(dict(p) == dict(ref))
+  }
+
+  test("delete then append stays exact on the fast path; full compact folds the deltas") {
+    val p = tmp("cyc")
+    InvertedIndex.build(docs.filter(col("doc_id") < 40), "doc_id", "text", p,
+      nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, p, (0 until 15).map(_.toString))
+    InvertedIndex.append(spark, p,
+      docs.filter(col("doc_id") >= 40 && col("doc_id") < 60), "doc_id", "text")
+    val ref = tmp("cycref")
+    InvertedIndex.build(
+      docs.filter(col("doc_id") >= 15 && col("doc_id") < 60), "doc_id", "text",
+      ref, nBuckets = 8, nDocBuckets = 4)
+    assert(dict(p) == dict(ref), "debt + append must stay live-exact")
+    InvertedIndex.compact(spark, p)
+    assert(InvertedIndex.tombstoneCount(spark, p) == 0L)
+    assert(dict(p) == dict(ref), "the post-compact recompute must fold the deltas")
+    assert(!fs(p).exists(new org.apache.hadoop.fs.Path(s"$p/termstats/_deltas")),
+      "a full compact retires the generation markers with the tombstones")
+  }
+
+  test("partial compact keeps skipped buckets' deltas and the fast path exact") {
+    val p = tmp("part")
+    InvertedIndex.build(docs, "doc_id", "text", p, nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, p, (0 until 12).map(_.toString))
+    // a high per-bucket fraction gate rewrites few (likely zero)
+    // buckets — debt is deliberately retained
+    InvertedIndex.compact(spark, p, minTombFrac = 0.9)
+    val ref = tmp("partref")
+    InvertedIndex.build(docs.filter(col("doc_id") >= 12), "doc_id", "text",
+      ref, nBuckets = 8, nDocBuckets = 4)
+    assert(dict(p) == dict(ref),
+      "retained debt after a partial compact must stay live-exact " +
+        "(skipped buckets keep base+delta, rewritten ones recompute live)")
+  }
+
+  test("a fully-tombstoned term disappears from termDfs, like the live count") {
+    val spark2 = spark
+    import spark2.implicits._
+    val p = tmp("dead")
+    val rows = Seq(("a", "unicorntoken shared"), ("b", "shared other"),
+      ("c", "shared third")).toDF("doc_id", "text")
+    InvertedIndex.build(rows, "doc_id", "text", p, nBuckets = 4, nDocBuckets = 2)
+    InvertedIndex.delete(spark, p, Seq("a"))
+    val got = InvertedIndex.termDfs(spark, p,
+      Seq("unicorntoken", "shared").toDF("t"), "t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("shared" -> 2L),
+      s"dead term must be ABSENT (not df=0) and survivors exact, got $got")
+  }
+}

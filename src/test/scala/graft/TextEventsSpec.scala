@@ -118,6 +118,57 @@ class TextEventsSpec extends AnyFunSuite {
     assert(sniffed(2L) == "bmp")
   }
 
+  test("dHash64: closed-form grid value, upscale collision, banded pairs complete") {
+    import graft.operators.{Dedup, Multimodal}
+    def png(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = gray(y, x)
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 9x8 input: identity pooling — the hash is the direct comparison
+    // grid, computable by hand from the pixel function
+    def g0(r: Int, c: Int): Int = (c * 23 + r * 7) % 200
+    val fp = Multimodal.dHash64(png(9, 8, g0)).get
+    var want = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (g0(r, c) > g0(r, c + 1)) want |= 1L << (r * 8 + c)
+    assert(fp == want)
+    // a 3x pixel-doubled copy pools back to the same grid -> same hash
+    assert(Multimodal.dHash64(png(27, 24, (y, x) => g0(y / 3, x / 3))).get == fp)
+    // undecodable / too-small payloads yield None, and the pair join
+    // drops them instead of matching failures to each other
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.dHash64(png(4, 4, (_, _) => 7)).isEmpty)
+    // banding completeness: banded pairs == brute force at the radius
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0L until 40L).map { i =>
+      Multimodal.MediaRow(i, png(9, 8,
+        (r, c) => (((i / 2) * 37 + c * 23 + r * 7) % 200).toInt +
+          (if (i % 2 == 1 && r == 0 && c == 0) 40 else 0)), "png")
+    }
+    val ph = Multimodal.imagePHashes(spark.createDataset(rows))
+      .select(col("id"), col("phash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, fa) <- ph; (ib, fb) <- ph if ia < ib
+      hm = java.lang.Long.bitCount(fa ^ fb) if hm <= 2
+    } yield (ia, ib, hm)).sortBy(p => (p._1, p._2)).toSeq
+    val banded = Dedup.fingerprintPairs(
+        Multimodal.imagePHashes(spark.createDataset(rows)), "id", "phash",
+        maxHamming = 2)
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(banded == brute, s"banded join must be pigeonhole-complete")
+    assert(brute.nonEmpty, "fixture must actually produce near-dup pairs")
+  }
+
   test("chunk sampling shapes") {
     val df = Seq((1L, ("x" * 1000).getBytes("UTF-8"))).toDF("id", "bin")
     val chunks = Multimodal.sampleChunks(df, "id", "bin", chunkBytes = 256, maxChunks = 3)
@@ -176,6 +227,27 @@ class TextEventsSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("n_urls") == 0L && r2.getAs[Long]("n_emails") == 0L &&
       r2.getAs[Long]("n_longnums") == 0L)
     assert(r2.getAs[String]("redacted") == "no pii here just words 123")
+  }
+
+  test("extractHtmlText: markup drops, boundaries kept, entities single-decode") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "<html><head><style a=b>h1{x:y}</style><script>if(a<b&&c>d){}</script>" +
+        "</head><body><!-- boilerplate --><h1>Title</h1><p>one</p><p>two</p></body></html>"),
+      // entity decode is SINGLE: &amp;lt; yields the literal '&lt;'
+      (2L, "A &amp; B, &lt;tag&gt;, &quot;q&quot;, &#39;s&apos;, &amp;lt;,&nbsp;end"),
+      // whitespace folds; an unclosed script keeps its text (documented)
+      (3L, "a\n\n<br/>\t b <script>orphan"),
+      (4L, "plain text untouched"))
+      .toDF("id", "html")
+    val got = df.select(col("id"),
+        TextAnalysis.extractHtmlText(col("html")).as("t"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq(
+      "Title one two",
+      "A & B, <tag>, \"q\", 's', &lt;, end",
+      "a b orphan",
+      "plain text untouched"))
   }
 
   test("streaming simhash pairs equal the batch band join on bounded input") {
