@@ -921,10 +921,10 @@ object SparkEntry {
     })
 
   /** Per-JVM RETROFITTED doc-store index: built WITHOUT storeText, then
-    * [[InvertedIndex.addDocStore]] rewrites only the doc-stats layout
-    * with the text column joined in (postings byte-untouched) and flips
-    * the sidecar at the commit point — the incremental path an existing
-    * deployment takes instead of a full rebuild. */
+    * [[InvertedIndex.addDocStore]] lands a fresh `docstore/` root (one
+    * atomic rename; postings AND the thin ledger byte-untouched) and
+    * flips the sidecar at the commit point — the incremental path an
+    * existing deployment takes instead of a full rebuild. */
   private val invIdxBackfillCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def cachedInvIdxBackfill(s: SparkSession, dir: String): String =
@@ -1899,7 +1899,7 @@ object SparkEntry {
 
     // Text: DOC-STORE point lookup — the id-keyed text fetch that
     // serves MLT seeds and snippet rendering: reads ONLY the requested
-    // ids' dbucket directories of the doc-stats layout (plus the
+    // ids' dbucket directories of the doc-store layout (plus the
     // bounded tombstone set), never the corpus.
     "text_docstore_get" -> ((s, dir) => {
       import s.implicits._
@@ -2162,7 +2162,7 @@ object SparkEntry {
     }),
 
     // Text: facet counts served ENTIRELY from the index — the facet
-    // columns were STORED on the doc-stats layout at build time
+    // columns were STORED on the doc-store layout at build time
     // (storeCols, the doc-values analog), so a deployed index answers
     // the same sidebar with zero access to the source table: the match
     // set from the pruned probe, the values from the index's own

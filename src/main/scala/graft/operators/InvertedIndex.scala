@@ -61,7 +61,7 @@ object InvertedIndex {
     * append batches and query terms pass through the SAME analyzer —
     * index-time/query-time disagreement is silent zero recall, the one
     * failure mode an index must make impossible. `storesText` records
-    * whether the doc-stats layout carries each document's raw text —
+    * whether the `docstore/` layout carries each document's raw text —
     * the id-bucketed DOC STORE that makes seed/snippet text fetch a
     * point lookup ([[fetchDocs]]) instead of a corpus scan.
     * `corpusFp` is an order-independent fingerprint of the LIVE id set
@@ -1071,7 +1071,7 @@ object InvertedIndex {
   /** Point lookup of stored documents by id — the DOC STORE read that
     * keeps seed-term extraction ([[TextAnalysis.mltQueriesIdx]]) and
     * snippet rendering ([[snippets]]) off the corpus: reads ONLY the
-    * requested ids' dbucket directories of the doc-stats layout (the
+    * requested ids' dbucket directories of the doc-store layout (the
     * one driver collect is the distinct dbucket list — bounded by
     * nDocBuckets, never by the id count), semi-joins the id frame
     * (Catalyst broadcasts it when small), anti-joins the bounded
