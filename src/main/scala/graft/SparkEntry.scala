@@ -4779,41 +4779,72 @@ object SparkEntry {
     // integer pixel function and pairs by brute force: expansion AND
     // pairing both value-checked.
     "mm_phash_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val ids = Tables.documents(s, dir).filter(col("doc_id") < 48)
-        .select(col("doc_id")).as[Long].collect().sorted
-      val fixtures = ids.map { id =>
-        val g = id / 3
-        val v = id % 3
-        def gray(r: Int, c: Int): Int = {
-          val base = g * 31 + c * 23 + r * 7
-          val px =
-            if (v == 1 && r == 0 && c == 0) 255L
-            else if (v == 2) (base * 3 + 91) % 199
-            else base % 200
-          px.toInt
-        }
-        val img = new java.awt.image.BufferedImage(
-          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var r = 0
-        while (r < 8) {
-          var c = 0
-          while (c < 9) {
-            val p = gray(r, c)
-            img.setRGB(c, r, (p << 16) | (p << 8) | p)
-            c += 1
-          }
-          r += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Multimodal.MediaRow(id, bos.toByteArray, "png")
-      }.toSeq
-      val ph = Multimodal.imagePHashes(s.createDataset(fixtures))
+      val ph = Multimodal.imagePHashes(s.createDataset(phashFixtures(s, dir))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
       graft.operators.Dedup.fingerprintPairs(ph, "id", "phash", maxHamming = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Streaming: IMAGE NEAR-DUP over a binary-column stream — the same
+    // perceptual-hash fixtures arrive as a bounded microbatch stream,
+    // hash per-partition inside the stream (imagePHashes is a plain
+    // mapPartitions — streaming-safe), and pair through the stateful
+    // banded Hamming join. Emitted pairs must equal the batch banded
+    // join AND the oracle's closed-form brute force.
+    "stream_phash" -> ((s, dir) => {
+      import s.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("phashstream").toString
+      phashFixtures(s, dir).toDF("id", "media", "mimeHint")
+        .write.mode("overwrite").parquet(staged)
+      val st = s.readStream
+        .schema(s.read.parquet(staged).schema).parquet(staged)
+        .as[Multimodal.MediaRow]
+      val ph = Multimodal.imagePHashes(st)
+      graft.streaming.StreamingOps.runBounded(
+          graft.streaming.StreamingOps.fingerprintPairsStream(
+            ph, "id", "phash", maxHamming = 1))
         .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** Deterministic 9×8 grayscale PNG fixtures for the perceptual-hash
+    * keys — groups of three per base pattern: v0 = base, v1 = base with
+    * ONE cell changed (Hamming ≤ 1 of v0), v2 = a scrambled pattern.
+    * Pixel gray is an exact integer function of (doc_id, row, col), so
+    * the oracle recomputes the dHash in closed form (identity pooling
+    * at the 9×8 grid). Shared by `mm_phash_dedup` / `stream_phash`. */
+  private def phashFixtures(s: SparkSession, dir: String): Seq[Multimodal.MediaRow] = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).filter(col("doc_id") < 48)
+      .select(col("doc_id")).as[Long].collect().sorted
+    ids.toSeq.map { id =>
+      val g = id / 3
+      val v = id % 3
+      def gray(r: Int, c: Int): Int = {
+        val base = g * 31 + c * 23 + r * 7
+        val px =
+          if (v == 1 && r == 0 && c == 0) 255L
+          else if (v == 2) (base * 3 + 91) % 199
+          else base % 200
+        px.toInt
+      }
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val p = gray(r, c)
+          img.setRGB(c, r, (p << 16) | (p << 8) | p)
+          c += 1
+        }
+        r += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRow(id, bos.toByteArray, "png")
+    }
+  }
 
   /** Shared sign-LSH oracle scaffolding: hyperplanes, normalized
     * vectors, bucket strings, query set (single- and multi-probe differ
@@ -7836,27 +7867,37 @@ object SparkEntry {
     // fixtures' integer pixel function (identity pooling, luma of a
     // gray pixel = the gray value), then brute-force Hamming <= 1
     // pairs — the engine's banded join must emit exactly these
-    "mm_phash_dedup" ->
-      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
-        |px AS (
-        |  SELECT doc_id, r, c,
-        |    CASE WHEN doc_id % 3 = 1 AND r = 0 AND c = 0 THEN 255
-        |         WHEN doc_id % 3 = 2 THEN (((doc_id // 3) * 31 + c * 23 + r * 7) * 3 + 91) % 199
-        |         ELSE ((doc_id // 3) * 31 + c * 23 + r * 7) % 200 END AS g
-        |  FROM ids, generate_series(0, 7) t1(r), generate_series(0, 8) t2(c)),
-        |fp AS (
-        |  SELECT l.doc_id,
-        |    CAST(SUM(CASE WHEN l.g <= rr.g THEN 0
-        |             WHEN l.r * 8 + l.c = 63 THEN -9223372036854775808
-        |             ELSE (CAST(1 AS BIGINT) << (l.r * 8 + l.c)) END) AS BIGINT) AS fp
-        |  FROM px l JOIN px rr
-        |    ON l.doc_id = rr.doc_id AND l.r = rr.r AND rr.c = l.c + 1
-        |  WHERE l.c < 8
-        |  GROUP BY l.doc_id)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 1
-        |ORDER BY id_a, id_b""".stripMargin
+    "mm_phash_dedup" -> phashPairsOracle,
+
+    // the streaming twin must emit the SAME pair set
+    "stream_phash" -> phashPairsOracle
   )
+
+  /** Closed-form dHash + brute-force Hamming ≤ 1 pairs over the
+    * `phashFixtures` pixel function — identity pooling at 9×8, luma of
+    * a gray pixel = its gray value, bit 63 spelled as the
+    * two's-complement literal (DuckDB's `<<` overflows where Scala's
+    * `1L << 63` wraps). Shared by `mm_phash_dedup` / `stream_phash`. */
+  private val phashPairsOracle: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+      |px AS (
+      |  SELECT doc_id, r, c,
+      |    CASE WHEN doc_id % 3 = 1 AND r = 0 AND c = 0 THEN 255
+      |         WHEN doc_id % 3 = 2 THEN (((doc_id // 3) * 31 + c * 23 + r * 7) * 3 + 91) % 199
+      |         ELSE ((doc_id // 3) * 31 + c * 23 + r * 7) % 200 END AS g
+      |  FROM ids, generate_series(0, 7) t1(r), generate_series(0, 8) t2(c)),
+      |fp AS (
+      |  SELECT l.doc_id,
+      |    CAST(SUM(CASE WHEN l.g <= rr.g THEN 0
+      |             WHEN l.r * 8 + l.c = 63 THEN -9223372036854775808
+      |             ELSE (CAST(1 AS BIGINT) << (l.r * 8 + l.c)) END) AS BIGINT) AS fp
+      |  FROM px l JOIN px rr
+      |    ON l.doc_id = rr.doc_id AND l.r = rr.r AND rr.c = l.c + 1
+      |  WHERE l.c < 8
+      |  GROUP BY l.doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
 }

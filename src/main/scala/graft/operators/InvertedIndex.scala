@@ -30,10 +30,12 @@ import org.apache.spark.sql.types._
   *     the DOC STORE behind [[fetchDocs]]/snippets/MLT and the Lucene
   *     doc-values analog behind [[facetCountsStored]]/[[sortByStored]].
   *     Deletes never rewrite it (tombstones hide rows, like the
-  *     postings); [[compact]] sweeps dead rows from the touched
-  *     dbuckets before retiring the tombstone set. Splitting it from
-  *     the ledger is what keeps delete cost independent of the stored
-  *     payload.
+  *     postings); when [[compact]] retires tombstones it lists the ids
+  *     in `docstore/_dead/` (readers anti-join both sets), and the
+  *     physical rewrite runs only once the dead fraction passes the
+  *     sweep gate ([[sweepDocStore]] — Lucene's deleted-docs-until-
+  *     merge). Splitting the store from the ledger is what keeps
+  *     delete cost independent of the stored payload.
   *   - `tombstones/` — (id) append-only: deletes are Lucene-style
   *     logical tombstones (a doc's terms spread across ~all posting
   *     buckets, so eager physical deletion would rewrite the whole
@@ -355,6 +357,32 @@ object InvertedIndex {
           "physically dropped its old postings and cleared the tombstone " +
           "set — run compact() first")
     }
+    // STORE-DEAD clash (a retired-tombstone id being legitimately
+    // re-appended while its old doc-store row is still physical behind
+    // the dead list): appending the fresh row as-is would leave it
+    // hidden by that same list. Sweep EXACTLY the clashing ids first —
+    // their dbucket dirs rewrite dropping the old rows (cost ∝ batch),
+    // then the dead list prunes them (staged two-rename swap, healed at
+    // every read) — so "delete, compact, re-append" stays the one-step
+    // contract it has always been. Replay-convergent: a crash after the
+    // dir sweep leaves the ids listed with no rows (absent, consistent);
+    // the re-run's clash detection prunes and proceeds.
+    storeDeadIds(spark, path).foreach { dead =>
+      val clash = ds.join(broadcast(dead.select(col("id")).distinct()),
+          Seq("id"), "left_semi")
+        .select(col("id")).localCheckpoint(true)
+      if (clash.limit(1).count() > 0) {
+        val fs = statsFs(spark, path)
+        val dbs = clash.select(docBucket(st.nDocBuckets).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          .filter(b => fs.exists(new org.apache.hadoop.fs.Path(
+            s"$path/docstore/dbucket=$b")))
+        if (dbs.nonEmpty)
+          rewriteDirsBatched(spark, s"$path/docstore", "dbucket", dbs,
+            df => df.join(broadcast(clash), Seq("id"), "left_anti"))
+        pruneStoreDead(spark, path, clash)
+      }
+    }
     val pb = posts.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val db = ds.select(col("dbucket")).distinct()
@@ -513,14 +541,22 @@ object InvertedIndex {
         corpusFp = st.corpusFp.map(_ ^ agg.getLong(2))), v + 1)
       // 2b. term-stats deltas for this generation: negative df rows
       //     keep the vocab-sized dictionary fast path LIVE-exact under
-      //     the debt this delete just created (cost ∝ deleted docs'
-      //     buckets). Idempotent + marker-committed; a crash here
-      //     replays at the next entry point or dictionary read.
+      //     the debt this delete just created. Landing reads the
+      //     generation's tbuckets-pruned postings, so it is SYNCHRONOUS
+      //     only while the footprint is small (the production trickle —
+      //     a doc's terms touch ~|vocab per doc| buckets); a
+      //     corpus-spread delete (footprint ~every bucket ⇒ the read is
+      //     a postings scan) DEFERS instead: the dictionary falls back
+      //     to exact postings counts until a compact's rewrite covers
+      //     the generation (deferral is always exact — see
+      //     [[reconcileTermDeltas]]). Idempotent + marker-committed;
+      //     a crash here replays at the next entry point or read.
       if (hasTbCol) {
         val tb = found.select(explode(col("tbuckets")).as("b0"))
           .select(col("b0").cast(LongType).as("b"))
           .distinct().collect().map(_.getLong(0)).toSeq.sorted
-        landTermDeltas(spark, path, v + 1, found.select(col("id")), tb)
+        if (tb.size <= deltaSyncMaxBuckets(spark, st.nBuckets))
+          landTermDeltas(spark, path, v + 1, found.select(col("id")), tb)
       }
       // 3. doc-stats rewrite, only the buckets that actually HOLD a
       //    found row; survivors anti-join the FULL tombstone set (not
@@ -715,13 +751,37 @@ object InvertedIndex {
     fs.create(marker, true).close()
   }
 
+  /** The synchronous-landing footprint bound: a delete generation's
+    * deltas land eagerly only while its term-bucket footprint is at
+    * most this many buckets (`spark.graft.inv.tsDeltaSyncMaxFrac` of
+    * nBuckets, default 0.25) — past it, the landing read degenerates
+    * into a postings scan, which belongs to compact, not to a delete
+    * or a serving read. */
+  private def deltaSyncMaxBuckets(spark: SparkSession, nBuckets: Int): Int = {
+    val frac = spark.conf
+      .get("spark.graft.inv.tsDeltaSyncMaxFrac", "0.25").toDouble
+    math.max(1, (frac * nBuckets).toInt)
+  }
+
   /** Ensure the term-stats layout is LIVE-exact under the current
     * tombstone debt, landing any pending delete generations' deltas
-    * (normally a no-op: one marker-dir listing). Returns whether the
-    * vocab-sized fast path may serve df: true when there is no debt or
-    * every generation is landed; false when the layout is absent or
-    * the tombstone set predates sv/tbuckets rows (legacy sets cannot
-    * key generations — the postings-count fallback stays exact). */
+    * whose footprint is within [[deltaSyncMaxBuckets]] (normally a
+    * no-op: one marker-dir listing). Returns whether the vocab-sized
+    * fast path may serve df: true when there is no debt or every
+    * generation is landed; false when the layout is absent, the
+    * tombstone set predates sv/tbuckets rows (legacy sets cannot key
+    * generations), or a corpus-spread generation is deferring — in
+    * every false case the postings-count fallback stays exact.
+    *
+    * DEFERRAL IS ALWAYS EXACT, whenever the landing finally runs:
+    * deltas derive from the SAME postings state the termstats base
+    * mirrors. If a compact meanwhile rewrote some of the generation's
+    * buckets (removing its postings there and recomputing those
+    * termstats live), a later landing simply finds no rows to subtract
+    * in those buckets — the subtraction lands exactly where the base
+    * is still stale and nowhere else. A generation fully covered by a
+    * compact's rewrite retires with its tombstones and never needs to
+    * land at all. */
   private def reconcileTermDeltas(spark: SparkSession, path: String): Boolean = {
     val fs = statsFs(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/termstats"))) return false
@@ -737,14 +797,19 @@ object InvertedIndex {
           .limit(1).count() > 0) return false
         val svs = tt.select(col("sv")).distinct().collect().map(_.getLong(0))
         val pending = svs.filterNot(landedDeltaSvs(fs, path)).sorted
+        if (pending.isEmpty) return true
+        val maxSync = deltaSyncMaxBuckets(spark, readStats(spark, path).nBuckets)
+        var allLanded = true
         pending.foreach { n =>
           val gen = tt.filter(col("sv") === n)
           val tb = gen.select(explode(col("tbuckets")).as("b0"))
             .select(col("b0").cast(LongType).as("b"))
             .distinct().collect().map(_.getLong(0)).toSeq.sorted
-          landTermDeltas(spark, path, n, gen.select(col("id")), tb)
+          if (tb.size <= maxSync)
+            landTermDeltas(spark, path, n, gen.select(col("id")), tb)
+          else allLanded = false
         }
-        true
+        allLanded
     }
   }
 
@@ -1103,7 +1168,7 @@ object InvertedIndex {
       .parquet(dirs: _*)
       .filter(col("dbucket").isin(dbuckets: _*)) // plan-visible prune witness
       .join(idDf, Seq("id"), "left_semi")
-    val live = dropTombstoned(spark, path, pruned)
+    val live = dropStoreHidden(spark, path, pruned)
     live.select(col("id") +: col("dl") +: col("text") +: withCols.map(col): _*)
   }
 
@@ -2396,6 +2461,145 @@ object InvertedIndex {
     }
   }
 
+  // --------------------------------------------------- store dead list
+  //
+  // Deletes never rewrite the doc store (its dead rows hide behind the
+  // tombstone anti-join — that is what keeps a delete independent of
+  // the stored payload), so when [[compact]] RETIRES tombstones it must
+  // keep those rows hidden some other way or a later [[fetchDocs]]
+  // would resurrect them. Eagerly rewriting the store at compact is the
+  // wrong bill (a 1k-doc cohort spread over every dbucket would rewrite
+  // the entire text store): instead the retired ids append to a small
+  // `docstore/_dead/` list (Lucene's deleted-docs-until-merge pattern),
+  // every store reader anti-joins it alongside the live tombstones, and
+  // the PHYSICAL sweep runs only when the dead fraction passes
+  // `spark.graft.inv.storeSweepMinFrac` (default 0.1) — or on demand
+  // via [[sweepDocStore]]. Re-appending a store-dead id (legal once the
+  // tombstone retired) auto-sweeps exactly the clashing ids inside
+  // [[stageAppend]] — cost ∝ batch — so "delete, compact, re-append"
+  // stays one step.
+
+  private def storeDeadPath(path: String) = s"$path/docstore/_dead"
+
+  /** Heal an interrupted dead-list swap ([[pruneStoreDead]]'s rename
+    * window) — same first-wins discipline as [[healTombstoneSwap]]. */
+  private def healStoreDeadSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDeadPath(path))
+    val old = new org.apache.hadoop.fs.Path(s"$path/docstore/.dead.old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      val renamed = fs.rename(old, p)
+      require(renamed || fs.exists(p),
+        s"heal of interrupted store-dead swap at $path failed")
+    }
+  }
+
+  private def storeDeadBytes(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    healStoreDeadSwap(fs, path)
+    val p = new org.apache.hadoop.fs.Path(storeDeadPath(path))
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+  }
+
+  private def storeDeadIds(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = statsFs(spark, path)
+    if (storeDeadBytes(fs, path) == 0L) None
+    else Some(spark.read.parquet(storeDeadPath(path)))
+  }
+
+  /** Remove `ids` from the store dead list via the staged two-rename
+    * swap (write remaining → stage, rename the live list away, rename
+    * the stage in, drop the old): a crash in the rename window heals
+    * back to the FULL pre-prune list ([[healStoreDeadSwap]]) — a
+    * superset, which only over-hides, never resurrects. */
+  private def pruneStoreDead(spark: SparkSession, path: String,
+      ids: DataFrame): Unit = {
+    val fs = statsFs(spark, path)
+    healStoreDeadSwap(fs, path)
+    val p = new org.apache.hadoop.fs.Path(storeDeadPath(path))
+    if (!fs.exists(p)) return
+    val remaining = spark.read.parquet(storeDeadPath(path))
+      .join(broadcast(ids.select(col("id"))), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    if (remaining.isEmpty) { fs.delete(p, true); return }
+    val stage = new org.apache.hadoop.fs.Path(s"$path/docstore/.dead.stage")
+    fs.delete(stage, true)
+    remaining.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$path/docstore/.dead.old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"rename-away of $p failed")
+    if (fs.rename(stage, p)) fs.delete(old, true)
+    else {
+      // a concurrent reader's heal can win the window (first-wins) —
+      // the FULL pre-prune list is back, a harmless superset
+      healStoreDeadSwap(fs, path)
+      require(fs.exists(p), s"store-dead swap at $path failed with no list to heal")
+      fs.delete(stage, true)
+    }
+  }
+
+  /** Anti-join a doc-store read against BOTH hidden sets: the live
+    * tombstones and the store dead list. */
+  private def dropStoreHidden(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val live = dropTombstoned(spark, path, df)
+    storeDeadIds(spark, path) match {
+      case Some(d) =>
+        val cap = spark.conf.get("spark.graft.inv.tombBroadcastMaxBytes",
+          (64L << 20).toString).toLong
+        val ids = d.select(col("id")).distinct()
+        live.join(
+          if (storeDeadBytes(statsFs(spark, path), path) <= cap) broadcast(ids) else ids,
+          Seq("id"), "left_anti")
+      case None => live
+    }
+  }
+
+  /** Record retired tombstoned ids as store-dead — called by [[compact]]
+    * immediately BEFORE it retires their tombstone rows. Append-only
+    * and tiny (∝ retired ids); a crash-replayed compact may append the
+    * same ids twice, which the anti-join ignores and the next physical
+    * sweep's distinct prunes. */
+  private def appendStoreDead(spark: SparkSession, path: String,
+      retired: DataFrame, nDocBuckets: Int): Unit = {
+    val fs = statsFs(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/docstore"))) return
+    retired.select(col("id"), docBucket(nDocBuckets).as("dbucket"))
+      .coalesce(1).write.mode("append").parquet(storeDeadPath(path))
+  }
+
+  /** PHYSICALLY drop the store-dead ids' rows: rewrite exactly the
+    * dbucket dirs holding dead rows (staged per-dir swap), then clear
+    * the dead list. The deferred bill of the dead-list design —
+    * [[compact]] runs it automatically once the dead fraction passes
+    * `spark.graft.inv.storeSweepMinFrac`; call it directly to unblock
+    * a re-append that failed fast on a store-dead clash. Idempotent:
+    * a crash between the dir sweeps and the list clear leaves dead ids
+    * listed with no rows — the anti-join no-ops and the next sweep
+    * clears them. */
+  def sweepDocStore(spark: SparkSession, path: String): Unit = {
+    val fs = statsFs(spark, path)
+    storeDeadIds(spark, path) match {
+      case None => ()
+      case Some(dead) =>
+        val ids = dead.select(col("id")).distinct().localCheckpoint(true)
+        val dbuckets = dead.select(col("dbucket").cast(LongType))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          .filter(b => fs.exists(new org.apache.hadoop.fs.Path(
+            s"$path/docstore/dbucket=$b")))
+        if (dbuckets.nonEmpty) {
+          val cap = spark.conf.get("spark.graft.inv.tombBroadcastMaxBytes",
+            (64L << 20).toString).toLong
+          val hinted =
+            if (storeDeadBytes(fs, path) <= cap) broadcast(ids) else ids
+          rewriteDirsBatched(spark, s"$path/docstore", "dbucket", dbuckets,
+            df => df.join(hinted, Seq("id"), "left_anti"))
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(storeDeadPath(path)), true)
+    }
+  }
+
   /** The live (id, stored columns...) frame — a root DOC-STORE read
     * (every dbucket: doc-values consumers are match-set-shaped, not
     * id-keyed) with crashed-rewrite residue healed first so a
@@ -2405,7 +2609,7 @@ object InvertedIndex {
       cols: Seq[String]): DataFrame = {
     Ann.recoverStagedDirs(statsFs(spark, path),
       new org.apache.hadoop.fs.Path(s"$path/docstore"))
-    dropTombstoned(spark, path,
+    dropStoreHidden(spark, path,
       spark.read.parquet(s"$path/docstore")
         .select(col("id") +: cols.map(col): _*))
   }
@@ -2888,36 +3092,16 @@ object InvertedIndex {
                 Seq("id"), "left_anti"))
           }
         }
-        // DOC-STORE sweep: deletes never rewrite the store (the
-        // tombstone anti-join hides its dead rows — that's what keeps
-        // delete cost independent of the stored payload), so the dead
-        // rows are still physically here. Drop them BEFORE any of
-        // these tombstones can retire, or a later [[fetchDocs]] would
-        // resurrect them once the anti-join set clears. Cost ∝ the
-        // tombstoned ids' own dbuckets, the store's one deferred bill.
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/docstore"))) {
-          val deadBuckets = tombDb.filter(b => fs.exists(
-            new org.apache.hadoop.fs.Path(s"$path/docstore/dbucket=$b")))
-          if (deadBuckets.nonEmpty) {
-            val withDead = spark.read.option("basePath", s"$path/docstore")
-              .parquet(deadBuckets.map(b => s"$path/docstore/dbucket=$b"): _*)
-              .select(col("id"), col("dbucket"))
-              .join(maybeBroadcastTombs(spark, path, tombIds), Seq("id"), "left_semi")
-              .select(col("dbucket").cast(LongType))
-              .distinct().collect().map(_.getLong(0)).toSeq.sorted
-            if (withDead.nonEmpty) {
-              rewriteDirsBatched(spark, s"$path/docstore", "dbucket", withDead,
-                df => df.join(maybeBroadcastTombs(spark, path, tombIds),
-                  Seq("id"), "left_anti"))
-            }
-          }
-        }
         val skipped = existing.toSet -- toRewrite.toSet
         if (skipped.isEmpty && hasTb || (!hasTb && minTombFrac <= 0d)) {
           // every bucket holding a tombstoned posting was rewritten —
-          // the whole set is repaid; the delta markers keyed to it can
-          // go too (AFTER the set: a crash between leaves stale markers,
-          // which are harmless — replay triggers on tombstones)
+          // the whole set is repaid. The retiring ids' DOC-STORE rows
+          // are still physical (deletes never rewrite the store): list
+          // them store-dead FIRST, so no window exists where neither
+          // hidden set covers them, then drop the tombstones and the
+          // delta markers keyed to them (stale markers after a crash
+          // in between are harmless — replay triggers on tombstones)
+          appendStoreDead(spark, path, tombIds, st.nDocBuckets)
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
           fs.delete(new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path)), true)
         } else if (hasTb) {
@@ -2929,6 +3113,12 @@ object InvertedIndex {
           val survivors = tombs.filter(
             exists(col("tbuckets"), b => b.isin(skippedInts: _*)))
             .localCheckpoint(true)
+          // ids about to retire go store-dead FIRST (before either
+          // retirement shape below touches the tombstone set), so a
+          // crash leaves them doubly hidden, never unhidden
+          appendStoreDead(spark, path,
+            tombs.select(col("id")).except(survivors.select(col("id"))),
+            st.nDocBuckets)
           val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
           if (survivors.isEmpty) {
             fs.delete(tPath, true)
@@ -2961,6 +3151,18 @@ object InvertedIndex {
         // impossible without tbuckets — keep the whole set (next full
         // compact clears it)
         toRewrite
+    }
+    // fraction-gated PHYSICAL sweep of store-dead rows: the dead list
+    // keeps retired ids hidden for free; the rewrite bill comes due
+    // only once the dead rows are a real fraction of the store
+    // (default 0.1 — spark.graft.inv.storeSweepMinFrac), so a small
+    // cohort's compact never rewrites a corpus of text for it
+    storeDeadIds(spark, path).foreach { dead =>
+      val deadN = dead.select(col("id")).distinct().count()
+      val frac = spark.conf
+        .get("spark.graft.inv.storeSweepMinFrac", "0.1").toDouble
+      if (deadN > 0 && deadN >= frac * (deadN + readStats(spark, path).nDocs))
+        sweepDocStore(spark, path)
     }
     // small-file repayment AFTER the tombstone rewrite (which lands one
     // file per touched dir, so freshly rewritten buckets never re-offend)

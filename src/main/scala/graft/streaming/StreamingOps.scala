@@ -182,18 +182,39 @@ object StreamingOps {
   def simhashPairsStream(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, portableHash: Boolean = false,
       ttl: Option[String] = None): DataFrame = {
+    import graft.operators.Dedup
+    val fpBits = if (portableHash) 48 else 64
+    val fp = if (portableHash) Dedup.simhash48Portable(Dedup.tokens(col(textCol)))
+      else Dedup.simhash64(Dedup.tokens(col(textCol)))
+    fingerprintPairsStream(
+      docs.select(col(idCol).cast(LongType).as("id"), fp.as("fp")),
+      "id", "fp", maxHamming, fpBits, ttl)
+  }
+
+  /** Streaming Hamming-radius pairs over a PRECOMPUTED fingerprint
+    * column — the stateful twin of
+    * [[graft.operators.Dedup.fingerprintPairs]] and the band-join core
+    * [[simhashPairsStream]] delegates to. Feed it any ≤64-bit
+    * fingerprint a pipeline computes upstream of the stream — e.g. an
+    * image perceptual hash ([[graft.operators.Multimodal.imagePHashes]]
+    * over the microbatch) for streaming image near-dup detection. Same
+    * pigeonhole completeness, arrival-order independence, and `ttl`
+    * retention contract as [[simhashPairsStream]]; null fingerprints
+    * (undecodable payloads) drop before banding. */
+  def fingerprintPairsStream(docs: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3, fpBits: Int = 64,
+      ttl: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.operators.Dedup
     val spark = docs.sparkSession
     import spark.implicits._
-    val fpBits = if (portableHash) 48 else 64
     val nChunks = maxHamming + 1
+    require(fpBits >= 1 && fpBits <= 64, s"fpBits must be in [1, 64], got $fpBits")
     require(maxHamming >= 0 && nChunks <= fpBits,
       s"maxHamming must be in [0, ${fpBits - 1}], got $maxHamming")
-    val fp = if (portableHash) Dedup.simhash48Portable(Dedup.tokens(col(textCol)))
-      else Dedup.simhash64(Dedup.tokens(col(textCol)))
     val banded = docs
-      .select(col(idCol).cast(LongType).as("id"), fp.as("fp"))
+      .select(col(idCol).cast(LongType).as("id"), col(fpCol).cast(LongType).as("fp"))
+      .filter(col("fp").isNotNull)
       .select(col("id"), col("fp"),
         explode(Dedup.fpChunks(col("fp"), fpBits, nChunks)).as("c"))
       .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))

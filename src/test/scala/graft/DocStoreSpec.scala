@@ -52,24 +52,63 @@ class DocStoreSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSet)
   }
 
-  test("compact sweeps dead store rows before retiring tombstones — no resurrection") {
+  test("retired tombstones go store-dead: hidden without a rewrite, swept on demand") {
     val p = tmp("cmp")
     InvertedIndex.build(docs, "doc_id", "text", p, nBuckets = 8,
       nDocBuckets = 4, storeText = true)
+    val before = storeFiles(p)
     InvertedIndex.delete(spark, p, (0 until 30).map(_.toString))
     InvertedIndex.compact(spark, p)
     assert(InvertedIndex.tombstoneCount(spark, p) == 0L,
       "full compact must clear the debt")
-    // with the anti-join set gone, only the sweep keeps the dead out
+    // with the tombstone anti-join gone, the DEAD LIST keeps the rows
+    // hidden — and because 30 dead / ~500 live is under the 0.1 sweep
+    // gate, the store dirs themselves are byte-untouched (a small
+    // cohort's compact must never rewrite a corpus of text)
+    val f = fs(p)
+    val deadDir = new org.apache.hadoop.fs.Path(s"$p/docstore/_dead")
+    assert(f.exists(deadDir), "retired ids must be listed store-dead")
+    assert(storeFiles(p).filterNot(_.contains("_dead")) == before,
+      "below the sweep gate, compact must not rewrite any store dir")
     val got = fetched(p)
     assert(!got.exists(_._1.toLong < 30),
       "a dead doc must not resurrect from the store once tombstones clear")
     assert(got.size == docs.count().toInt - 30)
-    // and the store content still matches the corpus for survivors
     val want = docs.filter(col("doc_id") >= 30)
       .select(col("doc_id").cast("string"), col("text"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got.forall { case (id, _, text) => want(id) == text })
+    // the physical sweep is the deferred bill: dirs rewrite, list clears
+    InvertedIndex.sweepDocStore(spark, p)
+    assert(!f.exists(deadDir), "sweep must clear the dead list")
+    assert(fetched(p) == got, "sweep must not change what readers see")
+  }
+
+  test("re-appending a store-dead id auto-sweeps its old row: served exactly once") {
+    val p = tmp("rap")
+    InvertedIndex.build(docs, "doc_id", "text", p, nBuckets = 8,
+      nDocBuckets = 4, storeText = true)
+    InvertedIndex.delete(spark, p, Seq("5", "6"))
+    InvertedIndex.compact(spark, p) // retires the tombstones -> store-dead
+    val f = fs(p)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$p/docstore/_dead")))
+    // delete, compact, re-append is ONE step: the clash auto-sweeps
+    val spark2 = spark
+    import spark2.implicits._
+    val batch = Seq(("5", "replacement text five")).toDF("doc_id", "text")
+    InvertedIndex.append(spark, p, batch, "doc_id", "text")
+    val got = InvertedIndex.fetchDocs(spark, p,
+      batch.select(col("doc_id"))).collect()
+    assert(got.length == 1 && got(0).getString(2) == "replacement text five",
+      "the re-appended doc serves its NEW text exactly once")
+    // the non-clashing dead id stays listed (and hidden)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$p/docstore/_dead")),
+      "pruning the clash must not clear the other dead ids")
+    assert(InvertedIndex.fetchDocs(spark, p, Seq("6").toDF("id")).isEmpty)
+    // sweepDocStore clears the remainder
+    InvertedIndex.sweepDocStore(spark, p)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$p/docstore/_dead")))
+    assert(InvertedIndex.fetchDocs(spark, p, Seq("6").toDF("id")).isEmpty)
   }
 
   test("append lands full rows in the store; fetch serves old and new") {

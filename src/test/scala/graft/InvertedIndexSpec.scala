@@ -1189,12 +1189,19 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(!fast.queryExecution.executedPlan.toString.contains("postings"))
     assert(rows(fast) == want(d))
     // tombstones present -> STILL the vocab-sized fast path (the
-    // delete appended its generation's negative deltas), exact live
-    InvertedIndex.delete(spark, path, (0L until 25L).map(_.toString))
+    // delete appended its generation's negative deltas), exact live.
+    // The toy 8-bucket index makes any real delete corpus-spread, so
+    // raise the sync gate for this assertion (TermDeltaSpec pins the
+    // default gate's deferral behavior separately).
+    spark.conf.set("spark.graft.inv.tsDeltaSyncMaxFrac", "1.0")
+    try {
+      InvertedIndex.delete(spark, path, (0L until 25L).map(_.toString))
+      val surv = d.filter(col("doc_id") >= 25)
+      val fb = got()
+      assert(!fb.queryExecution.executedPlan.toString.contains("postings"))
+      assert(rows(fb) == want(surv))
+    } finally spark.conf.unset("spark.graft.inv.tsDeltaSyncMaxFrac")
     val surv = d.filter(col("doc_id") >= 25)
-    val fb = got()
-    assert(!fb.queryExecution.executedPlan.toString.contains("postings"))
-    assert(rows(fb) == want(surv))
     // full compact clears the debt AND recomputes the rewritten
     // buckets' stats -> fast path again, exact over the survivors
     InvertedIndex.compact(spark, path)

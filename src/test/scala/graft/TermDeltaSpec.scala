@@ -26,6 +26,21 @@ class TermDeltaSpec extends AnyFunSuite {
   private def fs(p: String) = new org.apache.hadoop.fs.Path(p)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The toy fixtures here use nBuckets = 8, so any real document's
+    * term footprint is ~all buckets and the default sync gate (0.25)
+    * would defer every landing — raise it to exercise the synchronous
+    * path these tests pin; the deferral behavior has its own test. */
+  private def withSyncFrac[A](frac: Double)(body: => A): A = {
+    val key = "spark.graft.inv.tsDeltaSyncMaxFrac"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, frac.toString)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** An index over `docs`, a debt of the first `nDel` ids tombstoned
     * (NOT compacted), and a reference index built fresh over the
     * survivors. */
@@ -40,12 +55,15 @@ class TermDeltaSpec extends AnyFunSuite {
   }
 
   test("termDictionary under tombstone debt equals a fresh index over the survivors") {
+    withSyncFrac(1.0) {
     val (p, ref) = debtFixture(25)
     assert(InvertedIndex.tombstoneCount(spark, p) == 25L, "debt must be retained")
     assert(dict(p) == dict(ref))
+    }
   }
 
   test("dictionary ops under debt serve df from termstats, never a postings count") {
+    withSyncFrac(1.0) {
     val (p, _) = debtFixture(10)
     val q = InvertedIndex.suggestTerms(spark, p, "s", k = 5)
     val scans = q.queryExecution.executedPlan.toString
@@ -61,9 +79,11 @@ class TermDeltaSpec extends AnyFunSuite {
     assert(q.collect().toSeq.map(r => (r.getString(0), r.getLong(1))) ==
       InvertedIndex.suggestTerms(spark, ref, "s", k = 5)
         .collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+    }
   }
 
   test("fuzzy expansion and did-you-mean stay exact under debt") {
+    withSyncFrac(1.0) {
     val (p, ref) = debtFixture(30)
     def fuzzy(path: String) = InvertedIndex.bm25FuzzyTopK(spark, path,
       Seq("sow"), k = 10, maxEdits = 1)
@@ -73,9 +93,11 @@ class TermDeltaSpec extends AnyFunSuite {
     def dym(path: String) = InvertedIndex.didYouMean(spark, path, "spork")
       .collect().map(_.getString(0)).toSeq
     assert(dym(p) == dym(ref))
+    }
   }
 
   test("a crash between tombstone append and delta landing replays from the tombstones") {
+    withSyncFrac(1.0) {
     val (p, ref) = debtFixture(20)
     // simulate the crash state: the tombstones of the delete exist but
     // its delta generation never landed — strip the marker AND the
@@ -94,17 +116,21 @@ class TermDeltaSpec extends AnyFunSuite {
     // the next dictionary read reconciles the pending generation itself
     assert(dict(p) == dict(ref))
     assert(f.exists(markers), "the replay must re-commit the generation marker")
+    }
   }
 
   test("a half-committed delta attempt (files, no marker) sweeps and relands exactly") {
+    withSyncFrac(1.0) {
     val (p, ref) = debtFixture(20)
     // strip ONLY the marker: the landed tsdelta files now look like a
     // partially-committed attempt; replay must not double-subtract
     fs(p).delete(new org.apache.hadoop.fs.Path(s"$p/termstats/_deltas"), true)
     assert(dict(p) == dict(ref))
+    }
   }
 
   test("delete then append stays exact on the fast path; full compact folds the deltas") {
+    withSyncFrac(1.0) {
     val p = tmp("cyc")
     InvertedIndex.build(docs.filter(col("doc_id") < 40), "doc_id", "text", p,
       nBuckets = 8, nDocBuckets = 4)
@@ -121,9 +147,11 @@ class TermDeltaSpec extends AnyFunSuite {
     assert(dict(p) == dict(ref), "the post-compact recompute must fold the deltas")
     assert(!fs(p).exists(new org.apache.hadoop.fs.Path(s"$p/termstats/_deltas")),
       "a full compact retires the generation markers with the tombstones")
+    }
   }
 
   test("partial compact keeps skipped buckets' deltas and the fast path exact") {
+    withSyncFrac(1.0) {
     val p = tmp("part")
     InvertedIndex.build(docs, "doc_id", "text", p, nBuckets = 8, nDocBuckets = 4)
     InvertedIndex.delete(spark, p, (0 until 12).map(_.toString))
@@ -136,9 +164,11 @@ class TermDeltaSpec extends AnyFunSuite {
     assert(dict(p) == dict(ref),
       "retained debt after a partial compact must stay live-exact " +
         "(skipped buckets keep base+delta, rewritten ones recompute live)")
+    }
   }
 
   test("a fully-tombstoned term disappears from termDfs, like the live count") {
+    withSyncFrac(1.0) {
     val spark2 = spark
     import spark2.implicits._
     val p = tmp("dead")
@@ -151,5 +181,31 @@ class TermDeltaSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == Map("shared" -> 2L),
       s"dead term must be ABSENT (not df=0) and survivors exact, got $got")
+    }
+  }
+  test("a corpus-spread delete DEFERS its deltas: exact fallback now, fast path after compact") {
+    // default sync gate (0.25): on an 8-bucket index a real document's
+    // terms touch every bucket, so this generation's footprint exceeds
+    // the gate and the landing defers — the dictionary must fall back
+    // to exact postings counts, never serve a stale fast path
+    val (p, ref) = debtFixture(25)
+    assert(!fs(p).exists(
+      new org.apache.hadoop.fs.Path(s"$p/termstats/_deltas/sv-2")),
+      "a spread generation must not land synchronously under the default gate")
+    val q = InvertedIndex.suggestTerms(spark, p, "s", k = 5)
+    val scans = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(_.contains("postings")),
+      s"a deferring generation must force the exact fallback:\n${scans.mkString("\n")}")
+    assert(dict(p) == dict(ref), "the fallback is exact")
+    // a compact whose rewrite covers the generation retires it — the
+    // fast path returns with no landing ever having run
+    InvertedIndex.compact(spark, p)
+    val q2 = InvertedIndex.suggestTerms(spark, p, "s", k = 5)
+    val scans2 = q2.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(!scans2.exists(_.contains("postings")),
+      s"post-compact the dictionary must be back on termstats:\n${scans2.mkString("\n")}")
+    assert(dict(p) == dict(ref))
   }
 }

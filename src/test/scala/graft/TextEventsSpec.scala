@@ -271,6 +271,32 @@ class TextEventsSpec extends AnyFunSuite {
     assert(streamed.exists { case (a, b, h) => a == 1L && b == 500000L && h == 0 })
   }
 
+  test("streaming fingerprint pairs equal the batch band join (image phash shape)") {
+    // precomputed 64-bit fingerprints standing in for image perceptual
+    // hashes (incl. a null = undecodable payload, which must drop);
+    // 0x11/0x13 differ by 1 bit, 0x11/0xF0F0 by many
+    val docs = Seq(
+      (1L, java.lang.Long.valueOf(0x11L)),
+      (900000L, java.lang.Long.valueOf(0x11L)), // far-id exact dup
+      (3L, java.lang.Long.valueOf(0x13L)),
+      (4L, java.lang.Long.valueOf(0xF0F0L)),
+      (5L, null.asInstanceOf[java.lang.Long]))
+      .toDF("img_id", "phash")
+    val dir = java.nio.file.Files.createTempDirectory("fpstream")
+    docs.write.parquet(s"$dir/data")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/data").schema).parquet(s"$dir/data")
+    val streamed = graft.streaming.StreamingOps.runBounded(
+        graft.streaming.StreamingOps.fingerprintPairsStream(
+          stream, "img_id", "phash", maxHamming = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.operators.Dedup.fingerprintPairs(
+        docs, "img_id", "phash", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 900000L, 0), (1L, 3L, 1), (3L, 900000L, 1)))
+  }
+
   test("bloom two-phase contamination equals the exact formulation; bloom gate in plan") {
     import graft.operators.TextAnalysis
     val d = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
