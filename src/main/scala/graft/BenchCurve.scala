@@ -121,7 +121,7 @@ object BenchCurve {
         s""""probe_ivf":$probeIvf,"probe_ivfbq":$probeHy,""" +
         s""""append_ivfbq":$appendRaw,"append_ivfbq_ledger":$appendLedger}"""
     }
-    s""""$tag":{"dim":$dim,"k":$k,"n_probe":$nProbe,""" +
+    s""""$tag":{"dim":$dim,"k":$k,"n_probe":$nProbe,${provenance()},""" +
       s""""points":[${points.mkString(",")}]}"""
   }
 
@@ -273,6 +273,18 @@ object BenchCurve {
       // trickle case (fast path under debt) is suggest_dict_tomb below
       val suggestSpread = timed(
         InvertedIndex.suggestTerms(spark, s"$base/inv", "w1", k = 10))
+      // the EXPLICIT landing of the deferred spread generation — the
+      // maintenance bill an operator pays on their own cadence to
+      // restore the fast path without a compact. This is the measured
+      // price of the postings-footprint read the sync gate refuses to
+      // pay inside delete() (the shape behind the r16 mid-round
+      // 30→139 s delete regression, now an explicit, optional step),
+      // and suggest_dict_spread_landed must then track suggest_dict.
+      val tLd0 = System.nanoTime()
+      InvertedIndex.landPendingTermDeltas(spark, s"$base/inv")
+      val landSpread = (System.nanoTime() - tLd0) / 1e9
+      val suggestSpreadLanded = timed(
+        InvertedIndex.suggestTerms(spark, s"$base/inv", "w1", k = 10))
       val tC0 = System.nanoTime()
       InvertedIndex.compact(spark, s"$base/inv")
       val compactTomb = (System.nanoTime() - tC0) / 1e9
@@ -320,12 +332,24 @@ object BenchCurve {
         s""""mlt_idx_fallback":$mltIdxFallback,"contam_idx":$contamIdx,""" +
         s""""append_inv":$appendRaw,"append_inv_ledger":$appendLedger,""" +
         s""""delete_100k":$delete100k,"suggest_dict_spread":$suggestSpread,""" +
+        s""""land_spread":$landSpread,""" +
+        s""""suggest_dict_spread_landed":$suggestSpreadLanded,""" +
         s""""suggest_dict_tomb":$suggestTomb,""" +
         s""""probe_inv_tomb100k":$probeTomb,"compact_tomb100k":$compactTomb,""" +
         s""""probe_inv_compacted":$probePost,""" +
         s""""compact_tomb_local":$compactLocal,"local_buckets":${localTouched.size}}"""
     }
-    s""""lex":{"k":$k,"points":[${points.mkString(",")}]}"""
+    s""""lex":{"k":$k,${provenance()},"points":[${points.mkString(",")}]}"""
+  }
+
+  /** Code-commit + wall-clock stamp embedded in every section, so a
+    * curve artifact measured BEFORE a code change is mechanically
+    * distinguishable from one measured after (the r16 staleness gap). */
+  private def provenance(): String = {
+    val sha = try scala.sys.process.Process(
+        Seq("git", "rev-parse", "HEAD"), new java.io.File(".")).!!.trim
+      catch { case scala.util.control.NonFatal(_) => "unknown" }
+    s""""code_sha":"$sha","measured_epoch_s":${System.currentTimeMillis / 1000}"""
   }
 
   /** The committed sections: the original 100k→1M decade at dim 256, a

@@ -4804,6 +4804,68 @@ object SparkEntry {
           graft.streaming.StreamingOps.fingerprintPairsStream(
             ph, "id", "phash", maxHamming = 1))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Multimodal: AUDIO fingerprints — REAL WAV/PCM decode through the
+    // JDK's javax.sound.sampled over closed-form square-wave fixtures
+    // (groups of 3: v0 = base amplitude, v1 = base with frame 0 one
+    // quantization level louder -> one nibble moves (hamming <= 4),
+    // v2 = a different amplitude -> every nibble moves). Amplitudes are
+    // exact multiples of the 2048 quantization step, so the oracle
+    // recomputes the 60-bit energy fingerprint in closed form without
+    // touching a codec — the whole container->PCM->frame-energy chain
+    // is what the value check pins.
+    "mm_audio_fp" -> ((s, dir) => {
+      Multimodal.audioFingerprints(s.createDataset(audioFixtures(s, dir))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+        .select(col("id"), col("n_samples"), col("afp"))
+        .orderBy(col("id"))
+    }),
+
+    // Audio NEAR-DUP pairs over the energy fingerprints, through the
+    // same banded Hamming join as image/text near-dup (pigeonhole-
+    // complete at hamming <= 4 over 60 bits, never all-pairs). The
+    // oracle pairs the closed-form fingerprints by brute force —
+    // banding completeness AND the decode are both value-checked.
+    "mm_audio_dedup" -> ((s, dir) => {
+      val fp = Multimodal.audioFingerprints(s.createDataset(audioFixtures(s, dir))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+      graft.operators.Dedup.fingerprintPairs(fp, "id", "afp",
+          maxHamming = 4, fpBits = 60)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Image near-dup under a planted EXACT-DUPLICATE FLOOD (one image
+    // posted 32 times) in STAR mode — the hot-fingerprint guard: exact
+    // groups emit (min id, member, 0) star edges and near groups one
+    // rep-to-rep pair, O(M) output where all-pairs is O(M^2), with
+    // identical connected components. The oracle recomputes the dHash
+    // closed-form and mirrors the star semantics in SQL.
+    "mm_phash_star" -> ((s, dir) => {
+      val ph = Multimodal.imagePHashes(s.createDataset(starFixtures(s))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+      graft.operators.Dedup.fingerprintPairs(ph, "id", "phash",
+          maxHamming = 1, exactStar = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // The STREAMING twin of mm_phash_star: the flood arrives as one
+    // microbatch and the stateful banded join's star mode must emit the
+    // same edge set (single-batch arrival => first-seen rep = min id —
+    // the documented parity case).
+    "stream_phash_star" -> ((s, dir) => {
+      import s.implicits._
+      val staged = java.nio.file.Files.createTempDirectory("phashstar").toString
+      starFixtures(s).toDF("id", "media", "mimeHint")
+        .write.mode("overwrite").parquet(staged)
+      val st = s.readStream
+        .schema(s.read.parquet(staged).schema).parquet(staged)
+        .as[Multimodal.MediaRow]
+      val ph = Multimodal.imagePHashes(st)
+      graft.streaming.StreamingOps.runBounded(
+          graft.streaming.StreamingOps.fingerprintPairsStream(
+            ph, "id", "phash", maxHamming = 1, exactStar = true))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -4827,6 +4889,77 @@ object SparkEntry {
           else if (v == 2) (base * 3 + 91) % 199
           else base % 200
         px.toInt
+      }
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val p = gray(r, c)
+          img.setRGB(c, r, (p << 16) | (p << 8) | p)
+          c += 1
+        }
+        r += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRow(id, bos.toByteArray, "png")
+    }
+  }
+
+  /** Closed-form square-wave WAV fixtures for the audio-fingerprint
+    * keys — 16-bit signed PCM mono at 8 kHz, 15 frames of 256 samples,
+    * amplitudes exact multiples of the 2048 quantization step so every
+    * frame's 4-bit energy level is an integer function of (doc_id,
+    * frame): groups of three per base level (v0 = base, v1 = frame 0
+    * one level louder, v2 = a different level everywhere). Shared by
+    * `mm_audio_fp` / `mm_audio_dedup`. */
+  private def audioFixtures(s: SparkSession, dir: String): Seq[Multimodal.MediaRow] = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).filter(col("doc_id") < 48)
+      .select(col("doc_id")).as[Long].collect().sorted
+    val frameSize = 256
+    val nFrames = 15
+    ids.toSeq.map { id =>
+      val g = id / 3
+      val v = id % 3
+      val baseL = (g % 14 + 1).toInt
+      val altL = ((g + 7) % 14 + 1).toInt
+      def level(frame: Int): Int =
+        if (v == 2) altL else if (v == 1 && frame == 0) baseL + 1 else baseL
+      val n = frameSize * nFrames
+      val pcm = new Array[Byte](n * 2)
+      var t = 0
+      while (t < n) {
+        val a = level(t / frameSize) * 2048
+        val sv = if ((t / 16) % 2 == 0) a else -a // square wave, period 32
+        pcm(2 * t) = (sv & 0xff).toByte
+        pcm(2 * t + 1) = ((sv >> 8) & 0xff).toByte
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Multimodal.MediaRow(id, bos.toByteArray, "wav")
+    }
+  }
+
+  /** Flood fixtures for the star-mode phash keys: 32 byte-identical
+    * 9×8 PNGs (ids 100-131, one pixel function), one near variant
+    * (id 200, top-left cell changed — dHash Hamming 1 of the flood),
+    * one far pattern (id 300). Pixel grays are exact integer functions
+    * of (id, row, col) like [[phashFixtures]]'. */
+  private def starFixtures(s: SparkSession): Seq[Multimodal.MediaRow] = {
+    val ids = (100L to 131L) ++ Seq(200L, 300L)
+    ids.map { id =>
+      def gray(r: Int, c: Int): Int = {
+        if (id == 200L && r == 0 && c == 0) 255
+        else if (id == 300L) ((c * 23 + r * 7) * 3 + 91) % 199
+        else (c * 23 + r * 7) % 200
       }
       val img = new java.awt.image.BufferedImage(
         9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -7868,6 +8001,16 @@ object SparkEntry {
     // gray pixel = the gray value), then brute-force Hamming <= 1
     // pairs — the engine's banded join must emit exactly these
     "mm_phash_dedup" -> phashPairsOracle,
+    "mm_audio_fp" -> audioFpOracle("""SELECT doc_id AS id,
+      |  CAST(3840 AS BIGINT) AS n_samples, afp FROM fp ORDER BY id""".stripMargin),
+    "mm_audio_dedup" -> audioFpOracle(
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin),
+    "mm_phash_star" -> phashStarOracle,
+    "stream_phash_star" -> phashStarOracle,
 
     // the streaming twin must emit the SAME pair set
     "stream_phash" -> phashPairsOracle
@@ -7878,6 +8021,63 @@ object SparkEntry {
     * a gray pixel = its gray value, bit 63 spelled as the
     * two's-complement literal (DuckDB's `<<` overflows where Scala's
     * `1L << 63` wraps). Shared by `mm_phash_dedup` / `stream_phash`. */
+  /** Closed-form 60-bit audio energy fingerprints of the square-wave
+    * fixtures ([[audioFixtures]]): a square wave's every sample has
+    * |s| = A, so frame level = A/2048 exactly and the fingerprint is a
+    * pure integer function of (doc_id, frame) — the oracle never
+    * touches a codec while the Spark side decodes the real WAV bytes.
+    * `tail` selects/pairs over the `fp` CTE. */
+  private def audioFpOracle(tail: String): String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+      |lv AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN doc_id % 3 = 2 THEN ((doc_id // 3) + 7) % 14 + 1
+      |         WHEN doc_id % 3 = 1 AND i = 0 THEN (doc_id // 3) % 14 + 2
+      |         ELSE (doc_id // 3) % 14 + 1 END AS l
+      |  FROM ids, generate_series(0, 14) t(i)),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(l * (CAST(1 AS BIGINT) << (4 * i))) AS BIGINT) AS afp
+      |  FROM lv GROUP BY doc_id)
+      |""".stripMargin + tail
+
+  /** Star-mode phash oracle over [[starFixtures]]: the dHash closed
+    * form of `phashPairsOracle` on the flood pixel functions, with the
+    * STAR semantics mirrored in SQL — per-fingerprint groups emit
+    * (min id, member, 0) edges, near pairs are rep-to-rep. */
+  private val phashStarOracle: String =
+    """WITH ids AS (
+      |  SELECT CAST(100 + i AS BIGINT) AS id FROM generate_series(0, 31) t(i)
+      |  UNION ALL SELECT CAST(200 AS BIGINT) UNION ALL SELECT CAST(300 AS BIGINT)),
+      |px AS (
+      |  SELECT id, r, c,
+      |    CASE WHEN id = 200 AND r = 0 AND c = 0 THEN 255
+      |         WHEN id = 300 THEN ((c * 23 + r * 7) * 3 + 91) % 199
+      |         ELSE (c * 23 + r * 7) % 200 END AS g
+      |  FROM ids, generate_series(0, 7) t1(r), generate_series(0, 8) t2(c)),
+      |fps AS (
+      |  SELECT l.id,
+      |    CAST(SUM(CASE WHEN l.g <= rr.g THEN 0
+      |             WHEN l.r * 8 + l.c = 63 THEN -9223372036854775808
+      |             ELSE (CAST(1 AS BIGINT) << (l.r * 8 + l.c)) END) AS BIGINT) AS fp
+      |  FROM px l JOIN px rr
+      |    ON l.id = rr.id AND l.r = rr.r AND rr.c = l.c + 1
+      |  WHERE l.c < 8
+      |  GROUP BY l.id),
+      |grp AS (SELECT fp, min(id) AS rep FROM fps GROUP BY fp),
+      |star AS (
+      |  SELECT g.rep AS id_a, f.id AS id_b, CAST(0 AS INTEGER) AS hamming
+      |  FROM fps f JOIN grp g ON f.fp = g.fp WHERE f.id <> g.rep),
+      |near AS (
+      |  SELECT least(a.rep, b.rep) AS id_a, greatest(a.rep, b.rep) AS id_b,
+      |    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      |  FROM grp a JOIN grp b ON a.fp < b.fp
+      |  WHERE bit_count(xor(a.fp, b.fp)) <= 1)
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT id_a, id_b, hamming FROM star
+      |  UNION ALL SELECT id_a, id_b, hamming FROM near) u
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val phashPairsOracle: String =
     """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
       |px AS (

@@ -310,32 +310,103 @@ object Dedup {
     * column — the band-join core of [[simhashPairs]] factored out for
     * any 64-bit-or-narrower fingerprint a pipeline computes upstream:
     * an image perceptual hash ([[Multimodal.imagePHashes]]), an audio
-    * chromaprint-style digest, a rolled document fingerprint. Same
-    * pigeonhole completeness (any pair within `maxHamming` agrees on a
-    * whole chunk → the equi self-join finds EVERY qualifying pair) and
-    * same shuffle discipline: scalar band rows, fan-out bounded by
-    * chunk-value collisions, never all-pairs. Null fingerprints
-    * (e.g. undecodable payloads) drop — a null is not equal to
-    * anything, matching SQL join semantics. */
+    * energy digest ([[Multimodal.audioFingerprints]]), a rolled
+    * document fingerprint. Same pigeonhole completeness (any pair
+    * within `maxHamming` agrees on a whole chunk → the equi self-join
+    * finds EVERY qualifying pair) and same shuffle discipline: scalar
+    * band rows, fan-out bounded by chunk-value collisions, never
+    * all-pairs. Null fingerprints (e.g. undecodable payloads) drop — a
+    * null is not equal to anything, matching SQL join semantics.
+    *
+    * HOT-FINGERPRINT GUARD: exact-equal fingerprints — the dominant
+    * real-world duplicate shape (one image reposted M times) — are
+    * collapsed to one row per DISTINCT fingerprint before banding, so
+    * the band join's candidate space is bounded by the distinct-fp
+    * collision structure, never by repost multiplicity: a flood of M
+    * identical fingerprints contributes ONE banded row per chunk where
+    * it used to contribute M (M²·(maxHamming+1)/2 join candidates).
+    * Exact-duplicate pairs are recovered OUTSIDE the band join by a
+    * single fingerprint equi self-join that emits final output rows
+    * directly (output-bounded — no chunk fan-out, no post-join
+    * distinct), and near-dup fp pairs expand back to member pairs by
+    * two output-bounded joins. Default output is byte-identical to the
+    * pre-guard operator: every (id_a < id_b, hamming ≤ maxHamming)
+    * pair.
+    *
+    * `exactStar = true` switches the exact-duplicate shape from
+    * all-pairs to STAR EDGES — (group min id, member, 0) per member —
+    * and near-dup pairs to representative-to-representative, which is
+    * CONNECTIVITY-EQUIVALENT (same [[connectedComponents]] clusters:
+    * a star reaches every member the clique did) but O(M), not O(M²),
+    * for an M-repost flood. Use it when the consumer is a clustering /
+    * survivor pipeline rather than a pair audit.
+    *
+    * `maxBucket` caps hot (chunk index, chunk value) buckets of
+    * DISTINCT fingerprints — e.g. the all-zero high-chunk that flat
+    * images share in a dHash — dropping buckets past the cap from
+    * candidate discovery, like [[winnowPairs]]' `maxDf` stopword cap.
+    * Conservative in the same direction (never invents a pair) but,
+    * unlike the exact collapse, LOSSY: a pair whose every agreeing
+    * chunk is capped is missed. Off by default. */
   def fingerprintPairs(df: DataFrame, idCol: String, fpCol: String,
-      maxHamming: Int = 3, fpBits: Int = 64): DataFrame = {
+      maxHamming: Int = 3, fpBits: Int = 64,
+      exactStar: Boolean = false, maxBucket: Option[Int] = None): DataFrame = {
     val nChunks = maxHamming + 1
     require(fpBits >= 1 && fpBits <= 64, s"fpBits must be in [1, 64], got $fpBits")
     require(maxHamming >= 0 && nChunks <= fpBits,
       s"maxHamming must be in [0, ${fpBits - 1}], got $maxHamming")
-    val withFp = df.select(col(idCol).as("id"), col(fpCol).cast(LongType).as("fp"))
+    maxBucket.foreach(c => require(c >= 1, s"maxBucket must be >= 1, got $c"))
+    val members = df.select(col(idCol).as("id"), col(fpCol).cast(LongType).as("fp"))
       .filter(col("fp").isNotNull)
-    val banded = withFp
-      .select(col("id"), col("fp"), explode(fpChunks(col("fp"), fpBits, nChunks)).as("c"))
-      .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
-    banded.select(col("ci"), col("cv"), col("id").as("id_a"), col("fp").as("fp_a"))
-      .join(banded.select(col("ci"), col("cv"), col("id").as("id_b"), col("fp").as("fp_b")),
+    // one row per DISTINCT fingerprint through the band join; rep = min
+    // id of the group (the star root / expansion anchor)
+    val groups = members.groupBy(col("fp")).agg(min(col("id")).as("rep"))
+    val banded0 = groups.select(col("fp"),
+        explode(fpChunks(col("fp"), fpBits, nChunks)).as("c"))
+      .select(col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val hot = banded0.groupBy(col("ci"), col("cv"))
+          .agg(count(lit(1)).as("__n__")).filter(col("__n__") > cap)
+          .select(col("ci"), col("cv"))
+        banded0.join(hot, Seq("ci", "cv"), "left_anti")
+      case None => banded0
+    }
+    // distinct-fp near pairs: hamming ≥ 1 is structural (equal fps
+    // collapsed), so the band join never carries the flood
+    val fpPairs = banded.select(col("ci"), col("cv"), col("fp").as("fp_a"))
+      .join(banded.select(col("ci"), col("cv"), col("fp").as("fp_b")),
         Seq("ci", "cv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .filter(col("fp_a") < col("fp_b"))
+      .select(col("fp_a"), col("fp_b"),
         simhashHamming(col("fp_a"), col("fp_b")).cast(IntegerType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    def orient(a: Column, b: Column, h: Column) =
+      Seq(least(a, b).as("id_a"), greatest(a, b).as("id_b"), h.as("hamming"))
+    if (exactStar) {
+      val star = members.join(groups, Seq("fp"))
+        .filter(col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"),
+          lit(0).cast(IntegerType).as("hamming"))
+      val near = fpPairs
+        .join(groups.select(col("fp").as("fp_a"), col("rep").as("ra")), Seq("fp_a"))
+        .join(groups.select(col("fp").as("fp_b"), col("rep").as("rb")), Seq("fp_b"))
+        .select(orient(col("ra"), col("rb"), col("hamming")): _*)
+        .filter(col("id_a") =!= col("id_b")) // an id carrying two fps must not self-pair
+      star.union(near)
+    } else {
+      val exact = members.select(col("fp"), col("id").as("id_a"))
+        .join(members.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).cast(IntegerType).as("hamming"))
+      val near = fpPairs
+        .join(members.select(col("fp").as("fp_a"), col("id").as("ia")), Seq("fp_a"))
+        .join(members.select(col("fp").as("fp_b"), col("id").as("ib")), Seq("fp_b"))
+        .select(orient(col("ia"), col("ib"), col("hamming")): _*)
+        .filter(col("id_a") =!= col("id_b")) // an id carrying two fps must not self-pair
+      exact.union(near).distinct()
+    }
   }
 
   /** Cross-corpus SimHash near-dup pairs — the batch-vs-base twin of

@@ -137,6 +137,30 @@ object InvertedIndex {
   private def hasStore(st: InvStats): Boolean =
     st.storesText || st.storeCols.nonEmpty
 
+  /** Layout-version guard: fail fast when the sidecar declares stored
+    * fields but the `docstore/` root is absent — the on-disk shape of
+    * an index built by the PRE-SPLIT code (text lived inside the
+    * docstats ledger). Without this, [[fetchDocs]] silently serves an
+    * EMPTY frame (probed dirs on the missing root find nothing) and
+    * [[storedColumns]] throws an opaque path-not-found — both worse
+    * than the truth: the index needs a rebuild or an [[addDocStore]]
+    * migration. Empty indexes (nDocs = 0) are exempt — their readers
+    * early-return and a just-created store may legitimately hold no
+    * dirs yet. */
+  private def requireStoreRoot(spark: SparkSession, path: String,
+      st: InvStats): Unit = {
+    if (hasStore(st) && st.nDocs > 0L) {
+      require(statsFs(spark, path)
+          .exists(new org.apache.hadoop.fs.Path(s"$path/docstore")),
+        s"index at $path declares stored fields (stores_text=${st.storesText}" +
+          (if (st.storeCols.isEmpty) ""
+           else s", store_cols=${st.storeCols.mkString("[", ",", "]")}") +
+          ") but has no docstore/ layout — it was built by a version " +
+          "that kept text in the docstats ledger. Rebuild the index or " +
+          "migrate it with addDocStore.")
+    }
+  }
+
   /** The thin ledger projection of [[docStatsOf]] rows. The doc store
     * persists the FULL row (repeating dl/tbuckets — parquet-pruned free
     * for every reader) so [[build]] can derive the ledger from the
@@ -782,7 +806,12 @@ object InvertedIndex {
     * is still stale and nowhere else. A generation fully covered by a
     * compact's rewrite retires with its tombstones and never needs to
     * land at all. */
-  private def reconcileTermDeltas(spark: SparkSession, path: String): Boolean = {
+  private def reconcileTermDeltas(spark: SparkSession, path: String): Boolean =
+    reconcileTermDeltasBounded(spark, path,
+      deltaSyncMaxBuckets(spark, readStats(spark, path).nBuckets))
+
+  private def reconcileTermDeltasBounded(spark: SparkSession, path: String,
+      maxSync: Int): Boolean = {
     val fs = statsFs(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/termstats"))) return false
     if (tombstoneBytes(spark, path) == 0L) return true
@@ -798,7 +827,6 @@ object InvertedIndex {
         val svs = tt.select(col("sv")).distinct().collect().map(_.getLong(0))
         val pending = svs.filterNot(landedDeltaSvs(fs, path)).sorted
         if (pending.isEmpty) return true
-        val maxSync = deltaSyncMaxBuckets(spark, readStats(spark, path).nBuckets)
         var allLanded = true
         pending.foreach { n =>
           val gen = tt.filter(col("sv") === n)
@@ -811,6 +839,27 @@ object InvertedIndex {
         }
         allLanded
     }
+  }
+
+  /** Land EVERY pending delete generation's term-stats deltas, gate
+    * LIFTED — the explicit maintenance arm of the delta protocol. A
+    * corpus-spread delete defers its landing (its tbuckets union makes
+    * the delta read a postings scan — the wrong bill inside `delete` or
+    * a serving call) and the dictionary serves the exact
+    * postings-count fallback until a compact's rewrite covers the
+    * generation. This entry point lets an operator repay that debt on
+    * their OWN cadence — one postings-footprint read per pending
+    * generation, run from a maintenance job, restores the vocab-sized
+    * fast path without waiting for (or paying) a full [[compact]].
+    * Idempotent and marker-committed like every landing; landed
+    * generations no-op. Returns true when the fast path is exact on
+    * return (no pending generations remain — false only for layouts
+    * that cannot land: no termstats, or a legacy tombstone set without
+    * sv/tbuckets rows). */
+  def landPendingTermDeltas(spark: SparkSession, path: String): Boolean = {
+    val fs = statsFs(spark, path)
+    recoverTombstoneSwap(fs, path)
+    reconcileTermDeltasBounded(spark, path, Int.MaxValue)
   }
 
   /** Retrofit the id-bucketed DOC STORE onto an EXISTING index —
@@ -1155,6 +1204,7 @@ object InvertedIndex {
     require(missing.isEmpty,
       s"column(s) ${missing.mkString("[", ", ", "]")} are not stored on " +
         s"$path (stored: ${st.storeCols.mkString("[", ", ", "]")})")
+    requireStoreRoot(spark, path, st)
     val idDf = ids.select(col(ids.columns.head).cast(StringType).as("id"))
     val dbuckets = idDf.select(docBucket(st.nDocBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
@@ -1195,7 +1245,7 @@ object InvertedIndex {
     matchedIds(spark, path, st, terms, matchAll) match {
       case None => empty
       case Some(matched) =>
-        storedColumns(spark, path, Seq(sortCol))
+        storedColumns(spark, path, st, Seq(sortCol))
           .join(matched, Seq("id"), "left_semi")
           .orderBy((if (asc) col(sortCol).asc else col(sortCol).desc),
             col("id").asc)
@@ -2172,7 +2222,23 @@ object InvertedIndex {
       // its delta files here, and a frame created earlier would have
       // snapshotted the file listing without them
       val exact = reconcileTermDeltas(spark, path)
-      val dict = spark.read.parquet(s"$path/termstats")
+      // the bucket-dir list comes from ONE root listing (a single RPC,
+      // bounded by index geometry) and feeds the reader as EXPLICIT
+      // leaf paths with an EXPLICIT schema: a bare root read instead
+      // walks the nBuckets partition dirs sequentially on the driver
+      // and opens a footer for schema inference — O(nBuckets) serial
+      // RPCs on every suggest/fuzzy/didYouMean call, the listing cost
+      // the 8M curve measured dwarfing the vocab data itself. With
+      // > spark.sql.sources.parallelPartitionDiscovery.threshold
+      // explicit paths, Spark lists the leaf files in a distributed
+      // job; base rows and delta files share the (term, df) schema by
+      // layout contract, so no footer needs opening.
+      val dictDirs = fs.listStatus(tsRoot).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith("bucket="))
+        .map(_.toString).toSeq.sorted
+      if (dictDirs.isEmpty) return Seq.empty[(String, Long)].toDF("term", "df")
+      val dict = spark.read.schema("term STRING, df BIGINT")
+        .parquet(dictDirs: _*)
       if (exact) {
         return dict.groupBy(col("term"))
           .agg(sum(col("df")).as("df")) // build row + append/delete deltas
@@ -2409,7 +2475,7 @@ object InvertedIndex {
     matchedIds(spark, path, st, terms, matchAll) match {
       case None => empty
       case Some(matched) =>
-        meltFacets(storedColumns(spark, path, facetCols)
+        meltFacets(storedColumns(spark, path, st, facetCols)
           .join(matched, Seq("id"), "left_semi"), facetCols)
     }
   }
@@ -2447,7 +2513,7 @@ object InvertedIndex {
       case Some(matched) =>
         val x = col(facetCol).try_cast(DoubleType)
         val w = (hi - lo) / nBins
-        storedColumns(spark, path, Seq(facetCol))
+        storedColumns(spark, path, st, Seq(facetCol))
           .join(matched, Seq("id"), "left_semi")
           .filter(x.isNotNull)
           .select(
@@ -2606,7 +2672,8 @@ object InvertedIndex {
     * `dbucket=N.rewrite.tmp` directory can never surface as a phantom
     * partition, and only the requested columns in the scan. */
   private def storedColumns(spark: SparkSession, path: String,
-      cols: Seq[String]): DataFrame = {
+      st: InvStats, cols: Seq[String]): DataFrame = {
+    requireStoreRoot(spark, path, st)
     Ann.recoverStagedDirs(statsFs(spark, path),
       new org.apache.hadoop.fs.Path(s"$path/docstore"))
     dropStoreHidden(spark, path,
@@ -3178,6 +3245,29 @@ object InvertedIndex {
     // append debt, the same discipline as compactDirs. Vocab-sized
     // work under the same staged swap as every rewrite.
     if (fs.exists(tsRootEntry)) {
+      // UNMARKED tsdelta residue sweep BEFORE the fold: a crashed
+      // landing of a generation that is currently DEFERRING (footprint
+      // past the sync gate — reconcileTermDeltas at this compact's
+      // entry skipped both its landing and its residue sweep) can
+      // leave partial negative-df files with no committing marker.
+      // Folding those into base rows would bake the partial
+      // subtraction in, and the generation's later successful landing
+      // would re-subtract it IN FULL — termstats df permanently low on
+      // the fast path. Unmarked delta files are residue BY PROTOCOL
+      // (the marker commits only after every file of the generation
+      // landed), so dropping them is always safe: the pending
+      // generation replays whole from its tombstones.
+      val markedSvs = landedDeltaSvs(fs, path)
+      fs.listStatus(tsRootEntry).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("bucket=")).foreach { d =>
+          fs.listStatus(d).map(_.getPath).filter { f =>
+            val n = f.getName
+            n.startsWith("tsdelta-sv") && {
+              val sv = n.stripPrefix("tsdelta-sv").takeWhile(_ != '-')
+              sv.nonEmpty && sv.forall(_.isDigit) && !markedSvs.contains(sv.toLong)
+            }
+          }.foreach(fs.delete(_, false))
+        }
       val tsDirs = fs.listStatus(tsRootEntry).filter(_.isDirectory)
         .map(_.getPath).filter(_.getName.startsWith("bucket="))
         .filter(d => fs.listStatus(d).count(_.isFile) > 1)

@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * (png/gif/bmp/jpeg) are decoded FOR REAL — width, height, and
   * per-channel pixel means come from actual pixels
   * ([[Multimodal.tryDecodeImage]], value-oracled by `mm_decode`).
-  * Everything else (audio/video/unknown) keeps the clearly-marked
-  * deterministic STUB ([[Multimodal.stubDecode]]) — those codecs are
-  * absent in this environment — and a production decoder drops into the
-  * same per-partition seam.
+  * WAV/PCM audio decodes FOR REAL through `javax.sound.sampled`
+  * ([[Multimodal.tryDecodeWavPcm]], value-oracled by `mm_audio_fp`).
+  * Everything else (compressed audio/video/unknown) keeps the
+  * clearly-marked deterministic STUB ([[Multimodal.stubDecode]]) —
+  * those codecs are absent in this environment — and a production
+  * decoder drops into the same per-partition seam.
   */
 object Multimodal {
 
@@ -205,6 +207,104 @@ object Multimodal {
         (r.id, r.media.length.toLong, dHash64(r.media))
       }
     }.toDF("id", "n_bytes", "phash")
+  }
+
+  /** Real WAV/PCM audio decode through the JDK's `javax.sound.sampled`
+    * (pure-JVM — the WAVE container + PCM codec ship in the JDK, no
+    * native library). Accepts PCM_SIGNED 16-bit and 8-bit payloads in
+    * either endianness; multi-channel frames mix down to their
+    * floor-averaged mono sample. Returns the mono sample sequence
+    * (16-bit range), or None when `javax.sound` has no reader for the
+    * payload or the encoding is compressed (those stay on the labeled
+    * [[stubDecode]] seam — e.g. mp3/ogg, whose codecs are absent
+    * here). */
+  def tryDecodeWavPcm(bytes: Array[Byte]): Option[Array[Int]] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          (bits != 16 && bits != 8) || ch < 1) None
+        else {
+          val raw = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          val n = raw.length / (bytesPerSample * ch)
+          val out = new Array[Int](n)
+          var t = 0
+          while (t < n) {
+            var sum = 0L
+            var c = 0
+            while (c < ch) {
+              val off = (t * ch + c) * bytesPerSample
+              val s =
+                if (bits == 8) raw(off).toInt
+                else if (fmt.isBigEndian)
+                  (raw(off) << 8) | (raw(off + 1) & 0xff)
+                else (raw(off + 1) << 8) | (raw(off) & 0xff)
+              sum += s
+              c += 1
+            }
+            out(t) = Math.floorDiv(sum, ch).toInt
+            t += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** 60-bit audio ENERGY fingerprint over decoded PCM samples — the
+    * audio sibling of [[dHash64]], built from the same all-integer
+    * discipline so a fixture oracle reproduces it in closed form:
+    * samples split into frames of `frameSize`, frame i's level =
+    * min(15, Σ|sample| / (frameSize·2048)) (a 4-bit quantized mean
+    * absolute amplitude; 16-bit full scale 32768 = 16 levels of 2048,
+    * the denominator staying `frameSize` even for a partial tail frame
+    * — implicit zero padding), and the first 15 levels pack into bits
+    * 4i..4i+3. 60 bits keeps the top nibble clear, so no engine's
+    * shift can touch the sign bit. Energy envelopes survive phase and
+    * container re-encoding — the property that makes Hamming distance
+    * here a near-duplicate signal (one edited frame moves one nibble:
+    * ≤ 4 bits). Empty sample arrays fingerprint to 0 (silence). */
+  def audioEnergyFingerprint(samples: Array[Int], frameSize: Int): Long = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    var fp = 0L
+    var i = 0
+    while (i < 15) {
+      var sum = 0L
+      var t = i * frameSize
+      val end = math.min(samples.length, (i + 1) * frameSize)
+      while (t < end) { sum += math.abs(samples(t).toLong); t += 1 }
+      val level = math.min(15L, sum / (frameSize.toLong * 2048L))
+      fp |= level << (4 * i)
+      i += 1
+    }
+    fp
+  }
+
+  /** Distributed audio-fingerprint extraction — (id, n_bytes,
+    * n_samples, afp) over the typed media Dataset, one decoder context
+    * per partition like [[imagePHashes]]. `afp` is NULL for payloads
+    * `javax.sound` cannot decode to PCM — exactly the rows
+    * [[Dedup.fingerprintPairs]] then drops. Feed the result to
+    * `Dedup.fingerprintPairs(_, "id", "afp", maxHamming = 4,
+    * fpBits = 60)` for banded (never all-pairs) audio near-dup
+    * candidates: 4 bits of Hamming tolerance = one fully-changed
+    * frame nibble. */
+  def audioFingerprints(ds: Dataset[MediaRow], frameSize: Int = 256): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = tryDecodeWavPcm(r.media)
+        (r.id, r.media.length.toLong,
+          dec.map(_.length.toLong),
+          dec.map(audioEnergyFingerprint(_, frameSize)))
+      }
+    }.toDF("id", "n_bytes", "n_samples", "afp")
   }
 
   /** Frame/chunk sampling over a binary payload: fixed-size chunk offsets

@@ -77,7 +77,18 @@ final case class VectorStore(
     * scores that round equal at a page boundary would let the orders
     * disagree and a row slip between pages. Cost stays ONE scan + top-k
     * per page: the cursor is a filter above the scoring projection,
-    * never an offset-sized over-fetch. */
+    * never an offset-sized over-fetch.
+    *
+    * CROSS-ENGINE CAVEAT: because the cursor compares RAW doubles, two
+    * engines agree on page membership only if they compute bit-identical
+    * scores — i.e. accumulate the dot product over dimensions in the
+    * same order ([[graft.functions.VectorDot]] folds dimension 0..d-1
+    * left-to-right; a verifier must too, or an ulp-level divergence on
+    * two raw-distinct scores that round equal can flip which side of
+    * the boundary a row lands on). Within ONE engine the guarantee is
+    * unconditional. Harnesses comparing engines whose summation order
+    * differs should break raw-score boundary ties by id instead of
+    * trusting the raw double across the boundary. */
   def queryAfter(
       queryVec: Array[Float],
       topK: Int,

@@ -200,10 +200,24 @@ object StreamingOps {
     * over the microbatch) for streaming image near-dup detection. Same
     * pigeonhole completeness, arrival-order independence, and `ttl`
     * retention contract as [[simhashPairsStream]]; null fingerprints
-    * (undecodable payloads) drop before banding. */
+    * (undecodable payloads) drop before banding.
+    *
+    * `exactStar = true` is the streaming hot-fingerprint guard
+    * ([[graft.operators.Dedup.fingerprintPairs]]' star mode): bucket
+    * state holds one entry per DISTINCT fingerprint (its first-seen id
+    * is the group representative) instead of per id, an exact
+    * duplicate emits a single (rep, id, 0) star edge, and near-dup
+    * pairs are representative-to-representative — so an M-repost flood
+    * costs O(1) state and CPU per arrival and O(M) edges total instead
+    * of O(M²), while [[graft.operators.Dedup.connectedComponents]]
+    * clusters come out identical. The representative is FIRST-SEEN
+    * (min id within a microbatch via the in-batch sort), so under
+    * multi-batch arrival the star's root may differ from the batch
+    * twin's min-id root — connectivity-equivalent, not
+    * pair-identical. */
   def fingerprintPairsStream(docs: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int = 3, fpBits: Int = 64,
-      ttl: Option[String] = None): DataFrame = {
+      ttl: Option[String] = None, exactStar: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.operators.Dedup
     val spark = docs.sparkSession
@@ -233,17 +247,49 @@ object StreamingOps {
             state.remove()
             Iterator.empty
           } else {
+            // members: (id, fp) per SEEN ID in default mode; one entry —
+            // (first-seen id = the group representative, fp) — per
+            // DISTINCT FINGERPRINT in exactStar mode. Hashed views keep
+            // the per-arrival membership probe O(1) where the previous
+            // list scan made a hot bucket O(M) per arrival (O(M²) per
+            // flood) before a single pair was even emitted.
             var members = state.getOption.map(_.members).getOrElse(Nil)
+            val seenIds = scala.collection.mutable.HashSet.empty[Long]
+            val repByFp = scala.collection.mutable.HashMap.empty[Long, Long]
+            members.foreach { case (i, f) =>
+              if (exactStar) repByFp(f) = i else seenIds += i
+            }
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
             // id-sorted within the batch: emitted pair set is identical for
             // any arrival interleaving
             rows.toSeq.sortBy(_._1).foreach { case (id, f, _, _) =>
-              if (!members.exists(_._1 == id)) {
+              if (exactStar) {
+                repByFp.get(f) match {
+                  case Some(rep) =>
+                    // an exact duplicate emits ONE star edge to its
+                    // group's representative — state does not grow, the
+                    // hot flood stays O(1) per arrival (re-arrivals of
+                    // the representative itself dedup downstream)
+                    if (id != rep)
+                      out += ((math.min(id, rep), math.max(id, rep), 0))
+                  case None =>
+                    // a new fingerprint becomes its group's rep and
+                    // pairs against every OTHER group's rep in radius
+                    repByFp.foreach { case (of, oid) =>
+                      val h = java.lang.Long.bitCount(f ^ of)
+                      if (h <= maxHamming)
+                        out += ((math.min(id, oid), math.max(id, oid), h))
+                    }
+                    repByFp(f) = id
+                    members = (id, f) :: members
+                }
+              } else if (!seenIds.contains(id)) {
                 members.foreach { case (oid, of) =>
                   val h = java.lang.Long.bitCount(f ^ of)
                   if (h <= maxHamming)
                     out += ((math.min(id, oid), math.max(id, oid), h))
                 }
+                seenIds += id
                 members = (id, f) :: members
               }
             }

@@ -157,4 +157,104 @@ class DocStoreSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(r =>
       r.getString(2).nonEmpty && r.getString(3).nonEmpty))
   }
+
+  test("a stored-field sidecar without a docstore root fails fast, never serves empty") {
+    val p = tmp("presplit")
+    InvertedIndex.build(docs.filter(col("doc_id") < 40), "doc_id", "text", p,
+      nBuckets = 8, nDocBuckets = 4, storeText = true, storeCols = Seq("lang"))
+    // simulate the PRE-SPLIT on-disk shape: stores_text=true in the
+    // sidecar but no docstore/ layout
+    fs(p).delete(new org.apache.hadoop.fs.Path(s"$p/docstore"), true)
+    val e1 = intercept[IllegalArgumentException] {
+      InvertedIndex.fetchDocs(spark, p, docs.select(col("doc_id")).limit(5)).collect()
+    }
+    assert(e1.getMessage.contains("docstore") &&
+      e1.getMessage.contains("addDocStore"),
+      s"must direct to rebuild/migrate, got: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      InvertedIndex.facetCountsStored(spark, p, Seq("lang"),
+        terms = Seq("the"), matchAll = false).collect()
+    }
+    assert(e2.getMessage.contains("docstore"))
+  }
+
+  test("BM25F two-field group: delete -> compact -> re-append -> sweep stays coherent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = docs.filter(col("doc_id") < 60)
+      .select(col("doc_id"), substring_index(col("text"), " ", 4).as("title"),
+        col("text").as("body"))
+    val p1 = tmp("f1"); val p2 = tmp("f2")
+    InvertedIndex.build(base, "doc_id", "title", p1, nBuckets = 8,
+      nDocBuckets = 4, storeText = true)
+    InvertedIndex.build(base, "doc_id", "body", p2, nBuckets = 8,
+      nDocBuckets = 4, storeText = true)
+    val fields = Seq((p1, 2.0, 0.5), (p2, 1.0, 0.75))
+    val qterms = base.select(col("body")).as[String].head().split(" ").take(2).toSeq
+    def top(fs2: Seq[(String, Double, Double)]): Seq[(String, Double)] =
+      InvertedIndex.bm25fTopK(spark, fs2, qterms, k = 10)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    def storeFp(): Seq[(String, Long, String)] =
+      InvertedIndex.fetchDocs(spark, p1, base.select(col("doc_id")))
+        .orderBy(col("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(top(fields).nonEmpty, "fixture query must hit")
+    val n0 = storeFp().size
+
+    // 1. DELETE across the group: coherence holds (same n_docs, same
+    //    corpus fingerprint), deleted ids vanish from scoring AND store
+    val delIds = (0 until 10).map(_.toString)
+    InvertedIndex.deleteFields(spark, Seq(p1, p2), delIds)
+    val afterDel = top(fields)
+    assert(afterDel.forall { case (id, _) => !delIds.contains(id) })
+    assert(storeFp().size == n0 - 10)
+
+    // 2. COMPACT each field: tombstones retire, retired ids go
+    //    store-dead (hidden, not resurrected), group still coherent
+    InvertedIndex.compact(spark, p1)
+    InvertedIndex.compact(spark, p2)
+    assert(InvertedIndex.tombstoneCount(spark, p1) == 0L)
+    assert(top(fields) == afterDel, "compact must not change scores")
+    assert(storeFp().size == n0 - 10, "store-dead ids must stay hidden")
+
+    // 3. RE-APPEND the same ids with NEW text through the ledgered
+    //    group append: the store-dead clash auto-sweeps, each id served
+    //    exactly once with the new payload
+    val renew = base.filter(col("doc_id") < 10)
+      .select(col("doc_id"),
+        concat(lit("renewed "), col("title")).as("title"),
+        concat(lit("renewed "), col("body")).as("body"))
+    InvertedIndex.appendFields(spark, Seq((p1, "title"), (p2, "body")),
+      renew, "doc_id", batchId = 7L)
+    val served = storeFp()
+    assert(served.size == n0, "re-appended ids are back")
+    assert(served.map(_._1).distinct.size == n0, "each id served exactly ONCE")
+    assert(served.filter(_._1 == "3").forall(_._3.startsWith("renewed ")),
+      "the re-appended payload must be the NEW text")
+    assert(top(fields).nonEmpty)
+
+    // 4. another delete + compact + EXPLICIT sweep: physical store
+    //    rewrite drops the dead rows and clears the dead list
+    InvertedIndex.deleteFields(spark, Seq(p1, p2), Seq("20", "21"))
+    InvertedIndex.compact(spark, p1)
+    InvertedIndex.compact(spark, p2)
+    InvertedIndex.sweepDocStore(spark, p1)
+    InvertedIndex.sweepDocStore(spark, p2)
+    assert(!fs(p1).exists(new org.apache.hadoop.fs.Path(s"$p1/docstore/_dead")),
+      "explicit sweep must clear the dead list")
+    assert(storeFp().size == n0 - 2)
+
+    // 5. the walked group equals a FRESH build over the equivalent
+    //    final corpus — the end-to-end coherence pin
+    val finalCorpus = base.filter(col("doc_id") >= 10 &&
+        col("doc_id") =!= 20 && col("doc_id") =!= 21)
+      .unionByName(renew)
+    val r1 = tmp("r1"); val r2 = tmp("r2")
+    InvertedIndex.build(finalCorpus, "doc_id", "title", r1, nBuckets = 8,
+      nDocBuckets = 4, storeText = true)
+    InvertedIndex.build(finalCorpus, "doc_id", "body", r2, nBuckets = 8,
+      nDocBuckets = 4, storeText = true)
+    assert(top(fields) == top(Seq((r1, 2.0, 0.5), (r2, 1.0, 0.75))),
+      "the lifecycle-walked group must score like a fresh build")
+  }
 }

@@ -208,4 +208,61 @@ class TermDeltaSpec extends AnyFunSuite {
       s"post-compact the dictionary must be back on termstats:\n${scans2.mkString("\n")}")
     assert(dict(p) == dict(ref))
   }
+
+  test("landPendingTermDeltas lands a deferred spread generation; fast path returns exact") {
+    // default sync gate: the 25-id spread delete defers its landing
+    val (p, ref) = debtFixture(25)
+    val f = fs(p)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$p/termstats/_deltas/sv-2")),
+      "fixture must actually be deferring")
+    // the explicit maintenance entry pays the landing bill on demand
+    assert(InvertedIndex.landPendingTermDeltas(spark, p),
+      "gate-lifted landing must leave no pending generation")
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$p/termstats/_deltas/sv-2")),
+      "the generation must be marker-committed")
+    // fast path restored: dictionary serves from termstats, and exactly
+    val q = InvertedIndex.suggestTerms(spark, p, "s", k = 5)
+    val scans = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(_.contains("termstats")) &&
+      !scans.exists(_.contains("postings")),
+      s"explicit landing must restore the vocab-sized fast path:\n${scans.mkString("\n")}")
+    assert(dict(p) == dict(ref))
+    // idempotent: a second call no-ops and stays exact
+    assert(InvertedIndex.landPendingTermDeltas(spark, p))
+    assert(dict(p) == dict(ref))
+  }
+
+  test("compact's trailing fold sweeps unmarked residue of a deferring generation") {
+    // the double-subtract hazard: a crashed landing leaves UNMARKED
+    // tsdelta files for a generation the compact-entry reconcile DEFERS
+    // (spread footprint) — the trailing per-bucket fold must not bake
+    // those partial negatives into base rows, or the later successful
+    // landing re-subtracts them in full
+    val (p, ref) = debtFixture(25)
+    val f = fs(p)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$p/termstats/_deltas/sv-2")),
+      "fixture must be deferring (unmarked generation)")
+    // plant residue exactly as a half-committed landing names it
+    val someTerm = dict(ref).head._1
+    val spark2 = spark
+    import spark2.implicits._
+    val stage = tmp("residue")
+    Seq((someTerm, -1L)).toDF("term", "df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/x")
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(s"$stage/x"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val bucketDir = f.listStatus(new org.apache.hadoop.fs.Path(s"$p/termstats"))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("bucket=")).head
+    assert(f.rename(part,
+      new org.apache.hadoop.fs.Path(bucketDir, "tsdelta-sv2-0.parquet")))
+    // a partial compact retains the debt but runs the trailing fold
+    InvertedIndex.compact(spark, p, minTombFrac = 0.9)
+    // now land the generation for real: if the fold had baked the
+    // planted residue, this subtraction would land twice
+    InvertedIndex.landPendingTermDeltas(spark, p)
+    assert(dict(p) == dict(ref),
+      "unmarked residue must be swept, never folded into base rows")
+  }
 }

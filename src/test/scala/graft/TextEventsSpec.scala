@@ -915,4 +915,128 @@ class TextEventsSpec extends AnyFunSuite {
     assert(a.length == 5 && a.toSeq == b.toSeq)
     assert(a.map(_._2).sliding(2).forall(p => p.head >= p.last), "descending scores")
   }
+
+  test("hot-fingerprint flood: star mode emits O(M) component-equivalent edges") {
+    import graft.operators.Dedup
+    // M-repost flood (one fingerprint posted 300 times) + a 3-member
+    // near group 1 bit away + a 2-member far group — the web-image
+    // dedup shape the guard exists for
+    val flood = (1L to 300L).map(i => (i, 0x11L))
+    val near = (401L to 403L).map(i => (i, 0x13L)) // hamming(0x11,0x13)=1
+    val far = (501L to 502L).map(i => (i, 0xF0F0L))
+    val docs = (flood ++ near ++ far).toDF("id", "fp")
+    val full = Dedup.fingerprintPairs(docs, "id", "fp", maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // all-pairs semantics: C(300,2)+C(3,2)+C(2,2)=44854 exact pairs +
+    // 300*3 cross pairs at hamming 1
+    assert(full.size == 44850 + 3 + 1 + 900)
+    assert(full.contains((1L, 401L, 1)) && full.contains((300L, 403L, 1)))
+    val star = Dedup.fingerprintPairs(docs, "id", "fp", maxHamming = 1,
+        exactStar = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // star semantics: (M-1) edges per exact group + ONE rep-to-rep pair
+    // per near fp pair — O(M), not O(M^2)
+    assert(star.size == 299 + 2 + 1 + 1, s"got ${star.size}")
+    assert(star.contains((1L, 401L, 1)), "rep-to-rep near pair (min ids)")
+    assert(star.forall { case (a, b, _) => a < b })
+    // connectivity equivalence: identical dedup clusters
+    def comps(pairs: Set[(Long, Long, Int)]) =
+      Dedup.connectedComponents(pairs.toSeq.map(p => (p._1, p._2))
+          .toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps(star) == comps(full))
+  }
+
+  test("fingerprint maxBucket cap drops hot chunk buckets, never invents pairs") {
+    import graft.operators.Dedup
+    // ten DISTINCT fingerprints all sharing chunk 0 (low 32 bits = 0) —
+    // the all-zero-chunk pileup flat images produce in a dHash
+    val docs = (0L to 9L).map(k => (k + 1L, k << 32)).toDF("id", "fp")
+    val uncapped = Dedup.fingerprintPairs(docs, "id", "fp", maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pairs whose high chunks differ by 1 bit: (k, k') with
+    // bitCount(k^k') == 1 — e.g. (0,1),(0,2),(1,3),...
+    assert(uncapped.nonEmpty && uncapped.forall(_._3 == 1))
+    val capped = Dedup.fingerprintPairs(docs, "id", "fp", maxHamming = 1,
+        maxBucket = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the shared chunk-0 bucket (10 > 5 members) is dropped; these fps
+    // agree on NO other chunk, so discovery through it is gone — the
+    // cap only ever loses pairs (documented recall trade), never adds
+    assert(capped.subsetOf(uncapped))
+    assert(capped.isEmpty, s"all candidate discovery ran through the hot bucket")
+  }
+
+  test("streaming star mode matches batch star mode on single-batch arrival") {
+    import graft.operators.Dedup
+    val flood = (1L to 50L).map(i => (i, java.lang.Long.valueOf(0x11L)))
+    val near = Seq((401L, java.lang.Long.valueOf(0x13L)),
+      (402L, java.lang.Long.valueOf(0x13L)))
+    val docs = (flood ++ near).toDF("id", "fp")
+    val dir = java.nio.file.Files.createTempDirectory("fpstar")
+    docs.write.parquet(s"$dir/data")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/data").schema).parquet(s"$dir/data")
+    val streamed = graft.streaming.StreamingOps.runBounded(
+        graft.streaming.StreamingOps.fingerprintPairsStream(
+          stream, "id", "fp", maxHamming = 1, exactStar = true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Dedup.fingerprintPairs(docs, "id", "fp", maxHamming = 1,
+        exactStar = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // one microbatch + in-batch id sort => first-seen rep == min-id rep,
+    // so the sets agree exactly (multi-batch arrival is only
+    // connectivity-equivalent — documented)
+    assert(streamed == batch)
+    assert(streamed.size == 49 + 1 + 1)
+  }
+
+  test("audio: real WAV decode and closed-form energy fingerprint") {
+    import graft.operators.{Dedup, Multimodal}
+    // square wave at amplitude 3*2048, 15 frames of 256 samples — every
+    // |sample| = A so each frame's 4-bit level is exactly 3
+    def wav(level0: Int, level: Int): Array[Byte] = {
+      val n = 256 * 15
+      val pcm = new Array[Byte](n * 2)
+      var t = 0
+      while (t < n) {
+        val l = if (t / 256 == 0) level0 else level
+        val a = l * 2048
+        val sv = if ((t / 16) % 2 == 0) a else -a
+        pcm(2 * t) = (sv & 0xff).toByte
+        pcm(2 * t + 1) = ((sv >> 8) & 0xff).toByte
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val base = wav(3, 3)
+    val dec = Multimodal.tryDecodeWavPcm(base)
+    assert(dec.isDefined && dec.get.length == 256 * 15)
+    assert(dec.get.forall(s => math.abs(s) == 3 * 2048))
+    val fp = Multimodal.audioEnergyFingerprint(dec.get, 256)
+    val expected = (0 until 15).map(i => 3L << (4 * i)).sum
+    assert(fp == expected, s"fp=$fp expected=$expected")
+    // frame-0 perturbation moves exactly one nibble: 3 -> 4 = 3 bits
+    val fp1 = Multimodal.audioEnergyFingerprint(
+      Multimodal.tryDecodeWavPcm(wav(4, 3)).get, 256)
+    assert(java.lang.Long.bitCount(fp ^ fp1) == 3)
+    // non-audio payloads take the null seam and drop from the pair join
+    val rows = Seq(
+      Multimodal.MediaRow(1L, base, "wav"),
+      Multimodal.MediaRow(2L, wav(4, 3), "wav"),
+      Multimodal.MediaRow(3L, Array[Byte](1, 2, 3), "bin"))
+    val fps = Multimodal.audioFingerprints(
+      spark.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+    assert(fps.filter(col("afp").isNull).select("id").as[Long].collect().toSeq == Seq(3L))
+    val pairs = Dedup.fingerprintPairs(fps, "id", "afp", maxHamming = 4, fpBits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 3)))
+  }
 }
