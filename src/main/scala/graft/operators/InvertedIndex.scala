@@ -465,6 +465,9 @@ object InvertedIndex {
       nDocs = st.nDocs + r.getLong(0),
       sumDl = st.sumDl + (if (r.isNullAt(1)) 0L else r.getLong(1)),
       corpusFp = st.corpusFp.map(_ ^ r.getLong(2))), v + 1)
+    // an append creates no delete generation: the delta-coverage
+    // watermark moves with the version it just bumped
+    advanceCoverMarker(statsFs(spark, path), path, v, v + 1)
   }
 
   /** Delete documents by id: tombstone-append (postings stay in place —
@@ -519,7 +522,8 @@ object InvertedIndex {
     reconcileTombstoneStats(spark, path)
     // land any earlier crashed delete's pending term-stats deltas while
     // its generation's postings are still guaranteed intact
-    reconcileTermDeltas(spark, path)
+    reconcileTermDeltas(spark, path, fromMutation = true)
+    val debtZeroAtEntry = tombstoneBytes(spark, path) == 0L
     val (st, v) = readStatsVersioned(spark, path)
     import spark.implicits._
     val idDf = ids.distinct.toDF("id")
@@ -551,6 +555,12 @@ object InvertedIndex {
       .collect()(0)
     val nFound = agg.getLong(0)
     if (nFound > 0) {
+      // 0. INTENT: the delta watermark must stop trusting the marker
+      //    listing from this moment until this generation carries its
+      //    own marker — a crash anywhere in between leaves tombstone
+      //    rows the stats version knows nothing about, and the intent
+      //    is what forces the next reconcile onto the full path.
+      if (hasTbCol) writeIntentMarker(fs, path, v + 1)
       // 1. tombstones: from this row's existence on, every probe hides
       //    the doc and every replay's found-set excludes it. Each row
       //    carries dl + sv (the stats version due next), so a crash
@@ -581,6 +591,21 @@ object InvertedIndex {
           .distinct().collect().map(_.getLong(0)).toSeq.sorted
         if (tb.size <= deltaSyncMaxBuckets(spark, st.nBuckets))
           landTermDeltas(spark, path, v + 1, found.select(col("id")), tb)
+        else {
+          // a stale defer marker can linger from an aborted delete that
+          // intended this same sv — replace, then cache the deferral so
+          // later reconciles read the footprint from the marker name,
+          // not a per-call explode job
+          dropDeferMarker(fs, path, v + 1)
+          writeDeferMarker(fs, path, v + 1, tb.size)
+        }
+        // this generation is marked either way: retire the intent and
+        // extend coverage to the new version — from scratch when this
+        // delete created the first debt (its generation is the only
+        // one), by advance otherwise
+        dropIntentMarker(fs, path, v + 1)
+        if (debtZeroAtEntry) setCoverMarker(fs, path, v + 1)
+        else advanceCoverMarker(fs, path, v, v + 1)
       }
       // 3. doc-stats rewrite, only the buckets that actually HOLD a
       //    found row; survivors anti-join the FULL tombstone set (not
@@ -726,6 +751,154 @@ object InvertedIndex {
       .filter(_.startsWith("sv-")).map(_.stripPrefix("sv-").toLong).toSet
   }
 
+  /** Footprint CACHE markers for deferring generations —
+    * `_deltas/defer-sv-<sv>-f<nBuckets>`, written when a generation's
+    * term-bucket footprint is first measured past the sync gate. A
+    * pure cache: every later [[reconcileTermDeltasBounded]] reads the
+    * footprint from the marker name instead of re-paying an
+    * explode+distinct job over the generation's tombstone rows per
+    * mutation/serving entry (the cost that made a tombstone-debt
+    * STREAM re-measure a deferring generation every micro-batch).
+    * Losing one merely re-measures; a stale one (the generation's
+    * rows partially retired, shrinking its true footprint) only keeps
+    * deferring — the exact-fallback direction. Removed with the
+    * generation's landing or the `_deltas` dir's retirement. */
+  private def deferredFootprints(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Map[Long, Int] = {
+    val d = new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path))
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("defer-sv-")).flatMap { n =>
+        n.stripPrefix("defer-sv-").split("-f") match {
+          case Array(sv, f) if sv.forall(_.isDigit) && f.forall(_.isDigit) =>
+            Some(sv.toLong -> f.toInt)
+          case _ => None
+        }
+      }.toMap
+  }
+
+  private def writeDeferMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, sv: Long, footprint: Int): Unit = {
+    // no termstats layout -> nothing ever lands, the cache is pointless
+    // (and must not conjure a termstats/ root on a layout without one)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/termstats"))) return
+    fs.mkdirs(new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path)))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"${termDeltaMarkerDir(path)}/defer-sv-$sv-f$footprint"), true).close()
+  }
+
+  private def dropDeferMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, sv: Long): Unit = {
+    val d = new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path))
+    if (fs.exists(d)) fs.listStatus(d).map(_.getPath)
+      .filter(_.getName.startsWith(s"defer-sv-$sv-f"))
+      .foreach(fs.delete(_, false))
+  }
+
+  /** COVER watermark — `_deltas/cover-v<V>` asserts: every delete
+    * generation with sv ≤ V is represented by an `sv-` (landed) or
+    * `defer-` (measured footprint) marker. While the watermark equals
+    * the CURRENT stats version, [[reconcileTermDeltasBounded]] resolves
+    * the whole delta protocol from ONE directory listing — no
+    * tombstone-set read, no aggregation job — which is what keeps a
+    * delete-trickle STREAM from paying a debt-sized Spark job per
+    * micro-batch (and every dictionary read under standing debt from
+    * paying one per call). Anything that advances the stats version
+    * either advances the watermark with it (delete after its own
+    * marker; append/addDocStore, which create no delete generation) or
+    * deliberately leaves it stale (the crashed-delete stats catch-up),
+    * forcing one full tombstone-read reconcile that re-derives coverage
+    * and re-stamps. A missing or stale watermark is always safe: it
+    * only means the full path runs. */
+  private def coverMarkerV(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Long] = {
+    val d = new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path))
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("cover-v") && n.stripPrefix("cover-v").forall(_.isDigit))
+      .map(_.stripPrefix("cover-v").toLong).sorted.lastOption
+  }
+
+  /** One listing of the marker dir, every marker family decoded. */
+  private final case class DeltaMarkers(landed: Set[Long],
+      deferred: Map[Long, Int], cover: Option[Long], intents: Set[Long])
+
+  private def readDeltaMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): DeltaMarkers = {
+    val d = new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path))
+    if (!fs.exists(d)) return DeltaMarkers(Set.empty, Map.empty, None, Set.empty)
+    val names = fs.listStatus(d).map(_.getPath.getName).toSeq
+    DeltaMarkers(
+      landed = names.filter(_.startsWith("sv-"))
+        .map(_.stripPrefix("sv-")).filter(_.forall(_.isDigit))
+        .map(_.toLong).toSet,
+      deferred = names.filter(_.startsWith("defer-sv-")).flatMap { n =>
+        n.stripPrefix("defer-sv-").split("-f") match {
+          case Array(sv, f) if sv.forall(_.isDigit) && f.forall(_.isDigit) =>
+            Some(sv.toLong -> f.toInt)
+          case _ => None
+        }
+      }.toMap,
+      cover = names.filter(n => n.startsWith("cover-v") &&
+          n.stripPrefix("cover-v").forall(_.isDigit))
+        .map(_.stripPrefix("cover-v").toLong).sorted.lastOption,
+      intents = names.filter(_.startsWith("intent-sv-"))
+        .map(_.stripPrefix("intent-sv-")).filter(_.forall(_.isDigit))
+        .map(_.toLong).toSet)
+  }
+
+  /** INTENT marker — `_deltas/intent-sv-<sv>`, written by [[delete]]
+    * BEFORE its tombstone append and dropped after its generation
+    * marker lands. The trusted (listing-only) reconcile refuses to run
+    * while any intent is outstanding: a delete that crashed between
+    * its tombstone append and its stats/marker writes leaves rows the
+    * watermark knows nothing about (the stats version never moved), and
+    * the intent is the only on-disk evidence. Orphaned intents (crash
+    * before the tombstone append) are cleared by the next MUTATION
+    * entry's full reconcile — never by a serving read, which could race
+    * the single writer's open window. */
+  private def writeIntentMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, sv: Long): Unit = {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/termstats"))) return
+    fs.mkdirs(new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path)))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"${termDeltaMarkerDir(path)}/intent-sv-$sv"), true).close()
+  }
+
+  private def dropIntentMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, sv: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"${termDeltaMarkerDir(path)}/intent-sv-$sv")
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  private def clearIntentMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path))
+    if (fs.exists(d)) fs.listStatus(d).map(_.getPath)
+      .filter(_.getName.startsWith("intent-sv-"))
+      .foreach(fs.delete(_, false))
+  }
+
+  private def setCoverMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, v: Long): Unit = {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/termstats"))) return
+    val d = new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path))
+    fs.mkdirs(d)
+    fs.create(new org.apache.hadoop.fs.Path(d, s"cover-v$v"), true).close()
+    fs.listStatus(d).map(_.getPath)
+      .filter(p => p.getName.startsWith("cover-v") && p.getName != s"cover-v$v")
+      .foreach(fs.delete(_, false))
+  }
+
+  /** Advance the watermark from `from` to `to` IFF it currently sits at
+    * `from` — a version bump that created no unmarked generation keeps
+    * coverage; an unknown prior state must stay stale (full reconcile
+    * re-derives it). */
+  private def advanceCoverMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, from: Long, to: Long): Unit =
+    if (coverMarkerV(fs, path).contains(from)) setCoverMarker(fs, path, to)
+
   /** Land one delete generation's negative term-df deltas — idempotent
     * (marker-gated, residue-sweeping) per the protocol above. `ids`
     * must be exactly the generation's tombstoned ids; `tbuckets` the
@@ -773,6 +946,7 @@ object InvertedIndex {
     }
     fs.mkdirs(new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path)))
     fs.create(marker, true).close()
+    dropDeferMarker(fs, path, sv) // the footprint cache is moot once landed
   }
 
   /** The synchronous-landing footprint bound: a delete generation's
@@ -806,37 +980,89 @@ object InvertedIndex {
     * is still stale and nowhere else. A generation fully covered by a
     * compact's rewrite retires with its tombstones and never needs to
     * land at all. */
-  private def reconcileTermDeltas(spark: SparkSession, path: String): Boolean =
+  private def reconcileTermDeltas(spark: SparkSession, path: String,
+      fromMutation: Boolean = false): Boolean =
     reconcileTermDeltasBounded(spark, path,
-      deltaSyncMaxBuckets(spark, readStats(spark, path).nBuckets))
+      deltaSyncMaxBuckets(spark, readStats(spark, path).nBuckets), fromMutation)
 
   private def reconcileTermDeltasBounded(spark: SparkSession, path: String,
-      maxSync: Int): Boolean = {
+      maxSync: Int, fromMutation: Boolean = false): Boolean = {
     val fs = statsFs(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/termstats"))) return false
     if (tombstoneBytes(spark, path) == 0L) return true
+    // TRUSTED PATH: watermark at the current stats version and no
+    // outstanding delete intent ⇒ the marker dir alone is authoritative
+    // (one listing, zero jobs). Landed generations are done; deferring
+    // ones carry their measured footprint in the marker name — only a
+    // generation the CURRENT gate can actually land pays a tombstone
+    // read (to learn its ids).
+    val vNow = readStatsVersioned(spark, path)._2
+    val mk = readDeltaMarkers(fs, path)
+    if (mk.cover.contains(vNow) && mk.intents.isEmpty) {
+      val landable = mk.deferred.filter(_._2 <= maxSync).keys.toSeq.sorted
+      if (landable.nonEmpty) {
+        val tt = tombstonesOf(spark, path).get
+          .select(col("sv"), col("tbuckets"), col("id"))
+        landable.foreach { n =>
+          val gen = tt.filter(col("sv") === n)
+          val tb = gen.select(explode(col("tbuckets")).as("b0"))
+            .select(col("b0").cast(LongType).as("b"))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          landTermDeltas(spark, path, n, gen.select(col("id")), tb)
+        }
+      }
+      return mk.deferred.forall(_._2 <= maxSync)
+    }
     tombstonesOf(spark, path) match {
       case None => true
       case Some(t) =>
         if (!t.columns.contains("sv") || !t.columns.contains("tbuckets")) return false
         // no checkpoint: the set is debt-sized and single-writer-stable,
-        // and this runs on serving paths where cached-block growth hurts
+        // and this runs on serving paths where cached-block growth hurts.
+        // ONE aggregation pass learns both "is any row legacy-null" and
+        // the generation set (two separate jobs before — paid per
+        // mutation AND per dictionary read while any debt exists).
         val tt = t.select(col("sv"), col("tbuckets"), col("id"))
-        if (tt.filter(col("sv").isNull || col("tbuckets").isNull)
-          .limit(1).count() > 0) return false
-        val svs = tt.select(col("sv")).distinct().collect().map(_.getLong(0))
-        val pending = svs.filterNot(landedDeltaSvs(fs, path)).sorted
-        if (pending.isEmpty) return true
+        val probe = tt.agg(
+          sum(when(col("sv").isNull || col("tbuckets").isNull, 1L)
+            .otherwise(0L)).as("bad"),
+          collect_set(col("sv")).as("svs")).collect()(0)
+        if (!probe.isNullAt(0) && probe.getLong(0) > 0L) return false
+        val svs = probe.getSeq[Long](1)
+        val pending = svs.filterNot(mk.landed).sorted
+        if (pending.isEmpty) {
+          // full coverage just proven from the authoritative set: stamp
+          // it (and, at a mutation entry — the single writer, so no open
+          // delete window can race — clear orphaned intents)
+          if (fromMutation) clearIntentMarkers(fs, path)
+          setCoverMarker(fs, path, vNow)
+          return true
+        }
+        // footprints of known-deferring generations come from the cache
+        // markers — no per-generation explode job on the steady path
+        val cached = mk.deferred
         var allLanded = true
         pending.foreach { n =>
-          val gen = tt.filter(col("sv") === n)
-          val tb = gen.select(explode(col("tbuckets")).as("b0"))
-            .select(col("b0").cast(LongType).as("b"))
-            .distinct().collect().map(_.getLong(0)).toSeq.sorted
-          if (tb.size <= maxSync)
-            landTermDeltas(spark, path, n, gen.select(col("id")), tb)
-          else allLanded = false
+          cached.get(n) match {
+            case Some(f) if f > maxSync => allLanded = false
+            case _ =>
+              val gen = tt.filter(col("sv") === n)
+              val tb = gen.select(explode(col("tbuckets")).as("b0"))
+                .select(col("b0").cast(LongType).as("b"))
+                .distinct().collect().map(_.getLong(0)).toSeq.sorted
+              if (tb.size <= maxSync)
+                landTermDeltas(spark, path, n, gen.select(col("id")), tb)
+              else {
+                writeDeferMarker(fs, path, n, tb.size)
+                allLanded = false
+              }
+          }
         }
+        // every generation now carries a marker — stamp coverage so the
+        // next reconcile (mutation entry or dictionary read) is
+        // listing-only until the version moves again
+        if (fromMutation) clearIntentMarkers(fs, path)
+        setCoverMarker(fs, path, vNow)
         allLanded
     }
   }
@@ -859,7 +1085,7 @@ object InvertedIndex {
   def landPendingTermDeltas(spark: SparkSession, path: String): Boolean = {
     val fs = statsFs(spark, path)
     recoverTombstoneSwap(fs, path)
-    reconcileTermDeltasBounded(spark, path, Int.MaxValue)
+    reconcileTermDeltasBounded(spark, path, Int.MaxValue, fromMutation = true)
   }
 
   /** Retrofit the id-bucketed DOC STORE onto an EXISTING index —
@@ -939,6 +1165,9 @@ object InvertedIndex {
       }
     }
     writeStats(spark, path, st.copy(storesText = true), v + 1)
+    // a store retrofit creates no delete generation: the delta-coverage
+    // watermark moves with the version it just bumped
+    advanceCoverMarker(statsFs(spark, path), path, v, v + 1)
   }
 
   /** One-row operational description of a persisted index — the
@@ -3046,7 +3275,7 @@ object InvertedIndex {
     reconcileTombstoneStats(spark, path)
     // ... and its pending term-stats deltas while the generation's
     // postings are still intact (the rewrite below removes them)
-    reconcileTermDeltas(spark, path)
+    reconcileTermDeltas(spark, path, fromMutation = true)
     // term-stats orphan sweep: a termstats dir whose postings bucket is
     // gone (the rewrite deleted a fully-tombstoned bucket, then crashed
     // before the stats replace) would serve phantom terms once the
@@ -3187,6 +3416,18 @@ object InvertedIndex {
             tombs.select(col("id")).except(survivors.select(col("id"))),
             st.nDocBuckets)
           val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+          // defer markers of generations about to FULLY retire must go
+          // with them — a lingering one would read as "pending" forever
+          // under the marker-trusted reconcile, pinning the dictionary
+          // to its fallback with nothing left to land. (sv- markers are
+          // harmless either way and clean up with the dir.)
+          if (survivors.columns.contains("sv")) {
+            val kept = survivors.select(col("sv"))
+              .filter(col("sv").isNotNull).distinct()
+              .collect().map(_.getLong(0)).toSet
+            deferredFootprints(fs, path).keys.filterNot(kept)
+              .foreach(dropDeferMarker(fs, path, _))
+          }
           if (survivors.isEmpty) {
             fs.delete(tPath, true)
             fs.delete(new org.apache.hadoop.fs.Path(termDeltaMarkerDir(path)), true)
@@ -3258,20 +3499,24 @@ object InvertedIndex {
       // landed), so dropping them is always safe: the pending
       // generation replays whole from its tombstones.
       val markedSvs = landedDeltaSvs(fs, path)
-      fs.listStatus(tsRootEntry).filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.startsWith("bucket=")).foreach { d =>
-          fs.listStatus(d).map(_.getPath).filter { f =>
+      val tsDirs = fs.listStatus(tsRootEntry).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith("bucket="))
+        .flatMap { d =>
+          // ONE listing per dir serves both the residue sweep and the
+          // accumulated-files gate
+          val files = fs.listStatus(d).filter(_.isFile).map(_.getPath)
+          val residue = files.filter { f =>
             val n = f.getName
             n.startsWith("tsdelta-sv") && {
               val sv = n.stripPrefix("tsdelta-sv").takeWhile(_ != '-')
               sv.nonEmpty && sv.forall(_.isDigit) && !markedSvs.contains(sv.toLong)
             }
-          }.foreach(fs.delete(_, false))
-        }
-      val tsDirs = fs.listStatus(tsRootEntry).filter(_.isDirectory)
-        .map(_.getPath).filter(_.getName.startsWith("bucket="))
-        .filter(d => fs.listStatus(d).count(_.isFile) > 1)
-        .map(_.getName.stripPrefix("bucket=").toLong).toSeq.sorted
+          }
+          residue.foreach(fs.delete(_, false))
+          if (files.length - residue.length > 1)
+            Some(d.getName.stripPrefix("bucket=").toLong)
+          else None
+        }.toSeq.sorted
       if (tsDirs.nonEmpty)
         rewriteDirsBatched(spark, s"$path/termstats", "bucket", tsDirs,
           df => df.groupBy(col("bucket"), col("term"))

@@ -265,4 +265,63 @@ class TermDeltaSpec extends AnyFunSuite {
     assert(dict(p) == dict(ref),
       "unmarked residue must be swept, never folded into base rows")
   }
+
+  test("delta watermark: consecutive trickle deletes keep cover current, fast path exact") {
+    withSyncFrac(1.0) {
+    val p = tmp("wm")
+    InvertedIndex.build(docs.filter(col("doc_id") < 40), "doc_id", "text", p,
+      nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, p, Seq("0", "1", "2"))
+    InvertedIndex.delete(spark, p, Seq("3", "4"))
+    val f = fs(p)
+    val markers = f.listStatus(
+      new org.apache.hadoop.fs.Path(s"$p/termstats/_deltas"))
+      .map(_.getPath.getName).toSeq
+    // both generations landed, no intent outstanding, cover at the
+    // CURRENT stats version (v1 build + two deletes = v3)
+    assert(markers.count(_.startsWith("sv-")) == 2, markers.toString)
+    assert(!markers.exists(_.startsWith("intent-")), markers.toString)
+    assert(markers.contains("cover-v3"), markers.toString)
+    val q = InvertedIndex.suggestTerms(spark, p, "s", k = 5)
+    val scans = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(_.contains("termstats")) &&
+      !scans.exists(_.contains("postings")))
+    val ref = tmp("wmref")
+    InvertedIndex.build(docs.filter(col("doc_id") >= 5 && col("doc_id") < 40),
+      "doc_id", "text", ref, nBuckets = 8, nDocBuckets = 4)
+    assert(dict(p) == dict(ref))
+    }
+  }
+
+  test("delta watermark: a crashed delete's unmarked generation is never trusted") {
+    withSyncFrac(1.0) {
+    val p = tmp("crash")
+    InvertedIndex.build(docs.filter(col("doc_id") < 40), "doc_id", "text", p,
+      nBuckets = 8, nDocBuckets = 4)
+    InvertedIndex.delete(spark, p, Seq("0", "1")) // cover now current (v2)
+    val f = fs(p)
+    // simulate a SECOND delete crashing between its tombstone append
+    // and its stats/marker writes: rows with sv = v+1 appear while the
+    // stats version and the marker dir still describe the old world —
+    // except for the intent marker the delete wrote FIRST
+    val v = f.listStatus(new org.apache.hadoop.fs.Path(s"$p/_stats"))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong).max
+    val rows = spark.read.parquet(s"$p/docstats")
+      .filter(col("id").isin("2", "3"))
+      .select(col("id"), col("tbuckets"), col("dl"), lit(v + 1).as("sv"))
+    rows.coalesce(1).write.mode("append").parquet(s"$p/tombstones")
+    f.create(new org.apache.hadoop.fs.Path(
+      s"$p/termstats/_deltas/intent-sv-${v + 1}"), true).close()
+    // the next dictionary read must REFUSE the listing-only trust
+    // (cover matches the stats version, but the intent is outstanding),
+    // take the full reconcile, land the orphan generation, and be exact
+    val ref = tmp("crashref")
+    InvertedIndex.build(docs.filter(col("doc_id") >= 4 && col("doc_id") < 40),
+      "doc_id", "text", ref, nBuckets = 8, nDocBuckets = 4)
+    assert(dict(p) == dict(ref),
+      "an unmarked crashed generation must be landed, never trusted away")
+    }
+  }
 }
