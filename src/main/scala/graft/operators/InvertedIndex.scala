@@ -734,6 +734,25 @@ object InvertedIndex {
   // trailing fold sums them into one row per term) because replay
   // triggers on the marker, never the files.
   //
+  // STEADY-STATE COST. Three more marker families make the reconcile
+  // LISTING-ONLY between mutations (no tombstone read, no Spark job —
+  // what keeps a delete-trickle stream and every dictionary read under
+  // standing debt flat):
+  //   - `defer-sv-<sv>-f<n>` caches a deferring generation's measured
+  //     term-bucket footprint (pure cache: losing it re-measures, a
+  //     stale one only keeps deferring — the exact-fallback direction);
+  //   - `cover-v<V>` watermarks that every generation with sv ≤ V
+  //     carries an `sv-`/`defer-` marker; deletes extend it with their
+  //     own version bump, append/addDocStore advance it with theirs,
+  //     the crashed-delete stats catch-up deliberately leaves it stale;
+  //   - `intent-sv-<sv>`, written BEFORE a delete's tombstone append
+  //     and dropped after its generation marker, vetoes the
+  //     listing-only trust across the crash window where tombstone rows
+  //     exist that the stats version does not yet count. Orphaned
+  //     intents clear at the next MUTATION entry's full reconcile —
+  //     never from a serving read, which could race the single writer's
+  //     open window.
+  //
   // COMPACT keeps the invariant per bucket ATOMICALLY: the rewritten
   // posting buckets' termstats dirs are REPLACED (staged swap) by a
   // live recompute, which drops base rows and delta rows together in
