@@ -346,9 +346,26 @@ object BenchCurve {
     * curve artifact measured BEFORE a code change is mechanically
     * distinguishable from one measured after (the r16 staleness gap). */
   private def provenance(): String = {
+    // anchor the rev-parse at the repo that BUILT this code — resolved
+    // from the classpath (this class's location), overridable with
+    // -Dgraft.repo.root — NOT the process cwd: a bench launched from
+    // outside the repo would otherwise stamp "unknown" (or the sha of
+    // an unrelated enclosing repo), silently defeating the staleness
+    // detection the stamp exists for
+    val anchor = sys.props.get("graft.repo.root").map(new java.io.File(_))
+      .orElse(try {
+        val loc = new java.io.File(getClass.getProtectionDomain
+          .getCodeSource.getLocation.toURI)
+        Some(if (loc.isDirectory) loc else loc.getParentFile)
+      } catch { case scala.util.control.NonFatal(_) => None })
+      .getOrElse(new java.io.File("."))
     val sha = try scala.sys.process.Process(
-        Seq("git", "rev-parse", "HEAD"), new java.io.File(".")).!!.trim
-      catch { case scala.util.control.NonFatal(_) => "unknown" }
+        Seq("git", "rev-parse", "HEAD"), anchor).!!.trim
+      catch { case scala.util.control.NonFatal(_) =>
+        System.err.println(s"[BenchCurve] WARNING: git sha unresolvable from " +
+          s"$anchor — provenance stamp falls back to 'unknown'")
+        "unknown"
+      }
     s""""code_sha":"$sha","measured_epoch_s":${System.currentTimeMillis / 1000}"""
   }
 

@@ -4945,6 +4945,43 @@ object SparkEntry {
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       Multimodal.MediaRow(id, bos.toByteArray, "wav")
+    } ++ audio8BitFixtures
+  }
+
+  /** 8-BIT PCM_SIGNED fixtures (ids 1000-1005, AU container — the
+    * javax.sound route 8-bit SIGNED payloads actually arrive by; WAV
+    * 8-bit is unsigned): amplitude = level·8 in the 8-bit domain, which
+    * the decoder's <<8 scale maps to exactly level·2048 — the same
+    * closed-form frame levels as the 16-bit groups, so the oracle's lv
+    * formula applies unchanged on (id − 1000). Pins the 8-bit scale
+    * fix: without it every one of these rows would fingerprint as
+    * silence (all levels 0) and pair as hamming-0 duplicates. */
+  private def audio8BitFixtures: Seq[Multimodal.MediaRow] = {
+    val frameSize = 256
+    val nFrames = 15
+    (0L until 6L).map { j =>
+      val g = j / 3
+      val v = j % 3
+      val baseL = (g % 14 + 1).toInt
+      val altL = ((g + 7) % 14 + 1).toInt
+      def level(frame: Int): Int =
+        if (v == 2) altL else if (v == 1 && frame == 0) baseL + 1 else baseL
+      val n = frameSize * nFrames
+      val pcm = new Array[Byte](n)
+      var t = 0
+      while (t < n) {
+        val a = level(t / frameSize) * 8
+        val sv = if ((t / 16) % 2 == 0) a else -a // square wave, period 32
+        pcm(t) = sv.toByte
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+      Multimodal.MediaRow(1000L + j, bos.toByteArray, "au")
     }
   }
 
@@ -8028,12 +8065,16 @@ object SparkEntry {
     * touches a codec while the Spark side decodes the real WAV bytes.
     * `tail` selects/pairs over the `fp` CTE. */
   private def audioFpOracle(tail: String): String =
-    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    """WITH ids AS (
+      |  SELECT doc_id, doc_id AS e FROM documents WHERE doc_id < 48
+      |  UNION ALL
+      |  SELECT CAST(1000 + i AS BIGINT), CAST(i AS BIGINT)
+      |  FROM generate_series(0, 5) t8(i)),
       |lv AS (
       |  SELECT doc_id, i,
-      |    CASE WHEN doc_id % 3 = 2 THEN ((doc_id // 3) + 7) % 14 + 1
-      |         WHEN doc_id % 3 = 1 AND i = 0 THEN (doc_id // 3) % 14 + 2
-      |         ELSE (doc_id // 3) % 14 + 1 END AS l
+      |    CASE WHEN e % 3 = 2 THEN ((e // 3) + 7) % 14 + 1
+      |         WHEN e % 3 = 1 AND i = 0 THEN (e // 3) % 14 + 2
+      |         ELSE (e // 3) % 14 + 1 END AS l
       |  FROM ids, generate_series(0, 14) t(i)),
       |fp AS (
       |  SELECT doc_id,

@@ -1237,14 +1237,27 @@ object Ann {
   def bqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Long] = {
     import spark.implicits._
+    bqDeleteSave(spark, path, ids.toDF("id"))
+  }
+
+  /** [[bqDeleteSave]] with the ids as a DataFrame — the streaming /
+    * bulk form. Touched buckets come from hashing the id frame itself
+    * (no scan needed — the bucket is a pure function of the id) and
+    * each rewrite anti-joins the size-gated broadcast id set
+    * ([[maybeBroadcastIds]]) instead of building an `isin` literal. */
+  def bqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Seq[Long] = {
     recoverStagedDirs(
       org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(s"$path/sigs"))
     val nb = bqNBuckets(spark, path)
-    val touched = ids.toDF("id").select(bqBucketOf(nb).as("b"))
-      .distinct().as[Long].collect().toSeq.sorted
+    val (idDf, n) = stageIdFrame(ids)
+    if (n == 0L) return Seq.empty
+    val hinted = maybeBroadcastIds(spark, idDf, n)
+    val touched = idDf.select(bqBucketOf(nb).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
     touched.foreach { b =>
-      rewritePartitionDir(spark, s"$path/sigs/bucket=$b", col("id").isin(ids: _*))
+      rewritePartitionDir(spark, s"$path/sigs/bucket=$b")(keepNotIn(hinted))
     }
     touched
   }
@@ -1478,15 +1491,30 @@ object Ann {
     * (atomic per-dir swap). Returns the touched cluster ids. */
   def ivfBqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Int] = {
+    import spark.implicits._
+    ivfBqDeleteSave(spark, path, ids.toDF("id"))
+  }
+
+  /** [[ivfBqDeleteSave]] with the ids as a DataFrame — same size-gated
+    * broadcast anti-join shape as the [[ivfDeleteSave]] DataFrame
+    * overload. The discovery scan still projects only (id, cluster):
+    * neither vectors nor signatures are read. */
+  def ivfBqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Seq[Int] = {
     recoverMaintain(spark, path)
     recoverStagedDirs(
       org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(s"$path/lists"))
-    val drop = col("id").cast(StringType).isin(ids: _*)
+    val (idDf, n) = stageIdFrame(ids)
+    if (n == 0L) return Seq.empty
+    val hinted = maybeBroadcastIds(spark, idDf, n)
     val touched = spark.read.parquet(s"$path/lists")
-      .filter(drop).select(col("cluster").cast(IntegerType))
+      .select(col("id").cast(StringType).as("id"), col("cluster"))
+      .join(hinted, Seq("id"), "left_semi")
+      .select(col("cluster").cast(IntegerType))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    touched.foreach(c => rewritePartitionDir(spark, s"$path/lists/cluster=$c", drop))
+    touched.foreach(c =>
+      rewritePartitionDir(spark, s"$path/lists/cluster=$c")(keepNotIn(hinted)))
     touched
   }
 
@@ -2542,14 +2570,24 @@ object Ann {
     * retriable). Backs every persisted delete (IVF / BQ / hybrid /
     * IVF×PQ). */
   private[operators] def rewritePartitionDir(spark: org.apache.spark.sql.SparkSession,
-      dir: String, drop: Column): Unit = {
+      dir: String, drop: Column): Unit =
+    rewritePartitionDir(spark, dir)(df => df.filter(!drop))
+
+  /** [[rewritePartitionDir]] with the kept set expressed as a TRANSFORM
+    * instead of a drop predicate — the shape the DataFrame delete
+    * overloads need: a six-figure id batch reaches the rewrite as a
+    * size-gated broadcast anti-join (the r13 InvertedIndex.delete
+    * discipline), never a giant In-expression that blows past codegen
+    * limits. Same crash-safe two-rename swap either way. */
+  private[operators] def rewritePartitionDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String)(keep: DataFrame => DataFrame): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val tmp = new org.apache.hadoop.fs.Path(
       dirPath.getParent, s".${dirPath.getName}.rewrite.tmp")
     val old = new org.apache.hadoop.fs.Path(
       dirPath.getParent, s".${dirPath.getName}.rewrite.old")
-    val kept = spark.read.parquet(dir).filter(!drop).localCheckpoint(true)
+    val kept = keep(spark.read.parquet(dir)).localCheckpoint(true)
     if (kept.isEmpty) {
       fs.delete(dirPath, true)
     } else {
@@ -2559,6 +2597,42 @@ object Ann {
       fs.delete(old, true)
     }
   }
+
+  /** Normalize a caller-supplied id frame (first column = the ids) to a
+    * single distinct string `id` column, materialized once
+    * (localCheckpoint) so the touched-directory discovery and every
+    * per-directory rewrite reuse the same computed set and AQE sees its
+    * true size. Returns the staged frame plus its row count — the
+    * emptiness signal and the broadcast gate's input. Shared by every
+    * persisted-layout DataFrame delete (IVF / BQ / hybrid / IVF×PQ /
+    * dedup index / inverted index / partitioned store). */
+  private[graft] def stageIdFrame(ids: DataFrame): (DataFrame, Long) = {
+    val idf = ids
+      .select(col(ids.columns.head).cast(StringType).as("id"))
+      .distinct().localCheckpoint(true)
+    (idf, idf.count())
+  }
+
+  /** Broadcast-hint a staged id frame only while the set is comfortably
+    * executor-buildable — past `spark.graft.ann.deleteBroadcastMaxIds`
+    * (default 4M ids) the hint DROPS and AQE picks the join strategy
+    * from runtime sizes (same size-gating discipline as
+    * [[InvertedIndex.maybeBroadcastTombs]]): a forced broadcast of an
+    * unbounded tombstone batch would be the same scale defect the hint
+    * exists to avoid. */
+  private[graft] def maybeBroadcastIds(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, n: Long): DataFrame = {
+    val cap = spark.conf.get("spark.graft.ann.deleteBroadcastMaxIds",
+      "4000000").toLong
+    if (n <= cap) broadcast(ids) else ids
+  }
+
+  /** The anti-join keep transform every DataFrame delete rewrites with:
+    * survivors are the directory's rows whose (stringified) id does NOT
+    * appear in the staged id frame. */
+  private def keepNotIn(idsHinted: DataFrame): DataFrame => DataFrame =
+    df => df.join(idsHinted,
+      df("id").cast(StringType) === idsHinted("id"), "left_anti")
 
   /** Delete ids from a PERSISTED IVF layout ([[ivfSave]]) at cost ∝
     * touched clusters: one scan of (id, cluster) — vectors never read —
@@ -2575,14 +2649,33 @@ object Ann {
     * Returns the touched cluster ids. */
   def ivfDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Int] = {
+    import spark.implicits._
+    ivfDeleteSave(spark, path, ids.toDF("id"))
+  }
+
+  /** [[ivfDeleteSave]] with the ids as a DataFrame — the streaming /
+    * bulk form: the id set reaches the touched-cluster discovery as a
+    * left-semi join and every directory rewrite as a size-gated
+    * broadcast anti-join ([[maybeBroadcastIds]]), never an `isin`
+    * literal and never a driver collect, so a six-figure tombstone
+    * batch neither blows up the plan nor funnels through the driver.
+    * The Seq overload is a thin wrapper (reference-parity small
+    * lists). */
+  def ivfDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Seq[Int] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     recoverMaintain(spark, path)
     recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/lists"))
-    val drop = col("id").cast(StringType).isin(ids: _*)
+    val (idDf, n) = stageIdFrame(ids)
+    if (n == 0L) return Seq.empty
+    val hinted = maybeBroadcastIds(spark, idDf, n)
     val touched = spark.read.parquet(s"$path/lists")
-      .filter(drop).select(col("cluster").cast(IntegerType))
+      .select(col("id").cast(StringType).as("id"), col("cluster"))
+      .join(hinted, Seq("id"), "left_semi")
+      .select(col("cluster").cast(IntegerType))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    touched.foreach(c => rewritePartitionDir(spark, s"$path/lists/cluster=$c", drop))
+    touched.foreach(c =>
+      rewritePartitionDir(spark, s"$path/lists/cluster=$c")(keepNotIn(hinted)))
     touched
   }
 
@@ -2593,17 +2686,30 @@ object Ann {
     * ids. */
   def ivfPqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: Seq[String]): Seq[Int] = {
+    import spark.implicits._
+    ivfPqDeleteSave(spark, path, ids.toDF("id"))
+  }
+
+  /** [[ivfPqDeleteSave]] with the ids as a DataFrame — same size-gated
+    * broadcast anti-join shape as the [[ivfDeleteSave]] DataFrame
+    * overload, applied to both row-consistent layouts. */
+  def ivfPqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Seq[Int] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     recoverMaintain(spark, path)
     recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/codes"))
     recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/ivf/lists"))
-    val drop = col("id").cast(StringType).isin(ids: _*)
+    val (idDf, n) = stageIdFrame(ids)
+    if (n == 0L) return Seq.empty
+    val hinted = maybeBroadcastIds(spark, idDf, n)
     val touched = spark.read.parquet(s"$path/codes")
-      .filter(drop).select(col("cluster").cast(IntegerType))
+      .select(col("id").cast(StringType).as("id"), col("cluster"))
+      .join(hinted, Seq("id"), "left_semi")
+      .select(col("cluster").cast(IntegerType))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     touched.foreach { c =>
-      rewritePartitionDir(spark, s"$path/codes/cluster=$c", drop)
-      rewritePartitionDir(spark, s"$path/ivf/lists/cluster=$c", drop)
+      rewritePartitionDir(spark, s"$path/codes/cluster=$c")(keepNotIn(hinted))
+      rewritePartitionDir(spark, s"$path/ivf/lists/cluster=$c")(keepNotIn(hinted))
     }
     touched
   }

@@ -394,7 +394,10 @@ object Dedup {
         .join(groups.select(col("fp").as("fp_b"), col("rep").as("rb")), Seq("fp_b"))
         .select(orient(col("ra"), col("rb"), col("hamming")): _*)
         .filter(col("id_a") =!= col("id_b")) // an id carrying two fps must not self-pair
-      star.union(near)
+      // distinct like the default branch: duplicated input rows (same
+      // id+fp twice) must not duplicate star edges, and an id carrying
+      // two equal-hamming fp routes must emit its rep pair once
+      star.union(near).distinct()
     } else {
       val exact = members.select(col("fp"), col("id").as("id_a"))
         .join(members.select(col("fp"), col("id").as("id_b")), Seq("fp"))

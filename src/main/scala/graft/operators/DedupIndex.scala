@@ -215,10 +215,26 @@ object DedupIndex {
     * scope: drop the index directory and [[create]] afresh instead. */
   def delete(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
     require(ids.nonEmpty, "delete needs at least one id")
+    import spark.implicits._
+    delete(spark, path, ids.toDF("id"))
+  }
+
+  /** [[delete]] with the ids as a DataFrame — the streaming / bulk
+    * form: each projection rewrite anti-joins the size-gated broadcast
+    * id set ([[Ann.maybeBroadcastIds]]) instead of building an `isin`
+    * literal, so a six-figure tombstone batch neither blows up the plan
+    * nor funnels through the driver. An empty frame is a no-op (the
+    * Seq overload keeps its loud nonEmpty contract). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     readParams(spark, path) // loud layout check (incl. keyed hashes)
-    val drop = col("id").cast(org.apache.spark.sql.types.StringType).isin(ids: _*)
+    val (idDf, n) = Ann.stageIdFrame(ids)
+    if (n == 0L) return
+    val hinted = Ann.maybeBroadcastIds(spark, idDf, n)
     Seq("hashes", "bands", "sigs", "simchunks").foreach { proj =>
-      rewriteProjection(spark, path, proj)(_.filter(!drop))
+      rewriteProjection(spark, path, proj)(df =>
+        df.join(hinted,
+          df("id").cast(org.apache.spark.sql.types.StringType) === hinted("id"),
+          "left_anti"))
     }
   }
 

@@ -511,6 +511,20 @@ object InvertedIndex {
     * moves the version past every pending `sv`. */
   def delete(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
     if (ids.isEmpty) return
+    import spark.implicits._
+    delete(spark, path, ids.toDF("id"))
+  }
+
+  /** [[delete]] with the ids as a DataFrame (first column = the ids) —
+    * the streaming / bulk form: the id set is staged once
+    * ([[Ann.stageIdFrame]]) and reaches the found-set semi-join
+    * size-gated ([[Ann.maybeBroadcastIds]]) instead of force-broadcast,
+    * never funneling through the driver. All crash-ordering steps are
+    * identical to the Seq form (which is now a thin wrapper). An empty
+    * frame is a no-op. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val (idDf, nIds) = Ann.stageIdFrame(ids)
+    if (nIds == 0L) return
     val fs = statsFs(spark, path)
     Ann.recoverStagedDirs(fs, new org.apache.hadoop.fs.Path(s"$path/docstats"))
     // a delete is a mutation entry point: heal swap residue BEFORE
@@ -525,8 +539,6 @@ object InvertedIndex {
     reconcileTermDeltas(spark, path, fromMutation = true)
     val debtZeroAtEntry = tombstoneBytes(spark, path) == 0L
     val (st, v) = readStatsVersioned(spark, path)
-    import spark.implicits._
-    val idDf = ids.distinct.toDF("id")
     val dbuckets = idDf.select(docBucket(st.nDocBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     // the rows REALLY present, from the pruned scan — materialized
@@ -540,7 +552,8 @@ object InvertedIndex {
     val dsScan = spark.read.parquet(s"$path/docstats")
       .filter(col("dbucket").isin(dbuckets: _*))
     val hasTbCol = dsScan.columns.contains("tbuckets")
-    val found0 = dsScan.join(broadcast(idDf), Seq("id"), "left_semi")
+    val found0 = dsScan.join(Ann.maybeBroadcastIds(spark, idDf, nIds),
+      Seq("id"), "left_semi")
     val found = (tombstonesOf(spark, path) match {
         case Some(t) =>
           found0.join(maybeBroadcastTombs(spark, path, t.select(col("id"))),
@@ -1100,11 +1113,25 @@ object InvertedIndex {
     * generations no-op. Returns true when the fast path is exact on
     * return (no pending generations remain — false only for layouts
     * that cannot land: no termstats, or a legacy tombstone set without
-    * sv/tbuckets rows). */
+    * sv/tbuckets rows).
+    *
+    * NOT a mutation entry point: it runs with `fromMutation = false`,
+    * so it never clears intent markers it did not resolve — a
+    * maintenance job racing a live [[delete]]'s open window (between
+    * that delete's intent write and its generation marker) must not
+    * erase the in-flight intent, or a crash of that delete would leave
+    * tombstone rows the listing-only trusted reconcile silently trusts
+    * away. Orphaned intents from genuinely crashed deletes are cleared
+    * by the next real mutation entry, which IS the single writer.
+    * Prefer running this on the same exclusivity schedule as
+    * delete/compact anyway: a concurrent landing of the same
+    * generation fails loudly on the deterministic delta-file rename
+    * (never a silent double-subtract), and serialized runs never pay
+    * that retry. */
   def landPendingTermDeltas(spark: SparkSession, path: String): Boolean = {
     val fs = statsFs(spark, path)
     recoverTombstoneSwap(fs, path)
-    reconcileTermDeltasBounded(spark, path, Int.MaxValue, fromMutation = true)
+    reconcileTermDeltasBounded(spark, path, Int.MaxValue, fromMutation = false)
   }
 
   /** Retrofit the id-bucketed DOC STORE onto an EXISTING index —

@@ -241,7 +241,12 @@ object Multimodal {
             while (c < ch) {
               val off = (t * ch + c) * bytesPerSample
               val s =
-                if (bits == 8) raw(off).toInt
+                // 8-bit payloads scale to the promised 16-bit range
+                // (<< 8): without the scale, every 8-bit sample sits
+                // under audioEnergyFingerprint's 2048-per-level
+                // quantum and all 8-bit audio would fingerprint as
+                // silence (hamming-0 "duplicates" of each other)
+                if (bits == 8) raw(off).toInt << 8
                 else if (fmt.isBigEndian)
                   (raw(off) << 8) | (raw(off + 1) & 0xff)
                 else (raw(off + 1) << 8) | (raw(off) & 0xff)

@@ -355,15 +355,28 @@ object VectorStore {
       * same bucketed layout.) */
     def delete(spark: SparkSession, path: String, ids: Seq[String]): Unit = {
       if (ids.isEmpty) return
+      import spark.implicits._
+      delete(spark, path, ids.toDF(IdCol))
+    }
+
+    /** [[delete]] with the ids as a DataFrame (first column = the ids)
+      * — the streaming / bulk form: the id set reaches the anti-join
+      * size-gated ([[Ann.maybeBroadcastIds]]) instead of force-
+      * broadcast, and never funnels through the driver. The touched
+      * bucket ids still collect (bounded by nBuckets — the `isin`
+      * there is the plan-visible partition-prune witness, not an id
+      * list). */
+    def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
       val meta = readMeta(spark, s"$path/_meta.json")
       val nBuckets = meta.additionalData("nBuckets").asInt()
-      import spark.implicits._
-      val idDf = ids.toDF(IdCol).withColumn(BucketCol, bucketOf(nBuckets))
+      val (idDf0, n) = Ann.stageIdFrame(ids)
+      if (n == 0L) return
+      val idDf = idDf0.select(col("id").as(IdCol)).withColumn(BucketCol, bucketOf(nBuckets))
       val touched = idDf.select(BucketCol).distinct().collect().map(_.getLong(0)).toSeq
       val base = spark.read.parquet(s"$path/data")
         .filter(col(BucketCol).isin(touched: _*))
       val remaining = base
-        .join(broadcast(idDf.select(IdCol)), Seq(IdCol), "left_anti")
+        .join(Ann.maybeBroadcastIds(spark, idDf.select(IdCol), n), Seq(IdCol), "left_anti")
         .localCheckpoint(true)
       // the partition column reads back as INT (directory-value
       // inference), not the LONG bucketOf produces — cast for the compare

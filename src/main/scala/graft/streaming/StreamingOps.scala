@@ -967,17 +967,23 @@ object StreamingOps {
       .outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
         val spark = b.sparkSession
-        val list = b.select(col(idCol).cast(StringType)).distinct()
-          .collect().map(_.getString(0)).toSeq
-        if (list.nonEmpty) {
+        // the batch's id set stays a DataFrame end-to-end: staged once
+        // (distinct + localCheckpoint), then fanned into each index
+        // family's DataFrame delete overload, where it reaches every
+        // rewrite as a size-gated broadcast anti-join — a six-figure
+        // tombstone batch never funnels through the driver and never
+        // becomes an isin literal in any plan
+        val (idDf, n) = graft.operators.Ann.stageIdFrame(
+          b.select(col(idCol).cast(StringType).as("id")))
+        if (n > 0L) {
           storePath.foreach(p =>
-            graft.operators.VectorStore.Partitioned.delete(spark, p, list))
-          ivfPath.foreach(p => graft.operators.Ann.ivfDeleteSave(spark, p, list))
-          dedupIndexPath.foreach(p => graft.operators.DedupIndex.delete(spark, p, list))
-          bqIndexPath.foreach(p => graft.operators.Ann.bqDeleteSave(spark, p, list))
-          ivfBqPath.foreach(p => graft.operators.Ann.ivfBqDeleteSave(spark, p, list))
+            graft.operators.VectorStore.Partitioned.delete(spark, p, idDf))
+          ivfPath.foreach(p => graft.operators.Ann.ivfDeleteSave(spark, p, idDf))
+          dedupIndexPath.foreach(p => graft.operators.DedupIndex.delete(spark, p, idDf))
+          bqIndexPath.foreach(p => graft.operators.Ann.bqDeleteSave(spark, p, idDf))
+          ivfBqPath.foreach(p => graft.operators.Ann.ivfBqDeleteSave(spark, p, idDf))
           allInv.foreach { p =>
-            graft.operators.InvertedIndex.delete(spark, p, list)
+            graft.operators.InvertedIndex.delete(spark, p, idDf)
             // debt-gated repayment; invCompactMinTombFrac > 0 makes it
             // INCREMENTAL (only buckets past the per-bucket tombstoned
             // fraction rewrite; repaid ids retire, the rest stay

@@ -1799,6 +1799,75 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(DedupIndex.filterExact(spark, idxDir, blocked, "text").isEmpty)
   }
 
+  test("tombstone stream: a 120k-id batch flows as joins (no isin literal), untouched ivf dirs byte-identical") {
+    import graft.operators.{DedupIndex, VectorStore}
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val storeDir = Files.createTempDirectory("bigtombstore").toString
+    VectorStore.Partitioned.init(
+      VectorStore.fromDataFrame(e, "vec_id", "embedding", 64), storeDir, 8)
+    val ivfDir = Files.createTempDirectory("bigtombivf").toString
+    val idx = Ann.ivfBuild(e, "vec_id", "embedding", nLists = 8)
+    Ann.ivfSave(idx, ivfDir)
+    val bqDir = Files.createTempDirectory("bigtombbq").toString
+    Ann.bqSaveIndex(e, "vec_id", "embedding", bqDir, nBuckets = 4)
+    val docsT = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    val idxDir = Files.createTempDirectory("bigtombdedup").toString
+    DedupIndex.create(docsT, "doc_id", "text", idxDir)
+    // real victims: five ids present everywhere; the other 120k ids in
+    // the batch exist nowhere — the point is batch SIZE: the old
+    // isin-literal/driver-collect form would build a 120k-element
+    // In-expression inside every rewrite plan (the defect class the r12
+    // 150k-tombstone compact spec pinned for the inverted index)
+    val realDel = Seq(0L, 1L, 2L, 3L, 4L)
+    val delClusters = idx.assigned
+      .filter(col("id").cast("string").isin(realDel.map(_.toString): _*))
+      .select(col("cluster").cast("int")).distinct().collect().map(_.getInt(0)).toSet
+    def listing(root: String): Map[String, Long] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    val before = listing(s"$ivfDir/lists")
+    val watch = Files.createTempDirectory("bigtomb_watch")
+    val staging = Files.createTempDirectory("bigtomb_stage")
+    (realDel ++ (1000000L until 1120000L)).toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, watch.resolve("big.parquet"))
+    val schema = spark.read.parquet(watch.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(watch.toString)
+    val q = graft.streaming.StreamingOps.tombstoneStream(stream, "id",
+      storePath = Some(storeDir), ivfPath = Some(ivfDir),
+      dedupIndexPath = Some(idxDir), bqIndexPath = Some(bqDir))
+    try q.processAllAvailable() finally q.stop()
+    val delS = realDel.map(_.toString)
+    // every layout forgot exactly the five real ids
+    val store = VectorStore.Partitioned.load(spark, storeDir)
+    assert(store.df.count() == e.count() - 5)
+    assert(store.df.filter(col("__id__").isin(delS: _*)).count() == 0L)
+    val ivf = Ann.ivfLoad(spark, ivfDir)
+    assert(ivf.assigned.count() == e.count() - 5)
+    assert(ivf.assigned.filter(col("id").cast("string").isin(delS: _*)).count() == 0L)
+    val bq = Ann.bqLoadIndex(spark, bqDir)
+    assert(bq.sigs.count() == e.count() - 5)
+    val reprobe = docsT.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 900L).as("doc_id"), col("text"))
+    assert(DedupIndex.filterExact(spark, idxDir, reprobe, "text").count() == 5L)
+    // ivf dirs outside the victims' clusters stay byte-identical —
+    // presence-based touched-set discovery, not id-hash fanout
+    val after = listing(s"$ivfDir/lists")
+    val untouchedBefore = before.filter { case (p, _) =>
+      !delClusters.exists(c => p.contains(s"cluster=$c/")) }
+    val untouchedAfter = after.filter { case (p, _) =>
+      !delClusters.exists(c => p.contains(s"cluster=$c/")) }
+    assert(untouchedBefore == untouchedAfter,
+      "untouched ivf cluster dirs must not be rewritten by a 120k-id batch")
+  }
+
   test("serving-tier tombstones: cache and replica forget, bitwise-equal to cold rebuild") {
     import graft.operators.VectorStore
     import java.nio.file.Files

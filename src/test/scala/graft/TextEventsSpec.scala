@@ -1039,4 +1039,42 @@ class TextEventsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 3)))
   }
+
+  test("audio: 8-bit PCM_SIGNED scales to the 16-bit range, not to silence") {
+    import graft.operators.Multimodal
+    // 8-bit signed square wave in an AU container (the javax.sound
+    // route 8-bit SIGNED payloads arrive by — WAV 8-bit is unsigned):
+    // amplitude level*8 must decode to level*2048 after the <<8 scale
+    def au8(level0: Int, level: Int): Array[Byte] = {
+      val n = 256 * 15
+      val pcm = new Array[Byte](n)
+      var t = 0
+      while (t < n) {
+        val l = if (t / 256 == 0) level0 else level
+        val a = l * 8
+        pcm(t) = (if ((t / 16) % 2 == 0) a else -a).toByte
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+      bos.toByteArray
+    }
+    val dec = Multimodal.tryDecodeWavPcm(au8(3, 3))
+    assert(dec.isDefined && dec.get.length == 256 * 15)
+    assert(dec.get.forall(s => math.abs(s) == 3 * 2048),
+      "8-bit samples must scale <<8 into the promised 16-bit range")
+    // fingerprint equals the same-level 16-bit fixture's closed form —
+    // NOT zero (the pre-fix behavior: every 8-bit payload -> silence)
+    val fp = Multimodal.audioEnergyFingerprint(dec.get, 256)
+    assert(fp == (0 until 15).map(i => 3L << (4 * i)).sum)
+    assert(fp != 0L)
+    // two different 8-bit amplitudes are NOT hamming-0 of each other
+    val fpAlt = Multimodal.audioEnergyFingerprint(
+      Multimodal.tryDecodeWavPcm(au8(9, 9)).get, 256)
+    assert(java.lang.Long.bitCount(fp ^ fpAlt) > 4)
+  }
 }
