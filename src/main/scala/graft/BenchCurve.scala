@@ -179,6 +179,18 @@ object BenchCurve {
       // terms however many docs, so these points must stay FLAT across
       // 16× docs (Heaps' law keeps real vocab growth sublinear). The
       // fuzzy probe adds the expansion's own pruned postings read.
+      //
+      // The FIRST dictionary demand after a state change pays the
+      // consolidated-snapshot build (the O(nBuckets) layout walk +
+      // vocab agg + one-file write) — priced separately here as
+      // suggest_snap_build; suggest_dict then measures the
+      // steady-state snapshot-backed call, which is the per-call cost
+      // every subsequent suggest/fuzzy/didYouMean pays and must be
+      // FLAT in the bucket count (the r17 honest-negative this
+      // retires).
+      val tS0 = System.nanoTime()
+      InvertedIndex.suggestTerms(spark, s"$base/inv", "w1", k = 10).count()
+      val suggestSnapBuild = (System.nanoTime() - tS0) / 1e9
       val suggestDict = timed(
         InvertedIndex.suggestTerms(spark, s"$base/inv", "w1", k = 10))
       val fuzzyDict = timed(InvertedIndex.bm25FuzzyTopK(spark, s"$base/inv",
@@ -325,6 +337,7 @@ object BenchCurve {
       System.gc()
       s"""{"n":$n,"n_buckets":$nBuckets,"build_inv":$buildInv,""" +
         s""""probe_scan":$probeScan,"probe_inv":$probeInv,""" +
+        s""""suggest_snap_build":$suggestSnapBuild,""" +
         s""""suggest_dict":$suggestDict,"fuzzy_dict":$fuzzyDict,""" +
         s""""facet_store":$facetStore,""" +
         s""""fetch_docs":$fetchDocsT,""" +

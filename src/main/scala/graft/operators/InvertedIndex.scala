@@ -2467,7 +2467,14 @@ object InvertedIndex {
     *     [[reconcileTermDeltas]] protocol): (bucket, term, df) rows,
     *     build row + append/delete deltas summed per term, and
     *     corpus-independent (Heaps'-law vocab growth only). This is the
-    *     steady-state path even under a tombstone trickle.
+    *     steady-state path even under a tombstone trickle — and it is
+    *     served from a CONSOLIDATED SNAPSHOT (`termstats/_dictsnap`):
+    *     the pre-aggregated dictionary in one small file, keyed on
+    *     (stats version, landed delta generations) so any state change
+    *     invalidates it, rebuilt on first demand. The per-call cost is
+    *     one marker listing + one small read — independent of the
+    *     bucket count, where the raw layout walk grows O(√N) with the
+    *     corpus (the NOTES honest-negative this retires).
     *   - termstats present but the tombstone set is LEGACY (rows
     *     predating sv/tbuckets, so generations cannot be keyed):
     *     candidate TERMS still come from the dictionary (a tombstone
@@ -2480,6 +2487,61 @@ object InvertedIndex {
     *
     * Dead terms (every posting tombstoned) emit df = 0 and are dropped.
     * Emits (term, df). */
+  /** Consolidated dictionary SNAPSHOT key — the exact state a snapshot
+    * was aggregated from. The stats version alone is NOT a complete
+    * key: a crashed delete's term deltas can land during a serving
+    * read's reconcile WITHOUT a version bump (the stats catch-up
+    * happens at the next mutation entry), so the key also folds the
+    * set of landed generation markers. Deferred generations never
+    * reach a snapshot at all (they make the reconcile non-exact). */
+  private def dictSnapKey(v: Long, landed: Set[Long]): String = {
+    val gens =
+      if (landed.isEmpty) "0"
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(landed.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
+      }
+    s"v$v-g$gens"
+  }
+
+  private def dictSnapDir(path: String): String = s"$path/termstats/_dictsnap"
+
+  /** Persist the aggregated (term, df) dictionary as the snapshot for
+    * `key` — staged under a unique dot-prefixed sibling, committed by
+    * one atomic rename (rename-if-absent: a concurrent builder of the
+    * SAME key loses the rename and adopts the winner's files), then
+    * superseded snapshots/stages of OLDER versions retire. A reader
+    * pinned on a snapshot a newer state just retired is the same
+    * documented race class as compact's bucket swap (single logical
+    * writer per index). Returns a reader over the committed files. */
+  private def writeDictSnapshot(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, v: Long,
+      key: String, dict: DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dictSnapDir(path))
+    fs.mkdirs(root)
+    val target = new org.apache.hadoop.fs.Path(root, key)
+    val stage = new org.apache.hadoop.fs.Path(root,
+      s".stage-$key-${java.util.UUID.randomUUID().toString.take(8)}")
+    // one file: the dictionary is vocab-sized (Heaps'-law growth), and
+    // every consumer (suggest prefix filter, fuzzy edit-distance scan)
+    // reads all of it anyway — a single ~tens-of-MB file at 8M docs
+    dict.repartition(1).write.mode("overwrite").parquet(stage.toString)
+    if (!fs.rename(stage, target)) fs.delete(stage, true)
+    def verOf(nm: String): Option[Long] = {
+      val core = nm.stripPrefix(".stage-").stripPrefix("v").takeWhile(_.isDigit)
+      if (core.nonEmpty) Some(core.toLong) else None
+    }
+    fs.listStatus(root).map(_.getPath)
+      .filter { p =>
+        val nm = p.getName
+        nm != key && !nm.startsWith(s".stage-$key-") &&
+          verOf(nm).exists(_ < v)
+      }
+      .foreach(fs.delete(_, true))
+    spark.read.schema("term STRING, df BIGINT").parquet(target.toString)
+  }
+
   def termDictionary(spark: SparkSession, path: String): DataFrame = {
     val st = readStats(spark, path)
     import spark.implicits._
@@ -2508,17 +2570,38 @@ object InvertedIndex {
       // explicit paths, Spark lists the leaf files in a distributed
       // job; base rows and delta files share the (term, df) schema by
       // layout contract, so no footer needs opening.
-      val dictDirs = fs.listStatus(tsRoot).filter(_.isDirectory)
+      def dictDirs(): Seq[String] = fs.listStatus(tsRoot).filter(_.isDirectory)
         .map(_.getPath).filter(_.getName.startsWith("bucket="))
         .map(_.toString).toSeq.sorted
-      if (dictDirs.isEmpty) return Seq.empty[(String, Long)].toDF("term", "df")
-      val dict = spark.read.schema("term STRING, df BIGINT")
-        .parquet(dictDirs: _*)
       if (exact) {
-        return dict.groupBy(col("term"))
+        // CONSOLIDATED SNAPSHOT fast path: the steady-state dictionary
+        // read is ONE marker-dir listing + one small parquet read —
+        // per-call cost independent of nBuckets. The √N bucket walk
+        // above (measured 0.55/0.79/1.31 s at 500k/2M/8M docs, NOTES
+        // "honest negatives") is paid once per STATE CHANGE, when the
+        // snapshot for the current (stats version, landed generations)
+        // key is first demanded, instead of on every
+        // suggest/fuzzy/didYouMean call.
+        val vNow = readStatsVersioned(spark, path)._2
+        val key = dictSnapKey(vNow, readDeltaMarkers(fs, path).landed)
+        val snap = new org.apache.hadoop.fs.Path(dictSnapDir(path), key)
+        if (fs.exists(snap))
+          return spark.read.schema("term STRING, df BIGINT").parquet(snap.toString)
+        val dirs = dictDirs()
+        if (dirs.isEmpty) return Seq.empty[(String, Long)].toDF("term", "df")
+        val agg = spark.read.schema("term STRING, df BIGINT")
+          .parquet(dirs: _*)
+          .groupBy(col("term"))
           .agg(sum(col("df")).as("df")) // build row + append/delete deltas
           .filter(col("df") > 0L)
+        return writeDictSnapshot(spark, fs, path, vNow, key, agg)
       }
+      // non-exact (legacy tombstones / deferring generation): candidate
+      // terms from the raw layout, dfs recomputed live — never snapshot
+      val dirs = dictDirs()
+      if (dirs.isEmpty) return Seq.empty[(String, Long)].toDF("term", "df")
+      val dict = spark.read.schema("term STRING, df BIGINT")
+        .parquet(dirs: _*)
       return termDfs(spark, path, dict.select(col("term")).distinct(), "term")
         .filter(col("df") > 0L)
     }

@@ -324,4 +324,75 @@ class TermDeltaSpec extends AnyFunSuite {
       "an unmarked crashed generation must be landed, never trusted away")
     }
   }
+
+  private def snapDirs(p: String): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(s"$p/termstats/_dictsnap")
+    val f = fs(p)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).map(_.getPath.getName).filterNot(_.startsWith(".")).toSeq.sorted
+  }
+
+  test("dictionary snapshot: steady-state read is one small scan, trickle delete invalidates") {
+    withSyncFrac(1.0) {
+    val p = tmp("snap")
+    InvertedIndex.build(docs.filter(col("doc_id") < 40), "doc_id", "text", p,
+      nBuckets = 8, nDocBuckets = 4)
+    // first demand builds the snapshot...
+    val d1 = dict(p)
+    val s1 = snapDirs(p)
+    assert(s1.size == 1, s"one committed snapshot expected, got $s1")
+    // ...and the steady-state read serves ONLY it: no bucket-dir walk,
+    // no postings — the per-call cost is independent of nBuckets
+    val q = InvertedIndex.suggestTerms(spark, p, "s", k = 5)
+    val scans = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("_dictsnap")),
+      s"steady-state dictionary must scan only the snapshot:\n${scans.mkString("\n")}")
+    assert(dict(p) == d1)
+    assert(snapDirs(p) == s1, "a snapshot-backed read must not rewrite the snapshot")
+    // a trickle delete moves the state key: stale snapshot retired,
+    // fresh one exact
+    InvertedIndex.delete(spark, p, Seq("0", "1"))
+    val ref = tmp("snapref")
+    InvertedIndex.build(docs.filter(col("doc_id") >= 2 && col("doc_id") < 40),
+      "doc_id", "text", ref, nBuckets = 8, nDocBuckets = 4)
+    assert(dict(p) == dict(ref), "post-delete dictionary must be exact")
+    val s2 = snapDirs(p)
+    assert(s2.size == 1 && s2 != s1,
+      s"the delete must retire the stale snapshot and commit a new key: $s1 -> $s2")
+    }
+  }
+
+  test("dictionary snapshot: a spread (deferring) delete never snapshots the stale state") {
+    val (p, ref) = debtFixture(25) // default gate: generation defers
+    val before = snapDirs(p)
+    assert(dict(p) == dict(ref), "fallback must be exact")
+    assert(snapDirs(p) == before,
+      "a non-exact dictionary read must not commit a snapshot")
+  }
+
+  test("dictionary snapshot: stats rollback (crashed delete) is keyed out, never served stale") {
+    withSyncFrac(1.0) {
+    val p = tmp("snaproll")
+    InvertedIndex.build(docs.filter(col("doc_id") < 40), "doc_id", "text", p,
+      nBuckets = 8, nDocBuckets = 4)
+    val preDelete = dict(p) // snapshot committed at (v1, no generations)
+    InvertedIndex.delete(spark, p, Seq("0", "1"))
+    assert(dict(p) != preDelete) // snapshot committed at (v2, {2})
+    // roll the stats back one version: the delete's tombstones and its
+    // LANDED deltas remain, but the version the key reads is v1 again —
+    // the key must differ from BOTH committed snapshots (the landed-
+    // generation fold), forcing a rebuild that sees the landed deltas
+    val f = fs(p)
+    val names = f.listStatus(new org.apache.hadoop.fs.Path(s"$p/_stats"))
+      .map(_.getPath).filter(_.getName.startsWith("v"))
+      .sortBy(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
+    f.delete(names.last, false)
+    val ref = tmp("snaprollref")
+    InvertedIndex.build(docs.filter(col("doc_id") >= 2 && col("doc_id") < 40),
+      "doc_id", "text", ref, nBuckets = 8, nDocBuckets = 4)
+    assert(dict(p) == dict(ref),
+      "a rolled-back stats version must never resurrect the pre-delete snapshot")
+    }
+  }
 }
