@@ -312,6 +312,147 @@ object Multimodal {
     }.toDF("id", "n_bytes", "n_samples", "afp")
   }
 
+  /** Container-level video metadata — format, duration, geometry, codec
+    * fourcc — parsed pure-JVM from the MP4 (ISO BMFF) and AVI (RIFF)
+    * header structures. This is the metadata a training pipeline
+    * filters and stratifies on (drop sub-second clips, bucket by
+    * resolution, route by codec) and it needs NO codec: the container
+    * headers are plain length-prefixed trees. Keyframe PIXELS remain
+    * honestly out of scope (no JDK video codec exists — the one
+    * labeled stub in this library); [[sampleChunks]] covers the
+    * frame-sampling plumbing shape. */
+  final case class VideoMeta(format: String, durationMs: Long,
+      width: Int, height: Int, codec: String)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    ((b(off + 3) & 0xffL) << 24) | ((b(off + 2) & 0xffL) << 16) |
+      ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "ISO-8859-1")
+
+  /** First direct child box of type `tp` in an ISO BMFF container span
+    * — (payloadStart, payloadEnd). Boxes are [be32 size][fourcc]
+    * trees; a malformed size (under 8, past the span, or the 64-bit
+    * `size==1` escape) stops the walk. */
+  private def mp4Find(b: Array[Byte], start: Int, end: Int,
+      tp: String): Option[(Int, Int)] = {
+    var off = start
+    while (off + 8 <= end) {
+      val size = be32(b, off)
+      if (size < 8 || off + size > end) return None
+      if (fourcc(b, off + 4) == tp) return Some((off + 8, off + size.toInt))
+      off += size.toInt
+    }
+    None
+  }
+
+  private def parseMp4(b: Array[Byte]): Option[VideoMeta] =
+    for {
+      (moovS, moovE) <- mp4Find(b, 0, b.length, "moov")
+      (mvhdS, _) <- mp4Find(b, moovS, moovE, "mvhd")
+      (trakS, trakE) <- mp4Find(b, moovS, moovE, "trak")
+      (tkhdS, _) <- mp4Find(b, trakS, trakE, "tkhd")
+      (mdiaS, mdiaE) <- mp4Find(b, trakS, trakE, "mdia")
+      (minfS, minfE) <- mp4Find(b, mdiaS, mdiaE, "minf")
+      (stblS, stblE) <- mp4Find(b, minfS, minfE, "stbl")
+      (stsdS, _) <- mp4Find(b, stblS, stblE, "stsd")
+    } yield {
+      // mvhd: v0 packs creation/modification as 32-bit, v1 as 64-bit —
+      // timescale/duration shift accordingly
+      val (timescale, duration) =
+        if ((b(mvhdS) & 0xff) == 1) (be32(b, mvhdS + 20), be64(b, mvhdS + 24))
+        else (be32(b, mvhdS + 12), be32(b, mvhdS + 16))
+      // tkhd: width/height are 16.16 fixed-point at the end of the
+      // fixed-layout payload (offset 76 for v0, 88 for v1)
+      val geomOff = tkhdS + (if ((b(tkhdS) & 0xff) == 1) 88 else 76)
+      val w = (be32(b, geomOff) >> 16).toInt
+      val h = (be32(b, geomOff + 4) >> 16).toInt
+      // stsd: [v/f][entry_count][first sample entry = [size][codec fourcc]...]
+      val codec = fourcc(b, stsdS + 12)
+      val durMs = if (timescale == 0L) 0L else duration * 1000L / timescale
+      VideoMeta("mp4", durMs, w, h, codec)
+    }
+
+  /** First child of a RIFF span: either the plain chunk `id`, or (when
+    * `listType` is set) the LIST whose type matches — returns the
+    * payload span AFTER the list-type fourcc for lists. Chunks are
+    * [fourcc][le32 size][payload padded to even]. */
+  private def aviFind(b: Array[Byte], start: Int, end: Int,
+      id: String, listType: Option[String] = None): Option[(Int, Int)] = {
+    var off = start
+    while (off + 8 <= end) {
+      val cid = fourcc(b, off)
+      val size = le32(b, off + 4)
+      val pEnd = off + 8 + size
+      if (size < 0 || pEnd > end) return None
+      listType match {
+        case Some(lt) =>
+          if (cid == "LIST" && size >= 4 && fourcc(b, off + 8) == lt)
+            return Some((off + 12, pEnd.toInt))
+        case None =>
+          if (cid == id) return Some((off + 8, pEnd.toInt))
+      }
+      off = (pEnd + (pEnd & 1L)).toInt // chunks pad to even offsets
+    }
+    None
+  }
+
+  private def parseAvi(b: Array[Byte]): Option[VideoMeta] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return None
+    for {
+      (hdrlS, hdrlE) <- aviFind(b, 12, b.length, "", Some("hdrl"))
+      (avihS, avihE) <- aviFind(b, hdrlS, hdrlE, "avih")
+      if avihE - avihS >= 40
+      (strlS, strlE) <- aviFind(b, hdrlS, hdrlE, "", Some("strl"))
+      (strhS, strhE) <- aviFind(b, strlS, strlE, "strh")
+      if strhE - strhS >= 8
+    } yield {
+      val uspf = le32(b, avihS) // microseconds per frame
+      val frames = le32(b, avihS + 16)
+      val w = le32(b, avihS + 32).toInt
+      val h = le32(b, avihS + 36).toInt
+      val codec = fourcc(b, strhS + 4) // fccHandler (fccType at +0)
+      VideoMeta("avi", uspf * frames / 1000L, w, h, codec)
+    }
+  }
+
+  /** Parse container-level video metadata from raw bytes: MP4 (ISO
+    * BMFF box tree, big-endian) or AVI (RIFF chunk tree,
+    * little-endian). None for anything else or any malformed header —
+    * the null seam video rows share with undecodable audio/images. */
+  def tryParseVideoMeta(bytes: Array[Byte]): Option[VideoMeta] =
+    try {
+      if (bytes.length >= 12 && fourcc(bytes, 4) == "ftyp") parseMp4(bytes)
+      else if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+        fourcc(bytes, 8) == "AVI ") parseAvi(bytes)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed container-metadata extraction — (id, n_bytes, format,
+    * duration_ms, width, height, codec) over the typed media Dataset,
+    * the filter/stratify substrate for video corpora. Metadata columns
+    * are NULL for unparseable payloads — the same null seam as
+    * [[audioFingerprints]]/[[imagePHashes]]. */
+  def videoMetas(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val m = tryParseVideoMeta(r.media)
+        (r.id, r.media.length.toLong, m.map(_.format), m.map(_.durationMs),
+          m.map(_.width), m.map(_.height), m.map(_.codec))
+      }
+    }.toDF("id", "n_bytes", "format", "duration_ms", "width", "height", "codec")
+  }
+
   /** Frame/chunk sampling over a binary payload: fixed-size chunk offsets
     * as a generator (explode) — the shape of video frame-sampling with the
     * frame decode stubbed to a chunk checksum. */

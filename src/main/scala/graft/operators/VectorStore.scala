@@ -110,6 +110,30 @@ final case class VectorStore(
       .drop(VectorCol)
   }
 
+  /** [[queryAfter]] with an ID-ONLY cursor — the engine-divergence-proof
+    * page form: the cursor row's raw score is RE-DERIVED in-engine (one
+    * point lookup on the id), so no raw double ever crosses an engine
+    * or serialization boundary and the CROSS-ENGINE CAVEAT on
+    * [[queryAfter]] does not apply. A client that stores only the last
+    * id of the previous page pages exactly; an ulp-divergent score a
+    * foreign engine computed for the cursor row is never consulted.
+    * Fails fast on an unknown cursor id (a silent empty page would mask
+    * a deleted-cursor race; callers who expect cursor deletion
+    * re-anchor on the previous surviving row). */
+  def queryAfterId(
+      queryVec: Array[Float],
+      topK: Int,
+      afterId: String,
+      betterThan: Option[Double] = None,
+      filter: Option[Column] = None): DataFrame = {
+    val qn = normalizeLocal(queryVec)
+    val q = array(qn.map(lit): _*)
+    val cur = df.filter(col(IdCol) === afterId)
+      .select(dotD(col(VectorCol), q)).collect()
+    require(cur.nonEmpty, s"queryAfterId cursor id '$afterId' not found in store")
+    queryAfter(queryVec, topK, (cur(0).getDouble(0), afterId), betterThan, filter)
+  }
+
   /** Batch-first top-k (SURVEY §7.4.4): many query vectors at once.
     * Queries are broadcast; the data side streams through per-partition
     * bounded heaps ([[graft.functions.TopKByScore]]), so the shuffle is

@@ -62,6 +62,65 @@ class ServingOpsSpec extends AnyFunSuite {
     assert(p1 ++ p2 == full, s"$p1 ++ $p2 vs $full")
   }
 
+  test("search-after boundary ties: 1-ulp cursor drift flips raw paging; id cursor is immune") {
+    // adversarial near-tie fixture: two IDENTICAL vectors (t1 < t2) at
+    // the page boundary — raw-equal scores whose tie only the id breaks
+    val dim = 8
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(i => ((seed * 31 + i * 7) % 100 + 1) / 100f)
+    val twin = vec(999)
+    val data = ((0 until 6).map(i => (s"f$i", vec(i))) ++
+      Seq(("t1", twin), ("t2", twin))).toDF("id", "v")
+    val st = VectorStore.fromDataFrame(data, "id", "v", dim)
+    val q = twin.toArray // query = the twin direction: t1/t2 rank 1-2
+    def page(df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+      df.select(col(VectorStore.IdCol), col(VectorStore.MetricsCol))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val full = page(st.query(q, 8))
+    assert(full.take(2).map(_._1) == Seq("t1", "t2"), s"twins must lead: $full")
+    assert(full(0)._2 == full(1)._2, "twins must score raw-equal")
+    val s0 = full(0)._2
+    val p1 = page(st.query(q, 1)) // page boundary lands ON the tie
+    assert(p1.map(_._1) == Seq("t1"))
+    // in-engine guarantee: the exact raw cursor tiles the ranking
+    val exact = page(st.queryAfter(q, 7, (s0, "t1")))
+    assert(p1 ++ exact == full, "exact raw cursor pages must tile")
+    // a 1-ulp-LOW cursor score — what an engine with a different
+    // summation order can hand back for the same row — fails both
+    // cursor clauses for the raw-equal twin: t2 slips between pages.
+    // This pins the documented CROSS-ENGINE CAVEAT as real, not
+    // theoretical.
+    val drift = page(st.queryAfter(q, 7, (Math.nextDown(s0), "t1")))
+    assert(!drift.exists(_._1 == "t2"),
+      "ulp-drifted raw cursor must drop the boundary twin (the caveat)")
+    // the ID-ONLY cursor re-derives the score in-engine: no raw double
+    // crosses a boundary, so page membership is divergence-proof
+    val byId = page(st.queryAfterId(q, 7, "t1"))
+    assert(byId == exact, "id cursor must reproduce the exact-cursor page")
+    assert(p1 ++ byId == full)
+    intercept[IllegalArgumentException](st.queryAfterId(q, 3, "no-such-id"))
+  }
+
+  test("VectorDot folds dimensions 0..d-1 left-to-right — the raw-cursor summation contract") {
+    // magnitude mix where fold ORDER changes the double result: the
+    // engine's score must equal the left-to-right fold bit-for-bit
+    // (and provably differ from the reversed fold, so the pin is
+    // load-bearing — cf. the queryAfter cross-engine caveat)
+    // ltr: 1 + 1e20 absorbs the 1 (ulp >> 1), then -1e20 cancels -> 0;
+    // rtl: -1e20 + 1e20 cancels first, the 1s survive -> 2
+    val a = Array(1f, 1e20f, 1f, -1e20f)
+    val b = Array.fill(4)(1f)
+    val ltr = a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val rtl = a.indices.reverse.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    assert(ltr != rtl, "fixture must be summation-order-sensitive")
+    val got = Seq((a.toSeq, b.toSeq)).toDF("x", "y")
+      .select(graft.functions.VectorFunctions.dotD(col("x"), col("y")).as("d"))
+      .head().getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(got) ==
+      java.lang.Double.doubleToRawLongBits(ltr),
+      s"engine dot must be the left-to-right fold: $got vs $ltr")
+  }
+
   // ------------------------------------------------- dictionary queries
 
   test("suggestTerms ranks prefix terms by exact df; exact under tombstone debt") {

@@ -1077,4 +1077,53 @@ class TextEventsSpec extends AnyFunSuite {
       Multimodal.tryDecodeWavPcm(au8(9, 9)).get, 256)
     assert(java.lang.Long.bitCount(fp ^ fpAlt) > 4)
   }
+
+  test("video: MP4 and AVI container headers parse to metadata; junk takes the null seam") {
+    import graft.operators.Multimodal
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    def box(tp: String, p: Array[Byte]) = be32(p.length + 8L) ++ cc(tp) ++ p
+    // MP4: timescale 1000, duration 7000 ticks, 640x360, avc1
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(7000) ++ Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+      be32(1) ++ be32(0) ++ be32(7000) ++ Array.fill[Byte](52)(0) ++
+      be32(640L << 16) ++ be32(360L << 16))
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(1) ++
+      (be32(16) ++ cc("avc1") ++ Array.fill[Byte](8)(0)))
+    val mp4 = box("ftyp", cc("isom") ++ be32(0)) ++
+      box("moov", mvhd ++ box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsd)))))
+    assert(Multimodal.tryParseVideoMeta(mp4)
+      .contains(Multimodal.VideoMeta("mp4", 7000L, 640, 360, "avc1")))
+    // AVI: 40000 us/frame x 50 frames = 2000 ms, 320x240, mjpg
+    val avih = cc("avih") ++ le32(56) ++ (le32(40000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(50) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(320) ++ le32(240) ++ Array.fill[Byte](16)(0))
+    val strh = cc("strh") ++ le32(56) ++ (cc("vids") ++ cc("mjpg") ++
+      Array.fill[Byte](48)(0))
+    val strl = cc("LIST") ++ le32(4L + strh.length) ++ cc("strl") ++ strh
+    val hdrl = cc("LIST") ++ le32(4L + avih.length + strl.length) ++
+      cc("hdrl") ++ avih ++ strl
+    val avi = cc("RIFF") ++ le32(4L + hdrl.length) ++ cc("AVI ") ++ hdrl
+    assert(Multimodal.tryParseVideoMeta(avi)
+      .contains(Multimodal.VideoMeta("avi", 2000L, 320, 240, "mjpg")))
+    // junk, truncation, and a lying extension all take the null seam
+    assert(Multimodal.tryParseVideoMeta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.tryParseVideoMeta(mp4.take(40)).isEmpty)
+    assert(Multimodal.tryParseVideoMeta(cc("RIFF") ++ le32(4) ++ cc("WAVE")).isEmpty)
+    // the distributed op carries the null seam as NULL columns
+    val rows = Seq(Multimodal.MediaRow(1L, mp4, "mp4"),
+      Multimodal.MediaRow(2L, avi, "avi"),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9), "bin"))
+    val out = Multimodal.videoMetas(spark.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+      .orderBy(col("id")).collect()
+    assert(out.length == 3)
+    assert(out(0).getString(2) == "mp4" && out(0).getLong(3) == 7000L)
+    assert(out(1).getString(2) == "avi" && out(1).getInt(4) == 320)
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3) && out(2).isNullAt(6))
+  }
 }
