@@ -1241,20 +1241,26 @@ object Ann {
   }
 
   /** [[bqDeleteSave]] with the ids as a DataFrame — the streaming /
-    * bulk form. Touched buckets come from hashing the id frame itself
-    * (no scan needed — the bucket is a pure function of the id) and
-    * each rewrite anti-joins the size-gated broadcast id set
+    * bulk form. Touched buckets are PRESENCE-based (an id-column-only
+    * scan semi-joined against the staged set, parity with
+    * [[ivfDeleteSave]]) rather than hash-computed from the id frame:
+    * absent or replayed ids — the bulk of a crash-replayed tombstone
+    * batch — then rewrite nothing, where the hash form would rewrite
+    * every bucket a six-figure batch hashes into. Each rewrite
+    * anti-joins the size-gated broadcast id set
     * ([[maybeBroadcastIds]]) instead of building an `isin` literal. */
   def bqDeleteSave(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame): Seq[Long] = {
     recoverStagedDirs(
       org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(s"$path/sigs"))
-    val nb = bqNBuckets(spark, path)
     val (idDf, n) = stageIdFrame(ids)
     if (n == 0L) return Seq.empty
     val hinted = maybeBroadcastIds(spark, idDf, n)
-    val touched = idDf.select(bqBucketOf(nb).as("b"))
+    val touched = spark.read.parquet(s"$path/sigs")
+      .select(col("id").cast(StringType).as("id"), col("bucket"))
+      .join(hinted, Seq("id"), "left_semi")
+      .select(col("bucket").cast(LongType))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     touched.foreach { b =>
       rewritePartitionDir(spark, s"$path/sigs/bucket=$b")(keepNotIn(hinted))

@@ -650,6 +650,16 @@ object InvertedIndex {
     paths.foreach(p => delete(spark, p, ids))
   }
 
+  /** [[deleteFields]] with the ids as a DataFrame — the bulk/streaming
+    * form (each field index pays its own size-gated broadcast
+    * anti-join [[delete]]; the frame is staged once per index by that
+    * overload). */
+  def deleteFields(spark: SparkSession, paths: Seq[String],
+      ids: DataFrame): Unit = {
+    require(paths.nonEmpty, "need at least one field index path")
+    paths.foreach(p => delete(spark, p, ids))
+  }
+
   /** Append one document batch to EVERY field index of a BM25F group —
     * the append arm of the [[deleteFields]] lifecycle: appending to one
     * field alone desyncs the group exactly like a one-field delete

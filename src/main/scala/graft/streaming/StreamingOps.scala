@@ -909,9 +909,14 @@ object StreamingOps {
     * only), the dedup index ([[graft.operators.DedupIndex.delete]],
     * the documented index-sized forget pass), and the inverted index
     * ([[graft.operators.InvertedIndex.delete]], tombstone append +
-    * doc-stats rewrite bounded to the ids' own buckets). The id list
-    * driver-collects per microbatch — bounded by the batch, the same
-    * shape as the reference's `delete(&[String])` (lib.rs:273-286).
+    * doc-stats rewrite bounded to the ids' own buckets). The batch's
+    * id set stays a DATAFRAME end-to-end — staged once
+    * ([[graft.operators.Ann.stageIdFrame]]) and fanned into each
+    * artifact's DataFrame delete overload as a size-gated broadcast
+    * anti-join — so a six-figure tombstone batch never funnels through
+    * the driver and never becomes an isin literal in any rewrite plan
+    * (the reference's driver-sized `delete(&[String])`, lib.rs:273-286,
+    * remains available as the Seq overloads).
     * Shrink/rebalance after heavy deletion stay offline decisions
     * ([[graft.operators.Ann.ivfShrinkSave]]/[[graft.operators.Ann.ivfMaintain]]),
     * exactly like the append side — EXCEPT the inverted index, whose

@@ -1831,6 +1831,7 @@ class DedupAnnSpec extends AnyFunSuite {
           !p.getFileName.toString.startsWith("_"))
         .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
     val before = listing(s"$ivfDir/lists")
+    val bqBefore = listing(s"$bqDir/sigs")
     val watch = Files.createTempDirectory("bigtomb_watch")
     val staging = Files.createTempDirectory("bigtomb_stage")
     (realDel ++ (1000000L until 1120000L)).toDF("id")
@@ -1866,6 +1867,21 @@ class DedupAnnSpec extends AnyFunSuite {
       !delClusters.exists(c => p.contains(s"cluster=$c/")) }
     assert(untouchedBefore == untouchedAfter,
       "untouched ivf cluster dirs must not be rewritten by a 120k-id batch")
+    // bq touched set is PRESENCE-based too: only the real ids' hash
+    // buckets rewrite — 120k absent ids must not fan the rewrite out
+    val bqAfter = listing(s"$bqDir/sigs")
+    val realBuckets = realDel.map { id =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString),
+        org.apache.spark.sql.types.StringType, 42L)
+      s"bucket=${((h % 4L) + 4L) % 4L}/" // pmod, as bqBucketOf computes it
+    }.toSet
+    val bqUntouchedBefore = bqBefore.filter { case (p, _) =>
+      !realBuckets.exists(p.contains) }
+    val bqUntouchedAfter = bqAfter.filter { case (p, _) =>
+      !realBuckets.exists(p.contains) }
+    assert(bqUntouchedBefore == bqUntouchedAfter,
+      "bq buckets not holding a real victim must stay byte-identical")
   }
 
   test("serving-tier tombstones: cache and replica forget, bitwise-equal to cold rebuild") {
