@@ -32,7 +32,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // SIMD float kernels (graft.simd): the incubator Vector API ships with
+  // JDK 17; graft.simd.FloatKernels falls back to the scalar kernel on a
+  // JVM launched without the module, so this flag is an optimization,
+  // never a correctness requirement.
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// graft.simd compiles against the incubator module (main sources only;
+// warnings about incubating modules are expected and harmless)
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")

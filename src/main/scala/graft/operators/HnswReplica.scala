@@ -118,50 +118,22 @@ final class HnswReplica private (
     s
   }
 
-  /** Traversal kernel: 8-lane float accumulation. The exact kernel's
-    * strict left-to-right double chain serializes on FP-add latency
-    * (~4 cycles per element — it measured 68 ms/query at ef=1024,
-    * dim=1024), but traversal scores only steer the beam, they are
-    * never emitted: every result is re-scored with [[sim]] before the
-    * final order, so the fidelity contract (bitwise-exact returned
-    * scores, exact tie order) is untouched while the walk runs ~8x
+  /** Traversal kernel: SIMD (Vector API) float accumulation with an
+    * 8-lane scalar fallback ([[graft.simd.FloatKernels]]). The exact
+    * kernel's strict left-to-right double chain serializes on FP-add
+    * latency (~4 cycles per element — it measured 68 ms/query at
+    * ef=1024, dim=1024), but traversal scores only steer the beam, they
+    * are never emitted: every result is re-scored with [[sim]] before
+    * the final order, so the fidelity contract (bitwise-exact returned
+    * scores, exact tie order) is untouched while the walk runs ~8-20x
     * faster — which is what makes the large-ef operating points that
-    * high-dim data needs fit the latency budget. */
-  private def simFast(q: Array[Float], node: Int): Double = {
-    val off = node * dim
-    var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
-    var s4 = 0f; var s5 = 0f; var s6 = 0f; var s7 = 0f
-    var i = 0
-    val lim = dim - 7
-    while (i < lim) {
-      s0 += mat(off + i) * q(i); s1 += mat(off + i + 1) * q(i + 1)
-      s2 += mat(off + i + 2) * q(i + 2); s3 += mat(off + i + 3) * q(i + 3)
-      s4 += mat(off + i + 4) * q(i + 4); s5 += mat(off + i + 5) * q(i + 5)
-      s6 += mat(off + i + 6) * q(i + 6); s7 += mat(off + i + 7) * q(i + 7)
-      i += 8
-    }
-    var s = s0 + s1 + s2 + s3 + s4 + s5 + s6 + s7
-    while (i < dim) { s += mat(off + i) * q(i); i += 1 }
-    s.toDouble
-  }
+    * high-dim data needs fit the latency budget, and what the graph
+    * BUILD (≈3000 of these dots per insert) is bound by. */
+  private def simFast(q: Array[Float], node: Int): Double =
+    graft.simd.FloatKernels.dot(mat, node * dim, q, 0, dim)
 
-  private def simRows(a: Int, b: Int): Double = {
-    val oa = a * dim; val ob = b * dim
-    var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
-    var s4 = 0f; var s5 = 0f; var s6 = 0f; var s7 = 0f
-    var i = 0
-    val lim = dim - 7
-    while (i < lim) {
-      s0 += mat(oa + i) * mat(ob + i); s1 += mat(oa + i + 1) * mat(ob + i + 1)
-      s2 += mat(oa + i + 2) * mat(ob + i + 2); s3 += mat(oa + i + 3) * mat(ob + i + 3)
-      s4 += mat(oa + i + 4) * mat(ob + i + 4); s5 += mat(oa + i + 5) * mat(ob + i + 5)
-      s6 += mat(oa + i + 6) * mat(ob + i + 6); s7 += mat(oa + i + 7) * mat(ob + i + 7)
-      i += 8
-    }
-    var s = s0 + s1 + s2 + s3 + s4 + s5 + s6 + s7
-    while (i < dim) { s += mat(oa + i) * mat(ob + i); i += 1 }
-    s.toDouble
-  }
+  private def simRows(a: Int, b: Int): Double =
+    graft.simd.FloatKernels.dot(mat, a * dim, mat, b * dim, dim)
 
   // best-first ordering on (sim, node): higher sim first; ties lower id
   // first — the graph-index twin of MatrixStore.worstFirst
@@ -297,7 +269,14 @@ final class HnswReplica private (
     * recall. Kept slots left over are backfilled with the closest
     * discarded candidates (keepPrunedConnections), so the degree
     * budget is always used. */
-  private def selectNeighbors(node: Int, cand: Array[Int], cap: Int): Array[Int] = {
+  /** `simsToNode(i)` must hold `simRows(node, cand(i))` — callers always
+    * already have those dots (the insert beam's scores against the new
+    * node, or [[linkInto]]'s sort keys), so this selection pays ONLY the
+    * pairwise candidate-vs-kept diversity dots, never a recomputation of
+    * the candidate-to-node dots (which used to double the selection's
+    * kernel work). */
+  private def selectNeighbors(node: Int, cand: Array[Int],
+      simsToNode: Array[Double], cap: Int): Array[Int] = {
     if (cand.length <= cap) return cand
     val kept = new Array[Int](cap)
     var nKept = 0
@@ -306,7 +285,7 @@ final class HnswReplica private (
     var i = 0
     while (i < cand.length && nKept < cap) {
       val c = cand(i)
-      val sToNode = simRows(node, c)
+      val sToNode = simsToNode(i)
       var diverse = true
       var j = 0
       while (diverse && j < nKept) {
@@ -323,7 +302,11 @@ final class HnswReplica private (
   }
 
   /** CAS-append `neighbor` to `node`'s list at `level`, pruning to the
-    * level's cap with [[selectNeighbors]]. */
+    * level's cap with [[selectNeighbors]]. The overflow path sorts the
+    * cap+1 candidates on primitive parallel arrays (insertion sort —
+    * the list is tiny and already mostly ordered) and hands the sort
+    * keys straight to the selection, so each candidate-to-node dot is
+    * computed exactly once per CAS attempt. */
   private def linkInto(node: Int, level: Int, neighbor: Int): Unit = {
     val cap = if (level == 0) maxM0 else maxM
     val ref = links(node)(level)
@@ -332,13 +315,30 @@ final class HnswReplica private (
       val old = ref.get()
       if (old.contains(neighbor)) done = true
       else {
-        val appended = old :+ neighbor
         val next =
-          if (appended.length <= cap) appended
-          else selectNeighbors(node,
-            appended.map(nb => (simRows(node, nb), nb))
-              .sortWith((a, b) => better(a._1, a._2, b._1, b._2))
-              .map(_._2), cap)
+          if (old.length + 1 <= cap) old :+ neighbor
+          else {
+            val n = old.length + 1
+            val cs = new Array[Int](n)
+            val ss = new Array[Double](n)
+            var i = 0
+            while (i < old.length) {
+              cs(i) = old(i); ss(i) = simRows(node, old(i)); i += 1
+            }
+            cs(n - 1) = neighbor; ss(n - 1) = simRows(node, neighbor)
+            // insertion sort best-first by (sim desc, node asc)
+            i = 1
+            while (i < n) {
+              val cv = cs(i); val sv = ss(i)
+              var j = i - 1
+              while (j >= 0 && better(sv, cv, ss(j), cs(j))) {
+                cs(j + 1) = cs(j); ss(j + 1) = ss(j); j -= 1
+              }
+              cs(j + 1) = cv; ss(j + 1) = sv
+              i += 1
+            }
+            selectNeighbors(node, cs, ss, cap)
+          }
         done = ref.compareAndSet(old, next)
       }
     }
@@ -365,8 +365,21 @@ final class HnswReplica private (
       // diverse M from the beam (Algorithm 4) — see selectNeighbors
       val order = Array.range(0, rsize)
         .sortWith((a, b) => better(rs(a), rn(a), rs(b), rn(b)))
+      // the beam scores ARE simRows(idx, ·): q is idx's row and the dot
+      // kernel is argument-symmetric, so hand them to the selection
+      // instead of recomputing every candidate-to-node dot
+      val candBuf = new Array[Int](rsize)
+      val simBuf = new Array[Double](rsize)
+      var nc = 0
+      var oi = 0
+      while (oi < rsize) {
+        val cnd = rn(order(oi))
+        if (cnd != idx) { candBuf(nc) = cnd; simBuf(nc) = rs(order(oi)); nc += 1 }
+        oi += 1
+      }
       val chosen = selectNeighbors(idx,
-        order.map(rn(_)).filter(_ != idx), m)
+        java.util.Arrays.copyOf(candBuf, nc),
+        java.util.Arrays.copyOf(simBuf, nc), m)
       var j = 0
       while (j < chosen.length) {
         linkInto(idx, lc, chosen(j)); linkInto(chosen(j), lc, idx)
