@@ -291,6 +291,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // SIZE-based AQE partition coalescing (guide §2.2): without this,
+      // parallelismFirst keeps every post-shuffle stage at ~#cores
+      // partitions no matter how few bytes it carries, so the suite's
+      // many small shuffles each schedule 32 near-empty tasks. With it,
+      // AQE sizes reduce partitions toward advisoryPartitionSizeInBytes
+      // (64 MB default) — scale-ADAPTIVE: tiny stages collapse to one
+      // task locally, 100 TB stages still get thousands of partitions.
+      // Results are partitioning-independent (oracle-pinned).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // the ref microbench scans a cached float-array store: compression
       // buys nothing on random floats and costs a decode pass per query
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
@@ -326,6 +335,22 @@ object Bench {
       SparkEntry.stagedIvfPqMaintPath(spark, sfDir)
       SparkEntry.stagedCompactFixPath(spark, sfDir)
       SparkEntry.stagedHnswMaintPath(spark, sfDir)
+      // streaming-ingest base layouts (same hygiene: the stream is the
+      // operation under test, its immutable base is the fixture)
+      SparkEntry.stagedIngestInvPath(spark, sfDir)
+      SparkEntry.stagedIngestDedupPath(spark, sfDir)
+      SparkEntry.stagedIngestIvfPath(spark, sfDir)
+      SparkEntry.stagedIngestBqPath(spark, sfDir)
+      SparkEntry.stagedIngestIvfBqPath(spark, sfDir)
+      SparkEntry.stagedTombStorePath(spark, sfDir)
+      // index-mutation fixtures (maintain/delete/shrink/recover bases)
+      SparkEntry.stagedIvfMaintPath(spark, sfDir)
+      SparkEntry.stagedIvfBqMaintPath(spark, sfDir)
+      SparkEntry.stagedIvfFullPath(spark, sfDir)
+      SparkEntry.stagedRecovIvfPath(spark, sfDir)
+      SparkEntry.cachedIvfBqPersistBase(spark, sfDir)
+      SparkEntry.cachedIvfSeed7(spark, sfDir)
+      SparkEntry.cachedDedupIndex(spark, sfDir)
     } catch { case _: Throwable => }
     // Per-query median-of-3 (see median3). A failing query reports the
     // sentinel -1 and is excluded from the total — timing the

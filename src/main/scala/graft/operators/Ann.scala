@@ -2613,10 +2613,33 @@ object Ann {
     * persisted-layout DataFrame delete (IVF / BQ / hybrid / IVF×PQ /
     * dedup index / inverted index / partitioned store). */
   private[graft] def stageIdFrame(ids: DataFrame): (DataFrame, Long) = {
-    val idf = ids
-      .select(col(ids.columns.head).cast(StringType).as("id"))
-      .distinct().localCheckpoint(true)
-    (idf, idf.count())
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    ids.queryExecution.optimizedPlan match {
+      // Driver-resident literal list — the Seq overloads' `toDF` shape
+      // (reference-parity small deletes). Distinct LOCALLY: zero Spark
+      // jobs (the generic arm pays a distinct shuffle + checkpoint +
+      // count per call), and the result stays a LocalRelation the
+      // broadcast hint serves without a stage. Only for types whose
+      // JVM toString equals Spark's cast-to-string (id columns are
+      // strings or integral keys everywhere in this library).
+      case lr: LocalRelation if lr.output.nonEmpty &&
+          (lr.output.head.dataType == StringType ||
+            lr.output.head.dataType == LongType ||
+            lr.output.head.dataType == IntegerType) =>
+        val dt = lr.output.head.dataType
+        val vals = lr.data.map { r =>
+          if (r.isNullAt(0)) null else r.get(0, dt).toString
+        }.distinct
+        val spark = ids.sparkSession
+        import spark.implicits._
+        (vals.toDF("id"), vals.length.toLong)
+      case _ =>
+        val idf = ids
+          .select(col(ids.columns.head).cast(StringType).as("id"))
+          .distinct().localCheckpoint(true)
+        (idf, idf.count())
+    }
   }
 
   /** Broadcast-hint a staged id frame only while the set is comfortably

@@ -551,21 +551,35 @@ object Dedup {
       nbrs.unionByName(self).distinct()
     }
 
-    // exact set equality of two canonical distinct edge lists (equal
-    // cardinality + empty anti-join) — deterministic, no hash-signature
-    // shortcut that could mask a missed round
-    def sameSet(a: DataFrame, b: DataFrame): Boolean =
-      a.count() == b.count() && b.join(a, Seq("u", "v"), "left_anti").isEmpty
+    // exact set equality of two canonical distinct edge lists (known
+    // cardinalities + empty anti-join) — deterministic, no
+    // hash-signature shortcut that could mask a missed round. Counts
+    // are carried across rounds (every frame is counted once, when
+    // first materialized), so each equality test costs ONE job.
+    def subsetOf(a: DataFrame, b: DataFrame): Boolean =
+      a.join(b, Seq("u", "v"), "left_anti").isEmpty
 
-    var converged = edges.isEmpty
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       val afterLarge = largeStar(edges).localCheckpoint(true)
-      val largeStable = sameSet(edges, afterLarge)
       val afterSmall = smallStar(afterLarge).localCheckpoint(true)
-      val smallStable = sameSet(afterLarge, afterSmall)
-      converged = largeStable && smallStable
+      val nSmall = afterSmall.count()
+      // Convergence = both phases stable. Equivalent test with FEWER
+      // jobs on non-final rounds: (edges == afterSmall) && (edges ==
+      // afterLarge) ⟺ largeStable && smallStable — if both phases are
+      // stable all three sets are equal; conversely edges == afterLarge
+      // and edges == afterSmall give afterLarge == afterSmall. The
+      // composed check runs every round (1 anti-join, counts carried);
+      // the large-phase confirmation runs ONLY once the composed set
+      // has stopped moving, so the steady-state rounds pay one
+      // equality test instead of two. Edge-set sequence and round
+      // count are identical to the two-test formulation.
+      converged = nSmall == nEdges && subsetOf(afterSmall, edges) &&
+        afterLarge.count() == nEdges && subsetOf(afterLarge, edges)
       edges = afterSmall
+      nEdges = nSmall
       iter += 1
     }
     // a silent cutoff would hand back a half-contracted forest as if it
@@ -573,8 +587,9 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     // belt + suspenders: the fixpoint must be a star forest (each leaf
-    // has exactly one parent, no node is both parent and leaf)
-    require(edges.count() == edges.select(col("v")).distinct().count() &&
+    // has exactly one parent, no node is both parent and leaf);
+    // nEdges carries the already-computed cardinality
+    require(nEdges == edges.select(col("v")).distinct().count() &&
         edges.select(col("u")).intersect(edges.select(col("v"))).isEmpty,
       "connectedComponents fixpoint is not a star forest — algorithm invariant broken")
     val labels = edges.select(col("v").as("id"), col("u").as("component"))
@@ -1010,10 +1025,19 @@ object Dedup {
     * (id, group_id, keep): singletons keep trivially with
     * group_id = id. */
   def semanticDedup(assigned: DataFrame, idCol: String, vecCol: String,
-      clusterCol: String, tau: Double, maxBlock: Int = 65536): DataFrame = {
-    val comps = connectedComponents(
-      semanticPairs(assigned, idCol, vecCol, clusterCol, tau, maxBlock)
-        .select(col("id_a"), col("id_b")))
+      clusterCol: String, tau: Double, maxBlock: Int = 65536): DataFrame =
+    semanticDedupFromPairs(assigned, idCol,
+      semanticPairs(assigned, idCol, vecCol, clusterCol, tau, maxBlock))
+
+  /** [[semanticDedup]] over an ALREADY-COMPUTED candidate pair set —
+    * the seam a caller that also consumes the pairs (audits, group
+    * diagnostics) uses to pay the blocked cosine join ONCE instead of
+    * once per consumer. `pairs` must carry (id_a, id_b); identical
+    * output to [[semanticDedup]] when fed [[semanticPairs]] of the same
+    * arguments. */
+  def semanticDedupFromPairs(assigned: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs.select(col("id_a"), col("id_b")))
     assigned.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
       .select(col("id"),
