@@ -2091,4 +2091,38 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(key(Ann.opqTopK(back, q, "vec_id", "embedding", k = 3).select("qid", "rank", "id")) ==
       key(Ann.opqTopK(idx, q, "vec_id", "embedding", k = 3).select("qid", "rank", "id")))
   }
+
+  test("semanticDedupFromPairs over semanticPairs equals semanticDedup") {
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0), (2L, Seq(0.999, 0.01, 0.0), 0),
+      (3L, Seq(0.98, 0.05, 0.0), 0), (4L, Seq(0.0, 1.0, 0.0), 1),
+      (5L, Seq(0.0, 0.999, 0.01), 1), (6L, Seq(0.0, 0.0, 1.0), 1))
+      .toDF("id", "v", "cluster")
+    val direct = Dedup.semanticDedup(rows, "id", "v", "cluster", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val pairs = Dedup.semanticPairs(rows, "id", "v", "cluster", tau = 0.95,
+      maxBlock = 65536)
+    val viaPairs = Dedup.semanticDedupFromPairs(rows, "id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaPairs == direct)
+  }
+
+  test("stageIdFrame: LocalRelation fast path matches the generic arm") {
+    // Seq.toDF optimizes to a LocalRelation -> the driver-local arm;
+    // filtering a real table defeats it -> the distinct/checkpoint arm.
+    // Both must stage the same distinct string id set and count.
+    val local = Seq("7", "3", "3", "7", "9").toDF("id")
+    val (ldf, ln) = Ann.stageIdFrame(local)
+    assert(ln == 3L)
+    assert(ldf.collect().map(_.getString(0)).toSet == Set("3", "7", "9"))
+    // long-typed LocalRelation stages via toString == cast-to-string
+    val (ldf2, ln2) = Ann.stageIdFrame(Seq(5L, 5L, 11L).toDF("vid"))
+    assert(ln2 == 2L)
+    assert(ldf2.collect().map(_.getString(0)).toSet == Set("5", "11"))
+    // generic arm on a non-local plan: same results
+    val tbl = Seq("7", "3", "3", "9").toDF("id").repartition(2)
+    val (gdf, gn) = Ann.stageIdFrame(tbl.filter(col("id") =!= "0"))
+    assert(gn == 3L)
+    assert(gdf.collect().map(_.getString(0)).toSet == Set("3", "7", "9"))
+  }
 }
