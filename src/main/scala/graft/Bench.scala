@@ -291,15 +291,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // SIZE-based AQE partition coalescing (guide §2.2): without this,
-      // parallelismFirst keeps every post-shuffle stage at ~#cores
-      // partitions no matter how few bytes it carries, so the suite's
-      // many small shuffles each schedule 32 near-empty tasks. With it,
-      // AQE sizes reduce partitions toward advisoryPartitionSizeInBytes
-      // (64 MB default) — scale-ADAPTIVE: tiny stages collapse to one
-      // task locally, 100 TB stages still get thousands of partitions.
-      // Results are partitioning-independent (oracle-pinned).
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // AQE partition coalescing stays at its parallelismFirst=true
+      // default. The size-based mode (parallelismFirst=false, guide
+      // §2.2) was A/B'd this round and REGRESSED the suite ~10%: at
+      // sf0.1 the medium shuffles (index compaction rewrites, probe
+      // joins) coalesce to 1-2 tasks and serialize CPU-bound work the
+      // 32 cores were absorbing — exactly the trade the default's
+      // parallelism floor exists to protect. At cluster scale the
+      // advisory size dominates either way.
       // the ref microbench scans a cached float-array store: compression
       // buys nothing on random floats and costs a decode pass per query
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
