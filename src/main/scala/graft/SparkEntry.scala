@@ -203,6 +203,33 @@ object SparkEntry {
       path
     })
 
+  /** Engine-hash dedup index over doc_id<300 for [[dedup_idx_delete]]
+    * (r19 hygiene — [[cachedDedupIndex]] is the portable-hash twin; the
+    * clone then pays only delete + probe). */
+  private val dedupDelPathCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def stagedDedupDelPath(s: SparkSession, dir: String): String =
+    dedupDelPathCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft_dedupdel_staged").toString
+      DedupIndex.create(Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")), "doc_id", "text", path)
+      path
+    })
+
+  /** Portable-hash create(<200) + append(200-300) for
+    * [[dedup_idx_compact]] (r19 hygiene) — the clone then pays only
+    * compact + probe, the operations the key tests. */
+  private val dedupCmpPathCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def stagedDedupCompactPath(s: SparkSession, dir: String): String =
+    dedupCmpPathCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft_dedupcmp_staged").toString
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      DedupIndex.create(d.filter(col("doc_id") < 200), "doc_id", "text", path,
+        portableHash = true)
+      DedupIndex.append(d.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+        "doc_id", "text", path)
+      path
+    })
+
   /** The skew batch ann_ivfpq_maintain appends: 300 near-duplicates of
     * vec_id 42, flooding its list past the maintain threshold. */
   private[graft] def ivfPqMaintBatch(s: SparkSession, dir: String): DataFrame = {
@@ -470,6 +497,106 @@ object SparkEntry {
     })
   private[graft] def stagedEventsDir(dir: String): String = stagedTableDir(dir, "events")
 
+  /** Pre-staged stream-INPUT watch dirs (r19 bench hygiene — the r18
+    * staged-fixture pattern applied to the stream keys' input files).
+    * Every stream_* key used to write its 2-3 one-row-to-100-row
+    * microbatch parquet files inside the timed region; each file is an
+    * immutable pure function of the sf dir, so it stages once per
+    * (session, sfDir) and the timed region keeps only the operation
+    * under test (clone + stream + contract probe). Files land with
+    * pinned mtimes so FileStreamSource's arrival order is fixed and
+    * identical to the old inline staging. */
+  private val watchCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedWatch(s: SparkSession, dir: String, name: String)(
+      frames: => Seq[(String, DataFrame, Long)]): String =
+    watchCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir|$name", { _ =>
+      import scala.jdk.CollectionConverters._
+      val watch = java.nio.file.Files.createTempDirectory(s"graft_watch_$name")
+      frames.foreach { case (nm, df, mtime) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_wstage_$nm")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = watch.resolve(s"$nm.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      watch.toString
+    })
+
+  /** Fixed mtime base for staged watch files: any past instant works
+    * (a fresh stream reads every file regardless of age); only the
+    * RELATIVE order matters, exactly as the old now-120s inline base. */
+  private val watchT0 = 1700000000000L
+
+  /** documents 300-400 / 400-500 as two mtime-ordered (doc_id, text)
+    * microbatches — shared by stream_ingest_invidx / _dedupidx. */
+  private[graft] def stagedIngestDocsWatch(s: SparkSession, dir: String): String =
+    stagedWatch(s, dir, "ingest_docs") {
+      val d = Tables.documents(s, dir)
+      Seq(
+        ("b1", d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .select(col("doc_id"), col("text")), watchT0),
+        ("b2", d.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+          .select(col("doc_id"), col("text")), watchT0 + 5000))
+    }
+
+  /** embeddings vec_id<5 / 5..10 as two (vec_id, embedding)
+    * microbatches — shared by stream_ingest_ivf / _bq / _ivfbq /
+    * _replay. */
+  private[graft] def stagedIngestVecWatch(s: SparkSession, dir: String): String =
+    stagedWatch(s, dir, "ingest_vec") {
+      val e = Tables.embeddings(s, dir)
+      Seq(
+        ("v1", e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
+          watchT0),
+        ("v2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")), watchT0 + 5000))
+    }
+
+  /** the delete microbatch (vec_id 3 and 7) — shared by
+    * stream_ingest_bq / _ivfbq. */
+  private[graft] def stagedIngestVecDelWatch(s: SparkSession, dir: String): String =
+    stagedWatch(s, dir, "ingest_vec_del") {
+      Seq(("del", Tables.embeddings(s, dir)
+        .filter(col("vec_id").isin(3L, 7L)).select(col("vec_id")), watchT0))
+    }
+
+  /** vec ids <5 / 5..10 as two mtime-ordered tombstone batches
+    * (stream_tombstone). */
+  private[graft] def stagedTombVecWatch(s: SparkSession, dir: String): String =
+    stagedWatch(s, dir, "tomb_vec") {
+      val e = Tables.embeddings(s, dir)
+      Seq(
+        ("t1", e.filter(col("vec_id") < 5).select(col("vec_id").as("id")), watchT0),
+        ("t2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("id")), watchT0 + 5000))
+    }
+
+  /** doc ids <10 / 10..20 as two mtime-ordered tombstone batches
+    * (stream_tombstone_inv). */
+  private[graft] def stagedTombDocWatch(s: SparkSession, dir: String): String =
+    stagedWatch(s, dir, "tomb_doc") {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      Seq(
+        ("t1", d.filter(col("doc_id") < 10).select(col("doc_id").as("id")), watchT0),
+        ("t2", d.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select(col("doc_id").as("id")), watchT0 + 5000))
+    }
+
+  /** MLT seed ids (0,5) then (10) as two mtime-ordered batches
+    * (stream_mlt). */
+  private[graft] def stagedMltWatch(s: SparkSession, dir: String): String =
+    stagedWatch(s, dir, "mlt_ids") {
+      val d = Tables.documents(s, dir)
+      Seq(
+        ("m1", d.filter(col("doc_id") === 0 || col("doc_id") === 5)
+          .select(col("doc_id").as("id")), watchT0),
+        ("m2", d.filter(col("doc_id") === 10).select(col("doc_id").as("id")),
+          watchT0 + 5000))
+    }
+
   /** Reference-format export of the embeddings store, once per sf dir. */
   private val nanoFileCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -516,7 +643,9 @@ object SparkEntry {
   private def sameMultiset(a: DataFrame, b: DataFrame): Boolean = {
     val ac = a.localCheckpoint(true)
     val bc = b.localCheckpoint(true)
-    ac.exceptAll(bc).isEmpty && bc.exceptAll(ac).isEmpty
+    // both anti-differences in ONE action (r19): isEmpty of the union ⟺
+    // the old two-isEmpty conjunction, at half the action/planning count
+    ac.exceptAll(bc).unionAll(bc.exceptAll(ac)).isEmpty
   }
 
   /** The shared upsert batch: vec_id<5 as vector-updates (reversed vector,
@@ -1795,8 +1924,11 @@ object SparkEntry {
     // SURVIVING base texts), so the oracle is exact.
     "dedup_idx_delete" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // the create is pre-staged ([[stagedDedupDelPath]], r19); the
+      // timed region is clone + delete + probe — the operations under
+      // test
       val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_del").toString
-      DedupIndex.create(d.filter(col("doc_id") < 300), "doc_id", "text", path)
+      copyDir(stagedDedupDelPath(s, dir), path)
       DedupIndex.delete(s, path, (0 until 50).map(_.toString))
       val probe = d.filter(col("doc_id") < 100)
         .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
@@ -1812,11 +1944,11 @@ object SparkEntry {
     // files_bounded is the structural claim, checked engine-side.
     "dedup_idx_compact" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // create + append are pre-staged ([[stagedDedupCompactPath]],
+      // r19); the timed region is clone + compact + probe — compaction
+      // is the operation under test
       val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_cmp").toString
-      DedupIndex.create(d.filter(col("doc_id") < 200), "doc_id", "text", path,
-        portableHash = true)
-      DedupIndex.append(d.filter(col("doc_id") >= 200 && col("doc_id") < 300),
-        "doc_id", "text", path)
+      copyDir(stagedDedupCompactPath(s, dir), path)
       DedupIndex.compact(s, path, filesPerProjection = 4)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2533,31 +2665,17 @@ object SparkEntry {
     // append-only-stats design that makes ledger rollback exact); the
     // post-stream probe must score the grown corpus like a fresh build.
     "stream_ingest_invidx" -> ((s, dir) => {
-      import scala.jdk.CollectionConverters._
       val d = Tables.documents(s, dir)
-      // base 300-doc index is pre-staged ([[stagedIngestInvPath]]); the
-      // timed region is clone + the ingest stream + probe
+      // base 300-doc index is pre-staged ([[stagedIngestInvPath]]) and
+      // the two input microbatch files too ([[stagedIngestDocsWatch]]);
+      // the timed region is clone + the ingest stream + probe
       val idx = java.nio.file.Files.createTempDirectory("graft_ingest_inv").toString
       copyDir(stagedIngestInvPath(s, dir), idx)
-      val watch = java.nio.file.Files.createTempDirectory("graft_inv_watch")
-      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_stage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val dst = watch.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      val watch = stagedIngestDocsWatch(s, dir)
       val batch1 = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
         .select(col("doc_id"), col("text"))
-      val t0 = System.currentTimeMillis() - 120000
-      stage("b1", batch1, t0)
-      stage("b2", d.filter(col("doc_id") >= 400 && col("doc_id") < 500)
-        .select(col("doc_id"), col("text")), t0 + 5000)
       val st = s.readStream.schema(batch1.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
       val cp = java.nio.file.Files.createTempDirectory("graft_inv_cp").toString
       val q = graft.streaming.StreamingOps.invIngestStream(st, idx,
         "doc_id", "text", checkpointDir = Some(cp))
@@ -2822,8 +2940,11 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 5)
       val sigs = Ann.bqSigs(e, "vec_id", "embedding")
+      // probe materialized ONCE (r19): the collect and the self-hit
+      // count below both read the checkpoint instead of re-running the
+      // full probe plan per consumer
       val approx = Ann.bqTopKBatch(sigs, e, "vec_id", "embedding",
-        q, "vec_id", "embedding", k = 5, oversample = 16)
+        q, "vec_id", "embedding", k = 5, oversample = 16).localCheckpoint(true)
       val exact = Ann.bruteForceTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 5)
       val a = approx.collect().map(r => (r.get(0).toString, r.getString(2)) -> r.getDouble(3)).toMap
@@ -2898,8 +3019,9 @@ object SparkEntry {
       val n = e.count().toInt
       val q = e.filter(col("vec_id") < 5)
       val hy = cachedIvfBq(s, dir)
+      // probe materialized ONCE (r19): collect + self-hit count share it
       val approx = Ann.ivfBqTopK(hy, q, "vec_id", "embedding",
-        k = 5, nProbe = 4, oversample = 16)
+        k = 5, nProbe = 4, oversample = 16).localCheckpoint(true)
       val exact = Ann.bruteForceTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 5)
       val a = approx.collect().map(r => (r.get(0).toString, r.getString(2)) -> r.getDouble(3)).toMap
@@ -2919,8 +3041,12 @@ object SparkEntry {
       val allow = e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
       val gatedRes = Ann.ivfBqTopK(hy, q, "vec_id", "embedding",
         k = 5, nProbe = 8, oversample = n / 5 + 1, allowed = Some(allow))
-      val filterOk = gatedRes.filter(col("id").cast("long") % 2 =!= 0).count() == 0 &&
-        gatedRes.count() > 0
+      // one pass (r19): (odd-id count, total) in a single aggregate —
+      // the old filter().count() / count() pair ran the gated probe twice
+      val gr = gatedRes.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("id").cast("long") % 2 =!= 0, 1L).otherwise(0L)),
+          lit(0L)).as("bad")).head()
+      val filterOk = gr.getLong(1) == 0L && gr.getLong(0) > 0L
       Seq((5L, selfHit, scoresExact, recallOk, totalExact, filterOk))
         .toDF("n_queries", "self_hit", "scores_exact", "recall_ok",
           "total_exact", "filter_ok")
@@ -2991,8 +3117,10 @@ object SparkEntry {
       val brute = Ann.bruteForceTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 3)
       val totalExact = sameMultiset(total, brute)
+      // batch probe materialized ONCE (r19): the multiset equality and
+      // the self-hit count share the checkpoint
       val batchOp = Ann.ivfBqTopKBatch(hy, q, "vec_id", "embedding",
-        k = 5, nProbe = 4, oversample = 16)
+        k = 5, nProbe = 4, oversample = 16).localCheckpoint(true)
       val collectOp = Ann.ivfBqTopK(hy, q, "vec_id", "embedding",
         k = 5, nProbe = 4, oversample = 16)
       val batchEqCollect = sameMultiset(batchOp, collectOp)
@@ -3001,8 +3129,11 @@ object SparkEntry {
       val allow = e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
       val gatedB = Ann.ivfBqTopKBatch(hy, q, "vec_id", "embedding",
         k = 5, nProbe = 8, oversample = n / 5 + 1, allowed = Some(allow))
-      val filterOk = gatedB.filter(col("id").cast("long") % 2 =!= 0).count() == 0 &&
-        gatedB.count() > 0
+      // one pass (r19), same booleans as the old two-count form
+      val gb = gatedB.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("id").cast("long") % 2 =!= 0, 1L).otherwise(0L)),
+          lit(0L)).as("bad")).head()
+      val filterOk = gb.getLong(1) == 0L && gb.getLong(0) > 0L
       Seq((5L, totalExact, batchEqCollect, selfHit, filterOk))
         .toDF("n_queries", "total_exact", "batch_eq_collect", "self_hit", "filter_ok")
     }),
@@ -3560,12 +3691,14 @@ object SparkEntry {
       val exact = Ann.bruteForceTopK(remaining, "vec_id", "embedding",
           q, "vec_id", "embedding", k = 3)
         .withColumn("qid", col("qid").cast(StringType))
+      // the codes table is counted ONCE (r19) — both booleans read it
+      val nCodes = back.codes.count()
       ivfContract(approx, exact)
         .withColumn("shrunk", lit(dissolved.contains(cBig)))
         .withColumn("layouts_consistent",
-          lit(back.codes.count() == back.ivf.assigned.count()))
+          lit(nCodes == back.ivf.assigned.count()))
         .withColumn("rows_preserved",
-          lit(back.codes.count() == e.count() - del.size))
+          lit(nCodes == e.count() - del.size))
     }),
 
     // ANN: persisted delete — only the cluster directories holding the
@@ -4574,31 +4707,17 @@ object SparkEntry {
     // set afterwards is an exact SQL fold: all base ids, then per batch
     // the min-id winner of each content group not yet in the index.
     "stream_ingest_dedupidx" -> ((s, dir) => {
-      import scala.jdk.CollectionConverters._
       val d = Tables.documents(s, dir)
-      // base 300-doc index is pre-staged ([[stagedIngestDedupPath]]); the
-      // timed region is clone + the ingest stream + readback
+      // base 300-doc index ([[stagedIngestDedupPath]]) and the input
+      // microbatch files ([[stagedIngestDocsWatch]]) are pre-staged;
+      // the timed region is clone + the ingest stream + readback
       val idx = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
       copyDir(stagedIngestDedupPath(s, dir), idx)
-      val watch = java.nio.file.Files.createTempDirectory("graft_ingest_watch")
-      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_stage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val dst = watch.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      val watch = stagedIngestDocsWatch(s, dir)
       val batch1 = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
         .select(col("doc_id"), col("text"))
-      val t0 = System.currentTimeMillis() - 120000
-      stage("b1", batch1, t0)
-      stage("b2", d.filter(col("doc_id") >= 400 && col("doc_id") < 500)
-        .select(col("doc_id"), col("text")), t0 + 5000)
       val st = s.readStream.schema(batch1.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
       val q = graft.streaming.StreamingOps.dedupIngestStream(st, idx, "doc_id", "text")
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(s"$idx/sigs").select(col("id")).orderBy(col("id"))
@@ -4609,30 +4728,16 @@ object SparkEntry {
     // batch rewrites only the touched buckets of the persisted store.
     // The surviving id set is an exact SQL fold.
     "stream_tombstone" -> ((s, dir) => {
-      import scala.jdk.CollectionConverters._
       val e = Tables.embeddings(s, dir)
-      // base partitioned store is pre-staged ([[stagedTombStorePath]]);
-      // the timed region is clone + the tombstone stream + readback
+      // base partitioned store ([[stagedTombStorePath]]) and the two
+      // tombstone microbatch files ([[stagedTombVecWatch]]) are
+      // pre-staged; the timed region is clone + stream + readback
       val storeDir = java.nio.file.Files.createTempDirectory("graft_tomb_store").toString
       copyDir(stagedTombStorePath(s, dir), storeDir)
-      val watch = java.nio.file.Files.createTempDirectory("graft_tomb_watch")
-      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_tstage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val dst = watch.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      val watch = stagedTombVecWatch(s, dir)
       val b1 = e.filter(col("vec_id") < 5).select(col("vec_id").as("id"))
-      val t0 = System.currentTimeMillis() - 120000
-      stage("t1", b1, t0)
-      stage("t2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
-        .select(col("vec_id").as("id")), t0 + 5000)
       val st = s.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
       val q = graft.streaming.StreamingOps.tombstoneStream(st, "id",
         storePath = Some(storeDir))
       try q.processAllAvailable() finally q.stop()
@@ -4649,29 +4754,15 @@ object SparkEntry {
     // parquet output must equal per-seed MLT rankings computed from
     // scratch — the SQL oracle re-derives seed terms AND scores.
     "stream_mlt" -> ((s, dir) => {
-      import scala.jdk.CollectionConverters._
       val d = Tables.documents(s, dir)
       val idx = cachedInvIdx(s, dir)
       val out = java.nio.file.Files.createTempDirectory("graft_mlt_out").toString
-      val watch = java.nio.file.Files.createTempDirectory("graft_mlt_watch")
-      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_mstage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val dst = watch.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      // seed-id microbatch files are pre-staged ([[stagedMltWatch]])
+      val watch = stagedMltWatch(s, dir)
       val b1 = d.filter(col("doc_id") === 0 || col("doc_id") === 5)
         .select(col("doc_id").as("id"))
-      val t0 = System.currentTimeMillis() - 120000
-      stage("m1", b1, t0)
-      stage("m2", d.filter(col("doc_id") === 10).select(col("doc_id").as("id")),
-        t0 + 5000)
       val st = s.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
       // the corpus-free overload: cachedInvIdx stores text, so the
       // serving path reads seed text from the index's own doc store —
       // no caller-side corpus frame to construct or scan
@@ -4694,30 +4785,17 @@ object SparkEntry {
     // (Fixed 500-doc fixture, like text_bm25_idx_maintain: the gate
     // times the operations, not an sf-proportional build.)
     "stream_tombstone_inv" -> ((s, dir) => {
-      import scala.jdk.CollectionConverters._
       val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
-      // the 500-doc index build is pre-staged ([[stagedInvTombPath]]);
-      // the timed region is clone + the delete/compact stream + probe
+      // the 500-doc index build ([[stagedInvTombPath]]) and the two
+      // tombstone microbatch files ([[stagedTombDocWatch]]) are
+      // pre-staged; the timed region is clone + delete/compact stream +
+      // probe
       val idx = java.nio.file.Files.createTempDirectory("graft_tomb_inv").toString
       copyDir(stagedInvTombPath(s, dir), idx)
-      val watch = java.nio.file.Files.createTempDirectory("graft_tomb_inv_watch")
-      def stage(name: String, df: DataFrame, mtime: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_tistage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val dst = watch.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      val watch = stagedTombDocWatch(s, dir)
       val b1 = d.filter(col("doc_id") < 10).select(col("doc_id").as("id"))
-      val t0 = System.currentTimeMillis() - 120000
-      stage("t1", b1, t0)
-      stage("t2", d.filter(col("doc_id") >= 10 && col("doc_id") < 20)
-        .select(col("doc_id").as("id")), t0 + 5000)
       val st = s.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
       val q = graft.streaming.StreamingOps.tombstoneStream(st, "id",
         invPath = Some(idx), invCompactTombstones = 5L)
       try q.processAllAvailable() finally q.stop()
@@ -4737,26 +4815,16 @@ object SparkEntry {
     // KMeans fit in the stream; the reloaded index then satisfies the
     // same quality contract as ann_ivf_append.
     "stream_ingest_ivf" -> ((s, dir) => {
-      import scala.jdk.CollectionConverters._
       val e = Tables.embeddings(s, dir)
-      // base rest-corpus IVF layout is pre-staged ([[stagedIngestIvfPath]]);
-      // the timed region is clone + the ingest stream + contract probe
+      // base rest-corpus IVF layout ([[stagedIngestIvfPath]]) and the
+      // input microbatch files ([[stagedIngestVecWatch]]) are
+      // pre-staged; the timed region is clone + stream + contract probe
       val path = java.nio.file.Files.createTempDirectory("graft_ingest_ivf").toString
       copyDir(stagedIngestIvfPath(s, dir), path)
-      val watch = java.nio.file.Files.createTempDirectory("graft_ingest_ivf_watch")
+      val watch = stagedIngestVecWatch(s, dir)
       val b1 = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
-      def stage(name: String, df: DataFrame): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_ivfstage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
-      }
-      stage("v1", b1)
-      stage("v2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
-        .select(col("vec_id"), col("embedding")))
       val st = s.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
       val sq = graft.streaming.StreamingOps.ivfIngestStream(st, path, "vec_id", "embedding")
       try sq.processAllAvailable() finally sq.stop()
       val q = e.filter(col("vec_id") < 10)
@@ -4780,31 +4848,18 @@ object SparkEntry {
       // the timed region is clone + ingest + tombstone streams + probe
       val path = java.nio.file.Files.createTempDirectory("graft_ingest_bq").toString
       copyDir(stagedIngestBqPath(s, dir), path)
-      val watch = java.nio.file.Files.createTempDirectory("graft_ingest_bq_watch")
+      // input + tombstone microbatch files are pre-staged
+      // ([[stagedIngestVecWatch]] / [[stagedIngestVecDelWatch]])
+      val watch = stagedIngestVecWatch(s, dir)
       val b1 = e.filter(col("vec_id") < 5)
-      def stage(name: String, df: DataFrame): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_bqstage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
-      }
-      stage("v1", b1)
-      stage("v2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10))
       val st = s.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
       val sq = graft.streaming.StreamingOps.bqIngestStream(st, path, "vec_id", "embedding")
       try sq.processAllAvailable() finally sq.stop()
       // tombstone microbatch: forget ids 3 and 7
-      val watchDel = java.nio.file.Files.createTempDirectory("graft_ingest_bq_del")
       val dels = e.filter(col("vec_id").isin(3L, 7L)).select(col("vec_id"))
-      val tmpDel = java.nio.file.Files.createTempDirectory("graft_bqstage_del")
-      dels.coalesce(1).write.mode("overwrite").parquet(tmpDel.toString)
-      java.nio.file.Files.copy(
-        java.nio.file.Files.list(tmpDel).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get,
-        watchDel.resolve("del.parquet"))
-      val stDel = s.readStream.schema(dels.schema).parquet(watchDel.toString)
+      val stDel = s.readStream.schema(dels.schema)
+        .parquet(stagedIngestVecDelWatch(s, dir))
       val sqDel = graft.streaming.StreamingOps.tombstoneStream(stDel, "vec_id",
         bqIndexPath = Some(path))
       try sqDel.processAllAvailable() finally sqDel.stop()
@@ -4835,30 +4890,17 @@ object SparkEntry {
       // tombstone streams + probe
       val path = java.nio.file.Files.createTempDirectory("graft_ingest_ivfbq").toString
       copyDir(stagedIngestIvfBqPath(s, dir), path)
-      val watch = java.nio.file.Files.createTempDirectory("graft_ingest_ivfbq_watch")
+      // input + tombstone microbatch files are pre-staged
+      // ([[stagedIngestVecWatch]] / [[stagedIngestVecDelWatch]])
+      val watch = stagedIngestVecWatch(s, dir)
       val b1 = e.filter(col("vec_id") < 5)
-      def stage(name: String, df: DataFrame): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_ivfbqstage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
-      }
-      stage("v1", b1)
-      stage("v2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10))
       val st = s.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
       val sq = graft.streaming.StreamingOps.ivfBqIngestStream(st, path, "vec_id", "embedding")
       try sq.processAllAvailable() finally sq.stop()
-      val watchDel = java.nio.file.Files.createTempDirectory("graft_ingest_ivfbq_del")
       val dels = e.filter(col("vec_id").isin(3L, 7L)).select(col("vec_id"))
-      val tmpDel = java.nio.file.Files.createTempDirectory("graft_ivfbqstage_del")
-      dels.coalesce(1).write.mode("overwrite").parquet(tmpDel.toString)
-      java.nio.file.Files.copy(
-        java.nio.file.Files.list(tmpDel).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get,
-        watchDel.resolve("del.parquet"))
-      val stDel = s.readStream.schema(dels.schema).parquet(watchDel.toString)
+      val stDel = s.readStream.schema(dels.schema)
+        .parquet(stagedIngestVecDelWatch(s, dir))
       val sqDel = graft.streaming.StreamingOps.tombstoneStream(stDel, "vec_id",
         ivfBqPath = Some(path))
       try sqDel.processAllAvailable() finally sqDel.stop()
@@ -4893,21 +4935,13 @@ object SparkEntry {
       // region is clone + first run + crash injection + replay + probes
       val path = java.nio.file.Files.createTempDirectory("graft_replay_idx").toString
       copyDir(stagedIngestIvfBqPath(s, dir), path)
-      val watch = java.nio.file.Files.createTempDirectory("graft_replay_watch")
+      // input microbatch files are pre-staged ([[stagedIngestVecWatch]])
+      val watch = stagedIngestVecWatch(s, dir)
       val b1 = e.filter(col("vec_id") < 5)
-      def stage(name: String, df: DataFrame): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_rplstage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part, watch.resolve(s"$name.parquet"))
-      }
-      stage("v1", b1)
-      stage("v2", e.filter(col("vec_id") >= 5 && col("vec_id") < 10))
       val cp = java.nio.file.Files.createTempDirectory("graft_replay_cp").toString
       def run(): Unit = {
         val st = s.readStream.schema(b1.schema)
-          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .option("maxFilesPerTrigger", "1").parquet(watch)
         val q = graft.streaming.StreamingOps.ivfBqIngestStream(
           st, path, "vec_id", "embedding", checkpointDir = Some(cp))
         try q.processAllAvailable() finally q.stop()

@@ -199,10 +199,32 @@ object Ann {
         val keep = math.max(1L, (cap * mod) / n)
         base.filter(pmod(xxhash64(col("id"), lit(seed)), lit(mod)) < lit(keep))
       }
+    // Pin the fit sample's LAYOUT to a pure function of the data: hash
+    // partitions sized by the cap (one ~1k-row partition per 1024 sample
+    // rows, never the session default) and a within-partition id sort.
+    // Two independent reasons, both measured in round 19:
+    //  - KMeans runs several small synchronous stages per iteration
+    //    (init sample, per-iteration aggregates); with partitions = the
+    //    session default, each barrier waits on `cpus` tiny tasks, and
+    //    on an oversubscribed host the stage tail amplifies every
+    //    barrier (the r18 driver bench measured the one MLlib fit in
+    //    the suite at 28.5 s under local[32] vs 3.8 s under local[8] on
+    //    the same code). The sample is cap-bounded, so its partition
+    //    count must derive from the cap, not from cluster width.
+    //  - takeSample/init read rows per partition, so the fitted
+    //    centroids were a function of the session's parallelism; after
+    //    the hash+sort pin they are reproducible across any core count
+    //    (the r18 driver artifacts show different recall at local[8] vs
+    //    local[32] from this exact effect).
+    // The fit cache also narrows to the features column alone — the fit
+    // re-reads it maxIter times and never needs id/v.
+    val nFitParts = math.max(1, math.min(32, math.ceil(cap / 1024.0).toInt))
     // cache the featurized sample: every KMeans iteration re-reads it
     // (the evictable cache entry is bounded by the cap)
     val feat = fitRows
-      .withColumn("features", array_to_vector(col("v").cast(ArrayType(DoubleType))))
+      .repartition(nFitParts, col("id"))
+      .sortWithinPartitions("id")
+      .select(array_to_vector(col("v").cast(ArrayType(DoubleType))).as("features"))
       .cache()
     // random init: kmeans|| costs ~2x maxIter extra passes and IVF only
     // needs a coarse quantizer, not an optimal clustering
@@ -281,7 +303,14 @@ object Ann {
     var nextId = index.centroids.size
     val cachedLists = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val splitParts = oversized.map { c =>
+      // same layout pin as the ivfBuild fit sample: partitions sized by
+      // the list (not the session default) + a within-partition id sort,
+      // so the sub-fit's barriers stay narrow and its centroids are a
+      // pure function of the list's rows, not of the core count
+      val nSubParts = math.max(1, math.min(32, math.ceil(sizes(c) / 1024.0).toInt))
       val rows = index.assigned.filter(col("cluster") === c)
+        .repartition(nSubParts, col("id"))
+        .sortWithinPartitions("id")
         .withColumn("features", array_to_vector(col("v").cast(ArrayType(DoubleType))))
         .cache()
       cachedLists += rows

@@ -509,20 +509,117 @@ object Dedup {
     * `localCheckpoint` capping lineage per round.
     *
     * Returns (id, component) where component = min id of the cluster.
+    *
+    * Size-adaptive execution (round 19): the canonical edge list is
+    * counted once; at or under `spark.graft.cc.localEdgeThreshold`
+    * edges (default 500k — a few MB collected, the same order as a
+    * broadcast-join build side) the transitive closure runs as a
+    * driver-local min-root union-find over the collected edges, which
+    * replaces the star loop's O(log d) rounds of ~6 jobs each with a
+    * single collect. Above the threshold the distributed star loop
+    * runs unchanged — it remains the 100 TB path; the gate is the same
+    * adaptive small-side decision a broadcast join makes. The two arms
+    * produce identical (id, component) row sets: the star fixpoint
+    * roots every component at its minimum id, and the union-find
+    * attaches the larger root under the smaller (string ids compare as
+    * UTF-8 bytes, matching Spark's UTF8String ordering), so both label
+    * every node with the component minimum ([[DedupAnnSpec]] pins the
+    * cross-arm equality).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    connectedComponentsStarWithRounds(pairs, maxIter)._1
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = canonicalEdges(pairs).localCheckpoint(true)
+    val n = edges.count()
+    val threshold =
+      try edges.sparkSession.conf.get("spark.graft.cc.localEdgeThreshold", "500000").toLong
+      catch { case _: NumberFormatException => 500000L }
+    if (n <= threshold) localComponents(edges)
+    else starLoop(edges, n, maxIter)._1
+  }
+
+  /** Canonical undirected edge list: (u, v) with u < v, no self loops. */
+  private def canonicalEdges(pairs: DataFrame): DataFrame =
+    pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+  /** `a < b` under the SAME total order Spark's least/greatest and the
+    * star loop's min() use for the supported id types (strings compare
+    * as unsigned UTF-8 bytes, exactly UTF8String's binary order). */
+  private def idLess(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int) => x < y
+    case (x: Short, y: Short) => x < y
+    case (x: Byte, y: Byte) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: Float, y: Float) => x < y
+    case (x: String, y: String) =>
+      val ab = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val lim = math.min(ab.length, bb.length)
+      while (i < lim) {
+        val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      ab.length < bb.length
+    case _ => throw new IllegalArgumentException(
+      s"connectedComponents local arm: unsupported id type ${a.getClass}")
+  }
+
+  /** Driver-local min-root union-find over a collected canonical edge
+    * list — output rows identical to the star loop's fixpoint labels. */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema("u").dataType
+    val rows = edges.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != null && p != x) { // path halving
+        val gp = parent.get(p)
+        if (gp != null && gp != p) { parent.put(x, gp); x = gp }
+        else x = p
+        p = parent.get(x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (idLess(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val node = it.next()
+      out.add(org.apache.spark.sql.Row(node, find(node)))
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", idType), StructField("component", idType))))
+  }
 
   /** [[connectedComponents]] plus the number of alternation rounds used
     * (exposed for convergence tests). */
   private[graft] def connectedComponentsStarWithRounds(
       pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
-    // canonical undirected edge list: (u, v) with u < v, no self loops
-    var edges = pairs
-      .select(least(col("id_a"), col("id_b")).as("u"),
-        greatest(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+    val edges = canonicalEdges(pairs).localCheckpoint(true)
+    starLoop(edges, edges.count(), maxIter)
+  }
+
+  /** The distributed alternating-star loop over an already-canonical,
+    * checkpointed edge list with a known cardinality (shared by the
+    * size-gated [[connectedComponents]] and the rounds-exposing test
+    * seam above). */
+  private def starLoop(edges0: DataFrame, nEdges0: Long,
+      maxIter: Int): (DataFrame, Int) = {
+    var edges = edges0
 
     def adj(e: DataFrame): DataFrame =
       e.select(col("u").as("src"), col("v").as("dst"))
@@ -559,7 +656,7 @@ object Dedup {
     def subsetOf(a: DataFrame, b: DataFrame): Boolean =
       a.join(b, Seq("u", "v"), "left_anti").isEmpty
 
-    var nEdges = edges.count()
+    var nEdges = nEdges0
     var converged = nEdges == 0L
     var iter = 0
     while (!converged && iter < maxIter) {

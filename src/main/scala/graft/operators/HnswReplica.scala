@@ -494,12 +494,23 @@ final class HnswReplica private (
         java.util.Arrays.copyOfRange(mat, i * d, (i + 1) * d).toSeq,
         levels(i), deleted.get(i))
     }
+    // Output file sizing derives from the DATA (guide §6), not from the
+    // session's parallelism: a local Seq otherwise parallelizes into
+    // `defaultParallelism` slices, so every save of a small shard paid
+    // ~32 near-empty tasks and files. Target ~96 MB of raw payload per
+    // file; the per-row estimate is the dominant column (the vector for
+    // nodes, the neighbor ints for links).
+    def parts(estBytes: Long): Int =
+      math.max(1L, math.min(64L, estBytes / (96L << 20) + 1L)).toInt
     nodeRows.toDF("idx", "id", "vec", "level", "tomb")
+      .coalesce(parts(count.toLong * d * 4L))
       .write.mode("overwrite").parquet(s"$path/nodes")
     val linkRows = (0 until count).flatMap { i =>
       links(i).indices.map(l => (i, l, links(i)(l).get().toSeq))
     }
+    val linkBytes = linkRows.iterator.map(r => r._3.length * 4L + 16L).sum
     linkRows.toDF("idx", "level", "nbrs")
+      .coalesce(parts(linkBytes))
       .write.mode("overwrite").parquet(s"$path/links")
     VectorStore.writeSidecar(spark, s"$path/_hnsw.json",
       s"""{"dim": $dim, "m": $m, "ef_construction": $efConstruction, """ +

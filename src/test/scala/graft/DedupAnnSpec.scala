@@ -265,6 +265,42 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(star == minLabel)
   }
 
+  test("connectedComponents: local union-find arm equals the distributed star loop") {
+    val rnd = new scala.util.Random(19)
+    val pairs = Seq.fill(400)((rnd.nextLong(300).abs, rnd.nextLong(300).abs))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    // public entry at the default threshold -> local union-find arm
+    val local = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the distributed star loop, bypassing the gate
+    val star = graft.operators.Dedup.connectedComponentsStarWithRounds(pairs)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == star)
+    // forcing the gate to 0 routes the public entry through the star arm
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val gated = graft.operators.Dedup.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gated == star)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
+  test("connectedComponents local arm: string ids follow UTF-8 byte order") {
+    // U+1F600 encodes as F0 9F 98 80 (UTF-8) but as a D83D surrogate in
+    // UTF-16: Spark's least()/min() order the UTF-8 bytes (emoji LAST),
+    // String.compareTo would order the surrogate FIRST — the local arm
+    // must follow Spark. Root of the merged component must be "�".
+    val pairs = Seq(("😀", "�"), ("a", "b"))
+      .toDF("id_a", "id_b")
+    val local = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val star = graft.operators.Dedup.connectedComponentsStarWithRounds(pairs)._1
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(local == star)
+    assert(local("😀") == "�" && local("b") == "a")
+  }
+
   test("survivorMap: every dropped doc is attributed to its cluster's survivor") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
     val m = graft.operators.Dedup.survivorMap(pairs)
