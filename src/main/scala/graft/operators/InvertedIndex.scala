@@ -563,8 +563,14 @@ object InvertedIndex {
       .select(Seq(col("id"), col("dl"), col("dbucket").cast(LongType).as("dbucket")) ++
         (if (hasTbCol) Seq(col("tbuckets")) else Nil): _*)
       .localCheckpoint(true)
+    // ONE read job over the checkpoint computes the stats decrement AND
+    // the touched doc-bucket list (collect_set is bounded by index
+    // geometry — nDocBuckets — never by the delete size); the writes
+    // below keep their exact order, this only merges two read-only
+    // collects over the same immutable checkpoint (r19)
     val agg = found
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"), idXorAgg.as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"), idXorAgg.as("x"),
+        sort_array(collect_set(col("dbucket"))).as("fb"))
       .collect()(0)
     val nFound = agg.getLong(0)
     if (nFound > 0) {
@@ -621,11 +627,11 @@ object InvertedIndex {
         else advanceCoverMarker(fs, path, v, v + 1)
       }
       // 3. doc-stats rewrite, only the buckets that actually HOLD a
-      //    found row; survivors anti-join the FULL tombstone set (not
-      //    just this call's ids), so a crashed earlier delete's row in
-      //    these buckets sweeps away for free
-      val foundBuckets = found.select(col("dbucket"))
-        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      //    found row (computed in the single entry aggregate above);
+      //    survivors anti-join the FULL tombstone set (not just this
+      //    call's ids), so a crashed earlier delete's row in these
+      //    buckets sweeps away for free
+      val foundBuckets = agg.getSeq[Long](3)
       val tombIds = tombstonesOf(spark, path)
         .map(_.select(col("id")).distinct().localCheckpoint(true))
         .getOrElse(idDf)
@@ -3436,15 +3442,27 @@ object InvertedIndex {
     val tombsOpt = tombstonesOf(spark, path).map(_.localCheckpoint(true))
     val touched = tombsOpt match {
       case None => Seq.empty[Long]
-      case Some(tombs) if tombs.isEmpty => Seq.empty[Long]
       case Some(tombs) =>
+        val st = readStats(spark, path)
+        val hasTbCol = tombs.columns.contains("tbuckets")
+        // ONE read job over the checkpointed set answers the three
+        // entry questions the loop below needs — emptiness, the
+        // legacy-schema null audit, and the tombstoned ids' own
+        // doc-bucket list (collect_set bounded by nDocBuckets, never
+        // by the tombstone count). Read-only consolidation (r19): the
+        // mutation steps below keep their exact order.
+        val entry = tombs.agg(count(lit(1)).as("n"),
+            (if (hasTbCol) sum(when(col("tbuckets").isNull, 1L).otherwise(0L))
+             else max(lit(1L))).as("nulls"),
+            sort_array(collect_set(docBucket(st.nDocBuckets))).as("db"))
+          .collect()(0)
+        if (entry.getLong(0) == 0L) Seq.empty[Long] else {
         // the bucket-set fast path needs EVERY row to carry tbuckets:
         // a mixed-schema set (legacy id-only files read back as null
         // alongside new rows) must take the legacy path whole, or a
         // null-tbuckets id would be retired with its postings still
         // live (exists(null) filters as false)
-        val hasTb = tombs.columns.contains("tbuckets") &&
-          tombs.filter(col("tbuckets").isNull).isEmpty
+        val hasTb = hasTbCol && entry.getLong(1) == 0L
         val tombIds = tombs.select(col("id")).distinct()
         val candidates: Seq[Long] =
           if (hasTb)
@@ -3507,12 +3525,9 @@ object InvertedIndex {
         // tombstone append and its doc-stats rewrite leaves the dead
         // doc's stats row behind (stats already decremented, probes
         // already hiding it). Check only the tombstoned ids' OWN
-        // dbuckets (cost ∝ tombstones, id column alone) and rewrite
-        // the buckets that really hold residue — normally none.
-        val st = readStats(spark, path)
-        val tombDb = tombs
-          .select(docBucket(st.nDocBuckets).as("b"))
-          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+        // dbuckets (computed in the single entry aggregate above) and
+        // rewrite the buckets that really hold residue — normally none.
+        val tombDb = entry.getSeq[Long](2)
         val resBuckets = tombDb.filter(b => fs.exists(
           new org.apache.hadoop.fs.Path(s"$path/docstats/dbucket=$b")))
         if (resBuckets.nonEmpty) {
@@ -3598,6 +3613,7 @@ object InvertedIndex {
         // impossible without tbuckets — keep the whole set (next full
         // compact clears it)
         toRewrite
+        }
     }
     // fraction-gated PHYSICAL sweep of store-dead rows: the dead list
     // keeps retired ids hidden for free; the rewrite bill comes due
